@@ -1,0 +1,72 @@
+"""Testdata loaders.
+
+All declared queries (SURVEY.md §2.6) run over these tables in BOTH Spark and
+the DuckDB oracle, so the loader is the single normalization point:
+
+- ``events.ts`` is stored as Parquet timestamp[ns]. Spark has no nanosecond
+  timestamp type; we read it as raw long (nanosAsLong) and truncate to a
+  microsecond TIMESTAMP_NTZ, which is exactly what DuckDB's reader does when
+  it surfaces the column as its µs TIMESTAMP. (SURVEY.md §7.6)
+- Everything else reads natively as timestamp_ntz / long / double / string,
+  matching DuckDB's view of the same files.
+
+The NTZ construction is session-timezone-independent (epoch arithmetic on a
+TIMESTAMP_NTZ literal), so results do not change if the caller's session is
+not UTC.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pcap_converter_spark.session import apply_runtime_confs
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def _normalize_events(df: DataFrame) -> DataFrame:
+    """long ns-since-epoch → TIMESTAMP_NTZ at µs precision (truncating)."""
+    ts_type = dict(df.dtypes).get("ts")
+    if ts_type == "bigint":
+        ntz = F.expr(
+            "timestampadd(MICROSECOND, CAST(ts / 1000 AS LONG), "
+            "TIMESTAMP_NTZ '1970-01-01 00:00:00')"
+        )
+        df = df.withColumn("ts", ntz)
+    elif ts_type == "timestamp":
+        df = df.withColumn("ts", F.col("ts").cast("timestamp_ntz"))
+    return df
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    apply_runtime_confs(spark)
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events":
+        df = _normalize_events(df)
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {t: load_table(spark, sf_dir, t) for t in TABLES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Register every testdata table as a temp view (the Spark analogue of
+    the reference's `create view pcap as select * from '<file>'`,
+    main.rs:272)."""
+    dfs = load_tables(spark, sf_dir)
+    for name, df in dfs.items():
+        df.createOrReplaceTempView(name)
+    return dfs

@@ -1,0 +1,71 @@
+"""SparkSession factory tuned for this engine.
+
+Settings are chosen for determinism (UTC, µs timestamps) and for scale
+(AQE on, Arrow on, sane shuffle partitioning). On a real cluster the same
+builder is used with a different master; nothing here is local-mode-only.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Runtime-settable confs every entry point applies, including to sessions we
+# did not create (the driver hands us its own SparkSession).
+RUNTIME_CONFS = {
+    # testdata events.parquet stores timestamp[ns]; Spark has no ns type, so
+    # read as long and normalize in the loader (SURVEY.md §7.6).
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # Determinism: all timestamp arithmetic pinned to UTC.
+    "spark.sql.session.timeZone": "UTC",
+    # AQE: runtime coalescing + skew-join handling; critical at 100 TB.
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+}
+
+
+def apply_runtime_confs(spark: SparkSession) -> SparkSession:
+    """Apply runtime-settable confs to an existing session (driver's or ours)."""
+    for k, v in RUNTIME_CONFS.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            pass  # non-settable on this build: keep going, loader degrades
+    return spark
+
+
+def get_spark(
+    app_name: str = "pcap-converter-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+) -> SparkSession:
+    """Build (or fetch) the engine session.
+
+    local[$SPARK_GRAFT_CPUS] by default; on a cluster pass master=None with
+    spark-submit providing the master. Shuffle partitions default to the
+    local core count — on a cluster you would size this to ~2-3× total cores
+    or rely on AQE coalescing from a higher initial value.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "")
+    if master is None:
+        master = f"local[{cpus}]" if cpus else "local[*]"
+    if shuffle_partitions is None:
+        shuffle_partitions = int(cpus) if cpus.isdigit() else 32
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.parquet.compression.codec", "snappy")
+    )
+    for k, v in RUNTIME_CONFS.items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return apply_runtime_confs(spark)

