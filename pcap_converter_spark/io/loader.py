@@ -40,8 +40,11 @@ def _normalize_events(df: DataFrame) -> DataFrame:
     """long ns-since-epoch → TIMESTAMP_NTZ at µs precision (truncating)."""
     ts_type = dict(df.dtypes).get("ts")
     if ts_type == "bigint":
+        # Integer division: ts/1000 in double loses exactness for ns epochs
+        # (~1.7e18 exceeds double's 2^53 exact-integer range), which can land
+        # 1 µs off DuckDB's exact integer truncation on boundary values.
         ntz = F.expr(
-            "timestampadd(MICROSECOND, CAST(ts / 1000 AS LONG), "
+            "timestampadd(MICROSECOND, ts div 1000, "
             "TIMESTAMP_NTZ '1970-01-01 00:00:00')"
         )
         df = df.withColumn("ts", ntz)

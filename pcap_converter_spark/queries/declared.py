@@ -1,0 +1,375 @@
+"""The declared correctness query set (SURVEY.md §2.6).
+
+Each entry is a named query that runs over the driver testdata tables
+(TESTDATA.md) and/or the ``packets`` fixture (FIXTURES.md §1). Queries are
+written as portable ANSI SQL wherever possible so the *same* text runs on
+Spark SQL and on the DuckDB oracle; engine-specific variants are provided
+where the dialects genuinely diverge (array ops, explode).
+
+Determinism rules (SURVEY.md §2.6): total ORDER BY on every query; money
+sums go through DECIMAL(18,2) (exact, order-independent); double aggregates
+wrapped in round(); type-normalizing CASTs wherever the two engines widen
+differently (e.g. DuckDB ``floor()``→double vs Spark →bigint, DuckDB
+``year()``→bigint vs Spark →int), so both engines emit identical values AND
+identical column names.
+
+Reference parity notes: PQ1-PQ3 re-express the reference's defrag query
+layer (/root/reference/src/main.rs:274-300) over the ``packets`` fixture;
+the rest exercise the general relational surface Spark provides natively
+(SURVEY.md §2.5).
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+
+_REPO_ROOT = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+PACKETS_PARQUET = os.path.join(_REPO_ROOT, "fixtures", "data", "packets.parquet")
+
+
+@dataclass(frozen=True)
+class Q:
+    """One declared query: portable body + optional per-engine overrides."""
+
+    name: str
+    spark_sql: str
+    duck_sql: str | None = None  # None → spark_sql is portable, reuse it
+    needs_packets: bool = False
+
+    @property
+    def oracle(self) -> str:
+        sql = self.duck_sql or self.spark_sql
+        if self.needs_packets:
+            # The driver pre-registers only the TESTDATA tables; the packets
+            # fixture is ours, so the oracle reads the parquet directly.
+            sql = (
+                f"WITH packets AS (SELECT * FROM read_parquet('{PACKETS_PARQUET}')) "
+                + sql
+            )
+        return sql
+
+
+# --- the 31 packets columns, for explicit projections (no SELECT * EXCLUDE) --
+_PACKET_COLS = [
+    "frame_time", "frame_len", "eth_type", "ip_src", "ip_dst", "ip_proto",
+    "ip_ttl", "ip_frag_offset", "ip_id", "ip_mf", "icmp_type", "udp_length",
+    "udp_srcport", "udp_dstport", "tcp_flags", "tcp_srcport", "tcp_dstport",
+    "col_info", "col_source", "col_destination", "col_protocol",
+    "dns_qry_name", "dns_qry_type", "http_request_uri", "http_host",
+    "http_request_method", "http_user_agent", "http_file_data",
+    "ntp_priv_reqcode", "dhip_device", "pcap_file",
+]
+
+_DEFRAG_FILL = [
+    "udp_srcport", "udp_dstport", "ntp_priv_reqcode",
+    "dns_qry_type", "dns_qry_name", "col_protocol",
+]
+
+# PQ2 body (R4, main.rs:292 with deterministic min_by instead of first()).
+_PQ2_SQL = (
+    "SELECT ip_src, ip_dst, ip_id, ip_proto, "
+    + ", ".join(f"min_by({c}, frame_time) AS {c}" for c in _DEFRAG_FILL)
+    + " FROM packets WHERE ip_proto = 17 AND ip_mf = true AND ip_frag_offset = 0"
+    " GROUP BY ip_src, ip_dst, ip_id, ip_proto"
+    " ORDER BY ip_src, ip_dst, ip_id"
+)
+
+# PQ3 (R5, main.rs:296): left join packets→first-fragments, coalesce the six
+# propagated columns, project all 31 columns explicitly.
+_PQ3_PROJ = ", ".join(
+    f"coalesce(p.{c}, ff.{c}) AS {c}" if c in _DEFRAG_FILL else f"p.{c}"
+    for c in _PACKET_COLS
+)
+_PQ3_SQL = (
+    "WITH ff AS ("
+    "  SELECT ip_src, ip_dst, ip_id, ip_proto, "
+    + ", ".join(f"min_by({c}, frame_time) AS {c}" for c in _DEFRAG_FILL)
+    + "  FROM packets WHERE ip_proto = 17 AND ip_mf = true AND ip_frag_offset = 0"
+    "  GROUP BY ip_src, ip_dst, ip_id, ip_proto"
+    ") "
+    f"SELECT {_PQ3_PROJ} FROM packets p "
+    "LEFT JOIN ff ON p.ip_src = ff.ip_src AND p.ip_dst = ff.ip_dst "
+    "AND p.ip_proto = ff.ip_proto AND p.ip_id = ff.ip_id "
+    "ORDER BY p.frame_time, p.ip_src, p.ip_dst"
+)
+
+DECLARED_QUERIES: dict[str, Q] = {
+    q.name: q
+    for q in [
+        # ---------------- packets fixture (reference semantics) -------------
+        Q(
+            "pq1_frag_pct",
+            "SELECT round(100 * count(*) / (SELECT count(*) FROM packets)) AS pct "
+            "FROM packets "
+            "WHERE (ip_frag_offset = 0 AND ip_mf = true) OR ip_frag_offset > 0",
+            needs_packets=True,
+        ),
+        Q("pq2_first_fragments", _PQ2_SQL, needs_packets=True),
+        Q("pq3_defrag", _PQ3_SQL, needs_packets=True),
+        Q(
+            "pq4_protocol_mix",
+            "SELECT col_protocol, count(*) AS n, round(avg(frame_len), 2) AS avg_len "
+            "FROM packets GROUP BY col_protocol ORDER BY col_protocol",
+            needs_packets=True,
+        ),
+        Q(
+            "pq5_tcp_flags",
+            "SELECT tcp_flags, count(*) AS n FROM packets "
+            "WHERE tcp_flags IS NOT NULL GROUP BY tcp_flags ORDER BY tcp_flags",
+            needs_packets=True,
+        ),
+        Q(
+            "pq6_top_talkers",
+            "SELECT ip_src, count(*) AS pkts, CAST(sum(frame_len) AS BIGINT) AS bytes "
+            "FROM packets WHERE ip_src IS NOT NULL "
+            "GROUP BY ip_src ORDER BY pkts DESC, ip_src LIMIT 10",
+            needs_packets=True,
+        ),
+        Q(
+            "pq7_dns_shape",
+            "SELECT dns_qry_name, dns_qry_type, count(*) AS n FROM packets "
+            "WHERE col_protocol = 'DNS' GROUP BY dns_qry_name, dns_qry_type "
+            "ORDER BY n DESC, dns_qry_name, dns_qry_type LIMIT 20",
+            needs_packets=True,
+        ),
+        # ---------------- general operator coverage (TPC-H-ish) -------------
+        Q(
+            "dq1_scan_filter_project",
+            "SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem "
+            "WHERE l_quantity > 45 ORDER BY l_orderkey, l_linenumber",
+        ),
+        Q(
+            "dq2_hash_agg",
+            "SELECT l_returnflag, l_linestatus, count(*) AS n, "
+            "CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price, "
+            "round(avg(l_discount), 4) AS avg_disc "
+            "FROM lineitem GROUP BY l_returnflag, l_linestatus "
+            "ORDER BY l_returnflag, l_linestatus",
+        ),
+        Q(
+            "dq3_multijoin_agg",
+            "SELECT r_name, count(*) AS custs, "
+            "CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS bal "
+            "FROM customer "
+            "JOIN nation ON c_nationkey = n_nationkey "
+            "JOIN region ON n_regionkey = r_regionkey "
+            "GROUP BY r_name ORDER BY r_name",
+        ),
+        Q(
+            "dq4_left_join_coalesce",
+            "SELECT n_name, coalesce(s_cnt, 0) AS s_cnt FROM nation "
+            "LEFT JOIN (SELECT s_nationkey, count(*) AS s_cnt FROM supplier "
+            "GROUP BY s_nationkey) s ON n_nationkey = s_nationkey ORDER BY n_name",
+        ),
+        Q(
+            "dq5_semi_join",
+            "SELECT c_custkey, c_name FROM customer c WHERE EXISTS "
+            "(SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey "
+            "AND o.o_totalprice > 100000) ORDER BY c_custkey",
+        ),
+        Q(
+            "dq6_anti_join",
+            "SELECT c_custkey FROM customer c WHERE NOT EXISTS "
+            "(SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey) "
+            "ORDER BY c_custkey",
+        ),
+        Q(
+            "dq7_range_join",
+            "SELECT o.o_orderkey, count(*) AS late_lines FROM orders o "
+            "JOIN lineitem l ON l.l_orderkey = o.o_orderkey "
+            "AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY "
+            "GROUP BY o.o_orderkey ORDER BY late_lines DESC, o.o_orderkey LIMIT 25",
+        ),
+        Q(
+            "dq8_scalar_subquery",
+            "SELECT o_orderkey, o_totalprice FROM orders "
+            "WHERE o_totalprice > 2 * (SELECT avg(o_totalprice) FROM orders) "
+            "ORDER BY o_orderkey",
+        ),
+        Q(
+            "dq9_window_rank",
+            "SELECT c_mktsegment, c_custkey, rnk FROM "
+            "(SELECT c_mktsegment, c_custkey, row_number() OVER "
+            "(PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey) AS rnk "
+            "FROM customer) t WHERE rnk <= 3 ORDER BY c_mktsegment, rnk",
+        ),
+        Q(
+            "dq10_window_frame",
+            "SELECT o_custkey, o_orderkey, "
+            "CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER "
+            "(PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS run "
+            "FROM orders ORDER BY o_custkey, o_orderkey",
+        ),
+        Q(
+            "dq11_lag",
+            "SELECT user_id, event_id, lag(event_type) OVER "
+            "(PARTITION BY user_id ORDER BY ts, event_id) AS prev_type "
+            "FROM events ORDER BY user_id, event_id",
+        ),
+        Q(
+            "dq12_rollup",
+            "SELECT o_orderpriority, o_orderstatus, "
+            "CAST(grouping(o_orderstatus) AS INT) AS g, count(*) AS n "
+            "FROM orders GROUP BY ROLLUP (o_orderpriority, o_orderstatus) "
+            "ORDER BY o_orderpriority NULLS FIRST, o_orderstatus NULLS FIRST, g",
+        ),
+        Q(
+            "dq13_intersect",
+            "SELECT c_nationkey AS k FROM customer INTERSECT "
+            "SELECT s_nationkey FROM supplier ORDER BY k",
+        ),
+        Q(
+            "dq13_except",
+            "SELECT c_nationkey AS k FROM customer EXCEPT "
+            "SELECT s_nationkey FROM supplier ORDER BY k",
+        ),
+        Q(
+            "dq13_union",
+            "SELECT c_nationkey AS k FROM customer UNION "
+            "SELECT s_nationkey FROM supplier ORDER BY k",
+        ),
+        Q(
+            "dq13_union_all",
+            "SELECT k, count(*) AS n FROM "
+            "(SELECT c_nationkey AS k FROM customer UNION ALL "
+            "SELECT s_nationkey FROM supplier) t GROUP BY k ORDER BY k",
+        ),
+        Q(
+            "dq14_distinct_agg",
+            "SELECT o_orderstatus, count(DISTINCT o_custkey) AS u FROM orders "
+            "GROUP BY o_orderstatus ORDER BY o_orderstatus",
+        ),
+        Q(
+            "dq15_having",
+            "SELECT o_custkey, count(*) AS n FROM orders GROUP BY o_custkey "
+            "HAVING count(*) >= 3 ORDER BY o_custkey",
+        ),
+        Q(
+            "dq16_string_fns",
+            "SELECT p_partkey, upper(p_brand) AS b, length(p_name) AS ln, "
+            "substr(p_type, 1, 5) AS t5, replace(p_brand, '#', '-') AS r, "
+            "regexp_extract(p_name, '([a-z]+)', 1) AS w "
+            "FROM part ORDER BY p_partkey",
+        ),
+        Q(
+            "dq17_like_case_concat",
+            "SELECT p_partkey, CASE WHEN p_size > 25 THEN 'L' "
+            "WHEN p_size > 10 THEN 'M' ELSE 'S' END AS sz, "
+            "p_brand || '/' || p_type AS bt FROM part "
+            "WHERE p_name LIKE '%a%' ORDER BY p_partkey",
+        ),
+        Q(
+            "dq18_date_fns",
+            "SELECT o_orderkey, CAST(year(o_orderdate) AS INT) AS y, "
+            "CAST(month(o_orderdate) AS INT) AS m, "
+            "date_trunc('month', o_orderdate) AS mon, "
+            "o_orderdate + INTERVAL 30 DAY AS due FROM orders ORDER BY o_orderkey",
+        ),
+        Q(
+            "dq19_math_fns",
+            "SELECT l_orderkey, l_linenumber, round(sqrt(l_quantity), 4) AS sq, "
+            "abs(l_discount - 0.05) > 0.001 AS far, "
+            "CAST(floor(l_extendedprice / 1000) AS BIGINT) AS kbucket, "
+            "CAST(l_partkey % 7 AS INT) AS m7 "
+            "FROM lineitem ORDER BY l_orderkey, l_linenumber",
+        ),
+        Q(
+            "dq20_conditional_pivot",
+            "SELECT o_orderpriority, "
+            "CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS f, "
+            "CAST(sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS o, "
+            "CAST(sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS p "
+            "FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority",
+        ),
+        Q(
+            "dq21_sessionization",
+            "SELECT user_id, session_id, count(*) AS n_events, min(ts) AS t0 FROM "
+            "(SELECT user_id, ts, CAST(sum(new_s) OVER "
+            "(PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) AS session_id FROM "
+            "(SELECT user_id, event_id, ts, CASE WHEN "
+            "ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) "
+            "> INTERVAL 30 MINUTE OR lag(ts) OVER "
+            "(PARTITION BY user_id ORDER BY ts, event_id) IS NULL "
+            "THEN 1 ELSE 0 END AS new_s FROM events) a) b "
+            "GROUP BY user_id, session_id ORDER BY user_id, session_id",
+        ),
+        Q(
+            "dq22_tumbling_window",
+            "SELECT date_trunc('hour', ts) AS h, event_type, count(*) AS n, "
+            "CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS v "
+            "FROM events GROUP BY date_trunc('hour', ts), event_type "
+            "ORDER BY h, event_type",
+        ),
+        Q(
+            "dq23_asof",
+            "SELECT e.event_id, max(s.ts) AS prev_ts FROM events e "
+            "JOIN events s ON s.user_id = e.user_id AND s.ts < e.ts "
+            "GROUP BY e.event_id ORDER BY e.event_id",
+        ),
+        Q(
+            "dq24_text_basics",
+            "SELECT lang, count(*) AS docs, round(avg(n_chars), 2) AS avg_chars, "
+            "max(length(text)) AS max_len FROM documents GROUP BY lang ORDER BY lang",
+        ),
+        Q(
+            "dq25_exact_dedup",
+            "SELECT text, count(*) AS dups FROM documents GROUP BY text "
+            "HAVING count(*) > 1 ORDER BY dups DESC, text",
+        ),
+        Q(
+            "dq26_array_ops",
+            spark_sql=(
+                "SELECT vec_id, CAST(size(embedding) AS INT) AS d, "
+                "round(CAST(element_at(embedding, 1) AS DOUBLE), 4) AS e1 "
+                "FROM embeddings ORDER BY vec_id"
+            ),
+            duck_sql=(
+                "SELECT vec_id, CAST(len(embedding) AS INT) AS d, "
+                "round(CAST(embedding[1] AS DOUBLE), 4) AS e1 "
+                "FROM embeddings ORDER BY vec_id"
+            ),
+        ),
+        Q(
+            "dq27_posexplode",
+            spark_sql=(
+                "SELECT vec_id, CAST(pos AS INT) AS pos, "
+                "round(CAST(t.v AS DOUBLE), 4) AS v "
+                "FROM embeddings LATERAL VIEW posexplode(embedding) t AS pos, v "
+                "WHERE vec_id < 5 ORDER BY vec_id, pos"
+            ),
+            duck_sql=(
+                "SELECT vec_id, CAST(generate_subscripts(embedding, 1) - 1 AS INT) AS pos, "
+                "round(CAST(unnest(embedding) AS DOUBLE), 4) AS v "
+                "FROM embeddings WHERE vec_id < 5 ORDER BY vec_id, pos"
+            ),
+        ),
+    ]
+}
+
+
+def _make_runner(q: Q):
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        # Imported lazily so this module stays importable without pyspark up.
+        from pcap_converter_spark.io.loader import register_views
+
+        register_views(spark, sf_dir)
+        if q.needs_packets:
+            spark.read.parquet(PACKETS_PARQUET).createOrReplaceTempView("packets")
+        return spark.sql(q.spark_sql)
+
+    run.__name__ = f"run_{q.name}"
+    return run
+
+
+def spark_query_map() -> dict:
+    """name → callable(spark, sf_dir) → DataFrame, for __spark_entry__.queries()."""
+    return {name: _make_runner(q) for name, q in DECLARED_QUERIES.items()}
+
+
+def oracle_sql_map() -> dict[str, str]:
+    """name → DuckDB-runnable SQL, for __spark_entry__.oracle_sql()."""
+    return {name: q.oracle for name, q in DECLARED_QUERIES.items()}
