@@ -66,6 +66,38 @@ ICMP_DEST_UNREACH = 3
 # same walk internally; ip_proto stays the *fixed header's* next_header).
 _V6_EXT = frozenset((0, 43, 60, 44, 51, 135, 139, 140))
 
+
+def _v6_walk(pkt: memoryview, off: int, next_header: int) -> tuple[int, int] | None:
+    """Walk IPv6 extension headers from `off`; return (transport_proto, offset)
+    or None when there is no parseable transport.
+
+    A fragmenting fragment header (offset>0 or MF set) ends the walk with no
+    transport — etherparse's is_fragmenting_payload behavior: the bytes after
+    it are mid-datagram payload, not a transport header. Atomic fragments
+    (offset=0, MF=0) continue. AH (51) encodes its length in 4-byte units + 2,
+    unlike the other extensions' 8-byte units + 1.
+    """
+    n = len(pkt)
+    proto = next_header
+    while proto in _V6_EXT:
+        if off + 8 > n:
+            return None
+        nxt = pkt[off]
+        if proto == 44:  # fragment header
+            frag_bits = (pkt[off + 2] << 8) | pkt[off + 3]
+            if (frag_bits >> 3) or (frag_bits & 1):  # offset or MF
+                return None
+            proto, off = nxt, off + 8
+            continue
+        if proto == 51:  # AH
+            hdr_len = (pkt[off + 1] + 2) * 4
+        else:
+            hdr_len = (pkt[off + 1] + 1) * 8
+        proto, off = nxt, off + hdr_len
+    if off > n:
+        return None
+    return proto, off
+
 _U16BE = Struct(">H")
 _ETH = Struct(">6s6sH")
 
@@ -289,10 +321,19 @@ def _decode_transport(row: list, proto: int, seg: memoryview, errors: int) -> in
             # victim flow is identifiable (packetstats.rs:357-377). Strict
             # parse — a truncated inner transport header is an error.
             inner = seg[8:]
+            iproto, iseg = None, None
             if len(inner) >= 20 and (inner[0] >> 4) == 4:
                 ihl = (inner[0] & 0x0F) * 4
                 iproto = inner[9]
                 iseg = inner[ihl:]
+            elif len(inner) >= 40 and (inner[0] >> 4) == 6:
+                # The reference's from_ip_slice also parses a quoted IPv6
+                # packet (packetstats.rs:360) — walk its extensions too.
+                walked = _v6_walk(inner, 40, inner[6])
+                if walked is not None:
+                    iproto = walked[0]
+                    iseg = inner[walked[1]:]
+            if iseg is not None:
                 if iproto == PROTO_UDP and len(iseg) >= 8:
                     row[_I_UDP_SRC] = (iseg[0] << 8) | iseg[1]
                     row[_I_UDP_DST] = (iseg[2] << 8) | iseg[3]
@@ -358,18 +399,11 @@ def _decode_ip(row: list, pkt: memoryview, errors: int) -> int:
         row[_I_IP_PROTO] = next_header  # fixed header's next_header (E5)
         # Walk extension headers to the transport; ip_proto keeps the fixed
         # header value, matching etherparse's split of header vs transport.
-        proto, off = next_header, 40
-        while proto in _V6_EXT:
-            if off + 8 > n:
-                return errors  # ran out: no transport to decode
-            if proto == 44:  # fragment header: reference has no v6 defrag
-                proto, off = pkt[off], off + 8
-                continue
-            hdr_len = (pkt[off + 1] + 1) * 8
-            proto, off = pkt[off], off + hdr_len
-        if off > n:
+        # Fragmenting fragments end the walk with no transport decode.
+        walked = _v6_walk(pkt, 40, next_header)
+        if walked is None:
             return errors
-        return _decode_transport(row, proto, pkt[off:], errors)
+        return _decode_transport(row, walked[0], pkt[walked[1]:], errors)
     return errors + 1
 
 

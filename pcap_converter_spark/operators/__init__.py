@@ -1,0 +1,11 @@
+"""Relational + pipeline operators built Spark-first.
+
+- ``defrag``     : the reference's UDP-fragment repair query layer (R2-R6,
+                   /root/reference/src/main.rs:268-301) as DataFrame ops.
+- ``convert``    : the end-to-end pcap → Parquet pipeline (K1-K3, D7).
+- ``dedup``      : exact + near-duplicate detection (MinHash/LSH, SimHash,
+                   n-gram Jaccard) for LLM-scale corpora.
+- ``similarity`` : embedding similarity search (brute-force + LSH-bucketed).
+- ``multimodal`` : binary-payload column plumbing with typed metadata.
+- ``registry``   : extension-operator entries for the driver contract.
+"""

@@ -45,10 +45,13 @@ class Q:
         if self.needs_packets:
             # The driver pre-registers only the TESTDATA tables; the packets
             # fixture is ours, so the oracle reads the parquet directly.
-            sql = (
-                f"WITH packets AS (SELECT * FROM read_parquet('{PACKETS_PARQUET}')) "
-                + sql
-            )
+            cte = f"WITH packets AS (SELECT * FROM read_parquet('{PACKETS_PARQUET}'))"
+            body = sql.lstrip()
+            if body[:5].upper() == "WITH ":
+                # merge into the query's own WITH list (no nested WITH in SQL)
+                sql = cte + ", " + body[5:]
+            else:
+                sql = cte + " " + body
         return sql
 
 

@@ -43,27 +43,39 @@ def get_spark(
 ) -> SparkSession:
     """Build (or fetch) the engine session.
 
-    local[$SPARK_GRAFT_CPUS] by default; on a cluster pass master=None with
-    spark-submit providing the master. Shuffle partitions default to the
-    local core count — on a cluster you would size this to ~2-3× total cores
-    or rely on AQE coalescing from a higher initial value.
+    Master resolution: an explicit ``master`` argument wins; else ``PCS_MASTER``
+    from the environment; else, when spark-submit / an existing conf already
+    supplies ``spark.master``, we do NOT call ``builder.master()`` (so cluster
+    jobs keep their cluster master); only as a last resort do we fall back to
+    ``local[*]`` for bare ``python`` runs. Shuffle partitions default to 32 —
+    on a cluster size this ~2-3× total cores or rely on AQE coalescing.
     """
-    cpus = os.environ.get("SPARK_GRAFT_CPUS", "")
+    from pyspark import SparkConf
+
     if master is None:
-        master = f"local[{cpus}]" if cpus else "local[*]"
+        master = os.environ.get("PCS_MASTER")
     if shuffle_partitions is None:
-        shuffle_partitions = int(cpus) if cpus.isdigit() else 32
+        env_sp = os.environ.get("PCS_SHUFFLE_PARTITIONS", "")
+        shuffle_partitions = int(env_sp) if env_sp.isdigit() else 32
 
     builder = (
         SparkSession.builder.appName(app_name)
-        .master(master)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.parquet.compression.codec", "snappy")
     )
+    if master is None and not SparkConf().contains("spark.master"):
+        master = "local[*]"
+    if master is not None:
+        builder = builder.master(master)
+        if master.startswith("local"):
+            # driver memory only matters (and is only settable) pre-launch in
+            # local mode; cluster deployments set it via spark-submit.
+            builder = builder.config(
+                "spark.driver.memory", os.environ.get("PCS_DRIVER_MEM", "8g")
+            )
     for k, v in RUNTIME_CONFS.items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()

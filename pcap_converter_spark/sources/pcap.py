@@ -172,7 +172,12 @@ def _index_ng(f, path: str, target: int, file_size: int) -> Iterator[Chunk]:
         if blen < 12 or (blen & 3) or pos + blen > file_size:
             break  # truncated/corrupt tail tolerated
         if btype == _IDB:
-            body = f.read(min(blen - 12, 1 << 16))
+            # IDB body starts at block offset 8 (linktype u16, reserved u16,
+            # snaplen u32, options at body offset 8). The 12-byte head read
+            # left the file at offset 12, so prepend head[8:12] — otherwise
+            # linktype is read from snaplen bytes and every chunk after the
+            # first carries a garbage interface snapshot.
+            body = head[8:12] + f.read(min(blen - 16, 1 << 16))
             interfaces.append(_parse_idb(body, endian))
         elif btype in (_EPB, _SPB):
             chunk_records += 1
@@ -300,19 +305,24 @@ def read_pcap(
     paths: str | list[str],
     target_chunk_bytes: int = DEFAULT_CHUNK_BYTES,
     with_errors_column: bool = False,
-) -> DataFrame:
-    """The pcap source: paths → 31-column packets DataFrame.
+):
+    """The pcap source: paths → (packets DataFrame, errors accumulator).
 
-    Decode errors are tolerated per the reference's resilient loop (S3):
-    they surface as an ``errors`` count column when requested, else are
-    dropped after being summed into an accumulator shown in logs.
+    Decode errors are tolerated per the reference's resilient loop (S3) and
+    counted the way the reference's writer does (statswriter.rs:61-68): each
+    task adds its chunk's error count to a ``LongAccumulator``; the total is
+    available on the returned accumulator after any action. With
+    ``with_errors_column=True`` the per-row ``errors`` column is kept too.
+
+    Returns (DataFrame, Accumulator).
     """
     if isinstance(paths, str):
         paths = [paths]
+    errors_acc = spark.sparkContext.accumulator(0)
     chunks = index_many(spark, paths, target_chunk_bytes)
     if not chunks:
         empty = spark.createDataFrame([], DECODE_OUTPUT_SCHEMA)
-        return empty if with_errors_column else empty.drop("errors")
+        return (empty if with_errors_column else empty.drop("errors")), errors_acc
 
     chunk_rows = [c.__dict__ for c in chunks]
     # one chunk per partition: decode parallelism == chunk count
@@ -321,9 +331,11 @@ def read_pcap(
     def decode_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             for rec in pdf.to_dict("records"):
-                yield read_pcap_chunk(rec)
+                out = read_pcap_chunk(rec)
+                errors_acc.add(int(out["errors"].sum()))
+                yield out
 
     decoded = chunks_df.mapInPandas(decode_partition, schema=DECODE_OUTPUT_SCHEMA)
-    if with_errors_column:
-        return decoded
-    return decoded.drop("errors")
+    if not with_errors_column:
+        decoded = decoded.drop("errors")
+    return decoded, errors_acc
