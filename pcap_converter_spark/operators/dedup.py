@@ -1,0 +1,319 @@
+"""Deduplication operators for LLM-scale corpora.
+
+Four tiers, cheapest first — the standard pre-training dedup ladder:
+
+1. ``exact_duplicates``      — sha256-hash groupBy. One shuffle on a 64-char
+   key; never a self-join on the text itself (the hash is the shuffle key,
+   so 100 TB of text moves as 32-byte digests).
+2. ``ngram_jaccard_pairs``   — exact word-shingle Jaccard via an equi-join
+   on shingles. Exact but quadratic in the worst case: the correctness
+   baseline the approximate tiers are validated against.
+3. ``minhash_lsh_pairs``     — MinHash signatures + banded LSH. Candidate
+   pairs come only from band-bucket collisions (equi-join on
+   (band, band_hash)), then are verified with exact Jaccard. This is the
+   scale path: cost ~ O(docs × num_hashes) + tiny candidate join.
+4. ``simhash_pairs``         — 64-bit SimHash + pigeonhole banding for
+   hamming-distance near-dups. Cheapest signature, coarsest recall.
+
+Everything is built from built-in functions (xxhash64 / higher-order array
+ops) — no Python UDFs, fully whole-stage-codegen. Signatures are computed
+in one projection pass (no shuffle); only candidate generation shuffles,
+keyed by band hashes which are uniform by construction (no skew).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _words(text: Column) -> Column:
+    return F.filter(F.split(F.trim(F.lower(text)), "\\s+"), lambda w: w != "")
+
+
+def shingles(text: Column, k: int = 3) -> Column:
+    """Distinct k-word shingles; documents shorter than k words yield their
+    whole text as the single shingle. try_element_at past the end is NULL
+    and concat_ws skips NULLs, so short tails degrade gracefully."""
+    ws = _words(text)
+    n = F.greatest(F.size(ws) - (k - 1), F.lit(1))
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), n),
+            lambda i: F.concat_ws(
+                " ", *[F.try_element_at(ws, i + j) for j in range(k)]
+            ),
+        )
+    )
+
+
+def exact_duplicates(df: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id") -> DataFrame:
+    """Tier 1: groups of byte-identical documents, keyed by sha256.
+
+    Returns (content_hash, dup_count, doc_ids sorted) for groups of >1.
+    The groupBy shuffles 32-byte digests, not document text — this is why
+    hash-groupBy (and never a text self-join) is the only exact-dedup shape
+    that survives 100 TB.
+    """
+    return (
+        df.select(F.sha2(F.col(text_col).cast("binary"), 256).alias("content_hash"),
+                  F.col(id_col))
+        .groupBy("content_hash")
+        .agg(F.count(F.lit(1)).alias("dup_count"),
+             F.sort_array(F.collect_list(id_col)).alias("doc_ids"))
+        .filter(F.col("dup_count") > 1)
+    )
+
+
+def _shingle_table(df: DataFrame, text_col: str, id_col: str, k: int) -> DataFrame:
+    return df.select(
+        F.col(id_col).alias("doc"), F.explode(shingles(F.col(text_col), k)).alias("sh")
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    threshold: float = 0.7,
+    max_shingle_df: int | None = None,
+) -> DataFrame:
+    """Tier 2: exact Jaccard over k-word shingles, as a shingle equi-join.
+
+    (a ⋈ b on shingle) counts intersections; sizes give the union. Exact —
+    but a shingle shared by m docs contributes m² join rows, so at corpus
+    scale pass ``max_shingle_df`` to drop boilerplate shingles (standard
+    stopword-shingle cut, same move as MinHash banding's implicit rarity
+    bias). The declared correctness query runs without the cut (exact).
+    """
+    sh = _shingle_table(df, text_col, id_col, k)
+    if max_shingle_df is not None:
+        rare = (
+            sh.groupBy("sh").agg(F.count(F.lit(1)).alias("df_count"))
+            .filter(F.col("df_count") <= max_shingle_df)
+            .select("sh")
+        )
+        sh = sh.join(F.broadcast(rare), "sh")
+    sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("n_sh"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc") < F.col("b.doc")))
+        .groupBy(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    return (
+        inter.join(sa, F.col("doc_a") == F.col("sa.doc"))
+        .join(sb, F.col("doc_b") == F.col("sb.doc"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.col("n_inter")
+                / (F.col("sa.n_sh") + F.col("sb.n_sh") - F.col("n_inter")),
+                4,
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+_MERSENNE31 = (1 << 31) - 1
+
+
+def _minhash_params(num_hashes: int, seed: int = 42) -> list[tuple[int, int]]:
+    """Deterministic (a, b) constants for the universal-hash family
+    h_i(x) = (a_i·x + b_i) mod (2³¹−1)."""
+    import random
+
+    rng = random.Random(seed)
+    return [
+        (rng.randrange(1, _MERSENNE31), rng.randrange(0, _MERSENNE31))
+        for _ in range(num_hashes)
+    ]
+
+
+def minhash_signature(base_hashes: Column, num_hashes: int = 64) -> Column:
+    """MinHash signature from a column of base shingle hashes (long array).
+
+    Per seed i, min over shingles of (a_i·h + b_i) mod (2³¹−1) — the
+    standard universal-hash family over ONE xxhash64 pass. Structure
+    matters: higher-order functions are interpreted and re-evaluate their
+    input expression per reference, so the caller must materialize the base
+    hash array as a real projected column (see minhash_lsh_pairs); this
+    function then only does cheap long arithmetic per (shingle, seed).
+    Values stay < 2⁶² — safe under ANSI overflow checking.
+    """
+    def seeded_min(a: int, b: int) -> Column:
+        # single-arg lambda: 2-arg pyspark lambdas mean (element, index)
+        return F.array_min(
+            F.transform(
+                base_hashes,
+                lambda h: (h.bitwiseAND(F.lit(_MERSENNE31)) * a + b) % _MERSENNE31,
+            )
+        )
+
+    return F.array(*[seeded_min(a, b) for a, b in _minhash_params(num_hashes)])
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+    threshold: float = 0.7,
+) -> DataFrame:
+    """Tier 3: banded MinHash LSH with exact-Jaccard verification.
+
+    rows = num_hashes/bands per band; a pair becomes a candidate iff some
+    band's row-slice matches exactly (hash collision on the band). With
+    r=4, b=16 the S-curve passes ~99% at J=0.9 and ~24% at J=0.7 —
+    candidates below threshold are discarded by the verify step, so
+    precision is exact and only recall is probabilistic.
+
+    Scale shape: signatures are a narrow projection (no shuffle); the only
+    shuffles are the bucket groupBy (uniform 64-bit keys) and the candidate
+    verify join, whose size is the collision count, not |docs|².
+    """
+    r = num_hashes // bands
+    # staged projections: shingles → base hashes → signature. Each stage is
+    # a separate Project so the previous array is computed once per row and
+    # referenced as an attribute (interpreted HOFs would otherwise re-run
+    # the whole upstream expression tree per seed — 64×).
+    sig = (
+        df.select(
+            F.col(id_col).alias("doc"), shingles(F.col(text_col), k).alias("sh")
+        )
+        .withColumn("h0", F.transform("sh", lambda s: F.xxhash64(s)))
+        .withColumn("sig", minhash_signature(F.col("h0"), num_hashes))
+        .drop("h0")
+        .persist()  # referenced 4× (band-join sides + verify sides); the
+        # signature column is narrow (~0.5 KB/doc) so caching beats recompute
+    )
+    # band hashes: hash the r-slice of the signature per band
+    banded = sig.select(
+        "doc",
+        F.posexplode(
+            F.array(
+                *[
+                    F.hash(*[F.element_at("sig", b * r + j + 1) for j in range(r)])
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band", "band_hash"),
+    )
+    ba, bb = banded.alias("ba"), banded.alias("bb")
+    candidates = (
+        ba.join(
+            bb,
+            (F.col("ba.band") == F.col("bb.band"))
+            & (F.col("ba.band_hash") == F.col("bb.band_hash"))
+            & (F.col("ba.doc") < F.col("bb.doc")),
+        )
+        .select(F.col("ba.doc").alias("doc_a"), F.col("bb.doc").alias("doc_b"))
+        .distinct()
+    )
+    sh_a = sig.select(F.col("doc").alias("doc_a"), F.col("sh").alias("sh_a"))
+    sh_b = sig.select(F.col("doc").alias("doc_b"), F.col("sh").alias("sh_b"))
+    return (
+        candidates.join(sh_a, "doc_a")
+        .join(sh_b, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.size(F.array_intersect("sh_a", "sh_b"))
+                / F.size(F.array_union("sh_a", "sh_b")),
+                4,
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def simhash64(text: Column) -> Column:
+    """Tier-4 signature: 64-bit SimHash over word xxhash64s. Bit b of the
+    result is 1 iff more words have bit b set than cleared. Computed as a
+    single aggregate() over the word array — one pass, no explode."""
+    ws = F.array_distinct(_words(text))
+    hashes = F.transform(ws, lambda w: F.xxhash64(w))
+    # accumulate per-bit counters as an array of 64 signed sums; bit shifts
+    # use Python-int shift amounts (F.shiftright needs a literal int)
+    counters = F.aggregate(
+        hashes,
+        F.array_repeat(F.lit(0).cast("long"), 64),
+        lambda acc, h: F.zip_with(
+            acc,
+            F.array(
+                *[
+                    F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, F.lit(1))
+                    .otherwise(F.lit(-1))
+                    .cast("long")
+                    for b in range(64)
+                ]
+            ),
+            lambda a, d: a + d,
+        ),
+    )
+    sig = F.lit(0).cast("long")
+    for b in range(64):
+        sig = sig.bitwiseOR(
+            F.when(
+                F.try_element_at(counters, F.lit(b + 1)) > 0,
+                F.lit(1 << b if b < 63 else -(1 << 63)).cast("long"),
+            ).otherwise(F.lit(0).cast("long"))
+        )
+    return sig
+
+
+def simhash_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Tier 4: near-dup pairs by SimHash hamming distance ≤ max_hamming.
+
+    Pigeonhole banding: split the 64-bit hash into max_hamming+1 bands; any
+    pair within distance max_hamming agrees exactly on ≥1 band, so the
+    equi-join on (band, band_bits) finds all of them — exact recall for the
+    hamming criterion, no all-pairs scan.
+    """
+    nbands = max_hamming + 1
+    width = 64 // nbands
+    sh = df.select(F.col(id_col).alias("doc"), simhash64(F.col(text_col)).alias("sim"))
+    banded = sh.select(
+        "doc",
+        "sim",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftrightunsigned("sim", b * width).bitwiseAND(
+                        F.lit((1 << width) - 1)
+                    )
+                    for b in range(nbands)
+                ]
+            )
+        ).alias("band", "band_bits"),
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_bits") == F.col("b.band_bits"))
+            & (F.col("a.doc") < F.col("b.doc")),
+        )
+        .select(
+            F.col("a.doc").alias("doc_a"),
+            F.col("b.doc").alias("doc_b"),
+            F.bit_count(F.col("a.sim").bitwiseXOR(F.col("b.sim"))).alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )

@@ -34,18 +34,20 @@ from pcap_converter_spark.schema import (
     PACKET_COLUMNS,
 )
 
-# Matches main.rs:274: first fragments (offset=0 AND mf) plus continuations
-# (offset>0). Depends on ip_frag_offset/ip_mf being non-null (schema.py).
-FRAGMENT_PREDICATE = (
-    (F.col("ip_frag_offset") == 0) & (F.col("ip_mf") == True)  # noqa: E712
-) | (F.col("ip_frag_offset") > 0)
+def fragment_predicate() -> "F.Column":
+    """Matches main.rs:274: first fragments (offset=0 AND mf) plus
+    continuations (offset>0). Depends on ip_frag_offset/ip_mf being non-null
+    (schema.py). Built lazily — Columns need an active session."""
+    return (
+        (F.col("ip_frag_offset") == 0) & (F.col("ip_mf") == True)  # noqa: E712
+    ) | (F.col("ip_frag_offset") > 0)
 
 
 def fragmentation_pct(packets: DataFrame) -> float:
     """R2: % of rows that are fragments, as one conditional aggregate."""
     row = packets.agg(
         F.round(
-            100.0 * F.count(F.when(FRAGMENT_PREDICATE, F.lit(1))) / F.count(F.lit(1))
+            100.0 * F.count(F.when(fragment_predicate(), F.lit(1))) / F.count(F.lit(1))
         ).alias("pct")
     ).collect()[0]
     return float(row["pct"] if row["pct"] is not None else 0.0)

@@ -1,0 +1,327 @@
+"""Extension-operator registry for the driver contract.
+
+Each entry pairs a Spark DataFrame-API runner (the real operator, from
+``operators/`` and ``functions/``) with a DuckDB oracle SQL string that
+recomputes the same result independently. Operators whose outputs depend on
+engine-specific hash functions (MinHash seeds aside, SimHash, LSH probes)
+or on Python-side feature extraction are registered WITHOUT an oracle — the
+driver records a rows-only check and pytest covers them against Python
+reference implementations instead.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pcap_converter_spark.functions import text as TX
+from pcap_converter_spark.io.loader import load_table
+from pcap_converter_spark.operators import dedup, multimodal, similarity
+
+# ---------------------------------------------------------------------------
+# shared DuckDB SQL fragments (dialect twins of functions/text.py)
+# ---------------------------------------------------------------------------
+
+_DUCK_WORDS = "list_filter(string_split_regex(trim({src}), '\\s+'), x -> x <> '')"
+
+_DUCK_STOP_FILTER = {
+    lang: "len(list_filter(lws, x -> x IN ({})))".format(
+        ", ".join(f"'{w}'" for w in stops)
+    )
+    for lang, stops in TX.LANG_STOPWORDS.items()
+}
+
+_DUCK_SHINGLES = (
+    "list_distinct(list_transform(range(1, greatest(len(lws) - 2, 1) + 1), "
+    "i -> concat_ws(' ', lws[i], lws[i+1], lws[i+2])))"
+)
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "documents")
+
+
+def _embs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "embeddings")
+
+
+# ---------------------------------------------------------------------------
+# text analysis
+# ---------------------------------------------------------------------------
+
+def run_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = F.col("text")
+    return (
+        _docs(spark, sf_dir)
+        .select(
+            "doc_id",
+            TX.token_count(t).alias("n_tokens"),
+            TX.bpe_token_count(t).alias("n_bpe"),
+            F.round(TX.punct_ratio(t), 4).alias("punct_r"),
+            F.round(TX.stopword_ratio(t), 4).alias("stop_r"),
+            TX.quality_score(t).alias("quality"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+_TEXT_STATS_ORACLE = f"""
+WITH w AS (
+  SELECT doc_id, text,
+         {_DUCK_WORDS.format(src="text")} AS ws,
+         {_DUCK_WORDS.format(src="lower(text)")} AS lws
+  FROM documents)
+SELECT doc_id,
+  len(ws) AS n_tokens,
+  len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]')) AS n_bpe,
+  round(CASE WHEN length(text) > 0
+        THEN (length(text) - length(regexp_replace(text, '[^a-zA-Z0-9\\s]', '', 'g')))
+             / CAST(length(text) AS DOUBLE) ELSE 0.0 END, 4) AS punct_r,
+  round(CASE WHEN len(lws) > 0
+        THEN {_DUCK_STOP_FILTER["en"]} / CAST(len(lws) AS DOUBLE)
+        ELSE 0.0 END, 4) AS stop_r,
+  round(0.4 * least(1.0, len(ws) / 50.0)
+      + 0.3 * (1.0 - least(1.0, (CASE WHEN length(text) > 0
+            THEN (length(text) - length(regexp_replace(text, '[^a-zA-Z0-9\\s]', '', 'g')))
+                 / CAST(length(text) AS DOUBLE) ELSE 0.0 END) * 5.0))
+      + 0.3 * least(1.0, (CASE WHEN len(lws) > 0
+            THEN {_DUCK_STOP_FILTER["en"]} / CAST(len(lws) AS DOUBLE)
+            ELSE 0.0 END) * 10.0), 4) AS quality
+FROM w ORDER BY doc_id
+"""
+
+
+def run_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _docs(spark, sf_dir)
+        .select(
+            "doc_id",
+            F.col("lang").alias("labeled_lang"),
+            TX.language_id(F.col("text")).alias("guessed_lang"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+_LANGID_CASE = (
+    "CASE WHEN best > 0 AND s_en = best THEN 'en' "
+    "WHEN best > 0 AND s_de = best THEN 'de' "
+    "WHEN best > 0 AND s_es = best THEN 'es' "
+    "WHEN best > 0 AND s_fr = best THEN 'fr' ELSE 'und' END"
+)
+
+_LANGID_ORACLE = f"""
+WITH w AS (
+  SELECT doc_id, lang, {_DUCK_WORDS.format(src="lower(text)")} AS lws FROM documents),
+s AS (
+  SELECT doc_id, lang,
+         {_DUCK_STOP_FILTER["en"]} AS s_en, {_DUCK_STOP_FILTER["de"]} AS s_de,
+         {_DUCK_STOP_FILTER["es"]} AS s_es, {_DUCK_STOP_FILTER["fr"]} AS s_fr
+  FROM w),
+b AS (SELECT *, greatest(s_en, s_de, s_es, s_fr) AS best FROM s)
+SELECT doc_id, lang AS labeled_lang, {_LANGID_CASE} AS guessed_lang
+FROM b ORDER BY doc_id
+"""
+
+
+def run_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _docs(spark, sf_dir)
+        .select("doc_id", TX.fingerprint(F.col("text")).alias("fp"))
+        .orderBy("doc_id")
+    )
+
+
+_FINGERPRINT_ORACLE = f"""
+WITH w AS (SELECT doc_id, {_DUCK_WORDS.format(src="lower(text)")} AS lws FROM documents)
+SELECT doc_id, md5(array_to_string(lws, ' ')) AS fp FROM w ORDER BY doc_id
+"""
+
+
+def run_text_rolling_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing rolling hash — crc32-based, Spark-side only (pytest checks
+    it against a zlib.crc32 reference implementation)."""
+    return (
+        _docs(spark, sf_dir)
+        .select("doc_id", TX.rolling_fingerprint(F.col("text")).alias("rfp"))
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# dedup
+# ---------------------------------------------------------------------------
+
+def run_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.exact_duplicates(_docs(spark, sf_dir)).orderBy("content_hash")
+
+
+_DEDUP_EXACT_ORACLE = """
+SELECT sha256(text) AS content_hash, count(*) AS dup_count,
+       list_sort(list(doc_id)) AS doc_ids
+FROM documents GROUP BY sha256(text) HAVING count(*) > 1 ORDER BY content_hash
+"""
+
+_NGRAM_PAIRS_ORACLE = f"""
+WITH w AS (SELECT doc_id, {_DUCK_WORDS.format(src="lower(text)")} AS lws FROM documents),
+s AS (SELECT doc_id, {_DUCK_SHINGLES} AS sh FROM w),
+e AS (SELECT doc_id, unnest(sh) AS sh FROM s),
+sz AS (SELECT doc_id, count(*) AS n FROM e GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS ni
+  FROM e a JOIN e b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id)
+SELECT doc_a, doc_b,
+       round(ni / CAST(na.n + nb.n - ni AS DOUBLE), 4) AS jaccard
+FROM inter JOIN sz na ON doc_a = na.doc_id JOIN sz nb ON doc_b = nb.doc_id
+WHERE round(ni / CAST(na.n + nb.n - ni AS DOUBLE), 4) >= 0.7
+ORDER BY doc_a, doc_b
+"""
+
+
+def run_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.ngram_jaccard_pairs(_docs(spark, sf_dir), threshold=0.7).orderBy(
+        "doc_a", "doc_b"
+    )
+
+
+def run_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate (banded LSH) but verified with exact Jaccard, so at the
+    fixture's duplicate strength (J ≥ 0.9, where band recall ≈ 1.0) it
+    reproduces the exact operator's answer — same oracle."""
+    return dedup.minhash_lsh_pairs(_docs(spark, sf_dir), threshold=0.7).orderBy(
+        "doc_a", "doc_b"
+    )
+
+
+def run_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.simhash_pairs(_docs(spark, sf_dir), max_hamming=3).orderBy(
+        "doc_a", "doc_b"
+    )
+
+
+# ---------------------------------------------------------------------------
+# similarity search
+# ---------------------------------------------------------------------------
+
+def _query_vector(spark: SparkSession, sf_dir: str) -> list[float]:
+    row = _embs(spark, sf_dir).filter(F.col("vec_id") == 0).select("embedding").first()
+    return [float(x) for x in row[0]]
+
+
+def run_sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    qv = _query_vector(spark, sf_dir)
+    return similarity.cosine_topk(_embs(spark, sf_dir), qv, k=10)
+
+
+_SIM_TOPK_ORACLE = """
+WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0)
+SELECT vec_id,
+       round(list_dot_product(embedding::DOUBLE[], qv)
+             / (sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+                * sqrt(list_dot_product(qv, qv))), 4) AS cos_sim
+FROM embeddings, q
+ORDER BY cos_sim DESC, vec_id LIMIT 10
+"""
+
+
+def run_sim_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.cosine_pairs(_embs(spark, sf_dir), threshold=0.4).orderBy(
+        "id_a", "id_b"
+    )
+
+
+_SIM_PAIRS_ORACLE = """
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+             / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
+                * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))),
+             4) AS cos_sim
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE round(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+            / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
+               * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))),
+            4) >= 0.4
+ORDER BY id_a, id_b
+"""
+
+
+def run_sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    qv = _query_vector(spark, sf_dir)
+    return similarity.lsh_bucket_topk(_embs(spark, sf_dir), qv, k=10)
+
+
+# ---------------------------------------------------------------------------
+# multimodal
+# ---------------------------------------------------------------------------
+
+def run_mm_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = multimodal.attach_payload(_docs(spark, sf_dir))
+    return df.select(
+        "doc_id",
+        F.col("media_meta.n_bytes").alias("n_bytes"),
+        F.col("media_meta.checksum").alias("checksum"),
+    ).orderBy("doc_id")
+
+
+_MM_META_ORACLE = """
+SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       md5(text) AS checksum
+FROM documents ORDER BY doc_id
+"""
+
+
+def run_mm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = multimodal.attach_payload(_docs(spark, sf_dir))
+    return (
+        multimodal.byte_histogram_features(df)
+        .select("doc_id", "n_bytes", F.round("entropy", 4).alias("entropy"), "top_byte")
+        .orderBy("doc_id")
+    )
+
+
+def run_mm_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = multimodal.attach_payload(_docs(spark, sf_dir))
+    return (
+        multimodal.sample_frames(df)
+        .select("doc_id", "frame_idx", F.octet_length("frame_bytes").alias("frame_len"))
+        .orderBy("doc_id", "frame_idx")
+    )
+
+
+# ---------------------------------------------------------------------------
+# registry
+# ---------------------------------------------------------------------------
+
+def extension_queries() -> tuple[dict, dict]:
+    """Returns (runners, oracles) for __spark_entry__. Runners without an
+    oracle entry get the driver's rows-only check (engine-specific hashes
+    or Python-side extraction; covered by pytest instead)."""
+    runners = {
+        "ex_text_stats": run_text_stats,
+        "ex_text_langid": run_text_langid,
+        "ex_text_fingerprint": run_text_fingerprint,
+        "ex_text_rolling_fp": run_text_rolling_fp,
+        "ex_dedup_exact": run_dedup_exact,
+        "ex_dedup_ngram": run_dedup_ngram,
+        "ex_dedup_minhash": run_dedup_minhash,
+        "ex_dedup_simhash": run_dedup_simhash,
+        "ex_sim_topk": run_sim_topk,
+        "ex_sim_pairs": run_sim_pairs,
+        "ex_sim_ann_lsh": run_sim_ann_lsh,
+        "ex_mm_meta": run_mm_meta,
+        "ex_mm_features": run_mm_features,
+        "ex_mm_frames": run_mm_frames,
+    }
+    oracles = {
+        "ex_text_stats": _TEXT_STATS_ORACLE,
+        "ex_text_langid": _LANGID_ORACLE,
+        "ex_text_fingerprint": _FINGERPRINT_ORACLE,
+        "ex_dedup_exact": _DEDUP_EXACT_ORACLE,
+        "ex_dedup_ngram": _NGRAM_PAIRS_ORACLE,
+        "ex_dedup_minhash": _NGRAM_PAIRS_ORACLE,
+        "ex_sim_topk": _SIM_TOPK_ORACLE,
+        "ex_sim_pairs": _SIM_PAIRS_ORACLE,
+        "ex_mm_meta": _MM_META_ORACLE,
+    }
+    return runners, oracles

@@ -1,0 +1,198 @@
+"""Similarity search over embedding columns (array<float>).
+
+- ``cosine_topk``       : brute-force top-k against a literal query vector.
+  The vector is embedded in the plan (no join, no broadcast exchange, no
+  shuffle); execution is scan → project(cosine) → TakeOrderedAndProject.
+  That plan is already optimal at 100 TB: the only cross-partition traffic
+  is k rows per partition.
+- ``cosine_pairs``      : exact all-pairs ≥ threshold (block-nested cross
+  join). The correctness baseline — quadratic, for validation scale only.
+- ``lsh_bucket_topk``   : the scale path for repeated queries. Random-
+  hyperplane signatures bucket the corpus once (signature = projection
+  pass); a query probes only its own bucket (+ optional multi-probe
+  neighbors at hamming distance 1), turning top-k into a bucket-local
+  scan. Approximate (recall < 1), rows-only checked.
+
+Hyperplanes are generated from a seeded NumPy RNG on the driver and enter
+the plan as literals — deterministic across runs and executors.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from pcap_converter_spark.functions.vectors import cosine, literal_vector
+
+
+def cosine_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k by cosine similarity to ``query_vec``."""
+    qv = literal_vector(query_vec)
+    return (
+        df.select(
+            F.col(id_col),
+            F.round(cosine(F.col(vec_col), qv), 4).alias("cos_sim"),
+        )
+        .orderBy(F.col("cos_sim").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
+def cosine_pairs(
+    df: DataFrame,
+    threshold: float = 0.4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_blocks: int = 8,
+) -> DataFrame:
+    """Exact all-pairs cosine ≥ threshold, as a blocked block-nested join.
+
+    Rows are hashed into ``n_blocks`` buckets; each of the
+    n_blocks·(n_blocks+1)/2 unordered block pairs is cogrouped and scored
+    with one vectorized NumPy matmul (Arrow-batched, float64). Compute stays
+    O(n²) — it is an *exact* operator — but each row is communicated only
+    O(n_blocks) times and every flop runs vectorized instead of through
+    interpreted per-element expressions. At real corpus scale you raise
+    n_blocks so a block fits executor memory, or switch to the LSH variant.
+    """
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    spark = df.sparkSession
+    block_pairs = spark.createDataFrame(
+        [(i, j) for i in range(n_blocks) for j in range(i, n_blocks)], ["bi", "bj"]
+    )
+    base = df.select(
+        F.col(id_col).alias("vid"),
+        F.col(vec_col).alias("vec"),
+        F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_blocks)).alias("blk"),
+    )
+    # replicate each row to every block-pair it participates in (aliased
+    # projections keep the two derivations of `base` unambiguous)
+    left = (
+        base.alias("L")
+        .join(F.broadcast(block_pairs.alias("P1")), F.col("L.blk") == F.col("P1.bi"))
+        .select(
+            F.col("P1.bi").alias("bi"), F.col("P1.bj").alias("bj"),
+            F.col("L.vid").alias("vid"), F.col("L.vec").alias("vec"),
+        )
+    )
+    right = (
+        base.alias("R")
+        .join(F.broadcast(block_pairs.alias("P2")), F.col("R.blk") == F.col("P2.bj"))
+        .select(
+            F.col("P2.bi").alias("bi"), F.col("P2.bj").alias("bj"),
+            F.col("R.vid").alias("vid"), F.col("R.vec").alias("vec"),
+        )
+    )
+
+    out_schema = T.StructType(
+        [
+            T.StructField("id_a", T.LongType()),
+            T.StructField("id_b", T.LongType()),
+            T.StructField("cos_sim", T.DoubleType()),
+        ]
+    )
+
+    def score(key, la: pd.DataFrame, rb: pd.DataFrame) -> pd.DataFrame:
+        if la.empty or rb.empty:
+            return pd.DataFrame(columns=["id_a", "id_b", "cos_sim"])
+        ma = np.stack(la["vec"].to_numpy()).astype(np.float64)
+        mb = np.stack(rb["vec"].to_numpy()).astype(np.float64)
+        ma /= np.linalg.norm(ma, axis=1, keepdims=True)
+        mb /= np.linalg.norm(mb, axis=1, keepdims=True)
+        sims = np.round(ma @ mb.T, 4)
+        ia = la["vid"].to_numpy()
+        ib = rb["vid"].to_numpy()
+        if key[0] == key[1]:
+            # same block on both sides: the cross product contains both
+            # orientations — keep the canonical one only
+            mask = (sims >= threshold) & (ia[:, None] < ib[None, :])
+        else:
+            # distinct blocks: each unordered pair appears exactly once;
+            # canonicalize ids below instead of filtering by order
+            mask = sims >= threshold
+        ai, bi_ = np.nonzero(mask)
+        lo = np.minimum(ia[ai], ib[bi_])
+        hi = np.maximum(ia[ai], ib[bi_])
+        return pd.DataFrame({"id_a": lo, "id_b": hi, "cos_sim": sims[ai, bi_]})
+
+    return (
+        left.groupBy("bi", "bj")
+        .cogroup(right.groupBy("bi", "bj"))
+        .applyInPandas(score, schema=out_schema)
+    )
+
+
+def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> np.ndarray:
+    return np.random.default_rng(seed).standard_normal((n_planes, dim))
+
+
+def rh_signature(vec_col, planes: np.ndarray):
+    """Random-hyperplane signature: bit i = sign(v · plane_i), packed into a
+    long. Pure column expression — the planes are literals in the plan."""
+    bits = []
+    for i, plane in enumerate(planes):
+        d = F.aggregate(
+            F.zip_with(
+                vec_col,
+                literal_vector(list(plane)),
+                lambda x, y: x.cast("double") * y,
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        bits.append(
+            F.when(d >= 0, F.shiftleft(F.lit(1).cast("long"), i)).otherwise(
+                F.lit(0).cast("long")
+            )
+        )
+    sig = F.lit(0).cast("long")
+    for b in bits:
+        sig = sig.bitwiseOR(b)
+    return sig
+
+
+def lsh_bucket_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    n_planes: int = 8,
+    multiprobe: bool = True,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k: score only vectors whose random-hyperplane bucket
+    matches the query's (or differs by one bit with ``multiprobe``).
+
+    With p planes the corpus shards into 2^p buckets; the probe scans
+    ~(1+p)/2^p of the data instead of all of it. The bucket filter is a
+    plan-literal IN — predicate-pushable, no join.
+    """
+    planes = _hyperplanes(len(query_vec), n_planes, seed)
+    q = np.asarray(query_vec, dtype=np.float64)
+    qsig = 0
+    for i, plane in enumerate(planes):
+        if float(q @ plane) >= 0:
+            qsig |= 1 << i
+    probes = [qsig] + ([qsig ^ (1 << i) for i in range(n_planes)] if multiprobe else [])
+    bucketed = df.withColumn("_sig", rh_signature(F.col(vec_col), planes))
+    return (
+        bucketed.filter(F.col("_sig").isin(probes))
+        .select(
+            F.col(id_col),
+            F.round(cosine(F.col(vec_col), literal_vector(query_vec)), 4).alias(
+                "cos_sim"
+            ),
+        )
+        .orderBy(F.col("cos_sim").desc(), F.col(id_col))
+        .limit(k)
+    )

@@ -1,0 +1,105 @@
+"""Dedup operators vs pure-Python references: exact groups, n-gram Jaccard
+pairs, MinHash recall against exact, SimHash pigeonhole completeness."""
+
+from __future__ import annotations
+
+import itertools
+
+import pytest
+
+from pcap_converter_spark.operators import dedup
+
+BASE = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+DOCS = [
+    (0, BASE),
+    (1, BASE),  # exact dup of 0
+    (2, BASE + " extra"),  # near dup of 0/1
+    (3, "totally different words entirely here nothing shared at all ok"),
+    (4, "ALPHA beta GAMMA delta epsilon zeta eta theta iota kappa"),  # case-dup
+    (5, "one two three"),  # short doc
+    (6, "alpha beta gamma delta epsilon zeta eta theta iota omega"),  # near
+]
+
+
+def py_shingles(t: str, k: int = 3) -> frozenset:
+    ws = [w for w in t.lower().split() if w]
+    if len(ws) < k:
+        return frozenset({" ".join(ws)})
+    return frozenset(" ".join(ws[i : i + k]) for i in range(len(ws) - k + 1))
+
+
+def py_jaccard_pairs(docs, threshold: float) -> dict[tuple[int, int], float]:
+    sh = {d: py_shingles(t) for d, t in docs}
+    out = {}
+    for (a, sa), (b, sb) in itertools.combinations(sh.items(), 2):
+        inter = len(sa & sb)
+        if inter:
+            j = round(inter / len(sa | sb), 4)
+            if j >= threshold:
+                out[(a, b)] = j
+    return out
+
+
+@pytest.fixture(scope="module")
+def docs_df(spark):
+    return spark.createDataFrame(DOCS, ["doc_id", "text"])
+
+
+def test_exact_duplicates(spark, docs_df):
+    rows = dedup.exact_duplicates(docs_df).collect()
+    assert len(rows) == 1
+    assert rows[0]["dup_count"] == 2 and rows[0]["doc_ids"] == [0, 1]
+
+
+def test_ngram_jaccard_matches_python(spark, docs_df):
+    got = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in dedup.ngram_jaccard_pairs(docs_df, threshold=0.5).collect()
+    }
+    assert got == py_jaccard_pairs(DOCS, 0.5)
+
+
+def test_ngram_jaccard_case_insensitive(spark, docs_df):
+    got = dedup.ngram_jaccard_pairs(docs_df, threshold=0.99).collect()
+    pairs = {(r["doc_a"], r["doc_b"]) for r in got}
+    assert (0, 1) in pairs and (0, 4) in pairs  # exact + case-only dup
+
+
+def test_minhash_recall_vs_exact(spark, docs_df):
+    exact = set(py_jaccard_pairs(DOCS, 0.7))
+    got = {
+        (r["doc_a"], r["doc_b"])
+        for r in dedup.minhash_lsh_pairs(docs_df, threshold=0.7).collect()
+    }
+    # precision is exact (verify step); recall on strong dups must be total
+    assert got <= set(py_jaccard_pairs(DOCS, 0.7))
+    strong = set(py_jaccard_pairs(DOCS, 0.9))
+    assert strong <= got
+
+
+def test_minhash_max_df_prefilter(spark, docs_df):
+    # with a df cut of 1 every shared shingle is dropped → no pairs
+    got = dedup.ngram_jaccard_pairs(docs_df, threshold=0.1, max_shingle_df=1).collect()
+    assert got == []
+
+
+def test_simhash_pairs_pigeonhole_complete(spark, docs_df):
+    """Every pair within the hamming radius must be found (banding is
+    exhaustive for ≤ max_hamming); verify against collected signatures."""
+    from pyspark.sql import functions as F
+
+    sig = {
+        r["doc_id"]: r["s"]
+        for r in docs_df.select(
+            "doc_id", dedup.simhash64(F.col("text")).alias("s")
+        ).collect()
+    }
+    expected = set()
+    for a, b in itertools.combinations(sorted(sig), 2):
+        if bin((sig[a] ^ sig[b]) & ((1 << 64) - 1)).count("1") <= 3:
+            expected.add((a, b))
+    got = {
+        (r["doc_a"], r["doc_b"])
+        for r in dedup.simhash_pairs(docs_df, max_hamming=3).collect()
+    }
+    assert got == expected

