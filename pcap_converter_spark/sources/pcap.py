@@ -276,15 +276,18 @@ def read_pcap_chunk(chunk: dict | Chunk) -> pd.DataFrame:
     with open(c.path, "rb") as f:
         f.seek(c.offset)
         buf = memoryview(f.read(c.length))
+    # vectorized decoder: bulk NumPy header slicing, scalar-parity tested
+    from pcap_converter_spark.decode.vectorized import decode_packets_vectorized
+
     if c.fmt == "pcap":
         records = [(ft, fl, cl, d) for ft, fl, cl, d in _iter_legacy_records(buf, c.endian, c.ts_div)]
-        return decode_packets_to_pandas(records, c.linktype, basename)
+        return decode_packets_vectorized(records, c.linktype, basename)
     interfaces = [tuple(x) for x in json.loads(c.interfaces)]
     records, linktypes = [], []
     for ft, fl, cl, d, lt in _iter_ng_records(buf, c.endian, interfaces):
         records.append((ft, fl, cl, d))
         linktypes.append(lt)
-    return decode_packets_to_pandas(records, 1, basename, per_record_linktype=linktypes)
+    return decode_packets_vectorized(records, 1, basename, per_record_linktype=linktypes)
 
 
 def index_many(spark: SparkSession, paths: list[str], target_chunk_bytes: int) -> list[Chunk]:
