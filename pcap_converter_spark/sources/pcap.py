@@ -100,25 +100,43 @@ class Chunk:
 # ------------------------------------------------------------------ indexing
 
 
-def _index_legacy(f, path: str, target: int, file_size: int) -> Iterator[Chunk]:
+def _read_legacy_header(f) -> tuple[str, int, int, int]:
+    """Read the 24-byte global header → (endian, ts_div, linktype, snaplen)."""
     magic_raw = f.read(4)
     magic_le = int.from_bytes(magic_raw, "little")
     endian = "<" if magic_le in (_MAGIC_US_BE, _MAGIC_NS_BE) else ">"
     magic = int.from_bytes(magic_raw, "little" if endian == "<" else "big")
     ts_div = 1000 if magic == _MAGIC_NS_BE else 1
     hdr = f.read(20)
+    snaplen = unpack_from(endian + "I", hdr, 12)[0]
     linktype = unpack_from(endian + "I", hdr, 16)[0]
+    return endian, ts_div, linktype, snaplen
+
+
+_INDEX_BLOCK = 4 << 20  # buffered header walk: sequential 4 MB reads
+
+
+def _index_legacy(f, path: str, target: int, file_size: int) -> Iterator[Chunk]:
+    endian, ts_div, linktype, _snaplen = _read_legacy_header(f)
     rec_hdr = Struct(endian + "IIII")
 
     pos = 24
     chunk_start = pos
     chunk_records = 0
+    buf = b""
+    buf_base = pos
+    f.seek(pos)
     while pos + 16 <= file_size:
-        f.seek(pos)
-        hdr = f.read(16)
-        if len(hdr) < 16:
-            break  # truncated tail tolerated (main.rs:222-230)
-        _sec, _frac, caplen, _orig = rec_hdr.unpack(hdr)
+        if pos + 16 > buf_base + len(buf):
+            # refill: one buffered read replaces a seek+read syscall pair
+            # per record (the former per-record pattern was the index-pass
+            # bottleneck on large files)
+            f.seek(pos)
+            buf = f.read(_INDEX_BLOCK)
+            buf_base = pos
+            if len(buf) < 16:
+                break  # truncated tail tolerated (main.rs:222-230)
+        _sec, _frac, caplen, _orig = rec_hdr.unpack_from(buf, pos - buf_base)
         end = pos + 16 + caplen
         if end > file_size:
             break  # truncated record body
@@ -129,6 +147,84 @@ def _index_legacy(f, path: str, target: int, file_size: int) -> Iterator[Chunk]:
             chunk_start, chunk_records = pos, 0
     if chunk_records:
         yield Chunk(path, "pcap", chunk_start, pos - chunk_start, endian, linktype, ts_div, "[]", chunk_records)
+
+
+# ------------------------------------------------- speculative split (legacy)
+
+# sanity bounds for resync: timestamps between 1980 and 2100, caplen within
+# the snaplen advertised by the file header (+ a floor for snaplen=0 files)
+_SANE_SEC_LO = 315_532_800
+_SANE_SEC_HI = 4_102_444_800
+_RESYNC_CHAIN = 5  # consecutive plausible records required to accept a sync
+SPECULATIVE_MIN_BYTES = 256 * 1024 * 1024
+
+
+def split_pcap_speculative(path: str, target_chunk_bytes: int = DEFAULT_CHUNK_BYTES) -> list[Chunk]:
+    """O(1) splitting for a single colossal legacy pcap (the 50 GB case).
+
+    Instead of walking every record header up front (exact but sequential),
+    emit raw byte ranges immediately; each decode task then *resyncs* inside
+    its own range — scan forward for an offset where ``_RESYNC_CHAIN``
+    consecutive record headers are plausible (timestamp in [1980, 2100],
+    caplen ≤ snaplen) — and decodes records whose header starts inside the
+    range (reading past the range end for the last record's body, classic
+    input-split semantics). The index pass becomes O(#chunks) driver work;
+    record discovery itself runs fully parallel on the executors.
+
+    n_records is -1 (unknown until decode). Only legacy pcap qualifies —
+    pcapng needs the sequential interface-table walk (exact indexer).
+    """
+    file_size = os.path.getsize(path)
+    with open(path, "rb") as f:
+        endian, ts_div, linktype, snaplen = _read_legacy_header(f)
+    out = []
+    pos = 24
+    while pos < file_size:
+        length = min(target_chunk_bytes, file_size - pos)
+        out.append(
+            Chunk(path, "pcap_spec", pos, length, endian, linktype, ts_div,
+                  json.dumps({"snaplen": snaplen}), -1)
+        )
+        pos += length
+    return out
+
+
+def _resync_legacy(buf: memoryview, endian: str, ts_div: int, snaplen: int,
+                   hard_end: int) -> int | None:
+    """Find the first plausible record-header offset in ``buf``.
+
+    A candidate is accepted when ``_RESYNC_CHAIN`` consecutive headers pass
+    the sanity checks (or the chain cleanly reaches ``hard_end``/EOF). With
+    a 5-chain the false-positive probability is negligible: a random byte
+    window passes one (sec, frac, caplen) test with p << 1e-3.
+    """
+    rec = Struct(endian + "IIII")
+    frac_hi = 1_000_000_000 if ts_div == 1000 else 1_000_000
+    cap_hi = max(snaplen, 65535) or 262_144
+    n = len(buf)
+    for cand in range(0, min(n - 16, 16 + cap_hi)):
+        pos = cand
+        ok = 0
+        while ok < _RESYNC_CHAIN:
+            if pos + 16 > n:
+                break  # next header ran off the window
+            sec, frac, caplen, origlen = rec.unpack_from(buf, pos)
+            if not (_SANE_SEC_LO <= sec <= _SANE_SEC_HI and frac < frac_hi
+                    and caplen <= cap_hi and origlen <= 2 * cap_hi):
+                ok = -1
+                break
+            pos += 16 + caplen
+            ok += 1
+            if pos >= hard_end:
+                break  # clean walk to the end of the range counts
+        if ok >= _RESYNC_CHAIN:
+            return cand
+        if ok >= 1 and pos <= n:
+            # short chain is only trustworthy when every record body stayed
+            # inside the window (a bogus caplen that vaults past the end
+            # would otherwise self-certify with a single link)
+            return cand
+    return None
 
 
 def _parse_idb(body: bytes, endian: str) -> tuple[int, int]:
@@ -205,10 +301,15 @@ def index_pcap(path: str, target_chunk_bytes: int = DEFAULT_CHUNK_BYTES) -> list
 # ------------------------------------------------------------------ decoding
 
 
-def _iter_legacy_records(buf: memoryview, endian: str, ts_div: int):
+def _iter_legacy_records(buf: memoryview, endian: str, ts_div: int,
+                         limit: int | None = None):
+    """Yield records whose header starts before ``limit`` (default: all of
+    buf). Speculative chunks pass limit = their range length: the record
+    body may extend past it (the read includes an overrun tail)."""
     rec = Struct(endian + "IIII")
     pos, n = 0, len(buf)
-    while pos + 16 <= n:
+    head_end = n if limit is None else min(limit, n)
+    while pos + 16 <= n and pos < head_end:
         sec, frac, caplen, orig = rec.unpack_from(buf, pos)
         if pos + 16 + caplen > n:
             break
@@ -273,12 +374,33 @@ def read_pcap_chunk(chunk: dict | Chunk) -> pd.DataFrame:
     """Decode one chunk descriptor → pandas DataFrame (31 cols + errors)."""
     c = chunk if isinstance(chunk, Chunk) else Chunk(**chunk)
     basename = os.path.basename(c.path)
-    with open(c.path, "rb") as f:
-        f.seek(c.offset)
-        buf = memoryview(f.read(c.length))
     # vectorized decoder: bulk NumPy header slicing, scalar-parity tested
     from pcap_converter_spark.decode.vectorized import decode_packets_vectorized
 
+    if c.fmt == "pcap_spec":
+        # speculative range: resync to the first plausible record header,
+        # own records whose *header* starts inside [offset, offset+length),
+        # read past the range end for the final record's body
+        snaplen = json.loads(c.interfaces).get("snaplen", 65535)
+        cap_hi = max(snaplen, 65535) or 262_144
+        with open(c.path, "rb") as f:
+            f.seek(c.offset)
+            buf = memoryview(f.read(c.length + 16 + cap_hi))
+        sync = 0 if c.offset == 24 else _resync_legacy(
+            buf, c.endian, c.ts_div, snaplen, c.length
+        )
+        records = []
+        if sync is not None:
+            records = [
+                r for r in _iter_legacy_records(
+                    buf[sync:], c.endian, c.ts_div, limit=c.length - sync
+                )
+            ]
+        return decode_packets_vectorized(records, c.linktype, basename)
+
+    with open(c.path, "rb") as f:
+        f.seek(c.offset)
+        buf = memoryview(f.read(c.length))
     if c.fmt == "pcap":
         records = [(ft, fl, cl, d) for ft, fl, cl, d in _iter_legacy_records(buf, c.endian, c.ts_div)]
         return decode_packets_vectorized(records, c.linktype, basename)
@@ -290,16 +412,32 @@ def read_pcap_chunk(chunk: dict | Chunk) -> pd.DataFrame:
     return decode_packets_vectorized(records, 1, basename, per_record_linktype=linktypes)
 
 
+def _index_or_split(path: str, target_chunk_bytes: int) -> list[Chunk]:
+    """Exact index for normal files; speculative O(1) splitting for colossal
+    legacy pcaps (the exact walk of a 50 GB file would serialize the whole
+    read behind one task — speculative ranges resync on the executors)."""
+    if os.path.getsize(path) >= SPECULATIVE_MIN_BYTES:
+        with open(path, "rb") as f:
+            magic = f.read(4)
+        le = int.from_bytes(magic, "little")
+        be = int.from_bytes(magic, "big")
+        if le in (_MAGIC_US_BE, _MAGIC_NS_BE) or be in (_MAGIC_US_BE, _MAGIC_NS_BE):
+            return split_pcap_speculative(path, target_chunk_bytes)
+    return index_pcap(path, target_chunk_bytes)
+
+
 def index_many(spark: SparkSession, paths: list[str], target_chunk_bytes: int) -> list[Chunk]:
     """Index a corpus: small lists index on the driver; large corpora fan the
     index pass itself out as a Spark job (one task per file)."""
     if len(paths) <= 4:
         out: list[Chunk] = []
         for p in paths:
-            out.extend(index_pcap(p, target_chunk_bytes))
+            out.extend(_index_or_split(p, target_chunk_bytes))
         return out
     rdd = spark.sparkContext.parallelize(paths, len(paths))
-    chunk_lists = rdd.map(lambda p: [c.__dict__ for c in index_pcap(p, target_chunk_bytes)]).collect()
+    chunk_lists = rdd.map(
+        lambda p: [c.__dict__ for c in _index_or_split(p, target_chunk_bytes)]
+    ).collect()
     return [Chunk(**d) for lst in chunk_lists for d in lst]
 
 
