@@ -5,15 +5,20 @@ Spark-first.
 Layers
 ------
 - ``sources``   : pcap/pcapng chunk indexer + distributed reader (the one
-                  operator Spark lacks natively).
-- ``decode``    : the per-packet extraction layer (E1-E17 in SURVEY.md §2.2)
-                  as batch-oriented Python running under ``mapInPandas``.
-- ``operators`` : relational + pipeline operators (defrag R2-R6, dedup,
-                  similarity search, text analysis, multimodal plumbing).
+                  operator Spark lacks natively); speculative range splits
+                  for colossal single files.
+- ``decode``    : the extraction layer (E1-E17 in SURVEY.md §2.2) —
+                  ``vectorized`` NumPy columnar slicing under
+                  ``mapInPandas``, with ``parser`` as the scalar spec.
+- ``operators`` : relational + pipeline operators (defrag R2-R6, convert,
+                  dedup, similarity search, multimodal plumbing, registry).
+- ``functions`` : JVM-side column expressions (text analysis, vector math).
 - ``io``        : testdata loaders and Parquet sinks.
 - ``queries``   : the declared correctness query registry (SURVEY.md §2.6)
                   with dual-dialect (Spark DataFrame / DuckDB SQL) entries.
-- ``streaming`` : Structured Streaming variants of the batch operators.
+- ``streaming`` : Structured Streaming variants of the window operators.
+- ``plans``     : physical-plan audit helpers (broadcast/pushdown/codegen).
+- ``cli``       : the reference's CLI surface (python -m pcap_converter_spark).
 """
 
 __version__ = "0.1.0"

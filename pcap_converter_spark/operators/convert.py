@@ -30,12 +30,15 @@ def convert(
     nodefrag: bool = False,
     defrag_threshold_pct: float = 1.0,
     target_chunk_bytes: int = DEFAULT_CHUNK_BYTES,
+    single_file: bool = False,
 ) -> dict:
     """pcap/pcapng path(s) → Parquet directory at ``out``.
 
     Returns {"packets": N, "errors": M, "fragment_pct": p, "defragged": bool}.
     Progress mirrors the reference writer's "Packets: N Errors: M" display
-    (statswriter.rs:61-68).
+    (statswriter.rs:61-68). ``single_file`` coalesces the final write to one
+    part-file (D5 parity — the reference's single-writer thread); leave it
+    off at scale: N part-files write in parallel and read identically.
     """
     tmp = out.rstrip("/") + ".stage1.tmp"
     decoded, errors_acc = read_pcap(spark, paths, target_chunk_bytes)
@@ -51,7 +54,10 @@ def convert(
     pct = 0.0
     try:
         if nodefrag:
-            _move_dir(tmp, out)
+            if single_file:
+                stage1.coalesce(1).write.mode("overwrite").parquet(out)
+            else:
+                _move_dir(tmp, out)
         else:
             # R2 decision agg reads only the 3 predicate columns from Parquet
             # (column pruning), not the full 31-column rows.
@@ -59,9 +65,15 @@ def convert(
             if pct < defrag_threshold_pct:
                 # K3 passthrough: <1% fragmented → stage-1 output IS the
                 # result (main.rs:277-284); a rename beats a rewrite.
-                _move_dir(tmp, out)
+                if single_file:
+                    stage1.coalesce(1).write.mode("overwrite").parquet(out)
+                else:
+                    _move_dir(tmp, out)
             else:
-                defrag(stage1).write.mode("overwrite").parquet(out)
+                result = defrag(stage1)
+                if single_file:
+                    result = result.coalesce(1)
+                result.write.mode("overwrite").parquet(out)
                 defragged = True
     finally:
         shutil.rmtree(tmp, ignore_errors=True)  # main.rs:306
