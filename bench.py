@@ -69,6 +69,7 @@ def main() -> int:
         os.path.dirname(os.path.abspath(__file__)),
         "fixtures", "data", "packets_fixture.pcap",
     )
+    pcap_pps = None
     if os.path.exists(pcap_path):
         from pcap_converter_spark.operators.defrag import defrag
         from pcap_converter_spark.sources.pcap import read_pcap
@@ -78,19 +79,70 @@ def main() -> int:
         defrag(decoded).write.format("noop").mode("overwrite").save()
         timings["pcap_convert"] = round(time.perf_counter() - t0, 3)
 
+        # sustained decode throughput on a realistic volume: 1.28M packets
+        # (~110 MB), 8 MB chunks (compare BASELINE.md's 494k pkts/s on 4
+        # Rust threads; this runs the full index → mapInPandas → Arrow path)
+        big = _ensure_big_pcap()
+        n_pkts = 1_280_000
+        # untimed warmup: python-worker startup would otherwise dominate
+        df, _ = read_pcap(spark, big, target_chunk_bytes=8 << 20)
+        df.write.format("noop").mode("overwrite").save()
+        t0 = time.perf_counter()
+        df, _ = read_pcap(spark, big, target_chunk_bytes=8 << 20)
+        df.write.format("noop").mode("overwrite").save()
+        dt = time.perf_counter() - t0
+        timings["pcap_decode_1m"] = round(dt, 3)
+        pcap_pps = round(n_pkts / dt)
+
     total = round(sum(t for t in timings.values() if t >= 0), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "declared_query_suite_sec",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf),
-            }
-        )
-    )
+    out = {
+        "metric": "declared_query_suite_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf),
+    }
+    if pcap_pps is not None:
+        out["pcap_decode_pkts_per_sec"] = pcap_pps
+    print(json.dumps(out))
     return 0
+
+
+def _ensure_big_pcap() -> str:
+    """Deterministic 1.28M-packet mixed-traffic pcap (50% TCP / 25% UDP /
+    25% DNS), generated once: 320k crafted packets, record stream ×4."""
+    path = "/tmp/bench_1280k.pcap"
+    if os.path.exists(path) and os.path.getsize(path) > 0:
+        return path
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from fixtures import pcapgen as g
+
+    m1, m2 = g.mac(1), g.mac(2)
+    base = []
+    for i in range(6000):
+        if i % 4 < 2:  # 50% TCP
+            seg = g.tcp(30000 + i % 999, 443, 0x18, seq=i)
+            base.append(g.ethernet(m1, m2, 0x0800, g.ipv4(
+                f"10.{i % 200}.0.{1 + i % 250}", "151.101.1.1", 6, seg)))
+        elif i % 4 == 2:  # 25% plain UDP
+            base.append(g.ethernet(m1, m2, 0x0800, g.ipv4(
+                f"10.{i % 200}.1.{1 + i % 250}", "1.0.0.1", 17,
+                g.udp(1000 + i % 500, 9, bytes(64)))))
+        else:  # 25% DNS
+            base.append(g.ethernet(m1, m2, 0x0800, g.ipv4(
+                f"172.16.{i % 200}.1", "8.8.8.8", 17,
+                g.udp(40000 + i % 1000, 53, g.dns_query(f"h{i}.test", 1)))))
+    pkts = base * (320_000 // len(base) + 1)
+    pkts = pkts[:320_000]
+    tmp = path + ".part"
+    g.write_pcap(tmp, [(1_700_000_000_000_000 + i * 10, p) for i, p in enumerate(pkts)])
+    data = open(tmp, "rb").read()
+    with open(path, "wb") as f:
+        f.write(data[:24])
+        for _ in range(4):
+            f.write(data[24:])
+    os.remove(tmp)
+    return path
 
 
 if __name__ == "__main__":

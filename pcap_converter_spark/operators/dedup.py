@@ -88,7 +88,10 @@ def ngram_jaccard_pairs(
     stopword-shingle cut, same move as MinHash banding's implicit rarity
     bias). The declared correctness query runs without the cut (exact).
     """
-    sh = _shingle_table(df, text_col, id_col, k)
+    # materialize once: the exploded shingle table feeds three consumers
+    # (sizes + both join sides) and its interpreted shingle expression would
+    # otherwise re-run per consumer
+    sh = _shingle_table(df, text_col, id_col, k).persist()
     if max_shingle_df is not None:
         rare = (
             sh.groupBy("sh").agg(F.count(F.lit(1)).alias("df_count"))
@@ -236,10 +239,9 @@ def minhash_lsh_pairs(
     )
 
 
-def simhash64(text: Column) -> Column:
-    """Tier-4 signature: 64-bit SimHash over word xxhash64s. Bit b of the
-    result is 1 iff more words have bit b set than cleared. Computed as a
-    single aggregate() over the word array — one pass, no explode."""
+def _simhash_counters(text: Column) -> Column:
+    """Per-bit signed counters (array<long> of 64) over word xxhash64s —
+    the expensive aggregate, computed exactly once per row."""
     ws = F.array_distinct(_words(text))
     hashes = F.transform(ws, lambda w: F.xxhash64(w))
     # accumulate per-bit counters as an array of 64 signed sums; bit shifts
@@ -260,6 +262,13 @@ def simhash64(text: Column) -> Column:
             lambda a, d: a + d,
         ),
     )
+    return counters
+
+
+def _simhash_from_counters(counters: Column) -> Column:
+    """Counters → packed 64-bit signature. The caller should hand this a
+    *projected column* (attribute), not a raw expression: the 64 bit reads
+    would otherwise each re-evaluate the whole counters aggregate."""
     sig = F.lit(0).cast("long")
     for b in range(64):
         sig = sig.bitwiseOR(
@@ -269,6 +278,14 @@ def simhash64(text: Column) -> Column:
             ).otherwise(F.lit(0).cast("long"))
         )
     return sig
+
+
+def simhash64(text: Column) -> Column:
+    """Tier-4 signature: 64-bit SimHash over word xxhash64s. Bit b of the
+    result is 1 iff more words have bit b set than cleared. Convenience
+    single-expression form; bulk callers use the staged variant
+    (see simhash_pairs)."""
+    return _simhash_from_counters(_simhash_counters(text))
 
 
 def simhash_pairs(
@@ -286,7 +303,16 @@ def simhash_pairs(
     """
     nbands = max_hamming + 1
     width = 64 // nbands
-    sh = df.select(F.col(id_col).alias("doc"), simhash64(F.col(text_col)).alias("sim"))
+    # staged: counters aggregate once per row, bit-packing reads the
+    # projected attribute; persisted because both self-join sides reuse it
+    sh = (
+        df.select(
+            F.col(id_col).alias("doc"),
+            _simhash_counters(F.col(text_col)).alias("cnt"),
+        )
+        .select("doc", _simhash_from_counters(F.col("cnt")).alias("sim"))
+        .persist()
+    )
     banded = sh.select(
         "doc",
         "sim",

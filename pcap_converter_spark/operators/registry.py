@@ -290,6 +290,92 @@ def run_mm_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# relational extensions (as-of, JSON, approx sketches)
+# ---------------------------------------------------------------------------
+
+def run_asof_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DQ23's answer via the scalable as-of operator (union + running
+    last(), ONE shuffle, no join node) instead of the O(n·m) inequality
+    self-join. Verified against the same oracle as DQ23."""
+    from pcap_converter_spark.operators.asof import asof_join
+
+    ev = load_table(spark, sf_dir, "events")
+    out = asof_join(ev, ev, on=["user_id"], left_ts="ts", right_ts="ts")
+    return (
+        out.filter(F.col("ts_asof").isNotNull())
+        .select("event_id", F.col("ts_asof").alias("prev_ts"))
+        .orderBy("event_id")
+    )
+
+
+_ASOF_ORACLE = """
+SELECT e.event_id, max(s.ts) AS prev_ts FROM events e
+JOIN events s ON s.user_id = e.user_id AND s.ts < e.ts
+GROUP BY e.event_id ORDER BY e.event_id
+"""
+
+
+def run_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON extraction over events.props (dual-dialect:
+    get_json_object vs json_extract_string)."""
+    from pcap_converter_spark.io.loader import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        "SELECT CAST(get_json_object(props, '$.k') AS INT) AS k, "
+        "count(*) AS n FROM events GROUP BY k ORDER BY k"
+    )
+
+
+_JSON_ORACLE = """
+SELECT CAST(json_extract_string(props, '$.k') AS INT) AS k, count(*) AS n
+FROM events GROUP BY k ORDER BY k
+"""
+
+
+def run_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ approximate distinct (rows-only: sketch estimates are
+    engine-specific by construction; pytest bounds the relative error)."""
+    from pcap_converter_spark.io.loader import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        "SELECT event_type, approx_count_distinct(user_id) AS approx_users "
+        "FROM events GROUP BY event_type ORDER BY event_type"
+    )
+
+
+# ---------------------------------------------------------------------------
+# streaming (Structured Streaming twins of the window queries)
+# ---------------------------------------------------------------------------
+
+def run_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DQ22 through the streaming engine: file-source readStream →
+    watermarked tumbling window → availableNow drain. Hash-checked against
+    the same DuckDB oracle as the batch form."""
+    from pcap_converter_spark.streaming import windows as W
+
+    stream = W.read_events_stream(spark, sf_dir)
+    return W.run_available_now(W.tumbling_counts(stream), "ex_stream_tumbling")
+
+
+_STREAM_TUMBLING_ORACLE = """
+SELECT date_trunc('hour', ts) AS h, event_type, count(*) AS n,
+       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS v
+FROM events GROUP BY date_trunc('hour', ts), event_type ORDER BY h, event_type
+"""
+
+
+def run_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user session windows via the native session_window state operator
+    (rows-only: session identities differ from the gaps-and-islands SQL)."""
+    from pcap_converter_spark.streaming import windows as W
+
+    stream = W.read_events_stream(spark, sf_dir)
+    return W.run_available_now(W.session_counts(stream), "ex_stream_sessions")
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -312,6 +398,11 @@ def extension_queries() -> tuple[dict, dict]:
         "ex_mm_meta": run_mm_meta,
         "ex_mm_features": run_mm_features,
         "ex_mm_frames": run_mm_frames,
+        "ex_stream_tumbling": run_stream_tumbling,
+        "ex_stream_sessions": run_stream_sessions,
+        "ex_asof_union": run_asof_union,
+        "ex_json_extract": run_json_extract,
+        "ex_approx_distinct": run_approx_distinct,
     }
     oracles = {
         "ex_text_stats": _TEXT_STATS_ORACLE,
@@ -323,5 +414,8 @@ def extension_queries() -> tuple[dict, dict]:
         "ex_sim_topk": _SIM_TOPK_ORACLE,
         "ex_sim_pairs": _SIM_PAIRS_ORACLE,
         "ex_mm_meta": _MM_META_ORACLE,
+        "ex_stream_tumbling": _STREAM_TUMBLING_ORACLE,
+        "ex_asof_union": _ASOF_ORACLE,
+        "ex_json_extract": _JSON_ORACLE,
     }
     return runners, oracles

@@ -58,7 +58,9 @@ def tumbling_counts(
         .groupBy(F.window("ts", window).alias("w"), "event_type")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.round(F.sum("value"), 2).alias("v"),
+            # decimal-exact sum (order-independent) so the streaming answer
+            # hash-matches the DQ22 batch oracle
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("v"),
         )
         .select(F.col("w.start").alias("h"), "event_type", "n", "v")
     )

@@ -26,7 +26,10 @@ def test_streaming_tumbling_equals_batch(spark, events_batch):
         events_batch.groupBy(
             F.date_trunc("hour", "ts").cast("timestamp").alias("h"), "event_type"
         )
-        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("v"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("v"),
+        )
         .cache()
     )
     assert got.count() == expected.count()
