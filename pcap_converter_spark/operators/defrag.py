@@ -72,15 +72,21 @@ def first_fragments(packets: DataFrame) -> DataFrame:
     )
 
 
-def defrag(packets: DataFrame) -> DataFrame:
+def defrag(packets: DataFrame, broadcast: bool = True) -> DataFrame:
     """R5: propagate first-fragment fields to continuation fragments.
 
     Left join on the 4-key datagram identity + coalesce×6, projecting the
-    31 normative columns. ``ff`` is broadcast — the packets side is never
-    shuffled, which is what makes this viable at 100 TB.
+    31 normative columns. ``ff`` (one row per fragmented datagram) is
+    broadcast by default — the packets side is never shuffled, which is
+    what makes this viable at 100 TB. For pathological captures where the
+    fragmented-datagram count itself is huge (ff too big to broadcast),
+    pass ``broadcast=False``: the join shuffles both sides on the 4 keys
+    and AQE still converts back to broadcast at runtime if ff turns out
+    small.
     """
     ff = first_fragments(packets)
-    p, f = packets.alias("p"), F.broadcast(ff).alias("ff")
+    p = packets.alias("p")
+    f = (F.broadcast(ff) if broadcast else ff).alias("ff")
     projection = [
         F.coalesce(F.col(f"p.{c}"), F.col(f"ff.{c}")).alias(c)
         if c in DEFRAG_FILL_COLUMNS
