@@ -315,6 +315,52 @@ GROUP BY e.event_id ORDER BY e.event_id
 """
 
 
+def run_topk_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy-hitter users by event count through the two-phase salted
+    aggregation (exact; oracle is the plain GROUP BY)."""
+    from pcap_converter_spark.operators.skew import salted_topk
+
+    ev = load_table(spark, sf_dir, "events")
+    return salted_topk(ev, ["user_id"], k=10)
+
+
+_TOPK_SALTED_ORACLE = """
+SELECT user_id, count(*) AS n FROM events GROUP BY user_id
+ORDER BY n DESC, user_id LIMIT 10
+"""
+
+
+def run_join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DQ3's join through salted_join (hot-key-safe replication join);
+    same oracle as the plain formulation — salting must not change the
+    answer."""
+    from pcap_converter_spark.operators.skew import salted_join
+
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation").withColumnRenamed(
+        "n_nationkey", "c_nationkey"
+    )
+    joined = salted_join(c, n.select("c_nationkey", "n_name"), on=["c_nationkey"])
+    return (
+        joined.groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("custs"),
+            F.sum(F.col("c_acctbal").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("bal"),
+        )
+        .orderBy("n_name")
+    )
+
+
+_JOIN_SALTED_ORACLE = """
+SELECT n_name, count(*) AS custs,
+       CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS bal
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name ORDER BY n_name
+"""
+
+
 def run_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JSON extraction over events.props (dual-dialect:
     get_json_object vs json_extract_string)."""
@@ -403,6 +449,8 @@ def extension_queries() -> tuple[dict, dict]:
         "ex_asof_union": run_asof_union,
         "ex_json_extract": run_json_extract,
         "ex_approx_distinct": run_approx_distinct,
+        "ex_topk_salted": run_topk_salted,
+        "ex_join_salted": run_join_salted,
     }
     oracles = {
         "ex_text_stats": _TEXT_STATS_ORACLE,
@@ -417,5 +465,7 @@ def extension_queries() -> tuple[dict, dict]:
         "ex_stream_tumbling": _STREAM_TUMBLING_ORACLE,
         "ex_asof_union": _ASOF_ORACLE,
         "ex_json_extract": _JSON_ORACLE,
+        "ex_topk_salted": _TOPK_SALTED_ORACLE,
+        "ex_join_salted": _JOIN_SALTED_ORACLE,
     }
     return runners, oracles
