@@ -421,6 +421,40 @@ def run_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return W.run_available_now(W.session_counts(stream), "ex_stream_sessions")
 
 
+def run_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful operator (applyInPandasWithState): exact dedup with
+    one boolean of state per distinct content hash. Hash-checked against
+    the batch distinct-by-content oracle (min doc_id per content)."""
+    import os
+    import tempfile
+
+    from pcap_converter_spark.streaming.stateful import (
+        run_stream_to_memory,
+        streaming_dedup,
+    )
+
+    stage = tempfile.mkdtemp(prefix="docs_stream_")
+    link = os.path.join(stage, "documents.parquet")
+    if not os.path.exists(link):
+        os.symlink(os.path.abspath(f"{sf_dir}/documents.parquet"), link)
+    schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+    stream = spark.readStream.schema(schema).parquet(stage)
+    out = run_stream_to_memory(streaming_dedup(stream), "ex_stream_dedup")
+    # one input file → one batch → "first occurrence" is the scan order;
+    # canonicalize to min doc_id per content so the answer is deterministic
+    return (
+        out.groupBy("content_hash")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .orderBy("content_hash")
+    )
+
+
+_STREAM_DEDUP_ORACLE = """
+SELECT sha256(text) AS content_hash, min(doc_id) AS doc_id
+FROM documents GROUP BY sha256(text) ORDER BY content_hash
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -446,6 +480,7 @@ def extension_queries() -> tuple[dict, dict]:
         "ex_mm_frames": run_mm_frames,
         "ex_stream_tumbling": run_stream_tumbling,
         "ex_stream_sessions": run_stream_sessions,
+        "ex_stream_dedup": run_stream_dedup,
         "ex_asof_union": run_asof_union,
         "ex_json_extract": run_json_extract,
         "ex_approx_distinct": run_approx_distinct,
@@ -463,6 +498,7 @@ def extension_queries() -> tuple[dict, dict]:
         "ex_sim_pairs": _SIM_PAIRS_ORACLE,
         "ex_mm_meta": _MM_META_ORACLE,
         "ex_stream_tumbling": _STREAM_TUMBLING_ORACLE,
+        "ex_stream_dedup": _STREAM_DEDUP_ORACLE,
         "ex_asof_union": _ASOF_ORACLE,
         "ex_json_extract": _JSON_ORACLE,
         "ex_topk_salted": _TOPK_SALTED_ORACLE,
