@@ -174,14 +174,18 @@ def decode_packets_vectorized(
         frame_len[v6] = payload_len[v6] + 40
         set_int("ip_ttl", v6, B(ip_off, 7)[v6])
         set_int("ip_proto", v6, next_hdr[v6])
-        for idx in np.nonzero(v6)[0]:
-            o = int(ip_off[idx])
-            s = P.ipv6_str(joined[o + 8 : o + 24])
-            d = P.ipv6_str(joined[o + 24 : o + 40])
-            strs["ip_src"][idx] = s
-            strs["ip_dst"][idx] = d
-            strs["col_source"][idx] = s
-            strs["col_destination"][idx] = d
+        v6_idx = np.nonzero(v6)[0]
+        v6_offs = ip_off[v6_idx].tolist()
+        src6 = np.array(
+            [P.ipv6_str(joined[o + 8 : o + 24]) for o in v6_offs], dtype=object
+        )
+        dst6 = np.array(
+            [P.ipv6_str(joined[o + 24 : o + 40]) for o in v6_offs], dtype=object
+        )
+        strs["ip_src"][v6_idx] = src6
+        strs["ip_dst"][v6_idx] = dst6
+        strs["col_source"][v6_idx] = src6
+        strs["col_destination"][v6_idx] = dst6
 
     t_off = np.where(v6, ip_off + 40, t_off4)
     seg_len = np.where(v6, ip_len - 40, seg_len4)
@@ -199,31 +203,43 @@ def decode_packets_vectorized(
         set_int("udp_srcport", udp, sport[udp])
         set_int("udp_dstport", udp, dport[udp])
         set_int("udp_length", udp, (B(t_off, 4) << 8 | B(t_off, 5))[udp])
-        # app-layer tails: per-row Python, minority of rows by construction
+        # app-layer tails: per-row Python parses, but all column stores are
+        # batch-assigned (per-row numpy fancy-indexing would dominate)
         dns = udp & ((sport == 53) | (dport == 53))
         ntp = udp & ~dns & ((sport == 123) | (dport == 123))
         dhip = udp & ~dns & ~ntp & (sport == 37810)
-        for idx in np.nonzero(dns)[0]:
-            pay = mv[int(t_off[idx]) + 8 : int(off[idx] + lens[idx])]
-            name, qtype, e = P.parse_dns_first_question(pay)
-            strs["col_protocol"][idx] = "DNS"
-            strs["dns_qry_name"][idx] = name
-            if qtype is not None:
-                set_int("dns_qry_type", np.array([idx]), qtype)
-            errors[idx] += e
-        for idx in np.nonzero(ntp)[0]:
-            pay = mv[int(t_off[idx]) + 8 : int(off[idx] + lens[idx])]
-            reqcode, e = P.parse_ntp(pay)
-            strs["col_protocol"][idx] = "NTP"
-            if reqcode is not None:
-                set_int("ntp_priv_reqcode", np.array([idx]), reqcode)
-            errors[idx] += e
-        for idx in np.nonzero(dhip)[0]:
-            pay = mv[int(t_off[idx]) + 8 : int(off[idx] + lens[idx])]
-            device, e = P.parse_dhdiscover(pay)
-            strs["col_protocol"][idx] = "DHDiscover"
-            strs["dhip_device"][idx] = device
-            errors[idx] += e
+
+        def _app_rows(mask):
+            idxs = np.nonzero(mask)[0]
+            starts = (t_off[idxs] + 8).tolist()
+            ends = (off[idxs] + lens[idxs]).tolist()
+            return idxs, starts, ends
+
+        idxs, starts, ends = _app_rows(dns)
+        if len(idxs):
+            parsed = [P.parse_dns_first_question(mv[s:e]) for s, e in zip(starts, ends)]
+            strs["col_protocol"][idxs] = "DNS"
+            strs["dns_qry_name"][idxs] = np.array([p[0] for p in parsed], dtype=object)
+            qt = np.array([-1 if p[1] is None else p[1] for p in parsed], dtype=np.int64)
+            vals, null = ints["dns_qry_type"]
+            vals[idxs] = np.where(qt >= 0, qt, 0)
+            null[idxs] = qt < 0
+            errors[idxs] += np.fromiter((p[2] for p in parsed), dtype=np.int64, count=len(parsed))
+        idxs, starts, ends = _app_rows(ntp)
+        if len(idxs):
+            parsed = [P.parse_ntp(mv[s:e]) for s, e in zip(starts, ends)]
+            strs["col_protocol"][idxs] = "NTP"
+            rq = np.array([-1 if p[0] is None else p[0] for p in parsed], dtype=np.int64)
+            vals, null = ints["ntp_priv_reqcode"]
+            vals[idxs] = np.where(rq >= 0, rq, 0)
+            null[idxs] = rq < 0
+            errors[idxs] += np.fromiter((p[1] for p in parsed), dtype=np.int64, count=len(parsed))
+        idxs, starts, ends = _app_rows(dhip)
+        if len(idxs):
+            parsed = [P.parse_dhdiscover(mv[s:e]) for s, e in zip(starts, ends)]
+            strs["col_protocol"][idxs] = "DHDiscover"
+            strs["dhip_device"][idxs] = np.array([p[0] for p in parsed], dtype=object)
+            errors[idxs] += np.fromiter((p[1] for p in parsed), dtype=np.int64, count=len(parsed))
 
     # ---------------------------------------------------------------- TCP
     tcp = transport & (proto == P.PROTO_TCP)
