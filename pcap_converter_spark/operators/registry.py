@@ -140,10 +140,13 @@ SELECT doc_id, md5(array_to_string(lws, ' ')) AS fp FROM w ORDER BY doc_id
 
 def run_text_rolling_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing rolling hash — crc32-based, Spark-side only (pytest checks
-    it against a zlib.crc32 reference implementation)."""
+    both implementations against a zlib.crc32 reference). Uses the
+    Arrow-batched variant: interpreted HOFs lose to a vectorized pandas
+    UDF on this shape by ~10×."""
+    fp = TX.rolling_fingerprint_udf()
     return (
         _docs(spark, sf_dir)
-        .select("doc_id", TX.rolling_fingerprint(F.col("text")).alias("rfp"))
+        .select("doc_id", fp(F.col("text")).alias("rfp"))
         .orderBy("doc_id")
     )
 

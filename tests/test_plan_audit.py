@@ -70,6 +70,19 @@ def test_small_dim_join_broadcasts(spark):
     audit.assert_broadcast_join(j, "(customer x nation)")
 
 
+def test_sim_topk_plan_is_take_ordered(spark):
+    """cosine_topk must compile to scan → project → TakeOrderedAndProject:
+    the query vector is a plan literal, so there is no join and the only
+    cross-partition traffic is k rows per partition."""
+    from pcap_converter_spark.operators.similarity import cosine_topk
+
+    emb = load_table(spark, SF, "embeddings")
+    q = cosine_topk(emb, [0.1] * 64, k=10)
+    plan = audit.formatted_plan(q)
+    assert "TakeOrderedAndProject" in plan
+    assert "Join" not in plan and "Exchange" not in plan, plan[:3000]
+
+
 def test_aggregation_uses_whole_stage_codegen(spark):
     # AQE compiles codegen lazily per stage; disable it for the probe so
     # the whole plan compiles up front and the codegen subtrees are visible

@@ -126,6 +126,20 @@ def test_rolling_fingerprint_matches_zlib_reference(spark, docs_df):
         assert got[doc_id] == py_rolling_fp(t), t
 
 
+def test_rolling_fingerprint_udf_agrees_with_expression(spark, docs_df):
+    fp = TX.rolling_fingerprint_udf()
+    got = {
+        r["doc_id"]: (r["a"], r["b"])
+        for r in docs_df.select(
+            "doc_id",
+            TX.rolling_fingerprint(F.col("text")).alias("a"),
+            fp(F.col("text")).alias("b"),
+        ).collect()
+    }
+    for doc_id, (a, b) in got.items():
+        assert a == b, doc_id
+
+
 def test_rolling_fingerprint_shift_robust(spark):
     base = "alpha beta gamma delta epsilon zeta eta theta iota kappa lamda mu"
     df = spark.createDataFrame(
