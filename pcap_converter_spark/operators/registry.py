@@ -382,6 +382,39 @@ FROM events GROUP BY k ORDER BY k
 """
 
 
+_CUBE_SQL = (
+    "SELECT o_orderpriority, o_orderstatus, "
+    "CAST(grouping(o_orderpriority) AS INT) AS gp, "
+    "CAST(grouping(o_orderstatus) AS INT) AS gs, count(*) AS n "
+    "FROM orders GROUP BY CUBE (o_orderpriority, o_orderstatus) "
+    "ORDER BY o_orderpriority NULLS FIRST, o_orderstatus NULLS FIRST, gp, gs"
+)
+
+
+def run_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE + grouping() flags (complements DQ12's ROLLUP)."""
+    from pcap_converter_spark.io.loader import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_CUBE_SQL)
+
+
+_NTILE_SQL = (
+    "SELECT c_custkey, "
+    "CAST(ntile(4) OVER (ORDER BY c_acctbal DESC, c_custkey) AS INT) AS quartile, "
+    "round(percent_rank() OVER (ORDER BY c_acctbal DESC, c_custkey), 6) AS pr "
+    "FROM customer ORDER BY c_custkey"
+)
+
+
+def run_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ntile + percent_rank ranking windows (portable SQL both engines)."""
+    from pcap_converter_spark.io.loader import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_NTILE_SQL)
+
+
 def run_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog++ approximate distinct (rows-only: sketch estimates are
     engine-specific by construction; pytest bounds the relative error)."""
@@ -489,6 +522,8 @@ def extension_queries() -> tuple[dict, dict]:
         "ex_approx_distinct": run_approx_distinct,
         "ex_topk_salted": run_topk_salted,
         "ex_join_salted": run_join_salted,
+        "ex_cube": run_cube,
+        "ex_ntile": run_ntile,
     }
     oracles = {
         "ex_text_stats": _TEXT_STATS_ORACLE,
@@ -506,5 +541,7 @@ def extension_queries() -> tuple[dict, dict]:
         "ex_json_extract": _JSON_ORACLE,
         "ex_topk_salted": _TOPK_SALTED_ORACLE,
         "ex_join_salted": _JOIN_SALTED_ORACLE,
+        "ex_cube": _CUBE_SQL,
+        "ex_ntile": _NTILE_SQL,
     }
     return runners, oracles
