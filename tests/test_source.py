@@ -68,6 +68,22 @@ def test_pcapng_roundtrip_and_multichunk_interfaces(tmp_path):
     assert int(pdf["errors"].sum()) == 0
 
 
+def test_pcapng_simple_packet_blocks(tmp_path):
+    """SPB: frame_time epoch 0, caplen from block length, linktype from the
+    first interface (main.rs:201-213)."""
+    path = str(tmp_path / "spb.pcapng")
+    g.write_pcapng(
+        path,
+        interfaces=[(1, 6)],
+        packets=[],
+        simple_packets=[_udp_pkt(i) for i in range(20)],
+    )
+    pdf = _decode_path(path)
+    assert len(pdf) == 20
+    assert pdf["udp_dstport"].eq(9).all()
+    assert (pdf["frame_time"] == pd.Timestamp(0, unit="us")).all()
+
+
 def test_epb_time_us_pow10_and_pow2():
     # tsresol 6 (µs): identity
     assert _epb_time_us(0, 1_000_000, 6) == 1_000_000
