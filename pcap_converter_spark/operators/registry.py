@@ -254,6 +254,16 @@ def run_sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.lsh_bucket_topk(_embs(spark, sf_dir), qv, k=10)
 
 
+def run_sim_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-probed approximate top-k (train on a bounded sample, probe the
+    nprobe nearest clusters). Rows-only: recall is bounded by pytest
+    against exact top-k, not by the oracle."""
+    emb = _embs(spark, sf_dir)
+    qv = _query_vector(spark, sf_dir)
+    centroids = similarity.ivf_train(emb, n_clusters=8)
+    return similarity.ivf_topk(emb, centroids, qv, k=10, nprobe=3)
+
+
 # ---------------------------------------------------------------------------
 # multimodal
 # ---------------------------------------------------------------------------
@@ -511,6 +521,7 @@ def extension_queries() -> tuple[dict, dict]:
         "ex_sim_topk": run_sim_topk,
         "ex_sim_pairs": run_sim_pairs,
         "ex_sim_ann_lsh": run_sim_ann_lsh,
+        "ex_sim_ivf": run_sim_ivf,
         "ex_mm_meta": run_mm_meta,
         "ex_mm_features": run_mm_features,
         "ex_mm_frames": run_mm_frames,

@@ -23,7 +23,7 @@ import numpy as np
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from pcap_converter_spark.functions.vectors import cosine, literal_vector
+from pcap_converter_spark.functions.vectors import cosine, dot, literal_vector, norm
 
 
 def cosine_topk(
@@ -128,6 +128,93 @@ def cosine_pairs(
         left.groupBy("bi", "bj")
         .cogroup(right.groupBy("bi", "bj"))
         .applyInPandas(score, schema=out_schema)
+    )
+
+
+def ivf_train(
+    df: DataFrame,
+    n_clusters: int = 16,
+    sample_size: int = 4096,
+    n_iters: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> np.ndarray:
+    """Train spherical-kmeans centroids for an IVF index.
+
+    The standard IVF build path: a bounded, deterministic SAMPLE of the
+    corpus comes to the driver (a few thousand rows regardless of corpus
+    size) and Lloyd iterations run in NumPy. Returns L2-normalized
+    centroids (n_clusters × dim); assignment by max dot product is then
+    cosine assignment.
+    """
+    rows = (
+        df.orderBy(id_col).limit(sample_size).select(vec_col).collect()
+    )
+    m = np.stack([np.asarray(r[0], dtype=np.float64) for r in rows])
+    m /= np.linalg.norm(m, axis=1, keepdims=True)
+    rng = np.random.default_rng(seed)
+    centroids = m[rng.choice(len(m), size=min(n_clusters, len(m)), replace=False)]
+    for _ in range(n_iters):
+        assign = np.argmax(m @ centroids.T, axis=1)
+        for c in range(len(centroids)):
+            members = m[assign == c]
+            if len(members):
+                v = members.sum(axis=0)
+                n = np.linalg.norm(v)
+                if n > 0:
+                    centroids[c] = v / n
+    return centroids
+
+
+def ivf_assign(df: DataFrame, centroids: np.ndarray,
+               vec_col: str = "embedding") -> DataFrame:
+    """Attach the nearest-centroid cluster id as ``_cluster`` — a pure
+    projection over plan-literal centroids (no shuffle, no join). At rest,
+    write the corpus partitioned by ``_cluster`` (io.sinks.write_partitioned)
+    so probes become partition-pruned scans."""
+    norm_v = norm(F.col(vec_col))
+    dots = F.array(
+        *[
+            F.when(norm_v > 0, dot(F.col(vec_col), literal_vector(list(c))) / norm_v)
+            .otherwise(F.lit(-2.0))
+            for c in centroids
+        ]
+    )
+    cluster = (F.array_position(dots, F.array_max(dots)) - 1).cast("int")
+    return df.withColumn("_cluster", cluster)
+
+
+def ivf_topk(
+    df: DataFrame,
+    centroids: np.ndarray,
+    query_vec: list[float],
+    k: int = 10,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF probe: score only the ``nprobe`` clusters nearest the query.
+
+    With C clusters the probe scans ~nprobe/C of the corpus; the cluster
+    filter is a plan-literal IN (partition-prunable when the corpus is
+    stored partitioned by cluster). Approximate — recall governed by
+    nprobe; tests bound it against exact top-k.
+    """
+    q = np.asarray(query_vec, dtype=np.float64)
+    q = q / np.linalg.norm(q)
+    probes = np.argsort(-(centroids @ q))[:nprobe].tolist()
+    assigned = ivf_assign(df, centroids, vec_col)
+    return (
+        assigned.filter(F.col("_cluster").isin([int(p) for p in probes]))
+        .select(
+            F.col(id_col),
+            F.round(cosine(F.col(vec_col), literal_vector(query_vec)), 4).alias(
+                "cos_sim"
+            ),
+        )
+        .orderBy(F.col("cos_sim").desc(), F.col(id_col))
+        .limit(k)
     )
 
 

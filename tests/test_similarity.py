@@ -68,6 +68,44 @@ def test_lsh_bucket_topk_finds_strong_neighbors(spark, emb_df):
     assert got[0] in (0, 1) and set(got[:2]) == {0, 1}
 
 
+def test_ivf_recall_on_clustered_data(spark):
+    """On genuinely clustered vectors, IVF with a couple of probes must
+    recover (almost all of) the exact top-k."""
+    from pyspark.sql import types as T
+
+    rng = np.random.default_rng(11)
+    centers = rng.standard_normal((6, DIM)) * 4
+    vecs = np.vstack([c + rng.standard_normal((40, DIM)) * 0.3 for c in centers])
+    schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("embedding", T.ArrayType(T.FloatType())),
+        ]
+    )
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in np.float32(v)]) for i, v in enumerate(vecs)], schema
+    )
+    q = [float(x) for x in np.float32(vecs[0])]
+    exact = [r["vec_id"] for r in similarity.cosine_topk(df, q, k=10).collect()]
+    cents = similarity.ivf_train(df, n_clusters=6, sample_size=240)
+    approx = [
+        r["vec_id"]
+        for r in similarity.ivf_topk(df, cents, q, k=10, nprobe=2).collect()
+    ]
+    recall = len(set(exact) & set(approx)) / 10
+    assert recall >= 0.9, (recall, exact, approx)
+
+
+def test_ivf_assignment_covers_all_rows(spark, emb_df):
+    cents = similarity.ivf_train(emb_df, n_clusters=4, sample_size=60)
+    assigned = similarity.ivf_assign(emb_df, cents)
+    from pyspark.sql import functions as F
+
+    n_null = assigned.filter(F.col("_cluster").isNull()).count()
+    n_clusters = assigned.select("_cluster").distinct().count()
+    assert n_null == 0 and 1 < n_clusters <= 4
+
+
 def test_lsh_scans_fewer_rows_than_bruteforce(spark, emb_df):
     q = [float(x) for x in np.float32(VECS[0])]
     from pyspark.sql import functions as F
