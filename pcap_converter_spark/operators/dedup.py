@@ -24,6 +24,7 @@ keyed by band hashes which are uniform by construction (no skew).
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -380,4 +381,129 @@ def simhash_pairs(
         )
         .distinct()
         .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+# ---------------------------------------------------------------------------
+# tier 5: embedding-cosine near-dup
+# ---------------------------------------------------------------------------
+
+def embedding_neardup(
+    df: DataFrame,
+    threshold: float = 0.4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_blocks: int = 8,
+) -> DataFrame:
+    """Tier 5 (exact): embedding-cosine near-duplicate dedup decision.
+
+    For every row, ``keep_id`` is the smallest id among its cosine-≥-
+    threshold neighbours (including itself) and ``is_dup`` marks rows that
+    would be dropped by a keep-lowest-id policy. The neighbour relation is
+    one-hop (each duplicate points at its smallest similar neighbour, not
+    the transitive-closure root) — deterministic and SQL-expressible, so
+    the DuckDB oracle can hash-check it exactly.
+
+    Candidate generation reuses ``similarity.cosine_pairs`` (blocked
+    cogroup + one NumPy matmul per block pair): exact, with each row
+    communicated O(n_blocks) times. The pair table is tiny relative to the
+    corpus (only pairs over the threshold survive), so the min-neighbour
+    aggregation and the left join back shuffle almost nothing.
+    """
+    from pcap_converter_spark.operators import similarity
+
+    pairs = similarity.cosine_pairs(
+        df, threshold=threshold, id_col=id_col, vec_col=vec_col, n_blocks=n_blocks
+    )
+    # id_a < id_b by construction, so the smallest similar neighbour of a
+    # row can only appear on the id_a side of its pairs
+    nbr = pairs.groupBy(F.col("id_b").alias(id_col)).agg(F.min("id_a").alias("_nbr"))
+    return (
+        df.select(F.col(id_col))
+        .join(nbr, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("_nbr"), F.col(id_col)).alias("keep_id"),
+            F.col("_nbr").isNotNull().alias("is_dup"),
+        )
+    )
+
+
+def embedding_neardup_lsh(
+    df: DataFrame,
+    threshold: float = 0.9,
+    n_planes: int = 16,
+    bands: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """Tier 5 (scale path): LSH-bucketed embedding near-dup.
+
+    Random-hyperplane signatures are banded (n_planes / bands bits per
+    band); only rows sharing a band bucket become candidate pairs, which
+    are then verified with exact cosine — the standard signature→band→
+    bucket-join shape that replaces the O(n²) scan with an equi-join on
+    uniform band keys. Recall for cos≥0.9 with 16 planes in 4 bands is
+    ≈0.95 (1-(1-p^4)^4, p=1-θ/π); tests/test_dedup.py bounds it on
+    planted duplicates. Output schema matches ``embedding_neardup``.
+
+    The signature is computed in ONE Arrow-batched matmul per partition
+    (pandas UDF) — per-plane higher-order-function expressions are
+    interpreted and re-evaluate per reference, ~10× slower on this shape.
+    """
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    if n_planes % bands:
+        raise ValueError("n_planes must divide evenly into bands")
+    width = n_planes // bands
+
+    def make_udf(dim: int):
+        pl = np.random.default_rng(seed).standard_normal((n_planes, dim))
+
+        @F.pandas_udf(T.ArrayType(T.LongType()))
+        def band_keys(v: pd.Series) -> pd.Series:
+            m = np.stack(v.to_numpy()).astype(np.float64)
+            bits = (m @ pl.T) >= 0.0  # (rows, n_planes)
+            keys = np.zeros((m.shape[0], bands), dtype=np.int64)
+            for b in range(bands):
+                for j in range(width):
+                    keys[:, b] |= bits[:, b * width + j].astype(np.int64) << j
+                keys[:, b] |= np.int64(b) << np.int64(56)  # band id in high bits
+            return pd.Series(list(keys))
+
+        return band_keys
+
+    dim = len(df.select(vec_col).first()[0])
+    banded = (
+        df.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("vec"))
+        .withColumn("_bk", F.explode(make_udf(dim)(F.col("vec"))))
+        .persist()
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(b, (F.col("a._bk") == F.col("b._bk")) & (F.col("a.vid") < F.col("b.vid")))
+        .select(
+            F.col("a.vid").alias("id_a"),
+            F.col("b.vid").alias("id_b"),
+            F.col("a.vec").alias("va"),
+            F.col("b.vec").alias("vb"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    from pcap_converter_spark.functions.vectors import cosine
+
+    verified = cand.filter(F.round(cosine(F.col("va"), F.col("vb")), 4) >= threshold)
+    nbr = verified.groupBy(F.col("id_b").alias(id_col)).agg(
+        F.min("id_a").alias("_nbr")
+    )
+    return (
+        df.select(F.col(id_col))
+        .join(nbr, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("_nbr"), F.col(id_col)).alias("keep_id"),
+            F.col("_nbr").isNotNull().alias("is_dup"),
+        )
     )

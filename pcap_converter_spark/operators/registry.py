@@ -197,6 +197,38 @@ def run_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def run_dedup_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup decision (exact tier): keep-lowest-id over
+    the cosine-≥-0.4 neighbour relation on the embeddings table."""
+    return dedup.embedding_neardup(_embs(spark, sf_dir), threshold=0.4).orderBy(
+        "vec_id"
+    )
+
+
+_DEDUP_EMBED_ORACLE = """
+SELECT e.vec_id AS vec_id,
+       coalesce(min(o.vec_id), e.vec_id) AS keep_id,
+       (min(o.vec_id) IS NOT NULL) AS is_dup
+FROM embeddings e
+LEFT JOIN embeddings o
+  ON o.vec_id < e.vec_id
+ AND round(list_dot_product(e.embedding::DOUBLE[], o.embedding::DOUBLE[])
+           / (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
+              * sqrt(list_dot_product(o.embedding::DOUBLE[], o.embedding::DOUBLE[]))),
+           4) >= 0.4
+GROUP BY e.vec_id
+ORDER BY vec_id
+"""
+
+
+def run_dedup_embed_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed embedding near-dup (scale path). Rows-only: recall is
+    bounded by pytest on planted duplicates, not by the oracle."""
+    return dedup.embedding_neardup_lsh(
+        _embs(spark, sf_dir), threshold=0.4, n_planes=16, bands=8
+    ).orderBy("vec_id")
+
+
 def run_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.simhash_pairs(_docs(spark, sf_dir), max_hamming=3).orderBy(
         "doc_a", "doc_b"
@@ -518,6 +550,8 @@ def extension_queries() -> tuple[dict, dict]:
         "ex_dedup_ngram": run_dedup_ngram,
         "ex_dedup_minhash": run_dedup_minhash,
         "ex_dedup_simhash": run_dedup_simhash,
+        "ex_dedup_embed": run_dedup_embed,
+        "ex_dedup_embed_lsh": run_dedup_embed_lsh,
         "ex_sim_topk": run_sim_topk,
         "ex_sim_pairs": run_sim_pairs,
         "ex_sim_ann_lsh": run_sim_ann_lsh,
@@ -543,6 +577,7 @@ def extension_queries() -> tuple[dict, dict]:
         "ex_dedup_exact": _DEDUP_EXACT_ORACLE,
         "ex_dedup_ngram": _NGRAM_PAIRS_ORACLE,
         "ex_dedup_minhash": _NGRAM_PAIRS_ORACLE,
+        "ex_dedup_embed": _DEDUP_EMBED_ORACLE,
         "ex_sim_topk": _SIM_TOPK_ORACLE,
         "ex_sim_pairs": _SIM_PAIRS_ORACLE,
         "ex_mm_meta": _MM_META_ORACLE,

@@ -103,3 +103,83 @@ def test_simhash_pairs_pigeonhole_complete(spark, docs_df):
         for r in dedup.simhash_pairs(docs_df, max_hamming=3).collect()
     }
     assert got == expected
+
+
+# ---------------------------------------------------------------------------
+# tier 5: embedding-cosine near-dup
+# ---------------------------------------------------------------------------
+
+def _planted_vectors(n_base: int = 40, dim: int = 32, seed: int = 7):
+    """n_base random unit vectors plus, for every 4th one, a jittered copy
+    with cosine ≥ ~0.99 — the planted near-duplicates."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    base = rng.standard_normal((n_base, dim))
+    base /= np.linalg.norm(base, axis=1, keepdims=True)
+    rows, planted = [], []
+    vid = 0
+    for i in range(n_base):
+        rows.append((vid, [float(x) for x in base[i]]))
+        orig = vid
+        vid += 1
+        if i % 4 == 0:
+            dup = base[i] + 0.02 * rng.standard_normal(dim)
+            rows.append((vid, [float(x) for x in dup]))
+            planted.append((orig, vid))
+            vid += 1
+    return rows, planted
+
+
+@pytest.fixture(scope="module")
+def emb_df(spark):
+    rows, planted = _planted_vectors()
+    df = spark.createDataFrame(rows, "vec_id LONG, embedding ARRAY<DOUBLE>")
+    return df, planted
+
+
+def _py_neardup(rows, threshold):
+    """Reference keep-lowest-similar-neighbour decision, brute force."""
+    import numpy as np
+
+    ids = [r[0] for r in rows]
+    m = np.stack([np.asarray(r[1]) for r in rows])
+    m /= np.linalg.norm(m, axis=1, keepdims=True)
+    sims = np.round(m @ m.T, 4)
+    out = {}
+    for i, vid in enumerate(ids):
+        nbrs = [ids[j] for j in range(len(ids))
+                if ids[j] < vid and sims[i, j] >= threshold]
+        out[vid] = min(nbrs) if nbrs else vid
+    return out
+
+
+def test_embedding_neardup_exact(spark, emb_df):
+    df, planted = emb_df
+    rows, _ = _planted_vectors()
+    expect = _py_neardup(rows, 0.9)
+    got = {r["vec_id"]: (r["keep_id"], r["is_dup"])
+           for r in dedup.embedding_neardup(df, threshold=0.9, n_blocks=4).collect()}
+    assert len(got) == len(rows)
+    for vid, keep in expect.items():
+        assert got[vid] == (keep, keep != vid), f"vec {vid}"
+    # every planted duplicate was caught
+    for orig, dup in planted:
+        assert got[dup][1], f"planted dup {dup} of {orig} missed"
+
+
+def test_embedding_neardup_lsh_recall(spark, emb_df):
+    df, planted = emb_df
+    got = {r["vec_id"]: r["is_dup"]
+           for r in dedup.embedding_neardup_lsh(
+               df, threshold=0.9, n_planes=16, bands=4).collect()}
+    caught = sum(1 for _, dup in planted if got[dup])
+    # 16 planes / 4 bands at cos≥0.99: per-pair recall ≈ 1-(1-p^4)^4 ≥ 0.97
+    assert caught >= 0.8 * len(planted), f"{caught}/{len(planted)} planted dups found"
+    # no false positives: verification is exact, so a flagged dup really has
+    # a smaller cosine-similar neighbour
+    rows, _ = _planted_vectors()
+    expect = _py_neardup(rows, 0.9)
+    for vid, is_dup in got.items():
+        if is_dup:
+            assert expect[vid] != vid, f"vec {vid} false positive"
