@@ -432,8 +432,8 @@ def embedding_neardup(
 def embedding_neardup_lsh(
     df: DataFrame,
     threshold: float = 0.9,
-    n_planes: int = 16,
-    bands: int = 4,
+    n_planes: int = 64,
+    bands: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 42,
@@ -444,57 +444,66 @@ def embedding_neardup_lsh(
     band); only rows sharing a band bucket become candidate pairs, which
     are then verified with exact cosine — the standard signature→band→
     bucket-join shape that replaces the O(n²) scan with an equi-join on
-    uniform band keys. Recall for cos≥0.9 with 16 planes in 4 bands is
-    ≈0.95 (1-(1-p^4)^4, p=1-θ/π); tests/test_dedup.py bounds it on
-    planted duplicates. Output schema matches ``embedding_neardup``.
+    uniform band keys. Recall for cos≥0.9 with 64 planes in 8 bands of 8
+    is ≈0.93 (1-(1-p^8)^8, p=1-θ/π), rising to ≈0.99 at cos≥0.95; width-8
+    bands give 256 buckets per band, which is what keeps the candidate
+    count sub-quadratic — the bits-per-band knob trades recall against
+    candidate volume. tests/test_dedup.py bounds recall on planted
+    duplicates. Output schema matches ``embedding_neardup``.
 
     The signature is computed in ONE Arrow-batched matmul per partition
     (pandas UDF) — per-plane higher-order-function expressions are
     interpreted and re-evaluate per reference, ~10× slower on this shape.
+    Candidates travel as bare (id, id) pairs — vectors are joined back only
+    for the surviving distinct pairs, and the cosine check itself is a
+    vectorized Arrow-batched UDF, so neither the band self-join nor the
+    distinct ever shuffles an embedding.
     """
-    import pandas as pd
     from pyspark.sql import types as T
 
     if n_planes % bands:
         raise ValueError("n_planes must divide evenly into bands")
     width = n_planes // bands
 
-    def make_udf(dim: int):
-        pl = np.random.default_rng(seed).standard_normal((n_planes, dim))
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def band_keys(v: pd.Series) -> pd.Series:
+        if v.empty:
+            return pd.Series([], dtype=object)
+        m = np.stack(v.to_numpy()).astype(np.float64)
+        # planes depend only on (seed, dim): every batch derives the same
+        # matrix, so no driver-side first() job is needed to size them
+        pl = np.random.default_rng(seed).standard_normal((n_planes, m.shape[1]))
+        bits = (m @ pl.T) >= 0.0  # (rows, n_planes)
+        keys = np.zeros((m.shape[0], bands), dtype=np.int64)
+        for b in range(bands):
+            for j in range(width):
+                keys[:, b] |= bits[:, b * width + j].astype(np.int64) << j
+            keys[:, b] |= np.int64(b) << np.int64(56)  # band id in high bits
+        return pd.Series(list(keys))
 
-        @F.pandas_udf(T.ArrayType(T.LongType()))
-        def band_keys(v: pd.Series) -> pd.Series:
-            m = np.stack(v.to_numpy()).astype(np.float64)
-            bits = (m @ pl.T) >= 0.0  # (rows, n_planes)
-            keys = np.zeros((m.shape[0], bands), dtype=np.int64)
-            for b in range(bands):
-                for j in range(width):
-                    keys[:, b] |= bits[:, b * width + j].astype(np.int64) << j
-                keys[:, b] |= np.int64(b) << np.int64(56)  # band id in high bits
-            return pd.Series(list(keys))
+    @F.pandas_udf(T.DoubleType())
+    def cos4(a: pd.Series, b: pd.Series) -> pd.Series:
+        ma = np.stack(a.to_numpy()).astype(np.float64)
+        mb = np.stack(b.to_numpy()).astype(np.float64)
+        sims = np.einsum("ij,ij->i", ma, mb) / (
+            np.linalg.norm(ma, axis=1) * np.linalg.norm(mb, axis=1)
+        )
+        return pd.Series(np.round(sims, 4))
 
-        return band_keys
-
-    dim = len(df.select(vec_col).first()[0])
-    banded = (
-        df.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("vec"))
-        .withColumn("_bk", F.explode(make_udf(dim)(F.col("vec"))))
-        .persist()
-    )
+    vecs = df.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("vec")).persist()
+    banded = vecs.select("vid", F.explode(band_keys(F.col("vec"))).alias("_bk"))
     a, b = banded.alias("a"), banded.alias("b")
     cand = (
         a.join(b, (F.col("a._bk") == F.col("b._bk")) & (F.col("a.vid") < F.col("b.vid")))
-        .select(
-            F.col("a.vid").alias("id_a"),
-            F.col("b.vid").alias("id_b"),
-            F.col("a.vec").alias("va"),
-            F.col("b.vec").alias("vb"),
-        )
-        .dropDuplicates(["id_a", "id_b"])
+        .select(F.col("a.vid").alias("id_a"), F.col("b.vid").alias("id_b"))
+        .distinct()
     )
-    from pcap_converter_spark.functions.vectors import cosine
-
-    verified = cand.filter(F.round(cosine(F.col("va"), F.col("vb")), 4) >= threshold)
+    scored = (
+        cand.join(vecs.select(F.col("vid").alias("id_a"), F.col("vec").alias("va")), "id_a")
+        .join(vecs.select(F.col("vid").alias("id_b"), F.col("vec").alias("vb")), "id_b")
+        .select("id_a", "id_b", cos4(F.col("va"), F.col("vb")).alias("cos_sim"))
+    )
+    verified = scored.filter(F.col("cos_sim") >= threshold)
     nbr = verified.groupBy(F.col("id_b").alias(id_col)).agg(
         F.min("id_a").alias("_nbr")
     )
