@@ -102,52 +102,78 @@ def fingerprint(text: Column) -> Column:
     return F.md5(F.concat_ws(" ", words(F.lower(text))).cast("binary"))
 
 
+def word_hash32(w: Column) -> Column:
+    """Portable 32-bit word hash: the low 4 bytes (little-endian) of the md5
+    digest — equals ``md5_number_lower(w) & 0xFFFFFFFF`` in DuckDB and
+    ``int.from_bytes(md5(w).digest()[8:12], 'little')`` in Python, so the
+    winnowing fingerprint has an exact oracle in all three engines.
+    (crc32 would be cheaper but DuckDB ships no crc32.)"""
+    m = F.md5(w.cast("binary"))
+    # digest bytes 8..11 little-endian == hex chars (23,24)(21,22)(19,20)(17,18)
+    return F.conv(
+        F.concat(
+            F.substring(m, 23, 2), F.substring(m, 21, 2),
+            F.substring(m, 19, 2), F.substring(m, 17, 2),
+        ),
+        16,
+        10,
+    ).cast("long")
+
+
 def rolling_fingerprint(text: Column, window: int = 8) -> Column:
-    """Winnowing-style rolling content hash: min crc32 over each ``window``
-    consecutive words, then the min of those — robust to content shifts
-    (prefix/suffix edits keep the fingerprint when the minimal window
-    survives). crc32 is bit-identical to Python's zlib.crc32, so tests have
-    an exact reference. Spark-side only (no portable SQL twin)."""
+    """Winnowing fingerprint (Schleimer et al., SIGMOD'03 shape): the sorted
+    distinct minima of a ``window``-wide sliding min over per-word hashes.
+    Shift-robust: a prefix/suffix edit preserves every interior window, so
+    the fingerprint sets of near-duplicate documents overlap heavily.
+
+    The window CLAMPS to the document length (documents shorter than
+    ``window`` words hash their actual content — padding with hash('')
+    would collapse every short doc to one fingerprint); empty documents
+    yield an empty set."""
     ws = words(F.lower(text))
     # hash each word ONCE (higher-order fns are interpreted, not codegen'd —
-    # recomputing crc32 per window multiplies the per-element cost 8×), then
-    # slide the window over the precomputed hash array. Short docs are padded
-    # with crc32("") to match the fixed window length.
-    hashes = F.concat(
-        F.transform(ws, lambda w: F.crc32(w.cast("binary"))),
-        F.array_repeat(F.crc32(F.lit("").cast("binary")), window - 1),
-    )
-    n = F.greatest(F.size(ws) - (window - 1), F.lit(1))
-    window_hashes = F.transform(
+    # recomputing the hash per window multiplies the per-element cost 8×),
+    # then slide the window over the precomputed hash array
+    hashes = F.transform(ws, lambda w: word_hash32(w))
+    win = F.least(F.lit(window), F.size(ws))
+    n = F.greatest(F.size(ws) - win + 1, F.lit(1))
+    window_mins = F.transform(
         F.sequence(F.lit(1), n),
-        lambda i: F.array_min(F.slice(hashes, i, window)),
+        lambda i: F.array_min(F.slice(hashes, i, win)),
     )
-    return F.array_min(window_hashes)
+    return F.when(
+        F.size(ws) > 0, F.array_sort(F.array_distinct(window_mins))
+    ).otherwise(F.array().cast("array<long>"))
 
 
 def rolling_fingerprint_udf(window: int = 8):
     """Arrow-batched variant of ``rolling_fingerprint`` — identical values.
 
     Higher-order functions are interpreted per element; for this operator
-    (per-word crc32 + sliding min) a vectorized pandas UDF is ~10× faster
-    at corpus scale. Tests assert both implementations agree with the
-    zlib.crc32 reference.
+    (per-word hash + sliding min) a vectorized pandas UDF is ~10× faster
+    at corpus scale. Tests assert both implementations agree with a pure-
+    Python reference.
     """
-    import zlib
+    import hashlib
 
     from pyspark.sql.functions import pandas_udf
 
-    pad = zlib.crc32(b"")
-
-    @pandas_udf("long")
+    @pandas_udf("array<long>")
     def _fp(texts: pd.Series) -> pd.Series:
         out = []
         for t in texts:
             wsl = [w for w in (t or "").lower().split() if w]
-            crcs = [zlib.crc32(w.encode()) for w in wsl]
-            n = max(len(crcs) - (window - 1), 1)
-            crcs = crcs + [pad] * (window - 1)
-            out.append(min(min(crcs[i : i + window]) for i in range(n)))
-        return pd.Series(out, dtype="int64")
+            if not wsl:
+                out.append([])
+                continue
+            hs = [
+                int.from_bytes(hashlib.md5(w.encode()).digest()[8:12], "little")
+                for w in wsl
+            ]
+            win = min(window, len(hs))
+            out.append(
+                sorted({min(hs[i : i + win]) for i in range(len(hs) - win + 1)})
+            )
+        return pd.Series(out)
 
     return _fp

@@ -49,8 +49,15 @@ def _embs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # text analysis
 # ---------------------------------------------------------------------------
 
-def run_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+def run_text_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full text-analysis surface in ONE hash-checked projection:
+    token/BPE counts, punctuation+stopword ratios, quality score, language
+    ID, normalization fingerprint, and the winnowing rolling fingerprint
+    (Arrow-batched UDF — interpreted HOFs lose ~10× on this shape). One
+    driver row proves all of functions/text.py; merged from four r2 entries
+    to fit the driver's 50-entry correctness window."""
     t = F.col("text")
+    rfp = TX.rolling_fingerprint_udf()
     return (
         _docs(spark, sf_dir)
         .select(
@@ -60,44 +67,10 @@ def run_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(TX.punct_ratio(t), 4).alias("punct_r"),
             F.round(TX.stopword_ratio(t), 4).alias("stop_r"),
             TX.quality_score(t).alias("quality"),
-        )
-        .orderBy("doc_id")
-    )
-
-
-_TEXT_STATS_ORACLE = f"""
-WITH w AS (
-  SELECT doc_id, text,
-         {_DUCK_WORDS.format(src="text")} AS ws,
-         {_DUCK_WORDS.format(src="lower(text)")} AS lws
-  FROM documents)
-SELECT doc_id,
-  len(ws) AS n_tokens,
-  len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]')) AS n_bpe,
-  round(CASE WHEN length(text) > 0
-        THEN (length(text) - length(regexp_replace(text, '[^a-zA-Z0-9\\s]', '', 'g')))
-             / CAST(length(text) AS DOUBLE) ELSE 0.0 END, 4) AS punct_r,
-  round(CASE WHEN len(lws) > 0
-        THEN {_DUCK_STOP_FILTER["en"]} / CAST(len(lws) AS DOUBLE)
-        ELSE 0.0 END, 4) AS stop_r,
-  round(0.4 * least(1.0, len(ws) / 50.0)
-      + 0.3 * (1.0 - least(1.0, (CASE WHEN length(text) > 0
-            THEN (length(text) - length(regexp_replace(text, '[^a-zA-Z0-9\\s]', '', 'g')))
-                 / CAST(length(text) AS DOUBLE) ELSE 0.0 END) * 5.0))
-      + 0.3 * least(1.0, (CASE WHEN len(lws) > 0
-            THEN {_DUCK_STOP_FILTER["en"]} / CAST(len(lws) AS DOUBLE)
-            ELSE 0.0 END) * 10.0), 4) AS quality
-FROM w ORDER BY doc_id
-"""
-
-
-def run_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return (
-        _docs(spark, sf_dir)
-        .select(
-            "doc_id",
             F.col("lang").alias("labeled_lang"),
-            TX.language_id(F.col("text")).alias("guessed_lang"),
+            TX.language_id(t).alias("guessed_lang"),
+            TX.fingerprint(t).alias("fp"),
+            rfp(t).alias("rfp"),
         )
         .orderBy("doc_id")
     )
@@ -110,45 +83,46 @@ _LANGID_CASE = (
     "WHEN best > 0 AND s_fr = best THEN 'fr' ELSE 'und' END"
 )
 
-_LANGID_ORACLE = f"""
+# One oracle for the whole text surface. The winnowing fingerprint hashes
+# words with md5-low32 (functions/text.py word_hash32) precisely so this
+# portable twin exists — DuckDB ships no crc32/xxhash64.
+_TEXT_ALL_ORACLE = f"""
 WITH w AS (
-  SELECT doc_id, lang, {_DUCK_WORDS.format(src="lower(text)")} AS lws FROM documents),
-s AS (
-  SELECT doc_id, lang,
-         {_DUCK_STOP_FILTER["en"]} AS s_en, {_DUCK_STOP_FILTER["de"]} AS s_de,
-         {_DUCK_STOP_FILTER["es"]} AS s_es, {_DUCK_STOP_FILTER["fr"]} AS s_fr
+  SELECT doc_id, lang, text,
+         {_DUCK_WORDS.format(src="text")} AS ws,
+         {_DUCK_WORDS.format(src="lower(text)")} AS lws
+  FROM documents),
+sc AS (
+  SELECT *, {_DUCK_STOP_FILTER["en"]} AS s_en, {_DUCK_STOP_FILTER["de"]} AS s_de,
+         {_DUCK_STOP_FILTER["es"]} AS s_es, {_DUCK_STOP_FILTER["fr"]} AS s_fr,
+         CASE WHEN length(text) > 0
+              THEN (length(text) - length(regexp_replace(text, '[^a-zA-Z0-9\\s]', '', 'g')))
+                   / CAST(length(text) AS DOUBLE) ELSE 0.0 END AS praw,
+         list_transform(lws, x -> CAST(md5_number_lower(x) & 4294967295 AS BIGINT)) AS hs,
+         least(8, len(lws)) AS win
   FROM w),
-b AS (SELECT *, greatest(s_en, s_de, s_es, s_fr) AS best FROM s)
-SELECT doc_id, lang AS labeled_lang, {_LANGID_CASE} AS guessed_lang
+b AS (
+  SELECT *, greatest(s_en, s_de, s_es, s_fr) AS best,
+         CASE WHEN len(lws) > 0 THEN s_en / CAST(len(lws) AS DOUBLE)
+              ELSE 0.0 END AS sraw
+  FROM sc)
+SELECT doc_id,
+  len(ws) AS n_tokens,
+  len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]')) AS n_bpe,
+  round(praw, 4) AS punct_r,
+  round(sraw, 4) AS stop_r,
+  round(0.4 * least(1.0, len(ws) / 50.0)
+      + 0.3 * (1.0 - least(1.0, praw * 5.0))
+      + 0.3 * least(1.0, sraw * 10.0), 4) AS quality,
+  lang AS labeled_lang,
+  {_LANGID_CASE} AS guessed_lang,
+  md5(array_to_string(lws, ' ')) AS fp,
+  CASE WHEN len(lws) = 0 THEN CAST([] AS BIGINT[])
+       ELSE list_sort(list_distinct(list_transform(
+              range(1, len(hs) - win + 2),
+              i -> list_min(list_slice(hs, i, i + win - 1))))) END AS rfp
 FROM b ORDER BY doc_id
 """
-
-
-def run_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return (
-        _docs(spark, sf_dir)
-        .select("doc_id", TX.fingerprint(F.col("text")).alias("fp"))
-        .orderBy("doc_id")
-    )
-
-
-_FINGERPRINT_ORACLE = f"""
-WITH w AS (SELECT doc_id, {_DUCK_WORDS.format(src="lower(text)")} AS lws FROM documents)
-SELECT doc_id, md5(array_to_string(lws, ' ')) AS fp FROM w ORDER BY doc_id
-"""
-
-
-def run_text_rolling_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Winnowing rolling hash — crc32-based, Spark-side only (pytest checks
-    both implementations against a zlib.crc32 reference). Uses the
-    Arrow-batched variant: interpreted HOFs lose to a vectorized pandas
-    UDF on this shape by ~10×."""
-    fp = TX.rolling_fingerprint_udf()
-    return (
-        _docs(spark, sf_dir)
-        .select("doc_id", fp(F.col("text")).alias("rfp"))
-        .orderBy("doc_id")
-    )
 
 
 # ---------------------------------------------------------------------------
@@ -544,10 +518,7 @@ def extension_queries() -> tuple[dict, dict]:
     oracle entry get the driver's rows-only check (engine-specific hashes
     or Python-side extraction; covered by pytest instead)."""
     runners = {
-        "ex_text_stats": run_text_stats,
-        "ex_text_langid": run_text_langid,
-        "ex_text_fingerprint": run_text_fingerprint,
-        "ex_text_rolling_fp": run_text_rolling_fp,
+        "ex_text_all": run_text_all,
         "ex_dedup_exact": run_dedup_exact,
         "ex_dedup_ngram": run_dedup_ngram,
         "ex_dedup_minhash": run_dedup_minhash,
@@ -573,9 +544,7 @@ def extension_queries() -> tuple[dict, dict]:
         "ex_ntile": run_ntile,
     }
     oracles = {
-        "ex_text_stats": _TEXT_STATS_ORACLE,
-        "ex_text_langid": _LANGID_ORACLE,
-        "ex_text_fingerprint": _FINGERPRINT_ORACLE,
+        "ex_text_all": _TEXT_ALL_ORACLE,
         "ex_dedup_exact": _DEDUP_EXACT_ORACLE,
         "ex_dedup_ngram": _NGRAM_PAIRS_ORACLE,
         "ex_dedup_minhash": _NGRAM_PAIRS_ORACLE,

@@ -3,7 +3,6 @@
 from __future__ import annotations
 
 import re
-import zlib
 
 import pytest
 from pyspark.sql import functions as F
@@ -103,19 +102,24 @@ def test_fingerprint_normalization_collision(spark):
     assert fps[0] != fps[2]
 
 
-def py_rolling_fp(t: str, window: int = 8) -> int:
+def py_word_hash32(w: str) -> int:
+    import hashlib
+
+    return int.from_bytes(hashlib.md5(w.encode()).digest()[8:12], "little")
+
+
+def py_rolling_fp(t: str, window: int = 8) -> list[int]:
+    """Winnowing reference: sorted distinct minima of the sliding window,
+    window clamped to the document length, empty doc → empty set."""
     ws = py_tokens(t.lower())
-    crcs = [zlib.crc32(w.encode()) for w in ws]
-    n = max(len(crcs) - (window - 1), 1)
-    mins = []
-    for i in range(n):
-        win = crcs[i : i + window]
-        win = win + [zlib.crc32(b"")] * (window - len(win))
-        mins.append(min(win))
-    return min(mins)
+    if not ws:
+        return []
+    hs = [py_word_hash32(w) for w in ws]
+    win = min(window, len(hs))
+    return sorted({min(hs[i : i + win]) for i in range(len(hs) - win + 1)})
 
 
-def test_rolling_fingerprint_matches_zlib_reference(spark, docs_df):
+def test_rolling_fingerprint_matches_python_reference(spark, docs_df):
     got = {
         r["doc_id"]: r["rfp"]
         for r in docs_df.select(
@@ -124,6 +128,24 @@ def test_rolling_fingerprint_matches_zlib_reference(spark, docs_df):
     }
     for doc_id, t in DOCS:
         assert got[doc_id] == py_rolling_fp(t), t
+
+
+def test_rolling_fingerprint_short_docs_hash_content(spark):
+    """ADVICE r2: short docs must hash their actual words (clamped window),
+    not collapse to a shared pad value."""
+    df = spark.createDataFrame(
+        [(0, "alpha"), (1, "beta"), (2, "")], ["doc_id", "text"]
+    )
+    got = {
+        r["doc_id"]: r["rfp"]
+        for r in df.select(
+            "doc_id", TX.rolling_fingerprint(F.col("text")).alias("rfp")
+        ).collect()
+    }
+    assert got[0] == [py_word_hash32("alpha")]
+    assert got[1] == [py_word_hash32("beta")]
+    assert got[0] != got[1]
+    assert got[2] == []
 
 
 def test_rolling_fingerprint_udf_agrees_with_expression(spark, docs_df):
@@ -146,10 +168,14 @@ def test_rolling_fingerprint_shift_robust(spark):
         [(0, base), (1, "PREFIX " + base), (2, base + " SUFFIX")],
         ["doc_id", "text"],
     )
-    got = [
-        r["rfp"]
-        for r in df.select(TX.rolling_fingerprint(F.col("text")).alias("rfp"))
-        .orderBy("rfp").collect()
-    ]
-    # the minimal window survives prefix/suffix edits
-    assert got[0] == got[1] == got[2]
+    got = {
+        r["doc_id"]: set(r["rfp"])
+        for r in df.select(
+            "doc_id", TX.rolling_fingerprint(F.col("text")).alias("rfp")
+        ).collect()
+    }
+    # every interior window of the base survives a prefix/suffix edit, so
+    # the base fingerprint set is contained in the edited versions' sets —
+    # the overlap a winnowing near-dup detector keys on
+    assert got[0] <= got[1]
+    assert got[0] <= got[2]
