@@ -81,19 +81,27 @@ def ngram_jaccard_pairs(
     k: int = 3,
     threshold: float = 0.7,
     max_shingle_df: int | None = None,
+    handles: list | None = None,
 ) -> DataFrame:
     """Tier 2: exact Jaccard over k-word shingles, as a shingle equi-join.
 
-    (a ⋈ b on shingle) counts intersections; sizes give the union. Exact —
-    but a shingle shared by m docs contributes m² join rows, so at corpus
-    scale pass ``max_shingle_df`` to drop boilerplate shingles (standard
-    stopword-shingle cut, same move as MinHash banding's implicit rarity
-    bias). The declared correctness query runs without the cut (exact).
+    (a ⋈ b on shingle) counts intersections; sizes give the union. Exact
+    for the surviving shingles — but a shingle shared by m docs contributes
+    m² join rows, so any corpus-scale run MUST pass ``max_shingle_df`` to
+    drop boilerplate shingles (the standard stopword-shingle frequency cut;
+    MinHash banding has the same rarity bias implicitly). The registered
+    driver query applies the cut with a mirrored oracle; the uncut exact
+    form is pytest-verified only.
+
+    If ``handles`` is passed, the internally persisted shingle table is
+    appended for the caller to unpersist after materializing the result.
     """
     # materialize once: the exploded shingle table feeds three consumers
     # (sizes + both join sides) and its interpreted shingle expression would
     # otherwise re-run per consumer
     sh = _shingle_table(df, text_col, id_col, k).persist()
+    if handles is not None:
+        handles.append(sh)
     if max_shingle_df is not None:
         rare = (
             sh.groupBy("sh").agg(F.count(F.lit(1)).alias("df_count"))
@@ -217,7 +225,10 @@ def minhash_band_table(
                 sig = ((A * (base & _MERSENNE31) + B) % _MERSENNE31).min(axis=1)
                 for b in range(bands):
                     bh = zlib.crc32(sig[b * r : (b + 1) * r].tobytes())
-                    rows.append((int(doc), sh, b, int(bh)))
+                    # the shingle array (the dominant payload — near the raw
+                    # text size) rides along ONCE, on band 0; emitting it per
+                    # band would amplify the persisted/shuffled table ×bands
+                    rows.append((int(doc), sh if b == 0 else None, b, int(bh)))
             yield pd.DataFrame(rows, columns=["doc", "sh", "band", "band_hash"])
 
     return df.select(id_col, text_col).mapInPandas(build, schema=out_schema)
@@ -231,6 +242,7 @@ def minhash_lsh_pairs(
     num_hashes: int = 64,
     bands: int = 16,
     threshold: float = 0.7,
+    handles: list | None = None,
 ) -> DataFrame:
     """Tier 3: banded MinHash LSH with exact-Jaccard verification.
 
@@ -247,6 +259,8 @@ def minhash_lsh_pairs(
     # signatures + band hashes in one vectorized pass; persisted because the
     # band self-join and both verify sides reuse it
     table = minhash_band_table(df, text_col, id_col, k, num_hashes, bands).persist()
+    if handles is not None:
+        handles.append(table)
     banded = table.select("doc", "band", "band_hash")
     sig = table.filter(F.col("band") == 0).select("doc", "sh")
     ba, bb = banded.alias("ba"), banded.alias("bb")
@@ -278,53 +292,43 @@ def minhash_lsh_pairs(
     )
 
 
-def _simhash_counters(text: Column) -> Column:
-    """Per-bit signed counters (array<long> of 64) over word xxhash64s —
-    the expensive aggregate, computed exactly once per row."""
-    ws = F.array_distinct(_words(text))
-    hashes = F.transform(ws, lambda w: F.xxhash64(w))
-    # accumulate per-bit counters as an array of 64 signed sums; bit shifts
-    # use Python-int shift amounts (F.shiftright needs a literal int)
-    counters = F.aggregate(
-        hashes,
-        F.array_repeat(F.lit(0).cast("long"), 64),
-        lambda acc, h: F.zip_with(
-            acc,
-            F.array(
-                *[
-                    F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, F.lit(1))
-                    .otherwise(F.lit(-1))
-                    .cast("long")
-                    for b in range(64)
-                ]
-            ),
-            lambda a, d: a + d,
-        ),
-    )
-    return counters
-
-
-def _simhash_from_counters(counters: Column) -> Column:
-    """Counters → packed 64-bit signature. The caller should hand this a
-    *projected column* (attribute), not a raw expression: the 64 bit reads
-    would otherwise each re-evaluate the whole counters aggregate."""
-    sig = F.lit(0).cast("long")
-    for b in range(64):
-        sig = sig.bitwiseOR(
-            F.when(
-                F.try_element_at(counters, F.lit(b + 1)) > 0,
-                F.lit(1 << b if b < 63 else -(1 << 63)).cast("long"),
-            ).otherwise(F.lit(0).cast("long"))
-        )
-    return sig
-
-
 def simhash64(text: Column) -> Column:
-    """Tier-4 signature: 64-bit SimHash over word xxhash64s. Bit b of the
-    result is 1 iff more words have bit b set than cleared. Convenience
-    single-expression form; bulk callers use the staged variant
-    (see simhash_pairs)."""
-    return _simhash_from_counters(_simhash_counters(text))
+    """Tier-4 signature: 64-bit SimHash over distinct lowercased words.
+    Bit b of the result is 1 iff more words have bit b set than cleared.
+
+    Word hash = low 8 bytes (little-endian) of md5 — chosen over xxhash64
+    so DuckDB's ``md5_number_lower`` can recompute the identical signature
+    for the oracle. Computed in ONE Arrow-batched pandas UDF: the per-bit
+    counter aggregate is 64 branches/word as an interpreted higher-order
+    expression (measured ~3.7 s at sf0.1), but a single vectorized NumPy
+    bit-matrix per batch here."""
+    import hashlib
+
+    @F.pandas_udf("long")
+    def _simhash(texts: pd.Series) -> pd.Series:
+        shifts = np.arange(64, dtype=np.uint64)
+        one = np.uint64(1)
+        out = np.zeros(len(texts), dtype=np.int64)
+        for i, t in enumerate(texts):
+            ws = {w for w in (t or "").lower().split() if w}
+            if not ws:
+                continue
+            hs = np.array(
+                [
+                    int.from_bytes(hashlib.md5(w.encode()).digest()[8:16], "little")
+                    for w in ws
+                ],
+                dtype=np.uint64,
+            )
+            bits = (hs[:, None] >> shifts[None, :]) & one  # (words, 64)
+            counters = (2 * bits.astype(np.int64) - 1).sum(axis=0)
+            fp = np.bitwise_or.reduce(
+                np.where(counters > 0, one << shifts, np.uint64(0))
+            )
+            out[i] = int(fp) - (1 << 64 if int(fp) >= 1 << 63 else 0)
+        return pd.Series(out)
+
+    return _simhash(text)
 
 
 def simhash_pairs(
@@ -332,6 +336,7 @@ def simhash_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     max_hamming: int = 3,
+    handles: list | None = None,
 ) -> DataFrame:
     """Tier 4: near-dup pairs by SimHash hamming distance ≤ max_hamming.
 
@@ -339,19 +344,18 @@ def simhash_pairs(
     pair within distance max_hamming agrees exactly on ≥1 band, so the
     equi-join on (band, band_bits) finds all of them — exact recall for the
     hamming criterion, no all-pairs scan.
+
+    If ``handles`` is passed, the internally persisted signature table is
+    appended for the caller to unpersist after materializing the result.
     """
     nbands = max_hamming + 1
     width = 64 // nbands
-    # staged: counters aggregate once per row, bit-packing reads the
-    # projected attribute; persisted because both self-join sides reuse it
-    sh = (
-        df.select(
-            F.col(id_col).alias("doc"),
-            _simhash_counters(F.col(text_col)).alias("cnt"),
-        )
-        .select("doc", _simhash_from_counters(F.col("cnt")).alias("sim"))
-        .persist()
-    )
+    # persisted because both self-join sides reuse the signatures
+    sh = df.select(
+        F.col(id_col).alias("doc"), simhash64(F.col(text_col)).alias("sim")
+    ).persist()
+    if handles is not None:
+        handles.append(sh)
     banded = sh.select(
         "doc",
         "sim",
@@ -437,6 +441,7 @@ def embedding_neardup_lsh(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 42,
+    handles: list | None = None,
 ) -> DataFrame:
     """Tier 5 (scale path): LSH-bucketed embedding near-dup.
 
@@ -491,6 +496,8 @@ def embedding_neardup_lsh(
         return pd.Series(np.round(sims, 4))
 
     vecs = df.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("vec")).persist()
+    if handles is not None:
+        handles.append(vecs)
     banded = vecs.select("vid", F.explode(band_keys(F.col("vec"))).alias("_bk"))
     a, b = banded.alias("a"), banded.alias("b")
     cand = (

@@ -45,6 +45,17 @@ def _embs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return load_table(spark, sf_dir, "embeddings")
 
 
+def _eager(spark: SparkSession, df: DataFrame, handles: list) -> DataFrame:
+    """Materialize ``df`` once, then unpersist the operator's internal
+    caches (VERDICT r2: leaked persist() blocks accumulate over a long
+    session). The fixture-scale result rides back as a local DataFrame;
+    at corpus scale callers keep the lazy form and manage persistence."""
+    pdf = df.toPandas()
+    for h in handles:
+        h.unpersist()
+    return spark.createDataFrame(pdf, schema=df.schema)
+
+
 # ---------------------------------------------------------------------------
 # text analysis
 # ---------------------------------------------------------------------------
@@ -139,10 +150,23 @@ SELECT sha256(text) AS content_hash, count(*) AS dup_count,
 FROM documents GROUP BY sha256(text) HAVING count(*) > 1 ORDER BY content_hash
 """
 
-_NGRAM_PAIRS_ORACLE = f"""
+# n-gram pair SQL, parameterized on the shingle document-frequency cut:
+# df_cut=None → the uncut exact baseline (minhash's oracle); df_cut=N →
+# mirrors ngram_jaccard_pairs(max_shingle_df=N), the only form registered
+# for the driver (VERDICT r2: no unbounded-quadratic operator on the
+# registered surface).
+def _ngram_oracle(df_cut: int | None) -> str:
+    cut = (
+        f"""df_c AS (SELECT sh, count(*) AS c FROM e0 GROUP BY sh),
+e AS (SELECT e0.doc_id, e0.sh FROM e0 JOIN df_c USING (sh) WHERE c <= {df_cut}),"""
+        if df_cut is not None
+        else "e AS (SELECT doc_id, sh FROM e0),"
+    )
+    return f"""
 WITH w AS (SELECT doc_id, {_DUCK_WORDS.format(src="lower(text)")} AS lws FROM documents),
 s AS (SELECT doc_id, {_DUCK_SHINGLES} AS sh FROM w),
-e AS (SELECT doc_id, unnest(sh) AS sh FROM s),
+e0 AS (SELECT doc_id, unnest(sh) AS sh FROM s),
+{cut}
 sz AS (SELECT doc_id, count(*) AS n FROM e GROUP BY doc_id),
 inter AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS ni
@@ -152,34 +176,45 @@ SELECT doc_a, doc_b,
        round(ni / CAST(na.n + nb.n - ni AS DOUBLE), 4) AS jaccard
 FROM inter JOIN sz na ON doc_a = na.doc_id JOIN sz nb ON doc_b = nb.doc_id
 WHERE round(ni / CAST(na.n + nb.n - ni AS DOUBLE), 4) >= 0.7
-ORDER BY doc_a, doc_b
 """
 
 
-def run_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return dedup.ngram_jaccard_pairs(_docs(spark, sf_dir), threshold=0.7).orderBy(
-        "doc_a", "doc_b"
+_JACCARD_DF_CUT = 8
+
+
+def run_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Both Jaccard near-dup tiers in one tagged result: the exact shingle
+    equi-join WITH the df-frequency cut (tier 2 — bounded: a shingle in >
+    {cut} docs is boilerplate and is dropped before the join), and banded
+    MinHash LSH with exact-Jaccard verification (tier 3 — the scale path).
+    At the fixture's duplicate strength (J ≥ 0.9, band recall ≈ 1.0) the
+    minhash tier reproduces the uncut exact answer, so each tier hash-checks
+    against its own deterministic oracle in the same driver row."""
+    handles: list = []
+    docs = _docs(spark, sf_dir)
+    exact = dedup.ngram_jaccard_pairs(
+        docs, threshold=0.7, max_shingle_df=_JACCARD_DF_CUT, handles=handles
+    ).withColumn("tier", F.lit("exact_dfcut"))
+    mh = dedup.minhash_lsh_pairs(docs, threshold=0.7, handles=handles).withColumn(
+        "tier", F.lit("minhash")
     )
-
-
-def run_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate (banded LSH) but verified with exact Jaccard, so at the
-    fixture's duplicate strength (J ≥ 0.9, where band recall ≈ 1.0) it
-    reproduces the exact operator's answer — same oracle."""
-    return dedup.minhash_lsh_pairs(_docs(spark, sf_dir), threshold=0.7).orderBy(
-        "doc_a", "doc_b"
+    out = (
+        exact.unionByName(mh)
+        .select("tier", "doc_a", "doc_b", "jaccard")
+        .orderBy("tier", "doc_a", "doc_b")
     )
+    return _eager(spark, out, handles)
 
 
-def run_dedup_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup decision (exact tier): keep-lowest-id over
-    the cosine-≥-0.4 neighbour relation on the embeddings table."""
-    return dedup.embedding_neardup(_embs(spark, sf_dir), threshold=0.4).orderBy(
-        "vec_id"
-    )
+_DEDUP_JACCARD_ORACLE = f"""
+SELECT 'exact_dfcut' AS tier, * FROM ({_ngram_oracle(_JACCARD_DF_CUT)}) a
+UNION ALL SELECT 'minhash' AS tier, * FROM ({_ngram_oracle(None)}) b
+ORDER BY tier, doc_a, doc_b
+"""
 
 
-_DEDUP_EMBED_ORACLE = """
+def _embed_oracle(threshold: float) -> str:
+    return f"""
 SELECT e.vec_id AS vec_id,
        coalesce(min(o.vec_id), e.vec_id) AS keep_id,
        (min(o.vec_id) IS NOT NULL) AS is_dup
@@ -189,26 +224,80 @@ LEFT JOIN embeddings o
  AND round(list_dot_product(e.embedding::DOUBLE[], o.embedding::DOUBLE[])
            / (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
               * sqrt(list_dot_product(o.embedding::DOUBLE[], o.embedding::DOUBLE[]))),
-           4) >= 0.4
+           4) >= {threshold}
 GROUP BY e.vec_id
-ORDER BY vec_id
 """
 
 
-def run_dedup_embed_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH-bucketed embedding near-dup (scale path), at its design point:
-    high-similarity duplicates (cos ≥ 0.9), where banded hyperplane
-    signatures have ≈0.93 recall. Rows-only: recall is bounded by pytest
-    on planted duplicates, not by the oracle."""
-    return dedup.embedding_neardup_lsh(_embs(spark, sf_dir), threshold=0.9).orderBy(
-        "vec_id"
+def run_dedup_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup, both tiers in one tagged result:
+    exact blocked all-pairs at cos ≥ 0.4 (the correctness baseline), and
+    the LSH-bucketed scale path at its design point cos ≥ 0.9 with a
+    recall-saturating fixture band config (16 bands × 4 bits: per-pair
+    miss ≈ (1-p⁴)¹⁶ ≈ 4e-6 at cos 0.9, p = 1-θ/π — so the banded answer
+    equals the exact one and hash-checks against the exact oracle; the
+    8-band default trades that margin for 16× fewer candidates at scale)."""
+    handles: list = []
+    embs = _embs(spark, sf_dir)
+    exact = dedup.embedding_neardup(embs, threshold=0.4).withColumn(
+        "tier", F.lit("exact")
     )
+    lsh = dedup.embedding_neardup_lsh(
+        embs, threshold=0.9, n_planes=64, bands=16, handles=handles
+    ).withColumn("tier", F.lit("lsh"))
+    out = (
+        exact.unionByName(lsh)
+        .select("tier", "vec_id", "keep_id", "is_dup")
+        .orderBy("tier", "vec_id")
+    )
+    return _eager(spark, out, handles)
+
+
+_DEDUP_EMBED_ORACLE = f"""
+SELECT 'exact' AS tier, * FROM ({_embed_oracle(0.4)}) a
+UNION ALL SELECT 'lsh' AS tier, * FROM ({_embed_oracle(0.9)}) b
+ORDER BY tier, vec_id
+"""
 
 
 def run_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return dedup.simhash_pairs(_docs(spark, sf_dir), max_hamming=3).orderBy(
-        "doc_a", "doc_b"
-    )
+    handles: list = []
+    out = dedup.simhash_pairs(
+        _docs(spark, sf_dir), max_hamming=3, handles=handles
+    ).orderBy("doc_a", "doc_b")
+    return _eager(spark, out, handles)
+
+
+# Recomputes the identical md5-low64 SimHash signatures in SQL (64-bit word
+# hash == md5_number_lower), then brute-forces all pairs at hamming ≤ 3 —
+# banding on the Spark side is pigeonhole-complete, so the sets must match.
+_DEDUP_SIMHASH_ORACLE = f"""
+WITH w AS (
+  SELECT doc_id, list_distinct({_DUCK_WORDS.format(src="lower(text)")}) AS lws
+  FROM documents),
+e AS (SELECT doc_id, unnest(lws) AS wd FROM w),
+hb AS (SELECT doc_id, md5_number_lower(wd) AS h FROM e),
+bt AS (
+  SELECT doc_id, b.bit AS bit,
+         CASE WHEN (h >> b.bit) & 1 = 1 THEN 1 ELSE -1 END AS d
+  FROM hb, (SELECT unnest(range(64)) AS bit) b),
+cnt AS (SELECT doc_id, bit, sum(d) AS s FROM bt GROUP BY doc_id, bit),
+fp0 AS (
+  SELECT doc_id,
+         bit_or(CASE WHEN s > 0 THEN
+             CASE WHEN bit = 63 THEN (-9223372036854775807 - 1)
+                  ELSE (1::BIGINT << CAST(bit AS INT)) END
+           ELSE 0 END) AS f
+  FROM cnt GROUP BY doc_id),
+fp AS (
+  SELECT d.doc_id, coalesce(f.f, 0) AS f
+  FROM documents d LEFT JOIN fp0 f ON d.doc_id = f.doc_id)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       bit_count(xor(a.f, b.f)) AS hamming
+FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.f, b.f)) <= 3
+ORDER BY doc_a, doc_b
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -520,11 +609,9 @@ def extension_queries() -> tuple[dict, dict]:
     runners = {
         "ex_text_all": run_text_all,
         "ex_dedup_exact": run_dedup_exact,
-        "ex_dedup_ngram": run_dedup_ngram,
-        "ex_dedup_minhash": run_dedup_minhash,
+        "ex_dedup_jaccard": run_dedup_jaccard,
         "ex_dedup_simhash": run_dedup_simhash,
         "ex_dedup_embed": run_dedup_embed,
-        "ex_dedup_embed_lsh": run_dedup_embed_lsh,
         "ex_sim_topk": run_sim_topk,
         "ex_sim_pairs": run_sim_pairs,
         "ex_sim_ann_lsh": run_sim_ann_lsh,
@@ -546,8 +633,8 @@ def extension_queries() -> tuple[dict, dict]:
     oracles = {
         "ex_text_all": _TEXT_ALL_ORACLE,
         "ex_dedup_exact": _DEDUP_EXACT_ORACLE,
-        "ex_dedup_ngram": _NGRAM_PAIRS_ORACLE,
-        "ex_dedup_minhash": _NGRAM_PAIRS_ORACLE,
+        "ex_dedup_jaccard": _DEDUP_JACCARD_ORACLE,
+        "ex_dedup_simhash": _DEDUP_SIMHASH_ORACLE,
         "ex_dedup_embed": _DEDUP_EMBED_ORACLE,
         "ex_sim_topk": _SIM_TOPK_ORACLE,
         "ex_sim_pairs": _SIM_PAIRS_ORACLE,

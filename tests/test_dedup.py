@@ -105,6 +105,33 @@ def test_simhash_pairs_pigeonhole_complete(spark, docs_df):
     assert got == expected
 
 
+def test_minhash_band_table_carries_shingles_once(spark, docs_df):
+    """VERDICT r2: the persisted band table must not replicate each doc's
+    shingle array ×bands — the array (the dominant payload) rides on band 0
+    only, cutting the cached/shuffled bytes ~×bands at corpus scale."""
+    t = dedup.minhash_band_table(docs_df, "text", "doc_id", 3, 64, 16)
+    rows = t.collect()
+    assert len(rows) == len(DOCS) * 16
+    for r in rows:
+        if r["band"] == 0:
+            assert r["sh"], f"band 0 of doc {r['doc']} must carry shingles"
+        else:
+            assert r["sh"] is None, f"band {r['band']} must not carry shingles"
+
+
+def test_runners_leave_no_cached_blocks(spark, docs_df):
+    """ADVICE r2: handles + eager materialization must unpersist operator
+    caches (no storage leak across a long-lived session)."""
+    spark.catalog.clearCache()  # drop leftovers from handle-less tests above
+    handles: list = []
+    dedup.minhash_lsh_pairs(docs_df, threshold=0.7, handles=handles).collect()
+    dedup.simhash_pairs(docs_df, max_hamming=3, handles=handles).collect()
+    for h in handles:
+        h.unpersist(blocking=True)
+    jsc = spark.sparkContext._jsc.sc()
+    assert jsc.getPersistentRDDs().size() == 0
+
+
 # ---------------------------------------------------------------------------
 # tier 5: embedding-cosine near-dup
 # ---------------------------------------------------------------------------
