@@ -309,20 +309,105 @@ def _query_vector(spark: SparkSession, sf_dir: str) -> list[float]:
     return [float(x) for x in row[0]]
 
 
-def run_sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    qv = _query_vector(spark, sf_dir)
-    return similarity.cosine_topk(_embs(spark, sf_dir), qv, k=10)
+# --- the three top-k tiers share one tagged driver entry; each tier's
+# oracle recomputes that tier's OWN semantics (not a lucky match against
+# exact): the ANN oracle re-derives the 8-bit hyperplane buckets and probes
+# query-bucket + hamming-1, the IVF oracle re-ranks the literal centroids
+# and scans the nprobe nearest clusters. Planes/centroids are seeded
+# driver-side constants baked into both the Spark plan and the SQL text.
+
+_SIM_DIM = 64  # embeddings.embedding element count (TESTDATA.md)
+_SIM_PLANES = similarity._hyperplanes(_SIM_DIM, 8, seed=42)
+_SIM_CENTS = similarity.fixed_centroids(_SIM_DIM, 8, seed=42)
+_SIM_NPROBE = 3
 
 
-_SIM_TOPK_ORACLE = """
-WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0)
-SELECT vec_id,
-       round(list_dot_product(embedding::DOUBLE[], qv)
-             / (sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
-                * sqrt(list_dot_product(qv, qv))), 4) AS cos_sim
-FROM embeddings, q
+def _vec_sql(v) -> str:
+    return "[" + ", ".join(repr(float(x)) for x in v) + "]"
+
+
+_DUCK_COS_Q = (
+    "round(list_dot_product(e, qv) / (sqrt(list_dot_product(e, e)) "
+    "* sqrt(list_dot_product(qv, qv))), 4)"
+)
+
+_ANN_SIG = lambda col: " + ".join(  # noqa: E731
+    f"(CASE WHEN list_dot_product({col}, {_vec_sql(p)}) >= 0.0 "
+    f"THEN {1 << i} ELSE 0 END)"
+    for i, p in enumerate(_SIM_PLANES)
+)
+
+_IVF_DOTS = ", ".join(
+    "CASE WHEN sqrt(list_dot_product(e, e)) > 0 "
+    f"THEN list_dot_product(e, {_vec_sql(c)}) / sqrt(list_dot_product(e, e)) "
+    "ELSE -2.0 END"
+    for c in _SIM_CENTS
+)
+
+_IVF_CENT_VALUES = ", ".join(
+    f"({i}, {_vec_sql(c)})" for i, c in enumerate(_SIM_CENTS)
+)
+
+_SIM_EXACT_SQL = f"""
+SELECT vec_id, {_DUCK_COS_Q} AS cos_sim
+FROM (SELECT vec_id, embedding::DOUBLE[] AS e, qv FROM embeddings, q) t
 ORDER BY cos_sim DESC, vec_id LIMIT 10
 """
+
+_SIM_ANN_SQL = f"""
+SELECT vec_id, {_DUCK_COS_Q} AS cos_sim FROM (
+  SELECT vec_id, e, qv, ({_ANN_SIG("e")}) AS sig, ({_ANN_SIG("qv")}) AS qsig
+  FROM (SELECT vec_id, embedding::DOUBLE[] AS e, qv FROM embeddings, q) t0) t
+WHERE sig = qsig OR list_contains(
+  list_transform(range(8), i -> xor(CAST(qsig AS BIGINT), (1::BIGINT << CAST(i AS INT)))),
+  CAST(sig AS BIGINT))
+ORDER BY cos_sim DESC, vec_id LIMIT 10
+"""
+
+_SIM_IVF_SQL = f"""
+SELECT vec_id, {_DUCK_COS_Q} AS cos_sim FROM (
+  SELECT vec_id, e, qv,
+         CAST(list_position(dots, list_max(dots)) - 1 AS INT) AS cl
+  FROM (SELECT vec_id, e, qv, [{_IVF_DOTS}] AS dots
+        FROM (SELECT vec_id, embedding::DOUBLE[] AS e, qv
+              FROM embeddings, q) t0) t1) t
+WHERE cl IN (
+  SELECT cl FROM (VALUES {_IVF_CENT_VALUES}) AS c(cl, cv), q
+  ORDER BY list_dot_product(cv, qv) DESC, cl LIMIT {_SIM_NPROBE})
+ORDER BY cos_sim DESC, vec_id LIMIT 10
+"""
+
+_SIM_TOPK_ORACLE = f"""
+WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0)
+SELECT 'ann_lsh' AS tier, * FROM ({_SIM_ANN_SQL}) a
+UNION ALL SELECT 'exact' AS tier, * FROM ({_SIM_EXACT_SQL}) b
+UNION ALL SELECT 'ivf' AS tier, * FROM ({_SIM_IVF_SQL}) c
+ORDER BY tier, cos_sim DESC, vec_id
+"""
+
+
+def run_sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cosine top-k, all three tiers in one tagged hash-checked result:
+    exact scan→TakeOrderedAndProject; ANN via hyperplane bucket + hamming-1
+    multiprobe (scans ~9/256 of the corpus); IVF probe over fixed literal
+    centroids (scans nprobe/8 of the corpus, partition-prunable at rest).
+    The oracle recomputes each tier's own bucketing/probing, so correctness
+    of the approximation MECHANICS is what is being hash-checked."""
+    qv = _query_vector(spark, sf_dir)
+    emb = _embs(spark, sf_dir)
+    exact = similarity.cosine_topk(emb, qv, k=10).withColumn("tier", F.lit("exact"))
+    ann = similarity.lsh_bucket_topk(emb, qv, k=10, n_planes=8).withColumn(
+        "tier", F.lit("ann_lsh")
+    )
+    ivf = similarity.ivf_topk(
+        emb, _SIM_CENTS, qv, k=10, nprobe=_SIM_NPROBE
+    ).withColumn("tier", F.lit("ivf"))
+    return (
+        exact.unionByName(ann)
+        .unionByName(ivf)
+        .select("tier", "vec_id", "cos_sim")
+        .orderBy("tier", F.col("cos_sim").desc(), "vec_id")
+    )
 
 
 def run_sim_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -344,21 +429,6 @@ WHERE round(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
             4) >= 0.4
 ORDER BY id_a, id_b
 """
-
-
-def run_sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    qv = _query_vector(spark, sf_dir)
-    return similarity.lsh_bucket_topk(_embs(spark, sf_dir), qv, k=10)
-
-
-def run_sim_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-probed approximate top-k (train on a bounded sample, probe the
-    nprobe nearest clusters). Rows-only: recall is bounded by pytest
-    against exact top-k, not by the oracle."""
-    emb = _embs(spark, sf_dir)
-    qv = _query_vector(spark, sf_dir)
-    centroids = similarity.ivf_train(emb, n_clusters=8)
-    return similarity.ivf_topk(emb, centroids, qv, k=10, nprobe=3)
 
 
 # ---------------------------------------------------------------------------
@@ -614,8 +684,6 @@ def extension_queries() -> tuple[dict, dict]:
         "ex_dedup_embed": run_dedup_embed,
         "ex_sim_topk": run_sim_topk,
         "ex_sim_pairs": run_sim_pairs,
-        "ex_sim_ann_lsh": run_sim_ann_lsh,
-        "ex_sim_ivf": run_sim_ivf,
         "ex_mm_meta": run_mm_meta,
         "ex_mm_features": run_mm_features,
         "ex_mm_frames": run_mm_frames,

@@ -222,6 +222,17 @@ def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> np.ndarray:
     return np.random.default_rng(seed).standard_normal((n_planes, dim))
 
 
+def fixed_centroids(dim: int, n_clusters: int = 8, seed: int = 42) -> np.ndarray:
+    """Deterministic L2-normalized centroids from a seeded RNG — the
+    'given centroids' form of the IVF probe path. ``ivf_assign``/``ivf_topk``
+    are pure functions of (centroids, data), so with fixed centroids the
+    whole probe pipeline is exactly reproducible in SQL (the driver oracle
+    bakes these as literals); ``ivf_train`` quality is pytest-verified
+    separately against exact top-k recall."""
+    c = np.random.default_rng(seed).standard_normal((n_clusters, dim))
+    return c / np.linalg.norm(c, axis=1, keepdims=True)
+
+
 def rh_signature(vec_col, planes: np.ndarray):
     """Random-hyperplane signature: bit i = sign(v · plane_i), packed into a
     long. Pure column expression — the planes are literals in the plan."""
