@@ -98,11 +98,13 @@ def byte_histogram_features(
                 probs = counts / n if n else counts
                 nz = probs[probs > 0]
                 entropy = float(-(nz * np.log2(nz)).sum()) if n else 0.0
+                # entropy stays unrounded: consumers round ONCE at their
+                # precision (double-rounding would diverge from the oracle)
                 out.append(
                     (
                         int(doc_id),
                         int(n),
-                        round(entropy, 6),
+                        entropy,
                         int(counts.argmax()) if n else 0,
                         probs.astype(np.float32).tolist(),
                     )

@@ -436,31 +436,54 @@ ORDER BY id_a, id_b
 # ---------------------------------------------------------------------------
 
 def run_mm_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal column pattern end-to-end in one hash-checked row: opaque
+    binary payload + typed metadata struct (attach_payload) joined with the
+    Arrow-batched mapInPandas feature extractor (byte histogram entropy +
+    modal byte — the codec-free stand-in exercising the exact plumbing an
+    image/audio embedder needs). Oracle recomputes entropy from character
+    frequencies (documents are ASCII, so chars ≡ payload bytes)."""
     df = multimodal.attach_payload(_docs(spark, sf_dir))
-    return df.select(
+    meta = df.select(
         "doc_id",
         F.col("media_meta.n_bytes").alias("n_bytes"),
         F.col("media_meta.checksum").alias("checksum"),
-    ).orderBy("doc_id")
+    )
+    feats = multimodal.byte_histogram_features(df).select(
+        "doc_id", F.round("entropy", 4).alias("entropy"), "top_byte"
+    )
+    return meta.join(feats, "doc_id").orderBy("doc_id")
 
 
 _MM_META_ORACLE = """
-SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
-       md5(text) AS checksum
-FROM documents ORDER BY doc_id
+WITH ch AS (
+  SELECT doc_id, substr(text, CAST(i AS INT) + 1, 1) AS c
+  FROM (SELECT doc_id, text, unnest(range(length(text))) AS i FROM documents) t),
+cnt AS (SELECT doc_id, c, count(*) AS k FROM ch GROUP BY doc_id, c),
+tot AS (SELECT doc_id, sum(k) AS n FROM cnt GROUP BY doc_id),
+ent AS (
+  SELECT cnt.doc_id,
+         -sum((k / CAST(n AS DOUBLE)) * log2(k / CAST(n AS DOUBLE))) AS entropy
+  FROM cnt JOIN tot ON cnt.doc_id = tot.doc_id GROUP BY cnt.doc_id),
+tb AS (
+  SELECT doc_id, unicode(c) AS b,
+         row_number() OVER (PARTITION BY doc_id ORDER BY k DESC, unicode(c) ASC) AS rn
+  FROM cnt)
+SELECT d.doc_id,
+       CAST(octet_length(encode(d.text)) AS BIGINT) AS n_bytes,
+       md5(d.text) AS checksum,
+       round(coalesce(e.entropy, 0.0), 4) AS entropy,
+       coalesce(t.b, 0) AS top_byte
+FROM documents d
+LEFT JOIN ent e ON d.doc_id = e.doc_id
+LEFT JOIN (SELECT doc_id, b FROM tb WHERE rn = 1) t ON d.doc_id = t.doc_id
+ORDER BY d.doc_id
 """
 
 
-def run_mm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    df = multimodal.attach_payload(_docs(spark, sf_dir))
-    return (
-        multimodal.byte_histogram_features(df)
-        .select("doc_id", "n_bytes", F.round("entropy", 4).alias("entropy"), "top_byte")
-        .orderBy("doc_id")
-    )
-
-
 def run_mm_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling (one-row→many-rows media explode): fixed-size windows
+    at evenly spaced offsets over the binary payload. The oracle recomputes
+    each frame's byte length arithmetically."""
     df = multimodal.attach_payload(_docs(spark, sf_dir))
     return (
         multimodal.sample_frames(df)
@@ -469,31 +492,21 @@ def run_mm_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# sample_frames arithmetic twin: off_i = trunc(i * max(L/4, 1)) + 1 (1-based),
+# frame_len = min(64, L - off + 1), frames with no bytes dropped.
+_MM_FRAMES_ORACLE = """
+SELECT doc_id, CAST(i AS INT) AS frame_idx,
+       least(64, L - (CAST(floor(i * greatest(L / 4.0, 1.0)) AS INT) + 1) + 1) AS frame_len
+FROM (SELECT doc_id, octet_length(encode(text)) AS L, unnest(range(4)) AS i
+      FROM documents) t
+WHERE L - (CAST(floor(i * greatest(L / 4.0, 1.0)) AS INT) + 1) + 1 > 0
+ORDER BY doc_id, frame_idx
+"""
+
+
 # ---------------------------------------------------------------------------
 # relational extensions (as-of, JSON, approx sketches)
 # ---------------------------------------------------------------------------
-
-def run_asof_union(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """DQ23's answer via the scalable as-of operator (union + running
-    last(), ONE shuffle, no join node) instead of the O(n·m) inequality
-    self-join. Verified against the same oracle as DQ23."""
-    from pcap_converter_spark.operators.asof import asof_join
-
-    ev = load_table(spark, sf_dir, "events")
-    out = asof_join(ev, ev, on=["user_id"], left_ts="ts", right_ts="ts")
-    return (
-        out.filter(F.col("ts_asof").isNotNull())
-        .select("event_id", F.col("ts_asof").alias("prev_ts"))
-        .orderBy("event_id")
-    )
-
-
-_ASOF_ORACLE = """
-SELECT e.event_id, max(s.ts) AS prev_ts FROM events e
-JOIN events s ON s.user_id = e.user_id AND s.ts < e.ts
-GROUP BY e.event_id ORDER BY e.event_id
-"""
-
 
 def run_topk_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heavy-hitter users by event count through the two-phase salted
@@ -608,30 +621,35 @@ def run_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 # streaming (Structured Streaming twins of the window queries)
 # ---------------------------------------------------------------------------
 
-def run_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """DQ22 through the streaming engine: file-source readStream →
-    watermarked tumbling window → availableNow drain. Hash-checked against
-    the same DuckDB oracle as the batch form."""
-    from pcap_converter_spark.streaming import windows as W
-
-    stream = W.read_events_stream(spark, sf_dir)
-    return W.run_available_now(W.tumbling_counts(stream), "ex_stream_tumbling")
-
-
-_STREAM_TUMBLING_ORACLE = """
-SELECT date_trunc('hour', ts) AS h, event_type, count(*) AS n,
-       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS v
-FROM events GROUP BY date_trunc('hour', ts), event_type ORDER BY h, event_type
-"""
-
-
 def run_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-user session windows via the native session_window state operator
-    (rows-only: session identities differ from the gaps-and-islands SQL)."""
+    """Per-user session windows via the native session_window state operator,
+    hash-checked against a gaps-and-islands SQL twin. session_window merges
+    an event into the open session iff its ts falls strictly inside
+    prev_max_ts + gap, i.e. a new session starts when the inter-event gap is
+    ≥ the 30-minute threshold — the oracle mirrors exactly that boundary."""
     from pcap_converter_spark.streaming import windows as W
 
     stream = W.read_events_stream(spark, sf_dir)
-    return W.run_available_now(W.session_counts(stream), "ex_stream_sessions")
+    out = W.run_available_now(W.session_counts(stream), "ex_stream_sessions")
+    return out.orderBy("user_id", "session_start")
+
+
+_STREAM_SESSIONS_ORACLE = """
+WITH x AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+              OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS ns
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+y AS (
+  SELECT user_id, ts,
+         sum(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS UNBOUNDED PRECEDING) AS sid
+  FROM x)
+SELECT user_id, min(ts) AS session_start, count(*) AS n_events, min(ts) AS t0
+FROM y GROUP BY user_id, sid ORDER BY user_id, session_start
+"""
 
 
 def run_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -685,12 +703,9 @@ def extension_queries() -> tuple[dict, dict]:
         "ex_sim_topk": run_sim_topk,
         "ex_sim_pairs": run_sim_pairs,
         "ex_mm_meta": run_mm_meta,
-        "ex_mm_features": run_mm_features,
         "ex_mm_frames": run_mm_frames,
-        "ex_stream_tumbling": run_stream_tumbling,
         "ex_stream_sessions": run_stream_sessions,
         "ex_stream_dedup": run_stream_dedup,
-        "ex_asof_union": run_asof_union,
         "ex_json_extract": run_json_extract,
         "ex_approx_distinct": run_approx_distinct,
         "ex_topk_salted": run_topk_salted,
@@ -707,9 +722,9 @@ def extension_queries() -> tuple[dict, dict]:
         "ex_sim_topk": _SIM_TOPK_ORACLE,
         "ex_sim_pairs": _SIM_PAIRS_ORACLE,
         "ex_mm_meta": _MM_META_ORACLE,
-        "ex_stream_tumbling": _STREAM_TUMBLING_ORACLE,
+        "ex_mm_frames": _MM_FRAMES_ORACLE,
+        "ex_stream_sessions": _STREAM_SESSIONS_ORACLE,
         "ex_stream_dedup": _STREAM_DEDUP_ORACLE,
-        "ex_asof_union": _ASOF_ORACLE,
         "ex_json_extract": _JSON_ORACLE,
         "ex_topk_salted": _TOPK_SALTED_ORACLE,
         "ex_join_salted": _JOIN_SALTED_ORACLE,

@@ -39,7 +39,7 @@ def test_byte_histogram_features_match_numpy(spark, payload_df):
         if len(buf):
             probs = counts / counts.sum()
             nz = probs[probs > 0]
-            assert r["entropy"] == pytest.approx(round(float(-(nz * np.log2(nz)).sum()), 6))
+            assert r["entropy"] == pytest.approx(float(-(nz * np.log2(nz)).sum()))
             assert r["top_byte"] == int(counts.argmax())
             assert np.allclose(np.array(r["features"]), probs.astype(np.float32))
         else:
