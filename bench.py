@@ -80,15 +80,17 @@ def main() -> int:
         timings["pcap_convert"] = round(time.perf_counter() - t0, 3)
 
         # sustained decode throughput on a realistic volume: 1.28M packets
-        # (~110 MB), 8 MB chunks (compare BASELINE.md's 494k pkts/s on 4
-        # Rust threads; this runs the full index → mapInPandas → Arrow path)
+        # (~110 MB), 4 MB chunks so the 110 MB file spreads over ~27 of the
+        # 32 cores (the 64 MB production default is sized for multi-GB
+        # files; compare BASELINE.md's 494k pkts/s on 4 Rust threads — this
+        # runs the full index → mapInPandas → Arrow path)
         big = _ensure_big_pcap()
         n_pkts = 1_280_000
         # untimed warmup: python-worker startup would otherwise dominate
-        df, _ = read_pcap(spark, big, target_chunk_bytes=8 << 20)
+        df, _ = read_pcap(spark, big, target_chunk_bytes=4 << 20)
         df.write.format("noop").mode("overwrite").save()
         t0 = time.perf_counter()
-        df, _ = read_pcap(spark, big, target_chunk_bytes=8 << 20)
+        df, _ = read_pcap(spark, big, target_chunk_bytes=4 << 20)
         df.write.format("noop").mode("overwrite").save()
         dt = time.perf_counter() - t0
         timings["pcap_decode_1m"] = round(dt, 3)

@@ -60,6 +60,9 @@ def decode_packets_vectorized(
     pcap_file: str,
     per_record_linktype: list[int] | None = None,
 ) -> pd.DataFrame:
+    """Record-tuple entry point (tests, pcapng assembly). The hot path for
+    legacy pcap is ``decode_packets_packed``, which skips the per-record
+    bytes copies + join below by addressing the raw chunk buffer."""
     n = len(records)
     if n == 0:
         return P.decode_packets_to_pandas(records, linktype_default, pcap_file)
@@ -69,11 +72,41 @@ def decode_packets_vectorized(
     datas = [r[3] for r in records]
     lens = np.fromiter((len(d) for d in datas), dtype=np.int64, count=n)
     joined = b"".join(datas)
-    mv = memoryview(joined)
-    buf = np.frombuffer(joined, dtype=np.uint8)
-    bufn = len(buf)
     off = np.zeros(n, dtype=np.int64)
     np.cumsum(lens[:-1], out=off[1:])
+    return decode_packets_packed(
+        joined, off, lens, ts, frame_len, linktype_default, pcap_file,
+        per_record_linktype=per_record_linktype,
+    )
+
+
+def decode_packets_packed(
+    raw,
+    data_off: np.ndarray,
+    data_len: np.ndarray,
+    ts_arr: np.ndarray,
+    frame_len_arr: np.ndarray,
+    linktype_default: int,
+    pcap_file: str,
+    per_record_linktype: list[int] | None = None,
+) -> pd.DataFrame:
+    """Decode records addressed IN PLACE inside ``raw`` (bytes): record i's
+    payload is raw[data_off[i] : data_off[i]+data_len[i]]. For a legacy pcap
+    chunk ``raw`` is the chunk buffer itself — no per-record slicing, no
+    join, zero copies before the columnar gathers."""
+    n = len(data_off)
+    if n == 0:
+        return P.decode_packets_to_pandas([], linktype_default, pcap_file)
+
+    ts = np.ascontiguousarray(ts_arr, dtype=np.int64)
+    fl_orig = np.ascontiguousarray(frame_len_arr, dtype=np.int64)
+    frame_len = fl_orig.copy()  # v4/v6 overwrite; fallback needs originals
+    lens = np.ascontiguousarray(data_len, dtype=np.int64)
+    joined = raw
+    mv = memoryview(raw)
+    buf = np.frombuffer(mv, dtype=np.uint8)
+    bufn = len(buf)
+    off = np.ascontiguousarray(data_off, dtype=np.int64)
 
     if per_record_linktype is not None:
         lt = np.asarray(per_record_linktype, dtype=np.int64)
@@ -274,12 +307,12 @@ def decode_packets_vectorized(
     for idx in fb_idx:
         row: list = [None] * len(PACKET_COLUMNS)
         row[P._I_FRAME_TIME] = int(ts[idx])
-        row[P._I_FRAME_LEN] = int(records[idx][1])
+        row[P._I_FRAME_LEN] = int(fl_orig[idx])
         row[P._I_IP_PROTO] = 0
         row[P._I_IP_FRAG] = 0
         row[P._I_IP_ID] = 0
         row[P._I_IP_MF] = False
-        e = P.decode_packet(row, memoryview(datas[idx]), int(lt[idx]))
+        e = P.decode_packet(row, mv[off[idx] : off[idx] + lens[idx]], int(lt[idx]))
         errors[idx] = e
         frame_len[idx] = row[P._I_FRAME_LEN]
         ip_mf[idx] = bool(row[P._I_IP_MF])

@@ -65,11 +65,26 @@ def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {t: load_table(spark, sf_dir, t) for t in TABLES}
 
 
+# Last-registered (sf_dir, views) per live session: re-registering the same
+# directory re-reads every parquet footer (~0.1-0.3 s), which pads every
+# bench/correctness query timing for nothing (VERDICT r2 #8).
+_VIEW_CACHE: dict[int, tuple[str, dict[str, DataFrame]]] = {}
+
+
 def register_views(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     """Register every testdata table as a temp view (the Spark analogue of
     the reference's `create view pcap as select * from '<file>'`,
-    main.rs:272)."""
+    main.rs:272). Idempotent per (session, sf_dir): repeat calls reuse the
+    registered views; switching sf_dir re-registers."""
+    import os
+
+    key = id(spark)
+    path = os.path.abspath(sf_dir)
+    cached = _VIEW_CACHE.get(key)
+    if cached is not None and cached[0] == path:
+        return cached[1]
     dfs = load_tables(spark, sf_dir)
     for name, df in dfs.items():
         df.createOrReplaceTempView(name)
+    _VIEW_CACHE[key] = (path, dfs)
     return dfs

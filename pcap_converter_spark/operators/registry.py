@@ -38,11 +38,27 @@ _DUCK_SHINGLES = (
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return load_table(spark, sf_dir, "documents")
+    """Documents table, spread across the cores when the scan yields fewer
+    partitions than parallelism: the testdata file is one small row-group,
+    which would pin every expression-heavy per-doc operator (shingling,
+    simhash, winnowing, byte histograms) to a single task. At corpus scale
+    the scan already produces many partitions and this is a no-op."""
+    df = load_table(spark, sf_dir, "documents")
+    p = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < p:
+        df = df.repartition(p)
+    return df
 
 
 def _embs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return load_table(spark, sf_dir, "embeddings")
+    """Embeddings table, spread across the cores when the scan yields fewer
+    partitions than parallelism (same rationale as ``_docs``: the per-row
+    signature/centroid expressions are the expensive part, not the scan)."""
+    df = load_table(spark, sf_dir, "embeddings")
+    p = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < p:
+        df = df.repartition(p)
+    return df
 
 
 def _eager(spark: SparkSession, df: DataFrame, handles: list) -> DataFrame:
@@ -165,7 +181,10 @@ e AS (SELECT e0.doc_id, e0.sh FROM e0 JOIN df_c USING (sh) WHERE c <= {df_cut}),
     return f"""
 WITH w AS (SELECT doc_id, {_DUCK_WORDS.format(src="lower(text)")} AS lws FROM documents),
 s AS (SELECT doc_id, {_DUCK_SHINGLES} AS sh FROM w),
-e0 AS (SELECT doc_id, unnest(sh) AS sh FROM s),
+e_raw AS (SELECT doc_id, unnest(sh) AS sh_text FROM s),
+e0 AS (SELECT doc_id,
+       CAST(md5_number_lower(sh_text) & 9223372036854775807::UBIGINT AS BIGINT) AS sh
+       FROM e_raw),
 {cut}
 sz AS (SELECT doc_id, count(*) AS n FROM e GROUP BY doc_id),
 inter AS (
