@@ -41,13 +41,15 @@ def convert(
     off at scale: N part-files write in parallel and read identically.
     """
     tmp = out.rstrip("/") + ".stage1.tmp"
-    decoded, errors_acc = read_pcap(spark, paths, target_chunk_bytes)
+    decoded, stats = read_pcap(spark, paths, target_chunk_bytes)
 
-    # Stage 1 (K1): decode → temp Parquet (snappy via session conf).
+    # Stage 1 (K1): decode → temp Parquet (snappy via session conf). The
+    # packet/error totals ride the SAME action as plan observations —
+    # exact (retry-safe, exactly-once), and no separate count() scan.
     decoded.write.mode("overwrite").parquet(tmp)
     stage1 = spark.read.parquet(tmp)
-    n_packets = stage1.count()
-    n_errors = int(errors_acc.value)
+    n_packets = int(stats.get["packets"])
+    n_errors = int(stats.get["errors"])
     print(f"Packets: {n_packets} Errors: {n_errors}", file=sys.stderr)
 
     defragged = False

@@ -39,8 +39,15 @@ def salted_join(
     """Equi-join with the small side replicated across ``n_salts`` salts.
 
     Output columns = big's columns + small's non-key columns (same as a
-    plain ``big.join(small, on, how)``).
+    plain ``big.join(small, on, how)``). Only inner/left are exact: with
+    right/full joins every unmatched small-side row would surface once per
+    salt replica (ADVICE r2) — rejected instead of silently duplicating.
     """
+    if how not in ("inner", "left"):
+        raise ValueError(
+            f"salted_join supports how='inner'|'left', got {how!r}: the "
+            "replicated small side would emit unmatched rows n_salts times"
+        )
     salts = big.sparkSession.range(n_salts).select(
         F.col("id").cast("int").alias("_salt")
     )

@@ -159,21 +159,32 @@ _RESYNC_CHAIN = 5  # consecutive plausible records required to accept a sync
 SPECULATIVE_MIN_BYTES = 256 * 1024 * 1024
 
 
-def split_pcap_speculative(path: str, target_chunk_bytes: int = DEFAULT_CHUNK_BYTES) -> list[Chunk]:
+def split_pcap_speculative(
+    path: str,
+    target_chunk_bytes: int = DEFAULT_CHUNK_BYTES,
+    sec_bounds: tuple[int, int] | None = None,
+) -> list[Chunk]:
     """O(1) splitting for a single colossal legacy pcap (the 50 GB case).
 
     Instead of walking every record header up front (exact but sequential),
     emit raw byte ranges immediately; each decode task then *resyncs* inside
     its own range — scan forward for an offset where ``_RESYNC_CHAIN``
-    consecutive record headers are plausible (timestamp in [1980, 2100],
-    caplen ≤ snaplen) — and decodes records whose header starts inside the
-    range (reading past the range end for the last record's body, classic
-    input-split semantics). The index pass becomes O(#chunks) driver work;
-    record discovery itself runs fully parallel on the executors.
+    consecutive record headers are plausible (timestamp inside
+    ``sec_bounds``, caplen ≤ snaplen) — and decodes records whose header
+    starts inside the range (reading past the range end for the last
+    record's body, classic input-split semantics). The index pass becomes
+    O(#chunks) driver work; record discovery itself runs fully parallel on
+    the executors.
+
+    ``sec_bounds`` defaults to [1980, 2100] — pass ``(0, hi)`` for captures
+    with zeroed/sanitized timestamps (they exist; ADVICE r2). A range where
+    resync finds no boundary RAISES at decode (never a silent empty chunk);
+    disable speculation entirely with ``read_pcap(..., speculative=False)``.
 
     n_records is -1 (unknown until decode). Only legacy pcap qualifies —
     pcapng needs the sequential interface-table walk (exact indexer).
     """
+    lo, hi = sec_bounds if sec_bounds is not None else (_SANE_SEC_LO, _SANE_SEC_HI)
     file_size = os.path.getsize(path)
     with open(path, "rb") as f:
         endian, ts_div, linktype, snaplen = _read_legacy_header(f)
@@ -183,14 +194,15 @@ def split_pcap_speculative(path: str, target_chunk_bytes: int = DEFAULT_CHUNK_BY
         length = min(target_chunk_bytes, file_size - pos)
         out.append(
             Chunk(path, "pcap_spec", pos, length, endian, linktype, ts_div,
-                  json.dumps({"snaplen": snaplen}), -1)
+                  json.dumps({"snaplen": snaplen, "sec_lo": lo, "sec_hi": hi}), -1)
         )
         pos += length
     return out
 
 
 def _resync_legacy(buf: memoryview, endian: str, ts_div: int, snaplen: int,
-                   hard_end: int) -> int | None:
+                   hard_end: int,
+                   sec_bounds: tuple[int, int] | None = None) -> int | None:
     """Find the first plausible record-header offset in ``buf``.
 
     A candidate is accepted when ``_RESYNC_CHAIN`` consecutive headers pass
@@ -198,6 +210,9 @@ def _resync_legacy(buf: memoryview, endian: str, ts_div: int, snaplen: int,
     a 5-chain the false-positive probability is negligible: a random byte
     window passes one (sec, frac, caplen) test with p << 1e-3.
     """
+    _sane_lo, _sane_hi = (
+        sec_bounds if sec_bounds is not None else (_SANE_SEC_LO, _SANE_SEC_HI)
+    )
     rec = Struct(endian + "IIII")
     frac_hi = 1_000_000_000 if ts_div == 1000 else 1_000_000
     cap_hi = max(snaplen, 65535) or 262_144
@@ -209,7 +224,7 @@ def _resync_legacy(buf: memoryview, endian: str, ts_div: int, snaplen: int,
             if pos + 16 > n:
                 break  # next header ran off the window
             sec, frac, caplen, origlen = rec.unpack_from(buf, pos)
-            if not (_SANE_SEC_LO <= sec <= _SANE_SEC_HI and frac < frac_hi
+            if not (_sane_lo <= sec <= _sane_hi and frac < frac_hi
                     and caplen <= cap_hi and origlen <= 2 * cap_hi):
                 ok = -1
                 break
@@ -439,16 +454,27 @@ def read_pcap_chunk(chunk: dict | Chunk) -> pd.DataFrame:
         # speculative range: resync to the first plausible record header,
         # own records whose *header* starts inside [offset, offset+length),
         # read past the range end for the last record's body
-        snaplen = json.loads(c.interfaces).get("snaplen", 65535)
+        meta = json.loads(c.interfaces)
+        snaplen = meta.get("snaplen", 65535)
+        bounds = (meta.get("sec_lo", _SANE_SEC_LO), meta.get("sec_hi", _SANE_SEC_HI))
         cap_hi = max(snaplen, 65535) or 262_144
         with open(c.path, "rb") as f:
             f.seek(c.offset)
             raw = f.read(c.length + 16 + cap_hi)
         sync = 0 if c.offset == 24 else _resync_legacy(
-            memoryview(raw), c.endian, c.ts_div, snaplen, c.length
+            memoryview(raw), c.endian, c.ts_div, snaplen, c.length,
+            sec_bounds=bounds,
         )
         if sync is None:
-            return decode_packets_vectorized([], c.linktype, basename)
+            # Loud failure beats a silent empty result (ADVICE r2): no
+            # plausible record chain means a corrupt range OR sanity bounds
+            # that reject this capture (e.g. zeroed timestamps).
+            raise ValueError(
+                f"speculative resync failed in {c.path}"
+                f"[{c.offset}:{c.offset + c.length}]: no plausible record "
+                f"chain (sec bounds {bounds}); pass sec_bounds=(0, hi) for "
+                "epoch-0 captures or speculative=False for exact indexing"
+            )
         ts, fl, doff, dlen = _walk_legacy_packed(
             raw, c.endian, c.ts_div, base=sync, limit=c.length - sync
         )
@@ -469,11 +495,17 @@ def read_pcap_chunk(chunk: dict | Chunk) -> pd.DataFrame:
     return decode_packets_vectorized(records, 1, basename, per_record_linktype=linktypes)
 
 
-def _index_or_split(path: str, target_chunk_bytes: int) -> list[Chunk]:
+def _index_or_split(path: str, target_chunk_bytes: int,
+                    speculative: bool | str = "auto") -> list[Chunk]:
     """Exact index for normal files; speculative O(1) splitting for colossal
     legacy pcaps (the exact walk of a 50 GB file would serialize the whole
-    read behind one task — speculative ranges resync on the executors)."""
-    if os.path.getsize(path) >= SPECULATIVE_MIN_BYTES:
+    read behind one task — speculative ranges resync on the executors).
+    ``speculative``: "auto" = size-triggered (≥ SPECULATIVE_MIN_BYTES),
+    True = force for any legacy pcap, False = always exact indexing."""
+    use_spec = speculative is True or (
+        speculative == "auto" and os.path.getsize(path) >= SPECULATIVE_MIN_BYTES
+    )
+    if use_spec:
         with open(path, "rb") as f:
             magic = f.read(4)
         le = int.from_bytes(magic, "little")
@@ -483,17 +515,18 @@ def _index_or_split(path: str, target_chunk_bytes: int) -> list[Chunk]:
     return index_pcap(path, target_chunk_bytes)
 
 
-def index_many(spark: SparkSession, paths: list[str], target_chunk_bytes: int) -> list[Chunk]:
+def index_many(spark: SparkSession, paths: list[str], target_chunk_bytes: int,
+               speculative: bool | str = "auto") -> list[Chunk]:
     """Index a corpus: small lists index on the driver; large corpora fan the
     index pass itself out as a Spark job (one task per file)."""
     if len(paths) <= 4:
         out: list[Chunk] = []
         for p in paths:
-            out.extend(_index_or_split(p, target_chunk_bytes))
+            out.extend(_index_or_split(p, target_chunk_bytes, speculative))
         return out
     rdd = spark.sparkContext.parallelize(paths, len(paths))
     chunk_lists = rdd.map(
-        lambda p: [c.__dict__ for c in _index_or_split(p, target_chunk_bytes)]
+        lambda p: [c.__dict__ for c in _index_or_split(p, target_chunk_bytes, speculative)]
     ).collect()
     return [Chunk(**d) for lst in chunk_lists for d in lst]
 
@@ -503,37 +536,51 @@ def read_pcap(
     paths: str | list[str],
     target_chunk_bytes: int = DEFAULT_CHUNK_BYTES,
     with_errors_column: bool = False,
+    speculative: bool | str = "auto",
 ):
-    """The pcap source: paths → (packets DataFrame, errors accumulator).
+    """The pcap source: paths → (packets DataFrame, stats Observation).
 
     Decode errors are tolerated per the reference's resilient loop (S3) and
-    counted the way the reference's writer does (statswriter.rs:61-68): each
-    task adds its chunk's error count to a ``LongAccumulator``; the total is
-    available on the returned accumulator after any action. With
-    ``with_errors_column=True`` the per-row ``errors`` column is kept too.
+    surfaced the way the reference's writer does (statswriter.rs:61-68),
+    but through a plan ``Observation`` rather than an accumulator: metrics
+    observed in the plan are collected exactly once per action and are
+    immune to task-retry double-counting (ADVICE r2 — an accumulator
+    updated inside mapInPandas re-adds on retries and on every subsequent
+    action). After the first action on the returned DataFrame,
+    ``observation.get`` yields ``{"packets": N, "errors": M}``.
 
-    Returns (DataFrame, Accumulator).
+    ``speculative`` controls colossal-file splitting ("auto"/True/False —
+    see ``_index_or_split``). With ``with_errors_column=True`` the per-row
+    ``errors`` column is kept in the output schema.
+
+    Returns (DataFrame, Observation).
     """
+    from pyspark.sql import Observation
+
     if isinstance(paths, str):
         paths = [paths]
-    errors_acc = spark.sparkContext.accumulator(0)
-    chunks = index_many(spark, paths, target_chunk_bytes)
+    obs = Observation()
+    chunks = index_many(spark, paths, target_chunk_bytes, speculative)
     if not chunks:
-        empty = spark.createDataFrame([], DECODE_OUTPUT_SCHEMA)
-        return (empty if with_errors_column else empty.drop("errors")), errors_acc
+        decoded = spark.createDataFrame([], DECODE_OUTPUT_SCHEMA)
+    else:
+        chunk_rows = [c.__dict__ for c in chunks]
+        # one chunk per partition: decode parallelism == chunk count
+        chunks_df = spark.createDataFrame(chunk_rows, CHUNK_SCHEMA).repartition(
+            len(chunk_rows)
+        )
 
-    chunk_rows = [c.__dict__ for c in chunks]
-    # one chunk per partition: decode parallelism == chunk count
-    chunks_df = spark.createDataFrame(chunk_rows, CHUNK_SCHEMA).repartition(len(chunk_rows))
+        def decode_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                for rec in pdf.to_dict("records"):
+                    yield read_pcap_chunk(rec)
 
-    def decode_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            for rec in pdf.to_dict("records"):
-                out = read_pcap_chunk(rec)
-                errors_acc.add(int(out["errors"].sum()))
-                yield out
-
-    decoded = chunks_df.mapInPandas(decode_partition, schema=DECODE_OUTPUT_SCHEMA)
+        decoded = chunks_df.mapInPandas(decode_partition, schema=DECODE_OUTPUT_SCHEMA)
+    decoded = decoded.observe(
+        obs,
+        F.count(F.lit(1)).alias("packets"),
+        F.coalesce(F.sum("errors"), F.lit(0)).alias("errors"),
+    )
     if not with_errors_column:
         decoded = decoded.drop("errors")
-    return decoded, errors_acc
+    return decoded, obs

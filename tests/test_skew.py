@@ -44,3 +44,12 @@ def test_salted_left_join_keeps_unmatched(spark, skewed_df):
     got = salted_join(skewed_df, dim, on=["k"], how="left")
     assert got.count() == 1000
     assert got.filter(F.col("name").isNull()).count() == 200
+
+
+def test_salted_join_rejects_right_full(spark, skewed_df):
+    """ADVICE r2: right/full would emit unmatched small-side rows once per
+    salt replica — rejected loudly instead."""
+    dim = spark.createDataFrame([(0, "zero")], ["k", "name"])
+    for how in ("right", "full", "outer"):
+        with pytest.raises(ValueError, match="salted_join"):
+            salted_join(skewed_df, dim, on=["k"], how=how)

@@ -55,6 +55,40 @@ def test_speculative_equals_exact(tmp_path):
         pd.testing.assert_frame_equal(spec, exact, obj=f"target={target}")
 
 
+def test_failed_resync_raises_not_silent_empty(tmp_path):
+    """ADVICE r2: a speculative range where no plausible record chain exists
+    must raise loudly, never decode to zero records silently."""
+    path = str(tmp_path / "garbage.pcap")
+    _mixed_pcap(path, n=20)
+    import os
+
+    from pcap_converter_spark.sources.pcap import Chunk
+
+    size = os.path.getsize(path)
+    # mid-file range filled with bytes that cannot pass the sanity chain
+    with open(path, "r+b") as f:
+        f.seek(100)
+        f.write(b"\xff" * (size - 200))
+    bad = Chunk(path, "pcap_spec", 64, size - 128, "<", 1, 1,
+                '{"snaplen": 65535}', -1)
+    with pytest.raises(ValueError, match="resync failed"):
+        read_pcap_chunk(bad)
+
+
+def test_resync_sec_bounds_configurable(tmp_path):
+    """Epoch-0 captures (zeroed timestamps) resync when the caller relaxes
+    the timestamp sanity floor."""
+    path = str(tmp_path / "epoch0.pcap")
+    pkts = [g.ethernet(M1, M2, 0x0800, g.ipv4(
+        "10.0.0.1", "1.1.1.1", 17, g.udp(1000, 9, bytes(32))))] * 60
+    g.write_pcap(path, [(i, p) for i, p in enumerate(pkts)])  # ts ≈ epoch 0
+    data = open(path, "rb").read()
+    raw = memoryview(data)[24 + 3 :]  # misaligned mid-file start
+    assert _resync_legacy(raw, "<", 1, 65535, len(raw)) is None  # default bounds
+    sync = _resync_legacy(raw, "<", 1, 65535, len(raw), sec_bounds=(0, 2**32 - 1))
+    assert sync is not None
+
+
 def test_resync_finds_true_boundary(tmp_path):
     path = str(tmp_path / "t.pcap")
     _mixed_pcap(path, n=50)
