@@ -218,6 +218,53 @@ def ivf_topk(
     )
 
 
+def ivf_write(
+    df: DataFrame,
+    centroids: np.ndarray,
+    out: str,
+    vec_col: str = "embedding",
+) -> None:
+    """Materialize the IVF index AT REST: assign each row its nearest
+    centroid and write Hive-partitioned by ``_cluster``. This is the write
+    half of the docstring claim on ``ivf_topk`` — once at rest, a probe is
+    a partition-PRUNED scan (nprobe directories opened, the rest never
+    read; tests/test_plan_audit.py asserts PartitionFilters on the scan)."""
+    from pcap_converter_spark.io.sinks import write_partitioned
+
+    write_partitioned(ivf_assign(df, centroids, vec_col), out, ["_cluster"])
+
+
+def ivf_topk_at_rest(
+    spark,
+    index_path: str,
+    centroids: np.ndarray,
+    query_vec: list[float],
+    k: int = 10,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Probe a materialized IVF index: rank the literal centroids against
+    the query, scan ONLY the nprobe nearest cluster directories (the
+    ``_cluster IN (...)`` filter is a static partition filter — Catalyst
+    prunes the other directories before any I/O), score, take k."""
+    q = np.asarray(query_vec, dtype=np.float64)
+    q = q / np.linalg.norm(q)
+    probes = [int(p) for p in np.argsort(-(centroids @ q))[:nprobe]]
+    return (
+        spark.read.parquet(index_path)
+        .filter(F.col("_cluster").isin(probes))
+        .select(
+            F.col(id_col),
+            F.round(cosine(F.col(vec_col), literal_vector(query_vec)), 4).alias(
+                "cos_sim"
+            ),
+        )
+        .orderBy(F.col("cos_sim").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
 def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> np.ndarray:
     return np.random.default_rng(seed).standard_normal((n_planes, dim))
 

@@ -52,6 +52,21 @@ def assert_pushed_filters(df: DataFrame, *fragments: str) -> None:
             )
 
 
+def assert_partition_filters(df: DataFrame, *fragments: str) -> None:
+    """Every fragment must appear in a scan's PartitionFilters — the
+    predicate prunes whole partition DIRECTORIES before any I/O (the
+    property that makes an at-rest IVF probe scan nprobe/C of the data)."""
+    plan = formatted_plan(df)
+    lines = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+    joined = "\n".join(lines)
+    for frag in fragments:
+        if frag not in joined:
+            raise AssertionError(
+                f"partition-filter fragment {frag!r} missing; "
+                f"PartitionFilters lines:\n{joined}\nfull plan:\n{plan[:4000]}"
+            )
+
+
 def assert_pruned_columns(df: DataFrame, max_read_columns: int) -> None:
     """The Parquet ReadSchema must carry at most N columns — projection
     pruning reached the scan."""

@@ -93,3 +93,26 @@ def test_aggregation_uses_whole_stage_codegen(spark):
         assert audit.codegen_stage_count(q) >= 1
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", "true")
+
+
+def test_ivf_at_rest_probe_prunes_partitions(spark, tmp_path):
+    """The materialized IVF index claim (similarity.py): a probe over the
+    cluster-partitioned layout must carry the cluster IN-list as a
+    PartitionFilter (directories pruned pre-I/O), read only vec_id +
+    embedding, and return exactly what the in-memory probe returns."""
+    from pcap_converter_spark.operators import similarity
+
+    emb = load_table(spark, SF, "embeddings")
+    qv = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    cents = similarity.fixed_centroids(len(qv), 8)
+    idx = str(tmp_path / "ivf_index")
+    similarity.ivf_write(emb, cents, idx)
+
+    probe = similarity.ivf_topk_at_rest(spark, idx, cents, qv, k=10, nprobe=3)
+    audit.assert_partition_filters(probe, "_cluster")
+    audit.assert_pruned_columns(probe, 2)
+
+    in_mem = similarity.ivf_topk(emb, cents, qv, k=10, nprobe=3)
+    assert [(r["vec_id"], r["cos_sim"]) for r in probe.collect()] == [
+        (r["vec_id"], r["cos_sim"]) for r in in_mem.collect()
+    ]
