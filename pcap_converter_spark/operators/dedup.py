@@ -434,6 +434,73 @@ def simhash_pairs(
     )
 
 
+def duplicate_groups(
+    pairs: DataFrame,
+    nodes: DataFrame,
+    id_col: str = "doc_id",
+    max_iter: int = 15,
+    handles: list | None = None,
+) -> DataFrame:
+    """Resolve near-dup PAIRS into duplicate GROUPS: connected components
+    over the pair graph, each doc labeled with its component's minimum id
+    (the keep-lowest-id dedup policy applied transitively).
+
+    Distributed shape: iterative min-label propagation — each round every
+    node takes the min of its own label and its neighbors' labels; a
+    round is one shuffle join + aggregation, and the loop converges in
+    graph-diameter rounds (near-dup components are shallow: dup clusters,
+    not long chains). The per-round driver action is a single converged?
+    count — the standard Pregel-style fixpoint check, not a data collect.
+    At extreme scale the same loop with large-star/small-star edge
+    rewriting bounds the round count to O(log n); the propagation core is
+    identical.
+
+    ``pairs`` must carry (doc_a, doc_b); ``nodes`` provides the full id
+    domain (isolated docs label themselves). Returns (doc, root).
+    """
+    sym = pairs.select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    ).unionAll(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
+    sym = sym.persist()
+    if handles is not None:
+        handles.append(sym)
+    # localCheckpoint per round: each iteration's plan references the
+    # previous labels TWICE (join + fixpoint compare), so without lineage
+    # truncation the logical plan doubles per round — the analyzer OOMs
+    # long before the data does. Checkpointing makes rounds O(1) plan size
+    # (the same reason GraphX/Pregel checkpoint their iteration state).
+    labels = nodes.select(
+        F.col(id_col).alias("doc"), F.col(id_col).alias("root")
+    ).localCheckpoint(eager=True)
+    try:
+        for _ in range(max_iter):
+            nbr = (
+                sym.join(labels, sym.dst == labels.doc)
+                .groupBy(F.col("src").alias("doc"))
+                .agg(F.min("root").alias("nbr_root"))
+            )
+            nxt = (
+                labels.join(nbr, "doc", "left")
+                .select(
+                    "doc",
+                    F.least(
+                        F.col("root"), F.coalesce(F.col("nbr_root"), F.col("root"))
+                    ).alias("root"),
+                    (F.coalesce(F.col("nbr_root"), F.col("root")) < F.col("root"))
+                    .alias("_changed"),
+                )
+                .localCheckpoint(eager=True)
+            )
+            changed = nxt.filter(F.col("_changed")).count()
+            labels = nxt.drop("_changed")
+            if changed == 0:
+                break
+        return labels
+    finally:
+        if handles is None:
+            sym.unpersist()
+
+
 # ---------------------------------------------------------------------------
 # tier 5: embedding-cosine near-dup
 # ---------------------------------------------------------------------------

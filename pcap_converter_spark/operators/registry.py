@@ -202,32 +202,56 @@ _JACCARD_DF_CUT = 8
 
 
 def run_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Both Jaccard near-dup tiers in one tagged result: the exact shingle
+    """Three Jaccard-ladder tiers in one tagged result: the exact shingle
     equi-join WITH the df-frequency cut (tier 2 — bounded: a shingle in >
-    {cut} docs is boilerplate and is dropped before the join), and banded
-    MinHash LSH with exact-Jaccard verification (tier 3 — the scale path).
-    At the fixture's duplicate strength (J ≥ 0.9, band recall ≈ 1.0) the
-    minhash tier reproduces the uncut exact answer, so each tier hash-checks
-    against its own deterministic oracle in the same driver row."""
+    {cut} docs is boilerplate and is dropped before the join); banded
+    MinHash LSH with exact-Jaccard verification (tier 3 — the scale path;
+    at the fixture's duplicate strength, J ≥ 0.9, band recall ≈ 1.0, it
+    reproduces the uncut exact answer); and 'cc' — the pair graph resolved
+    into duplicate GROUPS by iterative min-label connected components
+    (doc_a = doc, doc_b = component root, jaccard NULL), hash-checked
+    against a DuckDB recursive-CTE reachability oracle. One driver row
+    proves pairs AND the transitive keep-lowest-id group decision."""
     handles: list = []
     docs = _docs(spark, sf_dir)
-    exact = dedup.ngram_jaccard_pairs(
+    exact_pairs = dedup.ngram_jaccard_pairs(
         docs, threshold=0.7, max_shingle_df=_JACCARD_DF_CUT, handles=handles
-    ).withColumn("tier", F.lit("exact_dfcut"))
+    )
+    exact = exact_pairs.withColumn("tier", F.lit("exact_dfcut"))
     mh = dedup.minhash_lsh_pairs(docs, threshold=0.7, handles=handles).withColumn(
         "tier", F.lit("minhash")
     )
+    groups = dedup.duplicate_groups(exact_pairs, docs, handles=handles).select(
+        F.lit("cc").alias("tier"),
+        F.col("doc").alias("doc_a"),
+        F.col("root").alias("doc_b"),
+        F.lit(None).cast("double").alias("jaccard"),
+    )
     out = (
         exact.unionByName(mh)
+        .unionByName(groups)
         .select("tier", "doc_a", "doc_b", "jaccard")
         .orderBy("tier", "doc_a", "doc_b")
     )
     return _eager(spark, out, handles)
 
 
+_CC_ORACLE = f"""
+WITH RECURSIVE p AS ({_ngram_oracle(_JACCARD_DF_CUT)}),
+sym AS (SELECT doc_a AS a, doc_b AS b FROM p
+        UNION ALL SELECT doc_b, doc_a FROM p),
+reach(doc, anc) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT r.doc, s.b FROM reach r JOIN sym s ON s.a = r.anc)
+SELECT doc AS doc_a, min(anc) AS doc_b, CAST(NULL AS DOUBLE) AS jaccard
+FROM reach GROUP BY doc
+"""
+
 _DEDUP_JACCARD_ORACLE = f"""
 SELECT 'exact_dfcut' AS tier, * FROM ({_ngram_oracle(_JACCARD_DF_CUT)}) a
 UNION ALL SELECT 'minhash' AS tier, * FROM ({_ngram_oracle(None)}) b
+UNION ALL SELECT 'cc' AS tier, * FROM ({_CC_ORACLE}) c
 ORDER BY tier, doc_a, doc_b
 """
 
