@@ -21,10 +21,11 @@ markers, so it is not arbitrarily splittable. The design is a two-phase scan:
 Scale notes (100 TB): chunk descriptors are tiny (a few hundred bytes), so a
 100 TB corpus at 128 MB chunks is ~800k descriptor rows — trivially a
 DataFrame. Decode parallelism = chunk count, independent of file count.
-Single colossal files could bound index latency; the escape hatch is a
-speculative resync scan (split at arbitrary offsets, find a plausible record
-header by timestamp/caplen sanity) — not implemented, documented here as the
-known scale path beyond exact indexing.
+Single colossal files could bound index latency; the escape hatch is the
+speculative resync scan (``split_pcap_speculative``: split at arbitrary
+offsets, each task finds a plausible record header by timestamp/caplen
+sanity) — auto-engaged above ``SPECULATIVE_MIN_BYTES``, controllable via
+``read_pcap(..., speculative=...)``.
 
 Reference behavior mirrored (and two documented fixes):
 - legacy pcap: frame_time = ts_sec*1e6 + ts_frac (µs files; main.rs:165-166);
@@ -316,23 +317,6 @@ def index_pcap(path: str, target_chunk_bytes: int = DEFAULT_CHUNK_BYTES) -> list
 # ------------------------------------------------------------------ decoding
 
 
-def _iter_legacy_records(buf: memoryview, endian: str, ts_div: int,
-                         limit: int | None = None):
-    """Yield records whose header starts before ``limit`` (default: all of
-    buf). Speculative chunks pass limit = their range length: the record
-    body may extend past it (the read includes an overrun tail)."""
-    rec = Struct(endian + "IIII")
-    pos, n = 0, len(buf)
-    head_end = n if limit is None else min(limit, n)
-    while pos + 16 <= n and pos < head_end:
-        sec, frac, caplen, orig = rec.unpack_from(buf, pos)
-        if pos + 16 + caplen > n:
-            break
-        ft_us = sec * 1_000_000 + frac // ts_div
-        yield ft_us, orig, caplen, bytes(buf[pos + 16 : pos + 16 + caplen])
-        pos += 16 + caplen
-
-
 def _walk_legacy_packed(buf, endian: str, ts_div: int, base: int = 0,
                         limit: int | None = None):
     """Offset-chain walk of a legacy chunk → packed NumPy arrays, no copies.
@@ -399,21 +383,34 @@ def _epb_time_us(ts_high: int, ts_low: int, tsresol_code: int) -> int:
     return ts // (10 ** (exp - 6))
 
 
-def _iter_ng_records(buf: memoryview, endian: str, interfaces: list[tuple[int, int]]):
-    """Yields (ft_us, frame_len, caplen, data, linktype); maintains interface
-    state for IDB/SHB blocks inside the chunk."""
+def _walk_ng_packed(buf, endian: str, interfaces: list[tuple[int, int]]):
+    """pcapng block walk → packed arrays (ts, frame_len, data_off, data_len,
+    linktype) addressing records in place — the pcapng twin of
+    ``_walk_legacy_packed`` (no per-record bytes copies, no join). The
+    walk itself stays sequential (block chain + interface-table state);
+    per-record work is one header unpack + list appends."""
+    import numpy as np
+
     ifaces = list(interfaces)
     pos, n = 0, len(buf)
-    u32 = Struct(endian + "II")
+    u32 = Struct(endian + "II").unpack_from
+    epb_hdr = Struct(endian + "IIIII").unpack_from
+    u16 = Struct(endian + "H").unpack_from
+    u32_1 = Struct(endian + "I").unpack_from
+    ts_l: list[int] = []
+    fl_l: list[int] = []
+    off_l: list[int] = []
+    len_l: list[int] = []
+    lt_l: list[int] = []
     while pos + 12 <= n:
-        btype, blen = u32.unpack_from(buf, pos)
+        btype, blen = u32(buf, pos)
         if blen < 12 or pos + blen > n:
             break
         if btype == _SHB:
             ifaces = []
         elif btype == _IDB:
             body = buf[pos + 8 : pos + blen - 4]
-            lt = unpack_from(endian + "H", body, 0)[0]
+            lt = u16(body, 0)[0]
             tsresol = 6
             opos = 8
             while opos + 4 <= len(body):
@@ -425,19 +422,31 @@ def _iter_ng_records(buf: memoryview, endian: str, interfaces: list[tuple[int, i
                 opos += 4 + ((olen + 3) & ~3)
             ifaces.append((lt, tsresol))
         elif btype == _EPB:
-            if_id, ts_high, ts_low, caplen, origlen = unpack_from(endian + "IIIII", buf, pos + 8)
+            if_id, ts_high, ts_low, caplen, _origlen = epb_hdr(buf, pos + 8)
             lt, tsresol = ifaces[if_id] if if_id < len(ifaces) else (1, 6)
-            ft_us = _epb_time_us(ts_high, ts_low, tsresol)
-            data = bytes(buf[pos + 28 : pos + 28 + caplen])
+            ts_l.append(_epb_time_us(ts_high, ts_low, tsresol))
             # frame_len = caplen, as the reference does for EPB (main.rs:191)
-            yield ft_us, caplen, caplen, data, lt
+            fl_l.append(caplen)
+            off_l.append(pos + 28)
+            # same clip the bytes-slice form applied implicitly at buffer end
+            len_l.append(min(caplen, n - (pos + 28)))
+            lt_l.append(lt)
         elif btype == _SPB:
-            origlen = unpack_from(endian + "I", buf, pos + 8)[0]
+            origlen = u32_1(buf, pos + 8)[0]
             caplen = blen - 16
-            lt = ifaces[0][0] if ifaces else 1
-            data = bytes(buf[pos + 12 : pos + 12 + caplen])
-            yield 0, origlen, caplen, data, lt  # frame_time epoch 0 (main.rs:206)
+            ts_l.append(0)  # frame_time epoch 0 (main.rs:206)
+            fl_l.append(origlen)
+            off_l.append(pos + 12)
+            len_l.append(caplen)
+            lt_l.append(ifaces[0][0] if ifaces else 1)
         pos += blen
+    return (
+        np.asarray(ts_l, dtype=np.int64),
+        np.asarray(fl_l, dtype=np.int64),
+        np.asarray(off_l, dtype=np.int64),
+        np.asarray(len_l, dtype=np.int64),
+        lt_l,
+    )
 
 
 def read_pcap_chunk(chunk: dict | Chunk) -> pd.DataFrame:
@@ -486,13 +495,13 @@ def read_pcap_chunk(chunk: dict | Chunk) -> pd.DataFrame:
     if c.fmt == "pcap":
         ts, fl, doff, dlen = _walk_legacy_packed(raw, c.endian, c.ts_div)
         return decode_packets_packed(raw, doff, dlen, ts, fl, c.linktype, basename)
-    buf = memoryview(raw)
     interfaces = [tuple(x) for x in json.loads(c.interfaces)]
-    records, linktypes = [], []
-    for ft, fl, cl, d, lt in _iter_ng_records(buf, c.endian, interfaces):
-        records.append((ft, fl, cl, d))
-        linktypes.append(lt)
-    return decode_packets_vectorized(records, 1, basename, per_record_linktype=linktypes)
+    ts, fl, doff, dlen, lts = _walk_ng_packed(raw, c.endian, interfaces)
+    if len(doff) == 0:
+        return decode_packets_vectorized([], 1, basename)
+    return decode_packets_packed(
+        raw, doff, dlen, ts, fl, 1, basename, per_record_linktype=lts
+    )
 
 
 def _index_or_split(path: str, target_chunk_bytes: int,

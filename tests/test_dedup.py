@@ -144,18 +144,27 @@ def test_minhash_band_table_carries_shingles_once(spark, docs_df):
 def test_runners_leave_no_cached_blocks(spark, docs_df):
     """ADVICE r2: handles + eager materialization must unpersist operator
     caches (no storage leak across a long-lived session)."""
-    spark.catalog.clearCache()  # drop leftovers from handle-less tests above
-    jsc = spark.sparkContext._jsc.sc()
-    # earlier tests may leave localCheckpoint blocks (engine-lifecycle,
-    # released by the ContextCleaner on GC) — assert on the DELTA
-    before = jsc.getPersistentRDDs().size()
+    def persisted_ids() -> set:
+        it = spark.sparkContext._jsc.sc().getPersistentRDDs().keysIterator()
+        ids = set()
+        while it.hasNext():
+            ids.add(it.next())
+        return ids
+
+    # drop earlier tests' SQL caches so the operators below create FRESH
+    # cache entries (the CacheManager would otherwise dedupe identical
+    # plans and `added` would be empty); localCheckpoint RDDs survive
+    # clearCache and are excluded via the id-set difference
+    spark.catalog.clearCache()
+    before = persisted_ids()
     handles: list = []
     dedup.minhash_lsh_pairs(docs_df, threshold=0.7, handles=handles).collect()
     dedup.simhash_pairs(docs_df, max_hamming=3, handles=handles).collect()
-    assert jsc.getPersistentRDDs().size() > before  # caches were live
+    added = persisted_ids() - before
+    assert added, "operator caches should be live before release"
     for h in handles:
         h.unpersist(blocking=True)
-    assert jsc.getPersistentRDDs().size() == before
+    assert not (persisted_ids() & added), "handle unpersist must release them"
 
 
 # ---------------------------------------------------------------------------
