@@ -77,28 +77,33 @@ def _eager(spark: SparkSession, df: DataFrame, handles: list) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 def run_text_all(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The full text-analysis surface in ONE hash-checked projection:
+    """The full text-analysis surface in ONE hash-checked result:
     token/BPE counts, punctuation+stopword ratios, quality score, language
-    ID, normalization fingerprint, and the winnowing rolling fingerprint
-    (Arrow-batched UDF — interpreted HOFs lose ~10× on this shape). One
-    driver row proves all of functions/text.py; merged from four r2 entries
-    to fit the driver's 50-entry correctness window."""
+    ID, normalization fingerprint, the winnowing rolling fingerprint
+    (Arrow-batched UDF — interpreted HOFs lose ~10× on this shape), and
+    the corpus-level TF-IDF top term (operators/tfidf.py — a real IDF
+    aggregation, not a per-row expression). One driver row proves all of
+    functions/text.py + the tfidf operator; merged from four r2 entries to
+    fit the driver's 50-entry correctness window."""
+    from pcap_converter_spark.operators.tfidf import top_tfidf_terms
+
     t = F.col("text")
     rfp = TX.rolling_fingerprint_udf()
+    docs = _docs(spark, sf_dir)
+    per_doc = docs.select(
+        "doc_id",
+        TX.token_count(t).alias("n_tokens"),
+        TX.bpe_token_count(t).alias("n_bpe"),
+        F.round(TX.punct_ratio(t), 4).alias("punct_r"),
+        F.round(TX.stopword_ratio(t), 4).alias("stop_r"),
+        TX.quality_score(t).alias("quality"),
+        F.col("lang").alias("labeled_lang"),
+        TX.language_id(t).alias("guessed_lang"),
+        TX.fingerprint(t).alias("fp"),
+        rfp(t).alias("rfp"),
+    )
     return (
-        _docs(spark, sf_dir)
-        .select(
-            "doc_id",
-            TX.token_count(t).alias("n_tokens"),
-            TX.bpe_token_count(t).alias("n_bpe"),
-            F.round(TX.punct_ratio(t), 4).alias("punct_r"),
-            F.round(TX.stopword_ratio(t), 4).alias("stop_r"),
-            TX.quality_score(t).alias("quality"),
-            F.col("lang").alias("labeled_lang"),
-            TX.language_id(t).alias("guessed_lang"),
-            TX.fingerprint(t).alias("fp"),
-            rfp(t).alias("rfp"),
-        )
+        per_doc.join(top_tfidf_terms(docs), "doc_id")
         .orderBy("doc_id")
     )
 
@@ -132,7 +137,20 @@ b AS (
   SELECT *, greatest(s_en, s_de, s_es, s_fr) AS best,
          CASE WHEN len(lws) > 0 THEN s_en / CAST(len(lws) AS DOUBLE)
               ELSE 0.0 END AS sraw
-  FROM sc)
+  FROM sc),
+t_e AS (SELECT doc_id, unnest(lws) AS term FROM w),
+t_tf AS (SELECT doc_id, term, count(*) AS tf FROM t_e GROUP BY doc_id, term),
+t_df AS (SELECT term, count(*) AS df_t FROM t_tf GROUP BY term),
+t_nd AS (SELECT count(*) AS n_docs FROM documents),
+t_sc AS (
+  SELECT doc_id, term,
+         round(tf * (ln((n_docs + 1) / CAST(df_t + 1 AS DOUBLE)) + 1.0), 4) AS score
+  FROM t_tf JOIN t_df USING (term) CROSS JOIN t_nd),
+t_top AS (
+  SELECT doc_id, term AS top_term, score AS top_tfidf,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY score DESC, term ASC) AS rn
+  FROM t_sc)
 SELECT doc_id,
   len(ws) AS n_tokens,
   len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]')) AS n_bpe,
@@ -147,8 +165,12 @@ SELECT doc_id,
   CASE WHEN len(lws) = 0 THEN CAST([] AS BIGINT[])
        ELSE list_sort(list_distinct(list_transform(
               range(1, len(hs) - win + 2),
-              i -> list_min(list_slice(hs, i, i + win - 1))))) END AS rfp
-FROM b ORDER BY doc_id
+              i -> list_min(list_slice(hs, i, i + win - 1))))) END AS rfp,
+  tt.top_term AS top_term,
+  tt.top_tfidf AS top_tfidf
+FROM b LEFT JOIN (SELECT doc_id, top_term, top_tfidf FROM t_top WHERE rn = 1) tt
+  USING (doc_id)
+ORDER BY doc_id
 """
 
 

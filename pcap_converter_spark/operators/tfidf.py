@@ -1,0 +1,75 @@
+"""TF-IDF keyword extraction over a document corpus.
+
+The corpus-level half of the text-analysis surface: unlike the per-row
+column expressions in ``functions/text.py``, IDF is a corpus aggregate —
+term document-frequencies are a groupBy over the exploded (doc, term)
+table and the document count enters the plan as a broadcast scalar, so
+the whole computation is joins + aggregations that Catalyst plans like
+any other query (no Python in the loop).
+
+Scale shape: the exploded table is O(total tokens) but every aggregate is
+partial (map-side combined); the only wide row is (doc, term, tf) keyed
+by uniform term hashes. The per-doc argmax is a window over (doc) —
+one shuffle keyed by doc id.
+
+Determinism across engines: scores are ROUNDED before the per-doc argmax
+ordering, so a 1-ulp ln() difference between the JVM and DuckDB's libm
+cannot flip the winning term; ties on the rounded score break by the
+lexicographically smallest term in both engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from pcap_converter_spark.functions.text import words
+
+
+def top_tfidf_terms(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    round_digits: int = 4,
+) -> DataFrame:
+    """Per document: the term with the highest tf·idf and its score.
+
+    idf = ln((N+1)/(df+1)) + 1 (the smoothed scikit-style form), tf = raw
+    term count in the document. Returns (id_col, top_term, top_tfidf) for
+    every input row; documents with no words get NULLs.
+    """
+    terms = df.select(
+        F.col(id_col).alias("doc"),
+        F.explode(words(F.lower(F.col(text_col)))).alias("term"),
+    )
+    tf = terms.groupBy("doc", "term").agg(F.count(F.lit(1)).alias("tf"))
+    docfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df_t"))
+    n_docs = df.select(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(docfreq, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc",
+            "term",
+            F.round(
+                F.col("tf")
+                * (
+                    F.log((F.col("n_docs") + 1) / (F.col("df_t") + 1))
+                    + F.lit(1.0)
+                ),
+                round_digits,
+            ).alias("score"),
+        )
+    )
+    w = Window.partitionBy("doc").orderBy(F.col("score").desc(), F.col("term").asc())
+    top = (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(
+            F.col("doc").alias(id_col),
+            F.col("term").alias("top_term"),
+            F.col("score").alias("top_tfidf"),
+        )
+    )
+    return df.select(F.col(id_col)).join(top, id_col, "left")

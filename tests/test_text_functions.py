@@ -179,3 +179,35 @@ def test_rolling_fingerprint_shift_robust(spark):
     # the overlap a winnowing near-dup detector keys on
     assert got[0] <= got[1]
     assert got[0] <= got[2]
+
+
+def test_top_tfidf_terms_matches_python(spark, docs_df):
+    """Corpus-level TF-IDF argmax vs a brute-force reference (smoothed
+    idf = ln((N+1)/(df+1)) + 1; ties on the rounded score break by term)."""
+    import math
+    from collections import Counter
+
+    from pcap_converter_spark.operators.tfidf import top_tfidf_terms
+
+    corpus = {d: [w for w in t.lower().split() if w] for d, t in DOCS}
+    n = len(corpus)
+    df_t = Counter(term for ws in corpus.values() for term in set(ws))
+    expect = {}
+    for d, ws in corpus.items():
+        if not ws:
+            expect[d] = (None, None)
+            continue
+        tf = Counter(ws)
+        scored = sorted(
+            (
+                (round(c * (math.log((n + 1) / (df_t[term] + 1)) + 1.0), 4), term)
+                for term, c in tf.items()
+            ),
+            key=lambda x: (-x[0], x[1]),
+        )
+        expect[d] = (scored[0][1], scored[0][0])
+    got = {
+        r["doc_id"]: (r["top_term"], r["top_tfidf"])
+        for r in top_tfidf_terms(docs_df).collect()
+    }
+    assert got == expect
