@@ -85,6 +85,7 @@ def run_text_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregation, not a per-row expression). One driver row proves all of
     functions/text.py + the tfidf operator; merged from four r2 entries to
     fit the driver's 50-entry correctness window."""
+    from pcap_converter_spark.operators.sampling import sample_flag, split_assign
     from pcap_converter_spark.operators.tfidf import top_tfidf_terms
 
     t = F.col("text")
@@ -92,6 +93,8 @@ def run_text_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir)
     per_doc = docs.select(
         "doc_id",
+        sample_flag(F.col("doc_id"), 20).alias("in_sample_20"),
+        split_assign(F.col("doc_id")).alias("split"),
         TX.token_count(t).alias("n_tokens"),
         TX.bpe_token_count(t).alias("n_bpe"),
         F.round(TX.punct_ratio(t), 4).alias("punct_r"),
@@ -152,6 +155,12 @@ t_top AS (
                             ORDER BY score DESC, term ASC) AS rn
   FROM t_sc)
 SELECT doc_id,
+  ((md5_number_lower(CAST(doc_id AS VARCHAR)) & 4294967295) % 100) < 20
+    AS in_sample_20,
+  CASE WHEN (md5_number_lower(CAST(doc_id AS VARCHAR)) & 4294967295) % 100 < 80
+       THEN 'train'
+       WHEN (md5_number_lower(CAST(doc_id AS VARCHAR)) & 4294967295) % 100 < 90
+       THEN 'val' ELSE 'test' END AS split,
   len(ws) AS n_tokens,
   len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]')) AS n_bpe,
   round(praw, 4) AS punct_r,

@@ -211,3 +211,37 @@ def test_top_tfidf_terms_matches_python(spark, docs_df):
         for r in top_tfidf_terms(docs_df).collect()
     }
     assert got == expect
+
+
+def test_hash_sampling_deterministic_and_balanced(spark):
+    """Content-addressed sampling: membership depends only on the key (same
+    flag across runs/partitionings), buckets are roughly uniform, and split
+    assignment is disjoint-exhaustive with stable proportions."""
+    from pcap_converter_spark.operators.sampling import (
+        hash_bucket,
+        sample_flag,
+        split_assign,
+    )
+
+    df = spark.range(0, 5000).withColumnRenamed("id", "doc_id")
+    flagged = df.select(
+        "doc_id",
+        sample_flag(F.col("doc_id"), 20).alias("s"),
+        split_assign(F.col("doc_id")).alias("split"),
+        hash_bucket(F.col("doc_id")).alias("b"),
+    )
+    rows = flagged.collect()
+    again = {r["doc_id"]: (r["s"], r["split"]) for r in
+             flagged.repartition(7).collect()}
+    for r in rows:
+        assert again[r["doc_id"]] == (r["s"], r["split"])  # layout-invariant
+    n = len(rows)
+    n_sample = sum(1 for r in rows if r["s"])
+    assert 0.15 < n_sample / n < 0.25
+    splits = {"train": 0, "val": 0, "test": 0}
+    for r in rows:
+        splits[r["split"]] += 1
+        assert r["s"] == (r["b"] < 20)
+    assert 0.75 < splits["train"] / n < 0.85
+    assert 0.05 < splits["val"] / n < 0.15
+    assert 0.05 < splits["test"] / n < 0.15
