@@ -136,30 +136,49 @@ def ngram_jaccard_pairs(
     driver query applies the cut with a mirrored oracle; the uncut exact
     form is pytest-verified only.
 
-    If ``handles`` is passed, the internally persisted shingle table is
+    If ``handles`` is passed, the internally persisted postings table is
     appended for the caller to unpersist after materializing the result.
+
+    Shape: postings-list pair generation, not a self-join. ONE shuffle
+    groups the shingle table by shingle hash into sorted doc lists; the
+    frequency cut is then a free `size(docs) <= m` filter; pairs are
+    generated AFTER that shuffle from each ≤m-element list and partially
+    aggregated map-side before the (doc_a, doc_b) shuffle. The old
+    self-join pushed every one of the m² collision rows through a shuffle;
+    here they are born post-shuffle and combine before moving — at corpus
+    scale the pair traffic drops from O(Σ m²) rows to the distinct-pair
+    count.
     """
-    # materialize once: the exploded shingle table feeds three consumers
-    # (sizes + both join sides) and would otherwise re-run per consumer
-    sh = _shingle_table(df, text_col, id_col, k).persist()
-    if handles is not None:
-        handles.append(sh)
+    sh = _shingle_table(df, text_col, id_col, k)
+    postings = sh.groupBy("sh").agg(F.sort_array(F.collect_list("doc")).alias("docs"))
     if max_shingle_df is not None:
-        # co-partitioned frequency cut: the groupBy partitions by shingle
-        # hash, the filter join reuses that partitioning, and the self-join
-        # below joins on the same key — ONE shuffle of the shingle table
-        # covers all three (no driver-roundtrip broadcast, no collect)
-        cnt = (
-            sh.groupBy("sh").agg(F.count(F.lit(1)).alias("df_count"))
-            .filter(F.col("df_count") <= max_shingle_df)
-            .select("sh")
+        postings = postings.filter(F.size("docs") <= max_shingle_df)
+    # materialized once: feeds both the per-doc sizes and the pair explosion
+    postings = postings.persist()
+    if handles is not None:
+        handles.append(postings)
+    # per-doc count of SURVIVING shingles (post-cut Jaccard semantics,
+    # mirrored by the oracle's post-cut `sz` CTE)
+    sizes = (
+        postings.select(F.explode("docs").alias("doc"))
+        .groupBy("doc")
+        .agg(F.count(F.lit(1)).alias("n_sh"))
+    )
+    docs_arr = F.col("docs")
+    combos = F.flatten(
+        F.transform(
+            docs_arr,
+            # 2-arg pyspark lambda = (element, 0-based index); slice is
+            # 1-based and clamps at the array end
+            lambda x, i: F.transform(
+                F.slice(docs_arr, i + F.lit(2), F.size(docs_arr)),
+                lambda y: F.struct(x.alias("a"), y.alias("b")),
+            ),
         )
-        sh = sh.join(cnt, "sh")
-    sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("n_sh"))
-    a, b = sh.alias("a"), sh.alias("b")
+    )
     inter = (
-        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc") < F.col("b.doc")))
-        .groupBy(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
+        postings.select(F.explode(combos).alias("p"))
+        .groupBy(F.col("p.a").alias("doc_a"), F.col("p.b").alias("doc_b"))
         .agg(F.count(F.lit(1)).alias("n_inter"))
     )
     sa = sizes.alias("sa")
@@ -469,9 +488,16 @@ def duplicate_groups(
     # truncation the logical plan doubles per round — the analyzer OOMs
     # long before the data does. Checkpointing makes rounds O(1) plan size
     # (the same reason GraphX/Pregel checkpoint their iteration state).
-    labels = nodes.select(
-        F.col(id_col).alias("doc"), F.col(id_col).alias("root")
-    ).localCheckpoint(eager=True)
+    #
+    # The iteration state is only the PAIR-TOUCHED nodes, not the full id
+    # domain: near-dup graphs are sparse, so |V(pairs)| ≪ |docs| — each
+    # round shuffles the dup subgraph, not the corpus. Isolated docs join
+    # back in once at the end, labeled with themselves.
+    labels = (
+        sym.select(F.col("src").alias("doc")).distinct()
+        .withColumn("root", F.col("doc"))
+        .localCheckpoint(eager=True)
+    )
     try:
         for _ in range(max_iter):
             nbr = (
@@ -495,7 +521,11 @@ def duplicate_groups(
             labels = nxt.drop("_changed")
             if changed == 0:
                 break
-        return labels
+        return (
+            nodes.select(F.col(id_col).alias("doc"))
+            .join(labels, "doc", "left")
+            .select("doc", F.coalesce("root", F.col("doc")).alias("root"))
+        )
     finally:
         if handles is None:
             sym.unpersist()

@@ -245,9 +245,12 @@ def run_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     proves pairs AND the transitive keep-lowest-id group decision."""
     handles: list = []
     docs = _docs(spark, sf_dir)
+    # persisted: the pair table feeds the exact tier AND the CC tier's
+    # edge list — without it the shingle join would run twice
     exact_pairs = dedup.ngram_jaccard_pairs(
         docs, threshold=0.7, max_shingle_df=_JACCARD_DF_CUT, handles=handles
-    )
+    ).persist()
+    handles.append(exact_pairs)
     exact = exact_pairs.withColumn("tier", F.lit("exact_dfcut"))
     mh = dedup.minhash_lsh_pairs(docs, threshold=0.7, handles=handles).withColumn(
         "tier", F.lit("minhash")
