@@ -146,6 +146,33 @@ def rolling_fingerprint(text: Column, window: int = 8) -> Column:
     ).otherwise(F.array().cast("array<long>"))
 
 
+# ---------------------------------------------------------------------------
+# PII detection / redaction
+# ---------------------------------------------------------------------------
+# Patterns restricted to syntax valid in BOTH Java regex (Spark) and RE2
+# (DuckDB): character classes, bounded repeats, \b word boundaries — no
+# lookaround, no backrefs. Spark's regexp_replace is global by default;
+# the DuckDB twin passes the 'g' flag.
+
+PII_EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+PII_IPV4_RE = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+PII_PHONE_RE = "\\+[0-9]{1,2}-[0-9]{3}-[0-9]{4}"
+
+
+def pii_count(text: Column, pattern: str) -> Column:
+    """Number of matches of a PII pattern in ``text``."""
+    return F.size(F.regexp_extract_all(text, F.lit(pattern), 0))
+
+
+def pii_redact(text: Column) -> Column:
+    """Replace every email / IPv4 / phone match with a typed placeholder.
+    Order matters: emails first (an email can embed digit runs), then
+    phones, then bare IPv4s."""
+    out = F.regexp_replace(text, PII_EMAIL_RE, "<EMAIL>")
+    out = F.regexp_replace(out, PII_PHONE_RE, "<PHONE>")
+    return F.regexp_replace(out, PII_IPV4_RE, "<IP>")
+
+
 def rolling_fingerprint_udf(window: int = 8):
     """Arrow-batched variant of ``rolling_fingerprint`` — identical values.
 

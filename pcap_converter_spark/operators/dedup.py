@@ -68,6 +68,48 @@ def exact_duplicates(df: DataFrame, text_col: str = "text",
     )
 
 
+def passage_duplicates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    passage_words: int = 32,
+) -> DataFrame:
+    """Tier 1b: exact dedup at PASSAGE granularity — the chunk-level pass
+    LLM pipelines run after document-level dedup (boilerplate paragraphs
+    repeat across otherwise-distinct pages).
+
+    Each document is split into fixed ``passage_words``-word windows; every
+    window is hashed (sha256) and identical windows are grouped across the
+    corpus. Same scale shape as ``exact_duplicates``: the shuffle key is
+    the 64-char digest, never the passage text, and passages are generated
+    inline in the projection (no join, no Python). Returns
+    (content_hash, dup_count, doc_ids) for groups with >1 occurrence;
+    ``doc_ids`` lists one entry per occurrence (a passage repeated inside
+    one document appears twice).
+    """
+    ws = _words(F.col(text_col))
+    n_pass = F.greatest(F.ceil(F.size(ws) / passage_words) - 1, F.lit(0))
+    passages = F.transform(
+        F.sequence(F.lit(0), n_pass),
+        lambda i: F.concat_ws(
+            " ", F.slice(ws, i * passage_words + 1, passage_words)
+        ),
+    )
+    return (
+        df.select(F.col(id_col), F.explode(passages).alias("passage"))
+        .select(
+            F.sha2(F.col("passage").cast("binary"), 256).alias("content_hash"),
+            F.col(id_col),
+        )
+        .groupBy("content_hash")
+        .agg(
+            F.count(F.lit(1)).alias("dup_count"),
+            F.sort_array(F.collect_list(id_col)).alias("doc_ids"),
+        )
+        .filter(F.col("dup_count") > 1)
+    )
+
+
 def _shingle_table(df: DataFrame, text_col: str, id_col: str, k: int) -> DataFrame:
     """Exploded (doc, shingle-hash) table via one Arrow-batched pass.
 

@@ -1,0 +1,108 @@
+"""Corpus quality filtering — the Gopher/C4-style rule family.
+
+Two layers:
+
+- ``repetition_stats``: the corpus-shape repetition signals (duplicate
+  n-gram fraction, most-common-n-gram fraction). These are per-document
+  AGGREGATES over the document's n-gram multiset, computed the scalable
+  way: explode the gram table once, partial-aggregate by (doc, gram), then
+  reduce per doc — two map-side-combining shuffles, exactly the word-count
+  shape, never a per-row interpreted loop over a giant array.
+- ``quality_flags``: pure column expressions (word count bounds, mean word
+  length bounds, symbol ratio) combined with the repetition signals into
+  the standard keep/drop decision used by pre-training pipelines
+  (Rae et al., Gopher, arXiv:2112.11446 §A1.1 rule shape).
+
+Both have exact DuckDB twins in ``operators/registry.py`` — the driver
+hash-checks them inside ``ex_text_all``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from pcap_converter_spark.functions.text import words
+
+
+def word_ngrams(text: Column, n: int = 2) -> Column:
+    """All (non-distinct) n-word grams of ``text`` in order; documents with
+    fewer than n words yield their whole text as one gram."""
+    ws = words(F.lower(text))
+    cnt = F.greatest(F.size(ws) - (n - 1), F.lit(1))
+    return F.transform(
+        F.sequence(F.lit(1), cnt),
+        lambda i: F.concat_ws(
+            " ", *[F.try_element_at(ws, i + j) for j in range(n)]
+        ),
+    )
+
+
+def repetition_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 2,
+) -> DataFrame:
+    """Per-document repetition signals over word n-grams.
+
+    Returns (id, dup_ngram_frac, top_ngram_frac):
+
+    - ``dup_ngram_frac``  = 1 − distinct-grams / total-grams — the fraction
+      of gram occurrences that are repeats of an earlier gram.
+    - ``top_ngram_frac``  = occurrences of the most frequent gram / total —
+      the boilerplate signal (headers, nav bars repeat one phrase).
+
+    Ties in "most frequent" don't matter: only the count is used.
+    Shape: explode → count by (doc, gram) → reduce by doc. Both shuffles
+    partial-aggregate map-side; gram strings never ride a join.
+    """
+    grams = df.select(
+        F.col(id_col), F.explode(word_ngrams(F.col(text_col), n)).alias("gram")
+    )
+    per_gram = grams.groupBy(id_col, "gram").agg(F.count(F.lit(1)).alias("c"))
+    return (
+        per_gram.groupBy(id_col)
+        .agg(
+            F.sum("c").alias("total"),
+            F.count(F.lit(1)).alias("n_distinct"),
+            F.max("c").alias("top_c"),
+        )
+        .select(
+            id_col,
+            F.round(
+                F.lit(1.0) - F.col("n_distinct") / F.col("total"), 4
+            ).alias("dup_ngram_frac"),
+            F.round(F.col("top_c") / F.col("total"), 4).alias("top_ngram_frac"),
+        )
+    )
+
+
+def mean_word_len(text: Column) -> Column:
+    """Mean characters per whitespace token (0.0 for empty documents)."""
+    ws = words(text)
+    total = F.length(F.concat_ws("", ws))
+    return F.when(F.size(ws) > 0, total / F.size(ws)).otherwise(F.lit(0.0))
+
+
+def gopher_keep(
+    n_tokens: Column,
+    mean_wlen: Column,
+    punct_r: Column,
+    stop_hits: Column,
+    dup_ngram_frac: Column,
+    min_tokens: int = 20,
+    max_tokens: int = 100_000,
+) -> Column:
+    """The composite keep/drop decision: doc length in bounds, mean word
+    length in the natural-language band [3, 10], symbol ratio < 0.1, at
+    least 2 stopword hits, and < 50% repeated 2-grams."""
+    return (
+        (n_tokens >= min_tokens)
+        & (n_tokens <= max_tokens)
+        & (mean_wlen >= 3.0)
+        & (mean_wlen <= 10.0)
+        & (punct_r < 0.1)
+        & (stop_hits >= 2)
+        & (dup_ngram_frac < 0.5)
+    )

@@ -80,17 +80,61 @@ def run_text_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full text-analysis surface in ONE hash-checked result:
     token/BPE counts, punctuation+stopword ratios, quality score, language
     ID, normalization fingerprint, the winnowing rolling fingerprint
-    (Arrow-batched UDF — interpreted HOFs lose ~10× on this shape), and
-    the corpus-level TF-IDF top term (operators/tfidf.py — a real IDF
-    aggregation, not a per-row expression). One driver row proves all of
-    functions/text.py + the tfidf operator; merged from four r2 entries to
-    fit the driver's 50-entry correctness window."""
+    (Arrow-batched UDF — interpreted HOFs lose ~10× on this shape), the
+    corpus-level TF-IDF top term (operators/tfidf.py — a real IDF
+    aggregation, not a per-row expression), the Gopher-style quality rules
+    (mean word length + repetition signals from operators/quality.py, the
+    two-shuffle word-count shape), and PII detect/redact (emails, IPv4,
+    phones over a deterministically decorated text so the match counts
+    actually vary — the raw corpus contains no PII, which would let a
+    broken regex pass). One driver row proves all of functions/text.py +
+    the tfidf + quality operators."""
+    from pcap_converter_spark.operators.quality import (
+        gopher_keep, mean_word_len, repetition_stats,
+    )
     from pcap_converter_spark.operators.sampling import sample_flag, split_assign
     from pcap_converter_spark.operators.tfidf import top_tfidf_terms
 
     t = F.col("text")
     rfp = TX.rolling_fingerprint_udf()
     docs = _docs(spark, sf_dir)
+    did = F.col("doc_id")
+    stop_hits = F.size(
+        F.filter(
+            TX.words(F.lower(t)),
+            lambda w: w.isin(*TX.LANG_STOPWORDS["en"]),
+        )
+    )
+    # deterministic PII decoration: the synthetic corpus carries no PII, so
+    # the detector is exercised against injected tokens whose presence
+    # varies by doc_id (a regex that matches nothing would hash-check
+    # against a broken one)
+    pii_src = F.concat(
+        t,
+        F.when(
+            did % 3 > 0,
+            F.concat(
+                F.lit(" reach-"), did.cast("string"), F.lit("@ex-"),
+                (did % 7).cast("string"), F.lit(".org"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            did % 5 == 0,
+            F.concat(
+                F.lit(" via 10."), (did % 200).cast("string"),
+                F.lit(".3."), (did % 250).cast("string"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            did % 4 == 0,
+            F.concat(
+                F.lit(" call +1-"),
+                F.lpad((did % 1000).cast("string"), 3, "0"),
+                F.lit("-"),
+                F.lpad((did % 10000).cast("string"), 4, "0"),
+            ),
+        ).otherwise(F.lit("")),
+    )
     per_doc = docs.select(
         "doc_id",
         sample_flag(F.col("doc_id"), 20).alias("in_sample_20"),
@@ -104,9 +148,29 @@ def run_text_all(spark: SparkSession, sf_dir: str) -> DataFrame:
         TX.language_id(t).alias("guessed_lang"),
         TX.fingerprint(t).alias("fp"),
         rfp(t).alias("rfp"),
+        F.round(mean_word_len(t), 4).alias("mean_wlen"),
+        stop_hits.alias("_stop_hits"),
+        F.round(TX.punct_ratio(t), 8).alias("_praw"),
+        TX.pii_count(pii_src, TX.PII_EMAIL_RE).alias("pii_emails"),
+        TX.pii_count(pii_src, TX.PII_IPV4_RE).alias("pii_ips"),
+        TX.pii_count(pii_src, TX.PII_PHONE_RE).alias("pii_phones"),
+        F.md5(TX.pii_redact(pii_src).cast("binary")).alias("pii_fp"),
     )
+    rep = repetition_stats(docs)
     return (
-        per_doc.join(top_tfidf_terms(docs), "doc_id")
+        per_doc.join(rep, "doc_id")
+        .join(top_tfidf_terms(docs), "doc_id")
+        .withColumn(
+            "gopher_keep",
+            gopher_keep(
+                F.col("n_tokens"),
+                F.col("mean_wlen"),
+                F.col("_praw"),
+                F.col("_stop_hits"),
+                F.col("dup_ngram_frac"),
+            ),
+        )
+        .drop("_stop_hits", "_praw")
         .orderBy("doc_id")
     )
 
@@ -153,7 +217,49 @@ t_top AS (
   SELECT doc_id, term AS top_term, score AS top_tfidf,
          row_number() OVER (PARTITION BY doc_id
                             ORDER BY score DESC, term ASC) AS rn
-  FROM t_sc)
+  FROM t_sc),
+g AS (
+  SELECT doc_id,
+         list_transform(range(1, greatest(len(lws) - 1, 1) + 1),
+                        i -> concat_ws(' ', lws[i], lws[i+1])) AS grams
+  FROM w),
+g_e AS (SELECT doc_id, unnest(grams) AS gram FROM g),
+g_c AS (SELECT doc_id, gram, count(*) AS c FROM g_e GROUP BY doc_id, gram),
+rep AS (
+  SELECT doc_id,
+         round(1.0 - count(*) / CAST(sum(c) AS DOUBLE), 4) AS dup_ngram_frac,
+         round(max(c) / CAST(sum(c) AS DOUBLE), 4) AS top_ngram_frac
+  FROM g_c GROUP BY doc_id),
+pii AS (
+  SELECT doc_id,
+         text
+         || CASE WHEN doc_id % 3 > 0
+                 THEN ' reach-' || CAST(doc_id AS VARCHAR) || '@ex-'
+                      || CAST(doc_id % 7 AS VARCHAR) || '.org'
+                 ELSE '' END
+         || CASE WHEN doc_id % 5 = 0
+                 THEN ' via 10.' || CAST(doc_id % 200 AS VARCHAR)
+                      || '.3.' || CAST(doc_id % 250 AS VARCHAR)
+                 ELSE '' END
+         || CASE WHEN doc_id % 4 = 0
+                 THEN ' call +1-' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0')
+                      || '-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                 ELSE '' END AS pii_src
+  FROM documents),
+pii_c AS (
+  SELECT doc_id,
+         len(regexp_extract_all(pii_src,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}')) AS pii_emails,
+         len(regexp_extract_all(pii_src,
+             '\\b[0-9]{{1,3}}\\.[0-9]{{1,3}}\\.[0-9]{{1,3}}\\.[0-9]{{1,3}}\\b')) AS pii_ips,
+         len(regexp_extract_all(pii_src,
+             '\\+[0-9]{{1,2}}-[0-9]{{3}}-[0-9]{{4}}')) AS pii_phones,
+         md5(regexp_replace(regexp_replace(regexp_replace(pii_src,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}', '<EMAIL>', 'g'),
+             '\\+[0-9]{{1,2}}-[0-9]{{3}}-[0-9]{{4}}', '<PHONE>', 'g'),
+             '\\b[0-9]{{1,3}}\\.[0-9]{{1,3}}\\.[0-9]{{1,3}}\\.[0-9]{{1,3}}\\b', '<IP>', 'g'))
+           AS pii_fp
+  FROM pii)
 SELECT doc_id,
   ((md5_number_lower(CAST(doc_id AS VARCHAR)) & 4294967295) % 100) < 20
     AS in_sample_20,
@@ -175,10 +281,28 @@ SELECT doc_id,
        ELSE list_sort(list_distinct(list_transform(
               range(1, len(hs) - win + 2),
               i -> list_min(list_slice(hs, i, i + win - 1))))) END AS rfp,
+  round(CASE WHEN len(ws) > 0
+             THEN length(array_to_string(ws, '')) / CAST(len(ws) AS DOUBLE)
+             ELSE 0.0 END, 4) AS mean_wlen,
+  pii_c.pii_emails AS pii_emails,
+  pii_c.pii_ips AS pii_ips,
+  pii_c.pii_phones AS pii_phones,
+  pii_c.pii_fp AS pii_fp,
+  rep.dup_ngram_frac AS dup_ngram_frac,
+  rep.top_ngram_frac AS top_ngram_frac,
   tt.top_term AS top_term,
-  tt.top_tfidf AS top_tfidf
+  tt.top_tfidf AS top_tfidf,
+  (len(ws) >= 20 AND len(ws) <= 100000
+   AND round(CASE WHEN len(ws) > 0
+             THEN length(array_to_string(ws, '')) / CAST(len(ws) AS DOUBLE)
+             ELSE 0.0 END, 4) BETWEEN 3.0 AND 10.0
+   AND round(praw, 8) < 0.1
+   AND s_en >= 2
+   AND rep.dup_ngram_frac < 0.5) AS gopher_keep
 FROM b LEFT JOIN (SELECT doc_id, top_term, top_tfidf FROM t_top WHERE rn = 1) tt
   USING (doc_id)
+  JOIN rep USING (doc_id)
+  JOIN pii_c USING (doc_id)
 ORDER BY doc_id
 """
 
@@ -188,13 +312,47 @@ ORDER BY doc_id
 # ---------------------------------------------------------------------------
 
 def run_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return dedup.exact_duplicates(_docs(spark, sf_dir)).orderBy("content_hash")
+    """Exact dedup at BOTH granularities in one tagged result: whole-document
+    sha256 groups (tier 'doc') and fixed-window passage groups (tier
+    'passage' — the chunk-level pass that catches boilerplate paragraphs
+    shared across distinct pages). Registered with 4-word passages so the
+    fixture corpus actually produces duplicate groups to hash-check (the
+    32-word production default yields none on synthetic word soup)."""
+    docs = _docs(spark, sf_dir)
+    doc_tier = dedup.exact_duplicates(docs).withColumn("tier", F.lit("doc"))
+    pas_tier = dedup.passage_duplicates(docs, passage_words=4).withColumn(
+        "tier", F.lit("passage")
+    )
+    return (
+        doc_tier.unionByName(pas_tier)
+        .select("tier", "content_hash", "dup_count", "doc_ids")
+        .orderBy("tier", "content_hash")
+    )
 
 
 _DEDUP_EXACT_ORACLE = """
-SELECT sha256(text) AS content_hash, count(*) AS dup_count,
-       list_sort(list(doc_id)) AS doc_ids
-FROM documents GROUP BY sha256(text) HAVING count(*) > 1 ORDER BY content_hash
+WITH doc_t AS (
+  SELECT 'doc' AS tier, sha256(text) AS content_hash, count(*) AS dup_count,
+         list_sort(list(doc_id)) AS doc_ids
+  FROM documents GROUP BY sha256(text) HAVING count(*) > 1),
+w AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                     x -> x <> '') AS lws
+  FROM documents),
+p AS (
+  SELECT doc_id,
+         unnest(list_transform(
+           range(0, greatest(CAST(ceil(len(lws) / 4.0) AS BIGINT) - 1, 0) + 1),
+           i -> array_to_string(list_slice(lws, i * 4 + 1, i * 4 + 4), ' ')))
+           AS passage
+  FROM w),
+pas_t AS (
+  SELECT 'passage' AS tier, sha256(passage) AS content_hash,
+         count(*) AS dup_count, list_sort(list(doc_id)) AS doc_ids
+  FROM p GROUP BY sha256(passage) HAVING count(*) > 1)
+SELECT * FROM doc_t UNION ALL SELECT * FROM pas_t
+ORDER BY tier, content_hash
 """
 
 # n-gram pair SQL, parameterized on the shingle document-frequency cut:
@@ -454,22 +612,46 @@ WHERE cl IN (
 ORDER BY cos_sim DESC, vec_id LIMIT 10
 """
 
+_SIM_QUANT_SQL = """
+SELECT vec_id,
+       round(CASE WHEN da > 0 AND db > 0
+                  THEN dot / (sqrt(da) * sqrt(db)) ELSE -2.0 END, 4) AS cos_sim
+FROM (
+  SELECT vec_id, list_dot_product(qe, qqv) AS dot,
+         list_dot_product(qe, qe) AS da, list_dot_product(qqv, qqv) AS db
+  FROM (
+    SELECT vec_id,
+      CASE WHEN s > 0 THEN list_transform(e, x -> trunc(x / s))
+           ELSE list_transform(e, x -> 0.0) END AS qe,
+      CASE WHEN sq > 0 THEN list_transform(qv, x -> trunc(x / sq))
+           ELSE list_transform(qv, x -> 0.0) END AS qqv
+    FROM (SELECT vec_id, e, qv,
+                 list_max(list_transform(e, x -> abs(x))) / 127.0 AS s,
+                 list_max(list_transform(qv, x -> abs(x))) / 127.0 AS sq
+          FROM (SELECT vec_id, embedding::DOUBLE[] AS e, qv
+                FROM embeddings, q) t0) t1) t2) t3
+ORDER BY cos_sim DESC, vec_id LIMIT 10
+"""
+
 _SIM_TOPK_ORACLE = f"""
 WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0)
 SELECT 'ann_lsh' AS tier, * FROM ({_SIM_ANN_SQL}) a
 UNION ALL SELECT 'exact' AS tier, * FROM ({_SIM_EXACT_SQL}) b
 UNION ALL SELECT 'ivf' AS tier, * FROM ({_SIM_IVF_SQL}) c
+UNION ALL SELECT 'quant' AS tier, * FROM ({_SIM_QUANT_SQL}) d
 ORDER BY tier, cos_sim DESC, vec_id
 """
 
 
 def run_sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Cosine top-k, all three tiers in one tagged hash-checked result:
+    """Cosine top-k, all four tiers in one tagged hash-checked result:
     exact scan→TakeOrderedAndProject; ANN via hyperplane bucket + hamming-1
     multiprobe (scans ~9/256 of the corpus); IVF probe over fixed literal
-    centroids (scans nprobe/8 of the corpus, partition-prunable at rest).
-    The oracle recomputes each tier's own bucketing/probing, so correctness
-    of the approximation MECHANICS is what is being hash-checked."""
+    centroids (scans nprobe/8 of the corpus, partition-prunable at rest);
+    and int8-quantized top-k (similarity.quantized_topk — the 4×-compressed
+    at-rest representation scored with integer dot products). The oracle
+    recomputes each tier's own bucketing/probing/quantization, so
+    correctness of the approximation MECHANICS is what is hash-checked."""
     qv = _query_vector(spark, sf_dir)
     emb = _embs(spark, sf_dir)
     exact = similarity.cosine_topk(emb, qv, k=10).withColumn("tier", F.lit("exact"))
@@ -479,9 +661,13 @@ def run_sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ivf = similarity.ivf_topk(
         emb, _SIM_CENTS, qv, k=10, nprobe=_SIM_NPROBE
     ).withColumn("tier", F.lit("ivf"))
+    quant = similarity.quantized_topk(emb, qv, k=10).withColumn(
+        "tier", F.lit("quant")
+    )
     return (
         exact.unionByName(ann)
         .unionByName(ivf)
+        .unionByName(quant)
         .select("tier", "vec_id", "cos_sim")
         .orderBy("tier", F.col("cos_sim").desc(), "vec_id")
     )

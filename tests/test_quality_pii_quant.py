@@ -1,0 +1,204 @@
+"""Tests for the Gopher-style quality operators, PII detect/redact, passage
+dedup, and int8-quantized similarity — each against an independent pure-
+Python reference."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from pcap_converter_spark.functions import text as TX
+from pcap_converter_spark.operators import dedup, quality, similarity
+
+
+# ---------------------------------------------------------------------------
+# repetition / quality
+# ---------------------------------------------------------------------------
+
+DOCS = [
+    (0, "the cat sat on the mat the cat sat again"),
+    (1, "alpha beta gamma delta epsilon zeta eta theta"),
+    (2, "spam spam spam spam spam spam"),
+    (3, ""),
+    (4, "one"),
+]
+
+
+def _py_rep(text: str, n: int = 2):
+    ws = [w for w in text.lower().split() if w]
+    if len(ws) < n:
+        grams = [" ".join(ws)]
+    else:
+        grams = [" ".join(ws[i : i + n]) for i in range(len(ws) - n + 1)]
+    total = len(grams)
+    distinct = len(set(grams))
+    top = max(grams.count(g) for g in set(grams))
+    return round(1.0 - distinct / total, 4), round(top / total, 4)
+
+
+def test_repetition_stats_matches_python(spark):
+    df = spark.createDataFrame(DOCS, ["doc_id", "text"])
+    got = {
+        r["doc_id"]: (r["dup_ngram_frac"], r["top_ngram_frac"])
+        for r in quality.repetition_stats(df).collect()
+    }
+    assert set(got) == {d for d, _ in DOCS}
+    for doc_id, text in DOCS:
+        assert got[doc_id] == pytest.approx(_py_rep(text)), (doc_id, text)
+
+
+def test_mean_word_len(spark):
+    df = spark.createDataFrame(DOCS, ["doc_id", "text"])
+    got = {
+        r["doc_id"]: r["m"]
+        for r in df.select(
+            "doc_id", quality.mean_word_len(F.col("text")).alias("m")
+        ).collect()
+    }
+    for doc_id, text in DOCS:
+        ws = [w for w in text.split() if w]
+        exp = sum(len(w) for w in ws) / len(ws) if ws else 0.0
+        assert got[doc_id] == pytest.approx(exp)
+
+
+def test_gopher_keep_rules(spark):
+    # 25 natural-ish words with stopwords, low punctuation → keep
+    good = "the quick brown fox jumps over the lazy dog and then runs far " \
+           "away into the green field while the sun sets over the hills"
+    # heavy repetition → drop
+    bad_rep = "buy now " * 40
+    # too short → drop
+    bad_short = "the cat"
+    df = spark.createDataFrame(
+        [(0, good), (1, bad_rep.strip()), (2, bad_short)], ["doc_id", "text"]
+    )
+    rep = quality.repetition_stats(df)
+    out = {
+        r["doc_id"]: r["keep"]
+        for r in df.join(rep, "doc_id")
+        .select(
+            "doc_id",
+            quality.gopher_keep(
+                TX.token_count(F.col("text")),
+                quality.mean_word_len(F.col("text")),
+                TX.punct_ratio(F.col("text")),
+                F.size(
+                    F.filter(
+                        TX.words(F.lower(F.col("text"))),
+                        lambda w: w.isin(*TX.LANG_STOPWORDS["en"]),
+                    )
+                ),
+                F.col("dup_ngram_frac"),
+            ).alias("keep"),
+        )
+        .collect()
+    }
+    assert out == {0: True, 1: False, 2: False}
+
+
+# ---------------------------------------------------------------------------
+# PII
+# ---------------------------------------------------------------------------
+
+def test_pii_counts_and_redaction(spark):
+    rows = [
+        (0, "mail me at a.b+c@ex-1.org or root@sub.domain.co today"),
+        (1, "server 10.0.300.7 then 192.168.1.1 and not 1.2.3"),
+        (2, "call +1-555-0142 or +49-123-4567 now"),
+        (3, "no pii here at all"),
+    ]
+    df = spark.createDataFrame(rows, ["i", "t"])
+    got = df.select(
+        "i",
+        TX.pii_count(F.col("t"), TX.PII_EMAIL_RE).alias("e"),
+        TX.pii_count(F.col("t"), TX.PII_IPV4_RE).alias("ip"),
+        TX.pii_count(F.col("t"), TX.PII_PHONE_RE).alias("ph"),
+        TX.pii_redact(F.col("t")).alias("red"),
+    ).collect()
+    by_i = {r["i"]: r for r in got}
+    assert (by_i[0]["e"], by_i[0]["ip"], by_i[0]["ph"]) == (2, 0, 0)
+    # 10.0.300.7 still matches \d{1,3} groups (300 → '300' is 3 digits)
+    assert (by_i[1]["e"], by_i[1]["ip"], by_i[1]["ph"]) == (0, 2, 0)
+    assert (by_i[2]["e"], by_i[2]["ip"], by_i[2]["ph"]) == (0, 0, 2)
+    assert (by_i[3]["e"], by_i[3]["ip"], by_i[3]["ph"]) == (0, 0, 0)
+    assert by_i[0]["red"] == "mail me at <EMAIL> or <EMAIL> today"
+    assert by_i[2]["red"] == "call <PHONE> or <PHONE> now"
+    assert by_i[3]["red"] == rows[3][1]
+
+
+# ---------------------------------------------------------------------------
+# passage dedup
+# ---------------------------------------------------------------------------
+
+def test_passage_duplicates(spark):
+    shared = "lorem ipsum dolor sit"  # one full 4-word passage
+    rows = [
+        (0, shared + " unique tail zero aa"),
+        (1, shared + " other words here bb"),
+        (2, "completely different content four"),
+        (3, shared + " " + shared),  # shared passage twice in ONE doc
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = dedup.passage_duplicates(df, passage_words=4).collect()
+    assert len(out) == 1
+    grp = out[0]
+    assert grp["dup_count"] == 4
+    assert grp["doc_ids"] == [0, 1, 3, 3]
+
+
+def test_passage_empty_and_short_docs(spark):
+    df = spark.createDataFrame(
+        [(0, ""), (1, "one two"), (2, "one two")], ["doc_id", "text"]
+    )
+    out = dedup.passage_duplicates(df, passage_words=4).collect()
+    assert len(out) == 1  # "one two" == "one two"; empties don't group with it
+    assert out[0]["doc_ids"] == [1, 2]
+
+
+# ---------------------------------------------------------------------------
+# int8 quantization
+# ---------------------------------------------------------------------------
+
+def _py_quant(v):
+    amax = max(abs(float(x)) for x in v) if v else 0.0
+    if amax == 0.0:
+        return [0] * len(v)
+    s = amax / 127.0
+    return [int(math.trunc(float(x) / s)) for x in v]
+
+
+def test_quantize_int8_matches_python(spark):
+    vecs = [
+        (0, [1.0, -2.5, 0.25, 127.0]),
+        (1, [0.0, 0.0, 0.0, 0.0]),
+        (2, [-0.003, 0.001, 0.002, -0.0005]),
+    ]
+    df = spark.createDataFrame(vecs, ["vec_id", "embedding"])
+    _, qvec = similarity.quantize_int8(F.col("embedding"))
+    got = {r["vec_id"]: r["q"] for r in df.select("vec_id", qvec.alias("q")).collect()}
+    for vid, v in vecs:
+        assert got[vid] == _py_quant(v), (vid, v)
+        assert all(-127 <= x <= 127 for x in got[vid])
+
+
+def test_quantized_topk_close_to_exact(spark, sf_dir):
+    from pcap_converter_spark.io.loader import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    row = emb.filter(F.col("vec_id") == 0).select("embedding").first()
+    qv = [float(x) for x in row[0]]
+    exact = {
+        r["vec_id"]: r["cos_sim"]
+        for r in similarity.cosine_topk(emb, qv, k=10).collect()
+    }
+    quant = {
+        r["vec_id"]: r["cos_sim"]
+        for r in similarity.quantized_topk(emb, qv, k=10).collect()
+    }
+    # int8 quantization error on cosine is < ~1e-2 at dim 64
+    overlap = set(exact) & set(quant)
+    assert len(overlap) >= 7
+    for vid in overlap:
+        assert abs(exact[vid] - quant[vid]) < 0.02
