@@ -89,16 +89,21 @@ def run_text_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     actually vary — the raw corpus contains no PII, which would let a
     broken regex pass). One driver row proves all of functions/text.py +
     the tfidf + quality operators."""
+    from pcap_converter_spark.operators.packing import pack_documents
     from pcap_converter_spark.operators.quality import (
         gopher_keep, mean_word_len, repetition_stats,
     )
     from pcap_converter_spark.operators.sampling import sample_flag, split_assign
     from pcap_converter_spark.operators.tfidf import top_tfidf_terms
+    from pcap_converter_spark.operators.vocab import build_vocab, encode_column
 
     t = F.col("text")
     rfp = TX.rolling_fingerprint_udf()
     docs = _docs(spark, sf_dir)
     did = F.col("doc_id")
+    # bounded driver-side artifact (like IVF centroids): 16-entry vocab,
+    # deliberately smaller than the corpus term set so OOV→0 is exercised
+    vocab = build_vocab(docs, size=16)
     stop_hits = F.size(
         F.filter(
             TX.words(F.lower(t)),
@@ -155,10 +160,15 @@ def run_text_all(spark: SparkSession, sf_dir: str) -> DataFrame:
         TX.pii_count(pii_src, TX.PII_IPV4_RE).alias("pii_ips"),
         TX.pii_count(pii_src, TX.PII_PHONE_RE).alias("pii_phones"),
         F.md5(TX.pii_redact(pii_src).cast("binary")).alias("pii_fp"),
+        encode_column(t, vocab).alias("vocab_ids"),
     )
     rep = repetition_stats(docs)
+    pack = pack_documents(
+        docs.select("doc_id", TX.token_count(t).alias("nt")), "nt"
+    )
     return (
         per_doc.join(rep, "doc_id")
+        .join(pack, "doc_id")
         .join(top_tfidf_terms(docs), "doc_id")
         .withColumn(
             "gopher_keep",
@@ -259,7 +269,26 @@ pii_c AS (
              '\\+[0-9]{{1,2}}-[0-9]{{3}}-[0-9]{{4}}', '<PHONE>', 'g'),
              '\\b[0-9]{{1,3}}\\.[0-9]{{1,3}}\\.[0-9]{{1,3}}\\.[0-9]{{1,3}}\\b', '<IP>', 'g'))
            AS pii_fp
-  FROM pii)
+  FROM pii),
+vb AS (
+  SELECT term, row_number() OVER (ORDER BY c DESC, term ASC) AS vid
+  FROM (SELECT term, count(*) AS c
+        FROM (SELECT unnest(lws) AS term FROM w) u
+        GROUP BY term ORDER BY c DESC, term LIMIT 16) vt),
+enc AS (
+  SELECT doc_id, list(CAST(coalesce(vid, 0) AS INTEGER) ORDER BY pos) AS vids
+  FROM (SELECT doc_id, unnest(lws) AS term,
+               generate_subscripts(lws, 1) AS pos FROM w) tkn
+  LEFT JOIN vb USING (term) GROUP BY doc_id),
+pk AS (
+  SELECT doc_id, doc_id % 16 AS pack_shard,
+         st // 256 AS pack_bin, st % 256 AS pack_offset
+  FROM (SELECT doc_id,
+               coalesce(CAST(sum(len(ws)) OVER (
+                   PARTITION BY doc_id % 16 ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                 AS BIGINT), 0) AS st
+        FROM w) s)
 SELECT doc_id,
   ((md5_number_lower(CAST(doc_id AS VARCHAR)) & 4294967295) % 100) < 20
     AS in_sample_20,
@@ -290,6 +319,11 @@ SELECT doc_id,
   pii_c.pii_fp AS pii_fp,
   rep.dup_ngram_frac AS dup_ngram_frac,
   rep.top_ngram_frac AS top_ngram_frac,
+  CASE WHEN len(lws) = 0 THEN CAST([] AS INTEGER[]) ELSE enc.vids END
+    AS vocab_ids,
+  pk.pack_shard AS pack_shard,
+  pk.pack_bin AS pack_bin,
+  pk.pack_offset AS pack_offset,
   tt.top_term AS top_term,
   tt.top_tfidf AS top_tfidf,
   (len(ws) >= 20 AND len(ws) <= 100000
@@ -303,6 +337,8 @@ FROM b LEFT JOIN (SELECT doc_id, top_term, top_tfidf FROM t_top WHERE rn = 1) tt
   USING (doc_id)
   JOIN rep USING (doc_id)
   JOIN pii_c USING (doc_id)
+  LEFT JOIN enc USING (doc_id)
+  JOIN pk USING (doc_id)
 ORDER BY doc_id
 """
 

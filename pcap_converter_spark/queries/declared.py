@@ -364,12 +364,16 @@ _DQ23_BODY = (
 
 
 def _run_dq22(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Tumbling event-time window, batch AND Structured Streaming
-    (readStream → watermark → window agg → availableNow drain), hash-proved
-    identical. Covers the former separate ex_stream_tumbling entry."""
+    """Event-time windows, three paths in one tagged result: tumbling via
+    batch SQL ('batch') AND Structured Streaming ('stream' — readStream →
+    watermark → window agg → availableNow drain), hash-proved identical;
+    plus a sliding 1h/30m window ('slide') whose overlapping-window
+    assignment the oracle re-derives by exploding each event into its two
+    containing windows. Covers the former separate ex_stream_tumbling
+    entry."""
     from pyspark.sql import functions as F
 
-    from pcap_converter_spark.io.loader import register_views
+    from pcap_converter_spark.io.loader import load_table, register_views
     from pcap_converter_spark.streaming import windows as W
 
     register_views(spark, sf_dir)
@@ -382,6 +386,14 @@ def _run_dq22(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = stream.select(
         F.col("h").cast("timestamp_ntz").alias("h"), "event_type", "n", "v"
     ).withColumn("src", F.lit("stream"))
+    slide = (
+        W.sliding_counts(load_table(spark, sf_dir, "events"))
+        .select(
+            F.col("h").cast("timestamp_ntz").alias("h"), "event_type", "n", "v"
+        )
+        .withColumn("src", F.lit("slide"))
+    )
+    batch = batch.unionByName(slide)
     return (
         batch.unionByName(stream)
         .select("src", "h", "event_type", "n", "v")
@@ -389,9 +401,24 @@ def _run_dq22(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# sliding-window oracle: a 1h window hopping every 30m contains each event
+# exactly twice — once in the window starting at its 30m-floor, once in the
+# one 30m earlier. The explode-then-group re-derives Spark's window()
+# assignment independently.
+_DQ22_SLIDE_BODY = (
+    "SELECT h, event_type, count(*) AS n, "
+    "CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS v "
+    "FROM (SELECT unnest(["
+    "make_timestamp((epoch_ms(ts) - epoch_ms(ts) % 1800000) * 1000), "
+    "make_timestamp((epoch_ms(ts) - epoch_ms(ts) % 1800000 - 1800000) * 1000)"
+    "]) AS h, event_type, value FROM events) t "
+    "GROUP BY h, event_type"
+)
+
 _DQ22_ORACLE = (
     f"SELECT 'batch' AS src, * FROM ({_DQ22_BODY}) a "
     f"UNION ALL SELECT 'stream' AS src, * FROM ({_DQ22_BODY}) b "
+    f"UNION ALL SELECT 'slide' AS src, * FROM ({_DQ22_SLIDE_BODY}) c "
     "ORDER BY src, h, event_type"
 )
 

@@ -66,6 +66,29 @@ def tumbling_counts(
     )
 
 
+def sliding_counts(
+    events: DataFrame,
+    window: str = "1 hour",
+    slide: str = "30 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Sliding (hopping) event-time window × event_type: every event lands
+    in window/slide overlapping windows (2 here). Works on a stream (with
+    watermark-bounded state) or a batch frame — Spark's window() assignment
+    is engine-agnostic, which is what lets the driver hash-prove the
+    assignment semantics against a SQL oracle while pytest proves the
+    streaming execution path matches batch."""
+    src = events.withWatermark("ts", watermark) if events.isStreaming else events
+    return (
+        src.groupBy(F.window("ts", window, slide).alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("v"),
+        )
+        .select(F.col("w.start").alias("h"), "event_type", "n", "v")
+    )
+
+
 def session_counts(
     events: DataFrame, gap: str = "30 minutes", watermark: str = "2 hours"
 ) -> DataFrame:
@@ -77,6 +100,20 @@ def session_counts(
         .agg(F.count(F.lit(1)).alias("n_events"), F.min("ts").alias("t0"))
         .select("user_id", F.col("s.start").alias("session_start"), "n_events", "t0")
     )
+
+
+def run_available_now_append(df: DataFrame, query_name: str) -> DataFrame:
+    """Append-mode drain (stream-stream joins and other operators that
+    emit rows incrementally reject complete mode)."""
+    q = (
+        df.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return df.sparkSession.table(query_name)
 
 
 def run_available_now(agg: DataFrame, query_name: str) -> DataFrame:

@@ -202,3 +202,48 @@ def test_quantized_topk_close_to_exact(spark, sf_dir):
     assert len(overlap) >= 7
     for vid in overlap:
         assert abs(exact[vid] - quant[vid]) < 0.02
+
+
+# ---------------------------------------------------------------------------
+# packing + vocab
+# ---------------------------------------------------------------------------
+
+def test_pack_documents(spark):
+    from pcap_converter_spark.operators.packing import pack_documents
+
+    rows = [(i, 100) for i in range(10)]  # 100 tokens each
+    df = spark.createDataFrame(rows, ["doc_id", "nt"])
+    out = {
+        r["doc_id"]: (r["pack_shard"], r["pack_bin"], r["pack_offset"])
+        for r in pack_documents(df, "nt", budget=256, n_shards=2).collect()
+    }
+    # shard 0 = docs 0,2,4,6,8; running starts 0,100,200,300,400
+    assert out[0] == (0, 0, 0)
+    assert out[2] == (0, 0, 100)
+    assert out[4] == (0, 0, 200)
+    assert out[6] == (0, 1, 44)   # 300 // 256, 300 % 256
+    assert out[8] == (0, 1, 144)
+    # shard 1 mirrors
+    assert out[1] == (1, 0, 0)
+    assert out[9] == (1, 1, 144)
+
+
+def test_vocab_build_and_encode(spark):
+    from pcap_converter_spark.operators.vocab import build_vocab, encode_column
+
+    docs = [
+        (0, "b b b a a c"),
+        (1, "a a rare"),
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    vocab = build_vocab(df, size=2)
+    # counts: a=4, b=3, c=1, rare=1 → vocab [a→1, b→2]
+    assert vocab == [("a", 1), ("b", 2)]
+    got = {
+        r["doc_id"]: r["ids"]
+        for r in df.select(
+            "doc_id", encode_column(F.col("text"), vocab).alias("ids")
+        ).collect()
+    }
+    assert got[0] == [2, 2, 2, 1, 1, 0]
+    assert got[1] == [1, 1, 0]

@@ -71,3 +71,57 @@ def test_streaming_sessions_equal_batch_gaps_and_islands(spark, events_batch):
         got.agg(F.sum("n_events")).first()[0]
         == expected.agg(F.sum("n_events")).first()[0]
     )
+
+def test_streaming_sliding_equals_batch(spark, events_batch):
+    stream = W.read_events_stream(spark, SF)
+    got = W.run_available_now(W.sliding_counts(stream), "t_sliding").cache()
+    expected = W.sliding_counts(events_batch).select(
+        F.col("h").cast("timestamp").alias("h"), "event_type", "n", "v"
+    ).cache()
+    assert got.count() == expected.count()
+    assert got.exceptAll(expected).count() == 0
+    # every event lands in exactly window/slide = 2 windows
+    assert (
+        got.agg(F.sum("n")).first()[0] == 2 * events_batch.count()
+    )
+
+
+def test_stream_stream_join_equals_batch(spark, events_batch):
+    """Stream-stream inner join with an event-time range condition: each
+    event joined to events of the SAME user within the preceding 10
+    minutes — the canonical watermarked interval join. The streaming
+    answer must equal the same join run in batch."""
+    left = W.read_events_stream(spark, SF).withWatermark("ts", "1 hour")
+    right = (
+        W.read_events_stream(spark, SF)
+        .select(
+            F.col("user_id").alias("r_user"),
+            F.col("ts").alias("r_ts"),
+            F.col("event_id").alias("r_id"),
+        )
+        .withWatermark("r_ts", "1 hour")
+    )
+    joined = left.join(
+        right,
+        (F.col("user_id") == F.col("r_user"))
+        & (F.col("r_ts") < F.col("ts"))
+        & (F.col("r_ts") >= F.col("ts") - F.expr("INTERVAL 10 MINUTES")),
+    ).select("event_id", "r_id")
+    got = W.run_available_now_append(joined, "t_ssjoin").cache()
+
+    b = events_batch.select(
+        "user_id", F.col("ts").cast("timestamp").alias("ts"), "event_id"
+    )
+    br = b.select(
+        F.col("user_id").alias("r_user"),
+        F.col("ts").alias("r_ts"),
+        F.col("event_id").alias("r_id"),
+    )
+    expected = b.join(
+        br,
+        (F.col("user_id") == F.col("r_user"))
+        & (F.col("r_ts") < F.col("ts"))
+        & (F.col("r_ts") >= F.col("ts") - F.expr("INTERVAL 10 MINUTES")),
+    ).select("event_id", "r_id").cache()
+    assert got.count() == expected.count()
+    assert got.exceptAll(expected).count() == 0
