@@ -582,7 +582,7 @@ def embedding_neardup(
     threshold: float = 0.4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    n_blocks: int = 8,
+    n_blocks: int | None = None,
 ) -> DataFrame:
     """Tier 5 (exact): embedding-cosine near-duplicate dedup decision.
 

@@ -131,7 +131,8 @@ def cosine_pairs(
     threshold: float = 0.4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    n_blocks: int = 8,
+    n_blocks: int | None = None,
+    rows_per_block: int = 8192,
 ) -> DataFrame:
     """Exact all-pairs cosine ≥ threshold, as a blocked block-nested join.
 
@@ -140,13 +141,24 @@ def cosine_pairs(
     with one vectorized NumPy matmul (Arrow-batched, float64). Compute stays
     O(n²) — it is an *exact* operator — but each row is communicated only
     O(n_blocks) times and every flop runs vectorized instead of through
-    interpreted per-element expressions. At real corpus scale you raise
-    n_blocks so a block fits executor memory, or switch to the LSH variant.
+    interpreted per-element expressions.
+
+    ``n_blocks=None`` sizes the blocking from the data (the AQE move, done
+    once with a metadata-cheap count): ceil(n / rows_per_block), so a
+    validation-scale corpus runs as a single matmul instead of 36
+    scheduling-overhead-bound cogroup tasks, while a corpus-scale run gets
+    however many blocks keep a block inside executor memory. The result is
+    identical for any blocking (tests assert it); at real corpus scale
+    prefer the LSH variant outright.
     """
+    import math
+
     import pandas as pd
     from pyspark.sql import types as T
 
     spark = df.sparkSession
+    if n_blocks is None:
+        n_blocks = max(1, math.ceil(df.count() / rows_per_block))
     block_pairs = spark.createDataFrame(
         [(i, j) for i in range(n_blocks) for j in range(i, n_blocks)], ["bi", "bj"]
     )

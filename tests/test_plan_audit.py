@@ -116,3 +116,41 @@ def test_ivf_at_rest_probe_prunes_partitions(spark, tmp_path):
     assert [(r["vec_id"], r["cos_sim"]) for r in probe.collect()] == [
         (r["vec_id"], r["cos_sim"]) for r in in_mem.collect()
     ]
+
+
+def test_vocab_encode_is_projection_only(spark):
+    """Vocabulary encoding must be a pure projection over the scan: the
+    vocab rides as a plan-literal map — no join, no shuffle."""
+    from pcap_converter_spark.operators.vocab import build_vocab, encode_column
+
+    docs = load_table(spark, SF, "documents")
+    vocab = build_vocab(docs, size=16)
+    enc = docs.select("doc_id", encode_column(F.col("text"), vocab).alias("ids"))
+    plan = audit.formatted_plan(enc)
+    assert "Join" not in plan, plan
+    assert "Exchange" not in plan, plan
+
+
+def test_packing_is_single_shuffle(spark):
+    """Sequence packing = one hash exchange (by shard) + one window sort;
+    a second exchange would mean the window repartitioned again."""
+    from pcap_converter_spark.functions.text import token_count
+    from pcap_converter_spark.operators.packing import pack_documents
+
+    docs = load_table(spark, SF, "documents").select(
+        "doc_id", token_count(F.col("text")).alias("nt")
+    )
+    plan = audit.formatted_plan(pack_documents(docs, "nt"))
+    assert plan.count("Arguments: hashpartitioning") == 1, plan
+
+
+def test_exact_dedup_shuffles_digests_not_text(spark):
+    """The exact-dedup groupBy must key on the sha256 digest with the text
+    column pruned from the scan — 100 TB of text must never shuffle."""
+    from pcap_converter_spark.operators.dedup import exact_duplicates
+
+    docs = load_table(spark, SF, "documents")
+    plan = audit.formatted_plan(exact_duplicates(docs))
+    assert "content_hash" in plan
+    ex = [l for l in plan.splitlines() if "Arguments: hashpartitioning" in l]
+    assert ex and all("text#" not in l for l in ex), plan
