@@ -854,50 +854,85 @@ GROUP BY n_name ORDER BY n_name
 
 
 def run_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """JSON extraction over events.props (dual-dialect:
-    get_json_object vs json_extract_string)."""
+    """JSON surface over events.props: path extraction (get_json_object vs
+    json_extract_string), the TYPED parse path (from_json into a struct —
+    the Spark-native way to land JSON in columns), and missing-path NULL
+    semantics — all in one hash-checked aggregation."""
     from pcap_converter_spark.io.loader import register_views
 
     register_views(spark, sf_dir)
     return spark.sql(
         "SELECT CAST(get_json_object(props, '$.k') AS INT) AS k, "
-        "count(*) AS n FROM events GROUP BY k ORDER BY k"
+        "from_json(props, 'k INT').k AS k_typed, "
+        "get_json_object(props, '$.missing') AS miss, "
+        "count(*) AS n FROM events GROUP BY k, k_typed, miss ORDER BY k"
     )
 
 
 _JSON_ORACLE = """
-SELECT CAST(json_extract_string(props, '$.k') AS INT) AS k, count(*) AS n
-FROM events GROUP BY k ORDER BY k
+SELECT CAST(json_extract_string(props, '$.k') AS INT) AS k,
+       CAST(json_extract_string(props, '$.k') AS INT) AS k_typed,
+       json_extract_string(props, '$.missing') AS miss,
+       count(*) AS n
+FROM events GROUP BY k, k_typed, miss ORDER BY k
 """
 
 
-_CUBE_SQL = (
-    "SELECT o_orderpriority, o_orderstatus, "
+_CUBE_BODY = (
+    "o_orderpriority, o_orderstatus, "
     "CAST(grouping(o_orderpriority) AS INT) AS gp, "
-    "CAST(grouping(o_orderstatus) AS INT) AS gs, count(*) AS n "
+    "CAST(grouping(o_orderstatus) AS INT) AS gs, count(*) AS n, "
+    "round(min(o_totalprice), 2) AS lo, round(max(o_totalprice), 2) AS hi"
+)
+
+_CUBE_TAIL = (
     "FROM orders GROUP BY CUBE (o_orderpriority, o_orderstatus) "
     "ORDER BY o_orderpriority NULLS FIRST, o_orderstatus NULLS FIRST, gp, gs"
 )
 
 
 def run_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """CUBE + grouping() flags (complements DQ12's ROLLUP)."""
+    """CUBE + grouping() flags (complements DQ12's ROLLUP), with order-
+    independent value aggregates (min/max, interpolated median — sorted-
+    order semantics, deterministic under any shuffle, unlike a double
+    sum)."""
     from pcap_converter_spark.io.loader import register_views
 
     register_views(spark, sf_dir)
-    return spark.sql(_CUBE_SQL)
+    return spark.sql(
+        f"SELECT {_CUBE_BODY}, "
+        "round(percentile_cont(0.5) WITHIN GROUP (ORDER BY o_totalprice), 4)"
+        " AS med "
+        f"{_CUBE_TAIL}"
+    )
+
+
+_CUBE_ORACLE_SQL = (
+    f"SELECT {_CUBE_BODY}, "
+    "round(quantile_cont(o_totalprice, 0.5), 4) AS med "
+    f"{_CUBE_TAIL}"
+)
 
 
 _NTILE_SQL = (
     "SELECT c_custkey, "
-    "CAST(ntile(4) OVER (ORDER BY c_acctbal DESC, c_custkey) AS INT) AS quartile, "
-    "round(percent_rank() OVER (ORDER BY c_acctbal DESC, c_custkey), 6) AS pr "
-    "FROM customer ORDER BY c_custkey"
+    "CAST(ntile(4) OVER w AS INT) AS quartile, "
+    "round(percent_rank() OVER w, 6) AS pr, "
+    "round(cume_dist() OVER w, 6) AS cd, "
+    "CAST(dense_rank() OVER w AS INT) AS dr, "
+    "first_value(c_custkey) OVER w AS fv, "
+    "nth_value(c_custkey, 3) OVER w AS nv3 "
+    "FROM customer "
+    "WINDOW w AS (ORDER BY c_acctbal DESC, c_custkey) "
+    "ORDER BY c_custkey"
 )
 
 
 def run_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ntile + percent_rank ranking windows (portable SQL both engines)."""
+    """Ranking/navigation window family over one named window: ntile,
+    percent_rank, cume_dist, dense_rank, first_value, nth_value (default
+    running frame, total tie-broken order — portable SQL, identical in
+    both engines)."""
     from pcap_converter_spark.io.loader import register_views
 
     register_views(spark, sf_dir)
@@ -1027,7 +1062,7 @@ def extension_queries() -> tuple[dict, dict]:
         "ex_json_extract": _JSON_ORACLE,
         "ex_topk_salted": _TOPK_SALTED_ORACLE,
         "ex_join_salted": _JOIN_SALTED_ORACLE,
-        "ex_cube": _CUBE_SQL,
+        "ex_cube": _CUBE_ORACLE_SQL,
         "ex_ntile": _NTILE_SQL,
     }
     return runners, oracles

@@ -254,7 +254,11 @@ DECLARED_QUERIES: dict[str, Q] = {
             "dq16_string_fns",
             "SELECT p_partkey, upper(p_brand) AS b, length(p_name) AS ln, "
             "substr(p_type, 1, 5) AS t5, replace(p_brand, '#', '-') AS r, "
-            "regexp_extract(p_name, '([a-z]+)', 1) AS w "
+            "regexp_extract(p_name, '([a-z]+)', 1) AS w, "
+            "CAST(levenshtein(p_brand, 'Brand#13') AS INT) AS lev, "
+            "reverse(p_brand) AS rev, lpad(p_brand, 12, '_') AS pad, "
+            "split_part(p_type, ' ', 2) AS ty2, "
+            "translate(p_brand, '#', '~') AS tr, repeat(p_brand, 2) AS rep "
             "FROM part ORDER BY p_partkey",
         ),
         Q(
@@ -266,16 +270,47 @@ DECLARED_QUERIES: dict[str, Q] = {
         ),
         Q(
             "dq18_date_fns",
-            "SELECT o_orderkey, CAST(year(o_orderdate) AS INT) AS y, "
-            "CAST(month(o_orderdate) AS INT) AS m, "
-            "date_trunc('month', o_orderdate) AS mon, "
-            "o_orderdate + INTERVAL 30 DAY AS due FROM orders ORDER BY o_orderkey",
+            spark_sql=(
+                "SELECT o_orderkey, CAST(year(o_orderdate) AS INT) AS y, "
+                "CAST(month(o_orderdate) AS INT) AS m, "
+                "date_trunc('month', o_orderdate) AS mon, "
+                "o_orderdate + INTERVAL 30 DAY AS due, "
+                "CAST(quarter(o_orderdate) AS INT) AS q, "
+                "CAST(last_day(o_orderdate) AS TIMESTAMP) AS ld, "
+                # Mon=0 weekday; engines disagree on dayofweek origin, so each
+                # dialect derives the same ISO-based value its own way
+                "CAST(weekday(o_orderdate) AS INT) AS dow, "
+                "CAST(datediff(o_orderdate, DATE '1995-01-01') AS INT) AS dd, "
+                "date_format(o_orderdate, 'yyyy-MM') AS ym "
+                "FROM orders ORDER BY o_orderkey"
+            ),
+            duck_sql=(
+                "SELECT o_orderkey, CAST(year(o_orderdate) AS INT) AS y, "
+                "CAST(month(o_orderdate) AS INT) AS m, "
+                "date_trunc('month', o_orderdate) AS mon, "
+                "o_orderdate + INTERVAL 30 DAY AS due, "
+                "CAST(quarter(o_orderdate) AS INT) AS q, "
+                "CAST(last_day(o_orderdate) AS TIMESTAMP) AS ld, "
+                "CAST(isodow(o_orderdate) - 1 AS INT) AS dow, "
+                "CAST(datediff('day', DATE '1995-01-01', o_orderdate) AS INT)"
+                " AS dd, "
+                "strftime(o_orderdate, '%Y-%m') AS ym "
+                "FROM orders ORDER BY o_orderkey"
+            ),
         ),
         Q(
             "dq19_math_fns",
+            # deliberately restricted to IEEE-correctly-rounded operations
+            # (sqrt, floor/ceil, abs, sign, %, min/max): transcendental fns
+            # (log, sin, pow) are not correctly rounded, so engines may
+            # legitimately differ in the last ulp and cannot be hash-gated
             "SELECT l_orderkey, l_linenumber, round(sqrt(l_quantity), 4) AS sq, "
             "abs(l_discount - 0.05) > 0.001 AS far, "
             "CAST(floor(l_extendedprice / 1000) AS BIGINT) AS kbucket, "
+            "CAST(ceil(l_extendedprice / 1000) AS BIGINT) AS kceil, "
+            "CAST(sign(l_discount - 0.05) AS INT) AS sgn, "
+            "round(greatest(l_tax, l_discount), 4) AS g, "
+            "round(least(l_tax, l_discount), 4) AS l, "
             "CAST(l_partkey % 7 AS INT) AS m7 "
             "FROM lineitem ORDER BY l_orderkey, l_linenumber",
         ),
