@@ -94,16 +94,21 @@ def run_text_all(spark: SparkSession, sf_dir: str) -> DataFrame:
         gopher_keep, mean_word_len, repetition_stats,
     )
     from pcap_converter_spark.operators.sampling import sample_flag, split_assign
-    from pcap_converter_spark.operators.tfidf import top_tfidf_terms
+    from pcap_converter_spark.operators.tfidf import (
+        term_frequencies, top_tfidf_terms,
+    )
     from pcap_converter_spark.operators.vocab import build_vocab, encode_column
 
     t = F.col("text")
     rfp = TX.rolling_fingerprint_udf()
     docs = _docs(spark, sf_dir)
     did = F.col("doc_id")
+    # ONE token explosion feeds both corpus-level consumers (vocab counts +
+    # tf-idf); repeating it per operator would re-scan the dominant table
+    tf_tab = term_frequencies(docs).persist()
     # bounded driver-side artifact (like IVF centroids): 16-entry vocab,
     # deliberately smaller than the corpus term set so OOV→0 is exercised
-    vocab = build_vocab(docs, size=16)
+    vocab = build_vocab(docs, size=16, tf=tf_tab)
     stop_hits = F.size(
         F.filter(
             TX.words(F.lower(t)),
@@ -166,10 +171,10 @@ def run_text_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     pack = pack_documents(
         docs.select("doc_id", TX.token_count(t).alias("nt")), "nt"
     )
-    return (
+    out = (
         per_doc.join(rep, "doc_id")
         .join(pack, "doc_id")
-        .join(top_tfidf_terms(docs), "doc_id")
+        .join(top_tfidf_terms(docs, tf=tf_tab), "doc_id")
         .withColumn(
             "gopher_keep",
             gopher_keep(
@@ -183,6 +188,7 @@ def run_text_all(spark: SparkSession, sf_dir: str) -> DataFrame:
         .drop("_stop_hits", "_praw")
         .orderBy("doc_id")
     )
+    return _eager(spark, out, [tf_tab])
 
 
 _LANGID_CASE = (

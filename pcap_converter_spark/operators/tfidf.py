@@ -27,23 +27,39 @@ from pyspark.sql.window import Window
 from pcap_converter_spark.functions.text import words
 
 
+def term_frequencies(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """The (doc, term, tf) table — ONE token explosion + one map-side-
+    combining shuffle. Every corpus-level text operator (tf-idf, vocabulary
+    building, df-based cuts) derives from this table, so a pipeline that
+    needs several of them should compute it once, persist it, and pass it
+    via the ``tf`` parameter those operators expose — at 100 TB the token
+    explosion is the dominant scan, not something to repeat per operator."""
+    terms = df.select(
+        F.col(id_col).alias("doc"),
+        F.explode(words(F.lower(F.col(text_col)))).alias("term"),
+    )
+    return terms.groupBy("doc", "term").agg(F.count(F.lit(1)).alias("tf"))
+
+
 def top_tfidf_terms(
     df: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
     round_digits: int = 4,
+    tf: DataFrame | None = None,
 ) -> DataFrame:
     """Per document: the term with the highest tf·idf and its score.
 
     idf = ln((N+1)/(df+1)) + 1 (the smoothed scikit-style form), tf = raw
     term count in the document. Returns (id_col, top_term, top_tfidf) for
-    every input row; documents with no words get NULLs.
+    every input row; documents with no words get NULLs. Pass a precomputed
+    ``term_frequencies`` table via ``tf`` to share the token explosion with
+    other corpus operators.
     """
-    terms = df.select(
-        F.col(id_col).alias("doc"),
-        F.explode(words(F.lower(F.col(text_col)))).alias("term"),
-    )
-    tf = terms.groupBy("doc", "term").agg(F.count(F.lit(1)).alias("tf"))
+    if tf is None:
+        tf = term_frequencies(df, id_col, text_col)
     docfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df_t"))
     n_docs = df.select(F.count(F.lit(1)).alias("n_docs"))
     scored = (

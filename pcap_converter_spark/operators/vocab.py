@@ -21,20 +21,26 @@ from pcap_converter_spark.functions.text import words
 
 
 def build_vocab(
-    df: DataFrame, text_col: str = "text", size: int = 16
+    df: DataFrame,
+    text_col: str = "text",
+    size: int = 16,
+    tf: DataFrame | None = None,
 ) -> list[tuple[str, int]]:
     """Top-``size`` lowercased whitespace terms by (count DESC, term ASC),
     as [(term, id)] with ids 1..size (0 = OOV). The result is driver-side
     by design — a vocabulary is a bounded artifact (like IVF centroids),
-    collected once and baked into the encoding plan as a literal."""
-    top = (
-        df.select(F.explode(words(F.lower(F.col(text_col)))).alias("term"))
-        .groupBy("term")
-        .agg(F.count(F.lit(1)).alias("c"))
-        .orderBy(F.col("c").desc(), F.col("term"))
-        .limit(size)
-        .collect()
-    )
+    collected once and baked into the encoding plan as a literal. Pass a
+    precomputed ``tfidf.term_frequencies`` table via ``tf`` to share the
+    token explosion with other corpus operators."""
+    if tf is not None:
+        counts = tf.groupBy("term").agg(F.sum("tf").alias("c"))
+    else:
+        counts = (
+            df.select(F.explode(words(F.lower(F.col(text_col)))).alias("term"))
+            .groupBy("term")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+    top = counts.orderBy(F.col("c").desc(), F.col("term")).limit(size).collect()
     return [(r["term"], i + 1) for i, r in enumerate(top)]
 
 

@@ -316,11 +316,27 @@ DECLARED_QUERIES: dict[str, Q] = {
         ),
         Q(
             "dq20_conditional_pivot",
-            "SELECT o_orderpriority, "
-            "CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS f, "
-            "CAST(sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS o, "
-            "CAST(sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS p "
-            "FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority",
+            # native PIVOT then UNPIVOT back to long form: one hash-checked
+            # result proves both reshaping operators; the oracle re-derives
+            # the long form with a dense cross join + conditional counts
+            spark_sql=(
+                "WITH pv AS (SELECT * FROM "
+                "(SELECT o_orderpriority, o_orderstatus FROM orders) "
+                "PIVOT (count(1) FOR o_orderstatus IN ('F' AS f, 'O' AS o, 'P' AS p))) "
+                "SELECT o_orderpriority, status, CAST(coalesce(cnt, 0) AS BIGINT) AS cnt "
+                "FROM pv UNPIVOT INCLUDE NULLS (cnt FOR status IN (f, o, p)) "
+                "ORDER BY o_orderpriority, status"
+            ),
+            duck_sql=(
+                "SELECT p.o_orderpriority, s.status, "
+                "CAST(coalesce(c.n, 0) AS BIGINT) AS cnt "
+                "FROM (SELECT DISTINCT o_orderpriority FROM orders) p "
+                "CROSS JOIN (VALUES ('f'), ('o'), ('p')) s(status) "
+                "LEFT JOIN (SELECT o_orderpriority, lower(o_orderstatus) AS status, "
+                "count(*) AS n FROM orders GROUP BY 1, 2) c "
+                "ON p.o_orderpriority = c.o_orderpriority AND s.status = c.status "
+                "ORDER BY p.o_orderpriority, s.status"
+            ),
         ),
         Q(
             "dq21_sessionization",
