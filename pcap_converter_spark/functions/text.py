@@ -55,23 +55,59 @@ def punct_ratio(text: Column) -> Column:
                   ).otherwise(F.lit(0.0))
 
 
+def stopword_hits_t(ws: Column, lang: str = "en") -> Column:
+    """Stopword occurrences of ``lang`` in a token-array column.
+
+    The ``_t`` family takes an already-computed (lowercased) token array so
+    a fused pipeline can tokenize ONCE into a projected column and feed
+    every consumer. Passing ``words(lower(text))`` reproduces the plain
+    text-based forms exactly — they delegate here.
+
+    NB: single-arg lambda only — pyspark treats 2-arg higher-order lambdas
+    as (element, index), so a default-arg closure trick would silently
+    receive the index column."""
+    stops = LANG_STOPWORDS[lang]
+    return F.size(F.filter(ws, lambda w: w.isin(*stops)))
+
+
+def stopword_ratio_t(ws: Column, hits: Column) -> Column:
+    """Stopword fraction from a token array + precomputed hit count."""
+    return F.when(F.size(ws) > 0, hits / F.size(ws)).otherwise(F.lit(0.0))
+
+
 def stopword_ratio(text: Column, lang: str = "en") -> Column:
     """Fraction of whitespace tokens that are stopwords of ``lang``."""
-    stops = LANG_STOPWORDS[lang]
     ws = words(F.lower(text))
-    hits = F.size(F.filter(ws, lambda w: w.isin(*stops)))
-    return F.when(F.size(ws) > 0, hits / F.size(ws)).otherwise(F.lit(0.0))
+    return stopword_ratio_t(ws, stopword_hits_t(ws, lang))
+
+
+def quality_score_t(ntok: Column, praw: Column, sratio: Column) -> Column:
+    """Composite quality score from precomputed token count, raw punct
+    ratio, and raw (unrounded) stopword ratio."""
+    length_term = F.least(F.lit(1.0), ntok / F.lit(50.0))
+    punct_term = F.lit(1.0) - F.least(F.lit(1.0), praw * 5.0)
+    stop_term = F.least(F.lit(1.0), sratio * 10.0)
+    return F.round(0.4 * length_term + 0.3 * punct_term + 0.3 * stop_term, 4)
 
 
 def quality_score(text: Column) -> Column:
     """Composite [0,1] quality heuristic: enough tokens, low punctuation
     noise, natural-language stopword density. The standard pre-training
     corpus filter shape (length/punct/stopword ratio tests)."""
-    ntok = token_count(text)
-    length_term = F.least(F.lit(1.0), ntok / F.lit(50.0))
-    punct_term = F.lit(1.0) - F.least(F.lit(1.0), punct_ratio(text) * 5.0)
-    stop_term = F.least(F.lit(1.0), stopword_ratio(text) * 10.0)
-    return F.round(0.4 * length_term + 0.3 * punct_term + 0.3 * stop_term, 4)
+    return quality_score_t(
+        token_count(text), punct_ratio(text), stopword_ratio(text)
+    )
+
+
+def language_id_t(scores: dict) -> Column:
+    """Language CASE chain from per-language score columns (ordered dict,
+    earlier profiles win ties); ``und`` when nothing hits."""
+    best = F.greatest(*scores.values())
+    expr = F.lit("und")
+    # build CASE from last profile to first so earlier profiles win ties
+    for lang in reversed(list(scores)):
+        expr = F.when((best > 0) & (scores[lang] == best), F.lit(lang)).otherwise(expr)
+    return expr
 
 
 def language_id(text: Column) -> Column:
@@ -79,27 +115,21 @@ def language_id(text: Column) -> Column:
     hit most tokens; ``und`` (undetermined) when nothing hits. Ties break by
     profile order (en, de, es, fr) — deterministic."""
     ws = words(F.lower(text))
+    return language_id_t(
+        {lang: stopword_hits_t(ws, lang) for lang in LANG_STOPWORDS}
+    )
 
-    def hits(stops: tuple[str, ...]) -> Column:
-        # NB: single-arg lambda only — pyspark treats 2-arg higher-order
-        # lambdas as (element, index), so a default-arg closure trick would
-        # silently receive the index column.
-        return F.size(F.filter(ws, lambda w: w.isin(*stops)))
 
-    scores = {lang: hits(stops) for lang, stops in LANG_STOPWORDS.items()}
-    best = F.greatest(*scores.values())
-    expr = F.lit("und")
-    # build CASE from last profile to first so earlier profiles win ties
-    for lang in reversed(list(LANG_STOPWORDS)):
-        expr = F.when((best > 0) & (scores[lang] == best), F.lit(lang)).otherwise(expr)
-    return expr
+def fingerprint_t(ws: Column) -> Column:
+    """Normalization fingerprint from a lowercased token-array column."""
+    return F.md5(F.concat_ws(" ", ws).cast("binary"))
 
 
 def fingerprint(text: Column) -> Column:
     """Normalization fingerprint: md5 of the lowercased, whitespace-collapsed
     text. Two documents differing only in case/whitespace collide — the
     cheap first-pass dedup key before shingling."""
-    return F.md5(F.concat_ws(" ", words(F.lower(text))).cast("binary"))
+    return fingerprint_t(words(F.lower(text)))
 
 
 def word_hash32(w: Column) -> Column:

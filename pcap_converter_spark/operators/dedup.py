@@ -35,18 +35,17 @@ def _words(text: Column) -> Column:
 
 def shingles(text: Column, k: int = 3) -> Column:
     """Distinct k-word shingles; documents shorter than k words yield their
-    whole text as the single shingle. try_element_at past the end is NULL
-    and concat_ws skips NULLs, so short tails degrade gracefully."""
-    ws = _words(text)
-    n = F.greatest(F.size(ws) - (k - 1), F.lit(1))
-    return F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(1), n),
-            lambda i: F.concat_ws(
-                " ", *[F.try_element_at(ws, i + j) for j in range(k)]
-            ),
-        )
-    )
+    whole text as the single shingle.
+
+    Built from ``token_ngrams`` (zip_with over shifted slices): the
+    tokenizer is referenced a constant number of times per ROW, never
+    inside a per-element lambda — Catalyst inlines lambda-captured
+    expressions per element and codegen subexpression elimination does not
+    reach lambda bodies, so the ``element_at(tokenize(text), i)`` form
+    re-tokenizes the document once per shingle (~k× document length)."""
+    from pcap_converter_spark.operators.quality import token_ngrams
+
+    return F.array_distinct(token_ngrams(_words(text), k))
 
 
 def exact_duplicates(df: DataFrame, text_col: str = "text",
@@ -87,7 +86,13 @@ def passage_duplicates(
     ``doc_ids`` lists one entry per occurrence (a passage repeated inside
     one document appears twice).
     """
-    ws = _words(F.col(text_col))
+    # tokenize into a projected column first: the per-passage lambda below
+    # references `_ws` as an attribute, so the tokenizer runs once per row
+    # instead of once per passage (see `shingles` PERF note)
+    toks = df.select(
+        F.col(id_col), _words(F.col(text_col)).alias("_ws")
+    )
+    ws = F.col("_ws")
     n_pass = F.greatest(F.ceil(F.size(ws) / passage_words) - 1, F.lit(0))
     passages = F.transform(
         F.sequence(F.lit(0), n_pass),
@@ -96,7 +101,7 @@ def passage_duplicates(
         ),
     )
     return (
-        df.select(F.col(id_col), F.explode(passages).alias("passage"))
+        toks.select(F.col(id_col), F.explode(passages).alias("passage"))
         .select(
             F.sha2(F.col("passage").cast("binary"), 256).alias("content_hash"),
             F.col(id_col),

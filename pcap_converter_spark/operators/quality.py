@@ -27,14 +27,30 @@ from pcap_converter_spark.functions.text import words
 
 def word_ngrams(text: Column, n: int = 2) -> Column:
     """All (non-distinct) n-word grams of ``text`` in order; documents with
-    fewer than n words yield their whole text as one gram."""
-    ws = words(F.lower(text))
-    cnt = F.greatest(F.size(ws) - (n - 1), F.lit(1))
-    return F.transform(
-        F.sequence(F.lit(1), cnt),
-        lambda i: F.concat_ws(
-            " ", *[F.try_element_at(ws, i + j) for j in range(n)]
-        ),
+    fewer than n words yield their whole text as one gram.
+
+    PERF: never call this with a raw text expression in a plan that also
+    explodes it — ``token_ngrams`` over a pre-projected token column is the
+    scalable form. An expression referenced inside a higher-order-function
+    lambda is INLINED PER ELEMENT by Catalyst and whole-stage codegen's
+    subexpression elimination does not reach into lambda bodies, so the
+    ``element_at(tokenize(text), i)`` shape re-tokenizes the document for
+    every gram (measured: ~100× on the fused text entry)."""
+    return token_ngrams(words(F.lower(text)), n)
+
+
+def token_ngrams(ws: Column, n: int = 2) -> Column:
+    """N-grams from an already-computed token-array column. Built from
+    ``zip_with`` over shifted slices: the token array is evaluated a
+    constant number of times per ROW (each slice/size), never per gram —
+    safe to use against an attribute or an expression alike."""
+    gram_cnt = F.size(ws) - (n - 1)
+    shifted = [F.slice(ws, 1 + j, gram_cnt) for j in range(n)]
+    acc = shifted[0]
+    for nxt in shifted[1:]:
+        acc = F.zip_with(acc, nxt, lambda a, b: F.concat_ws(" ", a, b))
+    return F.when(F.size(ws) >= n, acc).otherwise(
+        F.array(F.concat_ws(" ", ws))
     )
 
 
@@ -57,8 +73,15 @@ def repetition_stats(
     Shape: explode → count by (doc, gram) → reduce by doc. Both shuffles
     partial-aggregate map-side; gram strings never ride a join.
     """
-    grams = df.select(
-        F.col(id_col), F.explode(word_ngrams(F.col(text_col), n)).alias("gram")
+    # tokenize ONCE into a projected column: the gram transform then
+    # references an attribute, not the tokenizer expression (see
+    # word_ngrams PERF note — CollapseProject keeps an expensive
+    # multi-referenced projection as a separate pipeline step)
+    toks = df.select(
+        F.col(id_col), words(F.lower(F.col(text_col))).alias("_ws")
+    )
+    grams = toks.select(
+        F.col(id_col), F.explode(token_ngrams(F.col("_ws"), n)).alias("gram")
     )
     per_gram = grams.groupBy(id_col, "gram").agg(F.count(F.lit(1)).alias("c"))
     return (

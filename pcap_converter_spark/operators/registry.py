@@ -64,12 +64,17 @@ def _embs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _eager(spark: SparkSession, df: DataFrame, handles: list) -> DataFrame:
     """Materialize ``df`` once, then unpersist the operator's internal
     caches (VERDICT r2: leaked persist() blocks accumulate over a long
-    session). The fixture-scale result rides back as a local DataFrame;
-    at corpus scale callers keep the lazy form and manage persistence."""
-    pdf = df.toPandas()
+    session). ``localCheckpoint(eager=True)`` runs the plan exactly once
+    and keeps the result as JVM-side blocks (freed by the context cleaner
+    when the returned frame is dropped) — unlike a toPandas/createDataFrame
+    roundtrip it never routes the result through driver memory or the
+    Python-worker parallelize path, so the cost is one job, not one job
+    plus 32 cold worker forks. At corpus scale callers keep the lazy form
+    and manage persistence themselves."""
+    out = df.localCheckpoint(eager=True)
     for h in handles:
         h.unpersist()
-    return spark.createDataFrame(pdf, schema=df.schema)
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -91,13 +96,13 @@ def run_text_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     the tfidf + quality operators."""
     from pcap_converter_spark.operators.packing import pack_documents
     from pcap_converter_spark.operators.quality import (
-        gopher_keep, mean_word_len, repetition_stats,
+        gopher_keep, repetition_stats,
     )
     from pcap_converter_spark.operators.sampling import sample_flag, split_assign
     from pcap_converter_spark.operators.tfidf import (
         term_frequencies, top_tfidf_terms,
     )
-    from pcap_converter_spark.operators.vocab import build_vocab, encode_column
+    from pcap_converter_spark.operators.vocab import build_vocab, encode_tokens
 
     t = F.col("text")
     rfp = TX.rolling_fingerprint_udf()
@@ -109,12 +114,6 @@ def run_text_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     # bounded driver-side artifact (like IVF centroids): 16-entry vocab,
     # deliberately smaller than the corpus term set so OOV→0 is exercised
     vocab = build_vocab(docs, size=16, tf=tf_tab)
-    stop_hits = F.size(
-        F.filter(
-            TX.words(F.lower(t)),
-            lambda w: w.isin(*TX.LANG_STOPWORDS["en"]),
-        )
-    )
     # deterministic PII decoration: the synthetic corpus carries no PII, so
     # the detector is exercised against injected tokens whose presence
     # varies by doc_id (a regex that matches nothing would hash-check
@@ -145,27 +144,54 @@ def run_text_all(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ).otherwise(F.lit("")),
     )
-    per_doc = docs.select(
+    # Staged projections: tokenize ONCE into `_ws`, then per-language
+    # scores and shared scalars, then the final columns. Each stage's
+    # outputs are attributes to the next — CollapseProject keeps expensive
+    # multi-referenced projections separate, so the tokenizer appears once
+    # in the generated code instead of once per consumer column (the
+    # single-select form inlined it ~30×, dominating both Janino compile
+    # time and row throughput).
+    ws = F.col("_ws")
+    s0 = docs.select(
+        "doc_id", "lang", "text", TX.words(F.lower(t)).alias("_ws")
+    )
+    s1 = s0.select(
+        "doc_id", "lang", "text", "_ws",
+        *[
+            TX.stopword_hits_t(ws, lang).alias(f"_s_{lang}")
+            for lang in TX.LANG_STOPWORDS
+        ],
+        F.size(ws).alias("_nt"),
+        TX.punct_ratio(t).alias("_pr"),
+        F.length(F.concat_ws("", ws)).alias("_chars"),
+    )
+    nt, praw = F.col("_nt"), F.col("_pr")
+    sratio = TX.stopword_ratio_t(ws, F.col("_s_en"))
+    per_doc = s1.select(
         "doc_id",
         sample_flag(F.col("doc_id"), 20).alias("in_sample_20"),
         split_assign(F.col("doc_id")).alias("split"),
-        TX.token_count(t).alias("n_tokens"),
+        nt.alias("n_tokens"),
         TX.bpe_token_count(t).alias("n_bpe"),
-        F.round(TX.punct_ratio(t), 4).alias("punct_r"),
-        F.round(TX.stopword_ratio(t), 4).alias("stop_r"),
-        TX.quality_score(t).alias("quality"),
+        F.round(praw, 4).alias("punct_r"),
+        F.round(sratio, 4).alias("stop_r"),
+        TX.quality_score_t(nt, praw, sratio).alias("quality"),
         F.col("lang").alias("labeled_lang"),
-        TX.language_id(t).alias("guessed_lang"),
-        TX.fingerprint(t).alias("fp"),
+        TX.language_id_t(
+            {lang: F.col(f"_s_{lang}") for lang in TX.LANG_STOPWORDS}
+        ).alias("guessed_lang"),
+        TX.fingerprint_t(ws).alias("fp"),
         rfp(t).alias("rfp"),
-        F.round(mean_word_len(t), 4).alias("mean_wlen"),
-        stop_hits.alias("_stop_hits"),
-        F.round(TX.punct_ratio(t), 8).alias("_praw"),
+        F.round(
+            F.when(nt > 0, F.col("_chars") / nt).otherwise(F.lit(0.0)), 4
+        ).alias("mean_wlen"),
+        F.col("_s_en").alias("_stop_hits"),
+        F.round(praw, 8).alias("_praw"),
         TX.pii_count(pii_src, TX.PII_EMAIL_RE).alias("pii_emails"),
         TX.pii_count(pii_src, TX.PII_IPV4_RE).alias("pii_ips"),
         TX.pii_count(pii_src, TX.PII_PHONE_RE).alias("pii_phones"),
         F.md5(TX.pii_redact(pii_src).cast("binary")).alias("pii_fp"),
-        encode_column(t, vocab).alias("vocab_ids"),
+        encode_tokens(ws, vocab).alias("vocab_ids"),
     )
     rep = repetition_stats(docs)
     pack = pack_documents(

@@ -44,13 +44,18 @@ def build_vocab(
     return [(r["term"], i + 1) for i, r in enumerate(top)]
 
 
-def encode_column(text: Column, vocab: list[tuple[str, int]]) -> Column:
-    """Map each token of ``text`` to its vocabulary id (OOV → 0) via a
-    plan-literal map — projection-only, scan-speed."""
+def encode_tokens(ws: Column, vocab: list[tuple[str, int]]) -> Column:
+    """Map each element of a token-array column to its vocabulary id
+    (OOV → 0) via a plan-literal map — projection-only, scan-speed."""
     m = F.create_map(
         *[x for term, vid in vocab for x in (F.lit(term), F.lit(vid))]
     )
     return F.transform(
-        words(F.lower(text)),
-        lambda w: F.coalesce(F.try_element_at(m, w), F.lit(0)),
+        ws, lambda w: F.coalesce(F.try_element_at(m, w), F.lit(0))
     )
+
+
+def encode_column(text: Column, vocab: list[tuple[str, int]]) -> Column:
+    """Map each token of ``text`` to its vocabulary id (OOV → 0) via a
+    plan-literal map — projection-only, scan-speed."""
+    return encode_tokens(words(F.lower(text)), vocab)

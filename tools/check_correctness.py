@@ -84,6 +84,26 @@ def main() -> int:
             f"SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
         )
 
+    # warm both Python-worker pools (pandas-UDF + driver-parallelize) so
+    # the first UDF-bearing entry doesn't eat 32 cold interpreter forks
+    try:
+        import pandas as pd
+        from pyspark.sql.functions import pandas_udf
+
+        @pandas_udf("long")
+        def _warm(s: pd.Series) -> pd.Series:
+            return s
+
+        p = spark.sparkContext.defaultParallelism
+        spark.range(p * 10, numPartitions=p).select(_warm("id")).write.format(
+            "noop"
+        ).mode("overwrite").save()
+        spark.createDataFrame(pd.DataFrame({"i": range(p * 10)})).write.format(
+            "noop"
+        ).mode("overwrite").save()
+    except Exception:
+        pass
+
     runners = e.queries()
     oracles = e.oracle_sql()
     names = [n for n in runners if not only or n in only]
