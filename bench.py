@@ -14,6 +14,7 @@ and reported in pkts/s alongside.
 
 from __future__ import annotations
 
+import gc
 import json
 import os
 import sys
@@ -75,12 +76,25 @@ def main() -> int:
     for name, fn in runners.items():
         t0 = time.perf_counter()
         try:
-            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            df = fn(spark, sf_dir)
+            df.write.format("noop").mode("overwrite").save()
             timings[name] = round(time.perf_counter() - t0, 3)
             print(f"bench: {name} {timings[name]}s", file=sys.stderr)
         except Exception as exc:  # a broken query must not hide the others
             print(f"bench: {name} failed: {exc}", file=sys.stderr)
             timings[name] = -1.0
+        # Untimed inter-query cleanup (same rationale as the GC before the
+        # decode timing below): the eager entries leave localCheckpoint
+        # blocks that are only freed by the ContextCleaner after the Python
+        # reference dies AND a JVM GC runs; without this, one entry's heap
+        # debt lands as a GC pause inside the NEXT entry's timing (measured:
+        # ex_json_extract 9.5 s mid-suite vs 1.3 s isolated).
+        df = None
+        gc.collect()
+        try:
+            spark._jvm.System.gc()
+        except Exception:
+            pass
 
     # ETL throughput: decode the fixture pcap through the full source +
     # defrag pipeline (reference anchor: 494k pkts/s on 4 Rust threads).
