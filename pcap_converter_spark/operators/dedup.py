@@ -115,6 +115,48 @@ def passage_duplicates(
     )
 
 
+def decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+) -> DataFrame:
+    """Benchmark decontamination: find corpus documents sharing any k-word
+    n-gram with an evaluation/benchmark set — the overlap pass a training
+    pipeline runs so eval data never leaks into the training corpus
+    (production pipelines use k≈8-13 exact n-grams; the principle is
+    identical at any k).
+
+    Returns one row per leaked n-gram: ``(gram_hash, dup_count, doc_ids)``
+    where ``dup_count`` is the number of corpus documents containing the
+    gram and ``doc_ids`` lists them sorted. Aggregate ``doc_ids`` for the
+    removal set; the per-gram form also answers *which* benchmark content
+    leaked.
+
+    Scale shape: the benchmark side is small (eval suites are MBs, the
+    corpus is TBs), so its distinct gram-hash set is BROADCAST; the
+    corpus-side gram table (md5-low63 BIGINT keys from the same
+    Arrow-batched pass the Jaccard ladder uses — 8-byte keys, never gram
+    text) streams through the broadcast hash join with no corpus-side
+    shuffle, and only the matching (gram, doc) rows — a vanishing fraction
+    of the corpus — reach the final groupBy.
+    """
+    bench_grams = (
+        _shingle_table(benchmark, text_col, id_col, k).select("sh").distinct()
+    )
+    corpus_grams = _shingle_table(corpus, text_col, id_col, k)
+    return (
+        corpus_grams.join(F.broadcast(bench_grams), "sh")
+        .groupBy("sh")
+        .agg(
+            F.count(F.lit(1)).alias("dup_count"),
+            F.sort_array(F.collect_list("doc")).alias("doc_ids"),
+        )
+        .withColumnRenamed("sh", "gram_hash")
+    )
+
+
 def _shingle_table(df: DataFrame, text_col: str, id_col: str, k: int) -> DataFrame:
     """Exploded (doc, shingle-hash) table via one Arrow-batched pass.
 

@@ -380,20 +380,35 @@ ORDER BY doc_id
 # ---------------------------------------------------------------------------
 
 def run_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact dedup at BOTH granularities in one tagged result: whole-document
-    sha256 groups (tier 'doc') and fixed-window passage groups (tier
-    'passage' — the chunk-level pass that catches boilerplate paragraphs
-    shared across distinct pages). Registered with 4-word passages so the
-    fixture corpus actually produces duplicate groups to hash-check (the
-    32-word production default yields none on synthetic word soup)."""
+    """Exact dedup at BOTH granularities plus benchmark decontamination in
+    one tagged result: whole-document sha256 groups (tier 'doc'),
+    fixed-window passage groups (tier 'passage' — the chunk-level pass that
+    catches boilerplate paragraphs shared across distinct pages), and tier
+    'decon' — eval-set overlap removal, with every doc_id % 83 == 0 playing
+    the held-out benchmark and the rest the training corpus: each leaked
+    5-gram hash with the corpus docs containing it (broadcast of the
+    benchmark gram set; operators/dedup.py::decontaminate). Registered with
+    4-word passages so the fixture corpus actually produces duplicate
+    groups to hash-check (the 32-word production default yields none on
+    synthetic word soup)."""
     docs = _docs(spark, sf_dir)
+    did = F.col("doc_id")
     doc_tier = dedup.exact_duplicates(docs).withColumn("tier", F.lit("doc"))
     pas_tier = dedup.passage_duplicates(docs, passage_words=4).withColumn(
         "tier", F.lit("passage")
     )
+    dec_tier = dedup.decontaminate(
+        docs.filter(did % 83 != 0), docs.filter(did % 83 == 0), k=5
+    ).select(
+        F.lit("decon").alias("tier"),
+        F.col("gram_hash").cast("string").alias("content_hash"),
+        "dup_count",
+        "doc_ids",
+    )
     return (
         doc_tier.unionByName(pas_tier)
         .select("tier", "content_hash", "dup_count", "doc_ids")
+        .unionByName(dec_tier)
         .orderBy("tier", "content_hash")
     )
 
@@ -418,8 +433,26 @@ p AS (
 pas_t AS (
   SELECT 'passage' AS tier, sha256(passage) AS content_hash,
          count(*) AS dup_count, list_sort(list(doc_id)) AS doc_ids
-  FROM p GROUP BY sha256(passage) HAVING count(*) > 1)
-SELECT * FROM doc_t UNION ALL SELECT * FROM pas_t
+  FROM p GROUP BY sha256(passage) HAVING count(*) > 1),
+g5 AS (
+  SELECT doc_id, list_distinct(list_transform(
+           range(1, greatest(len(lws) - 4, 1) + 1),
+           i -> concat_ws(' ', lws[i], lws[i+1], lws[i+2], lws[i+3], lws[i+4])))
+           AS gs
+  FROM w),
+ge_raw AS (SELECT doc_id, unnest(gs) AS g_text FROM g5),
+ge AS (SELECT doc_id,
+       CAST(md5_number_lower(g_text) & 9223372036854775807::UBIGINT AS BIGINT)
+         AS g
+       FROM ge_raw),
+bench AS (SELECT DISTINCT g FROM ge WHERE doc_id % 83 = 0),
+dec_t AS (
+  SELECT 'decon' AS tier, CAST(g AS VARCHAR) AS content_hash,
+         count(*) AS dup_count, list_sort(list(doc_id)) AS doc_ids
+  FROM ge JOIN bench USING (g)
+  WHERE doc_id % 83 <> 0
+  GROUP BY g)
+SELECT * FROM doc_t UNION ALL SELECT * FROM pas_t UNION ALL SELECT * FROM dec_t
 ORDER BY tier, content_hash
 """
 

@@ -105,6 +105,37 @@ def test_simhash_pairs_pigeonhole_complete(spark, docs_df):
     assert got == expected
 
 
+def test_decontaminate_matches_python(spark, docs_df):
+    """Corpus docs sharing any k-gram with the benchmark set, grouped by
+    gram hash — vs a brute-force Python reference over the same fixture."""
+    bench_ids = {0, 5}
+    bench = docs_df.filter(docs_df.doc_id.isin(*bench_ids))
+    corpus = docs_df.filter(~docs_df.doc_id.isin(*bench_ids))
+    got = {
+        r["gram_hash"]: (r["dup_count"], r["doc_ids"])
+        for r in dedup.decontaminate(corpus, bench, k=3).collect()
+    }
+    bench_grams = set().union(
+        *(py_shingles(t, 3) for d, t in DOCS if d in bench_ids)
+    )
+    expected: dict[str, list[int]] = {}
+    for d, t in DOCS:
+        if d in bench_ids:
+            continue
+        for g in py_shingles(t, 3) & bench_grams:
+            expected.setdefault(g, []).append(d)
+    import hashlib
+
+    mask = (1 << 63) - 1
+    exp_hashed = {
+        int.from_bytes(hashlib.md5(g.encode()).digest()[8:16], "little") & mask:
+            (len(ds), sorted(ds))
+        for g, ds in expected.items()
+    }
+    assert got == exp_hashed
+    assert got, "fixture must actually produce contamination hits"
+
+
 def test_duplicate_groups_connected_components(spark, docs_df):
     """Pairs → transitive keep-lowest-id groups: chained near-dups must
     collapse into ONE component even when the endpoints share no pair."""
