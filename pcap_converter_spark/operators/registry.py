@@ -919,27 +919,54 @@ GROUP BY n_name ORDER BY n_name
 
 
 def run_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """JSON surface over events.props: path extraction (get_json_object vs
+    """Semi-structured extraction surface over events, one hash-checked
+    aggregation: JSON path extraction (get_json_object vs
     json_extract_string), the TYPED parse path (from_json into a struct —
-    the Spark-native way to land JSON in columns), and missing-path NULL
-    semantics — all in one hash-checked aggregation."""
+    the Spark-native way to land JSON in columns), missing-path NULL
+    semantics, AND URL decomposition via parse_url (HOST / PATH /
+    QUERY-with-key — the domain-extraction primitive web-corpus pipelines
+    filter and group by). Events carry no URL column, so one is synthesized
+    deterministically from event fields — the extraction then has real
+    per-row variance to get wrong (the DuckDB twin re-derives host/path/
+    param with regexes, so a parse_url misuse cannot hash-match)."""
     from pcap_converter_spark.io.loader import register_views
 
     register_views(spark, sf_dir)
     return spark.sql(
+        "WITH e AS (SELECT props, concat("
+        "  'https://', event_type, '.ex', CAST(user_id % 3 AS STRING),"
+        "  '.org/p/', CAST(event_id % 7 AS STRING),"
+        "  '?uid=', CAST(user_id AS STRING), '&t=', event_type) AS u"
+        " FROM events) "
         "SELECT CAST(get_json_object(props, '$.k') AS INT) AS k, "
         "from_json(props, 'k INT').k AS k_typed, "
         "get_json_object(props, '$.missing') AS miss, "
-        "count(*) AS n FROM events GROUP BY k, k_typed, miss ORDER BY k"
+        "parse_url(u, 'HOST') AS host, "
+        "parse_url(u, 'PATH') AS pth, "
+        "CAST(parse_url(u, 'QUERY', 'uid') AS BIGINT) % 5 AS uid_bucket, "
+        "count(*) AS n FROM e "
+        "GROUP BY k, k_typed, miss, host, pth, uid_bucket "
+        "ORDER BY k, host, pth, uid_bucket"
     )
 
 
 _JSON_ORACLE = """
+WITH e AS (
+  SELECT props,
+         concat('https://', event_type, '.ex', CAST(user_id % 3 AS VARCHAR),
+                '.org/p/', CAST(event_id % 7 AS VARCHAR),
+                '?uid=', CAST(user_id AS VARCHAR), '&t=', event_type) AS u
+  FROM events)
 SELECT CAST(json_extract_string(props, '$.k') AS INT) AS k,
        CAST(json_extract_string(props, '$.k') AS INT) AS k_typed,
        json_extract_string(props, '$.missing') AS miss,
+       regexp_extract(u, '^https?://([^/?#]+)', 1) AS host,
+       regexp_extract(u, '^https?://[^/?#]+([^?#]*)', 1) AS pth,
+       CAST(regexp_extract(u, '[?&]uid=([^&#]+)', 1) AS BIGINT) % 5
+         AS uid_bucket,
        count(*) AS n
-FROM events GROUP BY k, k_typed, miss ORDER BY k
+FROM e GROUP BY k, k_typed, miss, host, pth, uid_bucket
+ORDER BY k, host, pth, uid_bucket
 """
 
 
