@@ -364,16 +364,57 @@ DECLARED_QUERIES: dict[str, Q] = {
             "SELECT text, count(*) AS dups FROM documents GROUP BY text "
             "HAVING count(*) > 1 ORDER BY dups DESC, text",
         ),
+        # dq26 covers the array/higher-order-function family end to end:
+        # size/element_at, array_max/min, a left-fold sum (Spark `aggregate`
+        # vs DuckDB `list_reduce` — both exact left folds in element order,
+        # so doubles match bit-for-bit), sort_array, reverse, slice,
+        # filter+size, transform (elements cast to DOUBLE before arithmetic
+        # so neither engine does float32 math), array_position,
+        # sequence/range length, and struct construction + field access.
         Q(
             "dq26_array_ops",
             spark_sql=(
                 "SELECT vec_id, CAST(size(embedding) AS INT) AS d, "
-                "round(CAST(element_at(embedding, 1) AS DOUBLE), 4) AS e1 "
+                "round(CAST(element_at(embedding, 1) AS DOUBLE), 4) AS e1, "
+                "round(CAST(array_max(embedding) AS DOUBLE), 4) AS amax, "
+                "round(CAST(array_min(embedding) AS DOUBLE), 4) AS amin, "
+                "round(aggregate(embedding, CAST(0 AS DOUBLE), "
+                "(a, x) -> a + CAST(x AS DOUBLE)), 4) AS asum, "
+                "round(CAST(element_at(sort_array(embedding), 3) AS DOUBLE), 4) "
+                "AS srt3, "
+                "round(CAST(element_at(reverse(embedding), 1) AS DOUBLE), 4) "
+                "AS rev1, "
+                "round(CAST(element_at(slice(embedding, 2, 3), 2) AS DOUBLE), 4) "
+                "AS sl2, "
+                "CAST(size(filter(embedding, x -> x > 0)) AS INT) AS npos, "
+                "round(element_at(transform(embedding, "
+                "x -> CAST(x AS DOUBLE) * 2 + 1), 5), 4) AS tr5, "
+                "CAST(array_position(sort_array(embedding), "
+                "array_max(embedding)) AS INT) AS posmax, "
+                "CAST(size(sequence(1, CAST(vec_id % 5 AS INT) + 1)) AS INT) "
+                "AS seqn, "
+                "named_struct('a', 1, 'b', vec_id).b AS sb "
                 "FROM embeddings ORDER BY vec_id"
             ),
             duck_sql=(
                 "SELECT vec_id, CAST(len(embedding) AS INT) AS d, "
-                "round(CAST(embedding[1] AS DOUBLE), 4) AS e1 "
+                "round(CAST(embedding[1] AS DOUBLE), 4) AS e1, "
+                "round(CAST(list_aggregate(embedding, 'max') AS DOUBLE), 4) "
+                "AS amax, "
+                "round(CAST(list_aggregate(embedding, 'min') AS DOUBLE), 4) "
+                "AS amin, "
+                "round(list_reduce(list_prepend(CAST(0 AS DOUBLE), "
+                "embedding::DOUBLE[]), (a, x) -> a + x), 4) AS asum, "
+                "round(CAST(list_sort(embedding)[3] AS DOUBLE), 4) AS srt3, "
+                "round(CAST(list_reverse(embedding)[1] AS DOUBLE), 4) AS rev1, "
+                "round(CAST(embedding[2:4][2] AS DOUBLE), 4) AS sl2, "
+                "CAST(len(list_filter(embedding, x -> x > 0)) AS INT) AS npos, "
+                "round(list_transform(embedding, "
+                "x -> CAST(x AS DOUBLE) * 2 + 1)[5], 4) AS tr5, "
+                "CAST(list_position(list_sort(embedding), "
+                "list_aggregate(embedding, 'max')) AS INT) AS posmax, "
+                "CAST(len(range(1, vec_id % 5 + 2)) AS INT) AS seqn, "
+                "struct_pack(a := 1, b := vec_id).b AS sb "
                 "FROM embeddings ORDER BY vec_id"
             ),
         ),

@@ -1,0 +1,195 @@
+#!/usr/bin/env python
+"""Scale smoke: empirical scaling exponents for the scale-path operators.
+
+The sf0.1 bench corpus (5k docs / 2k vectors) verifies correctness but
+cannot distinguish a linearithmic operator from a quadratic one — fixed
+scheduling overhead dominates. This harness generates a 20-40x corpus in
+/tmp (100k docs, 50k embeddings, same schemas as TESTDATA.md), times each
+scale-tier operator at n and n/2, and reports the empirical exponent
+log2(t_n / t_half). An exponent near 1 means the operator's cost is
+dominated by linear work; near 2 means a quadratic term has taken over and
+the operator would NOT survive a 100 TB corpus. Exact-by-design tiers
+(cosine all-pairs, uncut n-gram join) are deliberately absent — their
+contract is quadratic; this tool guards the tiers whose contract is NOT.
+
+Usage::
+
+    python tools/scale_smoke.py [--docs 100000] [--vecs 50000]
+
+Prints one JSON line: {"op": {"t_full": s, "t_half": s, "exp": e}, ...}.
+Exponents are noisy at these sizes (JIT, GC, scheduling); the guard is
+"well under 2", not a precise slope.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+VOCAB = (
+    "key agg row scan slow fast table value part hash merge batch spark the "
+    "line sort window join shuffle block codec page split stage task executor "
+    "driver plan filter project group order limit union expr cast alias"
+).split()
+
+
+def gen_documents(path: str, n: int, seed: int = 7) -> None:
+    """Word-soup docs, ~120 words each, with planted near-dup groups
+    (every 40th doc is a copy of its predecessor with one word changed)
+    mirroring the testdata generator's shape."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rng = np.random.default_rng(seed)
+    lens = rng.integers(60, 180, size=n)
+    texts: list[str] = []
+    for i in range(n):
+        ws = rng.integers(0, len(VOCAB), size=lens[i])
+        if i % 40 == 39 and texts:  # planted near-dup of predecessor
+            prev = texts[-1].split()
+            prev[rng.integers(0, len(prev))] = VOCAB[int(ws[0])]
+            texts.append(" ".join(prev))
+        else:
+            texts.append(" ".join(VOCAB[j] for j in ws))
+    tab = pa.table(
+        {
+            "doc_id": pa.array(range(n), type=pa.int64()),
+            "text": pa.array(texts),
+            "lang": pa.array(["en"] * n),
+            "source": pa.array([f"src{i % 5}" for i in range(n)]),
+            "n_chars": pa.array([len(t) for t in texts], type=pa.int64()),
+        }
+    )
+    pq.write_table(tab, path)
+
+
+def gen_embeddings(path: str, n: int, dim: int = 64, seed: int = 11) -> None:
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rng = np.random.default_rng(seed)
+    m = rng.standard_normal((n, dim)).astype(np.float32)
+    # planted near-dups: every 25th vector is a tiny perturbation of its
+    # predecessor (cos > 0.99)
+    for i in range(1, n, 25):
+        m[i] = m[i - 1] + 0.01 * rng.standard_normal(dim).astype(np.float32)
+    tab = pa.table(
+        {
+            "vec_id": pa.array(range(n), type=pa.int64()),
+            "embedding": pa.array(list(m), type=pa.list_(pa.float32())),
+        }
+    )
+    pq.write_table(tab, path)
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--docs", type=int, default=100_000)
+    ap.add_argument("--vecs", type=int, default=50_000)
+    args = ap.parse_args()
+
+    work = "/tmp/scale_smoke"
+    os.makedirs(work, exist_ok=True)
+    docs_p = os.path.join(work, f"documents_{args.docs}.parquet")
+    vecs_p = os.path.join(work, f"embeddings_{args.vecs}.parquet")
+    if not os.path.exists(docs_p):
+        gen_documents(docs_p, args.docs)
+    if not os.path.exists(vecs_p):
+        gen_embeddings(vecs_p, args.vecs)
+
+    from pyspark.sql import functions as F
+
+    from pcap_converter_spark.operators import dedup, packing
+    from pcap_converter_spark.session import get_spark
+
+    spark = get_spark("scale-smoke")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    def load(path: str, frac: float):
+        df = spark.read.parquet(path)
+        if frac < 1.0:
+            df = df.filter(F.col(df.columns[0]) % 2 == 0)
+        p = spark.sparkContext.defaultParallelism
+        return df.repartition(p)
+
+    def run(fn) -> float:
+        t0 = time.perf_counter()
+        fn().write.format("noop").mode("overwrite").save()
+        return time.perf_counter() - t0
+
+    docs_full = load(docs_p, 1.0).persist()
+    docs_half = load(docs_p, 0.5).persist()
+    vecs_full = load(vecs_p, 1.0).persist()
+    vecs_half = load(vecs_p, 0.5).persist()
+    for d in (docs_full, docs_half, vecs_full, vecs_half):
+        d.count()
+
+    did = F.col("doc_id")
+    ops = {
+        "exact_dedup": lambda d: lambda: dedup.exact_duplicates(d),
+        "passage_dedup": lambda d: lambda: dedup.passage_duplicates(
+            d, passage_words=8
+        ),
+        "decontaminate": lambda d: lambda: dedup.decontaminate(
+            d.filter(did % 83 != 0), d.filter(did % 83 == 0), k=5
+        ),
+        "jaccard_dfcut": lambda d: lambda: dedup.ngram_jaccard_pairs(
+            d, threshold=0.7, max_shingle_df=8
+        ),
+        "minhash_lsh": lambda d: lambda: dedup.minhash_lsh_pairs(
+            d, threshold=0.7
+        ),
+        "simhash": lambda d: lambda: dedup.simhash_pairs(d, max_hamming=3),
+        "packing": lambda d: lambda: packing.pack_documents(
+            d.select("doc_id", F.size(F.split("text", " ")).alias("nt")), "nt"
+        ),
+    }
+    vec_ops = {
+        "embed_lsh": lambda v: lambda: dedup.embedding_neardup_lsh(
+            v, threshold=0.9
+        ),
+    }
+
+    out: dict[str, dict] = {}
+    for name, mk in ops.items():
+        t_half = run(mk(docs_half))
+        t_full = run(mk(docs_full))
+        out[name] = {
+            "t_half": round(t_half, 2),
+            "t_full": round(t_full, 2),
+            "exp": round(
+                (0 if t_half <= 0 else __import__("math").log2(t_full / t_half)), 2
+            ),
+        }
+        print(f"scale_smoke: {name} half={t_half:.1f}s full={t_full:.1f}s "
+              f"exp={out[name]['exp']}", file=sys.stderr)
+    for name, mk in vec_ops.items():
+        t_half = run(mk(vecs_half))
+        t_full = run(mk(vecs_full))
+        out[name] = {
+            "t_half": round(t_half, 2),
+            "t_full": round(t_full, 2),
+            "exp": round(
+                (0 if t_half <= 0 else __import__("math").log2(t_full / t_half)), 2
+            ),
+        }
+        print(f"scale_smoke: {name} half={t_half:.1f}s full={t_full:.1f}s "
+              f"exp={out[name]['exp']}", file=sys.stderr)
+
+    print(json.dumps({"docs": args.docs, "vecs": args.vecs, "ops": out}))
+    bad = [k for k, v in out.items() if v["exp"] >= 1.8]
+    if bad:
+        print(f"scale_smoke: QUADRATIC SUSPECTS: {bad}", file=sys.stderr)
+        return 1
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
