@@ -668,11 +668,12 @@ def embedding_neardup(
 def embedding_neardup_lsh(
     df: DataFrame,
     threshold: float = 0.9,
-    n_planes: int = 64,
-    bands: int = 8,
+    n_planes: int | None = None,
+    bands: int | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 42,
+    recall_target: float = 0.95,
     handles: list | None = None,
 ) -> DataFrame:
     """Tier 5 (scale path): LSH-bucketed embedding near-dup.
@@ -681,12 +682,27 @@ def embedding_neardup_lsh(
     band); only rows sharing a band bucket become candidate pairs, which
     are then verified with exact cosine — the standard signature→band→
     bucket-join shape that replaces the O(n²) scan with an equi-join on
-    uniform band keys. Recall for cos≥0.9 with 64 planes in 8 bands of 8
-    is ≈0.93 (1-(1-p^8)^8, p=1-θ/π), rising to ≈0.99 at cos≥0.95; width-8
-    bands give 256 buckets per band, which is what keeps the candidate
-    count sub-quadratic — the bits-per-band knob trades recall against
-    candidate volume. tests/test_dedup.py bounds recall on planted
-    duplicates. Output schema matches ``embedding_neardup``.
+    band keys. tests/test_dedup.py bounds recall on planted duplicates.
+    Output schema matches ``embedding_neardup``.
+
+    SIZING (the part that decides whether this survives scale): expected
+    random-pair candidates are ≈ n²·bands/2^width, so the scheme is
+    sub-quadratic only while 2^width ≳ n — a FIXED width silently goes
+    quadratic once the corpus outgrows its bucket space (measured:
+    25k→50k random vectors at width 8 scaled ×12.5, exponent 3.6). With
+    the defaults (``n_planes=bands=None``) both knobs are therefore sized
+    from the data with one count() job: width = ⌈log2 n⌉+1 (random
+    collisions ≈ bands·n/2, i.e. linear), then bands from the recall
+    budget: P(two cos-θ rows agree on one plane) = p = 1−θ/π, a band of
+    `width` planes matches with p^width, so ``bands =
+    ln(1−recall_target)/ln(1−p^width)`` (capped at 64) makes a
+    ≥-threshold pair surface with probability ≥ recall_target. The cost
+    of recall at scale is band count — the banded table is `bands`
+    rows/vec; hyperplane LSH is only economical for HIGH thresholds
+    (near-dup, cos ≥ 0.9): at low thresholds p^width collapses and the
+    cap bites, so use the IVF/exact tiers there. Explicit
+    n_planes+bands skip the count() and pin the geometry (the fixture
+    entry pins 16×4-bit bands, recall-saturating at validation scale).
 
     The signature is computed in ONE Arrow-batched matmul per partition
     (pandas UDF) — per-plane higher-order-function expressions are
@@ -696,8 +712,25 @@ def embedding_neardup_lsh(
     vectorized Arrow-batched UDF, so neither the band self-join nor the
     distinct ever shuffles an embedding.
     """
+    import math
+
     from pyspark.sql import types as T
 
+    if n_planes is None or bands is None:
+        if n_planes is not None or bands is not None:
+            raise ValueError("pass both n_planes and bands, or neither")
+        n = df.count()
+        width = max(4, math.ceil(math.log2(max(n, 2))) + 1)
+        p = 1.0 - math.acos(min(max(threshold, -1.0), 0.9999)) / math.pi
+        band_hit = p**width
+        bands = (
+            64
+            if band_hit >= 1.0 or band_hit <= 0.0
+            else min(64, max(4, math.ceil(
+                math.log(1.0 - recall_target) / math.log(1.0 - band_hit)
+            )))
+        )
+        n_planes = width * bands
     if n_planes % bands:
         raise ValueError("n_planes must divide evenly into bands")
     width = n_planes // bands

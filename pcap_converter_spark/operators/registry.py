@@ -572,7 +572,8 @@ def run_dedup_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
     recall-saturating fixture band config (16 bands × 4 bits: per-pair
     miss ≈ (1-p⁴)¹⁶ ≈ 4e-6 at cos 0.9, p = 1-θ/π — so the banded answer
     equals the exact one and hash-checks against the exact oracle; the
-    8-band default trades that margin for 16× fewer candidates at scale)."""
+    auto-sized default instead grows band width with log2(n) so candidates
+    stay sub-quadratic at corpus scale — see embedding_neardup_lsh)."""
     handles: list = []
     embs = _embs(spark, sf_dir)
     exact = dedup.embedding_neardup(embs, threshold=0.4).withColumn(

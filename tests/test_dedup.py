@@ -261,6 +261,19 @@ def test_embedding_neardup_exact(spark, emb_df):
         assert got[dup][1], f"planted dup {dup} of {orig} missed"
 
 
+def test_embedding_neardup_lsh_auto_sizing(spark, emb_df):
+    """Default (None) geometry sizes band width from n — the sub-quadratic
+    guard — and band count from the recall budget; planted cos≥0.99 dups
+    must still surface, and half-specified geometry is rejected."""
+    df, planted = emb_df
+    got = {r["vec_id"]: r["is_dup"]
+           for r in dedup.embedding_neardup_lsh(df, threshold=0.9).collect()}
+    caught = sum(1 for _, dup in planted if got[dup])
+    assert caught >= 0.8 * len(planted), f"{caught}/{len(planted)}"
+    with pytest.raises(ValueError):
+        dedup.embedding_neardup_lsh(df, bands=8)
+
+
 def test_embedding_neardup_lsh_recall(spark, emb_df):
     df, planted = emb_df
     got = {r["vec_id"]: r["is_dup"]

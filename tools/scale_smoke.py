@@ -29,13 +29,16 @@ import os
 import sys
 import time
 
+import pandas as pd
+
 sys.path.insert(0, "/root/repo")
 
-VOCAB = (
-    "key agg row scan slow fast table value part hash merge batch spark the "
-    "line sort window join shuffle block codec page split stage task executor "
-    "driver plan filter project group order limit union expr cast alias"
-).split()
+# 10k synthetic words: with a tiny vocab every pair of random docs shares
+# many shingles (ambient Jaccard ~0.1), which makes every banding scheme
+# look quadratic for corpus-statistics reasons, not operator reasons. A
+# realistic vocab keeps random-pair similarity ≈ 0 so the smoke measures
+# the operators, not the generator.
+VOCAB = [f"w{i:04d}" for i in range(10_000)]
 
 
 def gen_documents(path: str, n: int, seed: int = 7) -> None:
@@ -130,6 +133,21 @@ def main() -> int:
     vecs_half = load(vecs_p, 0.5).persist()
     for d in (docs_full, docs_half, vecs_full, vecs_half):
         d.count()
+
+    # warm the pandas-UDF worker pool before any timed run: the first
+    # Arrow stage forks 32 interpreters (~3 s), which would otherwise land
+    # inside whichever half-size run hits the pool first and invert the
+    # measured exponent
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("long")
+    def _warm(s: pd.Series) -> pd.Series:
+        return s
+
+    p = spark.sparkContext.defaultParallelism
+    spark.range(p * 10, numPartitions=p).select(_warm("id")).write.format(
+        "noop"
+    ).mode("overwrite").save()
 
     did = F.col("doc_id")
     ops = {
