@@ -490,47 +490,69 @@ def simhash_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     max_hamming: int = 3,
+    n_blocks: int | None = None,
     handles: list | None = None,
 ) -> DataFrame:
     """Tier 4: near-dup pairs by SimHash hamming distance ≤ max_hamming.
+    EXACT for the hamming criterion at any setting — the block scheme only
+    changes how much work finds the same answer.
 
-    Pigeonhole banding: split the 64-bit hash into max_hamming+1 bands; any
-    pair within distance max_hamming agrees exactly on ≥1 band, so the
-    equi-join on (band, band_bits) finds all of them — exact recall for the
-    hamming criterion, no all-pairs scan.
+    Pigeonhole banding, generalized to multi-block tables (the Manku/
+    Jain/Das Sarma WWW'07 construction): split the 64-bit hash into
+    ``n_blocks`` equal blocks and build one candidate table per
+    combination of ``n_blocks - max_hamming`` blocks, keyed on those
+    blocks' bits. A pair within distance h differs in ≤ h blocks, so some
+    combination of n_blocks-h blocks avoids every differing bit — the
+    equi-join on that table's key finds the pair. Exactness is preserved
+    under the xxhash64 key packing because equal block values always hash
+    equal (a hash collision can only ADD a candidate, and every candidate
+    is verified with the true hamming distance).
+
+    SIZING: random-pair candidates ≈ C(n_blocks, n_blocks-h) · n² /
+    2^(effective key bits), with effective key bits = (n_blocks-h)·64/
+    n_blocks. The default n_blocks = h+1 (the classic one-block-agreement
+    pigeonhole) keys on just 64/(h+1) bits — 16 bits at h=3, which goes
+    quadratic past ~10⁵-10⁶ docs, exactly like a fixed-width LSH band. At
+    corpus scale pass n_blocks=8 (h=3): C(8,5)=56 tables keyed on 40
+    bits — 56× the table rows, but collision mass n²/2⁴⁰ stays linear out
+    to ~10¹² docs. Table count is the price of exactness; the knob trades
+    replication against bucket sparsity.
 
     If ``handles`` is passed, the internally persisted signature table is
     appended for the caller to unpersist after materializing the result.
     """
-    nbands = max_hamming + 1
-    width = 64 // nbands
+    import itertools
+
+    b = n_blocks if n_blocks is not None else max_hamming + 1
+    if b < max_hamming + 1:
+        raise ValueError("n_blocks must be > max_hamming")
+    if 64 % b:
+        raise ValueError("n_blocks must divide 64")
+    width = 64 // b
+    q = b - max_hamming
+    mask = (1 << width) - 1
     # persisted because both self-join sides reuse the signatures
     sh = df.select(
         F.col(id_col).alias("doc"), simhash64(F.col(text_col)).alias("sim")
     ).persist()
     if handles is not None:
         handles.append(sh)
-    banded = sh.select(
-        "doc",
-        "sim",
-        F.posexplode(
-            F.array(
-                *[
-                    F.shiftrightunsigned("sim", b * width).bitwiseAND(
-                        F.lit((1 << width) - 1)
-                    )
-                    for b in range(nbands)
-                ]
-            )
-        ).alias("band", "band_bits"),
+
+    def block(i: int):
+        return F.shiftrightunsigned("sim", i * width).bitwiseAND(F.lit(mask))
+
+    keys = F.array(
+        *[
+            F.xxhash64(F.lit(ci), *[block(i) for i in combo])
+            for ci, combo in enumerate(itertools.combinations(range(b), q))
+        ]
     )
-    a, b = banded.alias("a"), banded.alias("b")
+    banded = sh.select("doc", "sim", F.explode(keys).alias("bk"))
+    a, bb = banded.alias("a"), banded.alias("b")
     return (
         a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.band_bits") == F.col("b.band_bits"))
-            & (F.col("a.doc") < F.col("b.doc")),
+            bb,
+            (F.col("a.bk") == F.col("b.bk")) & (F.col("a.doc") < F.col("b.doc")),
         )
         .select(
             F.col("a.doc").alias("doc_a"),

@@ -103,6 +103,19 @@ def test_simhash_pairs_pigeonhole_complete(spark, docs_df):
         for r in dedup.simhash_pairs(docs_df, max_hamming=3).collect()
     }
     assert got == expected
+    # the multi-block (Manku) scheme is a different work layout for the
+    # SAME exact answer: C(8,5)=56 tables on 40-bit keys vs 4 on 16-bit
+    got8 = {
+        (r["doc_a"], r["doc_b"])
+        for r in dedup.simhash_pairs(
+            docs_df, max_hamming=3, n_blocks=8
+        ).collect()
+    }
+    assert got8 == expected
+    with pytest.raises(ValueError):
+        dedup.simhash_pairs(docs_df, max_hamming=3, n_blocks=3)
+    with pytest.raises(ValueError):
+        dedup.simhash_pairs(docs_df, max_hamming=3, n_blocks=6)
 
 
 def test_decontaminate_matches_python(spark, docs_df):

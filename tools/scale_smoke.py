@@ -164,7 +164,9 @@ def main() -> int:
         "minhash_lsh": lambda d: lambda: dedup.minhash_lsh_pairs(
             d, threshold=0.7
         ),
-        "simhash": lambda d: lambda: dedup.simhash_pairs(d, max_hamming=3),
+        "simhash": lambda d: lambda: dedup.simhash_pairs(
+            d, max_hamming=3, n_blocks=8
+        ),
         "packing": lambda d: lambda: packing.pack_documents(
             d.select("doc_id", F.size(F.split("text", " ")).alias("nt")), "nt"
         ),
