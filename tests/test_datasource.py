@@ -1,0 +1,85 @@
+"""Spark 4 Python DataSource face (`spark.read.format("pcap")`): must
+produce byte-identical rows to the library entry `read_pcap` for legacy
+pcap, pcapng, and glob inputs, with one partition per chunk."""
+
+from __future__ import annotations
+
+import pytest
+
+from fixtures import pcapgen as g
+from pcap_converter_spark.sources.datasource import register
+
+M1, M2 = g.mac(1), g.mac(2)
+
+
+def _udp_pkt(i: int = 0) -> bytes:
+    return g.ethernet(
+        M1, M2, 0x0800,
+        g.ipv4(f"10.0.0.{1 + i % 250}", "10.0.0.254", 17,
+               g.udp(1000 + i, 9, b"abcd")),
+    )
+
+
+@pytest.fixture(scope="module")
+def registered(spark):
+    register(spark)
+    return spark
+
+
+def _rows(df):
+    return sorted(map(tuple, df.collect()))
+
+
+def test_datasource_matches_read_pcap_legacy(registered, tmp_path):
+    from pcap_converter_spark.sources.pcap import read_pcap
+
+    spark = registered
+    path = str(tmp_path / "t.pcap")
+    g.write_pcap(path, [(1_000_000 + i, _udp_pkt(i)) for i in range(200)])
+    ds = spark.read.format("pcap").load(path)
+    lib, _ = read_pcap(spark, path, with_errors_column=True)
+    assert ds.schema == lib.schema
+    assert _rows(ds) == _rows(lib)
+
+
+def test_datasource_pcapng_and_glob(registered, tmp_path):
+    spark = registered
+    p1 = str(tmp_path / "a.pcap")
+    g.write_pcap(p1, [(1_000_000 + i, _udp_pkt(i)) for i in range(50)])
+    p2 = str(tmp_path / "b.pcapng")
+    g.write_pcapng(
+        p2,
+        interfaces=[(1, 6)],  # ethernet, µs resolution
+        packets=[(0, 2_000_000_000 + i * 1000, _udp_pkt(i)) for i in range(30)],
+    )
+    df = spark.read.format("pcap").load(str(tmp_path / "*.pcap*"))
+    assert df.count() == 80
+    files = {r["pcap_file"] for r in df.select("pcap_file").distinct().collect()}
+    assert files == {"a.pcap", "b.pcapng"}
+
+
+def test_datasource_partition_per_chunk(registered, tmp_path):
+    """Decode parallelism equals chunk count: a file indexed into k chunks
+    must scan as k input partitions."""
+    spark = registered
+    path = str(tmp_path / "t.pcap")
+    g.write_pcap(path, [(1_000_000 + i, _udp_pkt(i)) for i in range(2000)])
+    tiny = 16 << 10  # 16 KB chunks force a multi-chunk index
+    from pcap_converter_spark.sources.pcap import index_pcap
+
+    k = len(index_pcap(path, target_chunk_bytes=tiny))
+    assert k > 1
+    df = (
+        spark.read.format("pcap")
+        .option("target_chunk_bytes", str(tiny))
+        .load(path)
+    )
+    assert df.rdd.getNumPartitions() == k
+    assert df.count() == 2000
+
+
+def test_datasource_missing_path_raises(registered):
+    spark = registered
+    with pytest.raises(Exception, match="path"):
+        # planning (partitions()) is lazy — the error surfaces at action time
+        spark.read.format("pcap").load().count()
