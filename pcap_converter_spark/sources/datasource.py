@@ -30,9 +30,15 @@ Register once per session::
 from __future__ import annotations
 
 import glob
+import os
 from typing import Iterator
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceStreamReader,
+    InputPartition,
+)
 
 
 class PcapDataSource(DataSource):
@@ -47,6 +53,9 @@ class PcapDataSource(DataSource):
 
     def reader(self, schema) -> "PcapDataSourceReader":
         return PcapDataSourceReader(dict(self.options), schema)
+
+    def streamReader(self, schema) -> "PcapStreamReader":
+        return PcapStreamReader(dict(self.options), schema)
 
 
 class PcapDataSourceReader(DataSourceReader):
@@ -79,16 +88,101 @@ class PcapDataSourceReader(DataSourceReader):
         return [InputPartition(c.__dict__) for c in chunks]
 
     def read(self, partition: InputPartition) -> Iterator:
-        import pyarrow as pa
-        from pyspark.sql.pandas.types import to_arrow_schema
+        return _decode_to_batches(partition.value, self._schema)
 
-        from pcap_converter_spark.sources.pcap import read_pcap_chunk
 
-        pdf = read_pcap_chunk(partition.value)
-        table = pa.Table.from_pandas(
-            pdf, schema=to_arrow_schema(self._schema), preserve_index=False
+def _decode_to_batches(chunk_dict: dict, schema) -> Iterator:
+    """Decode one chunk descriptor and yield Arrow RecordBatches matching
+    the Spark schema (shared by the batch and stream readers)."""
+    import pyarrow as pa
+    from pyspark.sql.pandas.types import to_arrow_schema
+
+    from pcap_converter_spark.sources.pcap import read_pcap_chunk
+
+    pdf = read_pcap_chunk(chunk_dict)
+    table = pa.Table.from_pandas(
+        pdf, schema=to_arrow_schema(schema), preserve_index=False
+    )
+    yield from table.to_batches()
+
+
+class PcapStreamReader(DataSourceStreamReader):
+    """Structured-Streaming face of the pcap source:
+    ``spark.readStream.format("pcap").load("/captures")`` — live capture
+    ingestion, micro-batched by file arrival.
+
+    Offset model (file-source semantics): a capture file is data once it
+    APPEARS in the directory and is treated as immutable from then on
+    (rotating capture tools write a file, close it, start the next). The
+    offset is ``{path: chunk_count_consumed}``; ``latestOffset`` globs the
+    directory and indexes only NEW files (the index is a metadata-cheap
+    header walk, cached on the reader), so each micro-batch plans one
+    InputPartition per new chunk and executors decode exactly as in the
+    batch reader. Checkpoint recovery replans ``partitions(start, end)``
+    from the chunk index, which is re-derived deterministically from the
+    immutable files — exactly-once output without reader-side state.
+    """
+
+    def __init__(self, options: dict, schema) -> None:
+        self._options = options
+        self._schema = schema
+        self._chunks: dict[str, list[dict]] = {}  # path -> chunk dicts
+
+    def _path_glob(self) -> str:
+        path = self._options.get("path")
+        if not path:
+            raise ValueError("pcap stream requires a path: .load('/captures')")
+        if os.path.isdir(path):
+            return os.path.join(path, "*")
+        return path
+
+    def _index_file(self, p: str) -> list[dict]:
+        if p not in self._chunks:
+            from pcap_converter_spark.sources.pcap import (
+                DEFAULT_CHUNK_BYTES,
+                _index_or_split,
+            )
+
+            target = int(
+                self._options.get("target_chunk_bytes", DEFAULT_CHUNK_BYTES)
+            )
+            spec_raw = str(self._options.get("speculative", "auto")).lower()
+            speculative: bool | str = {"true": True, "false": False}.get(
+                spec_raw, "auto"
+            )
+            self._chunks[p] = [
+                c.__dict__ for c in _index_or_split(p, target, speculative)
+            ]
+        return self._chunks[p]
+
+    def initialOffset(self) -> dict:
+        return {}
+
+    def latestOffset(self) -> dict:
+        files = sorted(
+            p for p in glob.glob(self._path_glob()) if os.path.isfile(p)
         )
-        yield from table.to_batches()
+        return {p: len(self._index_file(p)) for p in files}
+
+    def partitions(self, start: dict, end: dict):
+        parts: list[InputPartition] = []
+        for p, n_end in end.items():
+            n_start = int(start.get(p, 0))
+            for c in self._index_file(p)[n_start : int(n_end)]:
+                parts.append(InputPartition(c))
+        # Spark requires ≥1 partition per batch; an empty batch still plans
+        return parts or [InputPartition(None)]
+
+    def read(self, partition: InputPartition) -> Iterator:
+        if partition.value is None:
+            return iter(())
+        return _decode_to_batches(partition.value, self._schema)
+
+    def commit(self, end: dict) -> None:
+        # the chunk cache is retained past commit: a restarted query may
+        # replan any committed span, and one dict entry per file is the
+        # only state this reader holds
+        pass
 
 
 def register(spark) -> None:

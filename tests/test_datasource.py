@@ -78,6 +78,47 @@ def test_datasource_partition_per_chunk(registered, tmp_path):
     assert df.count() == 2000
 
 
+def test_stream_reader_incremental_files(registered, tmp_path):
+    """readStream.format('pcap') over a capture directory: first run
+    consumes the files present; a later run on the SAME checkpoint picks
+    up only the newly arrived file (offset = per-file chunk count)."""
+    spark = registered
+    cap = tmp_path / "captures"
+    cap.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    g.write_pcap(str(cap / "a.pcap"),
+                 [(1_000_000 + i, _udp_pkt(i)) for i in range(40)])
+    g.write_pcap(str(cap / "b.pcap"),
+                 [(2_000_000 + i, _udp_pkt(i)) for i in range(60)])
+
+    out = str(tmp_path / "out")
+
+    def run_batch():
+        q = (
+            spark.readStream.format("pcap").load(str(cap))
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return spark.read.parquet(out)
+
+    first = run_batch()
+    assert first.count() == 100
+    files = {r["pcap_file"] for r in first.select("pcap_file").distinct().collect()}
+    assert files == {"a.pcap", "b.pcap"}
+
+    g.write_pcap(str(cap / "c.pcap"),
+                 [(3_000_000 + i, _udp_pkt(i)) for i in range(25)])
+    second = run_batch()
+    # exactly-once through the checkpoint: the second run appends ONLY the
+    # new file's rows — a/b are not re-read, c is not duplicated
+    assert second.count() == 125
+    assert second.filter(second.pcap_file == "c.pcap").count() == 25
+
+
 def test_datasource_missing_path_raises(registered):
     spark = registered
     with pytest.raises(Exception, match="path"):
