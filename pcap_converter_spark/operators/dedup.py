@@ -569,6 +569,7 @@ def duplicate_groups(
     nodes: DataFrame,
     id_col: str = "doc_id",
     max_iter: int = 15,
+    small_graph_limit: int = 1_000_000,
     handles: list | None = None,
 ) -> DataFrame:
     """Resolve near-dup PAIRS into duplicate GROUPS: connected components
@@ -587,6 +588,15 @@ def duplicate_groups(
 
     ``pairs`` must carry (doc_a, doc_b); ``nodes`` provides the full id
     domain (isolated docs label themselves). Returns (doc, root).
+
+    Small-graph fast path (the adaptive move ``cosine_pairs`` makes for
+    blocking): the pair graph is a vanishing fraction of the corpus —
+    components are dup clusters, not the data. When the edge count (one
+    cheap count on the already-needed pair table) is ≤
+    ``small_graph_limit``, union-find runs on the driver in milliseconds
+    and the labels broadcast back, replacing diameter-many scheduled
+    rounds with one job. The distributed fixpoint below is the scale path
+    and computes the identical labeling (tests assert parity).
     """
     sym = pairs.select(
         F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
@@ -594,6 +604,41 @@ def duplicate_groups(
     sym = sym.persist()
     if handles is not None:
         handles.append(sym)
+
+    if small_graph_limit and pairs.count() <= small_graph_limit:
+        edges = [(r[0], r[1]) for r in pairs.select("doc_a", "doc_b").collect()]
+        parent: dict = {}
+
+        def find(x):
+            r = x
+            while parent.get(r, r) != r:
+                r = parent[r]
+            while parent.get(x, x) != x:  # path compression
+                parent[x], x = r, parent[x]
+            return r
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                # union by min id keeps the keep-lowest-id policy exact
+                lo, hi = (ra, rb) if ra < rb else (rb, ra)
+                parent[hi] = lo
+        roots = [(x, find(x)) for x in parent] + [
+            (x, x) for x in {e for p in edges for e in p} - parent.keys()
+        ]
+        spark = pairs.sparkSession
+        if handles is None:
+            sym.unpersist()
+        if not roots:
+            return nodes.select(
+                F.col(id_col).alias("doc"), F.col(id_col).alias("root")
+            )
+        labels_df = spark.createDataFrame(roots, ["doc", "root"])
+        return (
+            nodes.select(F.col(id_col).alias("doc"))
+            .join(F.broadcast(labels_df), "doc", "left")
+            .select("doc", F.coalesce("root", F.col("doc")).alias("root"))
+        )
     # localCheckpoint per round: each iteration's plan references the
     # previous labels TWICE (join + fixpoint compare), so without lineage
     # truncation the logical plan doubles per round — the analyzer OOMs

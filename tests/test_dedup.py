@@ -151,23 +151,37 @@ def test_decontaminate_matches_python(spark, docs_df):
 
 def test_duplicate_groups_connected_components(spark, docs_df):
     """Pairs → transitive keep-lowest-id groups: chained near-dups must
-    collapse into ONE component even when the endpoints share no pair."""
+    collapse into ONE component even when the endpoints share no pair —
+    identical labels from the driver union-find fast path AND the
+    distributed fixpoint loop (small_graph_limit=0 forces it)."""
     pairs = spark.createDataFrame(
         [(0, 1), (1, 2), (5, 6)], ["doc_a", "doc_b"]
     )
     nodes = spark.createDataFrame([(i,) for i in range(8)], ["doc_id"])
-    got = {r["doc"]: r["root"] for r in dedup.duplicate_groups(pairs, nodes).collect()}
-    assert got == {0: 0, 1: 0, 2: 0, 3: 3, 4: 4, 5: 5, 6: 5, 7: 7}
+    expected = {0: 0, 1: 0, 2: 0, 3: 3, 4: 4, 5: 5, 6: 5, 7: 7}
+    for limit in (1_000_000, 0):
+        got = {
+            r["doc"]: r["root"]
+            for r in dedup.duplicate_groups(
+                pairs, nodes, small_graph_limit=limit
+            ).collect()
+        }
+        assert got == expected, f"small_graph_limit={limit}"
 
 
 def test_duplicate_groups_long_chain_converges(spark):
     """A diameter-9 chain needs multiple propagation rounds — the fixpoint
-    loop must run them, not stop after one."""
+    loop must run them, not stop after one (fast path disabled)."""
     pairs = spark.createDataFrame(
         [(i, i + 1) for i in range(9)], ["doc_a", "doc_b"]
     )
     nodes = spark.createDataFrame([(i,) for i in range(10)], ["doc_id"])
-    got = {r["doc"]: r["root"] for r in dedup.duplicate_groups(pairs, nodes).collect()}
+    got = {
+        r["doc"]: r["root"]
+        for r in dedup.duplicate_groups(
+            pairs, nodes, small_graph_limit=0
+        ).collect()
+    }
     assert got == {i: 0 for i in range(10)}
 
 
