@@ -978,33 +978,48 @@ _CUBE_BODY = (
     "round(min(o_totalprice), 2) AS lo, round(max(o_totalprice), 2) AS hi"
 )
 
-_CUBE_TAIL = (
-    "FROM orders GROUP BY CUBE (o_orderpriority, o_orderstatus) "
-    "ORDER BY o_orderpriority NULLS FIRST, o_orderstatus NULLS FIRST, gp, gs"
+_CUBE_TAIL = "FROM orders GROUP BY CUBE (o_orderpriority, o_orderstatus)"
+
+# explicit GROUPING SETS — the remaining grouping construct after DQ12's
+# ROLLUP and the CUBE arm (an asymmetric set list CUBE cannot express)
+_GSETS_TAIL = (
+    "FROM orders GROUP BY GROUPING SETS "
+    "((o_orderpriority, o_orderstatus), (o_orderstatus), ())"
+)
+
+_CUBE_ORDER = (
+    "ORDER BY src, o_orderpriority NULLS FIRST, o_orderstatus NULLS FIRST, "
+    "gp, gs"
 )
 
 
+def _cube_sql(med_expr: str) -> str:
+    return (
+        f"SELECT 'cube' AS src, {_CUBE_BODY}, {med_expr} AS med {_CUBE_TAIL} "
+        f"UNION ALL "
+        f"SELECT 'gsets' AS src, {_CUBE_BODY}, {med_expr} AS med {_GSETS_TAIL} "
+        f"{_CUBE_ORDER}"
+    )
+
+
 def run_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """CUBE + grouping() flags (complements DQ12's ROLLUP), with order-
-    independent value aggregates (min/max, interpolated median — sorted-
-    order semantics, deterministic under any shuffle, unlike a double
-    sum)."""
+    """CUBE + grouping() flags (complements DQ12's ROLLUP) and an explicit
+    GROUPING SETS arm (src-tagged union; an asymmetric set list CUBE can't
+    express), with order-independent value aggregates (min/max,
+    interpolated median — sorted-order semantics, deterministic under any
+    shuffle, unlike a double sum)."""
     from pcap_converter_spark.io.loader import register_views
 
     register_views(spark, sf_dir)
     return spark.sql(
-        f"SELECT {_CUBE_BODY}, "
-        "round(percentile_cont(0.5) WITHIN GROUP (ORDER BY o_totalprice), 4)"
-        " AS med "
-        f"{_CUBE_TAIL}"
+        _cube_sql(
+            "round(percentile_cont(0.5) WITHIN GROUP "
+            "(ORDER BY o_totalprice), 4)"
+        )
     )
 
 
-_CUBE_ORACLE_SQL = (
-    f"SELECT {_CUBE_BODY}, "
-    "round(quantile_cont(o_totalprice, 0.5), 4) AS med "
-    f"{_CUBE_TAIL}"
-)
+_CUBE_ORACLE_SQL = _cube_sql("round(quantile_cont(o_totalprice, 0.5), 4)")
 
 
 _NTILE_SQL = (
