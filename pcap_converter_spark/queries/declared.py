@@ -146,9 +146,16 @@ DECLARED_QUERIES: dict[str, Q] = {
         ),
         Q(
             "dq2_hash_agg",
+            # statistical aggregates ride along (stddev/var/corr/covar —
+            # rounded to 4dp: both engines stream in different orders, so
+            # low bits differ but the statistic is stable at this scale)
             "SELECT l_returnflag, l_linestatus, count(*) AS n, "
             "CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price, "
-            "round(avg(l_discount), 4) AS avg_disc "
+            "round(avg(l_discount), 4) AS avg_disc, "
+            "round(stddev_samp(l_quantity), 4) AS sd_qty, "
+            "round(var_samp(l_discount), 6) AS var_disc, "
+            "round(corr(l_quantity, l_extendedprice), 4) AS corr_qp, "
+            "round(covar_samp(l_quantity, l_discount), 4) AS cov_qd "
             "FROM lineitem GROUP BY l_returnflag, l_linestatus "
             "ORDER BY l_returnflag, l_linestatus",
         ),
