@@ -144,6 +144,19 @@ def test_packing_is_single_shuffle(spark):
     assert plan.count("Arguments: hashpartitioning") == 1, plan
 
 
+def test_decontaminate_broadcasts_benchmark_grams(spark):
+    """Decontamination's scale contract: the benchmark gram set rides a
+    broadcast hash join — the corpus side must never shuffle for the
+    match (eval suites are MBs, the corpus is TBs)."""
+    from pcap_converter_spark.operators.dedup import decontaminate
+
+    docs = load_table(spark, SF, "documents")
+    did = F.col("doc_id")
+    out = decontaminate(docs.filter(did % 83 != 0), docs.filter(did % 83 == 0))
+    audit.assert_broadcast_join(out, "(decontaminate)")
+    audit.assert_no_sort_merge_join(out, "(decontaminate)")
+
+
 def test_exact_dedup_shuffles_digests_not_text(spark):
     """The exact-dedup groupBy must key on the sha256 digest with the text
     column pruned from the scan — 100 TB of text must never shuffle."""
