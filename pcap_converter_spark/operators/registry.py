@@ -1059,6 +1059,146 @@ def run_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def run_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed preprocessing chain (operators/pipeline.py): Gopher
+    quality gate → exact dedup → near-dup CC → benchmark decontamination →
+    sequence packing, one lazy plan with per-stage funnel flags. Registered
+    BEYOND the driver's 50-entry window (the checked set is frozen); the
+    oracle below recomputes the entire funnel in SQL and
+    tools/check_correctness verifies it locally — one hash proves the whole
+    composition, including that each stage only sees the previous stage's
+    survivors."""
+    from pcap_converter_spark.operators.pipeline import curate
+
+    docs = _docs(spark, sf_dir)
+    did = F.col("doc_id")
+    return curate(
+        docs.filter(did % 83 != 0), docs.filter(did % 83 == 0)
+    ).orderBy("doc_id")
+
+
+_CURATE_ORACLE = f"""
+WITH RECURSIVE corpus AS (
+  SELECT doc_id, text FROM documents WHERE doc_id % 83 <> 0),
+w AS (
+  SELECT doc_id, text, {_DUCK_WORDS.format(src="lower(text)")} AS lws
+  FROM corpus),
+q0 AS (
+  SELECT doc_id, text, lws, len(lws) AS nt,
+         CASE WHEN len(lws) > 0
+              THEN length(array_to_string(lws, '')) * 1.0 / len(lws)
+              ELSE 0.0 END AS mwl,
+         CASE WHEN length(text) > 0
+              THEN (length(text)
+                    - length(regexp_replace(text, '[^a-zA-Z0-9\\s]', '', 'g')))
+                   * 1.0 / length(text)
+              ELSE 0.0 END AS pr,
+         {_DUCK_STOP_FILTER["en"]} AS sh
+  FROM w),
+g2 AS (
+  SELECT doc_id,
+         unnest(CASE WHEN len(lws) >= 2
+           THEN list_transform(range(1, len(lws)),
+                               i -> concat_ws(' ', lws[i], lws[i+1]))
+           ELSE [array_to_string(lws, ' ')] END) AS gram
+  FROM w),
+rep AS (
+  SELECT doc_id, 1.0 - count(DISTINCT gram) * 1.0 / count(*) AS dupf
+  FROM g2 GROUP BY doc_id),
+q AS (
+  SELECT q0.doc_id, q0.text, q0.lws, q0.nt,
+         (nt >= 20 AND nt <= 100000 AND mwl >= 3.0 AND mwl <= 10.0
+          AND pr < 0.1 AND sh >= 2 AND dupf < 0.5) AS keep_quality
+  FROM q0 JOIN rep USING (doc_id)),
+qs AS (SELECT * FROM q WHERE keep_quality),
+ex AS (
+  SELECT doc_id,
+         (doc_id = min(doc_id) OVER (PARTITION BY text)) AS keep_exact
+  FROM qs),
+es AS (SELECT qs.* FROM qs JOIN ex USING (doc_id) WHERE keep_exact),
+s3 AS (SELECT doc_id, {_DUCK_SHINGLES} AS shl FROM es),
+je_raw AS (SELECT doc_id, unnest(shl) AS sh_text FROM s3),
+je0 AS (SELECT doc_id,
+        CAST(md5_number_lower(sh_text) & 9223372036854775807::UBIGINT
+             AS BIGINT) AS shh
+        FROM je_raw),
+jdfc AS (SELECT shh, count(*) AS c FROM je0 GROUP BY shh),
+je AS (SELECT je0.doc_id, je0.shh FROM je0 JOIN jdfc USING (shh)
+       WHERE c <= {_JACCARD_DF_CUT}),
+jsz AS (SELECT doc_id, count(*) AS n FROM je GROUP BY doc_id),
+jinter AS (
+  SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS ni
+  FROM je a JOIN je b ON a.shh = b.shh AND a.doc_id < b.doc_id
+  GROUP BY da, db),
+jpairs AS (
+  SELECT da, db FROM jinter
+  JOIN jsz na ON da = na.doc_id JOIN jsz nb ON db = nb.doc_id
+  WHERE round(ni / CAST(na.n + nb.n - ni AS DOUBLE), 4) >= 0.7),
+sym AS (SELECT da AS a, db AS b FROM jpairs
+        UNION ALL SELECT db, da FROM jpairs),
+reach(doc, anc) AS (
+  SELECT doc_id, doc_id FROM es
+  UNION
+  SELECT r.doc, s2.b FROM reach r JOIN sym s2 ON s2.a = r.anc),
+nd AS (
+  SELECT doc AS doc_id, (doc = min(anc)) AS keep_neardup
+  FROM reach GROUP BY doc),
+ns AS (SELECT es.* FROM es JOIN nd USING (doc_id) WHERE keep_neardup),
+bw AS (
+  SELECT doc_id, {_DUCK_WORDS.format(src="lower(text)")} AS lws
+  FROM documents WHERE doc_id % 83 = 0),
+bg5 AS (
+  SELECT list_distinct(list_transform(
+           range(1, greatest(len(lws) - 4, 1) + 1),
+           i -> concat_ws(' ', lws[i], lws[i+1], lws[i+2], lws[i+3],
+                          lws[i+4]))) AS gs
+  FROM bw),
+bg_raw AS (SELECT unnest(gs) AS g_text FROM bg5),
+bg AS (SELECT DISTINCT
+         CAST(md5_number_lower(g_text) & 9223372036854775807::UBIGINT
+              AS BIGINT) AS g
+       FROM bg_raw),
+cg5 AS (
+  SELECT doc_id, list_distinct(list_transform(
+           range(1, greatest(len(lws) - 4, 1) + 1),
+           i -> concat_ws(' ', lws[i], lws[i+1], lws[i+2], lws[i+3],
+                          lws[i+4]))) AS gs
+  FROM ns),
+cg_raw AS (SELECT doc_id, unnest(gs) AS g_text FROM cg5),
+cg AS (SELECT doc_id,
+         CAST(md5_number_lower(g_text) & 9223372036854775807::UBIGINT
+              AS BIGINT) AS g
+       FROM cg_raw),
+leaked AS (SELECT DISTINCT cg.doc_id FROM cg JOIN bg USING (g)),
+dec AS (
+  SELECT ns.doc_id, (leaked.doc_id IS NULL) AS keep_decon
+  FROM ns LEFT JOIN leaked USING (doc_id)),
+keptd AS (SELECT ns.doc_id, ns.nt FROM ns JOIN dec USING (doc_id)
+          WHERE keep_decon),
+pk AS (
+  SELECT doc_id, doc_id % 16 AS pack_shard,
+         CAST(floor(start / 256.0) AS BIGINT) AS pack_bin,
+         CAST(start % 256 AS BIGINT) AS pack_offset
+  FROM (SELECT doc_id, coalesce(CAST(sum(nt) OVER (
+              PARTITION BY doc_id % 16 ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT),
+            0) AS start
+        FROM keptd) t)
+SELECT d.doc_id, q.keep_quality, ex.keep_exact, nd.keep_neardup,
+       dec.keep_decon,
+       coalesce(q.keep_quality AND ex.keep_exact AND nd.keep_neardup
+                AND dec.keep_decon, false) AS kept,
+       pk.pack_shard, pk.pack_bin, pk.pack_offset
+FROM corpus d
+LEFT JOIN q USING (doc_id)
+LEFT JOIN ex USING (doc_id)
+LEFT JOIN nd USING (doc_id)
+LEFT JOIN dec USING (doc_id)
+LEFT JOIN pk USING (doc_id)
+ORDER BY doc_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # streaming (Structured Streaming twins of the window queries)
 # ---------------------------------------------------------------------------
@@ -1154,6 +1294,9 @@ def extension_queries() -> tuple[dict, dict]:
         "ex_join_salted": run_join_salted,
         "ex_cube": run_cube,
         "ex_ntile": run_ntile,
+        # beyond the driver's 50-entry window by design (the checked set is
+        # frozen); oracle-verified locally by tools/check_correctness
+        "ex_curate": run_curate,
     }
     oracles = {
         "ex_text_all": _TEXT_ALL_ORACLE,
@@ -1172,5 +1315,6 @@ def extension_queries() -> tuple[dict, dict]:
         "ex_join_salted": _JOIN_SALTED_ORACLE,
         "ex_cube": _CUBE_ORACLE_SQL,
         "ex_ntile": _NTILE_SQL,
+        "ex_curate": _CURATE_ORACLE,
     }
     return runners, oracles

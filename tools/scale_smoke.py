@@ -170,6 +170,11 @@ def main() -> int:
         "packing": lambda d: lambda: packing.pack_documents(
             d.select("doc_id", F.size(F.split("text", " ")).alias("nt")), "nt"
         ),
+        # the composed pipeline: its exponent guards the composition's join
+        # shapes, not just the individual stages
+        "curate": lambda d: lambda: __import__(
+            "pcap_converter_spark.operators.pipeline", fromlist=["curate"]
+        ).curate(d.filter(did % 83 != 0), d.filter(did % 83 == 0)),
     }
     vec_ops = {
         "embed_lsh": lambda v: lambda: dedup.embedding_neardup_lsh(
