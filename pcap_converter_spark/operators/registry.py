@@ -1070,11 +1070,15 @@ def run_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
     survivors."""
     from pcap_converter_spark.operators.pipeline import curate
 
+    handles: list = []
     docs = _docs(spark, sf_dir)
     did = F.col("doc_id")
-    return curate(
-        docs.filter(did % 83 != 0), docs.filter(did % 83 == 0)
+    out = curate(
+        docs.filter(did % 83 != 0),
+        docs.filter(did % 83 == 0),
+        handles=handles,
     ).orderBy("doc_id")
+    return _eager(spark, out, handles)
 
 
 _CURATE_ORACLE = f"""
