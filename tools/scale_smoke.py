@@ -122,10 +122,26 @@ def main() -> int:
         p = spark.sparkContext.defaultParallelism
         return df.repartition(p)
 
+    pending: list = []  # operators append internal persists here
+
     def run(fn) -> float:
         t0 = time.perf_counter()
         fn().write.format("noop").mode("overwrite").save()
-        return time.perf_counter() - t0
+        dt = time.perf_counter() - t0
+        # untimed cleanup between measurements (same rationale as bench.py):
+        # cached blocks and heap debt from one op otherwise land as GC
+        # pauses inside the next op's timing and swing the measured exponent
+        for h in pending:
+            h.unpersist()
+        pending.clear()
+        import gc as _gc
+
+        _gc.collect()
+        try:
+            spark._jvm.System.gc()
+        except Exception:
+            pass
+        return dt
 
     docs_full = load(docs_p, 1.0).persist()
     docs_half = load(docs_p, 0.5).persist()
@@ -159,13 +175,13 @@ def main() -> int:
             d.filter(did % 83 != 0), d.filter(did % 83 == 0), k=5
         ),
         "jaccard_dfcut": lambda d: lambda: dedup.ngram_jaccard_pairs(
-            d, threshold=0.7, max_shingle_df=8
+            d, threshold=0.7, max_shingle_df=8, handles=pending
         ),
         "minhash_lsh": lambda d: lambda: dedup.minhash_lsh_pairs(
-            d, threshold=0.7
+            d, threshold=0.7, handles=pending
         ),
         "simhash": lambda d: lambda: dedup.simhash_pairs(
-            d, max_hamming=3, n_blocks=8
+            d, max_hamming=3, n_blocks=8, handles=pending
         ),
         "packing": lambda d: lambda: packing.pack_documents(
             d.select("doc_id", F.size(F.split("text", " ")).alias("nt")), "nt"
@@ -174,11 +190,12 @@ def main() -> int:
         # shapes, not just the individual stages
         "curate": lambda d: lambda: __import__(
             "pcap_converter_spark.operators.pipeline", fromlist=["curate"]
-        ).curate(d.filter(did % 83 != 0), d.filter(did % 83 == 0)),
+        ).curate(d.filter(did % 83 != 0), d.filter(did % 83 == 0),
+                  handles=pending),
     }
     vec_ops = {
         "embed_lsh": lambda v: lambda: dedup.embedding_neardup_lsh(
-            v, threshold=0.9
+            v, threshold=0.9, handles=pending
         ),
     }
 
