@@ -598,12 +598,23 @@ def duplicate_groups(
     rounds with one job. The distributed fixpoint below is the scale path
     and computes the identical labeling (tests assert parity).
     """
-    sym = pairs.select(
-        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
-    ).unionAll(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
-    sym = sym.persist()
-    if handles is not None:
-        handles.append(sym)
+    from pyspark import StorageLevel
+
+    # persist the PAIR table itself (not a derivative): the fast-path probe
+    # is count-then-collect on it, and the scale path derives sym from it —
+    # without this the expensive pair-generation lineage would run twice
+    # (ADVICE r3). Skip if the caller already persisted it.
+    own: list = []
+    if pairs.storageLevel == StorageLevel.NONE:
+        pairs = pairs.persist()
+        own.append(pairs)
+        if handles is not None:
+            handles.append(pairs)
+
+    def _cleanup() -> None:
+        if handles is None:
+            while own:
+                own.pop().unpersist()
 
     if small_graph_limit and pairs.count() <= small_graph_limit:
         edges = [(r[0], r[1]) for r in pairs.select("doc_a", "doc_b").collect()]
@@ -627,8 +638,7 @@ def duplicate_groups(
             (x, x) for x in {e for p in edges for e in p} - parent.keys()
         ]
         spark = pairs.sparkSession
-        if handles is None:
-            sym.unpersist()
+        _cleanup()
         if not roots:
             return nodes.select(
                 F.col(id_col).alias("doc"), F.col(id_col).alias("root")
@@ -639,6 +649,16 @@ def duplicate_groups(
             .join(F.broadcast(labels_df), "doc", "left")
             .select("doc", F.coalesce("root", F.col("doc")).alias("root"))
         )
+
+    # scale path: build the symmetric edge list only now (the fast path
+    # never needs it), persisted across the fixpoint rounds
+    sym = pairs.select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    ).unionAll(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
+    sym = sym.persist()
+    own.append(sym)
+    if handles is not None:
+        handles.append(sym)
     # localCheckpoint per round: each iteration's plan references the
     # previous labels TWICE (join + fixpoint compare), so without lineage
     # truncation the logical plan doubles per round — the analyzer OOMs
@@ -683,8 +703,7 @@ def duplicate_groups(
             .select("doc", F.coalesce("root", F.col("doc")).alias("root"))
         )
     finally:
-        if handles is None:
-            sym.unpersist()
+        _cleanup()
 
 
 # ---------------------------------------------------------------------------

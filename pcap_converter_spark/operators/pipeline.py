@@ -18,8 +18,9 @@ times internally. Without materialized boundaries Spark re-derives the
 full upstream lineage per reference; measured at 100k docs, the unpersisted
 composition ran ~30× slower than the sum of its stages (457 s vs ~15 s) —
 persisting the boundary frames (ids + flags + token counts; only the
-quality boundary carries text, because the dedup stages still need it) is
-what makes composition cost additive. The result carries
+quality boundary caches text — the decon stage re-joins text from it
+rather than persisting the column a second time) is what makes composition
+cost additive. The result carries
 per-stage drop flags so a curation report is one aggregation —
 ``df.groupBy()`` over the booleans — instead of five jobs. Stage order
 follows the standard pipeline economics: the quality gate is a pure
@@ -121,13 +122,20 @@ def curate(
     near = _stage(groups.select(
         F.col("doc").alias(id_col), (F.col("doc") == F.col("root")).alias("keep_neardup")
     ))
-    n_docs = _stage(e_docs.join(near, id_col).filter("keep_neardup"))
+    # the persisted stage-3 boundary carries ids + token counts ONLY: the
+    # decon pass below re-joins text from the (already persisted) quality
+    # boundary instead of caching the text column a second time (ADVICE r3)
+    n_docs = _stage(
+        e_docs.join(near, id_col).filter("keep_neardup")
+        .select(did, F.col("_tokens"))
+    )
 
     # stage 4: decontamination — drop docs overlapping the benchmark
     if benchmark is not None:
+        n_texts = n_docs.join(quality.select(id_col, text_col), id_col)
         leaked = (
             dedup.decontaminate(
-                n_docs, benchmark, text_col=text_col, id_col=id_col, k=decon_k
+                n_texts, benchmark, text_col=text_col, id_col=id_col, k=decon_k
             )
             .select(F.explode("doc_ids").alias(id_col))
             .distinct()
@@ -171,3 +179,54 @@ def curate(
         "pack_bin",
         "pack_offset",
     )
+
+
+def curation_report(flags: DataFrame) -> DataFrame:
+    """Per-stage funnel summary from ``curate()``'s flags, as ONE
+    aggregation (the flags were designed for exactly this): a row per stage
+    with (stage, n_entered, n_kept, n_dropped). Each stage's ``n_entered``
+    is the previous stage's ``n_kept`` — funnel flags are NULL downstream
+    of a drop, so summing the booleans counts exactly the docs that reached
+    the stage and survived it. The final 'kept' row restates the end-to-end
+    survivor count (n_entered == n_kept by construction — a consistency
+    proof, not new information)."""
+    a = flags.agg(
+        F.count(F.lit(1)).alias("n_in"),
+        F.coalesce(F.sum(F.col("keep_quality").cast("long")), F.lit(0)).alias("q"),
+        F.coalesce(F.sum(F.col("keep_exact").cast("long")), F.lit(0)).alias("e"),
+        F.coalesce(F.sum(F.col("keep_neardup").cast("long")), F.lit(0)).alias("n"),
+        F.coalesce(F.sum(F.col("keep_decon").cast("long")), F.lit(0)).alias("d"),
+        F.coalesce(F.sum(F.col("kept").cast("long")), F.lit(0)).alias("k"),
+    )
+    return (
+        a.selectExpr(
+            "stack(5,"
+            " 'quality', n_in, q,"
+            " 'exact', q, e,"
+            " 'neardup', e, n,"
+            " 'decon', n, d,"
+            " 'kept', d, k) AS (stage, n_entered, n_kept)"
+        )
+        .withColumn("n_dropped", F.col("n_entered") - F.col("n_kept"))
+        .orderBy("stage")
+    )
+
+
+def write_kept(
+    flags: DataFrame,
+    docs: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Materialize the artifact a training job consumes: the kept documents
+    with their packing positions, written as Parquet partitioned by
+    ``pack_shard``. A downstream loader reads one shard directory per
+    data-parallel worker and orders by (pack_bin, pack_offset) — directory
+    layout IS the shard assignment, so no further shuffle is needed at
+    train time. Returns the written frame re-read from ``path``."""
+    kept = flags.filter("kept").select(
+        id_col, "pack_shard", "pack_bin", "pack_offset"
+    )
+    out = docs.join(kept, id_col)
+    out.write.mode("overwrite").partitionBy("pack_shard").parquet(path)
+    return docs.sparkSession.read.parquet(path)

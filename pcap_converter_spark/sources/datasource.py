@@ -112,21 +112,42 @@ class PcapStreamReader(DataSourceStreamReader):
     ingestion, micro-batched by file arrival.
 
     Offset model (file-source semantics): a capture file is data once it
-    APPEARS in the directory and is treated as immutable from then on
-    (rotating capture tools write a file, close it, start the next). The
-    offset is ``{path: chunk_count_consumed}``; ``latestOffset`` globs the
-    directory and indexes only NEW files (the index is a metadata-cheap
+    APPEARS in the directory and is treated as immutable from then on.
+    **Producers MUST land files atomically** (write to a temp name in the
+    same filesystem, then rename into the watched directory — what rotating
+    capture tools and distcp-style movers do): a file is indexed the moment
+    the glob first sees it, so packets appended to an in-place-created file
+    after first sight are NEVER ingested. For producers that cannot rename,
+    set the ``settle_seconds`` option (e.g. ``"5"``): a file is then only
+    admitted into the offset once it has gone unmodified (same size+mtime)
+    for at least that long, trading per-file latency for safety against
+    mid-write indexing. Indexing errors on a recently-modified file
+    (truncated header race) defer the file to the next poll instead of
+    killing the query; errors on a quiescent file still raise.
+
+    The offset is ``{path: chunk_count_consumed}``; ``latestOffset`` globs
+    the directory and indexes only NEW files (the index is a metadata-cheap
     header walk, cached on the reader), so each micro-batch plans one
     InputPartition per new chunk and executors decode exactly as in the
     batch reader. Checkpoint recovery replans ``partitions(start, end)``
-    from the chunk index, which is re-derived deterministically from the
-    immutable files — exactly-once output without reader-side state.
+    from the chunk index, re-derived deterministically from the immutable
+    files — exactly-once output without reader-side state. A file deleted
+    AFTER its span was fully committed is tolerated on recovery (its
+    ``start == end`` span plans nothing, so the index is never re-derived);
+    a missing file with an uncommitted span raises a clear data-loss error
+    rather than a confusing parse failure.
     """
+
+    # a file modified this recently may still be mid-write: indexing errors
+    # on it defer to the next poll rather than failing the stream
+    _RECENT_WRITE_S = 5.0
 
     def __init__(self, options: dict, schema) -> None:
         self._options = options
         self._schema = schema
         self._chunks: dict[str, list[dict]] = {}  # path -> chunk dicts
+        self._settle = float(self._options.get("settle_seconds", 0) or 0)
+        self._seen: dict[str, tuple[int, float]] = {}  # path -> (size, mtime)
 
     def _path_glob(self) -> str:
         path = self._options.get("path")
@@ -158,16 +179,65 @@ class PcapStreamReader(DataSourceStreamReader):
     def initialOffset(self) -> dict:
         return {}
 
+    def _admissible(self, p: str) -> bool:
+        """settle_seconds gate for non-atomic producers: admit only once
+        the file has gone unmodified for the settle window."""
+        import time
+
+        try:
+            st = os.stat(p)
+        except OSError:
+            return False  # vanished between glob and stat
+        now = time.time()
+        if self._settle <= 0:
+            return True
+        sig = (st.st_size, st.st_mtime)
+        if self._seen.get(p) != sig:
+            self._seen[p] = sig  # first sight or still growing: wait
+            return False
+        return now - st.st_mtime >= self._settle
+
     def latestOffset(self) -> dict:
+        import time
+
+        out: dict[str, int] = {}
         files = sorted(
             p for p in glob.glob(self._path_glob()) if os.path.isfile(p)
         )
-        return {p: len(self._index_file(p)) for p in files}
+        for p in files:
+            if p in self._chunks:
+                out[p] = len(self._chunks[p])
+                continue
+            if not self._admissible(p):
+                continue
+            try:
+                out[p] = len(self._index_file(p))
+                self._seen.pop(p, None)
+            except Exception:
+                try:
+                    age = time.time() - os.stat(p).st_mtime
+                except OSError:
+                    continue  # deleted mid-index: not data yet, skip
+                if age < max(self._settle, self._RECENT_WRITE_S):
+                    continue  # mid-write truncation race: retry next poll
+                raise  # quiescent file that still won't index: corrupt
+        return out
 
     def partitions(self, start: dict, end: dict):
         parts: list[InputPartition] = []
         for p, n_end in end.items():
             n_start = int(start.get(p, 0))
+            if int(n_end) <= n_start:
+                # fully-committed span: plans nothing, so never re-derive
+                # the index — tolerates files deleted after commit
+                continue
+            if p not in self._chunks and not os.path.exists(p):
+                raise FileNotFoundError(
+                    f"pcap stream: {p} has an unread span "
+                    f"[{n_start}, {int(n_end)}) in the checkpointed offsets "
+                    "but the file is gone — unrecoverable data loss (files "
+                    "may only be deleted after their span is committed)"
+                )
             for c in self._index_file(p)[n_start : int(n_end)]:
                 parts.append(InputPartition(c))
         # Spark requires ≥1 partition per batch; an empty batch still plans

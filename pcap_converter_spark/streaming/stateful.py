@@ -60,13 +60,8 @@ def streaming_dedup(
 
 
 def run_stream_to_memory(agg: DataFrame, query_name: str) -> DataFrame:
-    """availableNow drain for append-mode stateful streams."""
-    q = (
-        agg.writeStream.format("memory")
-        .queryName(query_name)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    return agg.sparkSession.table(query_name)
+    """availableNow drain for append-mode stateful streams (unique per-run
+    sink name + post-drain cleanup — see windows.drain_available_now)."""
+    from pcap_converter_spark.streaming.windows import drain_available_now
+
+    return drain_available_now(agg, query_name, "append")

@@ -13,13 +13,43 @@ window state finite.
 
 from __future__ import annotations
 
+import atexit
 import os
 import tempfile
+import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from pcap_converter_spark.session import apply_runtime_confs
+
+# staging dirs for file-stream sources, cached per source file so repeat
+# invocations in one session reuse one dir instead of leaking a tempdir per
+# call (VERDICT r3 #4); all dirs are removed at interpreter exit
+_STAGE_CACHE: dict[str, str] = {}
+
+
+def stage_as_dir(path: str, prefix: str) -> str:
+    """Symlink a single file into a staging directory: the file-stream
+    source wants a *directory* (a continuously-landing zone in production).
+    Idempotent per absolute path; cleaned up at process exit."""
+    key = os.path.abspath(path)
+    d = _STAGE_CACHE.get(key)
+    if d is not None and os.path.isdir(d):
+        return d
+    d = tempfile.mkdtemp(prefix=prefix)
+    os.symlink(key, os.path.join(d, os.path.basename(path)))
+    _STAGE_CACHE[key] = d
+    return d
+
+
+@atexit.register
+def _cleanup_stage_dirs() -> None:
+    import shutil
+
+    while _STAGE_CACHE:
+        _, d = _STAGE_CACHE.popitem()
+        shutil.rmtree(d, ignore_errors=True)
 
 
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -27,12 +57,7 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     continuously-landing directory in production — same code)."""
     apply_runtime_confs(spark)
     batch_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
-    # the file-stream source wants a *directory* (a landing zone in
-    # production); stage the single testdata file behind a symlink dir
-    stage = tempfile.mkdtemp(prefix="events_stream_")
-    link = os.path.join(stage, "events.parquet")
-    if not os.path.exists(link):
-        os.symlink(os.path.abspath(f"{sf_dir}/events.parquet"), link)
+    stage = stage_as_dir(f"{sf_dir}/events.parquet", "events_stream_")
     stream = spark.readStream.schema(batch_schema).parquet(stage)
     ts_type = dict(stream.dtypes).get("ts")
     if ts_type == "bigint":  # nanosAsLong: normalize ns → µs TIMESTAMP_NTZ
@@ -102,30 +127,40 @@ def session_counts(
     )
 
 
+def drain_available_now(df: DataFrame, query_name: str, mode: str) -> DataFrame:
+    """Drain everything currently available through the streaming engine and
+    return the result as a stable batch DataFrame (test/bench harness;
+    production would writeStream to a real sink).
+
+    Lifecycle-clean for repeated invocations in one session (VERDICT r3 #4):
+    the memory sink gets a unique per-run name, the drained rows are
+    materialized once via an eager localCheckpoint, and the sink table is
+    dropped before returning — so two consecutive full runs leave no stray
+    catalog entries and never collide on a sink name."""
+    name = f"{query_name}_{uuid.uuid4().hex[:8]}"
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination()
+    finally:
+        q.stop()
+    spark = df.sparkSession
+    out = spark.table(name).localCheckpoint(eager=True)
+    spark.catalog.dropTempView(name)
+    return out
+
+
 def run_available_now_append(df: DataFrame, query_name: str) -> DataFrame:
     """Append-mode drain (stream-stream joins and other operators that
     emit rows incrementally reject complete mode)."""
-    q = (
-        df.writeStream.format("memory")
-        .queryName(query_name)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    return df.sparkSession.table(query_name)
+    return drain_available_now(df, query_name, "append")
 
 
 def run_available_now(agg: DataFrame, query_name: str) -> DataFrame:
-    """Drain everything currently available through the streaming engine
-    into an in-memory table and return it as a DataFrame (test/bench
-    harness; production would writeStream to a real sink)."""
-    q = (
-        agg.writeStream.format("memory")
-        .queryName(query_name)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    return agg.sparkSession.table(query_name)
+    """Complete-mode drain for aggregation streams."""
+    return drain_available_now(agg, query_name, "complete")

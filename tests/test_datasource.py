@@ -124,3 +124,78 @@ def test_datasource_missing_path_raises(registered):
     with pytest.raises(Exception, match="path"):
         # planning (partitions()) is lazy — the error surfaces at action time
         spark.read.format("pcap").load().count()
+
+
+# --- stream admission & recovery semantics (no Spark query needed: the
+# offset/planning contract is driver-side reader state) -------------------
+
+def _stream_reader(path, **opts):
+    from pcap_converter_spark.sources.datasource import PcapStreamReader
+
+    return PcapStreamReader({"path": str(path), **opts}, None)
+
+
+def test_stream_settle_gate_defers_fresh_files(tmp_path):
+    """With settle_seconds set, a file is admitted into the offset only
+    once it has gone unmodified for the window (non-atomic producers)."""
+    import time
+
+    cap = tmp_path / "captures"
+    cap.mkdir()
+    g.write_pcap(str(cap / "a.pcap"), [(1_000_000, _udp_pkt())])
+    r = _stream_reader(cap, settle_seconds="1")
+    assert r.latestOffset() == {}  # first sight: signature recorded
+    assert r.latestOffset() == {}  # unchanged but younger than the window
+    time.sleep(1.1)
+    off = r.latestOffset()  # quiescent past the window: admitted
+    assert off == {str(cap / "a.pcap"): 1}
+
+
+def test_stream_settle_gate_tracks_growth(tmp_path):
+    """A file that grows between polls restarts its settle clock."""
+    import time
+
+    cap = tmp_path / "captures"
+    cap.mkdir()
+    p = cap / "a.pcap"
+    g.write_pcap(str(p), [(1_000_000, _udp_pkt())])
+    r = _stream_reader(cap, settle_seconds="1")
+    assert r.latestOffset() == {}
+    time.sleep(1.1)
+    # append (simulates an in-place writer): new signature, clock restarts
+    with open(p, "ab") as f:
+        f.write(b"\x00" * 16)
+    assert r.latestOffset() == {}
+    assert r.latestOffset() == {}
+
+
+def test_stream_recovery_tolerates_deleted_committed_file(tmp_path):
+    """partitions(start, end) with a fully-committed span for a now-deleted
+    file must plan nothing (not re-derive the index and crash); an UNREAD
+    span for a missing file must raise a clear data-loss error."""
+    cap = tmp_path / "captures"
+    cap.mkdir()
+    gone = str(cap / "gone.pcap")
+    r = _stream_reader(cap)
+    parts = r.partitions({gone: 2}, {gone: 2})
+    assert len(parts) == 1 and parts[0].value is None  # empty batch marker
+    with pytest.raises(FileNotFoundError, match="unread span"):
+        r.partitions({gone: 0}, {gone: 2})
+
+
+def test_stream_mid_write_index_failure_defers(tmp_path):
+    """A recently-modified file that fails to index (truncated header race
+    with a non-atomic writer) is deferred to the next poll, not fatal;
+    once quiescent past the recent-write window it raises."""
+    import os
+
+    cap = tmp_path / "captures"
+    cap.mkdir()
+    bad = cap / "bad.pcap"
+    bad.write_bytes(b"\xd4\xc3")  # 2 bytes: unparseable header
+    r = _stream_reader(cap)
+    assert r.latestOffset() == {}  # young file: deferred
+    old = 1_000_000_000
+    os.utime(bad, (old, old))  # quiescent corrupt file: loud failure
+    with pytest.raises(Exception):
+        r.latestOffset()

@@ -115,10 +115,17 @@ def main() -> int:
     spark = get_spark("scale-smoke")
     spark.sparkContext.setLogLevel("ERROR")
 
-    def load(path: str, frac: float):
+    def load(path: str, frac: float, plant_period: int):
+        """Half-size sampling is BLOCK sampling aligned to the planted-dup
+        period (id % 2P < P), not even-ids: the planted near-dup pairs are
+        (i, i-1) — one odd, one even — so an even-id sample would carry
+        essentially zero planted pairs and the two timed points would
+        differ in workload composition, not just size (ADVICE r3)."""
         df = spark.read.parquet(path)
         if frac < 1.0:
-            df = df.filter(F.col(df.columns[0]) % 2 == 0)
+            df = df.filter(
+                F.col(df.columns[0]) % (2 * plant_period) < plant_period
+            )
         p = spark.sparkContext.defaultParallelism
         return df.repartition(p)
 
@@ -143,10 +150,10 @@ def main() -> int:
             pass
         return dt
 
-    docs_full = load(docs_p, 1.0).persist()
-    docs_half = load(docs_p, 0.5).persist()
-    vecs_full = load(vecs_p, 1.0).persist()
-    vecs_half = load(vecs_p, 0.5).persist()
+    docs_full = load(docs_p, 1.0, 40).persist()
+    docs_half = load(docs_p, 0.5, 40).persist()
+    vecs_full = load(vecs_p, 1.0, 25).persist()
+    vecs_half = load(vecs_p, 0.5, 25).persist()
     for d in (docs_full, docs_half, vecs_full, vecs_half):
         d.count()
 
