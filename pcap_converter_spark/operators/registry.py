@@ -776,17 +776,41 @@ WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0)
 SELECT 'ann_lsh' AS tier, * FROM ({_SIM_ANN_SQL}) a
 UNION ALL SELECT 'exact' AS tier, * FROM ({_SIM_EXACT_SQL}) b
 UNION ALL SELECT 'ivf' AS tier, * FROM ({_SIM_IVF_SQL}) c
+UNION ALL SELECT 'ivf_rest' AS tier, * FROM ({_SIM_IVF_SQL}) e
 UNION ALL SELECT 'quant' AS tier, * FROM ({_SIM_QUANT_SQL}) d
 ORDER BY tier, cos_sim DESC, vec_id
 """
 
 
+# materialized IVF index per (session, sf_dir): written once, probed by the
+# 'ivf_rest' tier below; removed at interpreter exit
+_IVF_REST_CACHE: dict[tuple[int, str], str] = {}
+
+
+def _ivf_rest_path(spark: SparkSession, sf_dir: str) -> str:
+    import atexit
+    import os
+    import shutil
+    import tempfile
+
+    key = (id(spark), os.path.abspath(sf_dir))
+    path = _IVF_REST_CACHE.get(key)
+    if path is None:
+        path = tempfile.mkdtemp(prefix="ivf_index_")
+        similarity.ivf_write(_embs(spark, sf_dir), _SIM_CENTS, path)
+        _IVF_REST_CACHE[key] = path
+        atexit.register(shutil.rmtree, path, ignore_errors=True)
+    return path
+
+
 def run_sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Cosine top-k, all four tiers in one tagged hash-checked result:
+    """Cosine top-k, all five tiers in one tagged hash-checked result:
     exact scan→TakeOrderedAndProject; ANN via hyperplane bucket + hamming-1
     multiprobe (scans ~9/256 of the corpus); IVF probe over fixed literal
-    centroids (scans nprobe/8 of the corpus, partition-prunable at rest);
-    and int8-quantized top-k (similarity.quantized_topk — the 4×-compressed
+    centroids (scans nprobe/8 of the corpus); the SAME probe against the
+    MATERIALIZED cluster-partitioned index (tier 'ivf_rest' — a
+    directory-pruned scan that must produce the identical answer); and
+    int8-quantized top-k (similarity.quantized_topk — the 4×-compressed
     at-rest representation scored with integer dot products). The oracle
     recomputes each tier's own bucketing/probing/quantization, so
     correctness of the approximation MECHANICS is what is hash-checked."""
@@ -799,12 +823,21 @@ def run_sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ivf = similarity.ivf_topk(
         emb, _SIM_CENTS, qv, k=10, nprobe=_SIM_NPROBE
     ).withColumn("tier", F.lit("ivf"))
+    # tier 'ivf_rest': probe the MATERIALIZED index (cluster-partitioned
+    # parquet, directory-pruned scan) with the same literal centroids —
+    # must hash-match the in-memory ivf tier's oracle exactly, proving the
+    # at-rest layout, not just its plan shape (r3 verdict #7)
+    rest = similarity.ivf_topk_at_rest(
+        spark, _ivf_rest_path(spark, sf_dir), _SIM_CENTS, qv,
+        k=10, nprobe=_SIM_NPROBE,
+    ).withColumn("tier", F.lit("ivf_rest"))
     quant = similarity.quantized_topk(emb, qv, k=10).withColumn(
         "tier", F.lit("quant")
     )
     return (
         exact.unionByName(ann)
         .unionByName(ivf)
+        .unionByName(rest)
         .unionByName(quant)
         .select("tier", "vec_id", "cos_sim")
         .orderBy("tier", F.col("cos_sim").desc(), "vec_id")

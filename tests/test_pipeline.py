@@ -62,3 +62,45 @@ def test_curate_without_benchmark(spark):
     # no decontamination stage: doc 5 survives, decon flag is all-true
     assert rows[5]["kept"] is True
     assert {d for d, row in rows.items() if row["kept"]} == {0, 4, 5}
+
+
+def test_curation_report_matches_flags(spark):
+    from pcap_converter_spark.operators.pipeline import curation_report
+
+    docs = spark.createDataFrame(DOCS, ["doc_id", "text"])
+    bench = spark.createDataFrame(BENCH, ["doc_id", "text"])
+    flags = curate(docs, bench)
+    rep = {r["stage"]: r for r in curation_report(flags).collect()}
+    assert set(rep) == {"quality", "exact", "neardup", "decon", "kept"}
+    # fixture funnel: 6 in -> 5 pass quality -> 4 pass exact -> 3 pass
+    # near-dup -> 2 pass decon
+    assert (rep["quality"]["n_entered"], rep["quality"]["n_kept"]) == (6, 5)
+    assert (rep["exact"]["n_entered"], rep["exact"]["n_kept"]) == (5, 4)
+    assert (rep["neardup"]["n_entered"], rep["neardup"]["n_kept"]) == (4, 3)
+    assert (rep["decon"]["n_entered"], rep["decon"]["n_kept"]) == (3, 2)
+    assert (rep["kept"]["n_entered"], rep["kept"]["n_kept"]) == (2, 2)
+    for r in rep.values():
+        assert r["n_dropped"] == r["n_entered"] - r["n_kept"]
+
+
+def test_write_kept_materializes_pack_layout(spark, tmp_path):
+    from pcap_converter_spark.operators.pipeline import write_kept
+
+    docs = spark.createDataFrame(DOCS, ["doc_id", "text"])
+    bench = spark.createDataFrame(BENCH, ["doc_id", "text"])
+    flags = curate(docs, bench)
+    out = str(tmp_path / "kept")
+    back = write_kept(flags, docs, out)
+    rows = {r["doc_id"]: r for r in back.collect()}
+    assert set(rows) == {0, 4}  # exactly the kept docs, with their text
+    assert all(r["text"] for r in rows.values())
+    # directory layout IS the shard assignment
+    import os
+
+    shards = sorted(
+        d for d in os.listdir(out) if d.startswith("pack_shard=")
+    )
+    assert shards, "expected pack_shard=N partition directories"
+    assert {f"pack_shard={r['pack_shard']}" for r in rows.values()} == set(
+        shards
+    )
