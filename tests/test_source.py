@@ -105,3 +105,21 @@ def test_chunk_boundaries_cover_all_records(tmp_path):
         chunks = index_pcap(path, target_chunk_bytes=target)
         total = sum(c.n_records for c in chunks)
         assert total == n, f"target={target}: {total} != {n}"
+
+
+def test_index_cache_serves_and_invalidates(tmp_path):
+    """The chunk-descriptor cache serves repeat reads of an unchanged file
+    and invalidates when the file changes (size/mtime identity)."""
+    from pcap_converter_spark.sources.pcap import _index_or_split
+
+    path = str(tmp_path / "cached.pcap")
+    g.write_pcap(path, [(1_000_000 + i, _udp_pkt(i)) for i in range(10)])
+    first = _index_or_split(path, 1 << 20, "auto")
+    assert _index_or_split(path, 1 << 20, "auto") is first  # cache hit
+    # different split params miss the cache
+    assert _index_or_split(path, 1 << 10, "auto") is not first
+    # rewriting the file (new size) invalidates
+    g.write_pcap(path, [(1_000_000 + i, _udp_pkt(i)) for i in range(20)])
+    fresh = _index_or_split(path, 1 << 20, "auto")
+    assert fresh is not first
+    assert sum(c.n_records for c in fresh) == 20
