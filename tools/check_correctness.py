@@ -117,6 +117,26 @@ def main() -> int:
             traceback.print_exc(limit=3)
             n_fail += 1
             continue
+        # faithful to the real driver: its canonicalizer sorts with pandas,
+        # which cannot hash list/dict cells — canon_cell below stringifies
+        # them, so without this check a non-atomic column would PASS here
+        # and break only on the actual gate (exactly what happened in r3)
+        import numpy as _np
+
+        bad_cols = [
+            c
+            for c in sdf.columns
+            if len(sdf)
+            and isinstance(sdf[c].iloc[0], (list, dict, _np.ndarray))
+        ]
+        if bad_cols:
+            print(
+                f"FAIL  {name}: non-atomic columns {bad_cols} — the "
+                "driver's pandas canonicalizer cannot sort these; "
+                "serialize (array_join / to_json) at the registry boundary"
+            )
+            n_fail += 1
+            continue
         if name not in oracles:
             print(f"rows  {name}: {len(sdf)} rows (no oracle, rows-only check)")
             n_rows_only += 1

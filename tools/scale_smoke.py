@@ -208,6 +208,14 @@ def main() -> int:
 
     out: dict[str, dict] = {}
     for name, mk in ops.items():
+        # untimed per-op warmup at half size: the op's first execution
+        # compiles its generated code and faults in its worker-side paths;
+        # without this the half-size point (always timed first) absorbs
+        # that fixed cost and the measured exponent skews NEGATIVE —
+        # visible once the block-aligned sampler made half/full carry the
+        # same planted-dup density (the even-id sampler's dup-free half
+        # corpus happened to mask it)
+        run(mk(docs_half))
         t_half = run(mk(docs_half))
         t_full = run(mk(docs_full))
         out[name] = {
@@ -220,6 +228,7 @@ def main() -> int:
         print(f"scale_smoke: {name} half={t_half:.1f}s full={t_full:.1f}s "
               f"exp={out[name]['exp']}", file=sys.stderr)
     for name, mk in vec_ops.items():
+        run(mk(vecs_half))  # untimed warmup (see above)
         t_half = run(mk(vecs_half))
         t_full = run(mk(vecs_full))
         out[name] = {
