@@ -322,9 +322,19 @@ def ivf_write(
     half of the docstring claim on ``ivf_topk`` — once at rest, a probe is
     a partition-PRUNED scan (nprobe directories opened, the rest never
     read; tests/test_plan_audit.py asserts PartitionFilters on the scan)."""
+    from pyspark.sql import functions as _F
+
     from pcap_converter_spark.io.sinks import write_partitioned
 
-    write_partitioned(ivf_assign(df, centroids, vec_col), out, ["_cluster"])
+    # co-locate each cluster before the partitioned write: without this
+    # every upstream task opens a writer per cluster it touches (m tasks ×
+    # C clusters small files); hashed on _cluster, each task writes only
+    # its own clusters — C files total, and the one-file-per-cluster
+    # layout is exactly what the probe's pruned scan wants
+    assigned = ivf_assign(df, centroids, vec_col).repartition(
+        _F.col("_cluster")
+    )
+    write_partitioned(assigned, out, ["_cluster"])
 
 
 def ivf_topk_at_rest(

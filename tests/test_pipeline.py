@@ -104,3 +104,55 @@ def test_write_kept_materializes_pack_layout(spark, tmp_path):
     assert {f"pack_shard={r['pack_shard']}" for r in rows.values()} == set(
         shards
     )
+
+
+def test_curate_funnel_invariants_random_corpus(spark):
+    """Structural invariants of the funnel on a seeded random corpus
+    (beyond the hand-built fixture): flag nullability follows the funnel
+    (a stage's flag is non-NULL exactly when the doc reached that stage),
+    kept == conjunction of all four, pack positions exist exactly for
+    kept docs, and within each shard the (bin, offset) sequence is the
+    running token sum in doc_id order."""
+    import random
+
+    rng = random.Random(47)
+    vocab = [f"w{i}" for i in range(500)]
+    docs = []
+    for i in range(80):
+        if i % 11 == 3:
+            text = "tiny"  # quality drop
+        elif i % 13 == 5 and docs:
+            text = docs[-1][1]  # exact dup of predecessor
+        else:
+            text = " ".join(rng.choice(vocab) for _ in range(rng.randint(25, 60)))
+        docs.append((i, text))
+    bench = [(1000, docs[7][1])]  # benchmark shares doc 7's grams
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    bdf = spark.createDataFrame(bench, ["doc_id", "text"])
+    rows = {r["doc_id"]: r.asDict() for r in curate(df, bdf).collect()}
+    assert set(rows) == {i for i, _ in docs}
+
+    chain = ["keep_quality", "keep_exact", "keep_neardup", "keep_decon"]
+    for r in rows.values():
+        # funnel nullability: flag k+1 is present iff flag k is True
+        for up, down in zip(chain, chain[1:]):
+            if r[up] is True:
+                assert r[down] is not None, r
+            else:
+                assert r[down] is None, r
+        assert r["kept"] == all(r[c] is True for c in chain)
+        for c in ("pack_shard", "pack_bin", "pack_offset"):
+            assert (r[c] is not None) == r["kept"], r
+
+    # pack layout: running token sums per shard in doc_id order
+    kept = sorted(
+        (d for d, r in rows.items() if r["kept"]),
+    )
+    ntok = {d: len(t.split()) for d, t in docs}
+    starts: dict = {}
+    for d in kept:
+        r = rows[d]
+        sh = r["pack_shard"]
+        expect = starts.get(sh, 0)
+        assert r["pack_bin"] * 256 + r["pack_offset"] == expect, (d, r)
+        starts[sh] = expect + ntok[d]
