@@ -1,0 +1,314 @@
+"""WARC source: chunk-indexed parallel reader for web-archive files.
+
+WARC (ISO 28500) is the canonical LLM-corpus acquisition format
+(CommonCrawl ships it): a chain of records, each a header block
+(``WARC/1.x`` + named fields, CRLF-terminated, blank-line end) followed by
+``Content-Length`` payload bytes and a ``\\r\\n\\r\\n`` separator. Like pcap,
+the format is self-describing per record, so the same source architecture
+applies verbatim:
+
+1. an **index pass** walks record boundaries on the driver (metadata-cheap:
+   header reads + Content-Length skips) and groups records into
+   ~``target_chunk_bytes`` chunks;
+2. executors decode their chunk independently through ``mapInPandas`` —
+   one Arrow batch per chunk, no row-at-a-time Python between Spark and
+   the parser.
+
+Compression: real WARCs are usually **per-record gzip members**
+(the WARC-recommended layout, exactly so that readers can split work at
+member boundaries). The index pass detects the gzip magic and walks
+members by decompressing the stream ONCE on the driver while recording
+each member's compressed byte span; chunks are member-aligned, so
+executors decompress only their own byte range. A monolithic
+(non-member) gzip stream cannot be split — it is rejected with a clear
+error rather than silently serialized onto one task.
+
+At 100 TB: one driver walk per file is the same cost contract as the
+exact pcap index (and the speculative-split escape hatch applies the
+same way — WARC headers are even easier to resync on than pcap's, via
+the ``WARC/1.`` magic — but is not implemented until a colossal
+single-file corpus needs it; CommonCrawl ships ~1 GB segment files,
+which the per-file index handles embarrassingly parallel via
+``index_many``-style fan-out).
+"""
+
+from __future__ import annotations
+
+import gzip
+import io
+import os
+import zlib
+from dataclasses import dataclass
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+from pcap_converter_spark.session import apply_runtime_confs
+
+DEFAULT_CHUNK_BYTES = 64 << 20
+
+_GZ_MAGIC = b"\x1f\x8b"
+
+WARC_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("warc_type", T.StringType()),
+        T.StructField("warc_record_id", T.StringType()),
+        T.StructField("warc_date", T.StringType()),
+        T.StructField("target_uri", T.StringType()),
+        T.StructField("content_type", T.StringType()),
+        T.StructField("content_length", T.LongType()),
+        T.StructField("http_status", T.IntegerType()),
+        T.StructField("payload", T.BinaryType()),
+        T.StructField("warc_file", T.StringType()),
+        T.StructField("errors", T.LongType()),
+    ]
+)
+
+
+@dataclass
+class WarcChunk:
+    path: str
+    offset: int          # byte offset of the chunk's first record
+    length: int          # compressed/raw byte length of the chunk
+    gzipped: bool        # per-record gzip members vs plain WARC
+    n_records: int
+
+
+# ------------------------------------------------------------------ indexing
+
+
+def _walk_plain_records(f, file_size: int) -> Iterator[tuple[int, int]]:
+    """Yield (offset, total_record_len) for each record of a plain WARC.
+
+    Record = header block ending in CRLFCRLF + Content-Length payload bytes
+    + CRLFCRLF trailer. A truncated tail is tolerated (stop, like the pcap
+    indexers); a malformed header mid-file stops the walk rather than
+    guessing (corrupt archives should fail loudly at index time)."""
+    pos = 0
+    while pos < file_size:
+        f.seek(pos)
+        head = f.read(16)
+        if not head.startswith(b"WARC/"):
+            if not head:  # clean EOF
+                return
+            raise ValueError(
+                f"WARC parse error at offset {pos}: expected record magic, "
+                f"got {head[:8]!r}"
+            )
+        # read the header block (bounded: WARC headers are small; 64 KB cap)
+        f.seek(pos)
+        blob = f.read(64 << 10)
+        hdr_end = blob.find(b"\r\n\r\n")
+        if hdr_end < 0:
+            return  # truncated header at tail
+        clen = _content_length(blob[:hdr_end])
+        total = hdr_end + 4 + clen + 4  # payload + CRLFCRLF trailer
+        if pos + total > file_size:
+            return  # truncated payload at tail
+        yield pos, total
+        pos += total
+
+
+def _content_length(header_block: bytes) -> int:
+    for line in header_block.split(b"\r\n"):
+        if line.lower().startswith(b"content-length:"):
+            return int(line.split(b":", 1)[1].strip())
+    raise ValueError("WARC record without Content-Length")
+
+
+def _walk_gzip_members(f, file_size: int) -> Iterator[tuple[int, int]]:
+    """Yield (offset, compressed_len) for each gzip member (per-record
+    compression, the WARC-recommended layout). One sequential decompress
+    pass; the decompressor reports each member's end via unused_data."""
+    pos = 0
+    while pos < file_size:
+        f.seek(pos)
+        probe = f.read(2)
+        if len(probe) < 2:
+            return
+        if probe != _GZ_MAGIC:
+            raise ValueError(
+                f"expected gzip member at offset {pos}, got {probe!r} — "
+                "mixed plain/gzip WARC is not supported"
+            )
+        f.seek(pos)
+        d = zlib.decompressobj(wbits=16 + zlib.MAX_WBITS)
+        consumed = 0
+        while True:
+            block = f.read(1 << 20)
+            if not block:
+                if not d.eof:
+                    return  # truncated member at tail: tolerate
+                break
+            d.decompress(block)
+            if d.eof:
+                consumed += len(block) - len(d.unused_data)
+                break
+            consumed += len(block)
+        if consumed <= 0:
+            return
+        yield pos, consumed
+        pos += consumed
+
+
+def index_warc(
+    path: str, target_chunk_bytes: int = DEFAULT_CHUNK_BYTES
+) -> list[WarcChunk]:
+    """Walk record (or gzip-member) boundaries and group into chunks of
+    ~``target_chunk_bytes``; returns member-aligned chunk descriptors."""
+    file_size = os.path.getsize(path)
+    with open(path, "rb") as f:
+        magic = f.read(2)
+        gzipped = magic == _GZ_MAGIC
+        if not gzipped:
+            f.seek(0)
+            if not f.read(5).startswith(b"WARC/"):
+                raise ValueError(
+                    f"{path}: neither WARC magic nor gzip magic at offset 0"
+                )
+        walker = _walk_gzip_members if gzipped else _walk_plain_records
+        chunks: list[WarcChunk] = []
+        start = None
+        clen = 0
+        n = 0
+        for off, rec_len in walker(f, file_size):
+            if start is None:
+                start = off
+            clen += rec_len
+            n += 1
+            if clen >= target_chunk_bytes:
+                chunks.append(WarcChunk(path, start, clen, gzipped, n))
+                start, clen, n = None, 0, 0
+        if n:
+            chunks.append(WarcChunk(path, start, clen, gzipped, n))
+    return chunks
+
+
+# ------------------------------------------------------------------ decoding
+
+
+def _parse_records(buf: bytes, basename: str) -> Iterator[dict]:
+    """Parse every record in a decompressed/plain chunk buffer."""
+    pos, n = 0, len(buf)
+    while pos < n:
+        if not buf.startswith(b"WARC/", pos):
+            break  # chunk trailer / padding
+        hdr_end = buf.find(b"\r\n\r\n", pos)
+        if hdr_end < 0:
+            break
+        header = buf[pos:hdr_end]
+        fields: dict[bytes, bytes] = {}
+        for line in header.split(b"\r\n")[1:]:
+            k, _, v = line.partition(b":")
+            fields[k.strip().lower()] = v.strip()
+        errors = 0
+        try:
+            clen = int(fields[b"content-length"])
+        except (KeyError, ValueError):
+            break  # cannot frame further records without a length
+        body = buf[hdr_end + 4 : hdr_end + 4 + clen]
+        status = None
+        payload = body
+        ctype = fields.get(b"content-type", b"").decode("latin-1")
+        if ctype.startswith("application/http"):
+            # response record: split the HTTP head off the payload
+            he = body.find(b"\r\n\r\n")
+            if he >= 0:
+                try:
+                    status = int(body.split(b" ", 2)[1])
+                except (IndexError, ValueError):
+                    errors += 1
+                payload = body[he + 4 :]
+            else:
+                errors += 1
+        yield {
+            "warc_type": fields.get(b"warc-type", b"").decode("latin-1"),
+            "warc_record_id": fields.get(b"warc-record-id", b"").decode("latin-1"),
+            "warc_date": fields.get(b"warc-date", b"").decode("latin-1"),
+            "target_uri": fields.get(b"warc-target-uri", b"").decode("latin-1")
+            or None,
+            "content_type": ctype,
+            "content_length": clen,
+            "http_status": status,
+            "payload": payload,
+            "warc_file": basename,
+            "errors": errors,
+        }
+        pos = hdr_end + 4 + clen + 4
+
+
+def read_warc_chunk(chunk: dict | WarcChunk) -> pd.DataFrame:
+    c = WarcChunk(**chunk) if isinstance(chunk, dict) else chunk
+    with open(c.path, "rb") as f:
+        f.seek(c.offset)
+        raw = f.read(c.length)
+    if c.gzipped:
+        # concatenated members decompress in one pass
+        buf = gzip.decompress(raw)
+    else:
+        buf = raw
+    rows = list(_parse_records(buf, os.path.basename(c.path)))
+    if not rows:
+        return pd.DataFrame(
+            {f.name: pd.Series(dtype="object") for f in WARC_OUTPUT_SCHEMA}
+        )
+    return pd.DataFrame(rows)
+
+
+def read_warc(
+    spark: SparkSession,
+    paths: str | list[str],
+    target_chunk_bytes: int = DEFAULT_CHUNK_BYTES,
+) -> DataFrame:
+    """WARC corpus → DataFrame, one task per chunk (same fan-out contract
+    as ``read_pcap``). Returns (warc_type, warc_record_id, warc_date,
+    target_uri, content_type, content_length, http_status, payload,
+    warc_file, errors)."""
+    import glob as _glob
+
+    apply_runtime_confs(spark)
+    if isinstance(paths, str):
+        paths = (
+            sorted(_glob.glob(paths))
+            if any(ch in paths for ch in "*?[")
+            else [paths]
+        )
+    if not paths:
+        raise FileNotFoundError("read_warc: no input files")
+    chunks = []
+    for p in paths:
+        chunks.extend(c.__dict__ for c in index_warc(p, target_chunk_bytes))
+    if not chunks:
+        return spark.createDataFrame([], WARC_OUTPUT_SCHEMA)
+    chunk_df = spark.createDataFrame(
+        pd.DataFrame(chunks)
+    ).repartition(len(chunks))
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for rec in pdf.to_dict("records"):
+                yield read_warc_chunk(rec)
+
+    return chunk_df.mapInPandas(decode, WARC_OUTPUT_SCHEMA)
+
+
+def responses_as_documents(df: DataFrame) -> DataFrame:
+    """Bridge into the text pipeline: HTTP 200 response records →
+    (doc_id, url, text) rows ready for the curation/dedup operators.
+    doc_id is a deterministic 63-bit hash of the record id; payload is
+    decoded as UTF-8 with replacement (lossy bytes count as content, not
+    errors — charset sniffing is a downstream concern)."""
+    from pyspark.sql import functions as F
+
+    return (
+        df.filter(
+            (F.col("warc_type") == "response") & (F.col("http_status") == 200)
+        )
+        .select(
+            F.abs(F.xxhash64("warc_record_id")).alias("doc_id"),
+            F.col("target_uri").alias("url"),
+            F.decode("payload", "UTF-8").alias("text"),
+        )
+    )

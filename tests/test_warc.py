@@ -1,0 +1,133 @@
+"""WARC source: index/chunk/decode parity across plain and per-record-gzip
+layouts, HTTP payload splitting, and the documents-pipeline bridge."""
+
+from __future__ import annotations
+
+import pytest
+
+from fixtures import warcgen as wg
+from pcap_converter_spark.sources.warc import (
+    index_warc,
+    read_warc,
+    responses_as_documents,
+)
+
+
+def _corpus(n: int = 30) -> list[bytes]:
+    recs = [wg.record("warcinfo", b"software: fixture\r\n")]
+    for i in range(n):
+        html = (f"<html><body>doc {i} " + "word " * (20 + i % 7) + "</body></html>").encode()
+        recs.append(
+            wg.response_record(
+                f"https://ex{i % 3}.org/p/{i}",
+                html,
+                rec_id=f"<urn:uuid:{i}>",
+                status=200 if i % 5 else 404,
+            )
+        )
+        recs.append(
+            wg.record(
+                "request",
+                f"GET /p/{i} HTTP/1.1\r\n".encode(),
+                uri=f"https://ex{i % 3}.org/p/{i}",
+                rec_id=f"<urn:uuid:req-{i}>",
+                content_type="application/http; msgtype=request",
+            )
+        )
+    return recs
+
+
+def _rows(df):
+    return sorted(
+        df.select("warc_type", "target_uri", "http_status", "content_length")
+        .collect()
+    )
+
+
+def test_warc_plain_roundtrip(spark, tmp_path):
+    p = str(tmp_path / "a.warc")
+    recs = _corpus()
+    wg.write_warc(p, recs)
+    df = read_warc(spark, p)
+    assert df.count() == len(recs)
+    types = {r["warc_type"]: r["cnt"] for r in df.groupBy("warc_type").count()
+             .withColumnRenamed("count", "cnt").collect()}
+    assert types == {"warcinfo": 1, "response": 30, "request": 30}
+    ok = df.filter("http_status = 200").count()
+    assert ok == 24  # 30 responses, every 5th is a 404
+
+
+def test_warc_gzip_matches_plain(spark, tmp_path):
+    recs = _corpus()
+    plain, gz = str(tmp_path / "a.warc"), str(tmp_path / "a.warc.gz")
+    wg.write_warc(plain, recs)
+    wg.write_warc(gz, recs, gzipped=True)
+    assert _rows(read_warc(spark, plain)) == _rows(read_warc(spark, gz))
+
+
+@pytest.mark.parametrize("gzipped", [False, True])
+def test_warc_chunking_parity(spark, tmp_path, gzipped):
+    """Tiny target → many chunks; result identical to the 1-chunk read,
+    and parallelism equals chunk count."""
+    p = str(tmp_path / ("c.warc.gz" if gzipped else "c.warc"))
+    wg.write_warc(p, _corpus(40), gzipped=gzipped)
+    chunks = index_warc(p, target_chunk_bytes=2048)
+    assert len(chunks) > 4
+    assert sum(c.n_records for c in chunks) == 81
+    one = read_warc(spark, p)  # default target: single chunk
+    many = read_warc(spark, p, target_chunk_bytes=2048)
+    assert many.rdd.getNumPartitions() == len(chunks)
+    assert _rows(one) == _rows(many)
+
+
+def test_warc_http_payload_split(spark, tmp_path):
+    p = str(tmp_path / "h.warc")
+    body = b"<html>hello</html>"
+    wg.write_warc(p, [wg.response_record("https://x.org/", body, "<urn:uuid:h>")])
+    row = read_warc(spark, p).collect()[0]
+    assert row["http_status"] == 200
+    assert bytes(row["payload"]) == body  # HTTP head stripped
+    assert row["errors"] == 0
+
+
+def test_warc_truncated_tail_tolerated(spark, tmp_path):
+    p = str(tmp_path / "t.warc")
+    recs = _corpus(10)
+    wg.write_warc(p, recs)
+    with open(p, "r+b") as f:
+        f.truncate(f.seek(0, 2) - 37)  # cut into the last record
+    df = read_warc(spark, p)
+    assert df.count() == len(recs) - 1  # tail record dropped, no error
+
+
+def test_warc_bad_magic_raises(tmp_path):
+    p = str(tmp_path / "bad.bin")
+    with open(p, "wb") as f:
+        f.write(b"NOTWARC" * 10)
+    with pytest.raises(ValueError, match="neither WARC magic nor gzip"):
+        index_warc(p)
+
+
+def test_responses_as_documents_bridge(spark, tmp_path):
+    """The bridge feeds the text pipeline: 200-responses only, decoded
+    text, stable ids — and composes with the dedup operators."""
+    from pcap_converter_spark.operators import dedup
+
+    p = str(tmp_path / "d.warc.gz")
+    recs = [
+        wg.response_record("https://a.org/1", b"<p>same content here</p>",
+                           "<urn:uuid:a>"),
+        wg.response_record("https://a.org/2", b"<p>same content here</p>",
+                           "<urn:uuid:b>"),
+        wg.response_record("https://a.org/3", b"<p>unique content</p>",
+                           "<urn:uuid:c>"),
+        wg.response_record("https://a.org/404", b"gone", "<urn:uuid:d>",
+                           status=404),
+    ]
+    wg.write_warc(p, recs, gzipped=True)
+    docs = responses_as_documents(read_warc(spark, p))
+    got = {r["url"]: r["text"] for r in docs.collect()}
+    assert set(got) == {"https://a.org/1", "https://a.org/2", "https://a.org/3"}
+    assert got["https://a.org/1"] == "<p>same content here</p>"
+    groups = dedup.exact_duplicates(docs).collect()
+    assert len(groups) == 1 and groups[0]["dup_count"] == 2
