@@ -312,3 +312,75 @@ def responses_as_documents(df: DataFrame) -> DataFrame:
             F.decode("payload", "UTF-8").alias("text"),
         )
     )
+
+
+# ------------------------------------------------- Spark 4 DataSource face
+
+
+def _warc_datasource_cls():
+    """Built lazily: pyspark.sql.datasource imports only when the face is
+    registered (keeps plain `read_warc` importable everywhere)."""
+    from pyspark.sql.datasource import (
+        DataSource,
+        DataSourceReader,
+        InputPartition,
+    )
+
+    class WarcDataSourceReader(DataSourceReader):
+        def __init__(self, options: dict) -> None:
+            self._options = options
+
+        def partitions(self) -> list:
+            import glob as _glob
+
+            path = self._options.get("path")
+            if not path:
+                raise ValueError("warc source requires a path: .load('/f.warc')")
+            paths = (
+                sorted(_glob.glob(path))
+                if any(ch in path for ch in "*?[")
+                else [path]
+            )
+            if not paths:
+                raise FileNotFoundError(f"warc source: no files match {path!r}")
+            target = int(
+                self._options.get("target_chunk_bytes", DEFAULT_CHUNK_BYTES)
+            )
+            return [
+                InputPartition(c.__dict__)
+                for p in paths
+                for c in index_warc(p, target)
+            ]
+
+        def read(self, partition) -> Iterator:
+            import pyarrow as pa
+            from pyspark.sql.pandas.types import to_arrow_schema
+
+            pdf = read_warc_chunk(partition.value)
+            if not len(pdf):
+                return
+            table = pa.Table.from_pandas(
+                pdf, schema=to_arrow_schema(WARC_OUTPUT_SCHEMA),
+                preserve_index=False,
+            )
+            yield from table.to_batches()
+
+    class WarcDataSource(DataSource):
+        @classmethod
+        def name(cls) -> str:
+            return "warc"
+
+        def schema(self):
+            return WARC_OUTPUT_SCHEMA
+
+        def reader(self, schema) -> WarcDataSourceReader:
+            return WarcDataSourceReader(dict(self.options))
+
+    return WarcDataSource
+
+
+def register_datasource(spark: SparkSession) -> None:
+    """Idempotently register ``spark.read.format("warc")`` on this session
+    (same chunk indexer + parser as ``read_warc``; one InputPartition per
+    chunk, Arrow RecordBatches out)."""
+    spark.dataSource.register(_warc_datasource_cls())

@@ -131,3 +131,22 @@ def test_responses_as_documents_bridge(spark, tmp_path):
     assert got["https://a.org/1"] == "<p>same content here</p>"
     groups = dedup.exact_duplicates(docs).collect()
     assert len(groups) == 1 and groups[0]["dup_count"] == 2
+
+
+def test_warc_datasource_face_matches_read_warc(spark, tmp_path):
+    """spark.read.format('warc') must produce the same rows as read_warc,
+    with one partition per chunk."""
+    from pcap_converter_spark.sources.warc import register_datasource
+
+    register_datasource(spark)
+    p = str(tmp_path / "ds.warc.gz")
+    wg.write_warc(p, _corpus(25), gzipped=True)
+    via_format = (
+        spark.read.format("warc")
+        .option("target_chunk_bytes", "2048")
+        .load(p)
+    )
+    assert via_format.rdd.getNumPartitions() == len(
+        index_warc(p, target_chunk_bytes=2048)
+    )
+    assert _rows(via_format) == _rows(read_warc(spark, p))
