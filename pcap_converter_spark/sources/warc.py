@@ -153,11 +153,34 @@ def _walk_gzip_members(f, file_size: int) -> Iterator[tuple[int, int]]:
         pos += consumed
 
 
+# chunk-descriptor cache per file identity + split params, same contract
+# as the pcap source's: repeat reads of an immutable archive skip the
+# driver walk; any size/mtime change invalidates
+_INDEX_CACHE: dict[tuple, list[WarcChunk]] = {}
+_INDEX_CACHE_MAX_FILES = 256
+
+
 def index_warc(
     path: str, target_chunk_bytes: int = DEFAULT_CHUNK_BYTES
 ) -> list[WarcChunk]:
     """Walk record (or gzip-member) boundaries and group into chunks of
-    ~``target_chunk_bytes``; returns member-aligned chunk descriptors."""
+    ~``target_chunk_bytes``; returns member-aligned chunk descriptors.
+    Cached per (file identity, target); any file change invalidates."""
+    st = os.stat(path)
+    key = (os.path.abspath(path), st.st_size, st.st_mtime_ns, target_chunk_bytes)
+    cached = _INDEX_CACHE.get(key)
+    if cached is not None:
+        return cached
+    chunks = _index_warc_uncached(path, target_chunk_bytes)
+    if len(_INDEX_CACHE) >= _INDEX_CACHE_MAX_FILES:
+        _INDEX_CACHE.clear()
+    _INDEX_CACHE[key] = chunks
+    return chunks
+
+
+def _index_warc_uncached(
+    path: str, target_chunk_bytes: int
+) -> list[WarcChunk]:
     file_size = os.path.getsize(path)
     with open(path, "rb") as f:
         magic = f.read(2)
@@ -277,9 +300,21 @@ def read_warc(
         )
     if not paths:
         raise FileNotFoundError("read_warc: no input files")
-    chunks = []
-    for p in paths:
-        chunks.extend(c.__dict__ for c in index_warc(p, target_chunk_bytes))
+    chunks: list[dict] = []
+    if len(paths) <= 4:
+        for p in paths:
+            chunks.extend(c.__dict__ for c in index_warc(p, target_chunk_bytes))
+    else:
+        # large corpora (CommonCrawl ships ~100k segment files): fan the
+        # index pass itself out as a Spark job, one task per file — the
+        # driver never walks archives serially (same move as the pcap
+        # source's index_many)
+        rdd = spark.sparkContext.parallelize(paths, len(paths))
+        tgt = target_chunk_bytes
+        for lst in rdd.map(
+            lambda p: [c.__dict__ for c in index_warc(p, tgt)]
+        ).collect():
+            chunks.extend(lst)
     if not chunks:
         return spark.createDataFrame([], WARC_OUTPUT_SCHEMA)
     chunk_df = spark.createDataFrame(

@@ -150,3 +150,24 @@ def test_warc_datasource_face_matches_read_warc(spark, tmp_path):
         index_warc(p, target_chunk_bytes=2048)
     )
     assert _rows(via_format) == _rows(read_warc(spark, p))
+
+
+def test_warc_index_cache_and_multifile_fanout(spark, tmp_path):
+    """The descriptor cache serves repeat reads of an unchanged archive and
+    invalidates on rewrite; >4 files route the index pass through the
+    Spark fan-out and still produce every record exactly once."""
+    p = str(tmp_path / "cache.warc")
+    wg.write_warc(p, _corpus(5))
+    first = index_warc(p)
+    assert index_warc(p) is first  # cache hit
+    wg.write_warc(p, _corpus(8))  # rewrite invalidates
+    assert index_warc(p) is not first
+
+    paths = []
+    for i in range(6):  # > 4 files → Spark-job index fan-out
+        fp = str(tmp_path / f"part-{i}.warc.gz")
+        wg.write_warc(fp, _corpus(4), gzipped=True)
+        paths.append(fp)
+    df = read_warc(spark, str(tmp_path / "part-*.warc.gz"))
+    assert df.count() == 6 * 9  # 1 warcinfo + 4 responses + 4 requests each
+    assert df.select("warc_file").distinct().count() == 6
