@@ -234,3 +234,41 @@ def rolling_fingerprint_udf(window: int = 8):
         return pd.Series(out)
 
     return _fp
+
+
+# --------------------------------------------------------------- HTML → text
+
+_HTML_ENTITIES = (
+    ("&nbsp;", " "),
+    ("&amp;", "&"),
+    ("&lt;", "<"),
+    ("&gt;", ">"),
+    ("&quot;", '"'),
+    ("&#39;", "'"),
+    ("&apos;", "'"),
+)
+
+
+def html_to_text(html: Column) -> Column:
+    """Markup → whitespace-normalized text as a pure JVM expression chain
+    (regexp_replace stack — no Python in the loop), for feeding crawled
+    pages (the WARC bridge) into the text/curation operators. Drops
+    script/style/comment blocks wholesale, breaks block-level closers into
+    newlines so words from adjacent elements don't concatenate, strips the
+    remaining tags, decodes the few entities that matter statistically,
+    and collapses whitespace. Deliberately NOT a browser-grade extractor:
+    boilerplate removal (nav/footer pruning) is a corpus-quality decision
+    layered on top via the quality operators."""
+    t = F.regexp_replace(html, r"(?is)<(script|style)\b.*?</\1>", " ")
+    t = F.regexp_replace(t, r"(?s)<!--.*?-->", " ")
+    t = F.regexp_replace(
+        t, r"(?i)</(p|div|li|tr|h[1-6]|blockquote|section|article)>|<br\s*/?>",
+        "\n",
+    )
+    t = F.regexp_replace(t, r"(?s)<[^>]*>", " ")
+    for ent, rep in _HTML_ENTITIES:
+        t = F.replace(t, F.lit(ent), F.lit(rep))
+    t = F.regexp_replace(t, r"[ \t\r\f]+", " ")
+    t = F.regexp_replace(t, r" ?\n ?", "\n")
+    t = F.regexp_replace(t, r"\n{2,}", "\n")
+    return F.trim(t)

@@ -329,14 +329,25 @@ def read_warc(
     return chunk_df.mapInPandas(decode, WARC_OUTPUT_SCHEMA)
 
 
-def responses_as_documents(df: DataFrame) -> DataFrame:
+def responses_as_documents(
+    df: DataFrame, extract_text: bool = False
+) -> DataFrame:
     """Bridge into the text pipeline: HTTP 200 response records →
     (doc_id, url, text) rows ready for the curation/dedup operators.
     doc_id is a deterministic 63-bit hash of the record id; payload is
     decoded as UTF-8 with replacement (lossy bytes count as content, not
-    errors — charset sniffing is a downstream concern)."""
+    errors — charset sniffing is a downstream concern). With
+    ``extract_text=True`` the payload additionally runs through
+    ``functions.text.html_to_text`` (JVM regexp chain — markup stripped,
+    entities decoded, whitespace collapsed) so the result feeds
+    tokenize/quality/dedup directly."""
     from pyspark.sql import functions as F
 
+    from pcap_converter_spark.functions.text import html_to_text
+
+    body = F.decode("payload", "UTF-8")
+    if extract_text:
+        body = html_to_text(body)
     return (
         df.filter(
             (F.col("warc_type") == "response") & (F.col("http_status") == 200)
@@ -344,7 +355,7 @@ def responses_as_documents(df: DataFrame) -> DataFrame:
         .select(
             F.abs(F.xxhash64("warc_record_id")).alias("doc_id"),
             F.col("target_uri").alias("url"),
-            F.decode("payload", "UTF-8").alias("text"),
+            body.alias("text"),
         )
     )
 

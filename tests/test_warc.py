@@ -171,3 +171,25 @@ def test_warc_index_cache_and_multifile_fanout(spark, tmp_path):
     df = read_warc(spark, str(tmp_path / "part-*.warc.gz"))
     assert df.count() == 6 * 9  # 1 warcinfo + 4 responses + 4 requests each
     assert df.select("warc_file").distinct().count() == 6
+
+
+def test_html_to_text_extraction(spark, tmp_path):
+    """html_to_text drops script/style/comments, breaks blocks into lines,
+    decodes entities, collapses whitespace — all JVM-side expressions."""
+    html = (
+        b"<html><head><title>T</title><style>p{color:red}</style>"
+        b"<script>var x = '<p>not text</p>';</script></head>"
+        b"<body><!-- hidden --><h1>Big &amp; Bold</h1>"
+        b"<p>first   para</p><p>second&nbsp;para</p>"
+        b"<div>a &lt;tag&gt; literal</div></body></html>"
+    )
+    p = str(tmp_path / "x.warc")
+    wg.write_warc(p, [wg.response_record("https://t.org/", html, "<urn:uuid:t>")])
+    docs = responses_as_documents(read_warc(spark, p), extract_text=True)
+    text = docs.collect()[0]["text"]
+    assert "not text" not in text and "color:red" not in text
+    assert "hidden" not in text
+    assert "Big & Bold" in text
+    assert "first para\nsecond para" in text
+    assert "a <tag> literal" in text
+    assert "<p>" not in text and "T" in text
