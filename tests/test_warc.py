@@ -193,3 +193,54 @@ def test_html_to_text_extraction(spark, tmp_path):
     assert "first para\nsecond para" in text
     assert "a <tag> literal" in text
     assert "<p>" not in text and "T" in text
+
+
+def test_warc_to_training_artifact_end_to_end(spark, tmp_path):
+    """The full user story in one pipeline: crawl archive → text
+    extraction → curation funnel (quality/exact-dup/near-dup/decon) →
+    packed training artifact on disk."""
+    from pcap_converter_spark.operators.pipeline import (
+        curate,
+        curation_report,
+        write_kept,
+    )
+
+    base = (
+        "<p>the quick brown fox jumps over the lazy dog and runs with "
+        "great speed through the forest and fields today %s</p>"
+    )
+    recs = [
+        wg.response_record("https://a.org/keep1", (base % "alpha beta gamma").encode(), "<urn:uuid:1>"),
+        wg.response_record("https://a.org/dup", (base % "alpha beta gamma").encode(), "<urn:uuid:2>"),  # exact dup after extraction
+        wg.response_record("https://a.org/short", b"<p>tiny</p>", "<urn:uuid:3>"),  # quality drop
+        wg.response_record(
+            "https://a.org/keep2",
+            b"<p>a calm night settled over the harbor and the small boats "
+            b"rocked gently while the old keeper watched the light turn</p>",
+            "<urn:uuid:4>",
+        ),
+        wg.response_record("https://a.org/404", b"<p>gone</p>", "<urn:uuid:5>", status=404),  # filtered at bridge
+    ]
+    arc = str(tmp_path / "crawl.warc.gz")
+    wg.write_warc(arc, recs, gzipped=True)
+
+    docs = responses_as_documents(read_warc(spark, arc), extract_text=True)
+    flags = curate(docs)
+    rep = {r["stage"]: r for r in curation_report(flags).collect()}
+    assert rep["quality"]["n_entered"] == 4  # 404 never entered
+    assert rep["quality"]["n_kept"] == 3     # 'tiny' dropped
+    assert rep["exact"]["n_kept"] == 2       # dup page dropped
+    assert rep["kept"]["n_kept"] == 2
+
+    out = str(tmp_path / "artifact")
+    kept = write_kept(flags, docs, out)
+    urls = {r["url"] for r in kept.collect()}
+    assert urls == {"https://a.org/keep1", "https://a.org/keep2"} or (
+        # exact dedup keeps the LOWEST doc_id of the pair; ids are hashes
+        # of record ids, so either of the identical pages may win
+        urls == {"https://a.org/dup", "https://a.org/keep2"}
+    )
+    back = spark.read.parquet(out)
+    assert back.count() == 2
+    assert set(back.columns) >= {"doc_id", "url", "text", "pack_shard",
+                                 "pack_bin", "pack_offset"}
