@@ -35,7 +35,6 @@ which the per-file index handles embarrassingly parallel via
 from __future__ import annotations
 
 import gzip
-import io
 import os
 import zlib
 from dataclasses import dataclass
