@@ -429,3 +429,140 @@ def register_datasource(spark: SparkSession) -> None:
     (same chunk indexer + parser as ``read_warc``; one InputPartition per
     chunk, Arrow RecordBatches out)."""
     spark.dataSource.register(_warc_datasource_cls())
+
+
+# ------------------------------------------- speculative split (scale path)
+
+SPECULATIVE_CHAIN = 3  # consecutive verified records/members to accept a sync
+_SCAN_WINDOW = 8 << 20  # how far past a boundary to hunt for a sync point
+
+
+def _sync_plain(f, pos: int, file_size: int) -> int | None:
+    """Find the first TRUE record start at/after ``pos``: a ``WARC/1.``
+    magic that frames a chain of SPECULATIVE_CHAIN records exactly onto
+    further magics (payload bytes can contain the magic TEXT — e.g. a
+    crawled page about WARC — but framing lands mid-garbage for those,
+    so the chain check rejects them; an embedded byte-exact well-formed
+    archive could still fool it, the same documented residual risk as the
+    pcap resync's sanity chain)."""
+    f.seek(pos)
+    window = f.read(_SCAN_WINDOW)
+    at = 0
+    while True:
+        cand = window.find(b"WARC/1.", at)
+        if cand < 0:
+            return None
+        # magic must start the file or follow a record trailer
+        if (pos + cand == 0) or window[max(cand - 4, 0):cand] == b"\r\n\r\n":
+            probe = pos + cand
+            ok = 0
+            while ok < SPECULATIVE_CHAIN and probe <= file_size:
+                if probe == file_size:
+                    ok = SPECULATIVE_CHAIN  # clean EOF ends the chain
+                    break
+                f.seek(probe)
+                blob = f.read(64 << 10)
+                if not blob.startswith(b"WARC/"):
+                    break
+                hdr_end = blob.find(b"\r\n\r\n")
+                if hdr_end < 0:
+                    break
+                try:
+                    clen = _content_length(blob[:hdr_end])
+                except ValueError:
+                    break
+                nxt = probe + hdr_end + 4 + clen + 4
+                if nxt > file_size:
+                    ok = SPECULATIVE_CHAIN  # truncated tail: accept sync
+                    break
+                probe = nxt
+                ok += 1
+            if ok >= SPECULATIVE_CHAIN:
+                return pos + cand
+        at = cand + 1
+
+
+def _sync_gzip(f, pos: int, file_size: int) -> int | None:
+    """Find the first TRUE gzip-member start at/after ``pos``: the member
+    must decompress cleanly to a ``WARC/`` head AND be followed at its
+    exact end by another member (or EOF) — payload bytes matching the
+    3-byte gzip magic fail one of the two."""
+    f.seek(pos)
+    window = f.read(_SCAN_WINDOW)
+    at = 0
+    while True:
+        cand = window.find(b"\x1f\x8b\x08", at)
+        if cand < 0:
+            return None
+        probe = pos + cand
+        ok = 0
+        while ok < SPECULATIVE_CHAIN:
+            f.seek(probe)
+            d = zlib.decompressobj(wbits=16 + zlib.MAX_WBITS)
+            head = b""
+            consumed = 0
+            good = False
+            while True:
+                block = f.read(1 << 20)
+                if not block:
+                    good = d.eof and head.startswith(b"WARC/")
+                    break
+                try:
+                    out = d.decompress(block)
+                except zlib.error:
+                    break
+                if len(head) < 5:
+                    head += out[: 5 - len(head)]
+                if d.eof:
+                    consumed += len(block) - len(d.unused_data)
+                    good = head.startswith(b"WARC/")
+                    break
+                consumed += len(block)
+            if not good:
+                break
+            probe += consumed
+            ok += 1
+            if probe >= file_size:
+                ok = SPECULATIVE_CHAIN
+                break
+        if ok >= SPECULATIVE_CHAIN:
+            return pos + cand
+        at = cand + 1
+
+
+def split_warc_speculative(
+    path: str, target_chunk_bytes: int = DEFAULT_CHUNK_BYTES
+) -> list[WarcChunk]:
+    """O(1)-per-boundary splitting for a colossal WARC (the 500 GB
+    ``.warc.gz`` case, where the exact index walk would serialize the
+    whole read behind the driver): place candidate boundaries every
+    ``target_chunk_bytes``, resync each to the next true record / gzip
+    member start (chain-verified — see the sync helpers), and emit
+    boundary-aligned chunks that executors decode independently. Record
+    counts are unknown up front (n_records = -1); every record is parsed
+    exactly once because consecutive chunks share their sync points.
+    A boundary whose scan window contains no verifiable sync folds into
+    the previous chunk (pathological only for records larger than the
+    scan window)."""
+    file_size = os.path.getsize(path)
+    with open(path, "rb") as f:
+        gzipped = f.read(2) == _GZ_MAGIC
+        sync = _sync_gzip if gzipped else _sync_plain
+        first = sync(f, 0, file_size)
+        if first is None:
+            raise ValueError(f"{path}: no verifiable WARC sync at file start")
+        bounds = [first]
+        pos = first + target_chunk_bytes
+        while pos < file_size:
+            s = sync(f, pos, file_size)
+            if s is None or s >= file_size:
+                break
+            if s > bounds[-1]:
+                bounds.append(s)
+            pos = s + target_chunk_bytes
+        bounds.append(file_size)
+    return [
+        WarcChunk(path, a, b - a, gzipped, -1)
+        for a, b in zip(bounds, bounds[1:])
+        if b > a
+    ]

@@ -244,3 +244,53 @@ def test_warc_to_training_artifact_end_to_end(spark, tmp_path):
     assert back.count() == 2
     assert set(back.columns) >= {"doc_id", "url", "text", "pack_shard",
                                  "pack_bin", "pack_offset"}
+
+
+@pytest.mark.parametrize("gzipped", [False, True])
+def test_warc_speculative_split_parity(spark, tmp_path, gzipped):
+    """Speculative boundary resync must produce exactly the exact-index
+    row set (every record once), for plain and per-record-gzip layouts."""
+    from pcap_converter_spark.sources.warc import (
+        read_warc_chunk,
+        split_warc_speculative,
+    )
+
+    p = str(tmp_path / ("s.warc.gz" if gzipped else "s.warc"))
+    wg.write_warc(p, _corpus(60), gzipped=gzipped)
+    chunks = split_warc_speculative(p, target_chunk_bytes=4096)
+    assert len(chunks) > 4  # boundaries actually split
+    import pandas as pd
+
+    pdf = pd.concat([read_warc_chunk(c) for c in chunks], ignore_index=True)
+    exact = read_warc(spark, p).toPandas()
+    key = ["warc_record_id", "content_length"]
+    assert sorted(map(tuple, pdf[key].values.tolist())) == sorted(
+        map(tuple, exact[key].values.tolist())
+    )
+
+
+def test_warc_speculative_rejects_embedded_magic(tmp_path):
+    """A payload containing the record-magic TEXT (a page about WARC) must
+    not fool the resync: framing from the fake magic lands mid-garbage,
+    so the chain check skips it and every record still reads exactly once."""
+    from pcap_converter_spark.sources.warc import (
+        read_warc_chunk,
+        split_warc_speculative,
+    )
+
+    trap = (
+        b"about the format: \r\n\r\nWARC/1.0\r\nContent-Length: 99999\r\n"
+        b"WARC-Type: response\r\n\r\n and more prose " + b"x" * 3000
+    )
+    recs = [
+        wg.response_record(f"https://t.org/{i}", trap, f"<urn:uuid:t{i}>")
+        for i in range(8)
+    ]
+    p = str(tmp_path / "trap.warc")
+    wg.write_warc(p, recs)
+    chunks = split_warc_speculative(p, target_chunk_bytes=2048)
+    import pandas as pd
+
+    pdf = pd.concat([read_warc_chunk(c) for c in chunks], ignore_index=True)
+    assert len(pdf) == 8
+    assert sorted(pdf["warc_record_id"]) == sorted(f"<urn:uuid:t{i}>" for i in range(8))
