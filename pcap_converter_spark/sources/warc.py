@@ -24,12 +24,11 @@ executors decompress only their own byte range. A monolithic
 error rather than silently serialized onto one task.
 
 At 100 TB: one driver walk per file is the same cost contract as the
-exact pcap index (and the speculative-split escape hatch applies the
-same way — WARC headers are even easier to resync on than pcap's, via
-the ``WARC/1.`` magic — but is not implemented until a colossal
-single-file corpus needs it; CommonCrawl ships ~1 GB segment files,
-which the per-file index handles embarrassingly parallel via
-``index_many``-style fan-out).
+exact pcap index; many-file corpora fan the index pass out as a Spark
+job (one task per file), and a colossal single file takes the
+speculative path — O(1) boundary resync on the record / gzip-member
+magic with chain verification (``split_warc_speculative``), triggered
+automatically at ≥ SPECULATIVE_MIN_BYTES like the pcap source.
 """
 
 from __future__ import annotations
@@ -279,15 +278,36 @@ def read_warc_chunk(chunk: dict | WarcChunk) -> pd.DataFrame:
     return pd.DataFrame(rows)
 
 
+SPECULATIVE_MIN_BYTES = 256 << 20
+
+
+def _index_or_split_warc(
+    path: str, target_chunk_bytes: int, speculative: bool | str
+) -> list[WarcChunk]:
+    """Exact index for normal files; speculative O(1) boundary resync for
+    colossal single files (same ``"auto"`` size trigger as the pcap
+    source)."""
+    use_spec = speculative is True or (
+        speculative == "auto"
+        and os.path.getsize(path) >= SPECULATIVE_MIN_BYTES
+    )
+    if use_spec:
+        return split_warc_speculative(path, target_chunk_bytes)
+    return index_warc(path, target_chunk_bytes)
+
+
 def read_warc(
     spark: SparkSession,
     paths: str | list[str],
     target_chunk_bytes: int = DEFAULT_CHUNK_BYTES,
+    speculative: bool | str = "auto",
 ) -> DataFrame:
     """WARC corpus → DataFrame, one task per chunk (same fan-out contract
     as ``read_pcap``). Returns (warc_type, warc_record_id, warc_date,
     target_uri, content_type, content_length, http_status, payload,
-    warc_file, errors)."""
+    warc_file, errors). ``speculative``: "auto" = size-triggered O(1)
+    splitting for colossal files (≥ SPECULATIVE_MIN_BYTES), True = force,
+    False = always exact indexing."""
     import glob as _glob
 
     apply_runtime_confs(spark)
@@ -302,16 +322,19 @@ def read_warc(
     chunks: list[dict] = []
     if len(paths) <= 4:
         for p in paths:
-            chunks.extend(c.__dict__ for c in index_warc(p, target_chunk_bytes))
+            chunks.extend(
+                c.__dict__
+                for c in _index_or_split_warc(p, target_chunk_bytes, speculative)
+            )
     else:
         # large corpora (CommonCrawl ships ~100k segment files): fan the
         # index pass itself out as a Spark job, one task per file — the
         # driver never walks archives serially (same move as the pcap
         # source's index_many)
         rdd = spark.sparkContext.parallelize(paths, len(paths))
-        tgt = target_chunk_bytes
+        tgt, spec = target_chunk_bytes, speculative
         for lst in rdd.map(
-            lambda p: [c.__dict__ for c in index_warc(p, tgt)]
+            lambda p: [c.__dict__ for c in _index_or_split_warc(p, tgt, spec)]
         ).collect():
             chunks.extend(lst)
     if not chunks:

@@ -294,3 +294,14 @@ def test_warc_speculative_rejects_embedded_magic(tmp_path):
     pdf = pd.concat([read_warc_chunk(c) for c in chunks], ignore_index=True)
     assert len(pdf) == 8
     assert sorted(pdf["warc_record_id"]) == sorted(f"<urn:uuid:t{i}>" for i in range(8))
+
+
+def test_read_warc_forced_speculative_matches_exact(spark, tmp_path):
+    """read_warc(speculative=True) routes through the boundary resync and
+    must return the exact-index row set."""
+    p = str(tmp_path / "sp.warc.gz")
+    wg.write_warc(p, _corpus(35), gzipped=True)
+    exact = read_warc(spark, p, target_chunk_bytes=4096, speculative=False)
+    spec = read_warc(spark, p, target_chunk_bytes=4096, speculative=True)
+    assert spec.rdd.getNumPartitions() > 1
+    assert _rows(spec) == _rows(exact)
