@@ -106,41 +106,46 @@ def _decode_to_batches(chunk_dict: dict, schema) -> Iterator:
     yield from table.to_batches()
 
 
-class PcapStreamReader(DataSourceStreamReader):
-    """Structured-Streaming face of the pcap source:
-    ``spark.readStream.format("pcap").load("/captures")`` — live capture
-    ingestion, micro-batched by file arrival.
+class FileChunkStreamReader(DataSourceStreamReader):
+    """Shared Structured-Streaming machinery for chunk-indexed file
+    formats (pcap, WARC): a landing directory micro-batched by file
+    arrival.
 
-    Offset model (file-source semantics): a capture file is data once it
-    APPEARS in the directory and is treated as immutable from then on.
+    Offset model (file-source semantics): a file is data once it APPEARS
+    in the directory and is treated as immutable from then on.
     **Producers MUST land files atomically** (write to a temp name in the
-    same filesystem, then rename into the watched directory — what rotating
-    capture tools and distcp-style movers do): a file is indexed the moment
-    the glob first sees it, so packets appended to an in-place-created file
-    after first sight are NEVER ingested. For producers that cannot rename,
-    set the ``settle_seconds`` option (e.g. ``"5"``): a file is then only
-    admitted into the offset once it has gone unmodified (same size+mtime)
-    for at least that long, trading per-file latency for safety against
-    mid-write indexing. Indexing errors on a recently-modified file
-    (truncated header race) defer the file to the next poll instead of
-    killing the query; errors on a quiescent file still raise.
+    same filesystem, then rename into the watched directory — what
+    rotating capture tools and distcp-style movers do): a file is indexed
+    the moment the glob first sees it, so bytes appended to an
+    in-place-created file after first sight are NEVER ingested. For
+    producers that cannot rename, set the ``settle_seconds`` option
+    (e.g. ``"5"``): a file is then only admitted into the offset once it
+    has gone unmodified (same size+mtime) for at least that long, trading
+    per-file latency for safety against mid-write indexing. Indexing
+    errors on a recently-modified file (truncated header race) defer the
+    file to the next poll instead of killing the query; errors on a
+    quiescent file still raise.
 
-    The offset is ``{path: chunk_count_consumed}``; ``latestOffset`` globs
-    the directory and indexes only NEW files (the index is a metadata-cheap
-    header walk, cached on the reader), so each micro-batch plans one
-    InputPartition per new chunk and executors decode exactly as in the
-    batch reader. Checkpoint recovery replans ``partitions(start, end)``
-    from the chunk index, re-derived deterministically from the immutable
-    files — exactly-once output without reader-side state. A file deleted
-    AFTER its span was fully committed is tolerated on recovery (its
-    ``start == end`` span plans nothing, so the index is never re-derived);
-    a missing file with an uncommitted span raises a clear data-loss error
-    rather than a confusing parse failure.
+    The offset is ``{path: chunk_count_consumed}``; ``latestOffset``
+    globs the directory and indexes only NEW files (the index is a
+    metadata-cheap walk, cached on the reader), so each micro-batch plans
+    one InputPartition per new chunk and executors decode exactly as in
+    the batch reader. Checkpoint recovery replans ``partitions(start,
+    end)`` from the chunk index, re-derived deterministically from the
+    immutable files — exactly-once output without reader-side state. A
+    file deleted AFTER its span was fully committed is tolerated on
+    recovery (its ``start == end`` span plans nothing, so the index is
+    never re-derived); a missing file with an uncommitted span raises a
+    clear data-loss error rather than a confusing parse failure.
+
+    Subclasses provide ``_format_name``, ``_index_path`` (path → chunk
+    descriptor dicts) and ``_decode_chunk`` (descriptor → Arrow batches).
     """
 
     # a file modified this recently may still be mid-write: indexing errors
     # on it defer to the next poll rather than failing the stream
     _RECENT_WRITE_S = 5.0
+    _format_name = "file-chunk"
 
     def __init__(self, options: dict, schema) -> None:
         self._options = options
@@ -149,31 +154,26 @@ class PcapStreamReader(DataSourceStreamReader):
         self._settle = float(self._options.get("settle_seconds", 0) or 0)
         self._seen: dict[str, tuple[int, float]] = {}  # path -> (size, mtime)
 
+    def _index_path(self, p: str) -> list[dict]:
+        raise NotImplementedError
+
+    def _decode_chunk(self, chunk: dict) -> Iterator:
+        raise NotImplementedError
+
     def _path_glob(self) -> str:
         path = self._options.get("path")
         if not path:
-            raise ValueError("pcap stream requires a path: .load('/captures')")
+            raise ValueError(
+                f"{self._format_name} stream requires a path: "
+                ".load('/landing-dir')"
+            )
         if os.path.isdir(path):
             return os.path.join(path, "*")
         return path
 
     def _index_file(self, p: str) -> list[dict]:
         if p not in self._chunks:
-            from pcap_converter_spark.sources.pcap import (
-                DEFAULT_CHUNK_BYTES,
-                _index_or_split,
-            )
-
-            target = int(
-                self._options.get("target_chunk_bytes", DEFAULT_CHUNK_BYTES)
-            )
-            spec_raw = str(self._options.get("speculative", "auto")).lower()
-            speculative: bool | str = {"true": True, "false": False}.get(
-                spec_raw, "auto"
-            )
-            self._chunks[p] = [
-                c.__dict__ for c in _index_or_split(p, target, speculative)
-            ]
+            self._chunks[p] = self._index_path(p)
         return self._chunks[p]
 
     def initialOffset(self) -> dict:
@@ -233,7 +233,7 @@ class PcapStreamReader(DataSourceStreamReader):
                 continue
             if p not in self._chunks and not os.path.exists(p):
                 raise FileNotFoundError(
-                    f"pcap stream: {p} has an unread span "
+                    f"{self._format_name} stream: {p} has an unread span "
                     f"[{n_start}, {int(n_end)}) in the checkpointed offsets "
                     "but the file is gone — unrecoverable data loss (files "
                     "may only be deleted after their span is committed)"
@@ -246,13 +246,40 @@ class PcapStreamReader(DataSourceStreamReader):
     def read(self, partition: InputPartition) -> Iterator:
         if partition.value is None:
             return iter(())
-        return _decode_to_batches(partition.value, self._schema)
+        return self._decode_chunk(partition.value)
 
     def commit(self, end: dict) -> None:
         # the chunk cache is retained past commit: a restarted query may
         # replan any committed span, and one dict entry per file is the
         # only state this reader holds
         pass
+
+
+class PcapStreamReader(FileChunkStreamReader):
+    """Structured-Streaming face of the pcap source:
+    ``spark.readStream.format("pcap").load("/captures")`` — live capture
+    ingestion. Offset/admission/recovery semantics documented on
+    ``FileChunkStreamReader``."""
+
+    _format_name = "pcap"
+
+    def _index_path(self, p: str) -> list[dict]:
+        from pcap_converter_spark.sources.pcap import (
+            DEFAULT_CHUNK_BYTES,
+            _index_or_split,
+        )
+
+        target = int(
+            self._options.get("target_chunk_bytes", DEFAULT_CHUNK_BYTES)
+        )
+        spec_raw = str(self._options.get("speculative", "auto")).lower()
+        speculative: bool | str = {"true": True, "false": False}.get(
+            spec_raw, "auto"
+        )
+        return [c.__dict__ for c in _index_or_split(p, target, speculative)]
+
+    def _decode_chunk(self, chunk: dict) -> Iterator:
+        return _decode_to_batches(chunk, self._schema)
 
 
 def register(spark) -> None:

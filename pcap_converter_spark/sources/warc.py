@@ -433,6 +433,45 @@ def _warc_datasource_cls():
             )
             yield from table.to_batches()
 
+    from pcap_converter_spark.sources.datasource import FileChunkStreamReader
+
+    class WarcStreamReader(FileChunkStreamReader):
+        """Structured-Streaming face of the WARC source:
+        ``spark.readStream.format("warc").load("/crawl-landing")`` —
+        continuously-landing crawl segments, micro-batched by file
+        arrival. Offset/admission/recovery semantics documented on
+        ``FileChunkStreamReader`` (per-file chunk-count offsets, optional
+        ``settle_seconds`` admission gate for non-atomic writers,
+        committed-span tolerance on recovery)."""
+
+        _format_name = "warc"
+
+        def _index_path(self, p: str) -> list:
+            target = int(
+                self._options.get("target_chunk_bytes", DEFAULT_CHUNK_BYTES)
+            )
+            spec_raw = str(self._options.get("speculative", "auto")).lower()
+            speculative: bool | str = {"true": True, "false": False}.get(
+                spec_raw, "auto"
+            )
+            return [
+                c.__dict__
+                for c in _index_or_split_warc(p, target, speculative)
+            ]
+
+        def _decode_chunk(self, chunk: dict) -> Iterator:
+            import pyarrow as pa
+            from pyspark.sql.pandas.types import to_arrow_schema
+
+            pdf = read_warc_chunk(chunk)
+            if not len(pdf):
+                return
+            table = pa.Table.from_pandas(
+                pdf, schema=to_arrow_schema(WARC_OUTPUT_SCHEMA),
+                preserve_index=False,
+            )
+            yield from table.to_batches()
+
     class WarcDataSource(DataSource):
         @classmethod
         def name(cls) -> str:
@@ -443,6 +482,9 @@ def _warc_datasource_cls():
 
         def reader(self, schema) -> WarcDataSourceReader:
             return WarcDataSourceReader(dict(self.options))
+
+        def streamReader(self, schema) -> WarcStreamReader:
+            return WarcStreamReader(dict(self.options), schema)
 
     return WarcDataSource
 

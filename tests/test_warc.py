@@ -305,3 +305,39 @@ def test_read_warc_forced_speculative_matches_exact(spark, tmp_path):
     spec = read_warc(spark, p, target_chunk_bytes=4096, speculative=True)
     assert spec.rdd.getNumPartitions() > 1
     assert _rows(spec) == _rows(exact)
+
+
+def test_warc_stream_incremental_files(spark, tmp_path):
+    """readStream.format('warc') over a crawl landing dir: first
+    availableNow run consumes the files present; a later run on the SAME
+    checkpoint picks up only the newly arrived segment — exactly once."""
+    from pcap_converter_spark.sources.warc import register_datasource
+
+    register_datasource(spark)
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+    wg.write_warc(str(landing / "seg-0.warc.gz"), _corpus(6), gzipped=True)
+    wg.write_warc(str(landing / "seg-1.warc.gz"), _corpus(4), gzipped=True)
+
+    def run_batch():
+        q = (
+            spark.readStream.format("warc").load(str(landing))
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return spark.read.parquet(out)
+
+    first = run_batch()
+    assert first.count() == 13 + 9  # corpora of 6 and 4
+    wg.write_warc(str(landing / "seg-2.warc.gz"), _corpus(3), gzipped=True)
+    second = run_batch()
+    assert second.count() == 13 + 9 + 7
+    assert (
+        second.filter(second.warc_file == "seg-2.warc.gz").count() == 7
+    )
