@@ -100,7 +100,14 @@ def _walk_plain_records(f, file_size: int) -> Iterator[tuple[int, int]]:
         blob = f.read(64 << 10)
         hdr_end = blob.find(b"\r\n\r\n")
         if hdr_end < 0:
-            return  # truncated header at tail
+            if pos + len(blob) >= file_size:
+                return  # truncated header at tail
+            # an unterminated 64 KB header mid-file is corruption; silently
+            # stopping here would drop every record after it
+            raise ValueError(
+                f"WARC parse error at offset {pos}: no header terminator "
+                "within 64 KB and not at end of file"
+            )
         clen = _content_length(blob[:hdr_end])
         total = hdr_end + 4 + clen + 4  # payload + CRLFCRLF trailer
         if pos + total > file_size:

@@ -341,3 +341,23 @@ def test_warc_stream_incremental_files(spark, tmp_path):
     assert (
         second.filter(second.warc_file == "seg-2.warc.gz").count() == 7
     )
+
+
+def test_warc_midfile_corruption_raises_not_truncates(tmp_path):
+    """A corrupt header mid-file must FAIL the index, not silently drop
+    every record after it (only a genuinely-at-EOF truncation is
+    tolerated)."""
+    p = str(tmp_path / "m.warc")
+    recs = _corpus(8)
+    wg.write_warc(p, recs)
+    # corrupt the header terminator of a middle record: overwrite bytes
+    # just after the second record's start so its CRLF CRLF never comes
+    sizes = [len(r) for r in recs]
+    off = sizes[0] + 20
+    with open(p, "r+b") as f:
+        f.seek(off)
+        f.write(b"\x00" * (sizes[1] - 30))
+    # loud failure, whichever check trips first (missing terminator or
+    # missing Content-Length) — never a silent stop
+    with pytest.raises(ValueError, match="WARC"):
+        index_warc(p)
