@@ -1,0 +1,142 @@
+"""Generate the WARC correctness fixture (driver row ``ex_warc_docs``).
+
+Writes:
+
+- ``fixtures/data/docs_fixture.warc.gz`` — a per-record-gzip WARC (the
+  CommonCrawl layout, so the driver row exercises the gzip member walk):
+  warcinfo + request records + HTTP 200/404 responses over deterministic
+  HTML pages.
+- ``fixtures/data/warc_docs.parquet`` — the EXPECTED extracted documents
+  (url, text). The expected text is assembled from the same plain-text
+  pieces the HTML was built from — NOT by running the repo's extractor —
+  so the driver's hash-compare proves the whole chain independently:
+  gzip member chunking → record framing → HTTP head split → UTF-8 decode
+  → HTML→text (tags, blocks, entities, whitespace) → the 200-only bridge
+  filter (the 404 page, the request records and the warcinfo record must
+  all be absent from the result).
+
+Run:  python fixtures/gen_warc_docs.py
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from fixtures import warcgen as wg
+
+DATA_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), "data")
+WARC_PATH = os.path.join(DATA_DIR, "docs_fixture.warc.gz")
+PARQUET_PATH = os.path.join(DATA_DIR, "warc_docs.parquet")
+
+
+def _enc(plain: str) -> str:
+    """Plain text → HTML body text (the inverse of entity decoding)."""
+    return (
+        plain.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+    )
+
+
+def _page(title: str, paras: list[tuple[str, str]]) -> tuple[bytes, str]:
+    """Build (html_bytes, expected_text) from pre-paired pieces.
+
+    ``paras`` is a list of (html_fragment, expected_plain) pairs so edge
+    cases (inline tags, &nbsp;, empty paragraphs) carry their own ground
+    truth; the common case uses ``_enc(plain)`` as the fragment."""
+    html = (
+        "<html><head><script>var x = '<p>not text</p>';</script>"
+        "<style>body { color: red; }</style></head><body>"
+        f"<h1>{_enc(title)}</h1>"
+    )
+    for frag, _ in paras:
+        html += f"<p>{frag}</p>"
+    html += "<!-- nav boilerplate --></body></html>"
+    parts = [title] + [exp for _, exp in paras]
+    expected = "\n".join(p for p in parts if p)
+    return html.encode("utf-8"), expected
+
+
+def build() -> tuple[list[bytes], list[dict]]:
+    records: list[bytes] = [wg.record("warcinfo", b"software: fixture\r\n")]
+    expected: list[dict] = []
+    for i in range(40):
+        url = f"https://fixture.example/{i:03d}"
+        title = f"Page {i} title"
+        paras: list[tuple[str, str]] = []
+        p0 = f"Alpha beta {i} & gamma < delta > epsilon."
+        paras.append((_enc(p0), p0))
+        if i % 4 == 0:
+            # double-decode trap: the page DISPLAYS the literal '&lt;b&gt;'
+            p1 = f"Escaped markup &lt;b&gt; stays literal in doc {i}."
+            paras.append((_enc(p1), p1))
+        if i % 4 == 1:
+            # inline tags inside a paragraph collapse to spaces
+            paras.append(
+                (f"mid <b>bold {i}</b> and <i>italic</i> end",
+                 f"mid bold {i} and italic end")
+            )
+        if i % 4 == 2:
+            # &nbsp; decodes to a plain space; UTF-8 survives the decode
+            paras.append(
+                (f"café&nbsp;nºive {i} — über",
+                 f"café nºive {i} — über")
+            )
+        if i % 4 == 3:
+            paras.append(("", ""))  # empty paragraph: no blank line
+            p3 = f'Quoted &quot;text&#39;s&quot; and &apos;more&apos; {i}'
+            paras.append((p3, f"Quoted \"text's\" and 'more' {i}"))
+        for j in range(2 + i % 3):
+            pj = f"Common paragraph {j} of page {i}: " + "word " * (8 + j) + "tail."
+            paras.append((_enc(pj), pj))
+        html, text = _page(title, paras)
+        status = 404 if i % 10 == 9 else 200
+        records.append(
+            wg.response_record(
+                url, html, rec_id=f"<urn:uuid:doc-{i}>", status=status,
+                date=f"2026-01-{1 + i % 28:02d}T00:00:00Z",
+            )
+        )
+        records.append(
+            wg.record(
+                "request",
+                f"GET /{i:03d} HTTP/1.1\r\nHost: fixture.example\r\n".encode(),
+                uri=url,
+                rec_id=f"<urn:uuid:req-{i}>",
+                content_type="application/http; msgtype=request",
+            )
+        )
+        if status == 200:
+            expected.append({"url": url, "text": text})
+    # one 200 response with an EMPTY payload: kept by the bridge, text ''
+    records.append(
+        wg.response_record(
+            "https://fixture.example/empty", b"", rec_id="<urn:uuid:empty>"
+        )
+    )
+    expected.append({"url": "https://fixture.example/empty", "text": ""})
+    return records, expected
+
+
+def main() -> None:
+    os.makedirs(DATA_DIR, exist_ok=True)
+    records, expected = build()
+    wg.write_warc(WARC_PATH, records, gzipped=True)
+    expected.sort(key=lambda r: r["url"])
+    table = pa.table(
+        {
+            "url": pa.array([r["url"] for r in expected], pa.string()),
+            "text": pa.array([r["text"] for r in expected], pa.string()),
+        }
+    )
+    pq.write_table(table, PARQUET_PATH, compression="snappy")
+    print(f"wrote {WARC_PATH} ({os.path.getsize(WARC_PATH)} bytes), "
+          f"{PARQUET_PATH} ({len(expected)} docs)")
+
+
+if __name__ == "__main__":
+    main()

@@ -240,12 +240,15 @@ def rolling_fingerprint_udf(window: int = 8):
 
 _HTML_ENTITIES = (
     ("&nbsp;", " "),
-    ("&amp;", "&"),
     ("&lt;", "<"),
     ("&gt;", ">"),
     ("&quot;", '"'),
     ("&#39;", "'"),
     ("&apos;", "'"),
+    # &amp; LAST (standard entity-decoding order): decoding it earlier
+    # would double-decode escaped entities — '&amp;lt;' must become the
+    # literal '&lt;' the page displays, not '<' (ADVICE r4)
+    ("&amp;", "&"),
 )
 
 
@@ -271,4 +274,7 @@ def html_to_text(html: Column) -> Column:
     t = F.regexp_replace(t, r"[ \t\r\f]+", " ")
     t = F.regexp_replace(t, r" ?\n ?", "\n")
     t = F.regexp_replace(t, r"\n{2,}", "\n")
-    return F.trim(t)
+    # NOT F.trim: Spark trim strips only ' ' — the closing-tag chain of a
+    # page leaves a trailing "\n" that must go too (caught by the
+    # ex_warc_docs ground-truth fixture)
+    return F.regexp_replace(t, r"^\s+|\s+$", "")

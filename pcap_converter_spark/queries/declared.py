@@ -377,11 +377,19 @@ DECLARED_QUERIES: dict[str, Q] = {
         # so doubles match bit-for-bit), sort_array, reverse, slice,
         # filter+size, transform (elements cast to DOUBLE before arithmetic
         # so neither engine does float32 math), array_position,
-        # sequence/range length, and struct construction + field access.
+        # sequence/range length, and struct construction + field access —
+        # PLUS, op-tagged into the same result (r5 merge, one driver row
+        # for the whole array surface), the positional explode
+        # (LATERAL VIEW posexplode vs unnest/generate_subscripts), formerly
+        # entry dq27. NULL-padded union: each branch fills only its own
+        # columns, with explicit NULL casts so both engines agree on types.
         Q(
             "dq26_array_ops",
             spark_sql=(
-                "SELECT vec_id, CAST(size(embedding) AS INT) AS d, "
+                "SELECT op, vec_id, pos, d, e1, amax, amin, asum, srt3, "
+                "rev1, sl2, npos, tr5, posmax, seqn, sb, v FROM ("
+                "SELECT 'array_ops' AS op, vec_id, CAST(NULL AS INT) AS pos, "
+                "CAST(size(embedding) AS INT) AS d, "
                 "round(CAST(element_at(embedding, 1) AS DOUBLE), 4) AS e1, "
                 "round(CAST(array_max(embedding) AS DOUBLE), 4) AS amax, "
                 "round(CAST(array_min(embedding) AS DOUBLE), 4) AS amin, "
@@ -400,11 +408,28 @@ DECLARED_QUERIES: dict[str, Q] = {
                 "array_max(embedding)) AS INT) AS posmax, "
                 "CAST(size(sequence(1, CAST(vec_id % 5 AS INT) + 1)) AS INT) "
                 "AS seqn, "
-                "named_struct('a', 1, 'b', vec_id).b AS sb "
-                "FROM embeddings ORDER BY vec_id"
+                "named_struct('a', 1, 'b', vec_id).b AS sb, "
+                "CAST(NULL AS DOUBLE) AS v "
+                "FROM embeddings "
+                "UNION ALL "
+                "SELECT 'posexplode' AS op, vec_id, CAST(pos AS INT) AS pos, "
+                "CAST(NULL AS INT) AS d, CAST(NULL AS DOUBLE) AS e1, "
+                "CAST(NULL AS DOUBLE) AS amax, CAST(NULL AS DOUBLE) AS amin, "
+                "CAST(NULL AS DOUBLE) AS asum, CAST(NULL AS DOUBLE) AS srt3, "
+                "CAST(NULL AS DOUBLE) AS rev1, CAST(NULL AS DOUBLE) AS sl2, "
+                "CAST(NULL AS INT) AS npos, CAST(NULL AS DOUBLE) AS tr5, "
+                "CAST(NULL AS INT) AS posmax, CAST(NULL AS INT) AS seqn, "
+                "CAST(NULL AS BIGINT) AS sb, "
+                "round(CAST(t.v AS DOUBLE), 4) AS v "
+                "FROM embeddings LATERAL VIEW posexplode(embedding) t AS pos, v "
+                "WHERE vec_id < 5"
+                ") u ORDER BY op, vec_id, pos"
             ),
             duck_sql=(
-                "SELECT vec_id, CAST(len(embedding) AS INT) AS d, "
+                "SELECT op, vec_id, pos, d, e1, amax, amin, asum, srt3, "
+                "rev1, sl2, npos, tr5, posmax, seqn, sb, v FROM ("
+                "SELECT 'array_ops' AS op, vec_id, CAST(NULL AS INT) AS pos, "
+                "CAST(len(embedding) AS INT) AS d, "
                 "round(CAST(embedding[1] AS DOUBLE), 4) AS e1, "
                 "round(CAST(list_aggregate(embedding, 'max') AS DOUBLE), 4) "
                 "AS amax, "
@@ -421,22 +446,22 @@ DECLARED_QUERIES: dict[str, Q] = {
                 "CAST(list_position(list_sort(embedding), "
                 "list_aggregate(embedding, 'max')) AS INT) AS posmax, "
                 "CAST(len(range(1, vec_id % 5 + 2)) AS INT) AS seqn, "
-                "struct_pack(a := 1, b := vec_id).b AS sb "
-                "FROM embeddings ORDER BY vec_id"
-            ),
-        ),
-        Q(
-            "dq27_posexplode",
-            spark_sql=(
-                "SELECT vec_id, CAST(pos AS INT) AS pos, "
-                "round(CAST(t.v AS DOUBLE), 4) AS v "
-                "FROM embeddings LATERAL VIEW posexplode(embedding) t AS pos, v "
-                "WHERE vec_id < 5 ORDER BY vec_id, pos"
-            ),
-            duck_sql=(
-                "SELECT vec_id, CAST(generate_subscripts(embedding, 1) - 1 AS INT) AS pos, "
+                "struct_pack(a := 1, b := vec_id).b AS sb, "
+                "CAST(NULL AS DOUBLE) AS v "
+                "FROM embeddings "
+                "UNION ALL "
+                "SELECT 'posexplode' AS op, vec_id, "
+                "CAST(generate_subscripts(embedding, 1) - 1 AS INT) AS pos, "
+                "CAST(NULL AS INT) AS d, CAST(NULL AS DOUBLE) AS e1, "
+                "CAST(NULL AS DOUBLE) AS amax, CAST(NULL AS DOUBLE) AS amin, "
+                "CAST(NULL AS DOUBLE) AS asum, CAST(NULL AS DOUBLE) AS srt3, "
+                "CAST(NULL AS DOUBLE) AS rev1, CAST(NULL AS DOUBLE) AS sl2, "
+                "CAST(NULL AS INT) AS npos, CAST(NULL AS DOUBLE) AS tr5, "
+                "CAST(NULL AS INT) AS posmax, CAST(NULL AS INT) AS seqn, "
+                "CAST(NULL AS BIGINT) AS sb, "
                 "round(CAST(unnest(embedding) AS DOUBLE), 4) AS v "
-                "FROM embeddings WHERE vec_id < 5 ORDER BY vec_id, pos"
+                "FROM embeddings WHERE vec_id < 5"
+                ") u ORDER BY op, vec_id, pos"
             ),
         ),
     ]

@@ -33,7 +33,6 @@ automatically at ≥ SPECULATIVE_MIN_BYTES like the pcap source.
 
 from __future__ import annotations
 
-import gzip
 import os
 import zlib
 from dataclasses import dataclass
@@ -125,33 +124,47 @@ def _content_length(header_block: bytes) -> int:
 
 def _walk_gzip_members(f, file_size: int) -> Iterator[tuple[int, int]]:
     """Yield (offset, compressed_len) for each gzip member (per-record
-    compression, the WARC-recommended layout). One sequential decompress
-    pass; the decompressor reports each member's end via unused_data."""
+    compression, the WARC-recommended layout). ONE sequential pass over the
+    file: each member's trailing ``unused_data`` (the bytes the
+    decompressor read past the member end) is carried forward as the next
+    member's prefix instead of seeking back and re-reading — CommonCrawl
+    members are ~10-50 KB compressed, so a fresh 1 MB read per member
+    would push ~20-100× the file size through the page cache and break
+    the metadata-cheap index-pass contract (ADVICE r4)."""
     pos = 0
+    f.seek(0)
+    buf = b""  # bytes already read but not yet attributed to a member
     while pos < file_size:
-        f.seek(pos)
-        probe = f.read(2)
-        if len(probe) < 2:
-            return
-        if probe != _GZ_MAGIC:
+        if len(buf) < 2:
+            buf += f.read(1 << 20)
+        if len(buf) < 2:
+            return  # <2 trailing bytes at EOF: not a member
+        if buf[:2] != _GZ_MAGIC:
             raise ValueError(
-                f"expected gzip member at offset {pos}, got {probe!r} — "
+                f"expected gzip member at offset {pos}, got {buf[:2]!r} — "
                 "mixed plain/gzip WARC is not supported"
             )
-        f.seek(pos)
         d = zlib.decompressobj(wbits=16 + zlib.MAX_WBITS)
         consumed = 0
         while True:
-            block = f.read(1 << 20)
-            if not block:
-                if not d.eof:
-                    return  # truncated member at tail: tolerate
-                break
-            d.decompress(block)
+            if not buf:
+                buf = f.read(1 << 20)
+                if not buf:
+                    if not d.eof:
+                        return  # truncated member at tail: tolerate
+                    break
+            try:
+                d.decompress(buf)
+            except zlib.error as exc:
+                raise ValueError(
+                    f"corrupt gzip member at offset {pos}: {exc}"
+                ) from exc
             if d.eof:
-                consumed += len(block) - len(d.unused_data)
+                consumed += len(buf) - len(d.unused_data)
+                buf = d.unused_data
                 break
-            consumed += len(block)
+            consumed += len(buf)
+            buf = b""
         if consumed <= 0:
             return
         yield pos, consumed
@@ -236,6 +249,12 @@ def _parse_records(buf: bytes, basename: str) -> Iterator[dict]:
             clen = int(fields[b"content-length"])
         except (KeyError, ValueError):
             break  # cannot frame further records without a length
+        if hdr_end + 4 + clen + 4 > n:
+            # truncated tail record (payload or trailer cut by EOF): DROP
+            # it, exactly as _walk_plain_records' index pass does — the
+            # speculative split's last chunk must not emit a clamped
+            # payload the exact index would never produce (ADVICE r4)
+            break
         body = buf[hdr_end + 4 : hdr_end + 4 + clen]
         status = None
         payload = body
@@ -267,14 +286,33 @@ def _parse_records(buf: bytes, basename: str) -> Iterator[dict]:
         pos = hdr_end + 4 + clen + 4
 
 
+def _decompress_members(raw: bytes) -> bytes:
+    """Decompress concatenated gzip members. A truncated FINAL member
+    (possible only on the speculative path, whose last chunk ends at EOF)
+    is dropped — parity with the exact index walk, which never admits it."""
+    out = []
+    pos, n = 0, len(raw)
+    mv = memoryview(raw)
+    while pos < n:
+        d = zlib.decompressobj(wbits=16 + zlib.MAX_WBITS)
+        try:
+            piece = d.decompress(mv[pos:])
+        except zlib.error:
+            break
+        if not d.eof:
+            break  # truncated tail member
+        out.append(piece)
+        pos = n - len(d.unused_data)
+    return b"".join(out)
+
+
 def read_warc_chunk(chunk: dict | WarcChunk) -> pd.DataFrame:
     c = WarcChunk(**chunk) if isinstance(chunk, dict) else chunk
     with open(c.path, "rb") as f:
         f.seek(c.offset)
         raw = f.read(c.length)
     if c.gzipped:
-        # concatenated members decompress in one pass
-        buf = gzip.decompress(raw)
+        buf = _decompress_members(raw)
     else:
         buf = raw
     rows = list(_parse_records(buf, os.path.basename(c.path)))
@@ -286,6 +324,14 @@ def read_warc_chunk(chunk: dict | WarcChunk) -> pd.DataFrame:
 
 
 SPECULATIVE_MIN_BYTES = 256 << 20
+
+
+def _spec_option(options: dict) -> bool | str:
+    """Parse the 'speculative' reader option shared by the batch and
+    streaming DataSource faces (string-typed there): 'true'/'false' map to
+    the booleans, anything else means the size-triggered 'auto'."""
+    raw = str(options.get("speculative", "auto")).lower()
+    return {"true": True, "false": False}.get(raw, "auto")
 
 
 def _index_or_split_warc(
@@ -421,10 +467,14 @@ def _warc_datasource_cls():
             target = int(
                 self._options.get("target_chunk_bytes", DEFAULT_CHUNK_BYTES)
             )
+            # same speculative routing as read_warc / the streaming face: a
+            # colossal file read via spark.read.format("warc") must not
+            # serialize the full exact walk on the driver (ADVICE r4)
+            spec = _spec_option(self._options)
             return [
                 InputPartition(c.__dict__)
                 for p in paths
-                for c in index_warc(p, target)
+                for c in _index_or_split_warc(p, target, spec)
             ]
 
         def read(self, partition) -> Iterator:
@@ -457,13 +507,9 @@ def _warc_datasource_cls():
             target = int(
                 self._options.get("target_chunk_bytes", DEFAULT_CHUNK_BYTES)
             )
-            spec_raw = str(self._options.get("speculative", "auto")).lower()
-            speculative: bool | str = {"true": True, "false": False}.get(
-                spec_raw, "auto"
-            )
             return [
                 c.__dict__
-                for c in _index_or_split_warc(p, target, speculative)
+                for c in _index_or_split_warc(p, target, _spec_option(self._options))
             ]
 
         def _decode_chunk(self, chunk: dict) -> Iterator:
@@ -545,7 +591,13 @@ def _sync_plain(f, pos: int, file_size: int) -> int | None:
                     break
                 nxt = probe + hdr_end + 4 + clen + 4
                 if nxt > file_size:
-                    ok = SPECULATIVE_CHAIN  # truncated tail: accept sync
+                    # truncated tail: accept only after ≥1 fully-framed
+                    # record — a bare magic whose FIRST framing already
+                    # overruns EOF verifies nothing, and accepting it would
+                    # let an embedded '\r\n\r\nWARC/1.' trap near file end
+                    # bypass the chain check entirely (ADVICE r4)
+                    if ok >= 1:
+                        ok = SPECULATIVE_CHAIN
                     break
                 probe = nxt
                 ok += 1

@@ -245,3 +245,14 @@ def test_hash_sampling_deterministic_and_balanced(spark):
     assert 0.75 < splits["train"] / n < 0.85
     assert 0.05 < splits["val"] / n < 0.15
     assert 0.05 < splits["test"] / n < 0.15
+
+
+def test_html_to_text_no_entity_double_decode(spark):
+    """&amp; must decode LAST: '&amp;lt;b&amp;gt;' is the literal text
+    '&lt;b&gt;' on the rendered page, not '<b>' (ADVICE r4)."""
+    df = spark.createDataFrame(
+        [("escaped &amp;lt;b&amp;gt; then &amp; then real &lt;i&gt;",)],
+        ["h"],
+    )
+    out = df.select(TX.html_to_text(F.col("h")).alias("t")).collect()[0]["t"]
+    assert out == "escaped &lt;b&gt; then & then real <i>"

@@ -361,3 +361,129 @@ def test_warc_midfile_corruption_raises_not_truncates(tmp_path):
     # missing Content-Length) — never a silent stop
     with pytest.raises(ValueError, match="WARC"):
         index_warc(p)
+
+
+def test_warc_speculative_truncated_tail_parity(spark, tmp_path):
+    """A genuinely truncated tail record must be DROPPED by the
+    speculative path exactly as the exact index drops it — never emitted
+    with a clamped payload (ADVICE r4)."""
+    from pcap_converter_spark.sources.warc import (
+        read_warc_chunk,
+        split_warc_speculative,
+    )
+
+    p = str(tmp_path / "tt.warc")
+    recs = _corpus(20)  # 41 records
+    wg.write_warc(p, recs)
+    with open(p, "r+b") as f:
+        f.truncate(f.seek(0, 2) - 37)  # cut into the last record
+    chunks = split_warc_speculative(p, target_chunk_bytes=2048)
+    import pandas as pd
+
+    pdf = pd.concat([read_warc_chunk(c) for c in chunks], ignore_index=True)
+    exact_n = read_warc(spark, p).count()
+    assert exact_n == len(recs) - 1  # exact index drops the cut tail record
+    assert len(pdf) == exact_n
+
+
+def test_warc_speculative_rejects_tail_trap(tmp_path):
+    """An embedded '\\r\\n\\r\\nWARC/1.' trap near file end whose framing
+    overshoots EOF must NOT be accepted as a sync point: a truncated-tail
+    sync now requires at least one fully-framed verified record
+    (ADVICE r4 medium)."""
+    from pcap_converter_spark.sources.warc import (
+        read_warc_chunk,
+        split_warc_speculative,
+    )
+
+    trap = (
+        b"prose \r\n\r\nWARC/1.0\r\nWARC-Type: response\r\n"
+        b"Content-Length: 99999\r\n\r\n tail " + b"y" * 2000
+    )
+    recs = _corpus(10) + [
+        wg.response_record("https://t.org/last", trap, "<urn:uuid:last>")
+    ]
+    p = str(tmp_path / "trap2.warc")
+    wg.write_warc(p, recs)
+    chunks = split_warc_speculative(p, target_chunk_bytes=1024)
+    import pandas as pd
+
+    pdf = pd.concat([read_warc_chunk(c) for c in chunks], ignore_index=True)
+    # every record exactly once — no truncated/garbage extras from the trap
+    assert len(pdf) == len(recs)
+    assert pdf["content_length"].sum() == sum(
+        int(r.split(b"Content-Length: ")[1].split(b"\r\n")[0]) for r in recs
+    )
+
+
+def test_warc_gzip_index_reads_file_once(tmp_path):
+    """The gzip member walk must stream the file ONCE (unused_data carried
+    forward), not re-read a fresh 1 MB window per member (ADVICE r4)."""
+    import io
+
+    from pcap_converter_spark.sources.warc import _walk_gzip_members
+
+    p = str(tmp_path / "once.warc.gz")
+    wg.write_warc(p, _corpus(100), gzipped=True)
+    size = __import__("os").path.getsize(p)
+
+    class Counting(io.FileIO):
+        read_total = 0
+
+        def read(self, n=-1):
+            b = super().read(n)
+            Counting.read_total += len(b)
+            return b
+
+    Counting.read_total = 0
+    with Counting(p, "rb") as f:
+        members = list(_walk_gzip_members(f, size))
+    assert len(members) == 201  # 100 docs → 1 + 100*2 records
+    assert sum(m[1] for m in members) == size
+    # one pass: total bytes read ≈ file size (one trailing short read max)
+    assert Counting.read_total <= size + (1 << 20)
+
+
+def test_warc_batch_face_honors_speculative_option(spark, tmp_path):
+    """spark.read.format('warc').option('speculative', 'true') must route
+    through the boundary resync, same rows as exact (ADVICE r4)."""
+    from pcap_converter_spark.sources.warc import register_datasource
+
+    register_datasource(spark)
+    p = str(tmp_path / "bf.warc.gz")
+    wg.write_warc(p, _corpus(25), gzipped=True)
+    exact = (
+        spark.read.format("warc")
+        .option("target_chunk_bytes", 4096)
+        .option("speculative", "false")
+        .load(p)
+    )
+    spec = (
+        spark.read.format("warc")
+        .option("target_chunk_bytes", 4096)
+        .option("speculative", "true")
+        .load(p)
+    )
+    assert _rows(spec) == _rows(exact)
+
+
+def test_warc_docs_fixture_matches_ground_truth(spark):
+    """The ex_warc_docs driver entry vs the generator's independent
+    (url, text) parquet: decode + bridge + html→text, value-for-value."""
+    import pandas as pd
+
+    from pcap_converter_spark.operators.registry import (
+        _WARC_DOCS_PARQUET,
+        run_warc_docs,
+    )
+
+    got = (
+        run_warc_docs(spark, "unused")
+        .select("url", "text")
+        .toPandas()
+    )
+    exp = pd.read_parquet(_WARC_DOCS_PARQUET).sort_values("url").reset_index(
+        drop=True
+    )
+    assert got["url"].tolist() == exp["url"].tolist()
+    assert got["text"].tolist() == exp["text"].tolist()
