@@ -1216,14 +1216,71 @@ def _curate_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     return flags
 
 
+# the write_kept training artifact per (session, sf_dir): written once,
+# read back by run_curate's 'rest' branch; removed at interpreter exit
+_WRITE_KEPT_CACHE: dict[tuple[str, str], str] = {}
+
+
+def _write_kept_path(spark: SparkSession, sf_dir: str) -> str:
+    import atexit
+    import shutil
+    import tempfile
+
+    key = _session_key(spark, sf_dir)
+    path = _WRITE_KEPT_CACHE.get(key)
+    if path is None:
+        from pcap_converter_spark.operators.pipeline import write_kept
+
+        path = tempfile.mkdtemp(prefix="kept_artifact_")
+        docs = _docs(spark, sf_dir).filter(F.col("doc_id") % 83 != 0)
+        write_kept(_curate_flags(spark, sf_dir), docs, path)
+        _WRITE_KEPT_CACHE[key] = path
+        atexit.register(shutil.rmtree, path, ignore_errors=True)
+    return path
+
+
 def run_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The composed preprocessing chain (operators/pipeline.py): Gopher
     quality gate → exact dedup → near-dup CC → benchmark decontamination →
-    sequence packing, one lazy plan with per-stage funnel flags. The oracle
-    recomputes the entire funnel in SQL — one hash proves the whole
-    composition, including that each stage only sees the previous stage's
-    survivors."""
-    return _curate_flags(spark, sf_dir).orderBy("doc_id")
+    sequence packing, one lazy plan with per-stage funnel flags, src-tagged
+    with TWO branches:
+
+    - 'flags': one row per input doc with the per-stage keep flags and
+      packing positions (the funnel itself). The oracle recomputes the
+      entire funnel in SQL — the hash proves the whole composition,
+      including that each stage only sees the previous stage's survivors.
+    - 'rest': the write_kept TRAINING ARTIFACT read back from its
+      pack_shard-partitioned Parquet (operators/pipeline.py write_kept) —
+      the survivors with their packing positions, exactly as a training
+      job consumes them. The oracle re-derives the same rows from the
+      funnel SQL (WHERE kept), so the hash proves the at-rest layout
+      round-trips doc ids, shard assignment and packing positions —
+      the ivf_rest move applied to the curation output (VERDICT r4 #3)."""
+    flags = _curate_flags(spark, sf_dir).withColumn("src", F.lit("flags"))
+    t = F.lit(True)
+    rest = (
+        spark.read.parquet(_write_kept_path(spark, sf_dir))
+        .select(
+            "doc_id",
+            t.alias("keep_quality"),
+            t.alias("keep_exact"),
+            t.alias("keep_neardup"),
+            t.alias("keep_decon"),
+            t.alias("kept"),
+            F.col("pack_shard").cast("bigint").alias("pack_shard"),
+            F.col("pack_bin").cast("bigint").alias("pack_bin"),
+            F.col("pack_offset").cast("bigint").alias("pack_offset"),
+        )
+        .withColumn("src", F.lit("rest"))
+    )
+    return (
+        flags.unionByName(rest)
+        .select(
+            "src", "doc_id", "keep_quality", "keep_exact", "keep_neardup",
+            "keep_decon", "kept", "pack_shard", "pack_bin", "pack_offset",
+        )
+        .orderBy("src", "doc_id")
+    )
 
 
 def run_curate_report(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1356,6 +1413,20 @@ LEFT JOIN nd USING (doc_id)
 LEFT JOIN dec USING (doc_id)
 LEFT JOIN pk USING (doc_id)
 ORDER BY doc_id
+"""
+
+# run_curate's two branches: the funnel itself ('flags') and the write_kept
+# artifact read-back ('rest') — the rest branch's expected rows are the
+# funnel's kept rows with all flags true, re-derived from the same SQL
+_CURATE_TAGGED_ORACLE = f"""
+SELECT src, doc_id, keep_quality, keep_exact, keep_neardup, keep_decon,
+       kept, pack_shard, pack_bin, pack_offset FROM (
+  SELECT 'flags' AS src, * FROM ({_CURATE_ORACLE}) a
+  UNION ALL
+  SELECT 'rest' AS src, doc_id, true, true, true, true, true,
+         pack_shard, pack_bin, pack_offset
+  FROM ({_CURATE_ORACLE}) b WHERE kept
+) u ORDER BY src, doc_id
 """
 
 # independent re-aggregation of the full funnel SQL (DuckDB supports CTEs —
@@ -1546,7 +1617,7 @@ def extension_queries() -> tuple[dict, dict]:
         "ex_skew_salted": _SKEW_SALTED_ORACLE,
         "ex_cube": _CUBE_ORACLE_SQL,
         "ex_ntile": _NTILE_SQL,
-        "ex_curate": _CURATE_ORACLE,
+        "ex_curate": _CURATE_TAGGED_ORACLE,
         "ex_curate_report": _CURATE_REPORT_ORACLE,
         "ex_warc_docs": _WARC_DOCS_ORACLE,
     }

@@ -316,24 +316,35 @@ def ivf_write(
     centroids: np.ndarray,
     out: str,
     vec_col: str = "embedding",
+    files_per_cluster: int = 1,
 ) -> None:
     """Materialize the IVF index AT REST: assign each row its nearest
     centroid and write Hive-partitioned by ``_cluster``. This is the write
     half of the docstring claim on ``ivf_topk`` — once at rest, a probe is
     a partition-PRUNED scan (nprobe directories opened, the rest never
-    read; tests/test_plan_audit.py asserts PartitionFilters on the scan)."""
+    read; tests/test_plan_audit.py asserts PartitionFilters on the scan).
+
+    Co-locating each cluster before the partitioned write stops every
+    upstream task opening a writer per cluster it touches (m tasks × C
+    clusters small files). The default hashes on ``_cluster`` alone —
+    one task and one file per cluster, the layout a pruned probe wants —
+    which caps write parallelism at C and makes a hot cluster a straggler.
+    At corpus scale set ``files_per_cluster`` > 1: rows are additionally
+    salted on a hash of the vector itself (deterministic, no extra
+    column), spreading each cluster over that many tasks/files while the
+    probe's directory pruning is untouched (VERDICT r4 #7)."""
     from pyspark.sql import functions as _F
 
     from pcap_converter_spark.io.sinks import write_partitioned
 
-    # co-locate each cluster before the partitioned write: without this
-    # every upstream task opens a writer per cluster it touches (m tasks ×
-    # C clusters small files); hashed on _cluster, each task writes only
-    # its own clusters — C files total, and the one-file-per-cluster
-    # layout is exactly what the probe's pruned scan wants
-    assigned = ivf_assign(df, centroids, vec_col).repartition(
-        _F.col("_cluster")
-    )
+    assigned = ivf_assign(df, centroids, vec_col)
+    if files_per_cluster <= 1:
+        assigned = assigned.repartition(_F.col("_cluster"))
+    else:
+        salt = _F.pmod(
+            _F.xxhash64(_F.col(vec_col)), _F.lit(int(files_per_cluster))
+        )
+        assigned = assigned.repartition(_F.col("_cluster"), salt)
     write_partitioned(assigned, out, ["_cluster"])
 
 

@@ -114,3 +114,39 @@ def test_lsh_scans_fewer_rows_than_bruteforce(spark, emb_df):
     bucketed = emb_df.withColumn("_sig", similarity.rh_signature(F.col("embedding"), planes))
     n_buckets = bucketed.select("_sig").distinct().count()
     assert n_buckets > 8  # corpus genuinely shards across buckets
+
+
+def test_ivf_write_salted_matches_unsalted(spark, emb_df, tmp_path):
+    """files_per_cluster > 1 spreads each cluster over several files (the
+    hot-cluster de-straggler) without changing the probe's answer or the
+    partition layout."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    cents = similarity.fixed_centroids(DIM, 4, seed=7)
+    q = [float(x) for x in np.float32(VECS[3])]
+    p1, p4 = str(tmp_path / "ivf1"), str(tmp_path / "ivf4")
+    similarity.ivf_write(emb_df, cents, p1)
+    # AQE would re-coalesce this tiny test corpus into a handful of tasks
+    # (at scale the salted partitions are large and stay split); pin it off
+    # so the file-count assertion below observes the salt
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        similarity.ivf_write(emb_df, cents, p4, files_per_cluster=4)
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+    a = similarity.ivf_topk_at_rest(spark, p1, cents, q, k=5, nprobe=2)
+    b = similarity.ivf_topk_at_rest(spark, p4, cents, q, k=5, nprobe=2)
+    assert [tuple(r) for r in a.collect()] == [tuple(r) for r in b.collect()]
+    # same directory partitioning, more files inside at least one cluster
+    dirs1 = {d for d in os.listdir(p1) if d.startswith("_cluster=")}
+    dirs4 = {d for d in os.listdir(p4) if d.startswith("_cluster=")}
+    assert dirs1 == dirs4
+    def nfiles(root, dirs):
+        return sum(
+            len([f for f in os.listdir(os.path.join(root, d))
+                 if f.endswith(".parquet")])
+            for d in dirs
+        )
+    assert nfiles(p4, dirs4) > nfiles(p1, dirs1)

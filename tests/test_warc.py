@@ -487,3 +487,60 @@ def test_warc_docs_fixture_matches_ground_truth(spark):
     )
     assert got["url"].tolist() == exp["url"].tolist()
     assert got["text"].tolist() == exp["text"].tolist()
+
+
+# --- streaming admission & recovery on the WARC face (VERDICT r4 #8: the
+# shared FileChunkStreamReader machinery proven on BOTH concrete sources;
+# driver-side reader state, no Spark query needed) -------------------------
+
+
+def _warc_stream_reader(path, **opts):
+    from pcap_converter_spark.sources.warc import (
+        WARC_OUTPUT_SCHEMA,
+        _warc_datasource_cls,
+    )
+
+    cls = _warc_datasource_cls()
+    return cls({"path": str(path), **opts}).streamReader(WARC_OUTPUT_SCHEMA)
+
+
+def test_warc_stream_settle_gate_tracks_midpoll_growth(tmp_path):
+    """A segment still being written (grows between polls) must not be
+    admitted: each observed growth restarts the settle clock; once the
+    file goes quiescent past the window it is admitted whole."""
+    import time
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    p = landing / "seg.warc.gz"
+    wg.write_warc(str(p), _corpus(3), gzipped=True)
+    r = _warc_stream_reader(landing, settle_seconds="1")
+    assert r.latestOffset() == {}  # first sight: signature recorded
+    # the crawler appends another member mid-poll: clock restarts
+    with open(p, "ab") as f:
+        import gzip as _gz
+        import io
+
+        buf = io.BytesIO()
+        with _gz.GzipFile(fileobj=buf, mode="wb", mtime=0) as gz:
+            gz.write(wg.record("warcinfo", b"late member\r\n"))
+        f.write(buf.getvalue())
+    assert r.latestOffset() == {}
+    assert r.latestOffset() == {}  # still younger than the window
+    time.sleep(1.1)
+    off = r.latestOffset()  # quiescent: admitted with ALL members indexed
+    assert list(off) == [str(p)] and off[str(p)] >= 1
+
+
+def test_warc_stream_recovery_tolerates_deleted_committed_file(tmp_path):
+    """A fully-committed span for a segment deleted after commit must plan
+    an empty batch (recovery proceeds); an UNREAD span for a missing file
+    must raise a clear data-loss error."""
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    gone = str(landing / "gone.warc.gz")
+    r = _warc_stream_reader(landing)
+    parts = r.partitions({gone: 2}, {gone: 2})
+    assert len(parts) == 1 and parts[0].value is None  # empty batch marker
+    with pytest.raises(FileNotFoundError, match="unread span"):
+        r.partitions({gone: 0}, {gone: 2})
