@@ -119,6 +119,36 @@ def build() -> tuple[list[bytes], list[dict]]:
         )
     )
     expected.append({"url": "https://fixture.example/empty", "text": ""})
+    # Transfer-Encoding: chunked response — the raw on-the-wire form a
+    # crawler records; the reader must dechunk or the hex size lines and
+    # chunk CRLFs corrupt the extracted text
+    ck_text = "Chunked body survives dechunking across a chunk boundary."
+    ck_html, ck_exp = _page("Chunked page", [(_enc(ck_text), ck_text)])
+    records.append(
+        wg.response_record(
+            "https://fixture.example/chunked", ck_html,
+            rec_id="<urn:uuid:chunked>", chunked=True,
+        )
+    )
+    expected.append({"url": "https://fixture.example/chunked", "text": ck_exp})
+    # ISO-8859-1 page with a declared charset: single-byte accents must
+    # decode via the Latin-1 map, not mojibake through UTF-8-replacement
+    l1_text = "Tést pagé: ¡Latin-1 bytes décodés!"  # all chars in latin-1
+    l1_parts = [f"<h1>{_enc('Latin page')}</h1>", f"<p>{_enc(l1_text)}</p>"]
+    l1_html = (
+        "<html><body>" + "".join(l1_parts) + "</body></html>"
+    ).encode("iso-8859-1")
+    records.append(
+        wg.response_record(
+            "https://fixture.example/latin1", l1_html,
+            rec_id="<urn:uuid:latin1>",
+            ctype="text/html; charset=ISO-8859-1",
+        )
+    )
+    expected.append(
+        {"url": "https://fixture.example/latin1",
+         "text": "Latin page\n" + l1_text}
+    )
     return records, expected
 
 

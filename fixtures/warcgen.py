@@ -29,8 +29,25 @@ def record(
 
 
 def http_response(
-    body: bytes, status: int = 200, ctype: str = "text/html"
+    body: bytes,
+    status: int = 200,
+    ctype: str = "text/html",
+    chunked: bool = False,
 ) -> bytes:
+    if chunked:
+        # Transfer-Encoding: chunked — the raw on-the-wire form a crawler
+        # records; body split into two size-prefixed chunks + terminator
+        head = (
+            f"HTTP/1.1 {status} OK\r\nContent-Type: {ctype}\r\n"
+            "Transfer-Encoding: chunked\r\n\r\n"
+        ).encode()
+        mid = max(1, len(body) // 2) if body else 0
+        enc = b""
+        for part in (body[:mid], body[mid:]):
+            if part:
+                enc += f"{len(part):x}\r\n".encode() + part + b"\r\n"
+        enc += b"0\r\n\r\n"
+        return head + enc
     head = (
         f"HTTP/1.1 {status} OK\r\nContent-Type: {ctype}\r\n"
         f"Content-Length: {len(body)}\r\n\r\n"
@@ -39,11 +56,17 @@ def http_response(
 
 
 def response_record(
-    uri: str, html: bytes, rec_id: str, status: int = 200, **kw
+    uri: str,
+    html: bytes,
+    rec_id: str,
+    status: int = 200,
+    ctype: str = "text/html",
+    chunked: bool = False,
+    **kw,
 ) -> bytes:
     return record(
         "response",
-        http_response(html, status=status),
+        http_response(html, status=status, ctype=ctype, chunked=chunked),
         uri=uri,
         rec_id=rec_id,
         content_type="application/http; msgtype=response",

@@ -57,6 +57,7 @@ WARC_OUTPUT_SCHEMA = T.StructType(
         T.StructField("content_type", T.StringType()),
         T.StructField("content_length", T.LongType()),
         T.StructField("http_status", T.IntegerType()),
+        T.StructField("http_content_type", T.StringType()),
         T.StructField("payload", T.BinaryType()),
         T.StructField("warc_file", T.StringType()),
         T.StructField("errors", T.LongType()),
@@ -230,6 +231,35 @@ def _index_warc_uncached(
 # ------------------------------------------------------------------ decoding
 
 
+def _dechunk(data: bytes) -> tuple[bytes, bool]:
+    """Decode a Transfer-Encoding: chunked HTTP body (hex-size-prefixed
+    chunks, 0-chunk terminator; trailers ignored). Crawlers record the raw
+    on-the-wire bytes, so chunked bodies are common in real WARCs — left
+    encoded, the hex size lines and chunk CRLFs would corrupt the
+    extracted text. Returns (decoded, well_formed); on malformation the
+    bytes decoded so far are returned and the record's error count is
+    bumped by the caller."""
+    out: list[bytes] = []
+    pos, n = 0, len(data)
+    while True:
+        eol = data.find(b"\r\n", pos)
+        if eol < 0:
+            return b"".join(out), False
+        token = data[pos:eol].split(b";", 1)[0].strip()
+        try:
+            size = int(token, 16)
+        except ValueError:
+            return b"".join(out), False
+        pos = eol + 2
+        if size == 0:
+            return b"".join(out), True
+        if pos + size > n:
+            out.append(data[pos:n])
+            return b"".join(out), False
+        out.append(data[pos : pos + size])
+        pos += size + 2  # skip the chunk's trailing CRLF
+
+
 def _parse_records(buf: bytes, basename: str) -> Iterator[dict]:
     """Parse every record in a decompressed/plain chunk buffer."""
     pos, n = 0, len(buf)
@@ -258,6 +288,7 @@ def _parse_records(buf: bytes, basename: str) -> Iterator[dict]:
         body = buf[hdr_end + 4 : hdr_end + 4 + clen]
         status = None
         payload = body
+        http_ctype = None
         ctype = fields.get(b"content-type", b"").decode("latin-1")
         if ctype.startswith("application/http"):
             # response record: split the HTTP head off the payload
@@ -267,7 +298,19 @@ def _parse_records(buf: bytes, basename: str) -> Iterator[dict]:
                     status = int(body.split(b" ", 2)[1])
                 except (IndexError, ValueError):
                     errors += 1
+                chunked = False
+                for hline in body[:he].split(b"\r\n")[1:]:
+                    hk, _, hv = hline.partition(b":")
+                    hk = hk.strip().lower()
+                    if hk == b"content-type":
+                        http_ctype = hv.strip().decode("latin-1")
+                    elif hk == b"transfer-encoding":
+                        chunked = b"chunked" in hv.lower()
                 payload = body[he + 4 :]
+                if chunked:
+                    payload, ok = _dechunk(payload)
+                    if not ok:
+                        errors += 1
             else:
                 errors += 1
         yield {
@@ -279,6 +322,7 @@ def _parse_records(buf: bytes, basename: str) -> Iterator[dict]:
             "content_type": ctype,
             "content_length": clen,
             "http_status": status,
+            "http_content_type": http_ctype,
             "payload": payload,
             "warc_file": basename,
             "errors": errors,
@@ -410,17 +454,29 @@ def responses_as_documents(
     """Bridge into the text pipeline: HTTP 200 response records →
     (doc_id, url, text) rows ready for the curation/dedup operators.
     doc_id is a deterministic 63-bit hash of the record id; payload is
-    decoded as UTF-8 with replacement (lossy bytes count as content, not
-    errors — charset sniffing is a downstream concern). With
-    ``extract_text=True`` the payload additionally runs through
-    ``functions.text.html_to_text`` (JVM regexp chain — markup stripped,
-    entities decoded, whitespace collapsed) so the result feeds
-    tokenize/quality/dedup directly."""
+    decoded per the HTTP ``Content-Type`` charset — the ISO-8859-1 /
+    windows-1252 family via the single-byte Latin-1 map, everything else
+    (incl. absent/UTF-8) as UTF-8 with replacement (lossy bytes count as
+    content, not errors). The charset dispatch is a pure column CASE, so
+    it stays JVM-side. With ``extract_text=True`` the payload additionally
+    runs through ``functions.text.html_to_text`` (JVM regexp chain —
+    markup stripped, entities decoded, whitespace collapsed) so the
+    result feeds tokenize/quality/dedup directly."""
     from pyspark.sql import functions as F
 
     from pcap_converter_spark.functions.text import html_to_text
 
-    body = F.decode("payload", "UTF-8")
+    charset = F.lower(
+        F.regexp_extract(
+            F.coalesce(F.col("http_content_type"), F.lit("")),
+            r"(?i)charset=[\"']?([A-Za-z0-9_\-]+)",
+            1,
+        )
+    )
+    body = F.when(
+        charset.isin("iso-8859-1", "latin-1", "latin1", "windows-1252", "cp1252"),
+        F.decode("payload", "ISO-8859-1"),
+    ).otherwise(F.decode("payload", "UTF-8"))
     if extract_text:
         body = html_to_text(body)
     return (

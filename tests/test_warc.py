@@ -544,3 +544,58 @@ def test_warc_stream_recovery_tolerates_deleted_committed_file(tmp_path):
     assert len(parts) == 1 and parts[0].value is None  # empty batch marker
     with pytest.raises(FileNotFoundError, match="unread span"):
         r.partitions({gone: 0}, {gone: 2})
+
+
+def test_warc_chunked_transfer_encoding_dechunked(spark, tmp_path):
+    """A Transfer-Encoding: chunked response must be dechunked at parse
+    time — hex size lines and chunk CRLFs are framing, not content — and
+    the HTTP Content-Type surfaces as http_content_type."""
+    body = b"<p>" + b"alpha beta gamma " * 40 + b"</p>"
+    p = str(tmp_path / "ck.warc")
+    wg.write_warc(p, [
+        wg.response_record("https://c.org/ck", body, "<urn:uuid:ck>",
+                           chunked=True),
+        wg.response_record("https://c.org/plain", body, "<urn:uuid:pl>"),
+    ])
+    rows = {r["target_uri"]: r for r in read_warc(spark, p).collect()}
+    ck, pl = rows["https://c.org/ck"], rows["https://c.org/plain"]
+    assert bytes(ck["payload"]) == body  # exact dechunk across boundary
+    assert bytes(ck["payload"]) == bytes(pl["payload"])
+    assert ck["errors"] == 0
+    assert ck["http_content_type"] == "text/html"
+
+
+def test_warc_malformed_chunking_counts_error(spark, tmp_path):
+    """A chunked body whose size line is garbage yields the bytes decoded
+    so far plus an error count — never a crash, never silent framing noise
+    passed through as text."""
+    raw = (
+        b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"
+        b"Transfer-Encoding: chunked\r\n\r\n"
+        b"5\r\nhello\r\nZZ\r\njunk"
+    )
+    p = str(tmp_path / "bad.warc")
+    wg.write_warc(p, [wg.record(
+        "response", raw, uri="https://c.org/bad", rec_id="<urn:uuid:bad>",
+        content_type="application/http; msgtype=response",
+    )])
+    row = read_warc(spark, p).collect()[0]
+    assert bytes(row["payload"]) == b"hello"
+    assert row["errors"] == 1
+
+
+def test_warc_bridge_decodes_declared_charset(spark, tmp_path):
+    """charset=ISO-8859-1 in the HTTP Content-Type routes the payload
+    through the Latin-1 map; absent charset stays UTF-8."""
+    latin = "café ¡señor!".encode("iso-8859-1")
+    utf = "café ¡señor!".encode("utf-8")
+    p = str(tmp_path / "cs.warc")
+    wg.write_warc(p, [
+        wg.response_record("https://c.org/l1", latin, "<urn:uuid:l1>",
+                           ctype="text/html; charset=ISO-8859-1"),
+        wg.response_record("https://c.org/u8", utf, "<urn:uuid:u8>"),
+    ])
+    docs = {r["url"]: r["text"]
+            for r in responses_as_documents(read_warc(spark, p)).collect()}
+    assert docs["https://c.org/l1"] == "café ¡señor!"
+    assert docs["https://c.org/u8"] == "café ¡señor!"
