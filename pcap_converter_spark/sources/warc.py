@@ -89,7 +89,12 @@ def _walk_plain_records(f, file_size: int) -> Iterator[tuple[int, int]]:
         f.seek(pos)
         head = f.read(16)
         if not head.startswith(b"WARC/"):
-            if not head:  # clean EOF
+            # clean EOF, or the file was cut inside the next record's magic
+            # (fewer than 5 bytes remain and they prefix it) — both are
+            # tail truncation, tolerated like any other (fuzz-caught)
+            if not head or (
+                pos + len(head) >= file_size and b"WARC/".startswith(head)
+            ):
                 return
             raise ValueError(
                 f"WARC parse error at offset {pos}: expected record magic, "
