@@ -1466,17 +1466,30 @@ _WARC_DOCS_PARQUET = os.path.join(
 
 
 def run_warc_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The corpus-acquisition front door, hash-checked end to end: read the
-    per-record-gzip WARC fixture through the chunk-indexed source
-    (sources/warc.py read_warc — gzip member walk, member-aligned chunks,
-    Arrow-batched decode), bridge HTTP-200 responses into documents with
-    HTML→text extraction (responses_as_documents(extract_text=True)), and
-    project per-doc stats. The oracle reads the fixture generator's
-    EXPECTED (url, text) parquet — ground truth assembled from the same
-    plain-text pieces the HTML was built from, never through this repo's
-    extractor — so a hash match proves record framing, HTTP head split,
-    UTF-8 decode, tag/entity/whitespace handling, and the 200-only filter
-    (the 404 page, request records and warcinfo record must be absent)."""
+    """The corpus-acquisition front door, hash-checked end to end, in two
+    op-tagged branches:
+
+    - 'docs': read the per-record-gzip WARC fixture through the
+      chunk-indexed source (sources/warc.py read_warc — gzip member walk,
+      member-aligned chunks, Arrow-batched decode, chunked-body dechunk),
+      bridge HTTP-200 responses into documents with charset-aware decode
+      + HTML→text extraction (responses_as_documents(extract_text=True)),
+      project per-doc stats. The oracle reads the fixture generator's
+      EXPECTED (url, text) parquet — ground truth assembled from the same
+      plain-text pieces the HTML was built from, never through this
+      repo's extractor — so a hash match proves record framing, HTTP head
+      split, dechunking, charset decode, tag/entity/whitespace handling,
+      and the 200-only filter (the 404 page, request records and warcinfo
+      record must be absent).
+    - 'urls': URL canonicalization (functions/urls.py canonical_url — the
+      CCNet-style crawl key: case/userinfo/default-port/dup-slash/
+      trailing-slash/fragment normalization, tracking params dropped,
+      query params sorted) applied to deterministically MESSED-UP
+      variants of the fixture URLs; the oracle builds the identical messy
+      strings and re-implements the whole canonicalization spec in DuckDB
+      dialect, so the hash checks the spec itself, not four hand-picked
+      answers."""
+    from pcap_converter_spark.functions import urls as U
     from pcap_converter_spark.sources.warc import (
         read_warc,
         responses_as_documents,
@@ -1485,21 +1498,93 @@ def run_warc_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = responses_as_documents(
         read_warc(spark, _WARC_FIXTURE), extract_text=True
     )
-    return docs.select(
-        "url",
+    docs_branch = docs.select(
+        F.lit("docs").alias("op"),
+        F.col("url"),
         F.length("text").alias("n_chars"),
         TX.token_count(F.col("text")).alias("n_tokens"),
         F.md5(F.col("text").cast("binary")).alias("fp"),
         "text",
-    ).orderBy("url")
+    )
+    u = F.col("url")
+    m = F.length(u) % 4
+    tail = F.substring(u, 24, 1000)  # 'https://fixture.example' = 23 chars
+    messy = (
+        F.when(m == 0, F.concat(
+            F.lit("HTTPS://crawler@"), F.upper(F.lit("fixture.example")),
+            F.lit(":443"), tail, F.lit("/?z=1&utm_source=bench&a=2#frag"),
+        ))
+        .when(m == 1, F.concat(
+            F.lit("https://"), F.upper(F.lit("fixture.example")),
+            F.lit("/"), tail, F.lit("?b=2&a=1"),
+        ))
+        .when(m == 2, F.concat(u, F.lit("#fragment")))
+        .otherwise(F.concat(u, F.lit("?utm_campaign=x&utm_medium=y")))
+    )
+    canon = U.canonical_url(messy)
+    urls_branch = docs.select(
+        F.lit("urls").alias("op"),
+        messy.alias("url"),
+        F.length(canon).alias("n_chars"),
+        F.lit(None).cast("int").alias("n_tokens"),
+        F.md5(canon.cast("binary")).alias("fp"),
+        canon.alias("text"),
+    )
+    return docs_branch.unionByName(urls_branch).orderBy("op", "url")
 
 
 _WARC_DOCS_ORACLE = f"""
-WITH warc_docs AS (SELECT * FROM read_parquet('{_WARC_DOCS_PARQUET}'))
-SELECT url, CAST(length(text) AS INT) AS n_chars,
-       CAST(len({_DUCK_WORDS.format(src="text")}) AS INT) AS n_tokens,
-       md5(text) AS fp, text
-FROM warc_docs ORDER BY url
+WITH warc_docs AS (SELECT * FROM read_parquet('{_WARC_DOCS_PARQUET}')),
+docs AS (
+  SELECT 'docs' AS op, url, CAST(length(text) AS INT) AS n_chars,
+         CAST(len({_DUCK_WORDS.format(src="text")}) AS INT) AS n_tokens,
+         md5(text) AS fp, text
+  FROM warc_docs),
+mess AS (
+  SELECT CASE length(url) % 4
+    WHEN 0 THEN 'HTTPS://crawler@' || upper('fixture.example') || ':443'
+                || substr(url, 24) || '/?z=1&utm_source=bench&a=2#frag'
+    WHEN 1 THEN 'https://' || upper('fixture.example') || '/'
+                || substr(url, 24) || '?b=2&a=1'
+    WHEN 2 THEN url || '#fragment'
+    ELSE url || '?utm_campaign=x&utm_medium=y' END AS u
+  FROM warc_docs),
+parts AS (
+  SELECT u,
+    lower(regexp_extract(trim(u), '^([A-Za-z][A-Za-z0-9+.\\-]*)://', 1)) AS scheme,
+    regexp_replace(regexp_extract(trim(u),
+      '^[A-Za-z][A-Za-z0-9+.\\-]*://([^/?#]*)', 1), '^[^@]*@', '') AS hp,
+    regexp_extract(trim(u),
+      '^[A-Za-z][A-Za-z0-9+.\\-]*://[^/?#]*([^?#]*)', 1) AS rawpath,
+    regexp_extract(trim(u), '\\?([^#]*)', 1) AS q
+  FROM mess),
+pp AS (
+  SELECT u, scheme,
+    lower(regexp_replace(hp, ':[0-9]+$', '')) AS host,
+    regexp_extract(hp, ':([0-9]+)$', 1) AS port,
+    regexp_replace(regexp_replace(rawpath, '/{{2,}}', '/', 'g'),
+                   '(.)/$', '\\1') AS p0,
+    array_to_string(list_sort(list_filter(string_split(q, '&'),
+      x -> x <> '' AND NOT regexp_matches(x,
+        '^(utm_[A-Za-z0-9_]+|fbclid|gclid|msclkid|ref)='))), '&') AS qc
+  FROM parts),
+canon AS (
+  SELECT u,
+    CASE WHEN scheme = '' THEN trim(u)
+         ELSE scheme || '://' || host
+              || CASE WHEN port <> ''
+                       AND NOT (scheme = 'http' AND port = '80')
+                       AND NOT (scheme = 'https' AND port = '443')
+                      THEN ':' || port ELSE '' END
+              || CASE WHEN p0 = '' THEN '/' ELSE p0 END
+              || CASE WHEN qc <> '' THEN '?' || qc ELSE '' END
+    END AS c
+  FROM pp),
+urls AS (
+  SELECT 'urls' AS op, u AS url, CAST(length(c) AS INT) AS n_chars,
+         CAST(NULL AS INT) AS n_tokens, md5(c) AS fp, c AS text
+  FROM canon)
+SELECT * FROM docs UNION ALL SELECT * FROM urls ORDER BY op, url
 """
 
 

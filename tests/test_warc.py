@@ -479,6 +479,7 @@ def test_warc_docs_fixture_matches_ground_truth(spark):
 
     got = (
         run_warc_docs(spark, "unused")
+        .filter("op = 'docs'")
         .select("url", "text")
         .toPandas()
     )
