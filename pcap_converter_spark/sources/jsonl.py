@@ -1,0 +1,72 @@
+"""JSONL corpus source: newline-delimited JSON documents → the pipeline's
+(doc_id, url, text) shape.
+
+Public LLM corpora overwhelmingly ship as JSONL (Dolma, RedPajama, C4
+exports, most HuggingFace text dumps), usually gzip- or zstd-compressed.
+Spark's native JSON reader already does the heavy lifting at scale —
+splittable listing, per-file parallelism, codec handling, PERMISSIVE
+corrupt-record capture — so unlike the pcap/WARC sources this is a thin
+contract layer, not a reader: it pins an EXPLICIT schema (no sampling
+pass over 100 TB to infer one; unrequested fields are never parsed),
+normalizes heterogeneous id fields into the pipeline's deterministic
+63-bit doc_id, and surfaces malformed lines as an ``errors`` count
+instead of silent nulls.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from pcap_converter_spark.session import apply_runtime_confs
+
+
+def read_jsonl_docs(
+    spark: SparkSession,
+    paths: str | list[str],
+    text_field: str = "text",
+    url_field: str | None = "url",
+    id_field: str | None = None,
+) -> DataFrame:
+    """JSONL file(s)/glob → (doc_id, url, text, errors).
+
+    - ``doc_id``: abs(xxhash64) of the source id field when ``id_field``
+      is given (stringified first, so numeric and string ids normalize
+      identically), else of (url, text) — deterministic either way, so
+      re-ingesting a corpus yields identical ids (the property every
+      downstream dedup/split operator relies on).
+    - ``errors``: 1 on a malformed JSON line (PERMISSIVE mode keeps the
+      row with nulls + the corrupt text captured); callers gate on it the
+      same way they gate the pcap/WARC sources' error column.
+    """
+    apply_runtime_confs(spark)
+    fields = [T.StructField(text_field, T.StringType())]
+    if url_field:
+        fields.append(T.StructField(url_field, T.StringType()))
+    if id_field:
+        fields.append(T.StructField(id_field, T.StringType()))
+    fields.append(T.StructField("_corrupt", T.StringType()))
+    schema = T.StructType(fields)
+    df = (
+        spark.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt")
+        .json(paths)
+    )
+    url = F.col(url_field) if url_field else F.lit(None).cast("string")
+    if id_field:
+        did = F.abs(F.xxhash64(F.col(id_field).cast("string")))
+    else:
+        did = F.abs(
+            F.xxhash64(F.coalesce(url, F.lit("")), F.col(text_field))
+        )
+    return df.select(
+        did.alias("doc_id"),
+        url.alias("url"),
+        F.col(text_field).alias("text"),
+        F.when(F.col("_corrupt").isNotNull(), F.lit(1))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("errors"),
+    )
