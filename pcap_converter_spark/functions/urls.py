@@ -91,6 +91,28 @@ def canonical_url(url: Column) -> Column:
     return F.when(scheme == "", u).otherwise(rebuilt)
 
 
+def cap_per_domain(df, cap: int, url_col: str = "url", id_col: str = "doc_id"):
+    """Keep at most ``cap`` documents per registrable domain (lowest ids
+    win — deterministic, layout-invariant). The standard anti-dominance
+    stage: without it a handful of template-heavy hosts (forums, wikis,
+    link farms) swamp the corpus mix.
+
+    Shape: one shuffle on the domain key + a bounded per-key sort — the
+    window never materializes more than a partition, and domain
+    cardinality is huge relative to ``cap`` so no key is hot. For
+    corpus-scale runs where even per-key ordering is too much, swap the
+    row_number for a deterministic hash-sample (sampling.py) — this form
+    is the exact-semantics one."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("_dom").orderBy(F.col(id_col))
+    return (
+        df.withColumn("_dom", url_domain(F.col(url_col)))
+        .withColumn("keep_domain_cap", F.row_number().over(w) <= cap)
+        .withColumnRenamed("_dom", "domain")
+    )
+
+
 def dedup_by_url(df, url_col: str = "url", id_col: str = "doc_id"):
     """URL-level exact dedup: keep the lowest id per canonical URL.
 

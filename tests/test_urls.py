@@ -66,3 +66,20 @@ def test_dedup_by_url_collapses_variants(spark):
     assert out[3][0] == "https://example.com/page"
     assert out[1][1] is True and out[2][1] is False
     assert out[3][1] is True and out[4][1] is True
+
+
+def test_cap_per_domain(spark):
+    rows = [(i, f"https://sub{i % 2}.big.org/p/{i}") for i in range(10)]
+    rows += [(100 + i, f"https://small{i}.net/") for i in range(3)]
+    df = spark.createDataFrame(rows, ["doc_id", "url"])
+    out = U.cap_per_domain(df, cap=4)
+    kept = {r["doc_id"] for r in out.filter("keep_domain_cap").collect()}
+    # big.org (both subdomains) capped to its 4 lowest ids
+    assert kept == {0, 1, 2, 3, 100, 101, 102}
+    doms = {r["doc_id"]: r["domain"] for r in out.collect()}
+    assert doms[0] == "big.org" and doms[100] == "small0.net"
+    # layout-invariant: same keeps after a repartition
+    kept2 = {r["doc_id"]
+             for r in U.cap_per_domain(df.repartition(7), cap=4)
+             .filter("keep_domain_cap").collect()}
+    assert kept2 == kept
