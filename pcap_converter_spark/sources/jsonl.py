@@ -70,3 +70,15 @@ def read_jsonl_docs(
         .cast("long")
         .alias("errors"),
     )
+
+
+def write_jsonl_docs(
+    df: DataFrame, path: str, compression: str = "gzip"
+) -> None:
+    """Documents → JSONL directory (one ``part-*.json[.gz]`` per task —
+    at corpus scale the directory IS the dataset, exactly like the
+    Parquet sinks). The export half of the round trip: curated corpora
+    ship to trainers and external consumers as JSONL as often as
+    Parquet. Column layout is whatever ``df`` carries; pair with
+    ``read_jsonl_docs`` for a lossless (doc_id, url, text) cycle."""
+    df.write.mode("overwrite").option("compression", compression).json(path)

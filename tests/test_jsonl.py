@@ -85,3 +85,26 @@ def test_jsonl_glob_and_curation_composition(spark, tmp_path):
     groups = dedup.exact_duplicates(docs).collect()
     # two distinct texts, each duplicated 6x
     assert sorted(g["dup_count"] for g in groups) == [6, 6]
+
+
+def test_jsonl_write_read_roundtrip(spark, tmp_path):
+    """write_jsonl_docs → read_jsonl_docs is lossless for the documents
+    contract, including non-ASCII text, across gzip part files."""
+    from pcap_converter_spark.sources.jsonl import write_jsonl_docs
+
+    rows = [
+        (1, "https://j.org/a", "plain body"),
+        (2, "https://j.org/b", "café — naïve 中文 body"),
+        (3, None, "no url"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "url", "text"])
+    out = str(tmp_path / "export")
+    write_jsonl_docs(df, out)
+    import glob
+
+    assert glob.glob(out + "/part-*.json.gz")  # gzip part files
+    back = read_jsonl_docs(spark, out + "/part-*.json.gz", id_field="doc_id")
+    key = lambda p: (p[0] or "", p[1])  # noqa: E731 — None url sorts first
+    got = sorted(((r["url"], r["text"]) for r in back.collect()), key=key)
+    assert got == sorted(((u, t) for _, u, t in rows), key=key)
+    assert all(r["errors"] == 0 for r in back.collect())
