@@ -116,15 +116,20 @@ def cap_per_domain(df, cap: int, url_col: str = "url", id_col: str = "doc_id"):
 def dedup_by_url(df, url_col: str = "url", id_col: str = "doc_id"):
     """URL-level exact dedup: keep the lowest id per canonical URL.
 
-    Same scale shape as content dedup's hash-groupBy — the shuffle moves
-    canonical-URL keys, never document bytes — which is why URL dedup
-    runs FIRST in a crawl pipeline: it deletes refetches before any text
-    processing pays for them."""
-    canon = df.withColumn("_curl", canonical_url(F.col(url_col)))
-    keep = canon.groupBy("_curl").agg(F.min(id_col).alias("_keep"))
-    return (
-        canon.join(keep, "_curl")
-        .withColumn("keep_url", F.col(id_col) == F.col("_keep"))
-        .drop("_keep")
-        .withColumnRenamed("_curl", "canonical_url")
+    Same scale shape as content dedup (operators/dedup.py): the URL-keyed
+    shuffles move only (id, canonical_url) pairs — document bytes NEVER
+    travel on the URL key. The per-id keep flags then join back on
+    ``id_col``, the pipeline's standard co-partition key, so docs stored
+    bucketed by id (io/sinks.write_bucketed) take the flag join without
+    shuffling text at all. URL dedup runs FIRST in a crawl pipeline — it
+    deletes refetches before any text processing pays for them."""
+    keys = df.select(
+        F.col(id_col), canonical_url(F.col(url_col)).alias("canonical_url")
     )
+    keep = keys.groupBy("canonical_url").agg(F.min(id_col).alias("_keep"))
+    flags = keys.join(keep, "canonical_url").select(
+        id_col,
+        "canonical_url",
+        (F.col(id_col) == F.col("_keep")).alias("keep_url"),
+    )
+    return df.join(flags, id_col)

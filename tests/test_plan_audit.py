@@ -167,3 +167,22 @@ def test_exact_dedup_shuffles_digests_not_text(spark):
     assert "content_hash" in plan
     ex = [l for l in plan.splitlines() if "Arguments: hashpartitioning" in l]
     assert ex and all("text#" not in l for l in ex), plan
+
+
+def test_url_dedup_shuffles_keys_not_text(spark):
+    """dedup_by_url's URL-keyed exchanges must carry only (id, canonical
+    url) — document text joins back on the id key, never travels on the
+    URL key (100 TB of text must not shuffle to dedup refetched pages)."""
+    from pyspark.sql import functions as F
+
+    from pcap_converter_spark.functions.urls import dedup_by_url
+
+    docs = load_table(spark, SF, "documents").withColumn(
+        "url", F.concat(F.lit("https://ex.org/"), F.col("doc_id") % 50)
+    )
+    plan = audit.formatted_plan(dedup_by_url(docs))
+    url_ex = [
+        l for l in plan.splitlines()
+        if "Arguments: hashpartitioning(canonical_url" in l
+    ]
+    assert url_ex and all("text#" not in l for l in url_ex), plan

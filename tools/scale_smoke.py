@@ -207,7 +207,8 @@ def main() -> int:
     }
 
     out: dict[str, dict] = {}
-    for name, mk in ops.items():
+
+    def measure(name: str, mk, half_df, full_df) -> None:
         # untimed per-op warmup at half size: the op's first execution
         # compiles its generated code and faults in its worker-side paths;
         # without this the half-size point (always timed first) absorbs
@@ -215,9 +216,13 @@ def main() -> int:
         # visible once the block-aligned sampler made half/full carry the
         # same planted-dup density (the even-id sampler's dup-free half
         # corpus happened to mask it)
-        run(mk(docs_half))
-        t_half = run(mk(docs_half))
-        t_full = run(mk(docs_full))
+        run(mk(half_df))
+        # min-of-2 per point: a single pair is hostage to one GC pause —
+        # measured r5: a stray passage_dedup full-size run hit 3.8 s
+        # (exp 1.85, a false QUADRATIC flag) where three repeats gave
+        # 1.07-1.12 s (exp 0.19-0.49). The min is the engine's cost.
+        t_half = min(run(mk(half_df)), run(mk(half_df)))
+        t_full = min(run(mk(full_df)), run(mk(full_df)))
         out[name] = {
             "t_half": round(t_half, 2),
             "t_full": round(t_full, 2),
@@ -227,19 +232,11 @@ def main() -> int:
         }
         print(f"scale_smoke: {name} half={t_half:.1f}s full={t_full:.1f}s "
               f"exp={out[name]['exp']}", file=sys.stderr)
+
+    for name, mk in ops.items():
+        measure(name, mk, docs_half, docs_full)
     for name, mk in vec_ops.items():
-        run(mk(vecs_half))  # untimed warmup (see above)
-        t_half = run(mk(vecs_half))
-        t_full = run(mk(vecs_full))
-        out[name] = {
-            "t_half": round(t_half, 2),
-            "t_full": round(t_full, 2),
-            "exp": round(
-                (0 if t_half <= 0 else __import__("math").log2(t_full / t_half)), 2
-            ),
-        }
-        print(f"scale_smoke: {name} half={t_half:.1f}s full={t_full:.1f}s "
-              f"exp={out[name]['exp']}", file=sys.stderr)
+        measure(name, mk, vecs_half, vecs_full)
 
     print(json.dumps({"docs": args.docs, "vecs": args.vecs, "ops": out}))
     bad = [k for k, v in out.items() if v["exp"] >= 1.8]
