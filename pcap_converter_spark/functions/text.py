@@ -25,6 +25,9 @@ LANG_STOPWORDS: dict[str, tuple[str, ...]] = {
     "de": ("der", "die", "das", "und", "ist", "nicht", "ein"),
     "es": ("el", "la", "los", "que", "es", "una", "para"),
     "fr": ("le", "les", "des", "et", "est", "une", "dans"),
+    "it": ("il", "di", "che", "per", "sono", "una", "non"),
+    "pt": ("o", "os", "do", "da", "em", "uma", "não"),
+    "nl": ("het", "een", "van", "dat", "niet", "zijn", "op"),
 }
 
 # BPE-ish token pattern: letter runs, digit runs, or single non-space symbol —

@@ -236,11 +236,22 @@ def run_text_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _eager(spark, out, [tf_tab])
 
 
+# language pieces GENERATED from TX.LANG_STOPWORDS so both engines extend
+# together when a profile is added; CASE order = dict order = the Spark
+# side's tie-break (language_id_t: earlier profiles win ties)
+_LANG_SCORES_SQL = ", ".join(
+    f"{_DUCK_STOP_FILTER[lang]} AS s_{lang}" for lang in TX.LANG_STOPWORDS
+)
+_LANG_BEST_SQL = (
+    "greatest(" + ", ".join(f"s_{lang}" for lang in TX.LANG_STOPWORDS) + ")"
+)
 _LANGID_CASE = (
-    "CASE WHEN best > 0 AND s_en = best THEN 'en' "
-    "WHEN best > 0 AND s_de = best THEN 'de' "
-    "WHEN best > 0 AND s_es = best THEN 'es' "
-    "WHEN best > 0 AND s_fr = best THEN 'fr' ELSE 'und' END"
+    "CASE "
+    + " ".join(
+        f"WHEN best > 0 AND s_{lang} = best THEN '{lang}'"
+        for lang in TX.LANG_STOPWORDS
+    )
+    + " ELSE 'und' END"
 )
 
 # One oracle for the whole text surface. The winnowing fingerprint hashes
@@ -253,8 +264,7 @@ WITH w AS (
          {_DUCK_WORDS.format(src="lower(text)")} AS lws
   FROM documents),
 sc AS (
-  SELECT *, {_DUCK_STOP_FILTER["en"]} AS s_en, {_DUCK_STOP_FILTER["de"]} AS s_de,
-         {_DUCK_STOP_FILTER["es"]} AS s_es, {_DUCK_STOP_FILTER["fr"]} AS s_fr,
+  SELECT *, {_LANG_SCORES_SQL},
          CASE WHEN length(text) > 0
               THEN (length(text) - length(regexp_replace(text, '[^a-zA-Z0-9\\s]', '', 'g')))
                    / CAST(length(text) AS DOUBLE) ELSE 0.0 END AS praw,
@@ -262,7 +272,7 @@ sc AS (
          least(8, len(lws)) AS win
   FROM w),
 b AS (
-  SELECT *, greatest(s_en, s_de, s_es, s_fr) AS best,
+  SELECT *, {_LANG_BEST_SQL} AS best,
          CASE WHEN len(lws) > 0 THEN s_en / CAST(len(lws) AS DOUBLE)
               ELSE 0.0 END AS sraw
   FROM sc),

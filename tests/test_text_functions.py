@@ -256,3 +256,19 @@ def test_html_to_text_no_entity_double_decode(spark):
     )
     out = df.select(TX.html_to_text(F.col("h")).alias("t")).collect()[0]["t"]
     assert out == "escaped &lt;b&gt; then & then real <i>"
+
+
+def test_language_id_covers_seven_profiles(spark):
+    samples = {
+        "en": "the cat is in the house and a dog",
+        "de": "der hund ist nicht das problem und ein",
+        "es": "el perro es una mascota para la casa",
+        "fr": "le chien est dans une maison et les chats",
+        "it": "il cane non è che una bestia per sono",
+        "pt": "o cão não é o problema do da casa em uma",
+        "nl": "het huis is niet van dat zijn een hond op",
+    }
+    df = spark.createDataFrame(list(samples.items()), ["lang", "text"])
+    got = {r["lang"]: r["g"] for r in df.select(
+        "lang", TX.language_id(F.col("text")).alias("g")).collect()}
+    assert got == {k: k for k in samples}, got
