@@ -41,3 +41,31 @@ def split_assign(key: Column, train_pct: int = 80, val_pct: int = 10) -> Column:
         .when(b < train_pct + val_pct, F.lit("val"))
         .otherwise(F.lit("test"))
     )
+
+
+def mix_sources(
+    df,
+    rates: dict[str, float],
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    buckets: int = 10_000,
+):
+    """Training-mix downsampling: keep a deterministic ``rates[source]``
+    fraction of each source's documents (sources absent from ``rates``
+    keep everything). THE standard mixture move — a raw crawl dwarfs
+    code/books/wiki, so the mix is set by per-source keep rates, not by
+    post-hoc shuffling.
+
+    Same content-addressed bucketing as ``sample_flag`` (10k buckets for
+    basis-point rate resolution), so membership is reproducible across
+    engines, reruns, partition layouts AND corpus growth — adding new
+    documents never flips an old document's keep decision, which makes
+    incremental re-mixes append-only. Pure column expressions: no
+    shuffle, no RNG, no UDF."""
+    b = hash_bucket(F.col(id_col), buckets)
+    keep = F.lit(True)
+    for src, rate in rates.items():
+        keep = F.when(
+            F.col(source_col) == src, b < int(round(rate * buckets))
+        ).otherwise(keep)
+    return df.withColumn("keep_mix", keep)

@@ -272,3 +272,33 @@ def test_language_id_covers_seven_profiles(spark):
     got = {r["lang"]: r["g"] for r in df.select(
         "lang", TX.language_id(F.col("text")).alias("g")).collect()}
     assert got == {k: k for k in samples}, got
+
+
+def test_mix_sources_deterministic_rates(spark):
+    """mix_sources keeps ~rate per source, exactly reproducibly, with
+    unlisted sources untouched and membership stable under growth."""
+    from pcap_converter_spark.operators.sampling import mix_sources
+
+    rows = [(i, ["crawl", "code", "books"][i % 3]) for i in range(6000)]
+    df = spark.createDataFrame(rows, ["doc_id", "source"])
+    out = mix_sources(df, {"crawl": 0.10, "code": 0.75})
+    kept = out.filter("keep_mix").groupBy("source").count().collect()
+    by_src = {r["source"]: r["count"] for r in kept}
+    assert by_src["books"] == 2000  # unlisted: kept whole
+    assert 120 <= by_src["crawl"] <= 280  # ~10% of 2000
+    assert 1380 <= by_src["code"] <= 1620  # ~75% of 2000
+    # reproducible across runs and partition layouts
+    k1 = {r["doc_id"] for r in out.filter("keep_mix").collect()}
+    k2 = {r["doc_id"] for r in
+          mix_sources(df.repartition(13), {"crawl": 0.10, "code": 0.75})
+          .filter("keep_mix").collect()}
+    assert k1 == k2
+    # growth-stable: the decision for old ids never flips when rows appear
+    bigger = spark.createDataFrame(
+        rows + [(10_000 + i, "crawl") for i in range(500)],
+        ["doc_id", "source"],
+    )
+    k3 = {r["doc_id"] for r in
+          mix_sources(bigger, {"crawl": 0.10, "code": 0.75})
+          .filter("keep_mix").collect()}
+    assert k1 == {d for d in k3 if d < 10_000}
