@@ -521,6 +521,29 @@ def simhash_pairs(
     If ``handles`` is passed, the internally persisted signature table is
     appended for the caller to unpersist after materializing the result.
     """
+    sigs = df.select(
+        F.col(id_col).alias("doc"), simhash64(F.col(text_col)).alias("sim")
+    )
+    return signature_hamming_pairs(
+        sigs, sig_col="sim", id_col="doc", max_hamming=max_hamming,
+        n_blocks=n_blocks, handles=handles,
+    )
+
+
+def signature_hamming_pairs(
+    df: DataFrame,
+    sig_col: str = "sig",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    n_blocks: int | None = None,
+    handles: list | None = None,
+) -> DataFrame:
+    """Pairs within ``max_hamming`` of ANY precomputed 64-bit signature
+    column, via the same Manku multi-block pigeonhole banding simhash_pairs
+    documents (exactness and sizing analysis there). Factored out so every
+    64-bit near-dup key — text SimHash, media blockhash
+    (operators/multimodal.py payload_blockhash), any future perceptual
+    hash — shares one banded-join implementation."""
     import itertools
 
     b = n_blocks if n_blocks is not None else max_hamming + 1
@@ -533,7 +556,7 @@ def simhash_pairs(
     mask = (1 << width) - 1
     # persisted because both self-join sides reuse the signatures
     sh = df.select(
-        F.col(id_col).alias("doc"), simhash64(F.col(text_col)).alias("sim")
+        F.col(id_col).alias("doc"), F.col(sig_col).alias("sim")
     ).persist()
     if handles is not None:
         handles.append(sh)

@@ -116,6 +116,73 @@ def byte_histogram_features(
     return df.select(id_col, payload_col).mapInPandas(extract, schema=FEATURE_SCHEMA)
 
 
+def payload_blockhash(
+    df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload"
+) -> DataFrame:
+    """64-bit blockhash signature per binary payload: split the bytes into
+    64 contiguous blocks, bit i = (block i's mean > median of the 64 block
+    means). The codec-free analogue of a perceptual image hash — the
+    median threshold balances the bits, so small localized edits flip few
+    bits while unrelated payloads land ~32 bits apart. Arrow-batched,
+    vectorized per payload. Returns (id, sig); feed
+    ``dedup.signature_hamming_pairs`` for media-level near-dup pairs —
+    the same Manku banded join the text SimHash tier uses."""
+    import pyspark.sql.types as T
+
+    schema = T.StructType(
+        [T.StructField(id_col, T.LongType()), T.StructField("sig", T.LongType())]
+    )
+
+    def sig_of(payload: bytes) -> int:
+        a = np.frombuffer(payload or b"", dtype=np.uint8)
+        if a.size == 0:
+            return 0
+        per = (a.size + 63) // 64
+        pad = np.zeros(per * 64, dtype=np.float64)
+        pad[: a.size] = a
+        blocks = pad.reshape(64, per).mean(axis=1)
+        bits = blocks > np.median(blocks)
+        v = int.from_bytes(
+            np.packbits(bits.astype(np.uint8), bitorder="little").tobytes(),
+            "little",
+        )
+        return v - (1 << 64) if v >= (1 << 63) else v
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].astype("int64"),
+                    "sig": [sig_of(p) for p in pdf[payload_col]],
+                }
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(extract, schema=schema)
+
+
+def media_neardup_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    max_hamming: int = 3,
+    n_blocks: int | None = None,
+    handles: list | None = None,
+) -> DataFrame:
+    """Media-level near-duplicate pairs: blockhash signatures through the
+    shared banded hamming join (dedup.signature_hamming_pairs — exactness
+    and corpus-scale sizing documented there)."""
+    from pcap_converter_spark.operators.dedup import signature_hamming_pairs
+
+    return signature_hamming_pairs(
+        payload_blockhash(df, id_col, payload_col),
+        sig_col="sig",
+        id_col=id_col,
+        max_hamming=max_hamming,
+        n_blocks=n_blocks,
+        handles=handles,
+    )
+
+
 def sample_frames(
     df: DataFrame,
     id_col: str = "doc_id",

@@ -61,3 +61,33 @@ def test_sample_frames_shapes(spark, payload_df):
 def test_decode_image_is_stubbed():
     with pytest.raises(NotImplementedError):
         multimodal.decode_image(b"\x89PNG\r\n")
+
+
+def test_payload_blockhash_neardup_pairs(spark):
+    """Blockhash: localized byte edits stay within a small hamming radius,
+    unrelated payloads do not pair; the shared banded join finds exactly
+    the near pairs."""
+    import numpy as np
+
+    from pcap_converter_spark.operators.multimodal import (
+        media_neardup_pairs,
+        payload_blockhash,
+    )
+
+    rng = np.random.default_rng(3)
+    base = rng.integers(0, 256, 4096, dtype=np.uint8).tobytes()
+    tweaked = bytearray(base)
+    for off in (10, 500, 2000):  # localized edits inside 3 blocks
+        tweaked[off] ^= 0xFF
+    other = rng.integers(0, 256, 4096, dtype=np.uint8).tobytes()
+    rows = [(1, base), (2, bytes(tweaked)), (3, other)]
+    df = spark.createDataFrame(rows, ["doc_id", "payload"])
+    sigs = {r["doc_id"]: r["sig"] for r in payload_blockhash(df).collect()}
+    assert bin(sigs[1] ^ sigs[2]).count("1") <= 3
+    assert bin(sigs[1] ^ sigs[3]).count("1") > 10
+    pairs = media_neardup_pairs(df, max_hamming=3).collect()
+    assert [(p["doc_a"], p["doc_b"]) for p in pairs] == [(1, 2)]
+    # deterministic across layouts
+    sigs2 = {r["doc_id"]: r["sig"]
+             for r in payload_blockhash(df.repartition(5)).collect()}
+    assert sigs2 == sigs
