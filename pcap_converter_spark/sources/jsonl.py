@@ -36,9 +36,17 @@ def read_jsonl_docs(
       identically), else of (url, text) — deterministic either way, so
       re-ingesting a corpus yields identical ids (the property every
       downstream dedup/split operator relies on).
-    - ``errors``: 1 on a malformed JSON line (PERMISSIVE mode keeps the
+    - ``errors``: 1 on a malformed JSON line (PERMISSIVE parse keeps the
       row with nulls + the corrupt text captured); callers gate on it the
       same way they gate the pcap/WARC sources' error column.
+
+    Implementation note: lines are read with the text source and parsed
+    via ``from_json`` rather than ``spark.read.json``. Same splittable
+    listing/codec path and the same Jackson parse, but the corrupt-record
+    capture lands in an ORDINARY struct field — ``spark.read.json``'s
+    special corrupt column forbids any query whose pruned scan references
+    only it (``count()`` on the returned frame would throw
+    UNSUPPORTED_FEATURE.QUERY_ONLY_CORRUPT_RECORD_COLUMN).
     """
     apply_runtime_confs(spark)
     fields = [T.StructField(text_field, T.StringType())]
@@ -48,24 +56,27 @@ def read_jsonl_docs(
         fields.append(T.StructField(id_field, T.StringType()))
     fields.append(T.StructField("_corrupt", T.StringType()))
     schema = T.StructType(fields)
-    df = (
-        spark.read.schema(schema)
-        .option("mode", "PERMISSIVE")
-        .option("columnNameOfCorruptRecord", "_corrupt")
-        .json(paths)
+    lines = spark.read.text(paths).filter(F.trim("value") != "")
+    r = F.from_json(
+        F.col("value"),
+        schema,
+        {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": "_corrupt"},
     )
-    url = F.col(url_field) if url_field else F.lit(None).cast("string")
+    df = lines.select(r.alias("r"))
+    url = (
+        F.col(f"r.{url_field}") if url_field else F.lit(None).cast("string")
+    )
     if id_field:
-        did = F.abs(F.xxhash64(F.col(id_field).cast("string")))
+        did = F.abs(F.xxhash64(F.col(f"r.{id_field}").cast("string")))
     else:
         did = F.abs(
-            F.xxhash64(F.coalesce(url, F.lit("")), F.col(text_field))
+            F.xxhash64(F.coalesce(url, F.lit("")), F.col(f"r.{text_field}"))
         )
     return df.select(
         did.alias("doc_id"),
         url.alias("url"),
-        F.col(text_field).alias("text"),
-        F.when(F.col("_corrupt").isNotNull(), F.lit(1))
+        F.col(f"r.{text_field}").alias("text"),
+        F.when(F.col("r._corrupt").isNotNull(), F.lit(1))
         .otherwise(F.lit(0))
         .cast("long")
         .alias("errors"),

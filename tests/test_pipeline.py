@@ -156,3 +156,93 @@ def test_curate_funnel_invariants_random_corpus(spark):
         expect = starts.get(sh, 0)
         assert r["pack_bin"] * 256 + r["pack_offset"] == expect, (d, r)
         starts[sh] = expect + ntok[d]
+
+
+def test_multi_source_crawl_to_mix_end_to_end(spark, tmp_path):
+    """The full acquisition-to-artifact story across BOTH ingest formats:
+    a WARC crawl segment and a JSONL dump union into one corpus; URL
+    dedup deletes the refetched page; mix_sources downsamples the crawl
+    side; the curation funnel runs on the survivors; the kept set ships
+    as both the pack_shard Parquet artifact and a JSONL export that
+    round-trips."""
+    from fixtures import warcgen as wg
+    from pcap_converter_spark.functions.urls import dedup_by_url
+    from pcap_converter_spark.operators.pipeline import curate, write_kept
+    from pcap_converter_spark.operators.sampling import mix_sources
+    from pcap_converter_spark.sources.jsonl import (
+        read_jsonl_docs,
+        write_jsonl_docs,
+    )
+    from pcap_converter_spark.sources.warc import (
+        read_warc,
+        responses_as_documents,
+    )
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    # --- WARC side: 30 pages, one URL refetched under a messy variant
+    def prose(tag: str, i: int) -> str:
+        # passes the Gopher gate: >=20 tokens, mean word length in range,
+        # stopword hits, low punctuation, DISTINCT bigrams (repeated
+        # filler like 'word word word' trips the repetition filter)
+        mids = " ".join(f"{tag}{i}w{j}" for j in range(18))
+        return f"the {tag} doc {i} is a mix of {mids} in the end"
+
+    recs = []
+    for i in range(30):
+        body = (
+            f"<html><body><p>{prose('crawl', i)}</p></body></html>"
+        ).encode()
+        url = (
+            "https://site.org/p/7?utm_source=feed" if i == 29
+            else f"https://site.org/p/{i}"
+        )
+        recs.append(wg.response_record(url, body, f"<urn:uuid:c{i}>"))
+    warc_p = str(tmp_path / "seg.warc.gz")
+    wg.write_warc(warc_p, recs, gzipped=True)
+    crawl = responses_as_documents(
+        read_warc(spark, warc_p), extract_text=True
+    ).withColumn("source", F.lit("crawl"))
+
+    # --- JSONL side: 20 curated docs
+    jl = str(tmp_path / "dump.jsonl.gz")
+    import gzip
+
+    with gzip.open(jl, "wt") as f:
+        for i in range(20):
+            f.write(_json.dumps({
+                "text": prose("book", i),
+                "url": f"https://books.org/{i}",
+            }) + "\n")
+    books = read_jsonl_docs(spark, jl).drop("errors").withColumn(
+        "source", F.lit("books")
+    )
+
+    corpus = crawl.unionByName(books)
+    assert corpus.count() == 50
+
+    # URL dedup: doc 29's messy refetch of /p/7 collapses onto one keep
+    flagged = dedup_by_url(corpus)
+    assert flagged.filter("NOT keep_url").count() == 1
+    corpus = flagged.filter("keep_url")
+
+    # mix: halve the crawl side, keep books whole (deterministic)
+    mixed = mix_sources(corpus, {"crawl": 0.5}).filter("keep_mix")
+    n_crawl = mixed.filter("source = 'crawl'").count()
+    assert mixed.filter("source = 'books'").count() == 20
+    assert 5 <= n_crawl <= 24
+
+    # funnel + both artifacts
+    flags = curate(mixed.select("doc_id", "text"))
+    out_pq = str(tmp_path / "kept_pq")
+    kept = write_kept(flags, mixed.select("doc_id", "url", "text"), out_pq)
+    n_kept = kept.count()
+    assert n_kept > 0
+    out_jl = str(tmp_path / "kept_jsonl")
+    write_jsonl_docs(kept.select("doc_id", "url", "text"), out_jl)
+    back = read_jsonl_docs(
+        spark, out_jl + "/part-*.json.gz", id_field="doc_id"
+    )
+    assert back.count() == n_kept
+    assert back.filter("errors != 0").count() == 0
