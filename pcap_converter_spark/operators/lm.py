@@ -1,0 +1,99 @@
+"""Unigram language-model scoring — the CCNet-style perplexity filter.
+
+CCNet ranks crawl documents by the perplexity of a language model trained
+on a trusted corpus (Wikipedia) and keeps the low-perplexity head; the
+same shape filters boilerplate, gibberish, and wrong-language text that
+rule-based gates miss. This module implements the distributed version with
+a UNIGRAM model — the highest-order model whose training and scoring both
+reduce to pure hash-aggregations (a KenLM n-gram backoff model would slot
+into the identical plan shape with n-gram keys; the unigram form is the
+engine-native baseline):
+
+- **train** (``unigram_model``): one token explosion over the reference
+  corpus → global term counts → log-probability per term with add-one
+  smoothing over a fixed vocabulary budget (top-``vocab_size`` terms;
+  everything else scores as OOV). The model is a small DataFrame — at any
+  corpus size it is ``vocab_size`` rows, broadcastable by construction.
+- **score** (``perplexity_score``): one token explosion over the target
+  corpus → broadcast-join against the model → per-doc mean negative log
+  probability (= log-perplexity; lower is more natural). OOV terms take
+  the smoothed floor probability, so gibberish pays the penalty instead
+  of escaping the vocabulary.
+
+Both halves are shuffle-minimal: train is one map-side-combining count,
+score is one broadcast join + one per-doc aggregation, and the token
+explosion can be shared with tf-idf/vocab via ``term_frequencies``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from pcap_converter_spark.operators.tfidf import term_frequencies
+
+
+def unigram_model(
+    reference: DataFrame,
+    vocab_size: int = 50_000,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    tf: DataFrame | None = None,
+) -> DataFrame:
+    """Train: (term, logp) for the ``vocab_size`` most frequent terms of
+    the reference corpus, add-one smoothed; plus the OOV floor as the row
+    ``term = NULL``. Deterministic: frequency ties break by term."""
+    t = tf if tf is not None else term_frequencies(reference, id_col, text_col)
+    counts = t.groupBy("term").agg(F.sum("tf").alias("n"))
+    top = (
+        counts.orderBy(F.col("n").desc(), "term")
+        .limit(vocab_size)
+    )
+    # one tiny driver-side scalar: the in-vocab mass + vocab cardinality
+    # (bounded aggregation over the already-bounded top table)
+    agg = top.agg(
+        F.sum("n").alias("total"), F.count(F.lit(1)).alias("v")
+    ).collect()[0]
+    total, v = int(agg["total"]), int(agg["v"])
+    denom = float(total + v + 1)  # add-one over vocab + one OOV bucket
+    model = top.select(
+        "term",
+        F.log((F.col("n") + 1) / F.lit(denom)).alias("logp"),
+    )
+    oov = model.sparkSession.range(1).select(
+        F.lit(None).cast("string").alias("term"),
+        F.log(F.lit(1.0 / denom)).alias("logp"),
+    )
+    return model.unionByName(oov)
+
+
+def perplexity_score(
+    docs: DataFrame,
+    model: DataFrame,
+    id_col: str = "doc_id",
+    tf: DataFrame | None = None,
+) -> DataFrame:
+    """Score: per-doc mean negative log probability under the model
+    (log-perplexity; lower = more natural). One broadcast join of the
+    exploded token table against the ``vocab_size``-row model — the big
+    side never shuffles on the term key."""
+    t = tf if tf is not None else term_frequencies(docs, id_col)
+    oov_logp = (
+        model.filter(F.col("term").isNull()).select("logp").collect()[0][0]
+    )
+    in_vocab = model.filter(F.col("term").isNotNull())
+    scored = t.join(F.broadcast(in_vocab), "term", "left").select(
+        "doc",
+        "tf",
+        F.coalesce(F.col("logp"), F.lit(float(oov_logp))).alias("logp"),
+    )
+    return (
+        scored.groupBy("doc")
+        .agg(
+            (-F.sum(F.col("tf") * F.col("logp")) / F.sum("tf")).alias(
+                "log_ppl"
+            ),
+            F.sum("tf").alias("n_tokens"),
+        )
+        .withColumnRenamed("doc", id_col)
+    )

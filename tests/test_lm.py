@@ -1,0 +1,75 @@
+"""Unigram LM perplexity filter (operators/lm.py): natural text must score
+lower log-perplexity than gibberish under a model trained on natural
+reference text; scoring matches an exact Python reference."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from pcap_converter_spark.operators.lm import perplexity_score, unigram_model
+
+REF = [
+    (i, "the quick brown fox jumps over the lazy dog and the cat sleeps")
+    for i in range(20)
+] + [
+    (100 + i, "a small model of natural text is enough for a ranking test")
+    for i in range(20)
+]
+
+
+def test_perplexity_ranks_natural_below_gibberish(spark):
+    ref = spark.createDataFrame(REF, ["doc_id", "text"])
+    model = unigram_model(ref, vocab_size=1000)
+    targets = spark.createDataFrame(
+        [
+            (1, "the quick cat sleeps over the lazy dog"),
+            (2, "zxqv wklp fjord qqback vexing glyphs zzz"),
+        ],
+        ["doc_id", "text"],
+    )
+    got = {r["doc_id"]: r["log_ppl"]
+           for r in perplexity_score(targets, model).collect()}
+    assert got[1] < got[2]  # natural text scores lower log-perplexity
+    assert got[2] > 5.0  # OOV floor genuinely penalizes
+
+
+def test_perplexity_matches_python_reference(spark):
+    ref = spark.createDataFrame(REF, ["doc_id", "text"])
+    model = unigram_model(ref, vocab_size=5)  # tiny vocab: exercises OOV
+    rows = {r["term"]: r["logp"] for r in model.collect()}
+    # python twin: counts over the reference, top-5 by (n desc, term)
+    from collections import Counter
+
+    c = Counter(w for _, t in REF for w in t.lower().split())
+    top = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[:5]
+    total = sum(n for _, n in top)
+    denom = total + 5 + 1
+    for term, n in top:
+        assert math.isclose(rows[term], math.log((n + 1) / denom), rel_tol=1e-12)
+    assert math.isclose(rows[None], math.log(1.0 / denom), rel_tol=1e-12)
+
+    text = "the quick unknownword fox"
+    target = spark.createDataFrame([(9, text)], ["doc_id", "text"])
+    got = perplexity_score(target, model).collect()[0]
+    logp = {t: rows[t] for t, _ in top}
+    expect = -sum(logp.get(w, rows[None]) for w in text.split()) / 4
+    assert math.isclose(got["log_ppl"], expect, rel_tol=1e-12)
+    assert got["n_tokens"] == 4
+
+
+def test_perplexity_filter_composes_with_curation(spark):
+    """The CCNet move: keep the low-perplexity head of a mixed corpus."""
+    ref = spark.createDataFrame(REF, ["doc_id", "text"])
+    model = unigram_model(ref, vocab_size=1000)
+    mixed = spark.createDataFrame(
+        [(i, "the quick brown fox and the lazy dog") for i in range(10)]
+        + [(50 + i, "qqzv xkcd wvut glorp zzyx mmbr hhfw qpzt") for i in range(10)],
+        ["doc_id", "text"],
+    )
+    scored = perplexity_score(mixed, model)
+    thresh = scored.approxQuantile("log_ppl", [0.5], 0.0)[0]
+    kept = scored.filter(F.col("log_ppl") <= thresh)
+    ids = {r["doc_id"] for r in kept.collect()}
+    assert ids == set(range(10))  # exactly the natural half survives
