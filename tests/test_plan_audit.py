@@ -186,3 +186,19 @@ def test_url_dedup_shuffles_keys_not_text(spark):
         if "Arguments: hashpartitioning(canonical_url" in l
     ]
     assert url_ex and all("text#" not in l for l in url_ex), plan
+
+
+def test_lm_scoring_broadcasts_model(spark):
+    """perplexity_score must broadcast the bounded model table — the
+    exploded token table (the 100 TB side) never shuffles on the term
+    key."""
+    from pcap_converter_spark.operators.lm import (
+        perplexity_score,
+        unigram_model,
+    )
+
+    docs = load_table(spark, SF, "documents")
+    model = unigram_model(docs, vocab_size=100)
+    out = perplexity_score(docs, model)
+    audit.assert_broadcast_join(out, "(perplexity_score)")
+    audit.assert_no_sort_merge_join(out, "(perplexity_score)")
