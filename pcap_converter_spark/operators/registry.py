@@ -1126,42 +1126,16 @@ _GSETS_TAIL = (
     "((o_orderpriority, o_orderstatus), (o_orderstatus), ())"
 )
 
-_CUBE_ORDER = (
-    "ORDER BY src, o_orderpriority NULLS FIRST, o_orderstatus NULLS FIRST, "
-    "gp, gs"
-)
-
-
 def _cube_sql(med_expr: str) -> str:
+    # no outer ORDER BY — consumed as a subquery by _olap_sql
     return (
         f"SELECT 'cube' AS src, {_CUBE_BODY}, {med_expr} AS med {_CUBE_TAIL} "
         f"UNION ALL "
-        f"SELECT 'gsets' AS src, {_CUBE_BODY}, {med_expr} AS med {_GSETS_TAIL} "
-        f"{_CUBE_ORDER}"
+        f"SELECT 'gsets' AS src, {_CUBE_BODY}, {med_expr} AS med {_GSETS_TAIL}"
     )
 
 
-def run_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """CUBE + grouping() flags (complements DQ12's ROLLUP) and an explicit
-    GROUPING SETS arm (src-tagged union; an asymmetric set list CUBE can't
-    express), with order-independent value aggregates (min/max,
-    interpolated median — sorted-order semantics, deterministic under any
-    shuffle, unlike a double sum)."""
-    from pcap_converter_spark.io.loader import register_views
-
-    register_views(spark, sf_dir)
-    return spark.sql(
-        _cube_sql(
-            "round(percentile_cont(0.5) WITHIN GROUP "
-            "(ORDER BY o_totalprice), 4)"
-        )
-    )
-
-
-_CUBE_ORACLE_SQL = _cube_sql("round(quantile_cont(o_totalprice, 0.5), 4)")
-
-
-_NTILE_SQL = (
+_NTILE_BODY = (
     "SELECT c_custkey, "
     "CAST(ntile(4) OVER w AS INT) AS quartile, "
     "round(percent_rank() OVER w, 6) AS pr, "
@@ -1170,20 +1144,69 @@ _NTILE_SQL = (
     "first_value(c_custkey) OVER w AS fv, "
     "nth_value(c_custkey, 3) OVER w AS nv3 "
     "FROM customer "
-    "WINDOW w AS (ORDER BY c_acctbal DESC, c_custkey) "
-    "ORDER BY c_custkey"
+    "WINDOW w AS (ORDER BY c_acctbal DESC, c_custkey)"
 )
 
 
-def run_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Ranking/navigation window family over one named window: ntile,
-    percent_rank, cume_dist, dense_rank, first_value, nth_value (default
-    running frame, total tie-broken order — portable SQL, identical in
-    both engines)."""
+_OLAP_ORDER = (
+    "ORDER BY src, o_orderpriority NULLS FIRST, o_orderstatus NULLS FIRST, "
+    "gp, gs, c_custkey"
+)
+
+
+def _olap_sql(med_expr: str, strtype: str) -> str:
+    """CUBE/GROUPING SETS ∪ ranking-window family, src-tagged with
+    NULL-padded disjoint columns (the ex_mm_all convention). ``strtype``
+    papers over the STRING/VARCHAR dialect split in the NULL casts."""
+    ntile_null = (
+        "CAST(NULL AS BIGINT) AS c_custkey, CAST(NULL AS INT) AS quartile, "
+        "CAST(NULL AS DOUBLE) AS pr, CAST(NULL AS DOUBLE) AS cd, "
+        "CAST(NULL AS INT) AS dr, CAST(NULL AS BIGINT) AS fv, "
+        "CAST(NULL AS BIGINT) AS nv3"
+    )
+    cube_null = (
+        f"CAST(NULL AS {strtype}) AS o_orderpriority, "
+        f"CAST(NULL AS {strtype}) AS o_orderstatus, "
+        "CAST(NULL AS INT) AS gp, CAST(NULL AS INT) AS gs, "
+        "CAST(NULL AS BIGINT) AS n, CAST(NULL AS DOUBLE) AS lo, "
+        "CAST(NULL AS DOUBLE) AS hi, CAST(NULL AS DOUBLE) AS med"
+    )
+    return (
+        "SELECT src, o_orderpriority, o_orderstatus, gp, gs, n, lo, hi, "
+        f"med, {ntile_null} FROM ({_cube_sql(med_expr)}) cu "
+        "UNION ALL "
+        f"SELECT 'ntile' AS src, {cube_null}, "
+        "c_custkey, quartile, pr, cd, dr, fv, nv3 "
+        f"FROM ({_NTILE_BODY}) nt "
+        f"{_OLAP_ORDER}"
+    )
+
+
+def run_olap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The grouping-set + ranking-window OLAP surface in one src-tagged
+    hash-checked result (merged r5 from ex_cube + ex_ntile to free a
+    driver-window slot): src 'cube' = CUBE + grouping() flags
+    (complements DQ12's ROLLUP) with order-independent value aggregates
+    (min/max, interpolated median); src 'gsets' = an explicit asymmetric
+    GROUPING SETS list CUBE cannot express; src 'ntile' = the
+    ranking/navigation window family (ntile, percent_rank, cume_dist,
+    dense_rank, first_value, nth_value) over one named window with total
+    tie-broken order. Disjoint columns NULL-padded per src."""
     from pcap_converter_spark.io.loader import register_views
 
     register_views(spark, sf_dir)
-    return spark.sql(_NTILE_SQL)
+    return spark.sql(
+        _olap_sql(
+            "round(percentile_cont(0.5) WITHIN GROUP "
+            "(ORDER BY o_totalprice), 4)",
+            "STRING",
+        )
+    )
+
+
+_OLAP_ORACLE_SQL = _olap_sql(
+    "round(quantile_cont(o_totalprice, 0.5), 4)", "VARCHAR"
+)
 
 
 def run_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1663,6 +1686,160 @@ FROM documents GROUP BY sha256(text) ORDER BY content_hash
 
 
 # ---------------------------------------------------------------------------
+# semantic dedup (k-means + within-cluster prune) — operators/semdedup.py
+# ---------------------------------------------------------------------------
+
+# fixture geometry: seeded random unit init centroids enter BOTH engines as
+# literals; each engine then runs its own Lloyd iterations (Spark: the
+# distributed posexplode-agg update; DuckDB: chained CTEs re-deriving the
+# identical trajectory) — the hash gate therefore proves the ITERATIVE
+# training loop end-to-end, not just a final projection.
+_SEM_K = 8
+_SEM_ITERS = 2
+_SEM_TAU = 0.4
+_SEM_INIT = similarity.fixed_centroids(_SIM_DIM, _SEM_K, seed=7)
+
+
+def run_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (semantic near-dup via k-means clustering): distributed
+    spherical Lloyd's from literal seed centroids, then a within-cluster
+    keep-lowest-id prune at rounded cosine ≥ τ. The oracle re-runs the
+    SAME two Lloyd iterations in SQL (assignment = argmax dot against the
+    previous iteration's centroid CTE, update = per-(cluster, position)
+    sums normalized and rounded), so a drift anywhere in the distributed
+    training loop — assignment tie-break, empty-cluster handling, the
+    rounding contract — breaks the hash."""
+    from pcap_converter_spark.operators import semdedup
+
+    embs = _embs(spark, sf_dir)
+    cents = semdedup.kmeans_fit(embs, init=_SEM_INIT, n_iters=_SEM_ITERS)
+    return semdedup.semantic_neardup(
+        embs, cents, threshold=_SEM_TAU
+    ).orderBy("vec_id")
+
+
+def _semdedup_oracle(init, n_iters: int, threshold: float) -> str:
+    """DuckDB twin of run_semdedup: chained CTEs, one pair per Lloyd
+    iteration (assignment aN, update cN+1), then the within-cluster
+    left-join prune over the final assignment."""
+    parts = [
+        "e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings)",
+        "c0(cl, cv) AS (SELECT * FROM (VALUES "
+        + ", ".join(
+            f"({i}, {_vec_sql(c)}::DOUBLE[])" for i, c in enumerate(init)
+        )
+        + "))",
+    ]
+    for it in range(n_iters):
+        a, c, cn = f"a{it}", f"c{it}", f"c{it + 1}"
+        parts.append(
+            f"{a} AS (SELECT vec_id, emb, (SELECT cl FROM {c} "
+            "ORDER BY list_dot_product(emb, cv) DESC, cl LIMIT 1) AS cl "
+            "FROM e)"
+        )
+        parts.append(
+            f"s{it} AS (SELECT cl, pos, sum(v) AS s FROM "
+            f"(SELECT cl, generate_subscripts(emb, 1) AS pos, "
+            f"unnest(emb) AS v FROM {a}) z GROUP BY cl, pos)"
+        )
+        parts.append(
+            f"n{it} AS (SELECT cl, sqrt(sum(s * s)) AS nrm "
+            f"FROM s{it} GROUP BY cl)"
+        )
+        parts.append(
+            f"{cn} AS ("
+            f"SELECT s.cl, list(round(s.s / n.nrm, 6) ORDER BY s.pos) AS cv "
+            f"FROM s{it} s JOIN n{it} n ON s.cl = n.cl "
+            f"WHERE n.nrm > 0 GROUP BY s.cl "
+            f"UNION ALL SELECT cl, cv FROM {c} WHERE cl NOT IN "
+            f"(SELECT n2.cl FROM n{it} n2 WHERE n2.nrm > 0))"
+        )
+    parts.append(
+        f"af AS (SELECT vec_id, emb, (SELECT cl FROM c{n_iters} "
+        "ORDER BY list_dot_product(emb, cv) DESC, cl LIMIT 1) AS cl FROM e)"
+    )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + "\nSELECT a.vec_id AS vec_id, CAST(a.cl AS INT) AS cluster, "
+        "coalesce(min(b.vec_id), a.vec_id) AS keep_id, "
+        "(min(b.vec_id) IS NOT NULL) AS is_dup "
+        "FROM af a LEFT JOIN af b ON b.cl = a.cl AND b.vec_id < a.vec_id "
+        "AND round(list_dot_product(a.emb, b.emb) "
+        "/ (sqrt(list_dot_product(a.emb, a.emb)) "
+        f"* sqrt(list_dot_product(b.emb, b.emb))), 4) >= {threshold} "
+        "GROUP BY a.vec_id, a.cl ORDER BY vec_id"
+    )
+
+
+_SEMDEDUP_ORACLE = _semdedup_oracle(_SEM_INIT, _SEM_ITERS, _SEM_TAU)
+
+
+# ---------------------------------------------------------------------------
+# unigram LM perplexity filter — operators/lm.py
+# ---------------------------------------------------------------------------
+
+_LM_VOCAB = 500
+_LM_TAU = 3.41  # rounded log-perplexity keep threshold (~median at sf0.01)
+
+
+def run_lm_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CCNet-style LM quality axis end-to-end: train a unigram model
+    on the trusted slice (doc_id % 5 == 0 — the fixture's stand-in for
+    Wikipedia), score the remaining docs by mean negative log-probability
+    under it, keep the low-perplexity head. Both halves are
+    hash-aggregations (train: one token count; score: one broadcast join
+    + one per-doc agg); the oracle re-derives the model — top-K vocab with
+    deterministic tie-break, add-one smoothing, the OOV floor — and the
+    scores in SQL. log_ppl is rounded to 4 before both the output AND the
+    keep comparison, so last-ulp ln() divergence between engines cannot
+    flip a row (the tfidf convention)."""
+    from pcap_converter_spark.operators import lm
+
+    docs = _docs(spark, sf_dir)
+    ref = docs.filter(F.col("doc_id") % 5 == 0)
+    tgt = docs.filter(F.col("doc_id") % 5 != 0)
+    model = lm.unigram_model(ref, vocab_size=_LM_VOCAB)
+    scored = lm.perplexity_score(tgt, model)
+    return (
+        scored.select(
+            "doc_id",
+            "n_tokens",
+            F.round("log_ppl", 4).alias("log_ppl"),
+            (F.round("log_ppl", 4) <= F.lit(_LM_TAU)).alias("kept"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+_LM_FILTER_ORACLE = f"""
+WITH rtok AS (
+  SELECT unnest({_DUCK_WORDS.format(src="lower(text)")}) AS term
+  FROM documents WHERE doc_id % 5 = 0),
+cnt AS (SELECT term, count(*) AS n FROM rtok GROUP BY term),
+top AS (SELECT term, n FROM cnt ORDER BY n DESC, term LIMIT {_LM_VOCAB}),
+tot AS (SELECT CAST(sum(n) AS DOUBLE) + count(*) + 1 AS denom FROM top),
+model AS (SELECT term, ln((n + 1) / denom) AS logp FROM top, tot),
+tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM (
+    SELECT doc_id, unnest({_DUCK_WORDS.format(src="lower(text)")}) AS term
+    FROM documents WHERE doc_id % 5 <> 0) z
+  GROUP BY doc_id, term),
+scored AS (
+  SELECT tf.doc_id, tf.tf,
+         coalesce(m.logp, (SELECT ln(1.0 / denom) FROM tot)) AS logp
+  FROM tf LEFT JOIN model m USING (term)),
+agg AS (
+  SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens,
+         -sum(tf * logp) / sum(tf) AS lp
+  FROM scored GROUP BY doc_id)
+SELECT doc_id, n_tokens, round(lp, 4) AS log_ppl,
+       round(lp, 4) <= {_LM_TAU} AS kept
+FROM agg ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -1670,13 +1847,15 @@ def extension_queries() -> tuple[dict, dict]:
     """Returns (runners, oracles) for __spark_entry__. Runners without an
     oracle entry get the driver's rows-only check (engine-specific hashes
     or Python-side extraction; covered by pytest instead)."""
-    # 17 oracle-backed entries; with the 33 declared queries (r5 merge:
-    # dq27's posexplode surface folded op-tagged into dq26_array_ops) that
-    # fills the driver's 50-entry hash-check window EXACTLY — the freed
-    # slot went to ex_warc_docs, the corpus-acquisition driver row
-    # (VERDICT r4 #2). ex_approx_distinct stays last: a no-oracle entry
-    # INSIDE the window records err "no_oracle" and counts as broken
-    # (driver contract).
+    # 18 oracle-backed entries; with the 32 declared queries that fills
+    # the driver's 50-entry hash-check window EXACTLY. r5 merges:
+    # dq27's posexplode surface folded op-tagged into dq26_array_ops
+    # (slot → ex_warc_docs, VERDICT r4 #2); ex_cube + ex_ntile merged
+    # src-tagged into ex_olap and dq17 folded into dq16 (slots →
+    # ex_semdedup, the k-means semantic-dedup tier, and ex_lm_filter,
+    # the CCNet-style LM quality axis). ex_approx_distinct stays last:
+    # a no-oracle entry INSIDE the window records err "no_oracle" and
+    # counts as broken (driver contract).
     runners = {
         "ex_text_all": run_text_all,
         "ex_dedup_exact": run_dedup_exact,
@@ -1690,8 +1869,9 @@ def extension_queries() -> tuple[dict, dict]:
         "ex_stream_dedup": run_stream_dedup,
         "ex_json_extract": run_json_extract,
         "ex_skew_salted": run_skew_salted,
-        "ex_cube": run_cube,
-        "ex_ntile": run_ntile,
+        "ex_olap": run_olap,
+        "ex_semdedup": run_semdedup,
+        "ex_lm_filter": run_lm_filter,
         "ex_curate": run_curate,
         "ex_curate_report": run_curate_report,
         "ex_warc_docs": run_warc_docs,
@@ -1710,8 +1890,9 @@ def extension_queries() -> tuple[dict, dict]:
         "ex_stream_dedup": _STREAM_DEDUP_ORACLE,
         "ex_json_extract": _JSON_ORACLE,
         "ex_skew_salted": _SKEW_SALTED_ORACLE,
-        "ex_cube": _CUBE_ORACLE_SQL,
-        "ex_ntile": _NTILE_SQL,
+        "ex_olap": _OLAP_ORACLE_SQL,
+        "ex_semdedup": _SEMDEDUP_ORACLE,
+        "ex_lm_filter": _LM_FILTER_ORACLE,
         "ex_curate": _CURATE_TAGGED_ORACLE,
         "ex_curate_report": _CURATE_REPORT_ORACLE,
         "ex_warc_docs": _WARC_DOCS_ORACLE,

@@ -257,6 +257,10 @@ DECLARED_QUERIES: dict[str, Q] = {
             "SELECT o_custkey, count(*) AS n FROM orders GROUP BY o_custkey "
             "HAVING count(*) >= 3 ORDER BY o_custkey",
         ),
+        # dq17 (LIKE / CASE / concat) folded in r5 to free a driver-window
+        # slot: the LIKE predicate survives as a conditional projection
+        # (NULL where the former dq17 filter would have dropped the row),
+        # so the same hash still gates all three surfaces on every part row.
         Q(
             "dq16_string_fns",
             "SELECT p_partkey, upper(p_brand) AS b, length(p_name) AS ln, "
@@ -265,15 +269,12 @@ DECLARED_QUERIES: dict[str, Q] = {
             "CAST(levenshtein(p_brand, 'Brand#13') AS INT) AS lev, "
             "reverse(p_brand) AS rev, lpad(p_brand, 12, '_') AS pad, "
             "split_part(p_type, ' ', 2) AS ty2, "
-            "translate(p_brand, '#', '~') AS tr, repeat(p_brand, 2) AS rep "
-            "FROM part ORDER BY p_partkey",
-        ),
-        Q(
-            "dq17_like_case_concat",
-            "SELECT p_partkey, CASE WHEN p_size > 25 THEN 'L' "
+            "translate(p_brand, '#', '~') AS tr, repeat(p_brand, 2) AS rep, "
+            "CASE WHEN p_size > 25 THEN 'L' "
             "WHEN p_size > 10 THEN 'M' ELSE 'S' END AS sz, "
-            "p_brand || '/' || p_type AS bt FROM part "
-            "WHERE p_name LIKE '%a%' ORDER BY p_partkey",
+            "CASE WHEN p_name LIKE '%a%' THEN p_brand || '/' || p_type "
+            "END AS bt "
+            "FROM part ORDER BY p_partkey",
         ),
         Q(
             "dq18_date_fns",

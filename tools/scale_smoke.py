@@ -109,7 +109,7 @@ def main() -> int:
 
     from pyspark.sql import functions as F
 
-    from pcap_converter_spark.operators import dedup, packing
+    from pcap_converter_spark.operators import dedup, lm, packing, semdedup
     from pcap_converter_spark.session import get_spark
 
     spark = get_spark("scale-smoke")
@@ -195,6 +195,12 @@ def main() -> int:
         ),
         # the composed pipeline: its exponent guards the composition's join
         # shapes, not just the individual stages
+        # train one broadcastable model + score the corpus — both halves
+        # are hash-aggregations, so the exponent guards the token explosion
+        "lm_filter": lambda d: lambda: lm.perplexity_score(
+            d.filter(did % 83 != 0),
+            lm.unigram_model(d.filter(did % 83 == 0), vocab_size=5000),
+        ),
         "curate": lambda d: lambda: __import__(
             "pcap_converter_spark.operators.pipeline", fromlist=["curate"]
         ).curate(d.filter(did % 83 != 0), d.filter(did % 83 == 0),
@@ -203,6 +209,11 @@ def main() -> int:
     vec_ops = {
         "embed_lsh": lambda v: lambda: dedup.embedding_neardup_lsh(
             v, threshold=0.9, handles=pending
+        ),
+        # auto-sized k (∝ n / target): the within-cluster quadratic term
+        # is held at n·target total — a fixed k would show exp → 2 here
+        "semdedup": lambda v: lambda: semdedup.semantic_dedup(
+            v, threshold=0.9, target_cluster_rows=512
         ),
     }
 
