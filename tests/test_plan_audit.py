@@ -202,3 +202,34 @@ def test_lm_scoring_broadcasts_model(spark):
     out = perplexity_score(docs, model)
     audit.assert_broadcast_join(out, "(perplexity_score)")
     audit.assert_no_sort_merge_join(out, "(perplexity_score)")
+
+
+def test_kmeans_assignment_is_projection_only(spark):
+    """The Lloyd assignment must be a pure projection over plan-literal
+    centroids — no join, no shuffle: at 100 TB the corpus is never moved
+    to be assigned a cluster."""
+    import numpy as np
+
+    from pcap_converter_spark.operators.similarity import ivf_assign
+
+    embs = load_table(spark, SF, "embeddings")
+    cents = np.eye(8, 64)
+    plan = audit.formatted_plan(ivf_assign(embs, cents))
+    assert "Join" not in plan, plan
+    assert "Exchange" not in plan, plan
+
+
+def test_semantic_neardup_is_single_cluster_shuffle(spark):
+    """SemDeDup's prune: exactly one hash exchange (keyed by cluster id)
+    feeds the per-cluster matmul — assignment adds none, and nothing
+    shuffles twice."""
+    import numpy as np
+
+    from pcap_converter_spark.operators.semdedup import semantic_neardup
+
+    embs = load_table(spark, SF, "embeddings")
+    cents = np.eye(8, 64)
+    plan = audit.formatted_plan(semantic_neardup(embs, cents))
+    assert "Join" not in plan, plan
+    ex = [l for l in plan.splitlines() if "Arguments: hashpartitioning" in l]
+    assert len(ex) == 1 and "_cluster" in ex[0], plan
