@@ -157,6 +157,145 @@ def decontaminate(
     )
 
 
+def remove_duplicate_spans(
+    df: DataFrame,
+    min_words: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact substring-span dedup: remove repeated ≥``min_words`` word
+    spans, keeping the FIRST occurrence (Lee et al. 2022, "Deduplicating
+    Training Data Makes Language Models Better", arXiv:2107.06499 — their
+    ExactSubstr pass at 50 BPE tokens; same contract here at word
+    granularity). Unlike document-level tiers this edits the text:
+    boilerplate paragraphs, license headers, and quoted reposts disappear
+    from every copy but one, instead of the whole document being dropped
+    or kept.
+
+    Semantics: a word w-gram occurring >1 time corpus-wide (across OR
+    within documents) marks every occurrence except the
+    (doc, pos)-lexicographic first; marked grams cover word positions
+    [pos, pos+w) and covered words are removed. Overlapping duplicate
+    spans merge through the position mask, so any duplicated run of
+    length L ≥ w is removed whole (the run's grams are all duplicated).
+    Whitespace inside an edited document is normalized to single spaces;
+    untouched documents pass through byte-identical.
+
+    Returns (id_col, clean_text, n_removed).
+
+    Scale shape: the reference formulation is a single-node suffix array;
+    this is the distributed hash-gram formulation. One Arrow-batched pass
+    emits (doc, pos, md5-low63) gram occurrences — 16-byte rows, the only
+    full-corpus-sized shuffle, keyed by uniform hashes. The canonical-
+    occurrence aggregation is map-side combined; only DUPLICATED grams
+    (a vanishing fraction of an already-deduped corpus) survive to the
+    join and the per-doc span list, and the rebuild streams each edited
+    document once. The DuckDB oracle applies the identical hash, so the
+    comparison is exact (collisions would affect both engines alike).
+    """
+    import hashlib
+
+    from pyspark.sql import types as T
+
+    w = int(min_words)
+    mask = (1 << 63) - 1
+    occ_schema = T.StructType(
+        [
+            T.StructField("doc", T.LongType()),
+            T.StructField("pos", T.IntegerType()),
+            T.StructField("gh", T.LongType()),
+        ]
+    )
+
+    def gen(pdfs):
+        md5 = hashlib.md5
+        for pdf in pdfs:
+            docs_out: list[int] = []
+            pos_out: list[int] = []
+            gh_out: list[int] = []
+            for doc, text in zip(pdf[id_col], pdf[text_col]):
+                ws = (text or "").split()
+                for i in range(max(len(ws) - w + 1, 0)):
+                    docs_out.append(int(doc))
+                    pos_out.append(i)
+                    gh_out.append(
+                        int.from_bytes(
+                            md5(" ".join(ws[i : i + w]).encode()).digest()[8:16],
+                            "little",
+                        )
+                        & mask
+                    )
+            yield pd.DataFrame(
+                {
+                    "doc": pd.Series(docs_out, dtype="int64"),
+                    "pos": pd.Series(pos_out, dtype="int32"),
+                    "gh": pd.Series(gh_out, dtype="int64"),
+                }
+            )
+
+    occ = df.select(id_col, text_col).mapInPandas(gen, schema=occ_schema)
+    canon = (
+        occ.groupBy("gh")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.min(F.struct(F.col("doc"), F.col("pos"))).alias("first"),
+        )
+        .filter(F.col("cnt") > 1)
+    )
+    marked = (
+        occ.join(canon, "gh")
+        .filter(
+            ~(
+                (F.col("doc") == F.col("first.doc"))
+                & (F.col("pos") == F.col("first.pos"))
+            )
+        )
+        .select("doc", "pos")
+    )
+    spans = (
+        marked.groupBy("doc")
+        .agg(F.collect_list("pos").alias("dup_starts"))
+        .withColumnRenamed("doc", id_col)
+    )
+    joined = df.select(id_col, text_col).join(spans, id_col, "left")
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType()),
+            T.StructField("clean_text", T.StringType()),
+            T.StructField("n_removed", T.IntegerType()),
+        ]
+    )
+
+    def rebuild(pdfs):
+        for pdf in pdfs:
+            ids: list[int] = []
+            texts: list[str] = []
+            removed: list[int] = []
+            for doc, text, starts in zip(
+                pdf[id_col], pdf[text_col], pdf["dup_starts"]
+            ):
+                ids.append(int(doc))
+                if starts is None or len(starts) == 0:
+                    texts.append(text)
+                    removed.append(0)
+                    continue
+                ws = (text or "").split()
+                cov = np.zeros(len(ws), dtype=bool)
+                for p in starts:
+                    cov[int(p) : int(p) + w] = True
+                texts.append(" ".join(x for x, c in zip(ws, cov) if not c))
+                removed.append(int(cov.sum()))
+            yield pd.DataFrame(
+                {
+                    id_col: pd.Series(ids, dtype="int64"),
+                    "clean_text": texts,
+                    "n_removed": pd.Series(removed, dtype="int32"),
+                }
+            )
+
+    return joined.mapInPandas(rebuild, schema=out_schema)
+
+
 def _shingle_table(df: DataFrame, text_col: str, id_col: str, k: int) -> DataFrame:
     """Exploded (doc, shingle-hash) table via one Arrow-batched pass.
 

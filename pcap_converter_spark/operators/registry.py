@@ -1776,6 +1776,66 @@ _SEMDEDUP_ORACLE = _semdedup_oracle(_SEM_INIT, _SEM_ITERS, _SEM_TAU)
 
 
 # ---------------------------------------------------------------------------
+# exact substring-span dedup — dedup.remove_duplicate_spans
+# ---------------------------------------------------------------------------
+
+_SUBSTR_W = 8
+
+
+def run_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact substring-span dedup (the Lee-et-al ExactSubstr pass, word
+    granularity): every ≥8-word span occurring more than once corpus-wide
+    is removed from all occurrences except the (doc, pos)-first — the
+    text-EDITING tier of the dedup ladder (boilerplate and quoted reposts
+    vanish from copies; the documents survive). The oracle recomputes the
+    identical md5-low63 gram keys, canonical-occurrence struct-min, span
+    coverage, and word-mask rebuild in SQL, so the emitted CLEAN TEXT
+    itself is hash-gated, not just the dup decision."""
+    return dedup.remove_duplicate_spans(
+        _docs(spark, sf_dir), min_words=_SUBSTR_W
+    ).orderBy("doc_id")
+
+
+_SUBSTR_ORACLE = f"""
+WITH docs0 AS (
+  SELECT doc_id, text, {_DUCK_WORDS.format(src="text")} AS ws FROM documents),
+occ AS (
+  SELECT doc_id, CAST(pos AS INT) AS pos,
+         CAST(md5_number_lower(
+                array_to_string(ws[pos + 1 : pos + {_SUBSTR_W}], ' '))
+              & 9223372036854775807::UBIGINT AS BIGINT) AS gh
+  FROM (SELECT doc_id, ws,
+               unnest(range(greatest(len(ws) - {_SUBSTR_W} + 1, 0))) AS pos
+        FROM docs0) z),
+canon AS (
+  SELECT gh, min({{'doc': doc_id, 'pos': pos}}) AS first
+  FROM occ GROUP BY gh HAVING count(*) > 1),
+marked AS (
+  SELECT o.doc_id, o.pos FROM occ o JOIN canon c ON o.gh = c.gh
+  WHERE NOT (o.doc_id = c.first.doc AND o.pos = c.first.pos)),
+cov AS (
+  SELECT DISTINCT m.doc_id, m.pos + i.i AS wp
+  FROM marked m, (SELECT unnest(range({_SUBSTR_W})) AS i) i),
+wt AS (
+  SELECT doc_id, generate_subscripts(ws, 1) - 1 AS wp, unnest(ws) AS word
+  FROM docs0),
+rebuilt AS (
+  SELECT w.doc_id,
+         string_agg(CASE WHEN c.wp IS NULL THEN w.word END,
+                    ' ' ORDER BY w.wp) AS ct,
+         count(c.wp) AS n_removed
+  FROM wt w LEFT JOIN cov c ON w.doc_id = c.doc_id AND w.wp = c.wp
+  GROUP BY w.doc_id)
+SELECT d.doc_id,
+       CASE WHEN coalesce(r.n_removed, 0) = 0 THEN d.text
+            ELSE coalesce(r.ct, '') END AS clean_text,
+       CAST(coalesce(r.n_removed, 0) AS INT) AS n_removed
+FROM documents d LEFT JOIN rebuilt r USING (doc_id)
+ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
 # unigram LM perplexity filter — operators/lm.py
 # ---------------------------------------------------------------------------
 
@@ -1872,6 +1932,7 @@ def extension_queries() -> tuple[dict, dict]:
         "ex_olap": run_olap,
         "ex_semdedup": run_semdedup,
         "ex_lm_filter": run_lm_filter,
+        "ex_substring_dedup": run_substring_dedup,
         "ex_curate": run_curate,
         "ex_curate_report": run_curate_report,
         "ex_warc_docs": run_warc_docs,
@@ -1893,6 +1954,7 @@ def extension_queries() -> tuple[dict, dict]:
         "ex_olap": _OLAP_ORACLE_SQL,
         "ex_semdedup": _SEMDEDUP_ORACLE,
         "ex_lm_filter": _LM_FILTER_ORACLE,
+        "ex_substring_dedup": _SUBSTR_ORACLE,
         "ex_curate": _CURATE_TAGGED_ORACLE,
         "ex_curate_report": _CURATE_REPORT_ORACLE,
         "ex_warc_docs": _WARC_DOCS_ORACLE,

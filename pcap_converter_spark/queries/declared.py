@@ -247,15 +247,20 @@ DECLARED_QUERIES: dict[str, Q] = {
             "SELECT s_nationkey FROM supplier) t4 GROUP BY k"
             ") u ORDER BY op, k",
         ),
+        # dq15 (HAVING) folded in r5 as the op-tagged 'having' branch to
+        # free a driver-window slot (both are bare aggregates over orders;
+        # one hash still gates COUNT DISTINCT and post-aggregation filter)
         Q(
             "dq14_distinct_agg",
-            "SELECT o_orderstatus, count(DISTINCT o_custkey) AS u FROM orders "
-            "GROUP BY o_orderstatus ORDER BY o_orderstatus",
-        ),
-        Q(
-            "dq15_having",
-            "SELECT o_custkey, count(*) AS n FROM orders GROUP BY o_custkey "
-            "HAVING count(*) >= 3 ORDER BY o_custkey",
+            "SELECT op, k, n FROM ("
+            "SELECT 'distinct' AS op, o_orderstatus AS k, "
+            "count(DISTINCT o_custkey) AS n "
+            "FROM orders GROUP BY o_orderstatus "
+            "UNION ALL "
+            "SELECT 'having' AS op, CAST(o_custkey AS STRING) AS k, "
+            "count(*) AS n FROM orders GROUP BY o_custkey "
+            "HAVING count(*) >= 3"
+            ") u ORDER BY op, k",
         ),
         # dq17 (LIKE / CASE / concat) folded in r5 to free a driver-window
         # slot: the LIKE predicate survives as a conditional projection

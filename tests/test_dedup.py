@@ -316,3 +316,57 @@ def test_embedding_neardup_lsh_recall(spark, emb_df):
     for vid, is_dup in got.items():
         if is_dup:
             assert expect[vid] != vid, f"vec {vid} false positive"
+
+
+class TestRemoveDuplicateSpans:
+    def _run(self, spark, rows, w=4):
+        from pcap_converter_spark.operators.dedup import remove_duplicate_spans
+
+        df = spark.createDataFrame(rows, "doc_id: long, text: string")
+        out = remove_duplicate_spans(df, min_words=w)
+        return {r["doc_id"]: r for r in out.collect()}
+
+    def test_cross_doc_span_removed_first_kept(self, spark):
+        p = "alpha beta gamma delta epsilon"  # 5-word span, w=4
+        rows = [
+            (1, f"start one two {p} tail words here"),
+            (2, f"other intro text {p} closing remarks now"),
+            (3, "completely unrelated text with no duplicate run"),
+        ]
+        got = self._run(spark, rows)
+        assert got[1]["clean_text"] == rows[0][1]  # first occurrence kept
+        assert got[1]["n_removed"] == 0
+        assert got[2]["clean_text"] == "other intro text closing remarks now"
+        assert got[2]["n_removed"] == 5
+        assert got[3]["clean_text"] == rows[2][1]
+        assert got[3]["n_removed"] == 0
+
+    def test_within_doc_repetition_removed(self, spark):
+        p = "la li lu le lo"
+        rows = [(7, f"{p} middle filler words {p}")]
+        got = self._run(spark, rows)
+        assert got[7]["clean_text"] == f"{p} middle filler words"
+        assert got[7]["n_removed"] == 5
+
+    def test_short_doc_and_whitespace_passthrough(self, spark):
+        rows = [
+            (1, "tiny doc"),
+            (2, "spaced   out\twhitespace doc unique entirely"),
+        ]
+        got = self._run(spark, rows)
+        # untouched docs come back byte-identical, whitespace preserved
+        assert got[1]["clean_text"] == rows[0][1]
+        assert got[2]["clean_text"] == rows[1][1]
+
+    def test_overlapping_runs_merge(self, spark):
+        # a duplicated 6-word run with w=4: grams at offsets 0,1,2 overlap;
+        # the whole run must vanish from the copy, nothing more
+        run = "one two three four five six"
+        rows = [
+            (1, f"{run} first doc tail"),
+            (2, f"copy starts here {run} copy ends"),
+        ]
+        got = self._run(spark, rows)
+        assert got[2]["clean_text"] == "copy starts here copy ends"
+        assert got[2]["n_removed"] == 6
+        assert got[1]["clean_text"] == rows[0][1]
