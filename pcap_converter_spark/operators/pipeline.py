@@ -56,6 +56,12 @@ def curate(
     decon_k: int = 5,
     pack_budget: int = 256,
     handles: list | None = None,
+    substring_dedup: int | None = None,
+    embeddings: DataFrame | None = None,
+    emb_id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    semantic_threshold: float = 0.9,
+    semantic_target_cluster_rows: int = 1024,
 ) -> DataFrame:
     """Returns one row per input document:
     (doc_id, keep_quality, keep_exact, keep_neardup, keep_decon, kept,
@@ -64,6 +70,22 @@ def curate(
     A doc is ``kept`` iff it survives every stage; each ``keep_*`` flag is
     computed on the docs that reached that stage, so the flags read as a
     funnel (a quality-dropped doc has NULL downstream flags).
+
+    Two optional tiers extend the default funnel (both off by default —
+    the hash-gated driver configuration is the five-stage form):
+
+    - ``substring_dedup=w`` prepends the span-EDITING pass
+      (``dedup.remove_duplicate_spans``): repeated ≥w-word spans vanish
+      from all but their first occurrence BEFORE the quality gate, so
+      quality, digests, and shingles all judge the cleaned text (an
+      exact copy edits down to nothing and exits at the quality gate
+      rather than the digest stage).
+    - ``embeddings=`` (an (emb_id_col, vec_col) frame keyed by the same
+      ids as ``docs``) inserts SEMANTIC dedup between near-dup CC and
+      decontamination: auto-sized k-means + within-cluster prune
+      (``semdedup.semantic_dedup``), adding a ``keep_semantic`` flag
+      column — present ONLY when the stage runs; ``curation_report``
+      adapts. Docs without an embedding row pass the stage.
 
     Internally persisted boundary frames are appended to ``handles`` when
     given (unpersist after materializing the result); without ``handles``
@@ -76,6 +98,16 @@ def curate(
         return df
 
     did, t = F.col(id_col), F.col(text_col)
+
+    # stage 0 (optional): substring-span editing — the text every later
+    # stage sees is the deduplicated text
+    if substring_dedup is not None:
+        docs = _stage(
+            dedup.remove_duplicate_spans(
+                docs, min_words=int(substring_dedup),
+                id_col=id_col, text_col=text_col,
+            ).select(did, F.col("clean_text").alias(text_col))
+        )
 
     # stage 1: quality — pure projection + the 2-gram repetition aggregate
     ws = TX.words(F.lower(t))
@@ -130,6 +162,37 @@ def curate(
         .select(did, F.col("_tokens"))
     )
 
+    # stage 3b (optional): semantic dedup over the near-dup survivors —
+    # only surviving ids join their embeddings (the corpus text never
+    # touches this stage), auto-sized k keeps the within-cluster
+    # quadratic linear-total
+    semantic = None
+    if embeddings is not None:
+        from pcap_converter_spark.operators import semdedup as SD
+
+        surv_vecs = embeddings.select(
+            F.col(emb_id_col).alias(id_col), F.col(vec_col)
+        ).join(n_docs.select(id_col), id_col)
+        verdict = SD.semantic_dedup(
+            surv_vecs,
+            threshold=semantic_threshold,
+            target_cluster_rows=semantic_target_cluster_rows,
+            id_col=id_col,
+            vec_col=vec_col,
+        ).select(id_col, (~F.col("is_dup")).alias("_sem_keep"))
+        semantic = _stage(
+            n_docs.select(id_col).join(verdict, id_col, "left").select(
+                did,
+                F.coalesce(F.col("_sem_keep"), F.lit(True)).alias(
+                    "keep_semantic"
+                ),
+            )
+        )
+        n_docs = _stage(
+            n_docs.join(semantic.filter("keep_semantic"), id_col)
+            .select(did, F.col("_tokens"))
+        )
+
     # stage 4: decontamination — drop docs overlapping the benchmark
     if benchmark is not None:
         n_texts = n_docs.join(quality.select(id_col, text_col), id_col)
@@ -159,22 +222,23 @@ def curate(
         .join(quality.select(id_col, "keep_quality"), id_col, "left")
         .join(exact, id_col, "left")
         .join(near, id_col, "left")
-        .join(decon, id_col, "left")
-        .join(packed, id_col, "left")
     )
+    kept_expr = (
+        F.col("keep_quality") & F.col("keep_exact") & F.col("keep_neardup")
+    )
+    cols = ["keep_quality", "keep_exact", "keep_neardup"]
+    if semantic is not None:
+        flags = flags.join(semantic, id_col, "left")
+        kept_expr = kept_expr & F.col("keep_semantic")
+        cols.append("keep_semantic")
+    flags = flags.join(decon, id_col, "left").join(packed, id_col, "left")
     return flags.select(
         did,
-        "keep_quality",
-        "keep_exact",
-        "keep_neardup",
+        *cols,
         "keep_decon",
-        F.coalesce(
-            F.col("keep_quality")
-            & F.col("keep_exact")
-            & F.col("keep_neardup")
-            & F.col("keep_decon"),
-            F.lit(False),
-        ).alias("kept"),
+        F.coalesce(kept_expr & F.col("keep_decon"), F.lit(False)).alias(
+            "kept"
+        ),
         "pack_shard",
         "pack_bin",
         "pack_offset",
@@ -190,16 +254,38 @@ def curation_report(flags: DataFrame) -> DataFrame:
     the stage and survived it. The final 'kept' row restates the end-to-end
     survivor count (n_entered == n_kept by construction — a consistency
     proof, not new information)."""
-    a = flags.agg(
+    has_sem = "keep_semantic" in flags.columns
+    aggs = [
         F.count(F.lit(1)).alias("n_in"),
         F.coalesce(F.sum(F.col("keep_quality").cast("long")), F.lit(0)).alias("q"),
         F.coalesce(F.sum(F.col("keep_exact").cast("long")), F.lit(0)).alias("e"),
         F.coalesce(F.sum(F.col("keep_neardup").cast("long")), F.lit(0)).alias("n"),
         F.coalesce(F.sum(F.col("keep_decon").cast("long")), F.lit(0)).alias("d"),
         F.coalesce(F.sum(F.col("kept").cast("long")), F.lit(0)).alias("k"),
-    )
-    return (
-        a.selectExpr(
+    ]
+    if has_sem:
+        aggs.append(
+            F.coalesce(
+                F.sum(F.col("keep_semantic").cast("long")), F.lit(0)
+            ).alias("s")
+        )
+    a = flags.agg(*aggs)
+    if has_sem:
+        # semantic sits between near-dup CC and decon; its n_kept counts
+        # only docs that REACHED it (keep_semantic is NULL upstream drops,
+        # but True-for-missing-embedding rows still entered) — n, like the
+        # other stages' entered counts, is the predecessor's survivors
+        stack = (
+            "stack(6,"
+            " 'quality', n_in, q,"
+            " 'exact', q, e,"
+            " 'neardup', e, n,"
+            " 'semantic', n, s,"
+            " 'decon', s, d,"
+            " 'kept', d, k) AS (stage, n_entered, n_kept)"
+        )
+    else:
+        stack = (
             "stack(5,"
             " 'quality', n_in, q,"
             " 'exact', q, e,"
@@ -207,6 +293,8 @@ def curation_report(flags: DataFrame) -> DataFrame:
             " 'decon', n, d,"
             " 'kept', d, k) AS (stage, n_entered, n_kept)"
         )
+    return (
+        a.selectExpr(stack)
         .withColumn("n_dropped", F.col("n_entered") - F.col("n_kept"))
         .orderBy("stage")
     )

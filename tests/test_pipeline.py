@@ -246,3 +246,53 @@ def test_multi_source_crawl_to_mix_end_to_end(spark, tmp_path):
     )
     assert back.count() == n_kept
     assert back.filter("errors != 0").count() == 0
+
+
+def test_curate_substring_stage_edits_before_quality(spark):
+    # doc 10 is a full copy of doc 0: with the span-editing stage ON it
+    # edits down to nothing and exits at the QUALITY gate (too short),
+    # not the digest stage — the later stages judge the cleaned text
+    docs = spark.createDataFrame(
+        DOCS + [(10, DOCS[0][1])], ["doc_id", "text"]
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in curate(docs, substring_dedup=4).collect()
+    }
+    assert rows[10]["keep_quality"] is False
+    assert rows[10]["keep_exact"] is None
+    assert rows[0]["kept"] is True            # first occurrence untouched
+    assert "keep_semantic" not in rows[0].asDict()
+
+
+def test_curate_semantic_stage(spark):
+    from pcap_converter_spark.operators.pipeline import curation_report
+
+    docs = spark.createDataFrame(DOCS, ["doc_id", "text"])
+    # embeddings: 0 and 4 nearly parallel (cos ≈ 1) — 4 must drop at the
+    # semantic stage; 5 orthogonal; doc 3 has no embedding row at all
+    # (passes the stage by contract) but was already quality-dropped
+    embs = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0, 0.0, 0.0]),
+            (4, [0.9999, 0.0141, 0.0, 0.0]),
+            (5, [0.0, 0.0, 1.0, 0.0]),
+            (1, [0.0, 1.0, 0.0, 0.0]),
+            (2, [0.0, 0.0, 0.0, 1.0]),
+        ],
+        "vec_id: long, embedding: array<float>",
+    )
+    flags = curate(docs, embeddings=embs, semantic_threshold=0.99)
+    rows = {r["doc_id"]: r for r in flags.collect()}
+    assert rows[4]["keep_semantic"] is False
+    assert rows[4]["kept"] is False
+    assert rows[0]["keep_semantic"] is True and rows[0]["kept"] is True
+    assert rows[5]["keep_semantic"] is True and rows[5]["kept"] is True
+    assert rows[3]["keep_semantic"] is None   # quality-dropped upstream
+    rep = {r["stage"]: r for r in curation_report(flags).collect()}
+    assert set(rep) == {
+        "quality", "exact", "neardup", "semantic", "decon", "kept"
+    }
+    # no benchmark: 3 neardup survivors enter semantic, 2 leave
+    assert (rep["semantic"]["n_entered"], rep["semantic"]["n_kept"]) == (3, 2)
+    assert (rep["decon"]["n_entered"], rep["decon"]["n_kept"]) == (2, 2)

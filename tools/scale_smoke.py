@@ -197,6 +197,11 @@ def main() -> int:
         # shapes, not just the individual stages
         # train one broadcastable model + score the corpus — both halves
         # are hash-aggregations, so the exponent guards the token explosion
+        # the full-corpus-sized shuffle is the gram table (16-byte rows);
+        # only duplicated grams survive to the join and rebuild
+        "substring_dedup": lambda d: lambda: dedup.remove_duplicate_spans(
+            d, min_words=8
+        ),
         "lm_filter": lambda d: lambda: lm.perplexity_score(
             d.filter(did % 83 != 0),
             lm.unigram_model(d.filter(did % 83 == 0), vocab_size=5000),
