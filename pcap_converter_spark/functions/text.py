@@ -40,6 +40,25 @@ def words(text: Column) -> Column:
     return F.filter(F.split(F.trim(text), "\\s+"), lambda w: w != "")
 
 
+_ASCII_WS = None  # lazily-compiled [\t\n\f\r ]+ — see ws_tokens
+
+
+def ws_tokens(text: str) -> list:
+    """Python twin of the oracles' RE2 ``\\s+`` split (ASCII whitespace
+    ONLY: [\\t\\n\\f\\r ]). Python ``str.split()`` also breaks on Unicode
+    whitespace — U+00A0 is ubiquitous in web text — which the DuckDB SQL
+    twins do NOT, so using it in an Arrow-batched operator would silently
+    diverge gram/word hashes (and rebuilt text) from the oracle
+    off-fixture. Every Python-side tokenization that feeds a hash-gated
+    comparison must come through here."""
+    global _ASCII_WS
+    if _ASCII_WS is None:
+        import re
+
+        _ASCII_WS = re.compile(r"[\t\n\f\r ]+")
+    return [t for t in _ASCII_WS.split(text or "") if t]
+
+
 def token_count(text: Column) -> Column:
     """Whitespace token count."""
     return F.size(words(text))
@@ -222,7 +241,7 @@ def rolling_fingerprint_udf(window: int = 8):
     def _fp(texts: pd.Series) -> pd.Series:
         out = []
         for t in texts:
-            wsl = [w for w in (t or "").lower().split() if w]
+            wsl = ws_tokens((t or "").lower())
             if not wsl:
                 out.append([])
                 continue

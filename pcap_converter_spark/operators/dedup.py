@@ -28,6 +28,8 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from pcap_converter_spark.functions.text import ws_tokens as _ws_tokens
+
 
 def _words(text: Column) -> Column:
     return F.filter(F.split(F.trim(F.lower(text)), "\\s+"), lambda w: w != "")
@@ -199,9 +201,12 @@ def remove_duplicate_spans(
 
     w = int(min_words)
     mask = (1 << 63) - 1
+    # the id column keeps the caller's type (every other funnel stage is
+    # id-type-generic — digests, min(id), CC — so this one must be too)
+    id_type = df.schema[id_col].dataType
     occ_schema = T.StructType(
         [
-            T.StructField("doc", T.LongType()),
+            T.StructField("doc", id_type),
             T.StructField("pos", T.IntegerType()),
             T.StructField("gh", T.LongType()),
         ]
@@ -210,13 +215,13 @@ def remove_duplicate_spans(
     def gen(pdfs):
         md5 = hashlib.md5
         for pdf in pdfs:
-            docs_out: list[int] = []
+            docs_out: list = []
             pos_out: list[int] = []
             gh_out: list[int] = []
             for doc, text in zip(pdf[id_col], pdf[text_col]):
-                ws = (text or "").split()
+                ws = _ws_tokens(text)
                 for i in range(max(len(ws) - w + 1, 0)):
-                    docs_out.append(int(doc))
+                    docs_out.append(doc)
                     pos_out.append(i)
                     gh_out.append(
                         int.from_bytes(
@@ -227,7 +232,7 @@ def remove_duplicate_spans(
                     )
             yield pd.DataFrame(
                 {
-                    "doc": pd.Series(docs_out, dtype="int64"),
+                    "doc": pd.Series(docs_out, dtype=pdf[id_col].dtype),
                     "pos": pd.Series(pos_out, dtype="int32"),
                     "gh": pd.Series(gh_out, dtype="int64"),
                 }
@@ -260,7 +265,7 @@ def remove_duplicate_spans(
     joined = df.select(id_col, text_col).join(spans, id_col, "left")
     out_schema = T.StructType(
         [
-            T.StructField(id_col, T.LongType()),
+            T.StructField(id_col, id_type),
             T.StructField("clean_text", T.StringType()),
             T.StructField("n_removed", T.IntegerType()),
         ]
@@ -268,18 +273,18 @@ def remove_duplicate_spans(
 
     def rebuild(pdfs):
         for pdf in pdfs:
-            ids: list[int] = []
+            ids: list = []
             texts: list[str] = []
             removed: list[int] = []
             for doc, text, starts in zip(
                 pdf[id_col], pdf[text_col], pdf["dup_starts"]
             ):
-                ids.append(int(doc))
+                ids.append(doc)
                 if starts is None or len(starts) == 0:
                     texts.append(text)
                     removed.append(0)
                     continue
-                ws = (text or "").split()
+                ws = _ws_tokens(text)
                 cov = np.zeros(len(ws), dtype=bool)
                 for p in starts:
                     cov[int(p) : int(p) + w] = True
@@ -287,7 +292,7 @@ def remove_duplicate_spans(
                 removed.append(int(cov.sum()))
             yield pd.DataFrame(
                 {
-                    id_col: pd.Series(ids, dtype="int64"),
+                    id_col: pd.Series(ids, dtype=pdf[id_col].dtype),
                     "clean_text": texts,
                     "n_removed": pd.Series(removed, dtype="int32"),
                 }
@@ -327,7 +332,7 @@ def _shingle_table(df: DataFrame, text_col: str, id_col: str, k: int) -> DataFra
             docs_out: list[int] = []
             sh_out: list[int] = []
             for doc, text in zip(pdf[id_col], pdf[text_col]):
-                ws = [w for w in (text or "").lower().split() if w]
+                ws = _ws_tokens((text or "").lower())
                 if len(ws) < k:
                     uniq = {" ".join(ws)}
                 else:
@@ -507,7 +512,7 @@ def minhash_band_table(
         for pdf in pdfs:
             rows = []
             for doc, text in zip(pdf[id_col], pdf[text_col]):
-                ws = [w for w in (text or "").lower().split() if w]
+                ws = _ws_tokens((text or "").lower())
                 if len(ws) < k:
                     sh = [" ".join(ws)]
                 else:
@@ -603,7 +608,7 @@ def simhash64(text: Column) -> Column:
         one = np.uint64(1)
         out = np.zeros(len(texts), dtype=np.int64)
         for i, t in enumerate(texts):
-            ws = {w for w in (t or "").lower().split() if w}
+            ws = set(_ws_tokens((t or "").lower()))
             if not ws:
                 continue
             hs = np.array(

@@ -170,9 +170,14 @@ def curate(
     if embeddings is not None:
         from pcap_converter_spark.operators import semdedup as SD
 
-        surv_vecs = embeddings.select(
-            F.col(emb_id_col).alias(id_col), F.col(vec_col)
-        ).join(n_docs.select(id_col), id_col)
+        # persisted: semantic_dedup drives several eager actions over its
+        # input (count, dim probe, one collect per Lloyd iteration, the
+        # prune) — unpersisted, each would re-run the join + assignment
+        surv_vecs = _stage(
+            embeddings.select(
+                F.col(emb_id_col).alias(id_col), F.col(vec_col)
+            ).join(n_docs.select(id_col), id_col)
+        )
         verdict = SD.semantic_dedup(
             surv_vecs,
             threshold=semantic_threshold,

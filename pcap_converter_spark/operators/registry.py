@@ -1907,7 +1907,7 @@ def extension_queries() -> tuple[dict, dict]:
     """Returns (runners, oracles) for __spark_entry__. Runners without an
     oracle entry get the driver's rows-only check (engine-specific hashes
     or Python-side extraction; covered by pytest instead)."""
-    # 18 oracle-backed entries; with the 32 declared queries that fills
+    # 19 oracle-backed entries; with the 31 declared queries that fills
     # the driver's 50-entry hash-check window EXACTLY. r5 merges:
     # dq27's posexplode surface folded op-tagged into dq26_array_ops
     # (slot → ex_warc_docs, VERDICT r4 #2); ex_cube + ex_ntile merged

@@ -186,11 +186,14 @@ def semantic_neardup(
     assigned = _assign_arrow(
         df.select(F.col(id_col), F.col(vec_col)), centroids, vec_col=vec_col
     )
+    # id and keep_id keep the caller's id type (string doc keys are as
+    # legitimate as bigints here — nothing below does id arithmetic)
+    id_type = df.schema[id_col].dataType
     out_schema = T.StructType(
         [
-            T.StructField(id_col, T.LongType()),
+            T.StructField(id_col, id_type),
             T.StructField("cluster", T.IntegerType()),
-            T.StructField("keep_id", T.LongType()),
+            T.StructField("keep_id", id_type),
             T.StructField("is_dup", T.BooleanType()),
         ]
     )

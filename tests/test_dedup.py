@@ -370,3 +370,32 @@ class TestRemoveDuplicateSpans:
         assert got[2]["clean_text"] == "copy starts here copy ends"
         assert got[2]["n_removed"] == 6
         assert got[1]["clean_text"] == rows[0][1]
+
+    def test_string_ids(self, spark):
+        from pcap_converter_spark.operators.dedup import remove_duplicate_spans
+
+        p = "uno dos tres cuatro cinco"
+        df = spark.createDataFrame(
+            [("x", f"{p} first tail"), ("y", f"pre {p} post")],
+            "doc_id: string, text: string",
+        )
+        got = {
+            r["doc_id"]: r
+            for r in remove_duplicate_spans(df, min_words=4).collect()
+        }
+        assert got["y"]["clean_text"] == "pre post"
+        assert got["x"]["clean_text"] == f"{p} first tail"
+
+    def test_nbsp_is_not_a_separator(self, spark):
+        # U+00A0 must NOT split words: the DuckDB oracle's RE2 \s+ treats
+        # 'a\xa0b' as ONE token, so the Python side must too (a str.split
+        # tokenizer would shift every position after it)
+        from pcap_converter_spark.functions.text import ws_tokens
+
+        assert ws_tokens("a\xa0b c") == ["a\xa0b", "c"]
+        span = "alpha\xa0beta gamma delta epsilon"
+        rows = [(1, f"{span} one tail"), (2, f"lead {span} more words")]
+        got = self._run(spark, rows, w=4)
+        assert got[2]["clean_text"] == "lead more words"
+        assert got[2]["n_removed"] == 4  # the NBSP pair counts as one word
+        assert got[1]["clean_text"] == rows[0][1]

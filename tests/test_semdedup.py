@@ -132,3 +132,20 @@ def test_semantic_dedup_auto_sizes_k(emb_df):
     assert flagged == {n - 8 + i for i in range(8)}
     # k = ceil(80/16) = 8 (min clamp) → multiple clusters actually in use
     assert len({r["cluster"] for r in out}) > 1
+
+
+def test_semantic_neardup_string_ids(spark):
+    rows = [
+        ("a", [1.0, 0.0]),
+        ("b", [0.9999, 0.0141]),
+        ("c", [0.0, 1.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id: string, embedding: array<float>")
+    out = {
+        r["vec_id"]: r
+        for r in semdedup.semantic_neardup(
+            df, np.eye(2), threshold=0.99
+        ).collect()
+    }
+    assert out["b"]["is_dup"] and out["b"]["keep_id"] == "a"
+    assert not out["a"]["is_dup"] and not out["c"]["is_dup"]

@@ -193,19 +193,19 @@ def main() -> int:
         "packing": lambda d: lambda: packing.pack_documents(
             d.select("doc_id", F.size(F.split("text", " ")).alias("nt")), "nt"
         ),
-        # the composed pipeline: its exponent guards the composition's join
-        # shapes, not just the individual stages
-        # train one broadcastable model + score the corpus — both halves
-        # are hash-aggregations, so the exponent guards the token explosion
         # the full-corpus-sized shuffle is the gram table (16-byte rows);
         # only duplicated grams survive to the join and rebuild
         "substring_dedup": lambda d: lambda: dedup.remove_duplicate_spans(
             d, min_words=8
         ),
+        # train one broadcastable model + score the corpus — both halves
+        # are hash-aggregations, so the exponent guards the token explosion
         "lm_filter": lambda d: lambda: lm.perplexity_score(
             d.filter(did % 83 != 0),
             lm.unigram_model(d.filter(did % 83 == 0), vocab_size=5000),
         ),
+        # the composed pipeline: its exponent guards the composition's join
+        # shapes, not just the individual stages
         "curate": lambda d: lambda: __import__(
             "pcap_converter_spark.operators.pipeline", fromlist=["curate"]
         ).curate(d.filter(did % 83 != 0), d.filter(did % 83 == 0),
