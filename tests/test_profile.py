@@ -1,0 +1,94 @@
+"""Dataset profiler: exact stats replayed against DuckDB over the same
+parquet (the oracle pattern, run inside pytest since the driver window is
+full), sketch stats bounded, and the one-job plan shape audited."""
+
+from __future__ import annotations
+
+import math
+
+import duckdb
+import pytest
+
+from pcap_converter_spark.operators.profile import profile
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def prof(spark):
+    df = spark.read.parquet(f"{SF}/orders.parquet")
+    rows = profile(df).collect()
+    return {(r["column"], r["stat"]): r for r in rows}
+
+
+def test_exact_stats_match_duckdb(prof):
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW orders AS SELECT * FROM '{SF}/orders.parquet'"
+    )
+    exact = con.execute(
+        "SELECT count(o_totalprice), count(*) - count(o_totalprice),"
+        " round(min(o_totalprice), 4), round(max(o_totalprice), 4),"
+        " round(avg(o_totalprice), 4), round(sum(o_totalprice), 4),"
+        " min(o_orderpriority), max(o_orderpriority),"
+        " round(avg(length(o_orderpriority)), 4),"
+        " count(DISTINCT o_custkey)"
+        " FROM orders"
+    ).fetchone()
+    g = prof
+    assert g[("o_totalprice", "count")]["value"] == exact[0]
+    assert g[("o_totalprice", "nulls")]["value"] == exact[1]
+    assert g[("o_totalprice", "min")]["value"] == exact[2]
+    assert g[("o_totalprice", "max")]["value"] == exact[3]
+    assert g[("o_totalprice", "mean")]["value"] == exact[4]
+    assert abs(g[("o_totalprice", "sum")]["value"] - exact[5]) < 0.01
+    assert g[("o_orderpriority", "min")]["value_str"] == exact[6]
+    assert g[("o_orderpriority", "max")]["value_str"] == exact[7]
+    assert g[("o_orderpriority", "avg_len")]["value"] == exact[8]
+    # sketch: within 5% of the exact distinct count
+    approx = g[("o_custkey", "distinct_approx")]["value"]
+    assert abs(approx - exact[9]) / exact[9] < 0.05
+
+
+def test_every_column_profiled(spark, prof):
+    df = spark.read.parquet(f"{SF}/orders.parquet")
+    assert {c for c, _ in prof} == set(df.columns)
+    for c in df.columns:
+        assert ("count" in {s for cc, s in prof if cc == c})
+
+
+def test_value_xor_value_str(prof):
+    for r in prof.values():
+        assert (r["value"] is None) != (r["value_str"] is None)
+
+
+def test_single_job_plan(spark):
+    """The whole profile must be ONE aggregation over one scan — no join,
+    no per-column re-scan (the 100 TB contract of the operator)."""
+    from pcap_converter_spark.plans import audit
+
+    import re
+
+    df = spark.read.parquet(f"{SF}/lineitem.parquet")
+    plan = audit.formatted_plan(profile(df))
+    assert "Join" not in plan
+    # formatted plans list each node in the tree AND the details section;
+    # count distinct scan NODES, not mentions
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1, plan
+
+
+def test_timestamp_and_array_columns(spark):
+    events = spark.read.parquet(f"{SF}/events.parquet")
+    rows = profile(events).collect()
+    stats = {(r["column"], r["stat"]): r for r in rows}
+    # ts reads as LONG under the repo's nanosAsLong conf (TESTDATA
+    # timestamp[ns] gotcha) → numeric min; a true timestamp column would
+    # land in value_str — accept either, require presence
+    r = stats[("ts", "min")]
+    assert (r["value"] is not None) or r["value_str"]
+    embs = spark.read.parquet(f"{SF}/embeddings.parquet")
+    erows = profile(embs).collect()
+    estats = {(r["column"], r["stat"]) for r in erows}
+    # array column: count/nulls/distinct only, no numeric stats
+    assert ("embedding", "count") in estats
+    assert ("embedding", "mean") not in estats
