@@ -496,6 +496,54 @@ def responses_as_documents(
     )
 
 
+def conversions_as_documents(df: DataFrame) -> DataFrame:
+    """WET bridge: pre-extracted text records → (doc_id, url, text).
+
+    CommonCrawl ships three parallel archives per crawl; the ``*.wet.gz``
+    ones are ordinary WARCs whose text lives in ``WARC-Type: conversion``
+    records — the payload IS the extracted page text, UTF-8 by the WET
+    convention (no HTTP envelope, no HTML). Most corpus builds start from
+    WET rather than raw responses, so this is the cheap front door: filter
+    + decode, no HTML extraction pass. Pure column expressions; doc_id is
+    the same deterministic 63-bit record-id hash as
+    ``responses_as_documents``, so downstream dedup/curation is identical
+    whichever bridge produced the rows. ``warcinfo`` headers and any
+    interleaved non-conversion records drop out at the (pushed-down)
+    filter."""
+    from pyspark.sql import functions as F
+
+    return df.filter(F.col("warc_type") == "conversion").select(
+        F.abs(F.xxhash64("warc_record_id")).alias("doc_id"),
+        F.col("target_uri").alias("url"),
+        F.decode("payload", "UTF-8").alias("text"),
+    )
+
+
+def wat_metadata(df: DataFrame, schema=None) -> DataFrame:
+    """WAT bridge: crawl-metadata records → (doc_id, url, meta).
+
+    ``*.wat.gz`` archives carry one ``WARC-Type: metadata`` record per
+    crawled URL with an ``application/json`` payload (link graph, HTTP
+    header summary, title...). ``meta`` is the raw JSON string, or a typed
+    struct when ``schema`` is given (parsed with ``from_json`` — an
+    EXPLICIT schema, same contract as the JSONL source: no inference scan
+    at 100 TB, unrequested fields never parsed; malformed JSON yields a
+    NULL-fielded struct — PERMISSIVE — rather than an error)."""
+    from pyspark.sql import functions as F
+
+    meta = F.decode("payload", "UTF-8")
+    if schema is not None:
+        meta = F.from_json(meta, schema)
+    return df.filter(
+        (F.col("warc_type") == "metadata")
+        & F.col("content_type").startswith("application/json")
+    ).select(
+        F.abs(F.xxhash64("warc_record_id")).alias("doc_id"),
+        F.col("target_uri").alias("url"),
+        meta.alias("meta"),
+    )
+
+
 # ------------------------------------------------- Spark 4 DataSource face
 
 

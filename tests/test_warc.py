@@ -600,3 +600,109 @@ def test_warc_bridge_decodes_declared_charset(spark, tmp_path):
             for r in responses_as_documents(read_warc(spark, p)).collect()}
     assert docs["https://c.org/l1"] == "café ¡señor!"
     assert docs["https://c.org/u8"] == "café ¡señor!"
+
+
+def _wet_archive(path: str, n: int = 6, gzipped: bool = True) -> dict[str, str]:
+    """A WET-style archive (CommonCrawl *.wet.gz layout): warcinfo header
+    + one `conversion` record per page whose payload IS the extracted
+    text. Returns url -> expected text."""
+    texts = {
+        f"https://wet{i % 2}.org/p/{i}": (
+            f"page {i} body — ünïcode ok. " + "token " * (5 + i % 4)
+        ).strip()
+        for i in range(n)
+    }
+    recs = [wg.record("warcinfo", b"software: wet-fixture\r\n")]
+    for i, (url, text) in enumerate(texts.items()):
+        recs.append(
+            wg.record(
+                "conversion",
+                text.encode("utf-8"),
+                uri=url,
+                rec_id=f"<urn:uuid:wet-{i}>",
+                content_type="text/plain",
+            )
+        )
+    wg.write_warc(path, recs, gzipped=gzipped)
+    return texts
+
+
+def test_wet_conversions_bridge(spark, tmp_path):
+    """conversion records (the WET text layout) bridge straight to
+    (doc_id, url, text) — payload decoded as UTF-8, warcinfo dropped,
+    ids deterministic across re-reads."""
+    from pcap_converter_spark.sources.warc import conversions_as_documents
+
+    p = str(tmp_path / "crawl.wet.gz")
+    expected = _wet_archive(p)
+    docs = conversions_as_documents(read_warc(spark, p))
+    rows = docs.collect()
+    assert {r["url"]: r["text"] for r in rows} == expected
+    assert all(r["doc_id"] >= 0 for r in rows)
+    again = {r["url"]: r["doc_id"]
+             for r in conversions_as_documents(read_warc(spark, p)).collect()}
+    assert again == {r["url"]: r["doc_id"] for r in rows}
+
+
+def test_wet_bridge_feeds_text_pipeline(spark, tmp_path):
+    """The WET bridge output composes with the text operators exactly like
+    the response bridge (same schema contract)."""
+    from pcap_converter_spark.functions import text as TX
+    from pcap_converter_spark.sources.warc import conversions_as_documents
+
+    from pyspark.sql import functions as F
+
+    p = str(tmp_path / "crawl.wet")
+    expected = _wet_archive(p, gzipped=False)
+    docs = conversions_as_documents(read_warc(spark, p))
+    counted = docs.select("url", TX.token_count(F.col("text")).alias("nt"))
+    got = {r["url"]: r["nt"] for r in counted.collect()}
+    assert got == {u: len(t.split()) for u, t in expected.items()}
+
+
+def test_wat_metadata_bridge(spark, tmp_path):
+    """metadata records with application/json payloads (the WAT layout)
+    surface as raw JSON strings, or typed structs under an explicit
+    schema; malformed JSON parses to NULL, never an error."""
+    import json
+
+    from pcap_converter_spark.sources.warc import wat_metadata
+
+    metas = {
+        "https://w.org/a": {"title": "Alpha", "links": 3},
+        "https://w.org/b": {"title": "Beta", "links": 0},
+    }
+    recs = [wg.record("warcinfo", b"software: wat-fixture\r\n")]
+    for i, (url, m) in enumerate(metas.items()):
+        recs.append(
+            wg.record(
+                "metadata",
+                json.dumps(m).encode(),
+                uri=url,
+                rec_id=f"<urn:uuid:wat-{i}>",
+                content_type="application/json",
+            )
+        )
+    recs.append(
+        wg.record(
+            "metadata",
+            b"{not json",
+            uri="https://w.org/bad",
+            rec_id="<urn:uuid:wat-bad>",
+            content_type="application/json",
+        )
+    )
+    p = str(tmp_path / "crawl.wat.gz")
+    wg.write_warc(p, recs, gzipped=True)
+
+    raw = {r["url"]: r["meta"] for r in wat_metadata(read_warc(spark, p)).collect()}
+    assert json.loads(raw["https://w.org/a"]) == metas["https://w.org/a"]
+
+    typed = wat_metadata(
+        read_warc(spark, p), schema="title string, links int"
+    )
+    got = {r["url"]: r["meta"] for r in typed.collect()}
+    assert got["https://w.org/a"]["title"] == "Alpha"
+    assert got["https://w.org/b"]["links"] == 0
+    bad = got["https://w.org/bad"]
+    assert bad is None or (bad["title"] is None and bad["links"] is None)
