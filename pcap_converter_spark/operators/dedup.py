@@ -69,6 +69,34 @@ def exact_duplicates(df: DataFrame, text_col: str = "text",
     )
 
 
+def passage_table(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    passage_words: int = 32,
+) -> DataFrame:
+    """(id, passage) rows: each document split into fixed
+    ``passage_words``-word windows, generated inline in the projection (no
+    join, no Python). Shared by ``passage_duplicates`` and the incremental
+    index (operators/incremental.py), which indexes passages exactly so
+    that both sides of a snapshot probe chunk text identically."""
+    # tokenize into a projected column first: the per-passage lambda below
+    # references `_ws` as an attribute, so the tokenizer runs once per row
+    # instead of once per passage (see `shingles` PERF note)
+    toks = df.select(
+        F.col(id_col), _words(F.col(text_col)).alias("_ws")
+    )
+    ws = F.col("_ws")
+    n_pass = F.greatest(F.ceil(F.size(ws) / passage_words) - 1, F.lit(0))
+    passages = F.transform(
+        F.sequence(F.lit(0), n_pass),
+        lambda i: F.concat_ws(
+            " ", F.slice(ws, i * passage_words + 1, passage_words)
+        ),
+    )
+    return toks.select(F.col(id_col), F.explode(passages).alias("passage"))
+
+
 def passage_duplicates(
     df: DataFrame,
     text_col: str = "text",
@@ -88,22 +116,9 @@ def passage_duplicates(
     ``doc_ids`` lists one entry per occurrence (a passage repeated inside
     one document appears twice).
     """
-    # tokenize into a projected column first: the per-passage lambda below
-    # references `_ws` as an attribute, so the tokenizer runs once per row
-    # instead of once per passage (see `shingles` PERF note)
-    toks = df.select(
-        F.col(id_col), _words(F.col(text_col)).alias("_ws")
-    )
-    ws = F.col("_ws")
-    n_pass = F.greatest(F.ceil(F.size(ws) / passage_words) - 1, F.lit(0))
-    passages = F.transform(
-        F.sequence(F.lit(0), n_pass),
-        lambda i: F.concat_ws(
-            " ", F.slice(ws, i * passage_words + 1, passage_words)
-        ),
-    )
     return (
-        toks.select(F.col(id_col), F.explode(passages).alias("passage"))
+        passage_table(df, text_col=text_col, id_col=id_col,
+                      passage_words=passage_words)
         .select(
             F.sha2(F.col("passage").cast("binary"), 256).alias("content_hash"),
             F.col(id_col),

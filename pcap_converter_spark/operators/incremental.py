@@ -1,0 +1,405 @@
+"""Incremental corpus dedup: an at-rest index a rolling pipeline probes.
+
+A 100 TB pipeline does not re-shuffle the accumulated corpus every crawl
+snapshot. It maintains a compact INDEX at rest and checks each NEW
+snapshot against it — the operation behind "dedup snapshot N+1 against
+snapshots 1..N". The index stores no document text, only fixed-width
+keys, so it is ~100-1000× smaller than the corpus it summarizes:
+
+    {path}/meta/    one row: (version, shingle_k, num_hashes, bands, seed)
+    {path}/exact/   (content_hash, doc_id)          — sha256 hex, ~75 B/doc
+    {path}/sigs/    (doc_id, sig array<bigint>)     — 8·num_hashes B/doc
+    {path}/bands/   (band, band_hash, doc_id)       — one row per LSH band
+
+Probe economics — the part that matters at scale: the index is the BIG
+side (the whole corpus so far) and the snapshot is the small side (one
+crawl), so both probe joins broadcast the snapshot's keys and the index
+is only ever *scanned*, column-pruned, never shuffled
+(``broadcast_probe=True``, the default; set False past ~10 M snapshot
+docs and let AQE pick a shuffle join — the index side then shuffles
+fixed-width keys, still never text). Extending the index with a
+snapshot's survivors is an append of new key rows — no rewrite, no read
+of the existing index.
+
+Tier semantics:
+
+- exact — digest membership, identical to ``dedup.exact_duplicates``'s
+  key (sha256 of the raw text), so in-snapshot and cross-snapshot exact
+  dedup compose. Index any (id, text) rows — whole documents, or
+  ``dedup.passage_table`` windows for passage-granularity probes.
+- near — MinHash: the index keeps each doc's banded LSH keys (candidate
+  generation) AND its full signature (verification). A probe estimates
+  Jaccard as the fraction of agreeing signature components — the standard
+  MinHash estimator (stderr ≈ 1/√num_hashes ≈ 0.125 at the default 64) —
+  because the index deliberately stores no text to verify against. The
+  in-corpus operator (``dedup.minhash_lsh_pairs``) verifies exact Jaccard
+  and remains the right tool WITHIN one snapshot; this module answers the
+  cross-snapshot question without touching old text. Same shingle/hash
+  constants (``dedup._minhash_params`` universal hashing over crc32), so
+  a doc indexed yesterday and probed today produces identical keys.
+"""
+
+from __future__ import annotations
+
+import zlib
+
+import numpy as np
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import types as T
+
+from pcap_converter_spark.operators.dedup import (
+    _MERSENNE31,
+    _minhash_params,
+    _ws_tokens,
+)
+
+INDEX_VERSION = 1
+
+_META_SCHEMA = T.StructType(
+    [
+        T.StructField("version", T.IntegerType()),
+        T.StructField("shingle_k", T.IntegerType()),
+        T.StructField("num_hashes", T.IntegerType()),
+        T.StructField("bands", T.IntegerType()),
+        T.StructField("seed", T.IntegerType()),
+        T.StructField("tiers", T.StringType()),
+    ]
+)
+
+
+def _digests(docs: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """(content_hash, doc_id) — one row per input row (occurrence
+    semantics: callers indexing passages keep repeats), digest identical
+    to dedup.exact_duplicates' key."""
+    return docs.select(
+        F.sha2(F.col(text_col).cast("binary"), 256).alias("content_hash"),
+        F.col(id_col).alias("doc_id"),
+    )
+
+
+def _sig_band_table(
+    docs: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int,
+    num_hashes: int,
+    bands: int,
+    seed: int,
+) -> DataFrame:
+    """(doc_id, sig on band 0 else NULL, band, band_hash) via one
+    Arrow-batched mapInPandas — the same NumPy universal-hash kernel as
+    ``dedup.minhash_band_table`` but carrying the SIGNATURE instead of the
+    shingle set (an index probe verifies by signature agreement, never by
+    shingles — the index stores no text-sized payloads)."""
+    params = _minhash_params(num_hashes, seed)
+    A = np.array([a for a, _ in params], dtype=np.int64)[:, None]
+    B = np.array([b for _, b in params], dtype=np.int64)[:, None]
+    r = num_hashes // bands
+
+    out_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("sig", T.ArrayType(T.LongType())),
+            T.StructField("band", T.IntegerType()),
+            T.StructField("band_hash", T.LongType()),
+        ]
+    )
+
+    def build(pdfs):
+        import pandas as pd
+
+        for pdf in pdfs:
+            rows = []
+            for doc, text in zip(pdf[id_col], pdf[text_col]):
+                ws = _ws_tokens((text or "").lower())
+                if len(ws) < k:
+                    sh = [" ".join(ws)]
+                else:
+                    sh = list(
+                        {" ".join(ws[i : i + k]) for i in range(len(ws) - k + 1)}
+                    )
+                base = np.array(
+                    [zlib.crc32(s.encode()) for s in sh], dtype=np.int64
+                )[None, :]
+                sig = ((A * (base & _MERSENNE31) + B) % _MERSENNE31).min(axis=1)
+                sig_list = [int(x) for x in sig]
+                for b in range(bands):
+                    bh = zlib.crc32(sig[b * r : (b + 1) * r].tobytes())
+                    # the signature rides along ONCE, on band 0 — emitting
+                    # it per band would amplify the written table ×bands
+                    rows.append(
+                        (int(doc), sig_list if b == 0 else None, b, int(bh))
+                    )
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "sig", "band", "band_hash"]
+            )
+
+    return docs.select(
+        F.col(id_col), F.col(text_col)
+    ).mapInPandas(build, schema=out_schema)
+
+
+def read_index_meta(spark: SparkSession, path: str) -> dict:
+    """The index's pinned parameters. Probes and appends take every
+    constant from here — a probe with different shingling than the write
+    would silently miss everything, so the parameters live WITH the data
+    (a one-row Parquet: portable to any Hadoop filesystem, unlike a
+    driver-local JSON side file)."""
+    row = spark.read.parquet(f"{path}/meta").collect()[0]
+    meta = row.asDict()
+    if meta["version"] != INDEX_VERSION:
+        raise ValueError(
+            f"corpus index at {path} has version {meta['version']}; "
+            f"this build reads version {INDEX_VERSION}"
+        )
+    return meta
+
+
+def write_corpus_index(
+    docs: DataFrame,
+    path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_k: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+    seed: int = 42,
+    tiers: tuple[str, ...] = ("exact", "near"),
+) -> None:
+    """Materialize the index from scratch (overwrite). ``tiers`` controls
+    what is stored: ("exact",) for digest-only indexes (e.g. passage
+    digests, where MinHash over a 4-word window is meaningless) skips the
+    signature pass entirely."""
+    if num_hashes % bands:
+        raise ValueError("bands must divide num_hashes")
+    spark = docs.sparkSession
+    spark.createDataFrame(
+        [(INDEX_VERSION, shingle_k, num_hashes, bands, seed, ",".join(tiers))],
+        schema=_META_SCHEMA,
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/meta")
+    if "exact" in tiers:
+        _digests(docs, text_col, id_col).write.mode("overwrite").parquet(
+            f"{path}/exact"
+        )
+    if "near" in tiers:
+        sb = _sig_band_table(
+            docs, text_col, id_col, shingle_k, num_hashes, bands, seed
+        )
+        sb.filter("sig IS NOT NULL").select("doc_id", "sig").write.mode(
+            "overwrite"
+        ).parquet(f"{path}/sigs")
+        sb.select("band", "band_hash", "doc_id").write.mode(
+            "overwrite"
+        ).parquet(f"{path}/bands")
+
+
+def extend_corpus_index(
+    docs: DataFrame,
+    path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> None:
+    """Append a snapshot's rows under the index's OWN pinned parameters —
+    an append of new key files, never a rewrite or read of what's there."""
+    meta = read_index_meta(docs.sparkSession, path)
+    tiers = meta["tiers"].split(",")
+    if "exact" in tiers:
+        _digests(docs, text_col, id_col).write.mode("append").parquet(
+            f"{path}/exact"
+        )
+    if "near" in tiers:
+        sb = _sig_band_table(
+            docs,
+            text_col,
+            id_col,
+            meta["shingle_k"],
+            meta["num_hashes"],
+            meta["bands"],
+            meta["seed"],
+        )
+        sb.filter("sig IS NOT NULL").select("doc_id", "sig").write.mode(
+            "append"
+        ).parquet(f"{path}/sigs")
+        sb.select("band", "band_hash", "doc_id").write.mode("append").parquet(
+            f"{path}/bands"
+        )
+
+
+def _maybe_broadcast(df: DataFrame, broadcast_probe: bool) -> DataFrame:
+    return F.broadcast(df) if broadcast_probe else df
+
+
+def exact_matches(
+    docs: DataFrame,
+    path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    broadcast_probe: bool = True,
+) -> DataFrame:
+    """(content_hash, doc_id, origin) for every occurrence — indexed or in
+    the snapshot — of a digest present on BOTH sides. The grouped view of
+    cross-snapshot exact duplication (the driver's hash-checked 'incr'
+    tier builds on this). Plan shape: the index scan reads two pruned
+    columns and joins against the BROADCAST distinct snapshot digests —
+    no index-side Exchange (plan-audit-tested)."""
+    spark = docs.sparkSession
+    snap = _digests(docs, text_col, id_col)
+    idx = spark.read.parquet(f"{path}/exact")
+    snap_keys = snap.select("content_hash").distinct()
+    # digests on both sides: small by construction (bounded by the overlap)
+    common = (
+        idx.join(_maybe_broadcast(snap_keys, broadcast_probe), "content_hash")
+        .select("content_hash")
+        .distinct()
+    )
+    return idx.join(F.broadcast(common), "content_hash").select(
+        "content_hash", "doc_id", F.lit("index").alias("origin")
+    ).unionByName(
+        snap.join(F.broadcast(common), "content_hash").select(
+            "content_hash", "doc_id", F.lit("snapshot").alias("origin")
+        )
+    )
+
+
+def flag_against_index(
+    docs: DataFrame,
+    path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.7,
+    broadcast_probe: bool = True,
+    handles: list | None = None,
+) -> DataFrame:
+    """One row per snapshot doc: (id, dup_exact, dup_near, near_est).
+
+    ``dup_exact`` — the doc's digest is already indexed. ``dup_near`` —
+    some indexed doc shares an LSH band AND the signature-estimated
+    Jaccard reaches ``threshold``; ``near_est`` is the best such estimate
+    (NULL when no band candidate). On an exact-only index the near
+    columns are NULL. Candidate verification is pure column algebra:
+    ``zip_with`` equality over the two signatures — candidates are
+    LSH-bounded, so the arrays compared are a vanishing fraction of n².
+
+    The snapshot's signature/band frame is persisted (referenced by both
+    the candidate join and the verify join); the handle is appended to
+    ``handles`` for caller cleanup, or stays session-cached without."""
+    spark = docs.sparkSession
+    meta = read_index_meta(spark, path)
+    tiers = meta["tiers"].split(",")
+    out = docs.select(F.col(id_col))
+
+    snap = _digests(docs, text_col, id_col)
+    idx = spark.read.parquet(f"{path}/exact")
+    snap_keys = snap.select("content_hash").distinct()
+    hit = (
+        idx.join(_maybe_broadcast(snap_keys, broadcast_probe), "content_hash")
+        .select("content_hash")
+        .distinct()
+        .withColumn("_hit", F.lit(True))
+    )
+    exact_flags = snap.join(F.broadcast(hit), "content_hash", "left").select(
+        F.col("doc_id").alias(id_col),
+        F.coalesce("_hit", F.lit(False)).alias("dup_exact"),
+    )
+    out = out.join(exact_flags, id_col, "left")
+
+    if "near" in tiers:
+        nh = meta["num_hashes"]
+        sb = _sig_band_table(
+            docs,
+            text_col,
+            id_col,
+            meta["shingle_k"],
+            nh,
+            meta["bands"],
+            meta["seed"],
+        ).persist()
+        if handles is not None:
+            handles.append(sb)
+        snap_sigs = sb.filter("sig IS NOT NULL").select(
+            F.col("doc_id").alias("_snap"), F.col("sig").alias("_ssig")
+        )
+        snap_bands = sb.select(
+            "band", "band_hash", F.col("doc_id").alias("_snap")
+        )
+        idx_bands = spark.read.parquet(f"{path}/bands")
+        # candidates: index bands scanned against the broadcast snapshot
+        # band keys — the only index-wide pass, three pruned columns
+        cands = (
+            idx_bands.join(
+                _maybe_broadcast(snap_bands, broadcast_probe),
+                ["band", "band_hash"],
+            )
+            .select(F.col("doc_id").alias("_idx"), "_snap")
+            .distinct()
+        )
+        idx_sigs = spark.read.parquet(f"{path}/sigs").select(
+            F.col("doc_id").alias("_idx"), "sig"
+        )
+        est = (
+            idx_sigs.join(_maybe_broadcast(cands, broadcast_probe), "_idx")
+            .join(F.broadcast(snap_sigs), "_snap")
+            .select(
+                "_snap",
+                (
+                    F.size(
+                        F.filter(
+                            F.zip_with(
+                                "sig", "_ssig", lambda a, b: a == b
+                            ),
+                            lambda x: x,
+                        )
+                    )
+                    / F.lit(nh)
+                ).alias("_est"),
+            )
+            .groupBy("_snap")
+            .agg(F.max("_est").alias("near_est"))
+        )
+        near = est.select(
+            F.col("_snap").alias(id_col),
+            (F.col("near_est") >= threshold).alias("dup_near"),
+            "near_est",
+        )
+        out = out.join(near, id_col, "left").withColumn(
+            "dup_near", F.coalesce("dup_near", F.lit(False))
+        )
+    else:
+        out = out.withColumn("dup_near", F.lit(None).cast("boolean"))
+        out = out.withColumn("near_est", F.lit(None).cast("double"))
+    return out
+
+
+def dedup_incremental(
+    docs: DataFrame,
+    path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.7,
+    broadcast_probe: bool = True,
+    update: bool = False,
+    handles: list | None = None,
+) -> DataFrame:
+    """The composed snapshot step: keep only docs that duplicate nothing
+    already indexed; with ``update=True`` the survivors' keys are appended
+    so the NEXT snapshot probes against them too. In-snapshot duplicates
+    are deliberately out of scope — run the in-corpus operators
+    (exact_duplicates / minhash_lsh_pairs / curate) within the snapshot
+    first; this operator answers only the cross-snapshot question."""
+    flags = flag_against_index(
+        docs,
+        path,
+        text_col=text_col,
+        id_col=id_col,
+        threshold=threshold,
+        broadcast_probe=broadcast_probe,
+        handles=handles,
+    )
+    keep = flags.filter(
+        ~F.col("dup_exact") & ~F.coalesce(F.col("dup_near"), F.lit(False))
+    ).select(id_col)
+    survivors = docs.join(keep, id_col)
+    if update:
+        survivors = survivors.localCheckpoint(eager=True)
+        extend_corpus_index(survivors, path, text_col=text_col, id_col=id_col)
+    return survivors

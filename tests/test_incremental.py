@@ -1,0 +1,273 @@
+"""Incremental at-rest dedup index: write → probe → extend semantics,
+snapshot-vs-one-shot parity, an independent NumPy replay of the MinHash
+estimator, and the broadcast-probe plan contract (index side never
+shuffles)."""
+
+from __future__ import annotations
+
+import zlib
+
+import duckdb
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from pcap_converter_spark.operators import incremental as inc
+from pcap_converter_spark.operators.dedup import (
+    _MERSENNE31,
+    _minhash_params,
+    passage_table,
+)
+
+
+def _mk_docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def _corpus_a(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog near the river bank"),
+        (2, "pack my box with five dozen liquor jugs for the annual county fair"),
+        (3, "sphinx of black quartz judge my vow said the museum curator today"),
+        (4, "a completely unrelated treatise on the migration of arctic terns"),
+    ]
+    return _mk_docs(spark, rows)
+
+
+def _corpus_b(spark):
+    rows = [
+        # verbatim copy of A/1 → exact + near dup
+        (11, "the quick brown fox jumps over the lazy dog near the river bank"),
+        # near copy of A/2 (one word edited) → near dup, not exact
+        (12, "pack my box with five dozen liquor jugs for the annual village fair"),
+        # fresh content
+        (13, "entirely novel sentences about deep sea hydrothermal vent fauna"),
+        (14, "another new document describing alpine glacier mass balance trends"),
+    ]
+    return _mk_docs(spark, rows)
+
+
+@pytest.fixture()
+def index_path(spark, tmp_path):
+    p = str(tmp_path / "cidx")
+    inc.write_corpus_index(_corpus_a(spark), p)
+    return p
+
+
+def test_flag_exact_and_near(spark, index_path):
+    handles = []
+    flags = {
+        r["doc_id"]: r
+        for r in inc.flag_against_index(
+            _corpus_b(spark), index_path, threshold=0.5, handles=handles
+        ).collect()
+    }
+    assert flags[11]["dup_exact"] and flags[11]["dup_near"]
+    assert flags[11]["near_est"] == 1.0
+    assert not flags[12]["dup_exact"] and flags[12]["dup_near"]
+    assert 0.5 <= flags[12]["near_est"] < 1.0
+    for fresh in (13, 14):
+        assert not flags[fresh]["dup_exact"] and not flags[fresh]["dup_near"]
+        assert flags[fresh]["near_est"] is None
+    for h in handles:
+        h.unpersist()
+
+
+def test_exact_parity_with_duckdb(spark, index_path, tmp_path):
+    """dup_exact == 'digest appears in the indexed corpus', replayed
+    independently in DuckDB over the raw texts."""
+    a = _corpus_a(spark).toPandas()
+    b = _corpus_b(spark).toPandas()
+    con = duckdb.connect()
+    con.register("a", a)
+    con.register("b", b)
+    expected = dict(
+        con.execute(
+            "SELECT b.doc_id, bool_or(a.text IS NOT NULL) FROM b "
+            "LEFT JOIN a ON sha256(a.text) = sha256(b.text) "
+            "GROUP BY b.doc_id"
+        ).fetchall()
+    )
+    got = {
+        r["doc_id"]: r["dup_exact"]
+        for r in inc.flag_against_index(_corpus_b(spark), index_path).collect()
+    }
+    assert got == expected
+
+
+def _ref_sig(text: str, k: int, num_hashes: int, seed: int) -> np.ndarray:
+    """Independent NumPy replay of the signature the index stores."""
+    ws = text.lower().split()
+    if len(ws) < k:
+        sh = [" ".join(ws)]
+    else:
+        sh = list({" ".join(ws[i : i + k]) for i in range(len(ws) - k + 1)})
+    base = np.array([zlib.crc32(s.encode()) for s in sh], dtype=np.int64)
+    params = _minhash_params(num_hashes, seed)
+    A = np.array([a for a, _ in params], dtype=np.int64)[:, None]
+    B = np.array([b for _, b in params], dtype=np.int64)[:, None]
+    return ((A * (base[None, :] & _MERSENNE31) + B) % _MERSENNE31).min(axis=1)
+
+
+def test_near_estimate_matches_numpy_replay(spark, index_path):
+    """near_est for the edited doc equals the exact agreement fraction of
+    the two signatures, recomputed from scratch outside the module."""
+    meta = inc.read_index_meta(spark, index_path)
+    sig_a = _ref_sig(
+        "pack my box with five dozen liquor jugs for the annual county fair",
+        meta["shingle_k"], meta["num_hashes"], meta["seed"],
+    )
+    sig_b = _ref_sig(
+        "pack my box with five dozen liquor jugs for the annual village fair",
+        meta["shingle_k"], meta["num_hashes"], meta["seed"],
+    )
+    expected = float((sig_a == sig_b).mean())
+    got = {
+        r["doc_id"]: r["near_est"]
+        for r in inc.flag_against_index(
+            _corpus_b(spark), index_path, threshold=0.3
+        ).collect()
+    }
+    assert got[12] == pytest.approx(expected)
+
+
+def _table_rows(spark, path, cols):
+    return sorted(
+        tuple(r[c] for c in cols)
+        for r in spark.read.parquet(path).select(*cols).collect()
+    )
+
+
+def test_extend_equals_one_shot(spark, tmp_path):
+    """index(A) + extend(B) holds exactly the same key rows as
+    index(A ∪ B) written in one shot — append is lossless and
+    parameter-pinned."""
+    p_inc = str(tmp_path / "inc")
+    p_one = str(tmp_path / "one")
+    a, b = _corpus_a(spark), _corpus_b(spark)
+    inc.write_corpus_index(a, p_inc)
+    inc.extend_corpus_index(b, p_inc)
+    inc.write_corpus_index(a.unionByName(b), p_one)
+    for sub, cols in (
+        ("exact", ["content_hash", "doc_id"]),
+        ("bands", ["band", "band_hash", "doc_id"]),
+    ):
+        assert _table_rows(spark, f"{p_inc}/{sub}", cols) == _table_rows(
+            spark, f"{p_one}/{sub}", cols
+        ), sub
+    sigs_inc = {
+        r["doc_id"]: list(r["sig"])
+        for r in spark.read.parquet(f"{p_inc}/sigs").collect()
+    }
+    sigs_one = {
+        r["doc_id"]: list(r["sig"])
+        for r in spark.read.parquet(f"{p_one}/sigs").collect()
+    }
+    assert sigs_inc == sigs_one
+
+
+def test_dedup_incremental_update_chains_snapshots(spark, tmp_path):
+    """Snapshot chaining: B's survivors enter the index, so a C doc
+    duplicating a *B* survivor is caught by the next probe."""
+    p = str(tmp_path / "chain")
+    inc.write_corpus_index(_corpus_a(spark), p)
+    kept_b = inc.dedup_incremental(
+        _corpus_b(spark), p, threshold=0.5, update=True
+    )
+    assert sorted(r["doc_id"] for r in kept_b.collect()) == [13, 14]
+    c = _mk_docs(spark, [
+        # copy of B/13 — only findable because update=True indexed it
+        (21, "entirely novel sentences about deep sea hydrothermal vent fauna"),
+        (22, "genuinely fresh text about the thermoregulation of desert beetles"),
+    ])
+    kept_c = inc.dedup_incremental(c, p, threshold=0.5)
+    assert sorted(r["doc_id"] for r in kept_c.collect()) == [22]
+
+
+def test_exact_only_index_over_passages(spark, tmp_path):
+    """An exact-only index over passage_table windows: passage digests
+    cross snapshots, near tier absent → dup_near/near_est NULL."""
+    p = str(tmp_path / "pidx")
+    a_pas = passage_table(_corpus_a(spark), passage_words=4).withColumnRenamed(
+        "passage", "text"
+    )
+    inc.write_corpus_index(a_pas, p, tiers=("exact",))
+    b_pas = passage_table(_corpus_b(spark), passage_words=4).withColumnRenamed(
+        "passage", "text"
+    )
+    flags = {r["doc_id"]: r for r in inc.flag_against_index(b_pas, p).collect()}
+    assert flags[11]["dup_exact"]  # verbatim copy: every window indexed
+    assert all(r["dup_near"] is None and r["near_est"] is None
+               for r in flags.values())
+
+
+def test_exact_matches_occurrence_semantics(spark, tmp_path):
+    """exact_matches returns every occurrence on both sides of a shared
+    digest, tagged by origin."""
+    p = str(tmp_path / "occ")
+    inc.write_corpus_index(_corpus_a(spark), p, tiers=("exact",))
+    m = inc.exact_matches(_corpus_b(spark), p).collect()
+    by_origin = {}
+    for r in m:
+        by_origin.setdefault(r["origin"], []).append(r["doc_id"])
+    assert by_origin == {"index": [1], "snapshot": [11]}
+
+
+def _first_join_or_exchange_above(plan: str, scan_needle: str) -> str:
+    """Walk a physical-plan tree string from the scan line up its ancestor
+    chain (nearest line above with strictly smaller indentation) and
+    return the first ancestor that is a join or an exchange."""
+    lines = plan.splitlines()
+
+    def indent(ln: str) -> int:
+        return len(ln) - len(ln.lstrip(" :+|-*("))
+
+    hits = [i for i, ln in enumerate(lines)
+            if scan_needle in ln and "Scan parquet" in ln]
+    assert hits, plan
+    for i in hits:
+        d = indent(lines[i])
+        j = i
+        while j > 0:
+            j -= 1
+            if indent(lines[j]) < d:
+                d = indent(lines[j])
+                if "Join" in lines[j] or "Exchange" in lines[j]:
+                    return lines[j]
+    raise AssertionError(f"no join/exchange ancestor for {scan_needle}")
+
+
+def test_probe_plan_index_side_never_shuffles(spark, index_path):
+    """The broadcast-probe contract: each index table's scan feeds its
+    probe join DIRECTLY (BroadcastHashJoin, snapshot keys on the broadcast
+    side) — no Exchange between the 100 TB scan and the join. Downstream
+    exchanges only ever see matched/snapshot rows."""
+    flags = inc.flag_against_index(
+        _corpus_b(spark), index_path, broadcast_probe=True
+    )
+    plan = flags._jdf.queryExecution().executedPlan().toString()
+    # each index scan is identified by its PRUNED column list (the
+    # Location path is truncated in long plan strings) — which doubles as
+    # the column-pruning assertion: the exact scan reads only the digest
+    for sub, needle in (
+        ("exact", "[content_hash#"),
+        ("bands", "[band#"),
+        ("sigs", ",sig#"),
+    ):
+        anc = _first_join_or_exchange_above(plan, needle)
+        assert "BroadcastHashJoin" in anc, (sub, anc)
+
+
+def test_meta_version_gate(spark, tmp_path):
+    p = str(tmp_path / "vidx")
+    inc.write_corpus_index(_corpus_a(spark), p, tiers=("exact",))
+    bad = spark.read.parquet(f"{p}/meta").withColumn(
+        "version", F.lit(99)
+    )
+    bad.write.mode("overwrite").parquet(f"{p}/meta2")
+    import shutil
+
+    shutil.rmtree(f"{p}/meta")
+    shutil.move(f"{p}/meta2", f"{p}/meta")
+    with pytest.raises(ValueError, match="version"):
+        inc.read_index_meta(spark, p)
