@@ -101,6 +101,62 @@ def repetition_stats(
     )
 
 
+def line_repetition_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    sep: str = "\n",
+) -> DataFrame:
+    """Per-document LINE-level repetition — the other half of the Gopher
+    repetition family (``repetition_stats`` covers word n-grams; crawled
+    pages also repeat whole lines: nav items, cookie banners, footers).
+
+    Returns (id, dup_line_frac, dup_line_char_frac):
+
+    - ``dup_line_frac``      = fraction of line occurrences that are
+      repeats of an earlier identical line (1 − distinct/total).
+    - ``dup_line_char_frac`` = fraction of line CHARACTERS inside lines
+      occurring more than once — the form the published thresholds use
+      (a short line repeated 50× matters less than a long one).
+
+    Empty/whitespace-only lines are ignored (every crawled page has blank
+    separators; counting them as "duplicates" would flag everything).
+    Pass ``sep="\\n\\n"`` for paragraph granularity. Same scale shape as
+    ``repetition_stats``: explode → (doc, line) counts → per-doc reduce,
+    both shuffles partial-aggregated map-side. A doc with no non-empty
+    lines is ABSENT from the result (same contract as
+    ``repetition_stats``) — left-join and coalesce to 0.0 if every doc
+    needs a row."""
+    lines = df.select(
+        F.col(id_col),
+        F.explode(F.split(F.col(text_col), sep)).alias("_line"),
+    ).select(F.col(id_col), F.trim(F.col("_line")).alias("_line")).filter(
+        F.col("_line") != ""
+    )
+    per_line = lines.groupBy(id_col, "_line").agg(
+        F.count(F.lit(1)).alias("c"), F.length("_line").alias("chars")
+    )
+    return (
+        per_line.groupBy(id_col)
+        .agg(
+            F.sum("c").alias("total"),
+            F.count(F.lit(1)).alias("n_distinct"),
+            F.sum(F.when(F.col("c") > 1, F.col("c") * F.col("chars"))
+                  .otherwise(F.lit(0))).alias("dup_chars"),
+            F.sum(F.col("c") * F.col("chars")).alias("total_chars"),
+        )
+        .select(
+            id_col,
+            F.round(
+                F.lit(1.0) - F.col("n_distinct") / F.col("total"), 4
+            ).alias("dup_line_frac"),
+            F.round(F.col("dup_chars") / F.col("total_chars"), 4).alias(
+                "dup_line_char_frac"
+            ),
+        )
+    )
+
+
 def mean_word_len(text: Column) -> Column:
     """Mean characters per whitespace token (0.0 for empty documents)."""
     ws = words(text)

@@ -247,3 +247,48 @@ def test_vocab_build_and_encode(spark):
     }
     assert got[0] == [2, 2, 2, 1, 1, 0]
     assert got[1] == [1, 1, 0]
+
+
+def _py_line_rep(text: str, sep: str = "\n"):
+    import re
+
+    lines = [ln.strip() for ln in re.split(sep, text)]
+    lines = [ln for ln in lines if ln]
+    if not lines:
+        return None
+    from collections import Counter
+
+    c = Counter(lines)
+    total, distinct = len(lines), len(c)
+    dup_chars = sum(len(ln) * k for ln, k in c.items() if k > 1)
+    total_chars = sum(len(ln) * k for ln, k in c.items())
+    return (round(1.0 - distinct / total, 4), round(dup_chars / total_chars, 4))
+
+
+def test_line_repetition_stats_matches_python(spark):
+    docs = [
+        (1, "unique one\nunique two\nunique three"),
+        (2, "nav item\ncontent here\nnav item\nmore content\nnav item"),
+        (3, "same\nsame\nsame"),
+        (4, "  \n\n   "),  # nothing usable → absent
+        (5, "long repeated banner line here\nx\nlong repeated banner line here"),
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    got = {
+        r["doc_id"]: (r["dup_line_frac"], r["dup_line_char_frac"])
+        for r in quality.line_repetition_stats(df).collect()
+    }
+    expected = {d: _py_line_rep(t) for d, t in docs if _py_line_rep(t)}
+    assert set(got) == set(expected)
+    for d in expected:
+        assert got[d] == pytest.approx(expected[d]), d
+    # the char-weighted signal separates doc 5 (long line repeated) from a
+    # count-only view: 2 of 3 occurrences dup, but ~98% of chars dup
+    assert got[5][1] > got[5][0]
+
+
+def test_line_repetition_paragraph_granularity(spark):
+    text = "para one is here\n\npara two differs\n\npara one is here"
+    df = spark.createDataFrame([(1, text)], ["doc_id", "text"])
+    r = quality.line_repetition_stats(df, sep="\n\n").collect()[0]
+    assert r["dup_line_frac"] == pytest.approx(round(1 - 2 / 3, 4))
