@@ -109,7 +109,13 @@ def main() -> int:
 
     from pyspark.sql import functions as F
 
-    from pcap_converter_spark.operators import dedup, lm, packing, semdedup
+    from pcap_converter_spark.operators import (
+        dedup,
+        incremental,
+        lm,
+        packing,
+        semdedup,
+    )
     from pcap_converter_spark.session import get_spark
 
     spark = get_spark("scale-smoke")
@@ -173,6 +179,29 @@ def main() -> int:
     ).mode("overwrite").save()
 
     did = F.col("doc_id")
+
+    _incr_paths: dict[int, str] = {}
+
+    def _incr_index_for(d):
+        """At-rest index over the even half of ``d``, built once per frame
+        and OUTSIDE the timers (mk() evaluates before run()'s clock): the
+        write is the one-time cost of having an index; the probe is the
+        recurring cost the exponent guards."""
+        key = id(d)
+        if key not in _incr_paths:
+            import tempfile
+
+            p = tempfile.mkdtemp(prefix="smoke_cidx_")
+            incremental.write_corpus_index(d.filter(did % 2 == 0), p)
+            _incr_paths[key] = p
+        return _incr_paths[key]
+
+    def _mk_incr(d):
+        p = _incr_index_for(d)
+        return lambda: incremental.flag_against_index(
+            d.filter(did % 2 == 1), p, handles=pending
+        )
+
     ops = {
         "exact_dedup": lambda d: lambda: dedup.exact_duplicates(d),
         "passage_dedup": lambda d: lambda: dedup.passage_duplicates(
@@ -210,6 +239,10 @@ def main() -> int:
             "pcap_converter_spark.operators.pipeline", fromlist=["curate"]
         ).curate(d.filter(did % 83 != 0), d.filter(did % 83 == 0),
                   handles=pending),
+        # cross-snapshot probe against the at-rest index: even docs are
+        # "yesterday's corpus", odd docs today's snapshot; the exponent
+        # guards both probe joins as index AND snapshot double together
+        "incremental_probe": _mk_incr,
     }
     vec_ops = {
         "embed_lsh": lambda v: lambda: dedup.embedding_neardup_lsh(
