@@ -42,7 +42,7 @@ from pcap_converter_spark.operators.packing import pack_documents
 from pcap_converter_spark.operators.quality import (
     gopher_keep,
     mean_word_len,
-    repetition_stats,
+    token_ngrams,
 )
 
 
@@ -109,16 +109,30 @@ def curate(
             ).select(did, F.col("clean_text").alias(text_col))
         )
 
-    # stage 1: quality — pure projection + the 2-gram repetition aggregate
-    ws = TX.words(F.lower(t))
-    stats = docs.select(
+    # stage 1: quality — ONE pure projection, no shuffle. gopher_keep
+    # needs only the dup-2-gram FRACTION, which is array algebra
+    # (1 − array_distinct/size over the gram array, both JVM-native),
+    # not the full per-gram frequency table ``repetition_stats`` builds —
+    # computing it inline deletes that helper's two shuffles and the
+    # doc_id join from the funnel's critical path (and matches the
+    # oracle's unrounded ``count(DISTINCT gram)/count(*)`` form exactly).
+    # Tokens land in a projected column first so the gram slices reference
+    # an attribute (see quality.word_ngrams' PERF note).
+    toks = docs.select(did, t, TX.words(F.lower(t)).alias("_ws"))
+    ws = F.col("_ws")
+    grams = token_ngrams(ws, 2)
+    stats = toks.select(
         did,
         t,
-        TX.token_count(t).alias("_nt"),
+        F.size(ws).alias("_nt"),
         mean_word_len(t).alias("_mwl"),
         TX.punct_ratio(t).alias("_pr"),
         TX.stopword_hits_t(ws, "en").alias("_sh"),
-    ).join(repetition_stats(docs, text_col=text_col, id_col=id_col), id_col)
+        (
+            F.lit(1.0)
+            - F.size(F.array_distinct(grams)) / F.size(grams)
+        ).alias("dup_ngram_frac"),
+    )
     quality = _stage(stats.select(
         did,
         t,
