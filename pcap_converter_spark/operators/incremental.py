@@ -225,6 +225,40 @@ def extend_corpus_index(
         )
 
 
+def compact_corpus_index(
+    spark: SparkSession,
+    path: str,
+    files_per_table: int = 32,
+) -> None:
+    """Rewrite each index table into ``files_per_table`` files.
+
+    Every ``extend_corpus_index`` append adds a task's worth of small
+    files; after months of daily snapshots the exact table is thousands of
+    kilobyte files and the probe's scan pays per-file open cost (the
+    classic small-files problem). Compaction is the standard maintenance
+    pass: read → repartition → write to a staging dir → atomic swap, so a
+    concurrent reader sees either the old or the new layout, never a
+    half-written one. Row content is untouched (tested); run it whenever
+    file count ≫ files_per_table."""
+    import shutil
+
+    meta = read_index_meta(spark, path)
+    tiers = meta["tiers"].split(",")
+    tables = (["exact"] if "exact" in tiers else []) + (
+        ["sigs", "bands"] if "near" in tiers else []
+    )
+    for sub in tables:
+        src = f"{path}/{sub}"
+        stage = f"{path}/.{sub}.compact"
+        spark.read.parquet(src).repartition(files_per_table).write.mode(
+            "overwrite"
+        ).parquet(stage)
+        old = f"{path}/.{sub}.old"
+        shutil.move(src, old)
+        shutil.move(stage, src)
+        shutil.rmtree(old)
+
+
 def _maybe_broadcast(df: DataFrame, broadcast_probe: bool) -> DataFrame:
     return F.broadcast(df) if broadcast_probe else df
 

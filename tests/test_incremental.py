@@ -271,3 +271,63 @@ def test_meta_version_gate(spark, tmp_path):
     shutil.move(f"{p}/meta2", f"{p}/meta")
     with pytest.raises(ValueError, match="version"):
         inc.read_index_meta(spark, p)
+
+
+def test_compaction_preserves_content_and_shrinks_files(spark, tmp_path):
+    """Many appends → many files; compaction rewrites to the target file
+    count with identical rows, and the probe answers identically."""
+    import glob
+
+    p = str(tmp_path / "cmp")
+    inc.write_corpus_index(_corpus_a(spark), p)
+    for i in range(4):
+        inc.extend_corpus_index(
+            _mk_docs(spark, [(100 + i, f"filler snapshot number {i} content")]),
+            p,
+        )
+    before = {
+        sub: _table_rows(spark, f"{p}/{sub}", ["doc_id"])
+        for sub in ("exact", "sigs", "bands")
+    }
+    flags_before = sorted(
+        map(tuple, inc.flag_against_index(_corpus_b(spark), p).collect())
+    )
+    n_files = len(glob.glob(f"{p}/exact/*.parquet"))
+    inc.compact_corpus_index(spark, p, files_per_table=2)
+    assert len(glob.glob(f"{p}/exact/*.parquet")) <= 2 < n_files
+    for sub in ("exact", "sigs", "bands"):
+        assert _table_rows(spark, f"{p}/{sub}", ["doc_id"]) == before[sub], sub
+    flags_after = sorted(
+        map(tuple, inc.flag_against_index(_corpus_b(spark), p).collect())
+    )
+    assert flags_after == flags_before
+
+
+def test_fuzz_exact_probe_is_set_membership(spark):
+    """Property: dup_exact over random snapshots is exactly Python set
+    membership of the text — for any split, any duplicate structure."""
+    import random
+
+    rng = random.Random(20260814)
+    vocab = [f"t{i}" for i in range(30)]
+    texts = [
+        " ".join(rng.choices(vocab, k=rng.randint(1, 12))) for _ in range(60)
+    ]
+    # force duplicate structure across the split
+    texts += texts[:15]
+    rng.shuffle(texts)
+    half = len(texts) // 2
+    idx_rows = [(i, t) for i, t in enumerate(texts[:half])]
+    snap_rows = [(1000 + i, t) for i, t in enumerate(texts[half:])]
+    import tempfile
+
+    p = tempfile.mkdtemp() + "/fuzzidx"
+    inc.write_corpus_index(
+        _mk_docs(spark, idx_rows), p, tiers=("exact",)
+    )
+    indexed = {t for _, t in idx_rows}
+    got = {
+        r["doc_id"]: r["dup_exact"]
+        for r in inc.flag_against_index(_mk_docs(spark, snap_rows), p).collect()
+    }
+    assert got == {i: (t in indexed) for i, t in snap_rows}

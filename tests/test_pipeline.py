@@ -296,3 +296,64 @@ def test_curate_semantic_stage(spark):
     # no benchmark: 3 neardup survivors enter semantic, 2 leave
     assert (rep["semantic"]["n_entered"], rep["semantic"]["n_kept"]) == (3, 2)
     assert (rep["decon"]["n_entered"], rep["decon"]["n_kept"]) == (2, 2)
+
+
+def test_rolling_snapshot_wet_incremental_end_to_end(spark, tmp_path):
+    """The rolling-crawl story: day-1 WET text is curated and INDEXED at
+    rest; day-2's snapshot probes the index — verbatim refetches and
+    near-identical re-renders drop WITHOUT touching day-1's corpus again,
+    and only the genuinely new pages extend the index for day 3."""
+    from fixtures import warcgen as wg
+    from pcap_converter_spark.operators import incremental as inc
+    from pcap_converter_spark.sources.warc import (
+        conversions_as_documents,
+        read_warc,
+    )
+
+    def wet(path, pages):
+        recs = [wg.record("warcinfo", b"software: wet\r\n")]
+        for url, text in pages:
+            recs.append(wg.record(
+                "conversion", text.encode(), uri=url,
+                rec_id=f"<urn:uuid:{url}>", content_type="text/plain",
+            ))
+        wg.write_warc(path, recs, gzipped=True)
+
+    def prose(tag, i):
+        mids = " ".join(f"{tag}{i}w{j}" for j in range(18))
+        return f"the {tag} doc {i} is a mix of {mids} in the end"
+
+    day1_pages = [(f"https://s.org/d1/{i}", prose("one", i)) for i in range(10)]
+    p1 = str(tmp_path / "day1.wet.gz")
+    wet(p1, day1_pages)
+    day1 = conversions_as_documents(read_warc(spark, p1))
+
+    idx = str(tmp_path / "corpus_index")
+    inc.write_corpus_index(day1, idx)
+
+    # day 2: 2 verbatim refetches, 1 near-rerender (one word differs in
+    # ~16 shingles), 3 new pages
+    rerender = prose("one", 3).replace("one3w9", "one3w9x")
+    day2_pages = (
+        [(u, t) for u, t in day1_pages[:2]]
+        + [("https://s.org/d2/re3", rerender)]
+        + [(f"https://s.org/d2/{i}", prose("two", i)) for i in range(3)]
+    )
+    p2 = str(tmp_path / "day2.wet.gz")
+    wet(p2, day2_pages)
+    day2 = conversions_as_documents(read_warc(spark, p2))
+
+    kept = inc.dedup_incremental(day2, idx, threshold=0.5, update=True)
+    kept_urls = sorted(r["url"] for r in kept.collect())
+    assert kept_urls == [f"https://s.org/d2/{i}" for i in range(3)]
+
+    # day 3 refetching a day-2 page is caught — the index rolled forward
+    p3 = str(tmp_path / "day3.wet.gz")
+    wet(p3, [("https://s.org/d3/re", prose("two", 1)),
+             ("https://s.org/d3/new", prose("three", 0))])
+    day3 = conversions_as_documents(read_warc(spark, p3))
+    kept3 = sorted(
+        r["url"]
+        for r in inc.dedup_incremental(day3, idx, threshold=0.5).collect()
+    )
+    assert kept3 == ["https://s.org/d3/new"]
