@@ -76,11 +76,14 @@ def main() -> int:
         from pcap_converter_spark.operators.registry import (
             _incr_index_path,
             _ivf_rest_path,
+            _pq_rest_path,
         )
 
         _ivf_rest_path(spark, sf_dir)
-        # same contract for the incremental-dedup corpus index probed by
-        # ex_dedup_exact's 'incr' tier: the timed entry measures the PROBE
+        # same contract for the IVF-PQ index (ex_sim_topk 'pq_rest') and
+        # the incremental-dedup corpus index (ex_dedup_exact 'incr'):
+        # one-time at-rest builds, untimed; the entries time the PROBES
+        _pq_rest_path(spark, sf_dir)
         _incr_index_path(spark, sf_dir)
     except Exception:
         pass

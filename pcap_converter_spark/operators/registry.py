@@ -833,6 +833,54 @@ WHERE cl IN (
 ORDER BY cos_sim DESC, vec_id LIMIT 10
 """
 
+# --- IVF-PQ tier: the SQL twin re-derives the ENTIRE product-quantization
+# mechanics from the literal codebooks — per-subvector L2 argmin encode
+# (first-occurrence min == lowest-index tie-break, the ivf_assign pattern),
+# then ADC scoring: the selected codebook row dotted against the query
+# slice, per-subvector terms summed left-to-right, normalized by the
+# recomputed vector norm (the Spark side reads vnorm from the at-rest
+# index — hash equality proves the stored norm too).
+_SIM_CBS = similarity.fixed_codebooks(_SIM_DIM, 8, 16, seed=42)
+_PQ_M, _PQ_KS, _PQ_DSUB = _SIM_CBS.shape
+
+
+def _cb_sql(j: int) -> str:
+    return "[" + ", ".join(_vec_sql(c) for c in _SIM_CBS[j]) + "]"
+
+
+def _pq_d2(j: int) -> str:
+    off = j * _PQ_DSUB
+    terms = " + ".join(
+        f"(e[{off + d + 1}] - c[{d + 1}]) * (e[{off + d + 1}] - c[{d + 1}])"
+        for d in range(_PQ_DSUB)
+    )
+    return f"list_transform({_cb_sql(j)}, c -> {terms})"
+
+
+_PQ_ADC = " + ".join(
+    f"list_dot_product(list_slice(qv, {j * _PQ_DSUB + 1}, {(j + 1) * _PQ_DSUB}), "
+    f"{_cb_sql(j)}[list_position(d2_{j}, list_min(d2_{j}))])"
+    for j in range(_PQ_M)
+)
+
+_SIM_PQ_SQL = f"""
+SELECT vec_id,
+       round(CASE WHEN vn > 0
+                  THEN ({_PQ_ADC}) / (vn * sqrt(list_dot_product(qv, qv)))
+             END, 4) AS cos_sim
+FROM (
+  SELECT vec_id, e, qv, sqrt(list_dot_product(e, e)) AS vn,
+         {", ".join(f"{_pq_d2(j)} AS d2_{j}" for j in range(_PQ_M))},
+         CAST(list_position(dots, list_max(dots)) - 1 AS INT) AS cl
+  FROM (SELECT vec_id, e, qv, [{_IVF_DOTS}] AS dots
+        FROM (SELECT vec_id, embedding::DOUBLE[] AS e, qv
+              FROM embeddings, q) t0) t1) t
+WHERE cl IN (
+  SELECT cl FROM (VALUES {_IVF_CENT_VALUES}) AS c(cl, cv), q
+  ORDER BY list_dot_product(cv, qv) DESC, cl LIMIT {_SIM_NPROBE})
+ORDER BY cos_sim DESC, vec_id LIMIT 10
+"""
+
 _SIM_QUANT_SQL = """
 SELECT vec_id,
        round(CASE WHEN da > 0 AND db > 0
@@ -860,6 +908,7 @@ SELECT 'ann_lsh' AS tier, * FROM ({_SIM_ANN_SQL}) a
 UNION ALL SELECT 'exact' AS tier, * FROM ({_SIM_EXACT_SQL}) b
 UNION ALL SELECT 'ivf' AS tier, * FROM ({_SIM_IVF_SQL}) c
 UNION ALL SELECT 'ivf_rest' AS tier, * FROM ({_SIM_IVF_SQL}) e
+UNION ALL SELECT 'pq_rest' AS tier, * FROM ({_SIM_PQ_SQL}) f
 UNION ALL SELECT 'quant' AS tier, * FROM ({_SIM_QUANT_SQL}) d
 ORDER BY tier, cos_sim DESC, vec_id
 """
@@ -885,14 +934,37 @@ def _ivf_rest_path(spark: SparkSession, sf_dir: str) -> str:
     return path
 
 
+# materialized IVF-PQ index per (session, sf_dir): codes + vnorm only,
+# probed by the 'pq_rest' tier; same lifecycle as the IVF index
+_PQ_REST_CACHE: dict[tuple[str, str], str] = {}
+
+
+def _pq_rest_path(spark: SparkSession, sf_dir: str) -> str:
+    import atexit
+    import shutil
+    import tempfile
+
+    key = _session_key(spark, sf_dir)
+    path = _PQ_REST_CACHE.get(key)
+    if path is None:
+        path = tempfile.mkdtemp(prefix="pq_index_")
+        similarity.pq_write(_embs(spark, sf_dir), _SIM_CENTS, _SIM_CBS, path)
+        _PQ_REST_CACHE[key] = path
+        atexit.register(shutil.rmtree, path, ignore_errors=True)
+    return path
+
+
 def run_sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Cosine top-k, all five tiers in one tagged hash-checked result:
+    """Cosine top-k, all six tiers in one tagged hash-checked result:
     exact scan→TakeOrderedAndProject; ANN via hyperplane bucket + hamming-1
     multiprobe (scans ~9/256 of the corpus); IVF probe over fixed literal
     centroids (scans nprobe/8 of the corpus); the SAME probe against the
     MATERIALIZED cluster-partitioned index (tier 'ivf_rest' — a
-    directory-pruned scan that must produce the identical answer); and
-    int8-quantized top-k (similarity.quantized_topk — the 4×-compressed
+    directory-pruned scan that must produce the identical answer);
+    'pq_rest' — the IVF-PQ layout (similarity.pq_write/pq_topk_at_rest:
+    per-subvector codes + vnorm at rest, raw vectors absent, ADC cosine
+    estimate over literal codebooks); and int8-quantized top-k
+    (similarity.quantized_topk — the 4×-compressed
     at-rest representation scored with integer dot products). The oracle
     recomputes each tier's own bucketing/probing/quantization, so
     correctness of the approximation MECHANICS is what is hash-checked."""
@@ -913,6 +985,14 @@ def run_sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, _ivf_rest_path(spark, sf_dir), _SIM_CENTS, qv,
         k=10, nprobe=_SIM_NPROBE,
     ).withColumn("tier", F.lit("ivf_rest"))
+    # tier 'pq_rest': ADC probe of the materialized IVF-PQ index (codes +
+    # vnorm only, no raw vectors at rest) — the oracle re-derives encode +
+    # ADC from the same literal codebooks, so a hash match proves the
+    # 64×-compressed layout scores exactly as specified
+    pq = similarity.pq_topk_at_rest(
+        spark, _pq_rest_path(spark, sf_dir), _SIM_CENTS, _SIM_CBS, qv,
+        k=10, nprobe=_SIM_NPROBE,
+    ).withColumn("tier", F.lit("pq_rest"))
     quant = similarity.quantized_topk(emb, qv, k=10).withColumn(
         "tier", F.lit("quant")
     )
@@ -920,6 +1000,7 @@ def run_sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         exact.unionByName(ann)
         .unionByName(ivf)
         .unionByName(rest)
+        .unionByName(pq)
         .unionByName(quant)
         .select("tier", "vec_id", "cos_sim")
         .orderBy("tier", F.col("cos_sim").desc(), "vec_id")

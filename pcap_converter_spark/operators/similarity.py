@@ -379,6 +379,182 @@ def ivf_topk_at_rest(
     )
 
 
+def fixed_codebooks(
+    dim: int, m: int = 8, ks: int = 16, seed: int = 42
+) -> np.ndarray:
+    """Deterministic PQ codebooks (m × ks × dim/m) from a seeded RNG — the
+    'given codebooks' form of the product-quantization path, the same
+    contract as ``fixed_centroids``: encode/probe are pure functions of
+    (codebooks, data), so the driver oracle can bake these as SQL literals
+    and re-derive the whole IVF-PQ mechanics; ``pq_train`` quality is
+    pytest-verified separately via recall bounds."""
+    if dim % m:
+        raise ValueError("m must divide dim")
+    return np.random.default_rng(seed).standard_normal((m, ks, dim // m))
+
+
+def pq_train(
+    df: DataFrame,
+    m: int = 8,
+    ks: int = 16,
+    sample_size: int = 4096,
+    n_iters: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> np.ndarray:
+    """Train product-quantization codebooks: dim splits into ``m``
+    subvectors, each quantized to ``ks`` centroids by L2 k-means — the
+    IVF-PQ index stores ⌈log2 ks⌉·m bits per vector instead of 4·dim
+    bytes (dim=64, m=8, ks=16: 8 bytes vs 256, a 32× compression).
+
+    Same build contract as ``ivf_train``: a bounded deterministic sample
+    to the driver, NumPy Lloyd per subvector (argmin tie-break = lowest
+    index, the same rule the encode expression uses). Returns
+    (m, ks, dim/m) codebooks."""
+    rows = df.orderBy(id_col).limit(sample_size).select(vec_col).collect()
+    X = np.stack([np.asarray(r[0], dtype=np.float64) for r in rows])
+    dim = X.shape[1]
+    if dim % m:
+        raise ValueError("m must divide dim")
+    dsub = dim // m
+    rng = np.random.default_rng(seed)
+    books = []
+    for j in range(m):
+        S = X[:, j * dsub : (j + 1) * dsub]
+        C = S[rng.choice(len(S), size=min(ks, len(S)), replace=False)].copy()
+        for _ in range(n_iters):
+            d2 = ((S[:, None, :] - C[None, :, :]) ** 2).sum(-1)
+            a = d2.argmin(1)
+            for c in range(len(C)):
+                members = S[a == c]
+                if len(members):
+                    C[c] = members.mean(0)
+        books.append(C)
+    return np.stack(books)
+
+
+def _sq_l2(sub, centroid: list[float]):
+    """Σ (aᵢ−cᵢ)² in double, left-to-right — the encode metric, written so
+    a SQL twin ((e[d]−c[d])*(e[d]−c[d]) summed in order) folds the floats
+    identically."""
+    return F.aggregate(
+        F.zip_with(
+            sub,
+            literal_vector(centroid),
+            lambda a, b: (a.cast("double") - b) * (a.cast("double") - b),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def pq_assign(
+    df: DataFrame,
+    codebooks: np.ndarray,
+    vec_col: str = "embedding",
+    out_col: str = "pq_code",
+) -> DataFrame:
+    """Attach the m-entry code array (``array<int>``, values 0..ks−1): per
+    subvector, the L2-nearest codebook entry, lowest index on ties — a
+    pure JVM projection over plan-literal codebooks (the ``ivf_assign``
+    pattern: no shuffle, no Python, exactly reproducible in SQL)."""
+    m, ks, dsub = codebooks.shape
+    codes = []
+    for j in range(m):
+        sub = F.slice(F.col(vec_col), j * dsub + 1, dsub)
+        d2s = F.array(
+            *[_sq_l2(sub, [float(x) for x in codebooks[j][c]]) for c in range(ks)]
+        )
+        codes.append((F.array_position(d2s, F.array_min(d2s)) - 1).cast("int"))
+    return df.withColumn(out_col, F.array(*codes))
+
+
+def pq_write(
+    df: DataFrame,
+    centroids: np.ndarray,
+    codebooks: np.ndarray,
+    out: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    files_per_cluster: int = 1,
+) -> None:
+    """Materialize an IVF-PQ index AT REST — the standard web-scale ANN
+    layout (coarse quantizer prunes directories, product codes replace the
+    vectors): one row per vector holding ONLY (id, vnorm, pq_code),
+    Hive-partitioned by the IVF ``_cluster``. The raw embedding does NOT
+    ride along — at 100 TB that is the point: the index is ~32× smaller
+    than the corpus vectors, and a probe reads nprobe directories of
+    byte-codes. ``vnorm`` (one double) is kept so ADC scores normalize to
+    a cosine estimate. Same co-location/salting story as ``ivf_write``."""
+    from pcap_converter_spark.io.sinks import write_partitioned
+
+    assigned = ivf_assign(df, centroids, vec_col)
+    coded = pq_assign(assigned, codebooks, vec_col)
+    slim = coded.select(
+        id_col,
+        norm(F.col(vec_col)).alias("vnorm"),
+        "pq_code",
+        "_cluster",
+    )
+    if files_per_cluster <= 1:
+        slim = slim.repartition(F.col("_cluster"))
+    else:
+        salt = F.pmod(F.xxhash64(F.col("pq_code")), F.lit(int(files_per_cluster)))
+        slim = slim.repartition(F.col("_cluster"), salt)
+    write_partitioned(slim, out, ["_cluster"])
+
+
+def pq_topk_at_rest(
+    spark,
+    index_path: str,
+    centroids: np.ndarray,
+    codebooks: np.ndarray,
+    query_vec: list[float],
+    k: int = 10,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """ADC probe of a materialized IVF-PQ index: scan only the ``nprobe``
+    nearest cluster directories (static partition filter, directories
+    pruned before I/O), score each row as
+    Σⱼ qⱼ·codebook[j][codeⱼ] / (vnorm·|q|) — the asymmetric-distance
+    cosine estimate — and take k. Scoring is a pure column expression:
+    the per-subvector term selects a literal codebook row by the stored
+    byte (``element_at`` over an array-of-arrays literal) and dots it
+    against the literal query slice; no raw vectors are read because none
+    are stored. Approximate on two axes (cluster pruning + quantization);
+    recall is pytest-bounded with trained codebooks, while the driver
+    oracle re-derives these exact mechanics."""
+    q = np.asarray(query_vec, dtype=np.float64)
+    qn = q / np.linalg.norm(q)
+    probes = [int(p) for p in np.argsort(-(centroids @ qn))[:nprobe]]
+    m, ks, dsub = codebooks.shape
+    terms = []
+    for j in range(m):
+        cbj = F.array(
+            *[
+                literal_vector([float(x) for x in codebooks[j][c]])
+                for c in range(ks)
+            ]
+        )
+        sel = F.element_at(cbj, F.col("pq_code").getItem(j) + 1)
+        qsub = [float(x) for x in query_vec[j * dsub : (j + 1) * dsub]]
+        terms.append(dot(literal_vector(qsub), sel))
+    adc = terms[0]
+    for t in terms[1:]:
+        adc = adc + t
+    qnorm = norm(literal_vector([float(x) for x in query_vec]))
+    score = F.when(F.col("vnorm") > 0, adc / (F.col("vnorm") * qnorm))
+    return (
+        spark.read.parquet(index_path)
+        .filter(F.col("_cluster").isin(probes))
+        .select(F.col(id_col), F.round(score, 4).alias("cos_sim"))
+        .orderBy(F.col("cos_sim").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
 def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> np.ndarray:
     return np.random.default_rng(seed).standard_normal((n_planes, dim))
 

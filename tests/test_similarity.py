@@ -150,3 +150,67 @@ def test_ivf_write_salted_matches_unsalted(spark, emb_df, tmp_path):
             for d in dirs
         )
     assert nfiles(p4, dirs4) > nfiles(p1, dirs1)
+
+
+def test_pq_assign_matches_numpy_argmin(spark, emb_df):
+    """Encode codes == NumPy per-subvector L2 argmin (lowest-index ties)."""
+    cbs = similarity.fixed_codebooks(DIM, m=4, ks=8, seed=3)
+    rows = similarity.pq_assign(emb_df, cbs).select(
+        "vec_id", "embedding", "pq_code"
+    ).collect()
+    dsub = DIM // 4
+    for r in rows:
+        x = np.asarray(r["embedding"], dtype=np.float64)
+        exp = [
+            int(((x[j * dsub : (j + 1) * dsub][None, :] - cbs[j]) ** 2)
+                .sum(1).argmin())
+            for j in range(4)
+        ]
+        assert exp == list(r["pq_code"]), r["vec_id"]
+
+
+def test_pq_train_deterministic_and_shaped(spark, emb_df):
+    a = similarity.pq_train(emb_df, m=4, ks=8, sample_size=50)
+    b = similarity.pq_train(emb_df, m=4, ks=8, sample_size=50)
+    assert a.shape == (4, 8, DIM // 4)
+    assert np.array_equal(a, b)
+
+
+def test_pq_at_rest_layout_and_recall(spark, emb_df, tmp_path):
+    """The IVF-PQ index stores codes + norm only (no raw vectors); a
+    full-probe ADC top-k with TRAINED codebooks recovers the planted
+    exact-duplicate family and a usable share of the true top-10."""
+    cents = similarity.fixed_centroids(DIM, 4, seed=42)
+    cbs = similarity.pq_train(emb_df, m=4, ks=16, sample_size=60)
+    p = str(tmp_path / "pqidx")
+    similarity.pq_write(emb_df, cents, cbs, p)
+    stored = spark.read.parquet(p)
+    assert set(stored.columns) == {"vec_id", "vnorm", "pq_code", "_cluster"}
+    q = [float(np.float32(x)) for x in VECS[0]]
+    got = similarity.pq_topk_at_rest(
+        spark, p, cents, cbs, q, k=10, nprobe=4
+    ).collect()
+    ids = [r["vec_id"] for r in got]
+    # vec 1 is vec 0 scaled (identical codes, cosine 1) — ADC must rank the
+    # duplicate family at the top
+    assert {0, 1} <= set(ids[:4])
+    exact = {r["vec_id"]
+             for r in similarity.cosine_topk(emb_df, q, k=10).collect()}
+    assert len(exact & set(ids)) >= 3
+
+
+def test_pq_probe_prunes_partitions(spark, emb_df, tmp_path):
+    """nprobe < C: the probe's scan carries a _cluster partition filter
+    and reads fewer directories than exist."""
+    cents = similarity.fixed_centroids(DIM, 4, seed=42)
+    cbs = similarity.fixed_codebooks(DIM, m=4, ks=8, seed=3)
+    p = str(tmp_path / "pqpr")
+    similarity.pq_write(emb_df, cents, cbs, p)
+    q = [float(np.float32(x)) for x in VECS[5]]
+    probe = similarity.pq_topk_at_rest(spark, p, cents, cbs, q, k=5, nprobe=2)
+    plan = probe._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    import re
+
+    m = re.search(r"PartitionFilters: \[([^\]]*)", plan)
+    assert m and "_cluster" in m.group(1), plan
