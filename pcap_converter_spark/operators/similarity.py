@@ -379,6 +379,69 @@ def ivf_topk_at_rest(
     )
 
 
+def ivf_topk_batch(
+    queries: DataFrame,
+    corpus: DataFrame,
+    centroids: np.ndarray,
+    k: int = 10,
+    nprobe: int = 4,
+    q_id_col: str = "query_id",
+    q_vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    assign_corpus: bool = True,
+) -> DataFrame:
+    """Top-k for MANY queries in one job — the batch-retrieval shape
+    (embedding-dedup joins, RAG eval sweeps) where looping
+    ``ivf_topk`` per query would schedule |Q| jobs.
+
+    Plan: each query ranks the literal centroids (pure projection; struct
+    sort (−dot, cluster) keeps the single-query tie-break) and EXPLODES
+    into its ``nprobe`` probe clusters; the corpus/index side joins that
+    small exploded frame BROADCAST on ``_cluster`` — the corpus is only
+    scanned, and when ``corpus`` is the materialized IVF index
+    (``ivf_write`` output, ``assign_corpus=False``) the broadcast join on
+    the partition column lets dynamic partition pruning skip unprobed
+    cluster directories entirely (plan-audit-tested). Per-query top-k is
+    a row_number window over the LSH-bounded candidate set (|Q|·nprobe/C
+    of the corpus — the output-bound stage; AQE handles query skew).
+
+    Returns (q_id_col, vec_id, cos_sim, rank), rank 1..k per query."""
+    from pyspark.sql import Window
+
+    entries = []
+    qv = F.col("_qv")
+    for i, c in enumerate(centroids):
+        entries.append(
+            F.struct(
+                (-dot(qv, literal_vector([float(x) for x in c]))).alias("nd"),
+                F.lit(i).alias("cl"),
+            )
+        )
+    probe_arr = F.transform(
+        F.slice(F.array_sort(F.array(*entries)), 1, nprobe),
+        lambda s: s["cl"].cast("int"),
+    )
+    probed = queries.select(
+        F.col(q_id_col), F.col(q_vec_col).alias("_qv")
+    ).select(
+        q_id_col, "_qv", F.explode(probe_arr).alias("_cluster")
+    )
+    side = ivf_assign(corpus, centroids, vec_col) if assign_corpus else corpus
+    scored = side.join(F.broadcast(probed), "_cluster").select(
+        F.col(q_id_col),
+        F.col(id_col),
+        F.round(cosine(F.col(vec_col), F.col("_qv")), 4).alias("cos_sim"),
+    )
+    w = Window.partitionBy(q_id_col).orderBy(
+        F.col("cos_sim").desc(), F.col(id_col)
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
 def fixed_codebooks(
     dim: int, m: int = 8, ks: int = 16, seed: int = 42
 ) -> np.ndarray:

@@ -214,3 +214,47 @@ def test_pq_probe_prunes_partitions(spark, emb_df, tmp_path):
 
     m = re.search(r"PartitionFilters: \[([^\]]*)", plan)
     assert m and "_cluster" in m.group(1), plan
+
+
+def test_ivf_topk_batch_matches_per_query_loop(spark, emb_df):
+    """One batched job == looping ivf_topk per query (same probes, same
+    scores, same tie-breaks)."""
+    cents = similarity.fixed_centroids(DIM, 4, seed=42)
+    queries = emb_df.filter("vec_id < 3").withColumnRenamed(
+        "vec_id", "query_id"
+    )
+    batch = similarity.ivf_topk_batch(
+        queries, emb_df, cents, k=5, nprobe=2
+    ).collect()
+    got = {}
+    for r in batch:
+        got.setdefault(r["query_id"], []).append((r["vec_id"], r["cos_sim"]))
+    for qid in (0, 1, 2):
+        q = [float(np.float32(x)) for x in VECS[qid]]
+        exp = [(r["vec_id"], r["cos_sim"]) for r in similarity.ivf_topk(
+            emb_df, cents, q, k=5, nprobe=2).collect()]
+        assert got[qid] == exp, qid
+
+
+def test_ivf_topk_batch_at_rest_prunes_dynamically(spark, emb_df, tmp_path):
+    """Against the materialized index, the broadcast join on the partition
+    column triggers dynamic partition pruning — the index scan carries a
+    dynamicpruning partition filter, so unprobed cluster directories are
+    never read."""
+    cents = similarity.fixed_centroids(DIM, 4, seed=42)
+    p = str(tmp_path / "ivf_batch")
+    similarity.ivf_write(emb_df, cents, p)
+    queries = emb_df.filter("vec_id IN (0, 7)").withColumnRenamed(
+        "vec_id", "query_id"
+    )
+    out = similarity.ivf_topk_batch(
+        queries, spark.read.parquet(p), cents, k=3, nprobe=1,
+        assign_corpus=False,
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower(), plan
+    # and the answers match the assign-on-the-fly path
+    rows_rest = sorted(map(tuple, out.collect()))
+    rows_mem = sorted(map(tuple, similarity.ivf_topk_batch(
+        queries, emb_df, cents, k=3, nprobe=1).collect()))
+    assert rows_rest == rows_mem
