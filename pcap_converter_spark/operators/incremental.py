@@ -269,15 +269,23 @@ def exact_matches(
     text_col: str = "text",
     id_col: str = "doc_id",
     broadcast_probe: bool = True,
+    handles: list | None = None,
 ) -> DataFrame:
     """(content_hash, doc_id, origin) for every occurrence — indexed or in
     the snapshot — of a digest present on BOTH sides. The grouped view of
     cross-snapshot exact duplication (the driver's hash-checked 'incr'
     tier builds on this). Plan shape: the index scan reads two pruned
     columns and joins against the BROADCAST distinct snapshot digests —
-    no index-side Exchange (plan-audit-tested)."""
+    no index-side Exchange (plan-audit-tested).
+
+    The snapshot digest frame is referenced three times (the broadcast key
+    build and both union branches), so it is persisted — appended to
+    ``handles`` for caller cleanup, session-cached without; digest rows
+    only, never text."""
     spark = docs.sparkSession
-    snap = _digests(docs, text_col, id_col)
+    snap = _digests(docs, text_col, id_col).persist()
+    if handles is not None:
+        handles.append(snap)
     idx = spark.read.parquet(f"{path}/exact")
     snap_keys = snap.select("content_hash").distinct()
     # digests on both sides: small by construction (bounded by the overlap)

@@ -473,12 +473,14 @@ def run_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         "dup_count",
         "doc_ids",
     )
+    handles: list = []
     odd_pas = dedup.passage_table(
         docs.filter(did % 2 == 1), passage_words=4
     )
     inc_tier = (
         incremental.exact_matches(
-            odd_pas, _incr_index_path(spark, sf_dir), text_col="passage"
+            odd_pas, _incr_index_path(spark, sf_dir), text_col="passage",
+            handles=handles,
         )
         .groupBy("content_hash")
         .agg(
@@ -498,7 +500,7 @@ def run_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     # doc_ids serialized to a CSV string (already sorted by the operators):
     # the driver canonicalizer sorts with pandas and cannot hash list cells
     # (r3 red row); the array form stays on the operator API
-    return merged.select(
+    out = merged.select(
         "tier",
         "content_hash",
         "dup_count",
@@ -506,6 +508,7 @@ def run_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_ids"
         ),
     ).orderBy("tier", "content_hash")
+    return _eager(spark, out, handles)
 
 
 _DEDUP_EXACT_ORACLE = """
