@@ -56,6 +56,8 @@ def curate(
     decon_k: int = 5,
     pack_budget: int = 256,
     handles: list | None = None,
+    corpus_index: str | None = None,
+    index_threshold: float = 0.7,
     substring_dedup: int | None = None,
     embeddings: DataFrame | None = None,
     emb_id_col: str = "vec_id",
@@ -71,8 +73,16 @@ def curate(
     computed on the docs that reached that stage, so the flags read as a
     funnel (a quality-dropped doc has NULL downstream flags).
 
-    Two optional tiers extend the default funnel (both off by default —
+    Three optional tiers extend the default funnel (all off by default —
     the hash-gated driver configuration is the five-stage form):
+
+    - ``corpus_index=path`` inserts CROSS-SNAPSHOT dedup right after the
+      quality gate: docs whose digest or MinHash signature already sits
+      in the at-rest index (operators/incremental.py) drop with a
+      ``keep_novel`` flag before any in-snapshot shuffle touches them —
+      the rolling-crawl composition. The funnel does NOT update the
+      index; call ``incremental.extend_corpus_index`` on the kept docs
+      once the artifact is written (so a failed run never poisons it).
 
     - ``substring_dedup=w`` prepends the span-EDITING pass
       (``dedup.remove_duplicate_spans``): repeated ≥w-word spans vanish
@@ -143,6 +153,34 @@ def curate(
         F.col("_nt").alias("_tokens"),
     ))
     q_docs = quality.filter("keep_quality")
+
+    # stage 1b (optional): cross-snapshot dedup — probe the at-rest corpus
+    # index (operators/incremental.py) so docs already ingested by earlier
+    # snapshots drop BEFORE any in-snapshot shuffle work; runs after the
+    # quality gate (pure projection, shrinks the probe) and before exact
+    # dedup (no point digest-grouping rows the corpus already holds)
+    novel = None
+    if corpus_index is not None:
+        from pcap_converter_spark.operators import incremental as INC
+
+        verdict_n = INC.flag_against_index(
+            q_docs.select(did, t),
+            corpus_index,
+            text_col=text_col,
+            id_col=id_col,
+            threshold=index_threshold,
+            handles=own_handles,
+        )
+        novel = _stage(verdict_n.select(
+            did,
+            (
+                ~(
+                    F.col("dup_exact")
+                    | F.coalesce(F.col("dup_near"), F.lit(False))
+                )
+            ).alias("keep_novel"),
+        ))
+        q_docs = q_docs.join(novel.filter("keep_novel").select(id_col), id_col)
 
     # stage 2: exact dedup — keep the lowest id of each digest group
     digests = q_docs.select(
@@ -236,16 +274,18 @@ def curate(
     packed = pack_documents(survivors, "_tokens", id_col=id_col,
                             budget=pack_budget)
 
-    flags = (
-        docs.select(did)
-        .join(quality.select(id_col, "keep_quality"), id_col, "left")
-        .join(exact, id_col, "left")
-        .join(near, id_col, "left")
+    flags = docs.select(did).join(
+        quality.select(id_col, "keep_quality"), id_col, "left"
     )
-    kept_expr = (
-        F.col("keep_quality") & F.col("keep_exact") & F.col("keep_neardup")
-    )
-    cols = ["keep_quality", "keep_exact", "keep_neardup"]
+    kept_expr = F.col("keep_quality")
+    cols = ["keep_quality"]
+    if novel is not None:
+        flags = flags.join(novel, id_col, "left")
+        kept_expr = kept_expr & F.col("keep_novel")
+        cols.append("keep_novel")
+    flags = flags.join(exact, id_col, "left").join(near, id_col, "left")
+    kept_expr = kept_expr & F.col("keep_exact") & F.col("keep_neardup")
+    cols += ["keep_exact", "keep_neardup"]
     if semantic is not None:
         flags = flags.join(semantic, id_col, "left")
         kept_expr = kept_expr & F.col("keep_semantic")
@@ -273,45 +313,37 @@ def curation_report(flags: DataFrame) -> DataFrame:
     the stage and survived it. The final 'kept' row restates the end-to-end
     survivor count (n_entered == n_kept by construction — a consistency
     proof, not new information)."""
-    has_sem = "keep_semantic" in flags.columns
-    aggs = [
-        F.count(F.lit(1)).alias("n_in"),
-        F.coalesce(F.sum(F.col("keep_quality").cast("long")), F.lit(0)).alias("q"),
-        F.coalesce(F.sum(F.col("keep_exact").cast("long")), F.lit(0)).alias("e"),
-        F.coalesce(F.sum(F.col("keep_neardup").cast("long")), F.lit(0)).alias("n"),
-        F.coalesce(F.sum(F.col("keep_decon").cast("long")), F.lit(0)).alias("d"),
-        F.coalesce(F.sum(F.col("kept").cast("long")), F.lit(0)).alias("k"),
-    ]
-    if has_sem:
-        aggs.append(
-            F.coalesce(
-                F.sum(F.col("keep_semantic").cast("long")), F.lit(0)
-            ).alias("s")
-        )
+    # stage chain assembled from whichever optional flags are present
+    # (novel sits after quality, semantic between neardup and decon);
+    # each stage's n_entered is the predecessor's n_kept — funnel flags
+    # are NULL downstream of a drop, so summing the booleans counts
+    # exactly the docs that reached the stage and survived it (optional
+    # stages pass docs the stage could not judge — e.g. a missing
+    # embedding row — as True: they entered and survived)
+    present = flags.columns
+    chain = [("quality", "keep_quality")]
+    if "keep_novel" in present:
+        chain.append(("novel", "keep_novel"))
+    chain += [("exact", "keep_exact"), ("neardup", "keep_neardup")]
+    if "keep_semantic" in present:
+        chain.append(("semantic", "keep_semantic"))
+    chain.append(("decon", "keep_decon"))
+    aggs = [F.count(F.lit(1)).alias("n_in")] + [
+        F.coalesce(F.sum(F.col(col).cast("long")), F.lit(0)).alias(f"s{i}")
+        for i, (_, col) in enumerate(chain)
+    ] + [F.coalesce(F.sum(F.col("kept").cast("long")), F.lit(0)).alias("k")]
     a = flags.agg(*aggs)
-    if has_sem:
-        # semantic sits between near-dup CC and decon; its n_kept counts
-        # only docs that REACHED it (keep_semantic is NULL upstream drops,
-        # but True-for-missing-embedding rows still entered) — n, like the
-        # other stages' entered counts, is the predecessor's survivors
-        stack = (
-            "stack(6,"
-            " 'quality', n_in, q,"
-            " 'exact', q, e,"
-            " 'neardup', e, n,"
-            " 'semantic', n, s,"
-            " 'decon', s, d,"
-            " 'kept', d, k) AS (stage, n_entered, n_kept)"
-        )
-    else:
-        stack = (
-            "stack(5,"
-            " 'quality', n_in, q,"
-            " 'exact', q, e,"
-            " 'neardup', e, n,"
-            " 'decon', n, d,"
-            " 'kept', d, k) AS (stage, n_entered, n_kept)"
-        )
+    prev = "n_in"
+    entries = []
+    for i, (stage, _) in enumerate(chain):
+        entries.append(f" '{stage}', {prev}, s{i}")
+        prev = f"s{i}"
+    entries.append(f" 'kept', {prev}, k")
+    stack = (
+        f"stack({len(entries)},"
+        + ",".join(entries)
+        + ") AS (stage, n_entered, n_kept)"
+    )
     return (
         a.selectExpr(stack)
         .withColumn("n_dropped", F.col("n_entered") - F.col("n_kept"))

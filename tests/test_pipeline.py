@@ -357,3 +357,49 @@ def test_rolling_snapshot_wet_incremental_end_to_end(spark, tmp_path):
         for r in inc.dedup_incremental(day3, idx, threshold=0.5).collect()
     )
     assert kept3 == ["https://s.org/d3/new"]
+
+
+def test_curate_with_corpus_index_stage(spark, tmp_path):
+    """corpus_index= inserts cross-snapshot dedup after the quality gate:
+    a doc already in the at-rest index drops with keep_novel False, the
+    report grows a 'novel' row, and the funnel arithmetic still chains."""
+    from pcap_converter_spark.operators import incremental as inc
+    from pcap_converter_spark.operators.pipeline import curate, curation_report
+
+    def prose(tag, i):
+        mids = " ".join(f"{tag}{i}w{j}" for j in range(18))
+        return f"the {tag} doc {i} is a mix of {mids} in the end"
+
+    yesterday = spark.createDataFrame(
+        [(100 + i, prose("old", i)) for i in range(4)],
+        "doc_id long, text string",
+    )
+    idx = str(tmp_path / "cidx")
+    inc.write_corpus_index(yesterday, idx)
+
+    today = spark.createDataFrame(
+        [(0, prose("old", 1)),          # verbatim refetch → not novel
+         (1, prose("new", 1)),
+         (2, prose("new", 2)),
+         (3, "short junk")],            # quality drop → novel flag NULL
+        "doc_id long, text string",
+    )
+    handles = []
+    flags = curate(today, corpus_index=idx, index_threshold=0.5,
+                   handles=handles).collect()
+    by_id = {r["doc_id"]: r for r in flags}
+    assert not by_id[0]["keep_novel"] and not by_id[0]["kept"]
+    assert by_id[1]["keep_novel"] and by_id[1]["kept"]
+    assert by_id[3]["keep_quality"] is False
+    assert by_id[3]["keep_novel"] is None  # never reached the stage
+
+    rep = {r["stage"]: (r["n_entered"], r["n_kept"])
+           for r in curation_report(
+               curate(today, corpus_index=idx, index_threshold=0.5,
+                      handles=handles)).collect()}
+    assert rep["quality"] == (4, 3)
+    assert rep["novel"] == (3, 2)
+    assert rep["exact"][0] == 2
+    assert rep["kept"][1] == 2
+    for h in handles:
+        h.unpersist()
