@@ -97,3 +97,100 @@ def perplexity_score(
         )
         .withColumnRenamed("doc", id_col)
     )
+
+
+def _transitions(
+    docs: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """(doc, w1, w2) for every adjacent token pair, in document order —
+    one posexplode + one lead() window partitioned by doc (the same
+    one-shuffle-by-doc shape as sequence packing)."""
+    from pyspark.sql import Window
+
+    from pcap_converter_spark.functions.text import words
+
+    toks = docs.select(
+        F.col(id_col).alias("doc"),
+        F.posexplode(words(F.lower(F.col(text_col)))).alias("pos", "w1"),
+    )
+    w = Window.partitionBy("doc").orderBy("pos")
+    return (
+        toks.withColumn("w2", F.lead("w1").over(w))
+        .filter(F.col("w2").isNotNull())
+        .select("doc", "w1", "w2")
+    )
+
+
+def bigram_model(
+    reference: DataFrame,
+    vocab_size: int = 50_000,
+    bigram_size: int = 200_000,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> tuple[DataFrame, DataFrame]:
+    """Train the interpolated-bigram upgrade of the CCNet filter: returns
+    ``(unigram, bigrams)`` where ``unigram`` is ``unigram_model``'s
+    (term, logp) table and ``bigrams`` holds (w1, w2, p_bi) — the MLE
+    conditional c(w1,w2)/c(w1) for the ``bigram_size`` most frequent
+    pairs (ties break by (w1, w2); pairs below the cut back off to the
+    unigram term at score time, so the model stays broadcastable by
+    construction at any corpus size — the same budget contract as
+    ``vocab_size``). Both halves are hash-aggregations over one
+    transition table; no shuffle carries text beyond the token pairs."""
+    uni = unigram_model(reference, vocab_size, id_col, text_col)
+    tr = _transitions(reference, id_col, text_col)
+    c2 = tr.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n2"))
+    c1 = tr.groupBy("w1").agg(F.count(F.lit(1)).alias("n1"))
+    bi = (
+        c2.join(c1, "w1")
+        .orderBy(F.col("n2").desc(), "w1", "w2")
+        .limit(bigram_size)
+        .select("w1", "w2", (F.col("n2") / F.col("n1")).alias("p_bi"))
+    )
+    return uni, bi
+
+
+def bigram_perplexity(
+    docs: DataFrame,
+    unigram: DataFrame,
+    bigrams: DataFrame,
+    lam: float = 0.7,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Score per doc under P(w2|w1) = λ·p_bi + (1−λ)·p_uni(w2) — Jelinek-
+    Mercer interpolation, the standard fix for unseen transitions: a pair
+    outside the model (or either token OOV) scores as (1−λ)·unigram, so
+    nothing hits log 0. Returns (id, log_ppl, n_trans): mean −log P over
+    the doc's transitions; a doc with < 2 tokens has no transitions and
+    scores NULL (filter or coalesce with the unigram ``perplexity_score``
+    if every doc needs a number). Plan: one transition shuffle by doc +
+    two BROADCAST joins (both model tables are budget-bounded) + one
+    per-doc aggregation — the corpus never shuffles on a model key."""
+    tr = _transitions(docs, id_col, text_col)
+    oov_logp = (
+        unigram.filter(F.col("term").isNull()).select("logp").collect()[0][0]
+    )
+    in_vocab = unigram.filter(F.col("term").isNotNull()).select(
+        F.col("term").alias("w2"), F.col("logp").alias("_lp2")
+    )
+    scored = (
+        tr.join(F.broadcast(in_vocab), "w2", "left")
+        .join(F.broadcast(bigrams), ["w1", "w2"], "left")
+        .select(
+            "doc",
+            F.log(
+                F.lit(lam) * F.coalesce(F.col("p_bi"), F.lit(0.0))
+                + F.lit(1.0 - lam)
+                * F.exp(F.coalesce(F.col("_lp2"), F.lit(float(oov_logp))))
+            ).alias("_lp"),
+        )
+    )
+    return (
+        scored.groupBy("doc")
+        .agg(
+            (-F.avg("_lp")).alias("log_ppl"),
+            F.count(F.lit(1)).alias("n_trans"),
+        )
+        .withColumnRenamed("doc", id_col)
+    )

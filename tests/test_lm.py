@@ -73,3 +73,64 @@ def test_perplexity_filter_composes_with_curation(spark):
     kept = scored.filter(F.col("log_ppl") <= thresh)
     ids = {r["doc_id"] for r in kept.collect()}
     assert ids == set(range(10))  # exactly the natural half survives
+
+
+def test_bigram_perplexity_matches_python_reference(spark):
+    """Interpolated-bigram scoring == an exact Python replay (counts, MLE
+    conditionals, budget cut, OOV floor, λ-mix)."""
+    from collections import Counter
+
+    from pcap_converter_spark.operators.lm import (
+        bigram_model,
+        bigram_perplexity,
+    )
+
+    ref = spark.createDataFrame(REF, ["doc_id", "text"])
+    uni, bi = bigram_model(ref, vocab_size=5, bigram_size=8)
+    targets = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "dog lazy the over jumps fox brown quick the"),  # reversed
+            (3, "zz"),  # single token → no transitions → absent
+        ],
+        ["doc_id", "text"],
+    )
+    got = {r["doc_id"]: (r["log_ppl"], r["n_trans"])
+           for r in bigram_perplexity(targets, uni, bi, lam=0.7).collect()}
+
+    # python twin
+    c1 = Counter(w for _, t in REF for w in t.lower().split())
+    top = sorted(c1.items(), key=lambda kv: (-kv[1], kv[0]))[:5]
+    total = sum(n for _, n in top)
+    denom = total + 5 + 1
+    p_uni = {t: (n + 1) / denom for t, n in top}
+    oov = 1.0 / denom
+    pairs = Counter()
+    ctx = Counter()
+    for _, t in REF:
+        ws = t.lower().split()
+        for a, b in zip(ws, ws[1:]):
+            pairs[(a, b)] += 1
+            ctx[a] += 1
+    top_pairs = sorted(
+        pairs.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+    )[:8]
+    p_bi = {p: n / ctx[p[0]] for p, n in top_pairs}
+
+    def py_score(text):
+        ws = text.lower().split()
+        lps = []
+        for a, b in zip(ws, ws[1:]):
+            p = 0.7 * p_bi.get((a, b), 0.0) + 0.3 * p_uni.get(b, oov)
+            lps.append(math.log(p))
+        return (-sum(lps) / len(lps), len(lps)) if lps else None
+
+    for d, text in [(1, "the quick brown fox jumps over the lazy dog"),
+                    (2, "dog lazy the over jumps fox brown quick the")]:
+        exp = py_score(text)
+        assert got[d][1] == exp[1]
+        assert math.isclose(got[d][0], exp[0], rel_tol=1e-9), d
+    assert 3 not in got  # no transitions → no row
+    # in-order text must beat its reversal under a bigram model even
+    # though both have identical unigram stats
+    assert got[1][0] < got[2][0]
