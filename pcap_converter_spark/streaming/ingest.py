@@ -1,0 +1,98 @@
+"""Continuous corpus ingestion: a document stream deduped against the
+at-rest corpus index, micro-batch by micro-batch.
+
+The batch composition (``incremental.dedup_incremental``) answers "dedup
+today's snapshot against the corpus so far"; this module answers the same
+question when "today" is a stream — a crawler dropping WARC/WET segments
+or JSONL dumps into a directory continuously. ``foreachBatch`` is the
+right engine hook: each micro-batch runs the ordinary BATCH probe against
+the index (broadcast-probe plan, index scanned not shuffled), appends the
+survivors' keys, and hands the survivors to a caller sink — so a doc
+ingested in batch N is deduplicated against every batch < N *and* every
+earlier snapshot, with exactly the same semantics as the batch operator
+(parity-tested). State lives in the INDEX, not in stream state: restarts
+recover from the checkpoint + the index on disk, and the stateful-dedup
+memory ceiling of ``streaming_dedup`` (one bool per key in the state
+store) does not apply — the index is the state, at rest.
+
+Within-batch duplicates: the probe only sees the index as it was when the
+batch started, so two copies arriving in the SAME micro-batch both pass
+the cross-snapshot check; the in-batch exact pass inside the hook drops
+all but the lowest id, mirroring ``dedup_incremental``'s documented
+division of labor.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from pcap_converter_spark.operators import incremental
+
+
+def dedup_ingest_hook(
+    index_path: str,
+    sink,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.7,
+    update: bool = True,
+):
+    """Build the ``foreachBatch`` function: probe → in-batch exact dedup →
+    ``sink(survivors_df, batch_id)`` → index append (append LAST, so a
+    sink failure never leaves keys in the index for docs that were not
+    delivered)."""
+
+    def hook(batch: DataFrame, batch_id: int) -> None:
+        if not batch.columns:
+            return
+        flags = incremental.flag_against_index(
+            batch, index_path,
+            text_col=text_col, id_col=id_col, threshold=threshold,
+        )
+        keep = flags.filter(
+            ~F.col("dup_exact")
+            & ~F.coalesce(F.col("dup_near"), F.lit(False))
+        ).select(id_col)
+        novel = batch.join(keep, id_col)
+        # in-batch exact dedup: keep the lowest id per digest (two copies
+        # in one micro-batch both pass the index probe by construction)
+        dig = novel.select(
+            F.col(id_col),
+            F.sha2(F.col(text_col).cast("binary"), 256).alias("_d"),
+        )
+        first = dig.groupBy("_d").agg(F.min(id_col).alias(id_col))
+        survivors = novel.join(
+            first.select(id_col), id_col
+        ).localCheckpoint(eager=True)
+        sink(survivors, batch_id)
+        if update:
+            incremental.extend_corpus_index(
+                survivors, index_path, text_col=text_col, id_col=id_col
+            )
+
+    return hook
+
+
+def run_dedup_ingest(
+    stream_docs: DataFrame,
+    index_path: str,
+    sink,
+    query_name: str = "dedup_ingest",
+    checkpoint: str | None = None,
+    **hook_kwargs,
+):
+    """Wire a streaming document frame through the dedup hook with
+    ``availableNow`` semantics (drain what is there, then stop) — the
+    shape the tests and backfill jobs use; a live deployment drops
+    ``availableNow`` via its own writeStream. Returns the query object
+    after it stops."""
+    writer = (
+        stream_docs.writeStream.queryName(query_name)
+        .foreachBatch(dedup_ingest_hook(index_path, sink, **hook_kwargs))
+        .trigger(availableNow=True)
+    )
+    if checkpoint:
+        writer = writer.option("checkpointLocation", checkpoint)
+    q = writer.start()
+    q.awaitTermination()
+    return q

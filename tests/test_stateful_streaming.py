@@ -40,3 +40,75 @@ def test_streaming_dedup_emits_each_content_once(spark, dup_stream_dir):
     by_text = {r["text"]: r["doc_id"] for r in got}
     assert by_text["alpha beta"] in (0, 2, 5)
     assert by_text["unique text"] == 4
+
+
+def test_dedup_ingest_stream_against_index(spark, tmp_path):
+    """Continuous ingest: each micro-batch probes the at-rest index,
+    in-batch copies collapse, survivors extend the index — so later
+    batches dedup against earlier ones, matching the batch operator's
+    semantics across restarts of the query."""
+    import json
+
+    from pcap_converter_spark.operators import incremental as inc
+    from pcap_converter_spark.streaming.ingest import run_dedup_ingest
+
+    def prose(tag, i):
+        return f"the {tag} doc {i} " + " ".join(
+            f"{tag}{i}w{j}" for j in range(12)
+        )
+
+    idx = str(tmp_path / "cidx")
+    yesterday = spark.createDataFrame(
+        [(100 + i, prose("old", i)) for i in range(3)],
+        "doc_id long, text string",
+    )
+    inc.write_corpus_index(yesterday, idx)
+
+    in_dir = tmp_path / "incoming"
+    in_dir.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+
+    def drop(name, rows):
+        with open(in_dir / name, "w") as f:
+            for r in rows:
+                f.write(json.dumps(r) + "\n")
+
+    drop("a.jsonl", [
+        {"doc_id": 1, "text": prose("old", 1)},   # in index → dropped
+        {"doc_id": 2, "text": prose("new", 2)},
+        {"doc_id": 3, "text": prose("new", 2)},   # in-batch copy → dropped
+        {"doc_id": 4, "text": prose("new", 4)},
+    ])
+
+    delivered: list[tuple[int, int]] = []
+
+    def sink(df, batch_id):
+        delivered.extend((batch_id, r["doc_id"]) for r in df.collect())
+
+    def stream():
+        return (
+            spark.readStream.schema("doc_id long, text string")
+            .json(str(in_dir))
+        )
+
+    run_dedup_ingest(stream(), idx, sink, checkpoint=ckpt,
+                     threshold=0.5, query_name="ingest_t1")
+    assert sorted(d for _, d in delivered) == [2, 4]
+
+    # second drain: a copy of a round-1 survivor arrives → only findable
+    # because the survivors' keys were appended to the index
+    delivered.clear()
+    drop("b.jsonl", [
+        {"doc_id": 10, "text": prose("new", 2)},
+        {"doc_id": 11, "text": prose("fresh", 11)},
+    ])
+    run_dedup_ingest(stream(), idx, sink, checkpoint=ckpt,
+                     threshold=0.5, query_name="ingest_t2")
+    assert sorted(d for _, d in delivered) == [11]
+
+    # the index now holds yesterday + every delivered survivor, nothing else
+    ids = sorted(
+        set(r["doc_id"]
+            for r in spark.read.parquet(f"{idx}/exact").collect())
+    )
+    assert ids == [2, 4, 11, 100, 101, 102]
