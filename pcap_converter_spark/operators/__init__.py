@@ -5,7 +5,10 @@
 - ``convert``    : the end-to-end pcap → Parquet pipeline (K1-K3, D7).
 - ``dedup``      : exact + near-duplicate detection (MinHash/LSH, SimHash,
                    n-gram Jaccard) for LLM-scale corpora.
-- ``similarity`` : embedding similarity search (brute-force + LSH-bucketed).
+- ``incremental``: the at-rest corpus index — cross-snapshot dedup without
+                   re-shuffling old snapshots (write/probe/extend/compact).
+- ``similarity`` : embedding similarity search (brute-force, LSH-bucketed,
+                   IVF and IVF-PQ at rest, batch retrieval).
 - ``multimodal`` : binary-payload column plumbing with typed metadata.
 - ``registry``   : extension-operator entries for the driver contract.
 """
