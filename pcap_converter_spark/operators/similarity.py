@@ -442,6 +442,74 @@ def ivf_topk_batch(
     )
 
 
+def pq_topk_batch(
+    queries: DataFrame,
+    index: DataFrame,
+    centroids: np.ndarray,
+    codebooks: np.ndarray,
+    k: int = 10,
+    nprobe: int = 4,
+    q_id_col: str = "query_id",
+    q_vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Batch ADC retrieval against the materialized IVF-PQ index — the
+    ``ivf_topk_batch`` shape with PQ scoring: queries explode into their
+    probe clusters and broadcast onto the code table (dynamic partition
+    pruning skips unprobed directories); each candidate scores as
+    Σⱼ qⱼ·codebook[j][codeⱼ] / (vnorm·|q|), with the query SLICE taken
+    from the riding query column (the literal codebook row is still
+    selected by the stored byte). Per-query top-k via the same bounded
+    row_number window. Returns (q_id_col, vec_id, cos_sim, rank)."""
+    from pyspark.sql import Window
+
+    m, ks, dsub = codebooks.shape
+    qv = F.col("_qv")
+    entries = []
+    for i, c in enumerate(centroids):
+        entries.append(
+            F.struct(
+                (-dot(qv, literal_vector([float(x) for x in c]))).alias("nd"),
+                F.lit(i).alias("cl"),
+            )
+        )
+    probe_arr = F.transform(
+        F.slice(F.array_sort(F.array(*entries)), 1, nprobe),
+        lambda s: s["cl"].cast("int"),
+    )
+    probed = queries.select(
+        F.col(q_id_col), F.col(q_vec_col).alias("_qv")
+    ).select(q_id_col, "_qv", F.explode(probe_arr).alias("_cluster"))
+    terms = []
+    for j in range(m):
+        cbj = F.array(
+            *[
+                literal_vector([float(x) for x in codebooks[j][c]])
+                for c in range(ks)
+            ]
+        )
+        sel = F.element_at(cbj, F.col("pq_code").getItem(j) + 1)
+        terms.append(dot(F.slice(qv, j * dsub + 1, dsub), sel))
+    adc = terms[0]
+    for t in terms[1:]:
+        adc = adc + t
+    score = F.when(
+        F.col("vnorm") > 0, adc / (F.col("vnorm") * norm(qv))
+    )
+    scored = index.join(F.broadcast(probed), "_cluster").select(
+        F.col(q_id_col),
+        F.col(id_col),
+        F.round(score, 4).alias("cos_sim"),
+    )
+    w = Window.partitionBy(q_id_col).orderBy(
+        F.col("cos_sim").desc(), F.col(id_col)
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
 def fixed_codebooks(
     dim: int, m: int = 8, ks: int = 16, seed: int = 42
 ) -> np.ndarray:

@@ -258,3 +258,30 @@ def test_ivf_topk_batch_at_rest_prunes_dynamically(spark, emb_df, tmp_path):
     rows_mem = sorted(map(tuple, similarity.ivf_topk_batch(
         queries, emb_df, cents, k=3, nprobe=1).collect()))
     assert rows_rest == rows_mem
+
+
+def test_pq_topk_batch_matches_per_query_probe(spark, emb_df, tmp_path):
+    """Batched ADC == looping pq_topk_at_rest per query (probe sets,
+    scores, tie-breaks), and the batch plan dynamically prunes the
+    cluster directories."""
+    cents = similarity.fixed_centroids(DIM, 4, seed=42)
+    cbs = similarity.fixed_codebooks(DIM, m=4, ks=8, seed=3)
+    p = str(tmp_path / "pqb")
+    similarity.pq_write(emb_df, cents, cbs, p)
+    queries = emb_df.filter("vec_id < 3").withColumnRenamed(
+        "vec_id", "query_id"
+    )
+    out = similarity.pq_topk_batch(
+        queries, spark.read.parquet(p), cents, cbs, k=5, nprobe=2
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower(), plan
+    got = {}
+    for r in out.collect():
+        got.setdefault(r["query_id"], []).append((r["vec_id"], r["cos_sim"]))
+    for qid in (0, 1, 2):
+        q = [float(np.float32(x)) for x in VECS[qid]]
+        exp = [(r["vec_id"], r["cos_sim"])
+               for r in similarity.pq_topk_at_rest(
+                   spark, p, cents, cbs, q, k=5, nprobe=2).collect()]
+        assert got[qid] == exp, qid
