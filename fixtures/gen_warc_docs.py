@@ -152,10 +152,52 @@ def build() -> tuple[list[bytes], list[dict]]:
     return records, expected
 
 
-def main() -> None:
-    os.makedirs(DATA_DIR, exist_ok=True)
-    records, expected = build()
-    wg.write_warc(WARC_PATH, records, gzipped=True)
+WET_PATH = os.path.join(DATA_DIR, "wet_fixture.warc.gz")
+WET_PARQUET_PATH = os.path.join(DATA_DIR, "wet_docs.parquet")
+
+
+def build_wet() -> tuple[list[bytes], list[dict]]:
+    """The WET twin (CommonCrawl ``*.wet.gz``): conversion records whose
+    payload IS the page text, UTF-8 — the expected text is the literal
+    payload string (ground truth by construction, the bridge must only
+    filter record types and decode bytes faithfully)."""
+    records: list[bytes] = [wg.record("warcinfo", b"software: wet-fixture\r\n")]
+    expected: list[dict] = []
+    for i in range(25):
+        url = f"https://fixture.example/wet/{i:03d}"
+        text = f"WET page {i}.\n" + " ".join(
+            f"tok{i}x{j}" for j in range(10 + i % 5)
+        )
+        if i % 5 == 2:
+            text += "\nünïcode — survives § the pipe."
+        if i % 5 == 4:
+            text += "\r\nCRLF line kept verbatim."
+        records.append(
+            wg.record(
+                "conversion",
+                text.encode("utf-8"),
+                uri=url,
+                rec_id=f"<urn:uuid:wet-{i}>",
+                content_type="text/plain",
+                date=f"2026-02-{1 + i % 28:02d}T00:00:00Z",
+            )
+        )
+        expected.append({"url": url, "text": text})
+        if i % 7 == 0:
+            # interleaved metadata record (the WAT kind) must NOT surface
+            records.append(
+                wg.record(
+                    "metadata",
+                    b'{"links": 0}',
+                    uri=url,
+                    rec_id=f"<urn:uuid:wet-meta-{i}>",
+                    content_type="application/json",
+                )
+            )
+    return records, expected
+
+
+def _write_expected(path: str, expected: list[dict]) -> None:
     expected.sort(key=lambda r: r["url"])
     table = pa.table(
         {
@@ -163,9 +205,21 @@ def main() -> None:
             "text": pa.array([r["text"] for r in expected], pa.string()),
         }
     )
-    pq.write_table(table, PARQUET_PATH, compression="snappy")
+    pq.write_table(table, path, compression="snappy")
+
+
+def main() -> None:
+    os.makedirs(DATA_DIR, exist_ok=True)
+    records, expected = build()
+    wg.write_warc(WARC_PATH, records, gzipped=True)
+    _write_expected(PARQUET_PATH, expected)
     print(f"wrote {WARC_PATH} ({os.path.getsize(WARC_PATH)} bytes), "
           f"{PARQUET_PATH} ({len(expected)} docs)")
+    wet_records, wet_expected = build_wet()
+    wg.write_warc(WET_PATH, wet_records, gzipped=True)
+    _write_expected(WET_PARQUET_PATH, wet_expected)
+    print(f"wrote {WET_PATH} ({os.path.getsize(WET_PATH)} bytes), "
+          f"{WET_PARQUET_PATH} ({len(wet_expected)} docs)")
 
 
 if __name__ == "__main__":

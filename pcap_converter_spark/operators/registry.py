@@ -1641,6 +1641,12 @@ _WARC_FIXTURE = os.path.join(
 _WARC_DOCS_PARQUET = os.path.join(
     _REPO_ROOT, "fixtures", "data", "warc_docs.parquet"
 )
+_WET_FIXTURE = os.path.join(
+    _REPO_ROOT, "fixtures", "data", "wet_fixture.warc.gz"
+)
+_WET_DOCS_PARQUET = os.path.join(
+    _REPO_ROOT, "fixtures", "data", "wet_docs.parquet"
+)
 
 
 def run_warc_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1666,9 +1672,17 @@ def run_warc_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
       variants of the fixture URLs; the oracle builds the identical messy
       strings and re-implements the whole canonicalization spec in DuckDB
       dialect, so the hash checks the spec itself, not four hand-picked
-      answers."""
+      answers.
+    - 'wet': the CommonCrawl WET layout through the same source — a
+      per-record-gzip archive of ``conversion`` records (plus interleaved
+      metadata records that must NOT surface) bridged via
+      ``conversions_as_documents``; the oracle reads the generator's
+      expected (url, text) parquet whose text is the literal record
+      payload, so the hash proves type filtering and byte-faithful UTF-8
+      decode (CRLF and unicode pages included)."""
     from pcap_converter_spark.functions import urls as U
     from pcap_converter_spark.sources.warc import (
+        conversions_as_documents,
         read_warc,
         responses_as_documents,
     )
@@ -1708,7 +1722,21 @@ def run_warc_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5(canon.cast("binary")).alias("fp"),
         canon.alias("text"),
     )
-    return docs_branch.unionByName(urls_branch).orderBy("op", "url")
+    wet_branch = conversions_as_documents(
+        read_warc(spark, _WET_FIXTURE)
+    ).select(
+        F.lit("wet").alias("op"),
+        F.col("url"),
+        F.length("text").alias("n_chars"),
+        TX.token_count(F.col("text")).alias("n_tokens"),
+        F.md5(F.col("text").cast("binary")).alias("fp"),
+        "text",
+    )
+    return (
+        docs_branch.unionByName(urls_branch)
+        .unionByName(wet_branch)
+        .orderBy("op", "url")
+    )
 
 
 _WARC_DOCS_ORACLE = f"""
@@ -1761,8 +1789,14 @@ canon AS (
 urls AS (
   SELECT 'urls' AS op, u AS url, CAST(length(c) AS INT) AS n_chars,
          CAST(NULL AS INT) AS n_tokens, md5(c) AS fp, c AS text
-  FROM canon)
-SELECT * FROM docs UNION ALL SELECT * FROM urls ORDER BY op, url
+  FROM canon),
+wet AS (
+  SELECT 'wet' AS op, url, CAST(length(text) AS INT) AS n_chars,
+         CAST(len({_DUCK_WORDS.format(src="text")}) AS INT) AS n_tokens,
+         md5(text) AS fp, text
+  FROM read_parquet('{_WET_DOCS_PARQUET}'))
+SELECT * FROM docs UNION ALL SELECT * FROM urls UNION ALL SELECT * FROM wet
+ORDER BY op, url
 """
 
 
