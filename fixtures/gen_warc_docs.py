@@ -154,6 +154,7 @@ def build() -> tuple[list[bytes], list[dict]]:
 
 WET_PATH = os.path.join(DATA_DIR, "wet_fixture.warc.gz")
 WET_PARQUET_PATH = os.path.join(DATA_DIR, "wet_docs.parquet")
+JSONL_PATH = os.path.join(DATA_DIR, "docs_fixture.jsonl.gz")
 
 
 def build_wet() -> tuple[list[bytes], list[dict]]:
@@ -220,6 +221,24 @@ def main() -> None:
     _write_expected(WET_PARQUET_PATH, wet_expected)
     print(f"wrote {WET_PATH} ({os.path.getsize(WET_PATH)} bytes), "
           f"{WET_PARQUET_PATH} ({len(wet_expected)} docs)")
+    # the JSONL twin of the WET corpus (same url/text rows, the Dolma-ish
+    # dump layout): the driver's 'jsonl' branch reads it through the
+    # repo's source while the oracle parses the SAME bytes with DuckDB's
+    # own JSON reader — a cross-engine parse of one file
+    import gzip
+    import io
+    import json
+
+    buf = io.BytesIO()
+    with gzip.GzipFile(fileobj=buf, mode="wb", mtime=0) as gz:
+        for r in wet_expected:
+            gz.write(
+                (json.dumps({"url": r["url"], "text": r["text"]},
+                            ensure_ascii=False) + "\n").encode("utf-8")
+            )
+    with open(JSONL_PATH, "wb") as f:
+        f.write(buf.getvalue())
+    print(f"wrote {JSONL_PATH} ({os.path.getsize(JSONL_PATH)} bytes)")
 
 
 if __name__ == "__main__":

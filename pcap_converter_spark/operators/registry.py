@@ -1647,6 +1647,9 @@ _WET_FIXTURE = os.path.join(
 _WET_DOCS_PARQUET = os.path.join(
     _REPO_ROOT, "fixtures", "data", "wet_docs.parquet"
 )
+_JSONL_FIXTURE = os.path.join(
+    _REPO_ROOT, "fixtures", "data", "docs_fixture.jsonl.gz"
+)
 
 
 def run_warc_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1679,8 +1682,15 @@ def run_warc_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
       ``conversions_as_documents``; the oracle reads the generator's
       expected (url, text) parquet whose text is the literal record
       payload, so the hash proves type filtering and byte-faithful UTF-8
-      decode (CRLF and unicode pages included)."""
+      decode (CRLF and unicode pages included).
+    - 'jsonl': the Dolma-style dump layout — the SAME url/text rows as a
+      gzipped JSONL file read through sources/jsonl.py
+      (text-source + from_json, splittable), while the oracle parses the
+      identical bytes with DuckDB's own newline-delimited JSON reader: a
+      cross-ENGINE parse of one file, so escaping, unicode, embedded
+      newlines and gzip framing all have to agree."""
     from pcap_converter_spark.functions import urls as U
+    from pcap_converter_spark.sources.jsonl import read_jsonl_docs
     from pcap_converter_spark.sources.warc import (
         conversions_as_documents,
         read_warc,
@@ -1732,9 +1742,18 @@ def run_warc_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5(F.col("text").cast("binary")).alias("fp"),
         "text",
     )
+    jsonl_branch = read_jsonl_docs(spark, _JSONL_FIXTURE).select(
+        F.lit("jsonl").alias("op"),
+        F.col("url"),
+        F.length("text").alias("n_chars"),
+        TX.token_count(F.col("text")).alias("n_tokens"),
+        F.md5(F.col("text").cast("binary")).alias("fp"),
+        "text",
+    )
     return (
         docs_branch.unionByName(urls_branch)
         .unionByName(wet_branch)
+        .unionByName(jsonl_branch)
         .orderBy("op", "url")
     )
 
@@ -1794,8 +1813,15 @@ wet AS (
   SELECT 'wet' AS op, url, CAST(length(text) AS INT) AS n_chars,
          CAST(len({_DUCK_WORDS.format(src="text")}) AS INT) AS n_tokens,
          md5(text) AS fp, text
-  FROM read_parquet('{_WET_DOCS_PARQUET}'))
+  FROM read_parquet('{_WET_DOCS_PARQUET}')),
+jl AS (
+  SELECT 'jsonl' AS op, url, CAST(length(text) AS INT) AS n_chars,
+         CAST(len({_DUCK_WORDS.format(src="text")}) AS INT) AS n_tokens,
+         md5(text) AS fp, text
+  FROM read_json('{_JSONL_FIXTURE}', format='newline_delimited',
+                 columns={{'url': 'VARCHAR', 'text': 'VARCHAR'}}))
 SELECT * FROM docs UNION ALL SELECT * FROM urls UNION ALL SELECT * FROM wet
+UNION ALL SELECT * FROM jl
 ORDER BY op, url
 """
 
