@@ -1688,7 +1688,15 @@ def run_warc_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
       (text-source + from_json, splittable), while the oracle parses the
       identical bytes with DuckDB's own newline-delimited JSON reader: a
       cross-ENGINE parse of one file, so escaping, unicode, embedded
-      newlines and gzip framing all have to agree."""
+      newlines and gzip framing all have to agree.
+    - 'urldedup': functions/urls.dedup_by_url over the WET urls plus one
+      deterministic variant each (fragments collapse onto the original,
+      unsorted params stay distinct) — keep/drop verdicts vs a
+      min-per-canonical SQL window over the SAME canonicalization chain
+      the 'urls' branch proves.
+    - 'domcap': functions/urls.cap_per_domain(cap=3) over synthesized
+      4-host urls vs a row_number twin over the url_domain regex chain
+      (host extract → userinfo/port strip → last-two-labels)."""
     from pcap_converter_spark.functions import urls as U
     from pcap_converter_spark.sources.jsonl import read_jsonl_docs
     from pcap_converter_spark.sources.warc import (
@@ -1750,12 +1758,96 @@ def run_warc_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5(F.col("text").cast("binary")).alias("fp"),
         "text",
     )
+    # 'urldedup': dedup_by_url over the WET urls plus a variant per url —
+    # even ids get a fragment (canonicalizes back onto the original →
+    # collapses), odd ids get unsorted params (stays distinct); the keep
+    # verdicts are hash-checked against a min-per-canonical SQL window.
+    # 'domcap': cap_per_domain over synthesized 4-host urls vs a
+    # row_number twin over the url_domain regex chain.
+    wet_urls = conversions_as_documents(read_warc(spark, _WET_FIXTURE)).select(
+        "url"
+    )
+    nn = F.regexp_extract("url", r"/(\d+)$", 1).cast("long")
+    base = wet_urls.select(nn.alias("doc_id"), F.col("url"))
+    variant = wet_urls.select(
+        (nn + 1000).alias("doc_id"),
+        F.when(nn % 2 == 0, F.concat(F.col("url"), F.lit("#frag")))
+        .otherwise(F.concat(F.col("url"), F.lit("?b=2&a=1")))
+        .alias("url"),
+    )
+    ud = U.dedup_by_url(base.unionByName(variant))
+    urldedup_branch = ud.select(
+        F.lit("urldedup").alias("op"),
+        F.col("url"),
+        F.col("doc_id").cast("int").alias("n_chars"),
+        F.lit(None).cast("int").alias("n_tokens"),
+        F.md5(F.col("canonical_url").cast("binary")).alias("fp"),
+        F.when(F.col("keep_url"), F.lit("keep")).otherwise(F.lit("drop"))
+        .alias("text"),
+    )
+    dom_df = wet_urls.select(
+        nn.alias("doc_id"),
+        F.concat(
+            F.lit("https://h"), (nn % 4).cast("string"),
+            F.lit(".example/p/"), nn.cast("string"),
+        ).alias("url"),
+    )
+    dc = U.cap_per_domain(dom_df, 3)
+    domcap_branch = dc.select(
+        F.lit("domcap").alias("op"),
+        F.col("url"),
+        F.col("doc_id").cast("int").alias("n_chars"),
+        F.lit(None).cast("int").alias("n_tokens"),
+        F.md5(F.col("domain").cast("binary")).alias("fp"),
+        F.when(F.col("keep_domain_cap"), F.lit("keep"))
+        .otherwise(F.lit("drop")).alias("text"),
+    )
     return (
         docs_branch.unionByName(urls_branch)
         .unionByName(wet_branch)
         .unionByName(jsonl_branch)
+        .unionByName(urldedup_branch)
+        .unionByName(domcap_branch)
         .orderBy("op", "url")
     )
+
+
+# parts→pp→canon CTE chain — the DuckDB twin of functions/urls.canonical_url,
+# reading (id, u) from ``src`` and emitting canon{sfx}(id, u, c); reused by
+# the 'urls', 'urldedup' branches (one spec, several probes)
+def _canon_chain(src: str, sfx: str) -> str:
+    return f"""
+parts{sfx} AS (
+  SELECT id, u,
+    lower(regexp_extract(trim(u), '^([A-Za-z][A-Za-z0-9+.\\-]*)://', 1)) AS scheme,
+    regexp_replace(regexp_extract(trim(u),
+      '^[A-Za-z][A-Za-z0-9+.\\-]*://([^/?#]*)', 1), '^[^@]*@', '') AS hp,
+    regexp_extract(trim(u),
+      '^[A-Za-z][A-Za-z0-9+.\\-]*://[^/?#]*([^?#]*)', 1) AS rawpath,
+    regexp_extract(trim(u), '\\?([^#]*)', 1) AS q
+  FROM {src}),
+pp{sfx} AS (
+  SELECT id, u, scheme,
+    lower(regexp_replace(hp, ':[0-9]+$', '')) AS host,
+    regexp_extract(hp, ':([0-9]+)$', 1) AS port,
+    regexp_replace(regexp_replace(rawpath, '/{{2,}}', '/', 'g'),
+                   '(.)/$', '\\1') AS p0,
+    array_to_string(list_sort(list_filter(string_split(q, '&'),
+      x -> x <> '' AND NOT regexp_matches(x,
+        '^(utm_[A-Za-z0-9_]+|fbclid|gclid|msclkid|ref)='))), '&') AS qc
+  FROM parts{sfx}),
+canon{sfx} AS (
+  SELECT id, u,
+    CASE WHEN scheme = '' THEN trim(u)
+         ELSE scheme || '://' || host
+              || CASE WHEN port <> ''
+                       AND NOT (scheme = 'http' AND port = '80')
+                       AND NOT (scheme = 'https' AND port = '443')
+                      THEN ':' || port ELSE '' END
+              || CASE WHEN p0 = '' THEN '/' ELSE p0 END
+              || CASE WHEN qc <> '' THEN '?' || qc ELSE '' END
+    END AS c
+  FROM pp{sfx})"""
 
 
 _WARC_DOCS_ORACLE = f"""
@@ -1766,49 +1858,53 @@ docs AS (
          md5(text) AS fp, text
   FROM warc_docs),
 mess AS (
-  SELECT CASE length(url) % 4
+  SELECT CAST(NULL AS BIGINT) AS id, CASE length(url) % 4
     WHEN 0 THEN 'HTTPS://crawler@' || upper('fixture.example') || ':443'
                 || substr(url, 24) || '/?z=1&utm_source=bench&a=2#frag'
     WHEN 1 THEN 'https://' || upper('fixture.example') || '/'
                 || substr(url, 24) || '?b=2&a=1'
     WHEN 2 THEN url || '#fragment'
     ELSE url || '?utm_campaign=x&utm_medium=y' END AS u
-  FROM warc_docs),
-parts AS (
-  SELECT u,
-    lower(regexp_extract(trim(u), '^([A-Za-z][A-Za-z0-9+.\\-]*)://', 1)) AS scheme,
-    regexp_replace(regexp_extract(trim(u),
-      '^[A-Za-z][A-Za-z0-9+.\\-]*://([^/?#]*)', 1), '^[^@]*@', '') AS hp,
-    regexp_extract(trim(u),
-      '^[A-Za-z][A-Za-z0-9+.\\-]*://[^/?#]*([^?#]*)', 1) AS rawpath,
-    regexp_extract(trim(u), '\\?([^#]*)', 1) AS q
-  FROM mess),
-pp AS (
-  SELECT u, scheme,
-    lower(regexp_replace(hp, ':[0-9]+$', '')) AS host,
-    regexp_extract(hp, ':([0-9]+)$', 1) AS port,
-    regexp_replace(regexp_replace(rawpath, '/{{2,}}', '/', 'g'),
-                   '(.)/$', '\\1') AS p0,
-    array_to_string(list_sort(list_filter(string_split(q, '&'),
-      x -> x <> '' AND NOT regexp_matches(x,
-        '^(utm_[A-Za-z0-9_]+|fbclid|gclid|msclkid|ref)='))), '&') AS qc
-  FROM parts),
-canon AS (
-  SELECT u,
-    CASE WHEN scheme = '' THEN trim(u)
-         ELSE scheme || '://' || host
-              || CASE WHEN port <> ''
-                       AND NOT (scheme = 'http' AND port = '80')
-                       AND NOT (scheme = 'https' AND port = '443')
-                      THEN ':' || port ELSE '' END
-              || CASE WHEN p0 = '' THEN '/' ELSE p0 END
-              || CASE WHEN qc <> '' THEN '?' || qc ELSE '' END
-    END AS c
-  FROM pp),
+  FROM warc_docs),{_canon_chain("mess", "")},
 urls AS (
   SELECT 'urls' AS op, u AS url, CAST(length(c) AS INT) AS n_chars,
          CAST(NULL AS INT) AS n_tokens, md5(c) AS fp, c AS text
   FROM canon),
+wet_n AS (
+  SELECT CAST(regexp_extract(url, '/([0-9]+)$', 1) AS BIGINT) AS id, url
+  FROM read_parquet('{_WET_DOCS_PARQUET}')),
+uin AS (
+  SELECT id, url AS u FROM wet_n
+  UNION ALL
+  SELECT id + 1000,
+         CASE WHEN id % 2 = 0 THEN url || '#frag'
+              ELSE url || '?b=2&a=1' END
+  FROM wet_n),{_canon_chain("uin", "_u")},
+urldedup AS (
+  SELECT 'urldedup' AS op, u AS url, CAST(id AS INT) AS n_chars,
+         CAST(NULL AS INT) AS n_tokens, md5(c) AS fp,
+         CASE WHEN id = min(id) OVER (PARTITION BY c)
+              THEN 'keep' ELSE 'drop' END AS text
+  FROM canon_u),
+dom_in AS (
+  SELECT id,
+         'https://h' || CAST(id % 4 AS VARCHAR) || '.example/p/'
+           || CAST(id AS VARCHAR) AS u
+  FROM wet_n),
+dom AS (
+  SELECT id, u,
+         regexp_extract(
+           lower(regexp_replace(regexp_replace(regexp_extract(u,
+             '^[A-Za-z][A-Za-z0-9+.\\-]*://([^/?#]*)', 1), '^[^@]*@', ''),
+             ':[0-9]+$', '')),
+           '([^.]+\\.[^.]+)$', 1) AS d
+  FROM dom_in),
+domcap AS (
+  SELECT 'domcap' AS op, u AS url, CAST(id AS INT) AS n_chars,
+         CAST(NULL AS INT) AS n_tokens, md5(d) AS fp,
+         CASE WHEN row_number() OVER (PARTITION BY d ORDER BY id) <= 3
+              THEN 'keep' ELSE 'drop' END AS text
+  FROM dom),
 wet AS (
   SELECT 'wet' AS op, url, CAST(length(text) AS INT) AS n_chars,
          CAST(len({_DUCK_WORDS.format(src="text")}) AS INT) AS n_tokens,
@@ -1822,6 +1918,7 @@ jl AS (
                  columns={{'url': 'VARCHAR', 'text': 'VARCHAR'}}))
 SELECT * FROM docs UNION ALL SELECT * FROM urls UNION ALL SELECT * FROM wet
 UNION ALL SELECT * FROM jl
+UNION ALL SELECT * FROM urldedup UNION ALL SELECT * FROM domcap
 ORDER BY op, url
 """
 
