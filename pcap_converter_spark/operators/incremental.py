@@ -62,6 +62,7 @@ _META_SCHEMA = T.StructType(
         T.StructField("num_hashes", T.IntegerType()),
         T.StructField("bands", T.IntegerType()),
         T.StructField("seed", T.IntegerType()),
+        T.StructField("shingle_hash", T.StringType()),
         T.StructField("tiers", T.StringType()),
     ]
 )
@@ -85,12 +86,31 @@ def _sig_band_table(
     num_hashes: int,
     bands: int,
     seed: int,
+    shingle_hash: str = "crc32",
 ) -> DataFrame:
     """(doc_id, sig on band 0 else NULL, band, band_hash) via one
     Arrow-batched mapInPandas — the same NumPy universal-hash kernel as
     ``dedup.minhash_band_table`` but carrying the SIGNATURE instead of the
     shingle set (an index probe verifies by signature agreement, never by
-    shingles — the index stores no text-sized payloads)."""
+    shingles — the index stores no text-sized payloads).
+
+    ``shingle_hash`` picks the base hash the universal family runs over:
+    'crc32' (default — the fast path, shared with the in-corpus MinHash)
+    or 'md5l32' (md5 digest bytes 8..12 little-endian, the same
+    construction as ``functions/text.word_hash32``) — the md5 form has an
+    exact DuckDB twin (``md5_number_lower & 0xFFFFFFFF``), so a
+    cross-engine SQL replay can re-derive the whole signature path
+    (tests/test_incremental.py)."""
+    if shingle_hash == "crc32":
+        base_hash = lambda s: zlib.crc32(s.encode())  # noqa: E731
+    elif shingle_hash == "md5l32":
+        import hashlib
+
+        base_hash = lambda s: int.from_bytes(  # noqa: E731
+            hashlib.md5(s.encode()).digest()[8:12], "little"
+        )
+    else:
+        raise ValueError(f"unknown shingle_hash {shingle_hash!r}")
     params = _minhash_params(num_hashes, seed)
     A = np.array([a for a, _ in params], dtype=np.int64)[:, None]
     B = np.array([b for _, b in params], dtype=np.int64)[:, None]
@@ -119,7 +139,7 @@ def _sig_band_table(
                         {" ".join(ws[i : i + k]) for i in range(len(ws) - k + 1)}
                     )
                 base = np.array(
-                    [zlib.crc32(s.encode()) for s in sh], dtype=np.int64
+                    [base_hash(s) for s in sh], dtype=np.int64
                 )[None, :]
                 sig = ((A * (base & _MERSENNE31) + B) % _MERSENNE31).min(axis=1)
                 sig_list = [int(x) for x in sig]
@@ -165,6 +185,7 @@ def write_corpus_index(
     bands: int = 16,
     seed: int = 42,
     tiers: tuple[str, ...] = ("exact", "near"),
+    shingle_hash: str = "crc32",
 ) -> None:
     """Materialize the index from scratch (overwrite). ``tiers`` controls
     what is stored: ("exact",) for digest-only indexes (e.g. passage
@@ -174,7 +195,8 @@ def write_corpus_index(
         raise ValueError("bands must divide num_hashes")
     spark = docs.sparkSession
     spark.createDataFrame(
-        [(INDEX_VERSION, shingle_k, num_hashes, bands, seed, ",".join(tiers))],
+        [(INDEX_VERSION, shingle_k, num_hashes, bands, seed, shingle_hash,
+          ",".join(tiers))],
         schema=_META_SCHEMA,
     ).coalesce(1).write.mode("overwrite").parquet(f"{path}/meta")
     if "exact" in tiers:
@@ -183,7 +205,8 @@ def write_corpus_index(
         )
     if "near" in tiers:
         sb = _sig_band_table(
-            docs, text_col, id_col, shingle_k, num_hashes, bands, seed
+            docs, text_col, id_col, shingle_k, num_hashes, bands, seed,
+            shingle_hash,
         )
         sb.filter("sig IS NOT NULL").select("doc_id", "sig").write.mode(
             "overwrite"
@@ -216,6 +239,7 @@ def extend_corpus_index(
             meta["num_hashes"],
             meta["bands"],
             meta["seed"],
+            meta["shingle_hash"],
         )
         sb.filter("sig IS NOT NULL").select("doc_id", "sig").write.mode(
             "append"
@@ -355,6 +379,7 @@ def flag_against_index(
             nh,
             meta["bands"],
             meta["seed"],
+            meta["shingle_hash"],
         ).persist()
         if handles is not None:
             handles.append(sb)

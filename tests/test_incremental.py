@@ -331,3 +331,81 @@ def test_fuzz_exact_probe_is_set_membership(spark):
         for r in inc.flag_against_index(_mk_docs(spark, snap_rows), p).collect()
     }
     assert got == {i: (t in indexed) for i, t in snap_rows}
+
+
+def test_near_tier_sql_replay_with_md5_hash(spark, tmp_path):
+    """Cross-ENGINE proof of the near tier: with shingle_hash='md5l32'
+    DuckDB re-derives the stored signatures from scratch — shingling, the
+    md5-low32 base hash, all 64 universal-hash minima — and the
+    signature-agreement estimate for every cross pair; the operator's
+    near_est must equal SQL's to the last bit, and dup_near must be the
+    est ≥ τ verdict over SQL's pairs (band recall is saturated by using
+    bands == num_hashes so candidates can't hide a mismatch)."""
+    import duckdb
+
+    nh, k, seed = 16, 3, 42
+    p = str(tmp_path / "md5idx")
+    inc.write_corpus_index(
+        _corpus_a(spark), p,
+        num_hashes=nh, bands=nh, shingle_k=k, seed=seed,
+        shingle_hash="md5l32",
+    )
+    flags = {
+        r["doc_id"]: r
+        for r in inc.flag_against_index(
+            _corpus_b(spark), p, threshold=0.4
+        ).collect()
+    }
+
+    params = _minhash_params(nh, seed)
+    hash_exprs = ", ".join(
+        f"list_min(list_transform(hs, h -> (h * {a}::BIGINT + {b}) % "
+        f"{_MERSENNE31}))"
+        for a, b in params
+    )
+    sig_sql = f"""
+WITH w AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                     x -> x <> '') AS lws
+  FROM {{t}}),
+s AS (
+  SELECT doc_id,
+         CASE WHEN len(lws) >= {k}
+           THEN list_distinct(list_transform(
+             range(1, len(lws) - {k - 1} + 1),
+             i -> concat_ws(' ', lws[i], lws[i+1], lws[i+2])))
+           ELSE [array_to_string(lws, ' ')] END AS sh
+  FROM w),
+hs AS (
+  SELECT doc_id,
+         list_transform(sh,
+           x -> CAST(md5_number_lower(x) & 4294967295 AS BIGINT)
+                & {_MERSENNE31}) AS hs
+  FROM s)
+SELECT doc_id, [{hash_exprs}] AS sig FROM hs
+"""
+    con = duckdb.connect()
+    con.register("a_t", _corpus_a(spark).toPandas())
+    con.register("b_t", _corpus_b(spark).toPandas())
+    sig_a = dict(con.execute(sig_sql.format(t="a_t")).fetchall())
+    sig_b = dict(con.execute(sig_sql.format(t="b_t")).fetchall())
+
+    # 1) the STORED signatures equal SQL's
+    stored = {
+        r["doc_id"]: list(r["sig"])
+        for r in spark.read.parquet(f"{p}/sigs").collect()
+    }
+    assert stored == {d: list(s) for d, s in sig_a.items()}
+
+    # 2) the reported estimate equals SQL's best cross-pair agreement
+    for bid, bsig in sig_b.items():
+        ests = [
+            sum(x == y for x, y in zip(asig, bsig)) / nh
+            for asig in sig_a.values()
+        ]
+        best = max(ests)
+        got = flags[bid]["near_est"]
+        if got is not None:
+            assert got == pytest.approx(best), bid
+            assert flags[bid]["dup_near"] == (best >= 0.4), bid
