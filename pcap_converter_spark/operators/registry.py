@@ -706,10 +706,29 @@ ORDER BY tier, vec_id
 
 
 def run_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit signature near-dup, BOTH key families through the one shared
+    Manku banded join (dedup.signature_hamming_pairs), op-tagged: 'text' =
+    SimHash over word hashes; 'media' = blockhash over the multimodal
+    binary payloads (operators/multimodal.payload_blockhash — 64 block
+    means thresholded at their median). The media oracle re-derives the
+    blockhash from the payload bytes in SQL — block sums are
+    integer-valued doubles, so block means, the median midpoint and the
+    strict-> threshold are float-EXACT across engines — and brute-forces
+    pairs at hamming ≤ 3 (banding is pigeonhole-complete)."""
     handles: list = []
-    out = dedup.simhash_pairs(
-        _docs(spark, sf_dir), max_hamming=3, handles=handles
-    ).orderBy("doc_a", "doc_b")
+    docs = _docs(spark, sf_dir)
+    text = dedup.simhash_pairs(
+        docs, max_hamming=3, handles=handles
+    ).withColumn("op", F.lit("text"))
+    sigs = multimodal.payload_blockhash(multimodal.attach_payload(docs))
+    media = dedup.signature_hamming_pairs(
+        sigs, max_hamming=3, handles=handles
+    ).withColumn("op", F.lit("media"))
+    out = (
+        text.unionByName(media)
+        .select("op", "doc_a", "doc_b", "hamming")
+        .orderBy("op", "doc_a", "doc_b")
+    )
     return _eager(spark, out, handles)
 
 
@@ -736,12 +755,48 @@ fp0 AS (
   FROM cnt GROUP BY doc_id),
 fp AS (
   SELECT d.doc_id, coalesce(f.f, 0) AS f
-  FROM documents d LEFT JOIN fp0 f ON d.doc_id = f.doc_id)
-SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-       bit_count(xor(a.f, b.f)) AS hamming
-FROM fp a JOIN fp b ON a.doc_id < b.doc_id
-WHERE bit_count(xor(a.f, b.f)) <= 3
-ORDER BY doc_a, doc_b
+  FROM documents d LEFT JOIN fp0 f ON d.doc_id = f.doc_id),
+text_t AS (
+  SELECT 'text' AS op, a.doc_id AS doc_a, b.doc_id AS doc_b,
+         bit_count(xor(a.f, b.f)) AS hamming
+  FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+  WHERE bit_count(xor(a.f, b.f)) <= 3),
+mper AS (
+  SELECT doc_id, text, length(text) AS n,
+         CAST(ceil(length(text) / 64.0) AS BIGINT) AS per
+  FROM documents WHERE length(text) > 0),
+mb AS (
+  SELECT doc_id,
+         CAST(unicode(substr(text, CAST(i AS INT) + 1, 1)) AS DOUBLE) AS v,
+         CAST(i // per AS INT) AS blk
+  FROM (SELECT doc_id, text, per, unnest(range(n)) AS i FROM mper) t),
+bsum AS (SELECT doc_id, blk, sum(v) AS s FROM mb GROUP BY doc_id, blk),
+allb AS (
+  SELECT d.doc_id, b.blk, coalesce(bsum.s, 0) / d.per AS bm
+  FROM mper d
+  CROSS JOIN (SELECT CAST(unnest(range(64)) AS INT) AS blk) b
+  LEFT JOIN bsum ON bsum.doc_id = d.doc_id AND bsum.blk = b.blk),
+mmed AS (SELECT doc_id, median(bm) AS m FROM allb GROUP BY doc_id),
+mbits AS (
+  SELECT allb.doc_id, blk, (bm > m) AS bit
+  FROM allb JOIN mmed ON allb.doc_id = mmed.doc_id),
+msig0 AS (
+  SELECT doc_id,
+         bit_or(CASE WHEN bit THEN
+             CASE WHEN blk = 63 THEN (-9223372036854775807 - 1)
+                  ELSE (1::BIGINT << blk) END
+           ELSE 0 END) AS f
+  FROM mbits GROUP BY doc_id),
+msig AS (
+  SELECT d.doc_id, coalesce(m.f, 0) AS f
+  FROM documents d LEFT JOIN msig0 m ON d.doc_id = m.doc_id),
+media_t AS (
+  SELECT 'media' AS op, a.doc_id AS doc_a, b.doc_id AS doc_b,
+         bit_count(xor(a.f, b.f)) AS hamming
+  FROM msig a JOIN msig b ON a.doc_id < b.doc_id
+  WHERE bit_count(xor(a.f, b.f)) <= 3)
+SELECT * FROM text_t UNION ALL SELECT * FROM media_t
+ORDER BY op, doc_a, doc_b
 """
 
 
