@@ -6,6 +6,15 @@ out.parquet [-n] [-j N] [-v]`)::
     python -m pcap_converter_spark -f in.pcap -o out.parquet
     python -m pcap_converter_spark -f 'captures/*.pcap' -o out.parquet -j 16 -n
 
+Corpus subcommands (the LLM-data pipeline face; the bare form above stays
+reference-compatible)::
+
+    python -m pcap_converter_spark curate --input 'seg-*.warc.gz' \
+        --format warc --out artifact/ [--benchmark eval.parquet] \
+        [--index idx/ [--update-index]]
+    python -m pcap_converter_spark index --input dump.jsonl.gz \
+        --format jsonl --out idx/ [--append] [--exact-only]
+
 Differences from the reference, by design:
 - `-f` accepts globs / multiple files (the corpus case the reference lacks).
 - `-j` sizes local-mode cores; under spark-submit the cluster master wins.
@@ -21,7 +30,141 @@ import sys
 import time
 
 
+def _load_corpus(spark, fmt: str, paths: list[str]):
+    """Documents frame (doc_id, url?, text) from any acquisition format."""
+    if fmt == "parquet":
+        return spark.read.parquet(*paths)
+    if fmt == "jsonl":
+        from pcap_converter_spark.sources.jsonl import read_jsonl_docs
+
+        return read_jsonl_docs(spark, paths)
+    if fmt in ("warc", "wet"):
+        from pcap_converter_spark.sources.warc import (
+            conversions_as_documents,
+            read_warc,
+            responses_as_documents,
+        )
+
+        raw = read_warc(spark, paths)
+        if fmt == "wet":
+            return conversions_as_documents(raw)
+        return responses_as_documents(raw, extract_text=True)
+    raise SystemExit(f"error: unknown --format {fmt!r}")
+
+
+def _corpus_args(ap: argparse.ArgumentParser) -> None:
+    ap.add_argument("--input", required=True, nargs="+",
+                    help="corpus path(s); globs allowed")
+    ap.add_argument("--format", default="parquet",
+                    choices=["parquet", "jsonl", "warc", "wet"])
+    ap.add_argument("-j", type=int, default=None, metavar="N",
+                    help="local-mode parallelism (default: all cores)")
+    ap.add_argument("-v", "--verbose", action="store_true")
+
+
+def _expand(patterns: list[str]) -> list[str]:
+    paths: list[str] = []
+    for pat in patterns:
+        hits = sorted(glob.glob(pat))
+        if not hits:
+            raise SystemExit(f"error: no files match {pat!r}")
+        paths.extend(hits)
+    return paths
+
+
+def _spark_for(args):
+    from pcap_converter_spark.session import get_spark
+
+    master = f"local[{args.j}]" if args.j else None
+    spark = get_spark("pcap-converter", master=master)
+    if not args.verbose:
+        spark.sparkContext.setLogLevel("ERROR")
+    return spark
+
+
+def _cmd_curate(argv: list[str]) -> int:
+    """curate: acquisition file(s) → curation funnel → packed training
+    artifact (+ funnel report), optionally probing/rolling the at-rest
+    corpus index — the whole pipeline as one shell command."""
+    ap = argparse.ArgumentParser(prog="pcap-converter-spark curate")
+    _corpus_args(ap)
+    ap.add_argument("--out", required=True,
+                    help="output dir for the pack_shard-partitioned artifact")
+    ap.add_argument("--benchmark", default=None,
+                    help="parquet of held-out eval docs to decontaminate against")
+    ap.add_argument("--index", default=None,
+                    help="at-rest corpus index: drop docs earlier snapshots hold")
+    ap.add_argument("--update-index", action="store_true",
+                    help="append the kept docs' keys to --index afterwards")
+    args = ap.parse_args(argv)
+    if args.update_index and not args.index:
+        raise SystemExit("error: --update-index requires --index")
+
+    from pcap_converter_spark.operators.pipeline import (
+        curate,
+        curation_report,
+        write_kept,
+    )
+
+    spark = _spark_for(args)
+    docs = _load_corpus(spark, args.format, _expand(args.input))
+    bench = spark.read.parquet(args.benchmark) if args.benchmark else None
+    handles: list = []
+    flags = curate(docs, bench, corpus_index=args.index, handles=handles)
+    flags = flags.localCheckpoint(eager=True)
+    for h in handles:
+        h.unpersist()
+    kept = write_kept(flags, docs, args.out)
+    for r in curation_report(flags).collect():
+        print(f"{r['stage']:>9}: {r['n_entered']:>8} -> {r['n_kept']:>8} "
+              f"(dropped {r['n_dropped']})", file=sys.stderr)
+    if args.update_index:
+        from pcap_converter_spark.operators.incremental import (
+            extend_corpus_index,
+        )
+
+        extend_corpus_index(
+            docs.join(kept.select("doc_id"), "doc_id"), args.index
+        )
+    print(f"Wrote {args.out}: {kept.count()} kept documents", file=sys.stderr)
+    return 0
+
+
+def _cmd_index(argv: list[str]) -> int:
+    """index: build or extend the at-rest incremental-dedup corpus index
+    from any acquisition format."""
+    ap = argparse.ArgumentParser(prog="pcap-converter-spark index")
+    _corpus_args(ap)
+    ap.add_argument("--out", required=True, help="index directory")
+    ap.add_argument("--append", action="store_true",
+                    help="extend an existing index (params come from its meta)")
+    ap.add_argument("--exact-only", action="store_true",
+                    help="digest tier only (no MinHash signatures/bands)")
+    args = ap.parse_args(argv)
+
+    from pcap_converter_spark.operators import incremental as inc
+
+    spark = _spark_for(args)
+    docs = _load_corpus(spark, args.format, _expand(args.input))
+    if args.append:
+        inc.extend_corpus_index(docs, args.out)
+    else:
+        inc.write_corpus_index(
+            docs, args.out,
+            tiers=("exact",) if args.exact_only else ("exact", "near"),
+        )
+    n = spark.read.parquet(f"{args.out}/exact").count()
+    print(f"Index at {args.out}: {n} digest rows", file=sys.stderr)
+    return 0
+
+
+_SUBCOMMANDS = {"curate": _cmd_curate, "index": _cmd_index}
+
+
 def main(argv: list[str] | None = None) -> int:
+    args_in = sys.argv[1:] if argv is None else argv
+    if args_in and args_in[0] in _SUBCOMMANDS:
+        return _SUBCOMMANDS[args_in[0]](args_in[1:])
     ap = argparse.ArgumentParser(
         prog="pcap-converter-spark",
         description="Convert pcap/pcapng captures to analysis-ready Parquet "

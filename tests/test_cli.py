@@ -1,0 +1,79 @@
+"""CLI subcommands: the corpus pipeline driven exactly as a user would
+from a shell — index build, then curate a second snapshot against it."""
+
+from __future__ import annotations
+
+import gzip
+import json
+
+from pcap_converter_spark.cli import main
+
+
+def _prose(tag: str, i: int) -> str:
+    mids = " ".join(f"{tag}{i}w{j}" for j in range(18))
+    return f"the {tag} doc {i} is a mix of {mids} in the end"
+
+
+def _jsonl(path, rows) -> None:
+    with gzip.open(path, "wt") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+
+
+def test_cli_index_then_curate_against_it(spark, tmp_path):
+    day1 = str(tmp_path / "day1.jsonl.gz")
+    _jsonl(day1, [{"url": f"https://s.org/a/{i}", "text": _prose("one", i)}
+                  for i in range(6)])
+    idx = str(tmp_path / "idx")
+    assert main(["index", "--input", day1, "--format", "jsonl",
+                 "--out", idx]) == 0
+
+    day2 = str(tmp_path / "day2.jsonl.gz")
+    _jsonl(day2, [
+        {"url": "https://s.org/a/1", "text": _prose("one", 1)},  # refetch
+        {"url": "https://s.org/b/1", "text": _prose("two", 1)},
+        {"url": "https://s.org/b/2", "text": _prose("two", 2)},
+        {"url": "https://s.org/junk", "text": "zz"},             # quality drop
+    ])
+    out = str(tmp_path / "artifact")
+    assert main(["curate", "--input", day2, "--format", "jsonl",
+                 "--out", out, "--index", idx, "--update-index"]) == 0
+
+    kept = spark.read.parquet(out)
+    assert sorted(r["url"] for r in kept.collect()) == [
+        "https://s.org/b/1", "https://s.org/b/2",
+    ]
+    assert "pack_bin" in kept.columns and "pack_offset" in kept.columns
+    # --update-index rolled the survivors forward: 6 day-1 + 2 kept
+    assert spark.read.parquet(f"{idx}/exact").count() == 8
+
+
+def test_cli_curate_plain_parquet(spark, tmp_path):
+    src = str(tmp_path / "docs_pq")
+    spark.createDataFrame(
+        [(i, _prose("p", i)) for i in range(5)] + [(99, "junk")],
+        "doc_id long, text string",
+    ).write.parquet(src)
+    out = str(tmp_path / "art2")
+    assert main(["curate", "--input", src, "--format", "parquet",
+                 "--out", out]) == 0
+    assert spark.read.parquet(out).count() == 5
+
+
+def test_cli_index_exact_only_wet(spark, tmp_path):
+    from fixtures import warcgen as wg
+
+    recs = [wg.record("warcinfo", b"software: x\r\n")] + [
+        wg.record("conversion", _prose("w", i).encode(),
+                  uri=f"https://w.org/{i}", rec_id=f"<urn:uuid:{i}>",
+                  content_type="text/plain")
+        for i in range(4)
+    ]
+    p = str(tmp_path / "c.wet.gz")
+    wg.write_warc(p, recs, gzipped=True)
+    idx = str(tmp_path / "widx")
+    assert main(["index", "--input", p, "--format", "wet",
+                 "--out", idx, "--exact-only"]) == 0
+    import os
+
+    assert os.path.isdir(f"{idx}/exact") and not os.path.isdir(f"{idx}/sigs")
