@@ -49,3 +49,107 @@ def pack_documents(
         (start / budget).cast("long").alias("pack_bin"),
         (start % budget).alias("pack_offset"),
     )
+
+
+def materialize_packed(
+    df: DataFrame,
+    ids_col: str,
+    id_col: str = "doc_id",
+    budget: int = 256,
+    n_shards: int = 16,
+    pad_id: int = 0,
+) -> DataFrame:
+    """The TENSOR-READY form of concat-and-cut packing: one row per
+    training sequence — (pack_shard, pack_bin, input_ids, doc_spans) —
+    from documents carrying a token-ID array column (encode with
+    ``vocab.encode_column`` or any tokenizer upstream).
+
+    Each shard's documents concatenate in doc_id order and cut every
+    ``budget`` tokens; a straddling document contributes a fragment to
+    every bin it crosses. ``input_ids`` is exactly ``budget`` long (each
+    shard's final bin right-pads with ``pad_id``); ``doc_spans`` records
+    (doc_id, start, end) per contributing document — the attention-mask /
+    loss-boundary information a dataloader needs to stop attention at
+    document edges.
+
+    Shape: the ``pack_documents`` window (one shuffle by shard) to place
+    each document, an explode into the 1 + ⌊(offset+n−1)/budget⌋ bins it
+    touches, then ONE (shard, bin) aggregation whose per-group payload is
+    bounded by ``budget`` tokens — no group can exceed one sequence, so
+    the collect is safe at any corpus size. Deterministic end to end."""
+    d = df.select(
+        F.col(id_col),
+        F.col(ids_col).alias("_ids"),
+        F.size(ids_col).alias("_nt"),
+    ).filter(F.col("_nt") > 0)
+    pos = pack_documents(d, "_nt", id_col=id_col, budget=budget,
+                         n_shards=n_shards)
+    placed = d.join(pos, id_col).select(
+        F.col(id_col),
+        "_ids",
+        "_nt",
+        "pack_shard",
+        (F.col("pack_bin") * budget + F.col("pack_offset")).alias("_start"),
+    )
+    first_bin = (F.col("_start") / budget).cast("long")
+    last_bin = ((F.col("_start") + F.col("_nt") - 1) / budget).cast("long")
+    frags = placed.select(
+        id_col,
+        "_ids",
+        "_nt",
+        "pack_shard",
+        "_start",
+        F.explode(F.sequence(first_bin, last_bin)).alias("pack_bin"),
+    ).select(
+        id_col,
+        "pack_shard",
+        "pack_bin",
+        # the slice of this doc's ids that lands in this bin, and where
+        # in the bin it starts
+        F.greatest(
+            F.lit(0), F.col("pack_bin") * budget - F.col("_start")
+        ).alias("_lo"),
+        F.least(
+            F.col("_nt"),
+            (F.col("pack_bin") + 1) * budget - F.col("_start"),
+        ).alias("_hi"),
+        F.col("_start"),
+        F.col("_ids"),
+    ).select(
+        id_col,
+        "pack_shard",
+        "pack_bin",
+        (F.col("_start") + F.col("_lo") - F.col("pack_bin") * budget)
+        .cast("int").alias("_boff"),
+        F.slice(
+            "_ids", F.col("_lo").cast("int") + 1,
+            (F.col("_hi") - F.col("_lo")).cast("int"),
+        ).alias("_frag"),
+    )
+    grouped = frags.groupBy("pack_shard", "pack_bin").agg(
+        F.array_sort(
+            F.collect_list(F.struct("_boff", F.col("_frag"), F.col(id_col)))
+        ).alias("_parts")
+    )
+    ids = F.flatten(F.transform("_parts", lambda p: p["_frag"]))
+    padded = F.when(
+        F.size(ids) < budget,
+        F.concat(
+            ids,
+            F.array_repeat(F.lit(pad_id), F.lit(budget) - F.size(ids)),
+        ),
+    ).otherwise(ids)
+    spans = F.transform(
+        "_parts",
+        lambda p: F.struct(
+            p[id_col].alias(id_col),
+            p["_boff"].alias("start"),
+            (p["_boff"] + F.size(p["_frag"])).alias("end"),
+        ),
+    )
+    return grouped.select(
+        "pack_shard",
+        "pack_bin",
+        padded.alias("input_ids"),
+        spans.alias("doc_spans"),
+    )

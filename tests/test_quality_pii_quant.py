@@ -292,3 +292,84 @@ def test_line_repetition_paragraph_granularity(spark):
     df = spark.createDataFrame([(1, text)], ["doc_id", "text"])
     r = quality.line_repetition_stats(df, sep="\n\n").collect()[0]
     assert r["dup_line_frac"] == pytest.approx(round(1 - 2 / 3, 4))
+
+
+def _py_pack_streams(docs, budget, n_shards, pad_id=0):
+    """Python replay: concat per shard in doc_id order, cut every budget,
+    pad the tail; spans = (doc, start, end) per bin."""
+    out = {}
+    shards = {}
+    for doc_id, ids in sorted(docs):
+        if ids:
+            shards.setdefault(doc_id % n_shards, []).append((doc_id, ids))
+    for sh, docs_in in shards.items():
+        stream, owners = [], []
+        for doc_id, ids in docs_in:
+            stream.extend(ids)
+            owners.extend([doc_id] * len(ids))
+        n_bins = (len(stream) + budget - 1) // budget
+        for b in range(n_bins):
+            chunk = stream[b * budget : (b + 1) * budget]
+            own = owners[b * budget : (b + 1) * budget]
+            spans = []
+            i = 0
+            while i < len(own):
+                j = i
+                while j < len(own) and own[j] == own[i]:
+                    j += 1
+                spans.append((own[i], i, j))
+                i = j
+            chunk = chunk + [pad_id] * (budget - len(chunk))
+            out[(sh, b)] = (chunk, spans)
+    return out
+
+
+def test_materialize_packed_matches_python_replay(spark):
+    """materialize_packed == the sequential concat-and-cut replay: exact
+    input_ids (incl. padding) and doc-span boundaries, with documents
+    straddling multiple bins."""
+    import random
+
+    from pcap_converter_spark.operators.packing import materialize_packed
+
+    rng = random.Random(8)
+    docs = [
+        (i, [rng.randrange(1, 50) for _ in range(rng.randrange(1, 40))])
+        for i in range(30)
+    ] + [(100, [7] * 70), (101, [])]  # a 3-bin straddler and an empty doc
+    df = spark.createDataFrame(docs, "doc_id long, ids array<int>")
+    got = {
+        (r["pack_shard"], r["pack_bin"]): (
+            list(r["input_ids"]),
+            [(s["doc_id"], s["start"], s["end"]) for s in r["doc_spans"]],
+        )
+        for r in materialize_packed(
+            df, "ids", budget=32, n_shards=4
+        ).collect()
+    }
+    exp = _py_pack_streams(docs, budget=32, n_shards=4)
+    assert got == exp
+    assert all(len(v[0]) == 32 for v in got.values())
+
+
+def test_materialize_packed_composes_with_vocab(spark):
+    from pcap_converter_spark.operators.packing import materialize_packed
+    from pcap_converter_spark.operators.vocab import (
+        build_vocab,
+        encode_column,
+    )
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(i, "the cat sat on the mat " * (i + 1)) for i in range(6)],
+        "doc_id long, text string",
+    )
+    vocab = build_vocab(df, size=5)
+    enc = df.select("doc_id", encode_column(F.col("text"), vocab).alias("ids"))
+    seqs = materialize_packed(enc, "ids", budget=16, n_shards=2)
+    rows = seqs.collect()
+    assert rows and all(len(r["input_ids"]) == 16 for r in rows)
+    total = sum(
+        s["end"] - s["start"] for r in rows for s in r["doc_spans"]
+    )
+    assert total == sum(6 * (i + 1) for i in range(6))  # every token placed
