@@ -706,3 +706,31 @@ def test_wat_metadata_bridge(spark, tmp_path):
     assert got["https://w.org/b"]["links"] == 0
     bad = got["https://w.org/bad"]
     assert bad is None or (bad["title"] is None and bad["links"] is None)
+
+
+def test_fixture_generator_is_deterministic(tmp_path, monkeypatch):
+    """gen_warc_docs regenerates byte-identical fixtures — the driver row
+    hashes depend on these files, so silent drift would break the oracle
+    in a way that looks like an engine bug."""
+    import importlib
+
+    import fixtures.gen_warc_docs as g
+
+    monkeypatch.setattr(g, "DATA_DIR", str(tmp_path))
+    for attr, name in [
+        ("WARC_PATH", "docs_fixture.warc.gz"),
+        ("PARQUET_PATH", "warc_docs.parquet"),
+        ("WET_PATH", "wet_fixture.warc.gz"),
+        ("WET_PARQUET_PATH", "wet_docs.parquet"),
+        ("JSONL_PATH", "docs_fixture.jsonl.gz"),
+    ]:
+        monkeypatch.setattr(g, attr, str(tmp_path / name))
+    g.main()
+    import os
+
+    repo_data = os.path.join(os.path.dirname(g.__file__), "data")
+    for name in ["docs_fixture.warc.gz", "wet_fixture.warc.gz",
+                 "docs_fixture.jsonl.gz"]:
+        with open(tmp_path / name, "rb") as a, \
+             open(os.path.join(repo_data, name), "rb") as b:
+            assert a.read() == b.read(), name
