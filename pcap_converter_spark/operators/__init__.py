@@ -10,5 +10,6 @@
 - ``similarity`` : embedding similarity search (brute-force, LSH-bucketed,
                    IVF and IVF-PQ at rest, batch retrieval).
 - ``multimodal`` : binary-payload column plumbing with typed metadata.
+- ``graph``      : link-graph signals (WAT outlinks → PageRank).
 - ``registry``   : extension-operator entries for the driver contract.
 """
