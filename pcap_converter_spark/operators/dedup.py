@@ -97,6 +97,39 @@ def passage_table(
     return toks.select(F.col(id_col), F.explode(passages).alias("passage"))
 
 
+def chunk_table(
+    df: DataFrame,
+    size_words: int = 256,
+    stride_words: int | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(id, chunk_id, chunk) — ``size_words``-word windows every
+    ``stride_words`` words (default: no overlap, ``passage_table``'s
+    tiling). ``stride_words < size_words`` gives the overlapping windows
+    retrieval/embedding pipelines feed their encoders (context straddling
+    a cut survives in the neighbor chunk). Same shape as the passage
+    machinery: tokens projected once, windows generated inline, one
+    explode — no join, no Python. The final window starts at the last
+    stride position that still has content, so every word is covered."""
+    stride = size_words if stride_words is None else int(stride_words)
+    if stride <= 0 or size_words <= 0:
+        raise ValueError("size_words and stride_words must be positive")
+    toks = df.select(F.col(id_col), _words(F.col(text_col)).alias("_ws"))
+    ws = F.col("_ws")
+    n_chunks = F.greatest(
+        F.ceil((F.size(ws) - size_words) / stride), F.lit(0)
+    )
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks),
+        lambda i: F.concat_ws(" ", F.slice(ws, i * stride + 1, size_words)),
+    )
+    return toks.select(
+        F.col(id_col),
+        F.posexplode(chunks).alias("chunk_id", "chunk"),
+    )
+
+
 def passage_duplicates(
     df: DataFrame,
     text_col: str = "text",

@@ -157,6 +157,49 @@ def line_repetition_stats(
     )
 
 
+def compression_ratio(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    level: int = 6,
+) -> DataFrame:
+    """(id, compression_ratio): zlib-compressed size / raw size — the
+    Gopher/CCNet-style redundancy signal the n-gram statistics can miss
+    (templated boilerplate compresses far below natural prose ~0.3-0.4;
+    random gibberish sits near 1.0). zlib is bytes-in-bytes-out, so this
+    is the one quality signal that genuinely needs Python — Arrow-batched
+    mapInPandas, one pass, never row-at-a-time. Empty docs ratio 0.0."""
+    import zlib
+
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType()),
+            T.StructField("compression_ratio", T.DoubleType()),
+        ]
+    )
+
+    def comp(pdfs):
+        for pdf in pdfs:
+            raw = [
+                (t or "").encode("utf-8") for t in pdf[text_col]
+            ]
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "compression_ratio": [
+                        round(len(zlib.compress(b, level)) / len(b), 4)
+                        if b else 0.0
+                        for b in raw
+                    ],
+                }
+            )
+
+    return df.select(id_col, text_col).mapInPandas(comp, schema=schema)
+
+
 def mean_word_len(text: Column) -> Column:
     """Mean characters per whitespace token (0.0 for empty documents)."""
     ws = words(text)

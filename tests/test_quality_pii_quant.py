@@ -373,3 +373,46 @@ def test_materialize_packed_composes_with_vocab(spark):
         s["end"] - s["start"] for r in rows for s in r["doc_spans"]
     )
     assert total == sum(6 * (i + 1) for i in range(6))  # every token placed
+
+
+def test_chunk_table_overlap_and_tiling(spark):
+    """chunk_table: stride < size gives overlapping windows covering every
+    word; default stride == passage-style tiling."""
+    from pcap_converter_spark.operators.dedup import chunk_table
+
+    text = " ".join(f"w{i}" for i in range(10))
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    got = {r["chunk_id"]: r["chunk"]
+           for r in chunk_table(df, size_words=4, stride_words=2).collect()}
+    # windows start at 0,2,4,6 — ceil((10-4)/2)=3 strides + the first
+    assert got == {
+        0: "w0 w1 w2 w3", 1: "w2 w3 w4 w5",
+        2: "w4 w5 w6 w7", 3: "w6 w7 w8 w9",
+    }
+    tiled = {r["chunk_id"]: r["chunk"]
+             for r in chunk_table(df, size_words=4).collect()}
+    assert tiled == {0: "w0 w1 w2 w3", 1: "w4 w5 w6 w7", 2: "w8 w9"}
+    # short doc: one (possibly partial) chunk
+    short = spark.createDataFrame([(2, "a b")], "doc_id long, text string")
+    assert [r["chunk"] for r in
+            chunk_table(short, size_words=4, stride_words=2).collect()] == ["a b"]
+
+
+def test_compression_ratio_separates_boilerplate(spark):
+    import zlib
+
+    df = spark.createDataFrame(
+        [
+            (1, "menu home login " * 50),                      # template
+            (2, "the quick brown fox jumps over the lazy dog and then "
+                "discusses seventeen unrelated topics at length today"),
+            (3, ""),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r["compression_ratio"]
+           for r in quality.compression_ratio(df).collect()}
+    assert got[1] < 0.1 < got[2]
+    assert got[3] == 0.0
+    b = ("menu home login " * 50).encode()
+    assert got[1] == round(len(zlib.compress(b, 6)) / len(b), 4)
