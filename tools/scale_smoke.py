@@ -243,6 +243,24 @@ def main() -> int:
         # "yesterday's corpus", odd docs today's snapshot; the exponent
         # guards both probe joins as index AND snapshot double together
         "incremental_probe": _mk_incr,
+        # synthetic 3-out-degree link graph over the doc ids: 6 damped
+        # power iterations — the exponent guards the per-round join/agg
+        # shapes AND the localCheckpoint lineage truncation (an
+        # untruncated loop shows super-linear DRIVER time long before
+        # executor work grows)
+        "pagerank": lambda d: lambda: __import__(
+            "pcap_converter_spark.operators.graph", fromlist=["pagerank"]
+        ).pagerank(
+            d.selectExpr("doc_id AS src", "(doc_id * 7 + 1) % 1000 AS dst")
+            .unionByName(
+                d.selectExpr("doc_id AS src", "(doc_id * 13 + 5) % 1000 AS dst")
+            )
+            .unionByName(
+                d.selectExpr("doc_id AS src", "(doc_id + 1) % 1000 AS dst")
+            ),
+            iters=6,
+            handles=pending,
+        ),
     }
     vec_ops = {
         "embed_lsh": lambda v: lambda: dedup.embedding_neardup_lsh(
