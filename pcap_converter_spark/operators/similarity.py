@@ -348,6 +348,58 @@ def ivf_write(
     write_partitioned(assigned, out, ["_cluster"])
 
 
+def ivf_append(
+    df: DataFrame,
+    centroids: np.ndarray,
+    out: str,
+    vec_col: str = "embedding",
+    files_per_cluster: int = 1,
+) -> None:
+    """Extend a materialized IVF index with new vectors — the rolling-
+    corpus path: assign against the EXISTING centroids (they are the
+    index's pinned geometry, like the corpus index's meta parameters) and
+    append to the cluster directories; probes see old + new rows with no
+    rewrite. Partition quality degrades only if the embedding
+    distribution drifts from the training sample — retrain + rewrite is
+    the (rare, explicit) compaction, not something appends do silently."""
+    from pyspark.sql import functions as _F
+
+    from pcap_converter_spark.io.sinks import write_partitioned
+
+    assigned = ivf_assign(df, centroids, vec_col)
+    if files_per_cluster <= 1:
+        assigned = assigned.repartition(_F.col("_cluster"))
+    else:
+        salt = _F.pmod(
+            _F.xxhash64(_F.col(vec_col)), _F.lit(int(files_per_cluster))
+        )
+        assigned = assigned.repartition(_F.col("_cluster"), salt)
+    write_partitioned(assigned, out, ["_cluster"], mode="append")
+
+
+def pq_append(
+    df: DataFrame,
+    centroids: np.ndarray,
+    codebooks: np.ndarray,
+    out: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Extend a materialized IVF-PQ index: encode the new vectors under
+    the EXISTING codebooks and append their (id, vnorm, code) rows —
+    byte-compatible with every earlier row, so the ADC probe needs no
+    version logic."""
+    assigned = ivf_assign(df, centroids, vec_col)
+    coded = pq_assign(assigned, codebooks, vec_col)
+    slim = coded.select(
+        id_col,
+        norm(F.col(vec_col)).alias("vnorm"),
+        "pq_code",
+        "_cluster",
+    ).repartition(F.col("_cluster"))
+    slim.write.mode("append").partitionBy("_cluster").parquet(out)
+
+
 def ivf_topk_at_rest(
     spark,
     index_path: str,

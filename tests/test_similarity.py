@@ -285,3 +285,37 @@ def test_pq_topk_batch_matches_per_query_probe(spark, emb_df, tmp_path):
                for r in similarity.pq_topk_at_rest(
                    spark, p, cents, cbs, q, k=5, nprobe=2).collect()]
         assert got[qid] == exp, qid
+
+
+def test_ivf_and_pq_append_equal_one_shot(spark, emb_df, tmp_path):
+    """index(A) + append(B) answers identically to index(A ∪ B): the
+    rolling-corpus path for both at-rest ANN layouts."""
+    cents = similarity.fixed_centroids(DIM, 4, seed=42)
+    cbs = similarity.fixed_codebooks(DIM, m=4, ks=8, seed=3)
+    a = emb_df.filter("vec_id < 40")
+    b = emb_df.filter("vec_id >= 40")
+    q = [float(np.float32(x)) for x in VECS[0]]
+
+    p_inc, p_one = str(tmp_path / "ivf_i"), str(tmp_path / "ivf_o")
+    similarity.ivf_write(a, cents, p_inc)
+    similarity.ivf_append(b, cents, p_inc)
+    similarity.ivf_write(emb_df, cents, p_one)
+    r_inc = similarity.ivf_topk_at_rest(spark, p_inc, cents, q, k=8, nprobe=4)
+    r_one = similarity.ivf_topk_at_rest(spark, p_one, cents, q, k=8, nprobe=4)
+    assert sorted(map(tuple, r_inc.collect())) == sorted(
+        map(tuple, r_one.collect())
+    )
+
+    q_inc, q_one = str(tmp_path / "pq_i"), str(tmp_path / "pq_o")
+    similarity.pq_write(a, cents, cbs, q_inc)
+    similarity.pq_append(b, cents, cbs, q_inc)
+    similarity.pq_write(emb_df, cents, cbs, q_one)
+    s_inc = similarity.pq_topk_at_rest(
+        spark, q_inc, cents, cbs, q, k=8, nprobe=4
+    )
+    s_one = similarity.pq_topk_at_rest(
+        spark, q_one, cents, cbs, q, k=8, nprobe=4
+    )
+    assert sorted(map(tuple, s_inc.collect())) == sorted(
+        map(tuple, s_one.collect())
+    )
