@@ -101,3 +101,74 @@ def top_tfidf_terms(
         )
     )
     return df.select(F.col(id_col)).join(top, id_col, "left")
+
+
+def bm25_topk(
+    df: DataFrame,
+    query: str,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    tf: DataFrame | None = None,
+) -> DataFrame:
+    """Lexical retrieval: BM25 top-k documents for a query string — the
+    sparse counterpart to the embedding ANN path (and the audit tool for
+    decontamination: rank the corpus against an eval question and eyeball
+    the head). Okapi scoring with the standard non-negative idf
+    ln(1 + (N−df+0.5)/(df+0.5)):
+
+        score(d) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1−b+b·|d|/avgdl))
+
+    Plan: the (doc, term, tf) table filters to the query's terms FIRST
+    (an isin over a handful of literals — pushed into the scan of a
+    persisted tf table), so the per-query cost is a fraction of the
+    corpus; doc lengths and avgdl are aggregates of the same table; one
+    per-doc sum then TakeOrderedAndProject. No joins against anything
+    corpus-sized except on the pipeline's own id key. Returns
+    (id, bm25, n_terms_hit), score rounded to 4."""
+    q_terms = sorted({w for w in query.lower().split() if w})
+    if not q_terms:
+        raise ValueError("empty query")
+    t = tf if tf is not None else term_frequencies(df, id_col, text_col)
+    dl = t.groupBy("doc").agg(F.sum("tf").alias("_dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n"), F.avg("_dl").alias("avgdl")
+    ).collect()[0]
+    n_docs, avgdl = int(stats["n"]), float(stats["avgdl"] or 0.0)
+    if n_docs == 0:
+        raise ValueError("empty corpus")
+    qt = t.filter(F.col("term").isin(q_terms))
+    dfreq = qt.groupBy("term").agg(
+        F.countDistinct("doc").alias("_df")
+    )
+    idf = F.log(
+        F.lit(1.0)
+        + (F.lit(n_docs) - F.col("_df") + 0.5) / (F.col("_df") + 0.5)
+    )
+    scored = (
+        qt.join(F.broadcast(dfreq), "term")
+        .join(dl, "doc")
+        .select(
+            "doc",
+            (
+                idf
+                * (F.col("tf") * (k1 + 1))
+                / (
+                    F.col("tf")
+                    + k1 * (1 - b + b * F.col("_dl") / avgdl)
+                )
+            ).alias("_s"),
+        )
+        .groupBy("doc")
+        .agg(
+            F.round(F.sum("_s"), 4).alias("bm25"),
+            F.count(F.lit(1)).alias("n_terms_hit"),
+        )
+    )
+    return (
+        scored.orderBy(F.col("bm25").desc(), F.col("doc"))
+        .limit(k)
+        .withColumnRenamed("doc", id_col)
+    )

@@ -302,3 +302,49 @@ def test_mix_sources_deterministic_rates(spark):
           mix_sources(bigger, {"crawl": 0.10, "code": 0.75})
           .filter("keep_mix").collect()}
     assert k1 == {d for d in k3 if d < 10_000}
+
+
+def test_bm25_topk_matches_python_reference(spark):
+    """BM25 scoring == an exact Python Okapi replay, and retrieval
+    ordering behaves (the on-topic doc wins, repeated-term saturation
+    holds)."""
+    import math
+
+    from pcap_converter_spark.operators.tfidf import bm25_topk
+
+    docs = [
+        (1, "the fox jumped over the fence"),
+        (2, "a fox and another fox discussed fox matters"),  # tf saturation
+        (3, "gardening tips for the spring season"),
+        (4, "fence maintenance guide for the summer"),
+        (5, "completely unrelated text about quantum chromodynamics"),
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    got = [(r["doc_id"], r["bm25"], r["n_terms_hit"])
+           for r in bm25_topk(df, "fox fence", k=5).collect()]
+
+    # python replay
+    k1, b = 1.2, 0.75
+    toks = {d: t.lower().split() for d, t in docs}
+    n = len(docs)
+    avgdl = sum(len(w) for w in toks.values()) / n
+    q = ["fence", "fox"]
+    dfreq = {t: sum(t in ws for ws in toks.values()) for t in q}
+    exp = {}
+    for d, ws in toks.items():
+        s, hits = 0.0, 0
+        for t in q:
+            tf = ws.count(t)
+            if not tf:
+                continue
+            hits += 1
+            idf = math.log(1 + (n - dfreq[t] + 0.5) / (dfreq[t] + 0.5))
+            s += idf * tf * (k1 + 1) / (tf + k1 * (1 - b + b * len(ws) / avgdl))
+        if hits:
+            exp[d] = (round(s, 4), hits)
+    exp_rows = sorted(
+        ((d, s, h) for d, (s, h) in exp.items()),
+        key=lambda r: (-r[1], r[0]),
+    )
+    assert got == exp_rows
+    assert got[0][0] == 1  # both query terms → top
