@@ -734,3 +734,33 @@ def test_fixture_generator_is_deterministic(tmp_path, monkeypatch):
         with open(tmp_path / name, "rb") as a, \
              open(os.path.join(repo_data, name), "rb") as b:
             assert a.read() == b.read(), name
+
+
+def test_wet_speculative_split_parity(spark, tmp_path):
+    """The O(1) speculative resync holds on conversion-record (WET)
+    archives too: forced speculative read == exact read, per-record gzip
+    and plain."""
+    from pcap_converter_spark.sources.warc import (
+        conversions_as_documents,
+        read_warc,
+    )
+
+    recs = [wg.record("warcinfo", b"software: wet\r\n")]
+    for i in range(60):
+        text = (f"wet doc {i} " + "tok " * (30 + i % 11)).strip()
+        recs.append(wg.record(
+            "conversion", text.encode(), uri=f"https://w.org/{i}",
+            rec_id=f"<urn:uuid:{i}>", content_type="text/plain",
+        ))
+    for gz in (False, True):
+        p = str(tmp_path / (f"s{int(gz)}.wet" + (".gz" if gz else "")))
+        wg.write_warc(p, recs, gzipped=gz)
+        exact = conversions_as_documents(
+            read_warc(spark, p, speculative=False)
+        )
+        spec = conversions_as_documents(
+            read_warc(spark, p, speculative=True, target_chunk_bytes=2048)
+        )
+        assert sorted(map(tuple, exact.collect())) == sorted(
+            map(tuple, spec.collect())
+        ), gz
