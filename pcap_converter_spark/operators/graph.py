@@ -80,17 +80,24 @@ def pagerank(
     n = nodes.count()
     if n == 0:
         return nodes.withColumn("rank", F.lit(1.0))
-    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("out_deg"))
+    deg = _hold(e.groupBy("src").agg(F.count(F.lit(1)).alias("out_deg")))
     # partitioned by src once; every iteration's join reuses this layout
     ej = _hold(e.join(deg, "src").repartition(F.col("src")))
+    # dangling NODES are fixed across rounds — compute the set once; the
+    # per-round scalar only re-sums their (changing) ranks. Without the
+    # persisted deg/dang frames each round would re-derive the caller's
+    # whole edge lineage (WAT parse, canonicalization regexes, ...).
+    dang = _hold(
+        nodes.join(deg.select(F.col("src").alias("node")), "node",
+                   "left_anti")
+    )
 
     ranks = nodes.withColumn("rank", F.lit(1.0 / n))
     base = (1.0 - damping) / n
     for _ in range(iters):
         # dangling mass: rank held by nodes with no outlinks this round
         dangling = (
-            ranks.join(deg.select(F.col("src").alias("node")), "node",
-                       "left_anti")
+            ranks.join(dang, "node")
             .agg(F.coalesce(F.sum("rank"), F.lit(0.0)))
             .collect()[0][0]
         )

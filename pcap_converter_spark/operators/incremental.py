@@ -190,7 +190,10 @@ def write_corpus_index(
     """Materialize the index from scratch (overwrite). ``tiers`` controls
     what is stored: ("exact",) for digest-only indexes (e.g. passage
     digests, where MinHash over a 4-word window is meaningless) skips the
-    signature pass entirely."""
+    signature pass entirely. The exact tier is mandatory — digests cost
+    ~75 B/doc and every probe reads them unconditionally."""
+    if "exact" not in tiers:
+        raise ValueError('tiers must include "exact"')
     if num_hashes % bands:
         raise ValueError("bands must divide num_hashes")
     spark = docs.sparkSession
@@ -260,10 +263,15 @@ def compact_corpus_index(
     files; after months of daily snapshots the exact table is thousands of
     kilobyte files and the probe's scan pays per-file open cost (the
     classic small-files problem). Compaction is the standard maintenance
-    pass: read → repartition → write to a staging dir → atomic swap, so a
-    concurrent reader sees either the old or the new layout, never a
-    half-written one. Row content is untouched (tested); run it whenever
-    file count ≫ files_per_table."""
+    pass: read → repartition → write to a staging dir → swap. The swap is
+    two local renames, NOT atomic: there is a brief window where the
+    table directory is absent, and the renames assume a LOCAL filesystem
+    — at object-store/HDFS scale, compact into a NEW index path and
+    repoint readers instead. A reader racing the swap fails loudly
+    (PATH_NOT_FOUND) rather than seeing a half-written table, since the
+    staging dir is fully written before the first rename. Row content is
+    untouched (tested); run it whenever file count ≫ files_per_table,
+    during a probe pause."""
     import shutil
 
     meta = read_index_meta(spark, path)
@@ -318,10 +326,11 @@ def exact_matches(
         .select("content_hash")
         .distinct()
     )
-    return idx.join(F.broadcast(common), "content_hash").select(
+    common_b = _maybe_broadcast(common, broadcast_probe)
+    return idx.join(common_b, "content_hash").select(
         "content_hash", "doc_id", F.lit("index").alias("origin")
     ).unionByName(
-        snap.join(F.broadcast(common), "content_hash").select(
+        snap.join(common_b, "content_hash").select(
             "content_hash", "doc_id", F.lit("snapshot").alias("origin")
         )
     )
@@ -346,15 +355,20 @@ def flag_against_index(
     ``zip_with`` equality over the two signatures — candidates are
     LSH-bounded, so the arrays compared are a vanishing fraction of n².
 
-    The snapshot's signature/band frame is persisted (referenced by both
-    the candidate join and the verify join); the handle is appended to
-    ``handles`` for caller cleanup, or stays session-cached without."""
+    The snapshot's digest frame and signature/band frame are persisted
+    (each is referenced by more than one join); the handles are appended
+    to ``handles`` for caller cleanup, or stay session-cached without.
+    ``broadcast_probe=False`` applies to EVERY snapshot-derived side —
+    keys, bands, candidates and signatures — so an oversized snapshot
+    degrades to shuffle joins instead of blowing the broadcast limit."""
     spark = docs.sparkSession
     meta = read_index_meta(spark, path)
     tiers = meta["tiers"].split(",")
     out = docs.select(F.col(id_col))
 
-    snap = _digests(docs, text_col, id_col)
+    snap = _digests(docs, text_col, id_col).persist()
+    if handles is not None:
+        handles.append(snap)
     idx = spark.read.parquet(f"{path}/exact")
     snap_keys = snap.select("content_hash").distinct()
     hit = (
@@ -363,7 +377,9 @@ def flag_against_index(
         .distinct()
         .withColumn("_hit", F.lit(True))
     )
-    exact_flags = snap.join(F.broadcast(hit), "content_hash", "left").select(
+    exact_flags = snap.join(
+        _maybe_broadcast(hit, broadcast_probe), "content_hash", "left"
+    ).select(
         F.col("doc_id").alias(id_col),
         F.coalesce("_hit", F.lit(False)).alias("dup_exact"),
     )
@@ -405,7 +421,7 @@ def flag_against_index(
         )
         est = (
             idx_sigs.join(_maybe_broadcast(cands, broadcast_probe), "_idx")
-            .join(F.broadcast(snap_sigs), "_snap")
+            .join(_maybe_broadcast(snap_sigs, broadcast_probe), "_snap")
             .select(
                 "_snap",
                 (

@@ -43,32 +43,44 @@ def dedup_ingest_hook(
     delivered)."""
 
     def hook(batch: DataFrame, batch_id: int) -> None:
-        if not batch.columns:
+        if batch.isEmpty():
+            # a quiet poll: skip the probe AND the append — an empty
+            # append would still write empty part-files, feeding the
+            # small-files problem compaction exists to clean up
             return
-        flags = incremental.flag_against_index(
-            batch, index_path,
-            text_col=text_col, id_col=id_col, threshold=threshold,
-        )
-        keep = flags.filter(
-            ~F.col("dup_exact")
-            & ~F.coalesce(F.col("dup_near"), F.lit(False))
-        ).select(id_col)
-        novel = batch.join(keep, id_col)
-        # in-batch exact dedup: keep the lowest id per digest (two copies
-        # in one micro-batch both pass the index probe by construction)
-        dig = novel.select(
-            F.col(id_col),
-            F.sha2(F.col(text_col).cast("binary"), 256).alias("_d"),
-        )
-        first = dig.groupBy("_d").agg(F.min(id_col).alias(id_col))
-        survivors = novel.join(
-            first.select(id_col), id_col
-        ).localCheckpoint(eager=True)
-        sink(survivors, batch_id)
-        if update:
-            incremental.extend_corpus_index(
-                survivors, index_path, text_col=text_col, id_col=id_col
+        handles: list = []
+        try:
+            flags = incremental.flag_against_index(
+                batch, index_path,
+                text_col=text_col, id_col=id_col, threshold=threshold,
+                handles=handles,
             )
+            keep = flags.filter(
+                ~F.col("dup_exact")
+                & ~F.coalesce(F.col("dup_near"), F.lit(False))
+            ).select(id_col)
+            novel = batch.join(keep, id_col)
+            # in-batch exact dedup: keep the lowest id per digest (two
+            # copies in one micro-batch both pass the index probe by
+            # construction)
+            dig = novel.select(
+                F.col(id_col),
+                F.sha2(F.col(text_col).cast("binary"), 256).alias("_d"),
+            )
+            first = dig.groupBy("_d").agg(F.min(id_col).alias(id_col))
+            survivors = novel.join(
+                first.select(id_col), id_col
+            ).localCheckpoint(eager=True)
+            sink(survivors, batch_id)
+            if update:
+                incremental.extend_corpus_index(
+                    survivors, index_path, text_col=text_col, id_col=id_col
+                )
+        finally:
+            # a live stream runs this hook indefinitely: per-batch persists
+            # must not outlive the batch or executor storage grows forever
+            for h in handles:
+                h.unpersist()
 
     return hook
 
