@@ -54,6 +54,8 @@ def unigram_model(
     agg = top.agg(
         F.sum("n").alias("total"), F.count(F.lit(1)).alias("v")
     ).collect()[0]
+    if agg["total"] is None:
+        raise ValueError("empty reference corpus: no terms to train on")
     total, v = int(agg["total"]), int(agg["v"])
     denom = float(total + v + 1)  # add-one over vocab + one OOV bucket
     model = top.select(
@@ -71,13 +73,14 @@ def perplexity_score(
     docs: DataFrame,
     model: DataFrame,
     id_col: str = "doc_id",
+    text_col: str = "text",
     tf: DataFrame | None = None,
 ) -> DataFrame:
     """Score: per-doc mean negative log probability under the model
     (log-perplexity; lower = more natural). One broadcast join of the
     exploded token table against the ``vocab_size``-row model — the big
     side never shuffles on the term key."""
-    t = tf if tf is not None else term_frequencies(docs, id_col)
+    t = tf if tf is not None else term_frequencies(docs, id_col, text_col)
     oov_logp = (
         model.filter(F.col("term").isNull()).select("logp").collect()[0][0]
     )

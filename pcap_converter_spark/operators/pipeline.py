@@ -312,7 +312,12 @@ def curation_report(flags: DataFrame) -> DataFrame:
     of a drop, so summing the booleans counts exactly the docs that reached
     the stage and survived it. The final 'kept' row restates the end-to-end
     survivor count (n_entered == n_kept by construction — a consistency
-    proof, not new information)."""
+    proof, not new information).
+
+    NOTE: rows are ordered ALPHABETICALLY by stage name (a hash-pinned
+    driver-contract shape — both engines sort identically), not in
+    funnel order; read the chain through the n_entered == previous
+    n_kept linkage, or re-sort by pipeline position for display."""
     # stage chain assembled from whichever optional flags are present
     # (novel sits after quality, semantic between neardup and decon);
     # each stage's n_entered is the predecessor's n_kept — funnel flags

@@ -108,7 +108,9 @@ def quantized_topk(
     # column, not the quantization expression
     quant = df.select(F.col(id_col), qvec.alias("q"))
     dq = int_dot(F.col("q"), F.col("q"))
-    dd = int_dot(qql, qql)
+    # the query's self-dot is a CONSTANT — integer arithmetic, so the
+    # driver-side sum is bit-identical to the per-row fold it replaces
+    dd = F.lit(int(sum(int(x) * int(x) for x in qq))).cast("long")
     dot_qq = int_dot(F.col("q"), qql)
     return (
         quant.select(
@@ -758,15 +760,7 @@ def rh_signature(vec_col, planes: np.ndarray):
     long. Pure column expression — the planes are literals in the plan."""
     bits = []
     for i, plane in enumerate(planes):
-        d = F.aggregate(
-            F.zip_with(
-                vec_col,
-                literal_vector(list(plane)),
-                lambda x, y: x.cast("double") * y,
-            ),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
+        d = dot(vec_col, literal_vector(list(plane)))
         bits.append(
             F.when(d >= 0, F.shiftleft(F.lit(1).cast("long"), i)).otherwise(
                 F.lit(0).cast("long")

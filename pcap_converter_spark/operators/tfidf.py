@@ -112,6 +112,7 @@ def bm25_topk(
     id_col: str = "doc_id",
     text_col: str = "text",
     tf: DataFrame | None = None,
+    handles: list | None = None,
 ) -> DataFrame:
     """Lexical retrieval: BM25 top-k documents for a query string — the
     sparse counterpart to the embedding ANN path (and the audit tool for
@@ -126,13 +127,19 @@ def bm25_topk(
     persisted tf table), so the per-query cost is a fraction of the
     corpus; doc lengths and avgdl are aggregates of the same table; one
     per-doc sum then TakeOrderedAndProject. No joins against anything
-    corpus-sized except on the pipeline's own id key. Returns
-    (id, bm25, n_terms_hit), score rounded to 4."""
+    corpus-sized except on the pipeline's own id key. The doc-length
+    frame is persisted (the avgdl collect AND the returned plan both
+    read it — unpersisted, the token explosion would run twice per
+    query); pass ``handles`` for cleanup, or pre-persist ``tf`` and
+    share it across queries. Returns (id, bm25, n_terms_hit), score
+    rounded to 4."""
     q_terms = sorted({w for w in query.lower().split() if w})
     if not q_terms:
         raise ValueError("empty query")
     t = tf if tf is not None else term_frequencies(df, id_col, text_col)
-    dl = t.groupBy("doc").agg(F.sum("tf").alias("_dl"))
+    dl = t.groupBy("doc").agg(F.sum("tf").alias("_dl")).persist()
+    if handles is not None:
+        handles.append(dl)
     stats = dl.agg(
         F.count(F.lit(1)).alias("n"), F.avg("_dl").alias("avgdl")
     ).collect()[0]

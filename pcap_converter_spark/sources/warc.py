@@ -300,7 +300,13 @@ def _parse_records(buf: bytes, basename: str) -> Iterator[dict]:
             he = body.find(b"\r\n\r\n")
             if he >= 0:
                 try:
-                    status = int(body.split(b" ", 2)[1])
+                    # parse the STATUS LINE only: splitting the whole head
+                    # breaks on a status line with no reason phrase
+                    # ('HTTP/1.1 200\r\n' — legal, seen in real crawls),
+                    # where the second space-token would swallow the next
+                    # header line
+                    first_line = body[:he].split(b"\r\n", 1)[0]
+                    status = int(first_line.split(b" ")[1])
                 except (IndexError, ValueError):
                     errors += 1
                 chunked = False

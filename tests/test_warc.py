@@ -764,3 +764,21 @@ def test_wet_speculative_split_parity(spark, tmp_path):
         assert sorted(map(tuple, exact.collect())) == sorted(
             map(tuple, spec.collect())
         ), gz
+
+
+def test_warc_status_line_without_reason_phrase(spark, tmp_path):
+    """'HTTP/1.1 200\\r\\n' (no reason phrase — legal, seen in real
+    crawls) must parse to status 200, not drop the page."""
+    raw = (b"HTTP/1.1 200\r\nContent-Type: text/html\r\n"
+           b"Content-Length: 5\r\n\r\nhello")
+    p = str(tmp_path / "nr.warc")
+    wg.write_warc(p, [wg.record(
+        "response", raw, uri="https://n.org/x", rec_id="<urn:uuid:nr>",
+        content_type="application/http; msgtype=response",
+    )])
+    row = read_warc(spark, p).collect()[0]
+    assert row["http_status"] == 200
+    assert row["errors"] == 0
+    assert bytes(row["payload"]) == b"hello"
+    docs = responses_as_documents(read_warc(spark, p))
+    assert docs.count() == 1
