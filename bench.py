@@ -52,16 +52,45 @@ def main() -> int:
     # through a cold pool forks `cpus` interpreters at ~3 s each in
     # parallel, which would otherwise land inside whichever timed query
     # happens to hit that pool first.
-    try:
+    # Every warmup step gets its OWN try/except and a LOUD stderr line on
+    # failure: r5 shipped one try block around all of them, and a silent
+    # partial failure meant the "untimed" index builds landed inside the
+    # first timed entry that touched each index (ex_dedup_exact +7 s,
+    # ex_sim_topk +6 s on the driver's recording — the r5 bench mystery).
+    def _warm_step(label, fn):
+        import traceback
+
+        t0 = time.perf_counter()
+        try:
+            fn()
+            print(
+                f"bench: warmup {label} ok "
+                f"({round(time.perf_counter() - t0, 2)}s)",
+                file=sys.stderr,
+            )
+        except Exception:
+            print(f"bench: WARMUP {label} FAILED:", file=sys.stderr)
+            traceback.print_exc()
+
+    def _warm_codegen():
         runners["dq1_scan_filter_project"](spark, sf_dir).write.format(
             "noop"
         ).mode("overwrite").save()
+
+    def _warm_udf_pool():
         import pandas as pd
         from pyspark.sql.functions import pandas_udf
 
-        @pandas_udf("long")
-        def _warm(s: pd.Series) -> pd.Series:
+        # annotations set as REAL objects, not hints: this module has
+        # `from __future__ import annotations`, which stringifies inline
+        # hints ('pd.Series') that pandas_udf cannot resolve against a
+        # function-local import — the exact silent failure that broke the
+        # r5 warmup chain
+        def _warm(s):
             return s
+
+        _warm.__annotations__ = {"s": pd.Series, "return": pd.Series}
+        _warm = pandas_udf("long")(_warm)
 
         spark.range(int(cpus) * 10, numPartitions=int(cpus)).select(
             _warm("id")
@@ -69,24 +98,24 @@ def main() -> int:
         spark.createDataFrame(
             pd.DataFrame({"i": range(int(cpus) * 10)})
         ).write.format("noop").mode("overwrite").save()
-        # pre-build the materialized IVF index untimed (same pattern as the
-        # cached register_views): building the at-rest index is a ONE-TIME
-        # cost of having an index, not query cost — ex_sim_topk's timed run
-        # must measure the partition-pruned PROBE (VERDICT r4 #1)
-        from pcap_converter_spark.operators.registry import (
-            _incr_index_path,
-            _ivf_rest_path,
-            _pq_rest_path,
-        )
 
-        _ivf_rest_path(spark, sf_dir)
-        # same contract for the IVF-PQ index (ex_sim_topk 'pq_rest') and
-        # the incremental-dedup corpus index (ex_dedup_exact 'incr'):
-        # one-time at-rest builds, untimed; the entries time the PROBES
-        _pq_rest_path(spark, sf_dir)
-        _incr_index_path(spark, sf_dir)
-    except Exception:
-        pass
+    # pre-build the materialized at-rest indexes untimed (same pattern as
+    # the cached register_views): building an at-rest index is a ONE-TIME
+    # cost of having an index, not query cost — the entries time the
+    # partition-pruned PROBES (VERDICT r4 #1): IVF (ex_sim_topk 'ivf_rest'
+    # + 'batch'), IVF-PQ ('pq_rest'), incremental corpus index
+    # (ex_dedup_exact 'incr')
+    from pcap_converter_spark.operators.registry import (
+        _incr_index_path,
+        _ivf_rest_path,
+        _pq_rest_path,
+    )
+
+    _warm_step("codegen", _warm_codegen)
+    _warm_step("udf_pool", _warm_udf_pool)
+    _warm_step("ivf_index", lambda: _ivf_rest_path(spark, sf_dir))
+    _warm_step("pq_index", lambda: _pq_rest_path(spark, sf_dir))
+    _warm_step("incr_index", lambda: _incr_index_path(spark, sf_dir))
 
     timings: dict[str, float] = {}
     for name, fn in runners.items():

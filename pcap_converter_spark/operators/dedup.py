@@ -115,7 +115,12 @@ def chunk_table(
     stride = size_words if stride_words is None else int(stride_words)
     if stride <= 0 or size_words <= 0:
         raise ValueError("size_words and stride_words must be positive")
-    toks = df.select(F.col(id_col), _words(F.col(text_col)).alias("_ws"))
+    # zero-token docs emit NO chunks (sequence(0, 0) would still yield one
+    # start → an empty-string chunk handed to downstream encoders; the
+    # same `_nt > 0` guard materialize_packed applies — ADVICE r5)
+    toks = df.select(
+        F.col(id_col), _words(F.col(text_col)).alias("_ws")
+    ).filter(F.size("_ws") > 0)
     ws = F.col("_ws")
     n_chunks = F.greatest(
         F.ceil((F.size(ws) - size_words) / stride), F.lit(0)

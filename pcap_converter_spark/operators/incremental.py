@@ -159,13 +159,68 @@ def _sig_band_table(
     ).mapInPandas(build, schema=out_schema)
 
 
+def _hadoop_fs(spark: SparkSession, path: str):
+    """(FileSystem, jvm) for ``path`` — works on any scheme Spark can
+    reach (file://, hdfs://, s3a://), unlike driver-local os/shutil."""
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    return p.getFileSystem(spark._jsc.hadoopConfiguration()), jvm
+
+
+def _live_epoch(spark: SparkSession, path: str) -> int:
+    """Highest committed manifest epoch, or 0 when the index uses the
+    legacy flat layout (tables directly under ``path``)."""
+    fs, jvm = _hadoop_fs(spark, path)
+    statuses = fs.globStatus(
+        jvm.org.apache.hadoop.fs.Path(f"{path}/manifest-*")
+    )
+    if statuses is None or len(statuses) == 0:
+        return 0
+    return max(
+        int(s.getPath().getName().rsplit("-", 1)[1]) for s in statuses
+    )
+
+
+def resolve_index_root(spark: SparkSession, path: str) -> str:
+    """The directory holding the LIVE table dirs. A freshly written index
+    is flat (``{path}/exact`` …); after ``compact_corpus_index_safe`` the
+    live generation is ``{path}/gen-<epoch>`` and a single-file
+    ``{path}/manifest-<epoch>`` names it — committed by one object PUT
+    (atomic on S3 and on HDFS at close), so readers see the old
+    generation or the new one, never a missing directory. The manifest
+    body is JSON naming the root; the epoch in the filename decides which
+    manifest is live (max wins — no rename, no read-modify-write)."""
+    import json as _json
+
+    epoch = _live_epoch(spark, path)
+    if epoch == 0:
+        return path
+    fs, jvm = _hadoop_fs(spark, path)
+    stream = fs.open(
+        jvm.org.apache.hadoop.fs.Path(f"{path}/manifest-{epoch:06d}")
+    )
+    try:
+        body = jvm.org.apache.commons.io.IOUtils.toString(stream, "UTF-8")
+    finally:
+        stream.close()
+    m = _json.loads(body)
+    if m.get("version") != INDEX_VERSION:
+        raise ValueError(
+            f"corpus index manifest at {path} has version "
+            f"{m.get('version')}; this build reads {INDEX_VERSION}"
+        )
+    return f"{path}/{m['root']}"
+
+
 def read_index_meta(spark: SparkSession, path: str) -> dict:
     """The index's pinned parameters. Probes and appends take every
     constant from here — a probe with different shingling than the write
     would silently miss everything, so the parameters live WITH the data
     (a one-row Parquet: portable to any Hadoop filesystem, unlike a
     driver-local JSON side file)."""
-    row = spark.read.parquet(f"{path}/meta").collect()[0]
+    row = spark.read.parquet(
+        f"{resolve_index_root(spark, path)}/meta"
+    ).collect()[0]
     meta = row.asDict()
     if meta["version"] != INDEX_VERSION:
         raise ValueError(
@@ -197,6 +252,14 @@ def write_corpus_index(
     if num_hashes % bands:
         raise ValueError("bands must divide num_hashes")
     spark = docs.sparkSession
+    # a fresh write is an OVERWRITE of the whole index: drop any manifest
+    # generations from a previous life of this path, or the new flat
+    # tables would be shadowed by a stale gen-* dir
+    fs, jvm = _hadoop_fs(spark, path)
+    for pat in (f"{path}/manifest-*", f"{path}/gen-*"):
+        statuses = fs.globStatus(jvm.org.apache.hadoop.fs.Path(pat))
+        for s in statuses or []:
+            fs.delete(s.getPath(), True)
     spark.createDataFrame(
         [(INDEX_VERSION, shingle_k, num_hashes, bands, seed, shingle_hash,
           ",".join(tiers))],
@@ -226,12 +289,19 @@ def extend_corpus_index(
     id_col: str = "doc_id",
 ) -> None:
     """Append a snapshot's rows under the index's OWN pinned parameters —
-    an append of new key files, never a rewrite or read of what's there."""
-    meta = read_index_meta(docs.sparkSession, path)
+    an append of new key files, never a rewrite or read of what's there.
+    Appends land in the LIVE generation (manifest-resolved), so they stay
+    visible across ``compact_corpus_index_safe`` generations — but do not
+    race a compaction: an append landing in the old generation after the
+    new one was sealed is lost at vacuum (run compaction during an append
+    pause, as documented there)."""
+    spark = docs.sparkSession
+    meta = read_index_meta(spark, path)
+    root = resolve_index_root(spark, path)
     tiers = meta["tiers"].split(",")
     if "exact" in tiers:
         _digests(docs, text_col, id_col).write.mode("append").parquet(
-            f"{path}/exact"
+            f"{root}/exact"
         )
     if "near" in tiers:
         sb = _sig_band_table(
@@ -246,9 +316,9 @@ def extend_corpus_index(
         )
         sb.filter("sig IS NOT NULL").select("doc_id", "sig").write.mode(
             "append"
-        ).parquet(f"{path}/sigs")
+        ).parquet(f"{root}/sigs")
         sb.select("band", "band_hash", "doc_id").write.mode("append").parquet(
-            f"{path}/bands"
+            f"{root}/bands"
         )
 
 
@@ -265,30 +335,121 @@ def compact_corpus_index(
     classic small-files problem). Compaction is the standard maintenance
     pass: read → repartition → write to a staging dir → swap. The swap is
     two local renames, NOT atomic: there is a brief window where the
-    table directory is absent, and the renames assume a LOCAL filesystem
-    — at object-store/HDFS scale, compact into a NEW index path and
-    repoint readers instead. A reader racing the swap fails loudly
-    (PATH_NOT_FOUND) rather than seeing a half-written table, since the
-    staging dir is fully written before the first rename. Row content is
-    untouched (tested); run it whenever file count ≫ files_per_table,
-    during a probe pause."""
+    table directory is absent, and the renames require a LOCAL filesystem
+    — this function REFUSES any other scheme (hdfs://, s3a://: use
+    ``compact_corpus_index_safe``, which compacts into a new generation
+    and repoints readers through a manifest with no rename window at
+    all). A reader racing the swap fails loudly (PATH_NOT_FOUND) rather
+    than seeing a half-written table, since the staging dir is fully
+    written before the first rename. Row content is untouched (tested);
+    run it whenever file count ≫ files_per_table, during a probe pause."""
     import shutil
+    from urllib.parse import urlparse
 
+    scheme = urlparse(path).scheme
+    if scheme not in ("", "file"):
+        raise ValueError(
+            f"compact_corpus_index swaps directories with driver-local "
+            f"renames and supports only local paths; got scheme "
+            f"{scheme!r} — use compact_corpus_index_safe (manifest-based, "
+            f"no rename window, any Hadoop filesystem)"
+        )
     meta = read_index_meta(spark, path)
+    root = resolve_index_root(spark, path)
+    local_root = root[7:] if root.startswith("file://") else root
     tiers = meta["tiers"].split(",")
     tables = (["exact"] if "exact" in tiers else []) + (
         ["sigs", "bands"] if "near" in tiers else []
     )
     for sub in tables:
-        src = f"{path}/{sub}"
-        stage = f"{path}/.{sub}.compact"
+        src = f"{local_root}/{sub}"
+        stage = f"{local_root}/.{sub}.compact"
         spark.read.parquet(src).repartition(files_per_table).write.mode(
             "overwrite"
         ).parquet(stage)
-        old = f"{path}/.{sub}.old"
+        old = f"{local_root}/.{sub}.old"
         shutil.move(src, old)
         shutil.move(stage, src)
         shutil.rmtree(old)
+
+
+def compact_corpus_index_safe(
+    spark: SparkSession,
+    path: str,
+    files_per_table: int = 32,
+) -> None:
+    """Object-store-safe compaction: write the compacted tables into a
+    NEW generation directory (``{path}/gen-<epoch>``), then commit it by
+    PUTting a single ``{path}/manifest-<epoch>`` file naming the live
+    root. Readers resolve through the highest-epoch manifest
+    (``resolve_index_root``), so there is NO window where a table
+    directory is missing — they see the previous generation until the
+    manifest lands, the new one after; a crashed compaction leaves an
+    orphan gen dir and no manifest, which the next run simply supersedes.
+    Works on any Hadoop filesystem (local, HDFS, S3A — the manifest PUT
+    is a single-object create, atomic on S3 and at close() on HDFS).
+    Previous generations stay on disk for in-flight readers;
+    ``vacuum_corpus_index`` removes them once readers have drained. Do
+    not run concurrent ``extend_corpus_index`` appends across the commit
+    point — an append sealed into the old generation is lost at vacuum."""
+    import json as _json
+
+    meta = read_index_meta(spark, path)
+    root = resolve_index_root(spark, path)
+    epoch = _live_epoch(spark, path) + 1
+    new_root = f"{path}/gen-{epoch:06d}"
+    tiers = meta["tiers"].split(",")
+    tables = (["exact"] if "exact" in tiers else []) + (
+        ["sigs", "bands"] if "near" in tiers else []
+    )
+    # meta copied verbatim (parameters are immutable for the index's life)
+    spark.read.parquet(f"{root}/meta").coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(f"{new_root}/meta")
+    for sub in tables:
+        spark.read.parquet(f"{root}/{sub}").repartition(
+            files_per_table
+        ).write.mode("overwrite").parquet(f"{new_root}/{sub}")
+    fs, jvm = _hadoop_fs(spark, path)
+    body = _json.dumps(
+        {
+            "version": INDEX_VERSION,
+            "epoch": epoch,
+            "root": f"gen-{epoch:06d}",
+            "tables": tables + ["meta"],
+        }
+    ).encode()
+    out = fs.create(
+        jvm.org.apache.hadoop.fs.Path(f"{path}/manifest-{epoch:06d}"), False
+    )
+    try:
+        out.write(bytearray(body))
+    finally:
+        out.close()
+
+
+def vacuum_corpus_index(spark: SparkSession, path: str) -> None:
+    """Remove every generation below the live epoch (and its manifest) —
+    run after ``compact_corpus_index_safe`` once in-flight readers have
+    drained. The live generation and manifest are untouched; a flat
+    legacy layout's tables (epoch 0) are removed only if a manifest
+    generation has superseded them."""
+    epoch = _live_epoch(spark, path)
+    if epoch == 0:
+        return
+    fs, jvm = _hadoop_fs(spark, path)
+    live_gen = f"gen-{epoch:06d}"
+    live_manifest = f"manifest-{epoch:06d}"
+    for pat in (f"{path}/manifest-*", f"{path}/gen-*"):
+        for s in fs.globStatus(jvm.org.apache.hadoop.fs.Path(pat)) or []:
+            name = s.getPath().getName()
+            if name not in (live_gen, live_manifest):
+                fs.delete(s.getPath(), True)
+    # legacy flat tables superseded by the live generation
+    for sub in ("meta", "exact", "sigs", "bands"):
+        p = jvm.org.apache.hadoop.fs.Path(f"{path}/{sub}")
+        if fs.exists(p):
+            fs.delete(p, True)
 
 
 def _maybe_broadcast(df: DataFrame, broadcast_probe: bool) -> DataFrame:
@@ -302,6 +463,7 @@ def exact_matches(
     id_col: str = "doc_id",
     broadcast_probe: bool = True,
     handles: list | None = None,
+    digests: DataFrame | None = None,
 ) -> DataFrame:
     """(content_hash, doc_id, origin) for every occurrence — indexed or in
     the snapshot — of a digest present on BOTH sides. The grouped view of
@@ -311,14 +473,23 @@ def exact_matches(
     no index-side Exchange (plan-audit-tested).
 
     The snapshot digest frame is referenced three times (the broadcast key
-    build and both union branches), so it is persisted — appended to
-    ``handles`` for caller cleanup, session-cached without; digest rows
-    only, never text."""
+    build and both union branches), so it is persisted AND materialized
+    eagerly — lazily-persisted, the two union branches of one downstream
+    job can race to compute it before any block is cached, re-running the
+    snapshot lineage per branch. Appended to ``handles`` for caller
+    cleanup, session-cached without; digest rows only, never text.
+    Callers that already hold a persisted (content_hash, doc_id) frame
+    (e.g. one shared with an in-snapshot passage dedup) pass it via
+    ``digests`` and keep ownership of its lifecycle."""
     spark = docs.sparkSession
-    snap = _digests(docs, text_col, id_col).persist()
-    if handles is not None:
-        handles.append(snap)
-    idx = spark.read.parquet(f"{path}/exact")
+    if digests is not None:
+        snap = digests
+    else:
+        snap = _digests(docs, text_col, id_col).persist()
+        if handles is not None:
+            handles.append(snap)
+        snap.count()  # materialize the cache before branches fan out
+    idx = spark.read.parquet(f"{resolve_index_root(spark, path)}/exact")
     snap_keys = snap.select("content_hash").distinct()
     # digests on both sides: small by construction (bounded by the overlap)
     common = (
@@ -363,13 +534,14 @@ def flag_against_index(
     degrades to shuffle joins instead of blowing the broadcast limit."""
     spark = docs.sparkSession
     meta = read_index_meta(spark, path)
+    root = resolve_index_root(spark, path)
     tiers = meta["tiers"].split(",")
     out = docs.select(F.col(id_col))
 
     snap = _digests(docs, text_col, id_col).persist()
     if handles is not None:
         handles.append(snap)
-    idx = spark.read.parquet(f"{path}/exact")
+    idx = spark.read.parquet(f"{root}/exact")
     snap_keys = snap.select("content_hash").distinct()
     hit = (
         idx.join(_maybe_broadcast(snap_keys, broadcast_probe), "content_hash")
@@ -405,7 +577,7 @@ def flag_against_index(
         snap_bands = sb.select(
             "band", "band_hash", F.col("doc_id").alias("_snap")
         )
-        idx_bands = spark.read.parquet(f"{path}/bands")
+        idx_bands = spark.read.parquet(f"{root}/bands")
         # candidates: index bands scanned against the broadcast snapshot
         # band keys — the only index-wide pass, three pruned columns
         cands = (
@@ -416,7 +588,7 @@ def flag_against_index(
             .select(F.col("doc_id").alias("_idx"), "_snap")
             .distinct()
         )
-        idx_sigs = spark.read.parquet(f"{path}/sigs").select(
+        idx_sigs = spark.read.parquet(f"{root}/sigs").select(
             F.col("doc_id").alias("_idx"), "sig"
         )
         est = (

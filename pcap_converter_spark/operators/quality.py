@@ -101,6 +101,13 @@ def repetition_stats(
     )
 
 
+def _java_quote(s: str) -> str:
+    """``java.util.regex.Pattern.quote`` semantics: wrap in \\Q...\\E with
+    any embedded \\E stitched through, so the string matches literally
+    inside a Java regex."""
+    return "\\Q" + s.replace("\\E", "\\E\\\\E\\Q") + "\\E"
+
+
 def line_repetition_stats(
     df: DataFrame,
     text_col: str = "text",
@@ -121,7 +128,11 @@ def line_repetition_stats(
 
     Empty/whitespace-only lines are ignored (every crawled page has blank
     separators; counting them as "duplicates" would flag everything).
-    Pass ``sep="\\n\\n"`` for paragraph granularity. Same scale shape as
+    Pass ``sep="\\n\\n"`` for paragraph granularity. ``sep`` is a LITERAL
+    separator, not a regex — it is Pattern.quote-wrapped before reaching
+    ``F.split`` (whose pattern argument is a Java regex), so a caller
+    passing '|' or '.' splits on that character instead of silently
+    splitting per character (ADVICE r5). Same scale shape as
     ``repetition_stats``: explode → (doc, line) counts → per-doc reduce,
     both shuffles partial-aggregated map-side. A doc with no non-empty
     lines is ABSENT from the result (same contract as
@@ -129,7 +140,7 @@ def line_repetition_stats(
     needs a row."""
     lines = df.select(
         F.col(id_col),
-        F.explode(F.split(F.col(text_col), sep)).alias("_line"),
+        F.explode(F.split(F.col(text_col), _java_quote(sep))).alias("_line"),
     ).select(F.col(id_col), F.trim(F.col("_line")).alias("_line")).filter(
         F.col("_line") != ""
     )

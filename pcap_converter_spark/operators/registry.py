@@ -456,14 +456,40 @@ def run_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast-probe round trip, the way ivf_rest proves the IVF layout.
     Registered with 4-word passages so the fixture corpus actually
     produces duplicate groups to hash-check (the 32-word production
-    default yields none on synthetic word soup)."""
+    default yields none on synthetic word soup).
+
+    Plan economics (r6): the passage explosion + sha256 runs ONCE — the
+    persisted (content_hash, doc_id) passage-digest frame feeds both the
+    'passage' group-by AND the 'incr' probe's snapshot side (its odd-doc
+    filter), where r5 exploded the corpus twice; the frame is
+    materialized eagerly so the union's branches read cached digests
+    instead of racing to recompute the lineage inside one job."""
     from pcap_converter_spark.operators import incremental
 
     docs = _docs(spark, sf_dir)
     did = F.col("doc_id")
+    handles: list = []
+    pas_dig = (
+        dedup.passage_table(docs, passage_words=4)
+        .select(
+            F.sha2(F.col("passage").cast("binary"), 256).alias(
+                "content_hash"
+            ),
+            "doc_id",
+        )
+        .persist()
+    )
+    handles.append(pas_dig)
+    pas_dig.count()  # materialize before the branches fan out
     doc_tier = dedup.exact_duplicates(docs).withColumn("tier", F.lit("doc"))
-    pas_tier = dedup.passage_duplicates(docs, passage_words=4).withColumn(
-        "tier", F.lit("passage")
+    pas_tier = (
+        pas_dig.groupBy("content_hash")
+        .agg(
+            F.count(F.lit(1)).alias("dup_count"),
+            F.sort_array(F.collect_list("doc_id")).alias("doc_ids"),
+        )
+        .filter(F.col("dup_count") > 1)
+        .withColumn("tier", F.lit("passage"))
     )
     dec_tier = dedup.decontaminate(
         docs.filter(did % 83 != 0), docs.filter(did % 83 == 0), k=5
@@ -473,14 +499,10 @@ def run_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         "dup_count",
         "doc_ids",
     )
-    handles: list = []
-    odd_pas = dedup.passage_table(
-        docs.filter(did % 2 == 1), passage_words=4
-    )
     inc_tier = (
         incremental.exact_matches(
-            odd_pas, _incr_index_path(spark, sf_dir), text_col="passage",
-            handles=handles,
+            docs, _incr_index_path(spark, sf_dir),
+            digests=pas_dig.filter(did % 2 == 1),
         )
         .groupBy("content_hash")
         .agg(
@@ -834,6 +856,9 @@ _SIM_DIM = 64  # embeddings.embedding element count (TESTDATA.md)
 _SIM_PLANES = similarity._hyperplanes(_SIM_DIM, 8, seed=42)
 _SIM_CENTS = similarity.fixed_centroids(_SIM_DIM, 8, seed=42)
 _SIM_NPROBE = 3
+_BM25_QUERY = "vector hash join"
+_BM25_K1, _BM25_B = 1.2, 0.75
+_BATCH_QIDS = (0, 7, 13)
 
 
 def _vec_sql(v) -> str:
@@ -960,15 +985,62 @@ FROM (
 ORDER BY cos_sim DESC, vec_id LIMIT 10
 """
 
+# 'batch<qid>' tiers re-run the IVF oracle with q bound to THAT query's
+# vector (the inner WITH shadows the outer q) — per-query parity with the
+# single-query tier's own oracle, which is exactly the batch contract
+_SIM_BATCH_SQL = "\n".join(
+    f"""UNION ALL SELECT 'batch{qid}' AS tier, * FROM (
+  WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings
+             WHERE vec_id = {qid})
+  {_SIM_IVF_SQL}) bq{qid}"""
+    for qid in _BATCH_QIDS
+)
+
+# Okapi BM25 re-derived in SQL: same tokenizer twin, idf =
+# ln(1 + (N−df+0.5)/(df+0.5)), tf saturation with k1/b literals, score
+# rounded to 4 BEFORE the top-k ordering (the tfidf.py convention)
+_BM25_SQL = """
+SELECT doc_id, bm25 FROM (
+  WITH tok AS (
+    SELECT doc_id, unnest({words}) AS term FROM documents),
+  tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term),
+  dl AS (SELECT doc_id, CAST(sum(tf) AS DOUBLE) AS dl FROM tf
+         GROUP BY doc_id),
+  st AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
+  qt AS (SELECT * FROM tf WHERE term IN ({terms})),
+  dfq AS (SELECT term, count(DISTINCT doc_id) AS dfc FROM qt GROUP BY term),
+  sc AS (
+    SELECT qt.doc_id,
+           ln(1.0 + (st.n - dfq.dfc + 0.5) / (dfq.dfc + 0.5))
+           * (qt.tf * {k1p1}) / (qt.tf + {k1} * (1 - {b} + {b} * dl.dl
+                                                 / st.avgdl)) AS s
+    FROM qt JOIN dfq USING (term) JOIN dl USING (doc_id), st)
+  SELECT doc_id, round(sum(s), 4) AS bm25 FROM sc GROUP BY doc_id
+  ORDER BY bm25 DESC, doc_id LIMIT 10
+) z
+""".format(
+    words=_DUCK_WORDS.format(src="lower(text)"),
+    terms=", ".join(
+        f"'{t}'" for t in sorted(set(_BM25_QUERY.lower().split()))
+    ),
+    k1p1=repr(_BM25_K1 + 1),
+    k1=repr(_BM25_K1),
+    b=repr(_BM25_B),
+)
+
 _SIM_TOPK_ORACLE = f"""
 WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0)
-SELECT 'ann_lsh' AS tier, * FROM ({_SIM_ANN_SQL}) a
-UNION ALL SELECT 'exact' AS tier, * FROM ({_SIM_EXACT_SQL}) b
-UNION ALL SELECT 'ivf' AS tier, * FROM ({_SIM_IVF_SQL}) c
-UNION ALL SELECT 'ivf_rest' AS tier, * FROM ({_SIM_IVF_SQL}) e
-UNION ALL SELECT 'pq_rest' AS tier, * FROM ({_SIM_PQ_SQL}) f
-UNION ALL SELECT 'quant' AS tier, * FROM ({_SIM_QUANT_SQL}) d
-ORDER BY tier, cos_sim DESC, vec_id
+SELECT tier, vec_id AS hit_id, cos_sim AS score FROM (
+  SELECT 'ann_lsh' AS tier, * FROM ({_SIM_ANN_SQL}) a
+  UNION ALL SELECT 'exact' AS tier, * FROM ({_SIM_EXACT_SQL}) b
+  UNION ALL SELECT 'ivf' AS tier, * FROM ({_SIM_IVF_SQL}) c
+  UNION ALL SELECT 'ivf_rest' AS tier, * FROM ({_SIM_IVF_SQL}) e
+  UNION ALL SELECT 'pq_rest' AS tier, * FROM ({_SIM_PQ_SQL}) f
+  UNION ALL SELECT 'quant' AS tier, * FROM ({_SIM_QUANT_SQL}) d
+  {_SIM_BATCH_SQL}
+  UNION ALL SELECT 'bm25' AS tier, doc_id AS vec_id, bm25 AS cos_sim
+            FROM ({_BM25_SQL}) bm
+) u ORDER BY tier, score DESC, hit_id
 """
 
 
@@ -1013,21 +1085,40 @@ def _pq_rest_path(spark: SparkSession, sf_dir: str) -> str:
 
 
 def run_sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Cosine top-k, all six tiers in one tagged hash-checked result:
-    exact scan→TakeOrderedAndProject; ANN via hyperplane bucket + hamming-1
+    """The RETRIEVAL surface, all eight tiers in one tagged hash-checked
+    result (tier, hit_id, score): exact cosine scan →
+    TakeOrderedAndProject; ANN via hyperplane bucket + hamming-1
     multiprobe (scans ~9/256 of the corpus); IVF probe over fixed literal
     centroids (scans nprobe/8 of the corpus); the SAME probe against the
     MATERIALIZED cluster-partitioned index (tier 'ivf_rest' — a
     directory-pruned scan that must produce the identical answer);
     'pq_rest' — the IVF-PQ layout (similarity.pq_write/pq_topk_at_rest:
     per-subvector codes + vnorm at rest, raw vectors absent, ADC cosine
-    estimate over literal codebooks); and int8-quantized top-k
-    (similarity.quantized_topk — the 4×-compressed
-    at-rest representation scored with integer dot products). The oracle
-    recomputes each tier's own bucketing/probing/quantization, so
-    correctness of the approximation MECHANICS is what is hash-checked."""
+    estimate over literal codebooks); int8-quantized top-k
+    (similarity.quantized_topk — the 4×-compressed at-rest representation
+    scored with integer dot products); tiers 'batch<qid>' — BATCH ANN
+    retrieval (similarity.ivf_topk_batch): three query rows answered in
+    ONE job against the materialized IVF index (queries explode into
+    their nprobe clusters, broadcast onto the index, dynamic partition
+    pruning skips unprobed directories), each query's top-k hash-checked
+    against the same IVF oracle bound to that query vector; and 'bm25' —
+    LEXICAL retrieval (tfidf.bm25_topk, Okapi BM25 over the documents
+    table for a pinned query string; the oracle re-derives idf, length
+    normalization and tf saturation in SQL). The oracle recomputes each
+    tier's own bucketing/probing/quantization/scoring, so correctness of
+    the retrieval MECHANICS is what is hash-checked.
+
+    Plan economics (r6): the embeddings scan is persisted ONCE and shared
+    by the exact/ann/ivf/quant tiers and the batch query rows (r5
+    re-scanned it per tier — VERDICT r5 #1b); the at-rest tiers read
+    their own pruned index directories as designed."""
+    from pcap_converter_spark.operators import tfidf
+
     qv = _query_vector(spark, sf_dir)
-    emb = _embs(spark, sf_dir)
+    handles: list = []
+    emb = _embs(spark, sf_dir).persist()
+    handles.append(emb)
+    emb.count()  # materialize before the eight branches fan out
     exact = similarity.cosine_topk(emb, qv, k=10).withColumn("tier", F.lit("exact"))
     ann = similarity.lsh_bucket_topk(emb, qv, k=10, n_planes=8).withColumn(
         "tier", F.lit("ann_lsh")
@@ -1054,15 +1145,56 @@ def run_sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     quant = similarity.quantized_topk(emb, qv, k=10).withColumn(
         "tier", F.lit("quant")
     )
-    return (
+    # 'batch<qid>' tiers: one job, many queries, against the at-rest IVF
+    # index. The query vectors are cast to double so the riding-column
+    # scores use the same double arithmetic as the literal-vector tiers
+    # (and the oracle's ::DOUBLE[] casts).
+    queries = emb.filter(
+        F.col("vec_id").isin(list(_BATCH_QIDS))
+    ).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").cast("array<double>").alias("embedding"),
+    )
+    bat = similarity.ivf_topk_batch(
+        queries,
+        spark.read.parquet(_ivf_rest_path(spark, sf_dir)),
+        _SIM_CENTS,
+        k=10,
+        nprobe=_SIM_NPROBE,
+        assign_corpus=False,
+    ).select(
+        F.concat(F.lit("batch"), F.col("query_id").cast("string")).alias(
+            "tier"
+        ),
+        F.col("vec_id").alias("hit_id"),
+        F.col("cos_sim").alias("score"),
+    )
+    bm = tfidf.bm25_topk(
+        _docs(spark, sf_dir), _BM25_QUERY, k=10,
+        k1=_BM25_K1, b=_BM25_B, handles=handles,
+    ).select(
+        F.lit("bm25").alias("tier"),
+        F.col("doc_id").alias("hit_id"),
+        F.col("bm25").alias("score"),
+    )
+    vec = (
         exact.unionByName(ann)
         .unionByName(ivf)
         .unionByName(rest)
         .unionByName(pq)
         .unionByName(quant)
-        .select("tier", "vec_id", "cos_sim")
-        .orderBy("tier", F.col("cos_sim").desc(), "vec_id")
+        .select(
+            "tier",
+            F.col("vec_id").alias("hit_id"),
+            F.col("cos_sim").alias("score"),
+        )
     )
+    out = (
+        vec.unionByName(bat)
+        .unionByName(bm)
+        .orderBy("tier", F.col("score").desc(), "hit_id")
+    )
+    return _eager(spark, out, handles)
 
 
 def run_sim_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:

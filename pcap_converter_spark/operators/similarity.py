@@ -444,10 +444,17 @@ def ivf_topk_batch(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     assign_corpus: bool = True,
+    broadcast_probe: bool = True,
 ) -> DataFrame:
     """Top-k for MANY queries in one job — the batch-retrieval shape
     (embedding-dedup joins, RAG eval sweeps) where looping
     ``ivf_topk`` per query would schedule |Q| jobs.
+
+    ``broadcast_probe=False`` degrades the exploded-query side to a
+    shuffle join (AQE picks the strategy) instead of failing at the
+    broadcast size limit — the same escape hatch as
+    ``incremental.flag_against_index``, for query batches past ~1M rows
+    (each exploded row carries the full query vector).
 
     Plan: each query ranks the literal centroids (pure projection; struct
     sort (−dot, cluster) keeps the single-query tie-break) and EXPLODES
@@ -481,8 +488,10 @@ def ivf_topk_batch(
     ).select(
         q_id_col, "_qv", F.explode(probe_arr).alias("_cluster")
     )
+    if broadcast_probe:
+        probed = F.broadcast(probed)
     side = ivf_assign(corpus, centroids, vec_col) if assign_corpus else corpus
-    scored = side.join(F.broadcast(probed), "_cluster").select(
+    scored = side.join(probed, "_cluster").select(
         F.col(q_id_col),
         F.col(id_col),
         F.round(cosine(F.col(vec_col), F.col("_qv")), 4).alias("cos_sim"),
@@ -506,6 +515,7 @@ def pq_topk_batch(
     q_id_col: str = "query_id",
     q_vec_col: str = "embedding",
     id_col: str = "vec_id",
+    broadcast_probe: bool = True,
 ) -> DataFrame:
     """Batch ADC retrieval against the materialized IVF-PQ index — the
     ``ivf_topk_batch`` shape with PQ scoring: queries explode into their
@@ -514,7 +524,9 @@ def pq_topk_batch(
     Σⱼ qⱼ·codebook[j][codeⱼ] / (vnorm·|q|), with the query SLICE taken
     from the riding query column (the literal codebook row is still
     selected by the stored byte). Per-query top-k via the same bounded
-    row_number window. Returns (q_id_col, vec_id, cos_sim, rank)."""
+    row_number window. ``broadcast_probe=False`` degrades to a shuffle
+    join for oversized query batches (see ``ivf_topk_batch``). Returns
+    (q_id_col, vec_id, cos_sim, rank)."""
     from pyspark.sql import Window
 
     m, ks, dsub = codebooks.shape
@@ -550,7 +562,9 @@ def pq_topk_batch(
     score = F.when(
         F.col("vnorm") > 0, adc / (F.col("vnorm") * norm(qv))
     )
-    scored = index.join(F.broadcast(probed), "_cluster").select(
+    if broadcast_probe:
+        probed = F.broadcast(probed)
+    scored = index.join(probed, "_cluster").select(
         F.col(q_id_col),
         F.col(id_col),
         F.round(score, 4).alias("cos_sim"),

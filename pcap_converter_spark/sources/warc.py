@@ -304,9 +304,11 @@ def _parse_records(buf: bytes, basename: str) -> Iterator[dict]:
                     # breaks on a status line with no reason phrase
                     # ('HTTP/1.1 200\r\n' — legal, seen in real crawls),
                     # where the second space-token would swallow the next
-                    # header line
+                    # header line. split() (not split(b" ")) drops empty
+                    # tokens, so consecutive spaces ('HTTP/1.1  200') still
+                    # yield the status instead of int(b'')
                     first_line = body[:he].split(b"\r\n", 1)[0]
-                    status = int(first_line.split(b" ")[1])
+                    status = int(first_line.split()[1])
                 except (IndexError, ValueError):
                     errors += 1
                 chunked = False

@@ -303,6 +303,88 @@ def test_compaction_preserves_content_and_shrinks_files(spark, tmp_path):
     assert flags_after == flags_before
 
 
+def test_compaction_refuses_remote_schemes(spark):
+    """The in-place swap is driver-local shutil; any non-local scheme must
+    fail loudly at the top, pointing at the manifest variant (ADVICE r5)."""
+    with pytest.raises(ValueError, match="compact_corpus_index_safe"):
+        inc.compact_corpus_index(spark, "s3a://bucket/index")
+    with pytest.raises(ValueError, match="compact_corpus_index_safe"):
+        inc.compact_corpus_index(spark, "hdfs://nn/index")
+
+
+def test_safe_compaction_manifest_generations(spark, tmp_path):
+    """compact_corpus_index_safe: content identical across generations,
+    no rename window (the old generation's tables stay on disk until
+    vacuum), appends land in the live generation, manifests round-trip,
+    and vacuum removes only superseded generations."""
+    import glob
+    import json
+    import os
+
+    p = str(tmp_path / "safe")
+    inc.write_corpus_index(_corpus_a(spark), p)
+    for i in range(4):
+        inc.extend_corpus_index(
+            _mk_docs(spark, [(100 + i, f"filler snapshot number {i} content")]),
+            p,
+        )
+    flags_before = sorted(
+        map(tuple, inc.flag_against_index(_corpus_b(spark), p).collect())
+    )
+    n_files = len(glob.glob(f"{p}/exact/*.parquet"))
+
+    inc.compact_corpus_index_safe(spark, p, files_per_table=2)
+    # manifest round-trip: epoch-1 file names the live root as JSON
+    m = json.loads(open(f"{p}/manifest-000001").read())
+    assert m["root"] == "gen-000001" and m["epoch"] == 1
+    assert inc.resolve_index_root(spark, p).endswith("gen-000001")
+    # no rename window: legacy tables untouched, new generation complete
+    assert len(glob.glob(f"{p}/exact/*.parquet")) == n_files
+    assert len(glob.glob(f"{p}/gen-000001/exact/*.parquet")) <= 2
+    flags_after = sorted(
+        map(tuple, inc.flag_against_index(_corpus_b(spark), p).collect())
+    )
+    assert flags_after == flags_before
+
+    # appends resolve into the live generation and are immediately visible
+    inc.extend_corpus_index(
+        _mk_docs(spark, [(200, _corpus_b(spark).collect()[2]["text"])]), p
+    )
+    exact_docs = {
+        r["doc_id"]
+        for r in spark.read.parquet(f"{p}/gen-000001/exact").collect()
+    }
+    assert 200 in exact_docs
+    flags_appended = sorted(
+        map(tuple, inc.flag_against_index(_corpus_b(spark), p).collect())
+    )
+    flags2 = {t[0]: t for t in flags_appended}
+    assert flags2[13][1]  # dup_exact: doc 200 carried b/13's text
+
+    # a second compaction supersedes the first generation
+    inc.compact_corpus_index_safe(spark, p, files_per_table=2)
+    assert inc.resolve_index_root(spark, p).endswith("gen-000002")
+
+    # vacuum drops legacy tables + gen-1, keeps the live generation
+    inc.vacuum_corpus_index(spark, p)
+    assert not os.path.exists(f"{p}/exact")
+    assert not os.path.exists(f"{p}/gen-000001")
+    assert os.path.exists(f"{p}/gen-000002/exact")
+    flags3 = sorted(
+        map(tuple, inc.flag_against_index(_corpus_b(spark), p).collect())
+    )
+    assert flags3 == flags_appended
+
+    # a fresh overwrite of the same path clears every generation/manifest
+    inc.write_corpus_index(_corpus_a(spark), p)
+    assert inc._live_epoch(spark, p) == 0
+    assert not os.path.exists(f"{p}/gen-000002")
+    flags4 = sorted(
+        map(tuple, inc.flag_against_index(_corpus_b(spark), p).collect())
+    )
+    assert flags4 == flags_before
+
+
 def test_fuzz_exact_probe_is_set_membership(spark):
     """Property: dup_exact over random snapshots is exactly Python set
     membership of the text — for any split, any duplicate structure."""

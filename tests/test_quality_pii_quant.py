@@ -294,6 +294,21 @@ def test_line_repetition_paragraph_granularity(spark):
     assert r["dup_line_frac"] == pytest.approx(round(1 - 2 / 3, 4))
 
 
+def test_line_repetition_sep_is_literal_not_regex(spark):
+    """sep containing regex metacharacters splits on the literal string
+    (Pattern.quote), not per-character (ADVICE r5)."""
+    df = spark.createDataFrame(
+        [(1, "alpha beta|alpha beta|gamma")], ["doc_id", "text"]
+    )
+    r = quality.line_repetition_stats(df, sep="|").collect()[0]
+    # 3 lines, 2 distinct → dup fraction 1/3 (an unquoted '|' regex would
+    # split every character apart)
+    assert r["dup_line_frac"] == pytest.approx(round(1 - 2 / 3, 4))
+    df2 = spark.createDataFrame([(1, "x.y.x")], ["doc_id", "text"])
+    r2 = quality.line_repetition_stats(df2, sep=".").collect()[0]
+    assert r2["dup_line_frac"] == pytest.approx(round(1 - 2 / 3, 4))
+
+
 def _py_pack_streams(docs, budget, n_shards, pad_id=0):
     """Python replay: concat per shard in doc_id order, cut every budget,
     pad the tail; spans = (doc, start, end) per bin."""
@@ -396,6 +411,13 @@ def test_chunk_table_overlap_and_tiling(spark):
     short = spark.createDataFrame([(2, "a b")], "doc_id long, text string")
     assert [r["chunk"] for r in
             chunk_table(short, size_words=4, stride_words=2).collect()] == ["a b"]
+    # zero-token docs emit NO chunks (ADVICE r5: downstream encoders must
+    # never receive an empty-string chunk)
+    empty = spark.createDataFrame(
+        [(3, ""), (4, "   "), (5, "word")], "doc_id long, text string"
+    )
+    rows = chunk_table(empty, size_words=4).collect()
+    assert [(r["doc_id"], r["chunk"]) for r in rows] == [(5, "word")]
 
 
 def test_compression_ratio_separates_boilerplate(spark):

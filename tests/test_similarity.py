@@ -236,6 +236,22 @@ def test_ivf_topk_batch_matches_per_query_loop(spark, emb_df):
         assert got[qid] == exp, qid
 
 
+def test_topk_batch_broadcast_escape_hatch(spark, emb_df):
+    """broadcast_probe=False degrades the exploded-query side to a
+    shuffle join with identical answers — the oversized-batch escape
+    hatch mirroring incremental.flag_against_index (ADVICE r5)."""
+    cents = similarity.fixed_centroids(DIM, 4, seed=42)
+    queries = emb_df.filter("vec_id < 3").withColumnRenamed(
+        "vec_id", "query_id"
+    )
+    a = sorted(map(tuple, similarity.ivf_topk_batch(
+        queries, emb_df, cents, k=5, nprobe=2).collect()))
+    b = sorted(map(tuple, similarity.ivf_topk_batch(
+        queries, emb_df, cents, k=5, nprobe=2, broadcast_probe=False
+    ).collect()))
+    assert a == b
+
+
 def test_ivf_topk_batch_at_rest_prunes_dynamically(spark, emb_df, tmp_path):
     """Against the materialized index, the broadcast join on the partition
     column triggers dynamic partition pruning — the index scan carries a
@@ -285,6 +301,12 @@ def test_pq_topk_batch_matches_per_query_probe(spark, emb_df, tmp_path):
                for r in similarity.pq_topk_at_rest(
                    spark, p, cents, cbs, q, k=5, nprobe=2).collect()]
         assert got[qid] == exp, qid
+    # the shuffle-join escape hatch answers identically (ADVICE r5)
+    no_b = sorted(map(tuple, similarity.pq_topk_batch(
+        queries, spark.read.parquet(p), cents, cbs, k=5, nprobe=2,
+        broadcast_probe=False,
+    ).collect()))
+    assert no_b == sorted(map(tuple, out.collect()))
 
 
 def test_ivf_and_pq_append_equal_one_shot(spark, emb_df, tmp_path):

@@ -782,3 +782,20 @@ def test_warc_status_line_without_reason_phrase(spark, tmp_path):
     assert bytes(row["payload"]) == b"hello"
     docs = responses_as_documents(read_warc(spark, p))
     assert docs.count() == 1
+
+
+def test_warc_status_line_with_consecutive_spaces(spark, tmp_path):
+    """'HTTP/1.1  200 OK' (doubled separator — sloppy but real) must
+    parse to status 200: the token split drops empty fields instead of
+    feeding int(b'') and counting a parse error (ADVICE r5)."""
+    raw = (b"HTTP/1.1  200  OK\r\nContent-Type: text/html\r\n"
+           b"Content-Length: 5\r\n\r\nhello")
+    p = str(tmp_path / "ds.warc")
+    wg.write_warc(p, [wg.record(
+        "response", raw, uri="https://n.org/sp", rec_id="<urn:uuid:ds>",
+        content_type="application/http; msgtype=response",
+    )])
+    row = read_warc(spark, p).collect()[0]
+    assert row["http_status"] == 200
+    assert row["errors"] == 0
+    assert bytes(row["payload"]) == b"hello"
