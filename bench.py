@@ -249,12 +249,17 @@ def main() -> int:
 
 
 def _ensure_big_warc() -> tuple[str, int]:
-    """Deterministic ~25k-document per-record-gzip WARC (~2.5 KB HTML per
-    page → tens of MB compressed), generated once."""
+    """Deterministic ~75k-document per-record-gzip WARC (~2.5 KB HTML per
+    page → ~25 MB compressed), generated once. 3× the r5 archive: at 25k
+    docs the timed run was ~half fixed job overhead (measured: 0.45 s
+    scheduling/Arrow floor vs ~0.5 s of actual work on 32 cores), which
+    understates the steady-state throughput a 100 TB crawl job sees —
+    the bigger archive amortizes the floor so docs/s measures the
+    pipeline, not the scheduler."""
     import io
 
-    path = "/tmp/bench_warc.warc.gz"
-    n_docs = 25_000
+    path = "/tmp/bench_warc75.warc.gz"
+    n_docs = 75_000
     if os.path.exists(path) and os.path.getsize(path) > 0:
         return path, n_docs
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))

@@ -1620,8 +1620,26 @@ def run_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
       job consumes them. The oracle re-derives the same rows from the
       funnel SQL (WHERE kept), so the hash proves the at-rest layout
       round-trips doc ids, shard assignment and packing positions —
-      the ivf_rest move applied to the curation output (VERDICT r4 #3)."""
-    flags = _curate_flags(spark, sf_dir).withColumn("src", F.lit("flags"))
+      the ivf_rest move applied to the curation output (VERDICT r4 #3).
+    - 'report' (merged from the former ex_curate_report entry, r6 — the
+      slot went to ex_graph_pagerank): the per-stage funnel summary
+      (operators/pipeline.py curation_report — (stage, n_entered, n_kept,
+      n_dropped) as ONE aggregation over the same shared flags frame),
+      NULL-padded into the union; its oracle branch re-aggregates the
+      full funnel SQL independently."""
+    from pcap_converter_spark.operators.pipeline import curation_report
+
+    nl = F.lit(None).cast("bigint")
+    nb = F.lit(None).cast("boolean")
+    ns = F.lit(None).cast("string")
+    flags = (
+        _curate_flags(spark, sf_dir)
+        .withColumn("src", F.lit("flags"))
+        .withColumn("stage", ns)
+        .withColumn("n_entered", nl)
+        .withColumn("n_kept", nl)
+        .withColumn("n_dropped", nl)
+    )
     t = F.lit(True)
     rest = (
         spark.read.parquet(_write_kept_path(spark, sf_dir))
@@ -1637,26 +1655,37 @@ def run_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("pack_offset").cast("bigint").alias("pack_offset"),
         )
         .withColumn("src", F.lit("rest"))
+        .withColumn("stage", ns)
+        .withColumn("n_entered", nl)
+        .withColumn("n_kept", nl)
+        .withColumn("n_dropped", nl)
+    )
+    report = curation_report(_curate_flags(spark, sf_dir)).select(
+        F.lit("report").alias("src"),
+        nl.alias("doc_id"),
+        nb.alias("keep_quality"),
+        nb.alias("keep_exact"),
+        nb.alias("keep_neardup"),
+        nb.alias("keep_decon"),
+        nb.alias("kept"),
+        nl.alias("pack_shard"),
+        nl.alias("pack_bin"),
+        nl.alias("pack_offset"),
+        "stage",
+        F.col("n_entered").cast("bigint").alias("n_entered"),
+        F.col("n_kept").cast("bigint").alias("n_kept"),
+        F.col("n_dropped").cast("bigint").alias("n_dropped"),
     )
     return (
         flags.unionByName(rest)
         .select(
             "src", "doc_id", "keep_quality", "keep_exact", "keep_neardup",
             "keep_decon", "kept", "pack_shard", "pack_bin", "pack_offset",
+            "stage", "n_entered", "n_kept", "n_dropped",
         )
-        .orderBy("src", "doc_id")
+        .unionByName(report)
+        .orderBy("src", "doc_id", "stage")
     )
-
-
-def run_curate_report(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The curation funnel REPORT (operators/pipeline.py curation_report):
-    per-stage (n_entered, n_kept, n_dropped) rows derived by one
-    aggregation over the same materialized flags frame ex_curate produces
-    (shared per-session cache — the funnel runs once for both entries).
-    The oracle re-aggregates the full funnel SQL independently."""
-    from pcap_converter_spark.operators.pipeline import curation_report
-
-    return curation_report(_curate_flags(spark, sf_dir))
 
 
 _CURATE_ORACLE = f"""
@@ -1780,39 +1809,130 @@ LEFT JOIN pk USING (doc_id)
 ORDER BY doc_id
 """
 
-# run_curate's two branches: the funnel itself ('flags') and the write_kept
-# artifact read-back ('rest') — the rest branch's expected rows are the
-# funnel's kept rows with all flags true, re-derived from the same SQL
+# run_curate's three branches: the funnel itself ('flags'), the write_kept
+# artifact read-back ('rest' — expected rows are the funnel's kept rows
+# with all flags true, re-derived from the same SQL), and the per-stage
+# funnel summary ('report' — an independent re-aggregation of the funnel
+# SQL, NULL-padded into the union; merged from the former
+# ex_curate_report entry in r6)
 _CURATE_TAGGED_ORACLE = f"""
 SELECT src, doc_id, keep_quality, keep_exact, keep_neardup, keep_decon,
-       kept, pack_shard, pack_bin, pack_offset FROM (
-  SELECT 'flags' AS src, * FROM ({_CURATE_ORACLE}) a
+       kept, pack_shard, pack_bin, pack_offset,
+       stage, n_entered, n_kept, n_dropped FROM (
+  SELECT 'flags' AS src, a.*, CAST(NULL AS VARCHAR) AS stage,
+         CAST(NULL AS BIGINT) AS n_entered, CAST(NULL AS BIGINT) AS n_kept,
+         CAST(NULL AS BIGINT) AS n_dropped
+  FROM ({_CURATE_ORACLE}) a
   UNION ALL
   SELECT 'rest' AS src, doc_id, true, true, true, true, true,
-         pack_shard, pack_bin, pack_offset
+         pack_shard, pack_bin, pack_offset, CAST(NULL AS VARCHAR),
+         CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), CAST(NULL AS BIGINT)
   FROM ({_CURATE_ORACLE}) b WHERE kept
-) u ORDER BY src, doc_id
+  UNION ALL
+  SELECT 'report' AS src, CAST(NULL AS BIGINT) AS doc_id,
+         CAST(NULL AS BOOLEAN), CAST(NULL AS BOOLEAN),
+         CAST(NULL AS BOOLEAN), CAST(NULL AS BOOLEAN),
+         CAST(NULL AS BOOLEAN), CAST(NULL AS BIGINT),
+         CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+         stage, n_entered, n_kept, n_dropped
+  FROM (
+    WITH agg AS (
+      SELECT count(*) AS n_in,
+             count(CASE WHEN keep_quality THEN 1 END) AS q,
+             count(CASE WHEN keep_exact THEN 1 END) AS e,
+             count(CASE WHEN keep_neardup THEN 1 END) AS n,
+             count(CASE WHEN keep_decon THEN 1 END) AS d,
+             count(CASE WHEN kept THEN 1 END) AS k
+      FROM ({_CURATE_ORACLE}) f)
+    SELECT stage, n_entered, n_kept, n_entered - n_kept AS n_dropped FROM (
+      SELECT 'quality' AS stage, n_in AS n_entered, q AS n_kept FROM agg
+      UNION ALL SELECT 'exact', q, e FROM agg
+      UNION ALL SELECT 'neardup', e, n FROM agg
+      UNION ALL SELECT 'decon', n, d FROM agg
+      UNION ALL SELECT 'kept', d, k FROM agg) t
+  ) r
+) u ORDER BY src, doc_id, stage
 """
 
-# independent re-aggregation of the full funnel SQL (DuckDB supports CTEs —
-# including the recursive reach — inside a derived-table subquery)
-_CURATE_REPORT_ORACLE = f"""
-WITH a AS (
-  SELECT count(*) AS n_in,
-         count(CASE WHEN keep_quality THEN 1 END) AS q,
-         count(CASE WHEN keep_exact THEN 1 END) AS e,
-         count(CASE WHEN keep_neardup THEN 1 END) AS n,
-         count(CASE WHEN keep_decon THEN 1 END) AS d,
-         count(CASE WHEN kept THEN 1 END) AS k
-  FROM ({_CURATE_ORACLE}) f)
-SELECT stage, n_entered, n_kept, n_entered - n_kept AS n_dropped FROM (
-  SELECT 'quality' AS stage, n_in AS n_entered, q AS n_kept FROM a
-  UNION ALL SELECT 'exact', q, e FROM a
-  UNION ALL SELECT 'neardup', e, n FROM a
-  UNION ALL SELECT 'decon', n, d FROM a
-  UNION ALL SELECT 'kept', d, k FROM a) t
-ORDER BY stage
+# ---------------------------------------------------------------------------
+# link-graph PageRank (operators/graph.py — the authority quality axis)
+# ---------------------------------------------------------------------------
+
+_PR_ITERS = 3
+_PR_DAMP = 0.85
+# deterministic edge fixture derived from orders: src/dst keys folded into
+# two DIFFERENT moduli so some dst nodes (97..100) never appear as src —
+# the dangling-mass path is exercised, and the graph has real cycles
+_PR_SRC_MOD, _PR_DST_MOD = 97, 101
+
+
+def run_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed PageRank (operators/graph.py pagerank) over a
+    deterministic edge table derived from orders — the driver proof of
+    the one ITERATIVE graph operator in the repo (the production
+    composition is WAT outlinks → link_edges → pagerank;
+    tests/test_graph.py proves that chain plus an exact NumPy replay).
+    The oracle unrolls the SAME {_PR_ITERS} damped power iterations in
+    chained CTEs (the ex_semdedup pattern for iterative training):
+    per-round dangling-mass redistribution, out-degree normalization,
+    the (1−d)/n teleport — ranks rounded to 6dp at the end, so the hash
+    proves the iteration trajectory, not just a final projection."""
+    from pcap_converter_spark.operators import graph
+
+    orders = load_table(spark, sf_dir, "orders")
+    edges = (
+        orders.filter(F.col("o_orderkey") % 10 == 0)
+        .select(
+            (F.col("o_custkey") % _PR_SRC_MOD).alias("src"),
+            (F.col("o_orderkey") % _PR_DST_MOD).alias("dst"),
+        )
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    handles: list = []
+    ranks = graph.pagerank(
+        edges, iters=_PR_ITERS, damping=_PR_DAMP, handles=handles
+    )
+    out = ranks.select(
+        "node", F.round("rank", 6).alias("rank")
+    ).orderBy("node")
+    return _eager(spark, out, handles)
+
+
+def _pr_oracle() -> str:
+    rounds = []
+    prev = "r0"
+    for i in range(1, _PR_ITERS + 1):
+        rounds.append(f"""
+d{i} AS (SELECT coalesce(sum(rank), 0.0) AS dm
+         FROM {prev} JOIN dang USING (node)),
+c{i} AS (SELECT e.dst AS node, sum(r.rank / deg.out_deg) AS c
+         FROM e JOIN deg USING (src) JOIN {prev} r ON r.node = e.src
+         GROUP BY e.dst),
+r{i} AS (SELECT nodes.node,
+           (1.0 - {_PR_DAMP!r}) / n.n
+           + {_PR_DAMP!r} * (coalesce(c{i}.c, 0.0)
+                             + (SELECT dm FROM d{i}) / n.n) AS rank
+         FROM nodes CROSS JOIN n LEFT JOIN c{i} USING (node))""")
+        prev = f"r{i}"
+    return f"""
+WITH e AS (
+  SELECT DISTINCT o_custkey % {_PR_SRC_MOD} AS src,
+                  o_orderkey % {_PR_DST_MOD} AS dst
+  FROM orders
+  WHERE o_orderkey % 10 = 0
+    AND o_custkey % {_PR_SRC_MOD} <> o_orderkey % {_PR_DST_MOD}),
+nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+deg AS (SELECT src, count(*) AS out_deg FROM e GROUP BY src),
+dang AS (SELECT node FROM nodes
+         WHERE node NOT IN (SELECT src FROM e)),
+r0 AS (SELECT node, 1.0 / n.n AS rank FROM nodes, n),{",".join(rounds)}
+SELECT node, round(rank, 6) AS rank FROM {prev} ORDER BY node
 """
+
+
+_GRAPH_PAGERANK_ORACLE = _pr_oracle()
 
 
 # ---------------------------------------------------------------------------
@@ -2146,9 +2266,22 @@ FROM y GROUP BY user_id, sid ORDER BY user_id, session_start
 
 
 def run_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Custom stateful operator (applyInPandasWithState): exact dedup with
-    one boolean of state per distinct content hash. Hash-checked against
-    the batch distinct-by-content oracle (min doc_id per content)."""
+    """STREAMING dedup, src-tagged with both state models:
+
+    - 'state': the custom stateful operator (applyInPandasWithState) —
+      exact dedup with one boolean of state per distinct content hash,
+      hash-checked against the batch distinct-by-content oracle (min
+      doc_id per content).
+    - 'ingest' (r6 — the production write path, streaming/ingest.py): a
+      chunk stream drained through the foreachBatch probe → in-batch
+      exact collapse → sink → index-append loop against an AT-REST
+      corpus index (state lives in the index, not the state store). The
+      even-slice chunks are pre-indexed as "snapshots so far"; the
+      odd-slice chunks stream in; the branch emits the index's POST-DRAIN
+      exact table, which the oracle re-derives in SQL (all even
+      occurrences + the min-id odd survivors whose digest was novel) —
+      a hash match proves probe semantics, in-batch collapse, and the
+      probe→sink→append ordering end to end."""
     from pcap_converter_spark.streaming.stateful import (
         run_stream_to_memory,
         streaming_dedup,
@@ -2161,16 +2294,89 @@ def run_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = run_stream_to_memory(streaming_dedup(stream), "ex_stream_dedup")
     # one input file → one batch → "first occurrence" is the scan order;
     # canonicalize to min doc_id per content so the answer is deterministic
-    return (
+    state = (
         out.groupBy("content_hash")
         .agg(F.min("doc_id").alias("doc_id"))
-        .orderBy("content_hash")
+        .select(F.lit("state").alias("src"), "content_hash", "doc_id")
+    )
+    ingest = _run_ingest_branch(spark, sf_dir)
+    return state.unionByName(ingest).orderBy("src", "content_hash", "doc_id")
+
+
+def _run_ingest_branch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 'ingest' branch of ex_stream_dedup: build the at-rest index
+    from the even-slice 4-word chunks, stream the odd-slice chunks
+    through streaming/ingest.py's foreachBatch hook, return the index's
+    post-drain exact table. Fresh temp dirs per call (removed at exit),
+    so repeat runs in one session are independent."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from pcap_converter_spark.operators import incremental
+    from pcap_converter_spark.streaming.ingest import run_dedup_ingest
+
+    docs = load_table(spark, sf_dir, "documents")
+    ch = dedup.chunk_table(docs, size_words=4).select(
+        (F.col("doc_id") * 1000 + F.col("chunk_id")).alias("pid"),
+        F.col("doc_id").alias("_doc"),
+        "chunk",
+    )
+    dirs = [tempfile.mkdtemp(prefix=p) for p in
+            ("ing_idx_", "ing_src_", "ing_sink_", "ing_ckpt_")]
+    for d in dirs:
+        atexit.register(shutil.rmtree, d, ignore_errors=True)
+    idx, src_dir, sink_dir, ckpt = dirs
+    evens = ch.filter(F.col("_doc") % 10 == 0).select("pid", "chunk")
+    odds = ch.filter(F.col("_doc") % 10 == 1).select("pid", "chunk")
+    incremental.write_corpus_index(
+        evens, idx, text_col="chunk", id_col="pid", tiers=("exact",)
+    )
+    odds.coalesce(1).write.mode("overwrite").parquet(src_dir)
+    stream = spark.readStream.schema(
+        "pid long, chunk string"
+    ).parquet(src_dir)
+    run_dedup_ingest(
+        stream,
+        idx,
+        sink=lambda df, bid: df.write.mode("append").parquet(sink_dir),
+        query_name="ex_stream_dedup_ingest",
+        checkpoint=ckpt,
+        text_col="chunk",
+        id_col="pid",
+    )
+    return spark.read.parquet(f"{idx}/exact").select(
+        F.lit("ingest").alias("src"),
+        "content_hash",
+        F.col("doc_id").alias("doc_id"),
     )
 
 
 _STREAM_DEDUP_ORACLE = """
-SELECT sha256(text) AS content_hash, min(doc_id) AS doc_id
-FROM documents GROUP BY sha256(text) ORDER BY content_hash
+WITH ich AS (
+  SELECT doc_id, CAST(i AS INT) AS chunk_id,
+         array_to_string(list_slice(lws, CAST(i AS INT) * 4 + 1,
+                                    CAST(i AS INT) * 4 + 4), ' ') AS chunk
+  FROM (SELECT doc_id,
+               list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                           x -> x <> '') AS lws
+        FROM documents),
+       unnest(range(0, greatest(CAST(ceil((len(lws) - 4) / 4.0) AS BIGINT),
+                                0) + 1)) AS t(i)
+  WHERE len(lws) > 0),
+iev AS (SELECT sha256(chunk) AS h, doc_id * 1000 + chunk_id AS pid
+        FROM ich WHERE doc_id % 10 = 0),
+iod AS (SELECT sha256(chunk) AS h, doc_id * 1000 + chunk_id AS pid
+        FROM ich WHERE doc_id % 10 = 1),
+isv AS (SELECT h, min(pid) AS pid FROM iod
+        WHERE h NOT IN (SELECT h FROM iev) GROUP BY h)
+SELECT src, content_hash, doc_id FROM (
+  SELECT 'state' AS src, sha256(text) AS content_hash,
+         min(doc_id) AS doc_id
+  FROM documents GROUP BY sha256(text)
+  UNION ALL SELECT 'ingest', h, pid FROM iev
+  UNION ALL SELECT 'ingest', h, pid FROM isv
+) u ORDER BY src, content_hash, doc_id
 """
 
 
@@ -2330,19 +2536,29 @@ ORDER BY doc_id
 
 _LM_VOCAB = 500
 _LM_TAU = 3.41  # rounded log-perplexity keep threshold (~median at sf0.01)
+_LM_BI = 2000  # bigram budget (pairs below the cut back off to unigram)
+_LM_LAM = 0.7  # Jelinek-Mercer mix weight
+_LM_TAU_BI = 3.44  # bigram keep threshold (~median at sf0.01)
 
 
 def run_lm_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The CCNet-style LM quality axis end-to-end: train a unigram model
-    on the trusted slice (doc_id % 5 == 0 — the fixture's stand-in for
-    Wikipedia), score the remaining docs by mean negative log-probability
-    under it, keep the low-perplexity head. Both halves are
-    hash-aggregations (train: one token count; score: one broadcast join
-    + one per-doc agg); the oracle re-derives the model — top-K vocab with
-    deterministic tie-break, add-one smoothing, the OOV floor — and the
-    scores in SQL. log_ppl is rounded to 4 before both the output AND the
-    keep comparison, so last-ulp ln() divergence between engines cannot
-    flip a row (the tfidf convention)."""
+    """The CCNet-style LM quality axis end-to-end, src-tagged with TWO
+    model orders: 'uni' — train a unigram model on the trusted slice
+    (doc_id % 5 == 0, the fixture's stand-in for Wikipedia), score the
+    remaining docs by mean negative log-probability under it, keep the
+    low-perplexity head; 'bi' — the interpolated-BIGRAM upgrade
+    (lm.bigram_model/bigram_perplexity): a budget-bounded transition
+    table P(w2|w1) Jelinek-Mercer-mixed with the unigram, scored over
+    each doc's adjacent token pairs — the order-sensitive model a unigram
+    cannot express. Train halves are hash-aggregations; scoring is
+    broadcast joins (both model tables are budget-bounded by
+    construction). The oracle re-derives BOTH models — top-K vocab and
+    top-K bigram table with deterministic tie-breaks, add-one smoothing,
+    the OOV floor, the λ-mix — and the scores in SQL. log_ppl is rounded
+    to 4 before both the output AND the keep comparison, so last-ulp
+    ln() divergence between engines cannot flip a row (the tfidf
+    convention). For 'bi' rows n_tokens carries the TRANSITION count
+    (tokens − 1 per doc with ≥ 2 tokens; shorter docs have no bi row)."""
     from pcap_converter_spark.operators import lm
 
     docs = _docs(spark, sf_dir)
@@ -2350,29 +2566,42 @@ def run_lm_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     tgt = docs.filter(F.col("doc_id") % 5 != 0)
     model = lm.unigram_model(ref, vocab_size=_LM_VOCAB)
     scored = lm.perplexity_score(tgt, model)
-    return (
-        scored.select(
-            "doc_id",
-            "n_tokens",
-            F.round("log_ppl", 4).alias("log_ppl"),
-            (F.round("log_ppl", 4) <= F.lit(_LM_TAU)).alias("kept"),
-        )
-        .orderBy("doc_id")
+    uni = scored.select(
+        F.lit("uni").alias("src"),
+        "doc_id",
+        "n_tokens",
+        F.round("log_ppl", 4).alias("log_ppl"),
+        (F.round("log_ppl", 4) <= F.lit(_LM_TAU)).alias("kept"),
     )
+    uni_m, bi_m = lm.bigram_model(
+        ref, vocab_size=_LM_VOCAB, bigram_size=_LM_BI
+    )
+    bscored = lm.bigram_perplexity(tgt, uni_m, bi_m, lam=_LM_LAM)
+    bi = bscored.select(
+        F.lit("bi").alias("src"),
+        "doc_id",
+        F.col("n_trans").alias("n_tokens"),
+        F.round("log_ppl", 4).alias("log_ppl"),
+        (F.round("log_ppl", 4) <= F.lit(_LM_TAU_BI)).alias("kept"),
+    )
+    return uni.unionByName(bi).orderBy("src", "doc_id")
 
 
 _LM_FILTER_ORACLE = f"""
-WITH rtok AS (
-  SELECT unnest({_DUCK_WORDS.format(src="lower(text)")}) AS term
+WITH wref AS (
+  SELECT doc_id, {_DUCK_WORDS.format(src="lower(text)")} AS lws
   FROM documents WHERE doc_id % 5 = 0),
+wtgt AS (
+  SELECT doc_id, {_DUCK_WORDS.format(src="lower(text)")} AS lws
+  FROM documents WHERE doc_id % 5 <> 0),
+rtok AS (SELECT unnest(lws) AS term FROM wref),
 cnt AS (SELECT term, count(*) AS n FROM rtok GROUP BY term),
 top AS (SELECT term, n FROM cnt ORDER BY n DESC, term LIMIT {_LM_VOCAB}),
 tot AS (SELECT CAST(sum(n) AS DOUBLE) + count(*) + 1 AS denom FROM top),
 model AS (SELECT term, ln((n + 1) / denom) AS logp FROM top, tot),
 tf AS (
   SELECT doc_id, term, count(*) AS tf FROM (
-    SELECT doc_id, unnest({_DUCK_WORDS.format(src="lower(text)")}) AS term
-    FROM documents WHERE doc_id % 5 <> 0) z
+    SELECT doc_id, unnest(lws) AS term FROM wtgt) z
   GROUP BY doc_id, term),
 scored AS (
   SELECT tf.doc_id, tf.tf,
@@ -2381,10 +2610,38 @@ scored AS (
 agg AS (
   SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens,
          -sum(tf * logp) / sum(tf) AS lp
-  FROM scored GROUP BY doc_id)
-SELECT doc_id, n_tokens, round(lp, 4) AS log_ppl,
-       round(lp, 4) <= {_LM_TAU} AS kept
-FROM agg ORDER BY doc_id
+  FROM scored GROUP BY doc_id),
+rtr AS (
+  SELECT lws[CAST(i AS INT)] AS w1, lws[CAST(i AS INT) + 1] AS w2
+  FROM wref, unnest(range(1, len(lws))) AS t(i)),
+c2 AS (SELECT w1, w2, count(*) AS n2 FROM rtr GROUP BY w1, w2),
+c1 AS (SELECT w1, count(*) AS n1 FROM rtr GROUP BY w1),
+bi AS (SELECT w1, w2, CAST(n2 AS DOUBLE) / n1 AS p_bi
+       FROM c2 JOIN c1 USING (w1)
+       ORDER BY n2 DESC, w1, w2 LIMIT {_LM_BI}),
+ttr AS (
+  SELECT doc_id, lws[CAST(i AS INT)] AS w1, lws[CAST(i AS INT) + 1] AS w2
+  FROM wtgt, unnest(range(1, len(lws))) AS t(i)),
+bsc AS (
+  SELECT ttr.doc_id,
+         ln({_LM_LAM!r} * coalesce(bi.p_bi, 0.0)
+            + {1.0 - _LM_LAM!r}
+              * exp(coalesce(m.logp, (SELECT ln(1.0 / denom) FROM tot))))
+           AS lp
+  FROM ttr LEFT JOIN model m ON m.term = ttr.w2
+           LEFT JOIN bi ON bi.w1 = ttr.w1 AND bi.w2 = ttr.w2),
+bagg AS (
+  SELECT doc_id, count(*) AS n_trans, -avg(lp) AS lp
+  FROM bsc GROUP BY doc_id)
+SELECT src, doc_id, n_tokens, log_ppl, kept FROM (
+  SELECT 'uni' AS src, doc_id, n_tokens, round(lp, 4) AS log_ppl,
+         round(lp, 4) <= {_LM_TAU} AS kept
+  FROM agg
+  UNION ALL
+  SELECT 'bi' AS src, doc_id, n_trans AS n_tokens, round(lp, 4) AS log_ppl,
+         round(lp, 4) <= {_LM_TAU_BI} AS kept
+  FROM bagg
+) u ORDER BY src, doc_id
 """
 
 
@@ -2397,13 +2654,17 @@ def extension_queries() -> tuple[dict, dict]:
     oracle entry get the driver's rows-only check (engine-specific hashes
     or Python-side extraction; covered by pytest instead)."""
     # 19 oracle-backed entries; with the 31 declared queries that fills
-    # the driver's 50-entry hash-check window EXACTLY. r5 merges:
-    # dq27's posexplode surface folded op-tagged into dq26_array_ops
-    # (slot → ex_warc_docs, VERDICT r4 #2); ex_cube + ex_ntile merged
-    # src-tagged into ex_olap and dq17 folded into dq16 (slots →
-    # ex_semdedup, the k-means semantic-dedup tier, and ex_lm_filter,
-    # the CCNet-style LM quality axis). ex_approx_distinct stays last:
-    # a no-oracle entry INSIDE the window records err "no_oracle" and
+    # the driver's 50-entry hash-check window EXACTLY. r6 merges:
+    # ex_curate_report folded into ex_curate as its 'report' branch
+    # (NULL-padded union over the shared funnel cache — slot →
+    # ex_graph_pagerank, VERDICT r5 #3); the retrieval family joined
+    # ex_sim_topk as 'bm25' + 'batch<qid>' tiers (VERDICT r5 #2), the
+    # bigram LM joined ex_lm_filter as its 'bi' rows (VERDICT r5 #5),
+    # and streaming ingest joined ex_stream_dedup as its 'ingest'
+    # branch (VERDICT r5 #7). r5 merges: dq27 → dq26_array_ops,
+    # ex_cube + ex_ntile → ex_olap, dq17 → dq16 (slots → ex_warc_docs,
+    # ex_semdedup, ex_lm_filter). ex_approx_distinct stays last: a
+    # no-oracle entry INSIDE the window records err "no_oracle" and
     # counts as broken (driver contract).
     runners = {
         "ex_text_all": run_text_all,
@@ -2423,7 +2684,7 @@ def extension_queries() -> tuple[dict, dict]:
         "ex_lm_filter": run_lm_filter,
         "ex_substring_dedup": run_substring_dedup,
         "ex_curate": run_curate,
-        "ex_curate_report": run_curate_report,
+        "ex_graph_pagerank": run_graph_pagerank,
         "ex_warc_docs": run_warc_docs,
         "ex_approx_distinct": run_approx_distinct,
     }
@@ -2445,7 +2706,7 @@ def extension_queries() -> tuple[dict, dict]:
         "ex_lm_filter": _LM_FILTER_ORACLE,
         "ex_substring_dedup": _SUBSTR_ORACLE,
         "ex_curate": _CURATE_TAGGED_ORACLE,
-        "ex_curate_report": _CURATE_REPORT_ORACLE,
+        "ex_graph_pagerank": _GRAPH_PAGERANK_ORACLE,
         "ex_warc_docs": _WARC_DOCS_ORACLE,
     }
     return runners, oracles

@@ -130,47 +130,61 @@ def _content_length(header_block: bytes) -> int:
 
 def _walk_gzip_members(f, file_size: int) -> Iterator[tuple[int, int]]:
     """Yield (offset, compressed_len) for each gzip member (per-record
-    compression, the WARC-recommended layout). ONE sequential pass over the
-    file: each member's trailing ``unused_data`` (the bytes the
-    decompressor read past the member end) is carried forward as the next
-    member's prefix instead of seeking back and re-reading — CommonCrawl
-    members are ~10-50 KB compressed, so a fresh 1 MB read per member
-    would push ~20-100× the file size through the page cache and break
-    the metadata-cheap index-pass contract (ADVICE r4)."""
+    compression, the WARC-recommended layout). ONE sequential pass over
+    the file in 1 MB reads, the decompressor fed bounded 64 KB slices
+    through a memoryview cursor: the r5 form handed each member the whole
+    remaining buffer and re-materialized the tail via ``unused_data`` —
+    one ~0.5 MB copy per ~10-50 KB member, ~20-100× write amplification
+    that capped the walk at ~12 MB/s single-thread (a 1 GB CommonCrawl
+    segment would take ~85 s to index). Bounded feeding leaves only the
+    inflate itself, which is the irreducible cost of finding member
+    boundaries in a format without a length header; colossal single
+    files take the speculative O(1)-resync path instead."""
+    BLK = 1 << 20
+    FEED = 64 << 10
     pos = 0
     f.seek(0)
-    buf = b""  # bytes already read but not yet attributed to a member
+    block = f.read(BLK)
+    mv = memoryview(block)
+    boff = 0
     while pos < file_size:
-        if len(buf) < 2:
-            buf += f.read(1 << 20)
-        if len(buf) < 2:
+        if len(block) - boff < 2:
+            block = bytes(mv[boff:]) + f.read(BLK)
+            mv = memoryview(block)
+            boff = 0
+        if len(block) - boff < 2:
             return  # <2 trailing bytes at EOF: not a member
-        if buf[:2] != _GZ_MAGIC:
+        if mv[boff : boff + 2] != _GZ_MAGIC:
             raise ValueError(
-                f"expected gzip member at offset {pos}, got {buf[:2]!r} — "
-                "mixed plain/gzip WARC is not supported"
+                f"expected gzip member at offset {pos}, got "
+                f"{bytes(mv[boff:boff + 2])!r} — mixed plain/gzip WARC is "
+                "not supported"
             )
         d = zlib.decompressobj(wbits=16 + zlib.MAX_WBITS)
         consumed = 0
         while True:
-            if not buf:
-                buf = f.read(1 << 20)
-                if not buf:
+            if len(block) - boff == 0:
+                block = f.read(BLK)
+                mv = memoryview(block)
+                boff = 0
+                if not block:
                     if not d.eof:
                         return  # truncated member at tail: tolerate
                     break
+            feed = mv[boff : boff + FEED]
             try:
-                d.decompress(buf)
+                d.decompress(feed)
             except zlib.error as exc:
                 raise ValueError(
                     f"corrupt gzip member at offset {pos}: {exc}"
                 ) from exc
             if d.eof:
-                consumed += len(buf) - len(d.unused_data)
-                buf = d.unused_data
+                used = len(feed) - len(d.unused_data)
+                consumed += used
+                boff += used
                 break
-            consumed += len(buf)
-            buf = b""
+            consumed += len(feed)
+            boff += len(feed)
         if consumed <= 0:
             return
         yield pos, consumed
@@ -346,20 +360,33 @@ def _parse_records(buf: bytes, basename: str) -> Iterator[dict]:
 def _decompress_members(raw: bytes) -> bytes:
     """Decompress concatenated gzip members. A truncated FINAL member
     (possible only on the speculative path, whose last chunk ends at EOF)
-    is dropped — parity with the exact index walk, which never admits it."""
+    is dropped — parity with the exact index walk, which never admits it.
+    Fed in bounded 64 KB slices through a memoryview cursor for the same
+    reason as ``_walk_gzip_members``: handing each member the whole
+    remaining chunk re-materializes the tail via ``unused_data`` per
+    member — O(members × chunk_bytes) memcpy per executor task."""
+    FEED = 64 << 10
     out = []
     pos, n = 0, len(raw)
     mv = memoryview(raw)
     while pos < n:
         d = zlib.decompressobj(wbits=16 + zlib.MAX_WBITS)
+        member: list = []
+        truncated = True
         try:
-            piece = d.decompress(mv[pos:])
+            while pos < n:
+                feed = mv[pos : pos + FEED]
+                member.append(d.decompress(feed))
+                if d.eof:
+                    pos += len(feed) - len(d.unused_data)
+                    truncated = False
+                    break
+                pos += len(feed)
         except zlib.error:
             break
-        if not d.eof:
-            break  # truncated tail member
-        out.append(piece)
-        pos = n - len(d.unused_data)
+        if truncated:
+            break  # truncated tail member: drop its partial output
+        out.extend(member)
     return b"".join(out)
 
 

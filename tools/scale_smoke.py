@@ -261,10 +261,36 @@ def main() -> int:
             iters=6,
             handles=pending,
         ),
+        # sparse lexical retrieval: the (doc,term,tf) table filters to the
+        # query's literal terms before anything corpus-sized moves — the
+        # exponent guards that the per-query cost tracks the token
+        # explosion (linear), not some corpus-wide join
+        "bm25": lambda d: lambda: __import__(
+            "pcap_converter_spark.operators.tfidf", fromlist=["bm25_topk"]
+        ).bm25_topk(
+            d, "w0012 w0345 w4567 w7890", k=10, handles=pending
+        ),
     }
+    from pcap_converter_spark.operators import similarity as _sim
+
+    _smoke_cents = _sim.fixed_centroids(64, 16, seed=42)
     vec_ops = {
         "embed_lsh": lambda v: lambda: dedup.embedding_neardup_lsh(
             v, threshold=0.9, handles=pending
+        ),
+        # batch ANN: a FIXED 25 queries in one job (ids 0..24 survive the
+        # block-aligned half sample, so both points carry the same query
+        # load); the exponent guards the exploded-query broadcast join
+        # staying output-bound (|Q|·nprobe/C of the corpus), not
+        # corpus × corpus
+        "ivf_topk_batch": lambda v: lambda: _sim.ivf_topk_batch(
+            v.filter(F.col("vec_id") < 25).withColumnRenamed(
+                "vec_id", "query_id"
+            ),
+            v,
+            _smoke_cents,
+            k=10,
+            nprobe=4,
         ),
         # auto-sized k (∝ n / target): the within-cluster quadratic term
         # is held at n·target total — a fixed k would show exp → 2 here
