@@ -153,12 +153,54 @@ def _cmd_index(argv: list[str]) -> int:
             docs, args.out,
             tiers=("exact",) if args.exact_only else ("exact", "near"),
         )
-    n = spark.read.parquet(f"{args.out}/exact").count()
+    root = inc.resolve_index_root(spark, args.out)
+    n = spark.read.parquet(f"{root}/exact").count()
     print(f"Index at {args.out}: {n} digest rows", file=sys.stderr)
     return 0
 
 
-_SUBCOMMANDS = {"curate": _cmd_curate, "index": _cmd_index}
+def _cmd_compact(argv: list[str]) -> int:
+    """compact: rewrite the corpus index's accumulated small files.
+    Default is the manifest-based safe path (new generation + atomic
+    manifest commit — works on any Hadoop filesystem, no rename window);
+    --in-place is the legacy local-only directory swap."""
+    ap = argparse.ArgumentParser(prog="pcap-converter-spark compact")
+    ap.add_argument("--index", required=True, help="index directory")
+    ap.add_argument("--files-per-table", type=int, default=32)
+    ap.add_argument("--in-place", action="store_true",
+                    help="legacy local-filesystem directory swap")
+    ap.add_argument("--vacuum", action="store_true",
+                    help="drop superseded generations once readers drained")
+    ap.add_argument("-j", type=int, default=None, metavar="N",
+                    help="local worker threads (default: all cores)")
+    ap.add_argument("-v", "--verbose", action="store_true")
+    args = ap.parse_args(argv)
+
+    from pcap_converter_spark.operators import incremental as inc
+
+    spark = _spark_for(args)
+    if args.in_place:
+        inc.compact_corpus_index(
+            spark, args.index, files_per_table=args.files_per_table
+        )
+    else:
+        inc.compact_corpus_index_safe(
+            spark, args.index, files_per_table=args.files_per_table
+        )
+        if args.vacuum:
+            inc.vacuum_corpus_index(spark, args.index)
+    root = inc.resolve_index_root(spark, args.index)
+    n = spark.read.parquet(f"{root}/exact").count()
+    print(f"Compacted {args.index} (live root {root}): {n} digest rows",
+          file=sys.stderr)
+    return 0
+
+
+_SUBCOMMANDS = {
+    "curate": _cmd_curate,
+    "index": _cmd_index,
+    "compact": _cmd_compact,
+}
 
 
 def main(argv: list[str] | None = None) -> int:

@@ -212,21 +212,42 @@ def resolve_index_root(spark: SparkSession, path: str) -> str:
     return f"{path}/{m['root']}"
 
 
+# meta rows cached per (session, resolved root): the parameters are
+# IMMUTABLE for an index generation's life (that is the whole point of
+# storing them with the data), so re-collecting the one-row parquet on
+# every probe/append — a full Spark job each — is pure overhead; a
+# streaming ingest hook pays it once per micro-batch otherwise.
+# write_corpus_index invalidates the path's entries (fresh index, fresh
+# parameters); compaction copies meta verbatim into the new generation,
+# whose different resolved root misses the cache naturally.
+_META_CACHE: dict[tuple[str, str], dict] = {}
+
+
+def _drop_meta_cache(spark: SparkSession, path: str) -> None:
+    app = spark.sparkContext.applicationId
+    for k in [k for k in _META_CACHE if k[0] == app and k[1].startswith(path)]:
+        del _META_CACHE[k]
+
+
 def read_index_meta(spark: SparkSession, path: str) -> dict:
     """The index's pinned parameters. Probes and appends take every
     constant from here — a probe with different shingling than the write
     would silently miss everything, so the parameters live WITH the data
     (a one-row Parquet: portable to any Hadoop filesystem, unlike a
     driver-local JSON side file)."""
-    row = spark.read.parquet(
-        f"{resolve_index_root(spark, path)}/meta"
-    ).collect()[0]
+    root = resolve_index_root(spark, path)
+    key = (spark.sparkContext.applicationId, root)
+    cached = _META_CACHE.get(key)
+    if cached is not None:
+        return dict(cached)
+    row = spark.read.parquet(f"{root}/meta").collect()[0]
     meta = row.asDict()
     if meta["version"] != INDEX_VERSION:
         raise ValueError(
             f"corpus index at {path} has version {meta['version']}; "
             f"this build reads version {INDEX_VERSION}"
         )
+    _META_CACHE[key] = dict(meta)
     return meta
 
 
@@ -252,6 +273,7 @@ def write_corpus_index(
     if num_hashes % bands:
         raise ValueError("bands must divide num_hashes")
     spark = docs.sparkSession
+    _drop_meta_cache(spark, path)
     # a fresh write is an OVERWRITE of the whole index: drop any manifest
     # generations from a previous life of this path, or the new flat
     # tables would be shadowed by a stale gen-* dir

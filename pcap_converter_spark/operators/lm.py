@@ -102,6 +102,34 @@ def perplexity_score(
     )
 
 
+def perplexity_buckets(
+    scored: DataFrame,
+    cuts: tuple[float, ...] = (1 / 3, 2 / 3),
+    col: str = "log_ppl",
+    relative_error: float = 0.0001,
+) -> DataFrame:
+    """CCNet's final step: bucket documents into head/middle/tail by
+    corpus perplexity quantiles (head = most natural; CCNet trains on
+    head+middle and audits tail). Quantile cuts come from ONE
+    ``approxQuantile`` pass (Greenwald-Khanna sketch, driver-side scalars
+    — bounded like every other model artifact here); the bucketing
+    itself is a pure projection. With more than two cuts the buckets are
+    named ``q0..qN`` instead. NULL scores (docs the model could not
+    score) bucket as NULL."""
+    qs = scored.approxQuantile(col, list(cuts), relative_error)
+    names = (
+        ["head", "middle", "tail"]
+        if len(cuts) == 2
+        else [f"q{i}" for i in range(len(cuts) + 1)]
+    )
+    c = F.col(col)
+    expr = F.when(c.isNull(), F.lit(None).cast("string"))
+    for q, name in zip(qs, names[:-1]):
+        expr = expr.when(c <= F.lit(float(q)), F.lit(name))
+    expr = expr.otherwise(F.lit(names[-1]))
+    return scored.withColumn("ppl_bucket", expr)
+
+
 def _transitions(
     docs: DataFrame, id_col: str, text_col: str
 ) -> DataFrame:
@@ -130,6 +158,7 @@ def bigram_model(
     bigram_size: int = 200_000,
     id_col: str = "doc_id",
     text_col: str = "text",
+    unigram: DataFrame | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Train the interpolated-bigram upgrade of the CCNet filter: returns
     ``(unigram, bigrams)`` where ``unigram`` is ``unigram_model``'s
@@ -139,8 +168,15 @@ def bigram_model(
     unigram term at score time, so the model stays broadcastable by
     construction at any corpus size — the same budget contract as
     ``vocab_size``). Both halves are hash-aggregations over one
-    transition table; no shuffle carries text beyond the token pairs."""
-    uni = unigram_model(reference, vocab_size, id_col, text_col)
+    transition table; no shuffle carries text beyond the token pairs.
+    Pass an already-trained ``unigram`` (same reference corpus!) to skip
+    re-training it — a pipeline scoring under both orders otherwise pays
+    the token-count aggregation twice."""
+    uni = (
+        unigram
+        if unigram is not None
+        else unigram_model(reference, vocab_size, id_col, text_col)
+    )
     tr = _transitions(reference, id_col, text_col)
     c2 = tr.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n2"))
     c1 = tr.groupBy("w1").agg(F.count(F.lit(1)).alias("n1"))

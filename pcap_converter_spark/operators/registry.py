@@ -2574,7 +2574,7 @@ def run_lm_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.round("log_ppl", 4) <= F.lit(_LM_TAU)).alias("kept"),
     )
     uni_m, bi_m = lm.bigram_model(
-        ref, vocab_size=_LM_VOCAB, bigram_size=_LM_BI
+        ref, vocab_size=_LM_VOCAB, bigram_size=_LM_BI, unigram=model
     )
     bscored = lm.bigram_perplexity(tgt, uni_m, bi_m, lam=_LM_LAM)
     bi = bscored.select(

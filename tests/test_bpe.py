@@ -1,0 +1,91 @@
+"""BPE tokenizer training: the Sennrich merge loop against the paper's
+worked example, determinism/tie-break pins, the distributed corpus pass
+vs a Python Counter, and the Arrow-batched encoder vs the scalar spec."""
+
+from __future__ import annotations
+
+from collections import Counter
+
+from pyspark.sql import functions as F
+
+from pcap_converter_spark.operators import bpe
+
+
+def test_merge_loop_matches_sennrich_example():
+    """The worked example from the BPE paper (low/lower/newest/widest
+    with counts 5/2/6/3): the first merges must be (e,s), (es,t),
+    (est,</w>), then l+o from 'low'/'lower'."""
+    wc = [("low", 5), ("lower", 2), ("newest", 6), ("widest", 3)]
+    merges = bpe.train_bpe(None, n_merges=4, word_counts=wc)
+    assert merges == [
+        ("e", "s"),       # 9 occurrences (newest + widest)
+        ("es", "t"),      # 9
+        ("est", "</w>"),  # 9
+        ("l", "o"),       # 7 (low + lower)
+    ]
+
+
+def test_tie_break_is_lexicographic():
+    """Equal-count pairs merge in (pair ASC) order — pinned so two
+    engines (or two runs) learn identical tokenizers."""
+    # "ab" and "cd" both occur exactly twice, no other repeated pair
+    wc = [("ab", 2), ("cd", 2)]
+    merges = bpe.train_bpe(None, n_merges=2, word_counts=wc)
+    # counts: (a,b)=2, (b,</w>)=2, (c,d)=2, (d,</w>)=2 → lexicographic
+    assert merges[0] == ("a", "b")
+    assert merges[1] == ("ab", "</w>")
+
+
+def test_stops_when_no_pair_repeats():
+    wc = [("xy", 1)]  # every pair occurs once
+    assert bpe.train_bpe(None, n_merges=10, word_counts=wc) == []
+
+
+def test_word_frequencies_matches_counter(spark):
+    rows = [
+        (1, "the cat sat on the mat"),
+        (2, "The   cat\tran"),
+        (3, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = dict(bpe.word_frequencies(df, max_words=100))
+    exp = Counter(
+        w for _, t in rows for w in t.lower().split() if w
+    )
+    assert got == dict(exp)
+    # the max_words cap keeps (count DESC, word ASC) order
+    assert bpe.word_frequencies(df, max_words=2) == [("the", 3), ("cat", 2)]
+
+
+def test_encode_matches_scalar_spec_and_round_trips(spark):
+    corpus = [
+        (i, " ".join(["lowest", "newer", "wider", "low"][: 1 + i % 4]))
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(corpus, "doc_id long, text string")
+    merges = bpe.train_bpe(df, n_merges=12, max_words=1000)
+    ranks = {tuple(p): i for i, p in enumerate(merges)}
+    out = {
+        r["doc_id"]: list(r["toks"])
+        for r in df.select(
+            "doc_id", bpe.encode_bpe(F.col("text"), merges).alias("toks")
+        ).collect()
+    }
+    for doc_id, text in corpus:
+        exp = []
+        for w in text.lower().split():
+            exp.extend(bpe.segment_word(w, ranks))
+        assert out[doc_id] == exp, doc_id
+        # lossless: concatenating symbols reproduces the words
+        joined = "".join(exp).replace(bpe.END, " ").strip()
+        assert joined == " ".join(text.lower().split())
+
+
+def test_training_on_dataframe_equals_word_counts_path(spark):
+    rows = [(i, "banana bandana ban") for i in range(10)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    via_df = bpe.train_bpe(df, n_merges=6)
+    via_wc = bpe.train_bpe(
+        None, n_merges=6, word_counts=bpe.word_frequencies(df)
+    )
+    assert via_df == via_wc

@@ -48,6 +48,38 @@ def test_cli_index_then_curate_against_it(spark, tmp_path):
     assert spark.read.parquet(f"{idx}/exact").count() == 8
 
 
+def test_cli_compact_safe_then_curate(spark, tmp_path):
+    """index → append → compact (manifest generation) → vacuum → the
+    compacted index still serves a curate probe through the manifest."""
+    import glob
+
+    day1 = str(tmp_path / "c1.jsonl.gz")
+    _jsonl(day1, [{"url": f"https://s.org/a/{i}", "text": _prose("one", i)}
+                  for i in range(6)])
+    idx = str(tmp_path / "idx")
+    assert main(["index", "--input", day1, "--format", "jsonl",
+                 "--out", idx]) == 0
+    day1b = str(tmp_path / "c1b.jsonl.gz")
+    _jsonl(day1b, [{"url": "https://s.org/x/1", "text": _prose("three", 1)}])
+    assert main(["index", "--input", day1b, "--format", "jsonl",
+                 "--out", idx, "--append"]) == 0
+    assert main(["compact", "--index", idx, "--files-per-table", "2",
+                 "--vacuum"]) == 0
+    assert glob.glob(f"{idx}/manifest-*")  # manifest committed
+    assert not glob.glob(f"{idx}/exact")   # legacy flat tables vacuumed
+
+    day2 = str(tmp_path / "c2.jsonl.gz")
+    _jsonl(day2, [
+        {"url": "https://s.org/a/1", "text": _prose("one", 1)},  # dup
+        {"url": "https://s.org/b/9", "text": _prose("four", 9)},
+    ])
+    out = str(tmp_path / "artifact2")
+    assert main(["curate", "--input", day2, "--format", "jsonl",
+                 "--out", out, "--index", idx]) == 0
+    kept = spark.read.parquet(out)
+    assert sorted(r["url"] for r in kept.collect()) == ["https://s.org/b/9"]
+
+
 def test_cli_curate_plain_parquet(spark, tmp_path):
     src = str(tmp_path / "docs_pq")
     spark.createDataFrame(

@@ -134,3 +134,27 @@ def test_bigram_perplexity_matches_python_reference(spark):
     # in-order text must beat its reversal under a bigram model even
     # though both have identical unigram stats
     assert got[1][0] < got[2][0]
+
+
+def test_perplexity_buckets_head_middle_tail(spark):
+    """Exact-quantile buckets on a known score spread: lowest third →
+    head, highest → tail; NULL scores bucket NULL; >2 cuts name q0..qN."""
+    from pcap_converter_spark.operators.lm import perplexity_buckets
+
+    rows = [(i, float(i)) for i in range(1, 10)] + [(99, None)]
+    df = spark.createDataFrame(rows, "doc_id long, log_ppl double")
+    got = {
+        r["doc_id"]: r["ppl_bucket"]
+        for r in perplexity_buckets(df, relative_error=0.0).collect()
+    }
+    assert got[1] == got[2] == got[3] == "head"
+    assert got[5] == "middle"
+    assert got[8] == got[9] == "tail"
+    assert got[99] is None
+    q4 = {
+        r["doc_id"]: r["ppl_bucket"]
+        for r in perplexity_buckets(
+            df, cuts=(0.25, 0.5, 0.75), relative_error=0.0
+        ).collect()
+    }
+    assert q4[1] == "q0" and q4[9] == "q3" and q4[99] is None
