@@ -1553,9 +1553,10 @@ def run_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# per-(session, sf_dir) cache of the materialized funnel flags: ex_curate
-# and ex_curate_report share one execution of the five-stage funnel — the
-# report is an aggregation over the SAME flags frame, not a second run
+# per-(session, sf_dir) cache of the materialized funnel flags: the
+# 'flags', 'rest' and 'report' branches of ex_curate share ONE execution
+# of the five-stage funnel — the report is an aggregation over the SAME
+# flags frame, not a second run
 _CURATE_CACHE: dict[tuple[str, str], DataFrame] = {}
 
 

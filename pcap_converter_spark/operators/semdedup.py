@@ -46,32 +46,16 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-def _assign_arrow(df: DataFrame, centroids: np.ndarray, vec_col: str) -> DataFrame:
-    """Nearest-centroid assignment as ONE Arrow-batched matmul per batch.
-
-    Same contract as ``similarity.ivf_assign`` (argmax cosine against
-    broadcast-by-value centroids, ties → lowest cluster id, zero-norm
-    rows → cluster 0) but vectorized: the per-centroid higher-order-
-    function expressions ivf_assign plan are interpreted per element and
-    cost O(k·dim) interpreter steps per row — measured 51 s for 3
-    assignment passes at 50k×64 with k≈100, vs ~2 s here. ivf_assign
-    stays the k≲16 oracle-parity path (pure column expressions, zero
-    Python); this is the trainer's hot path. Still a projection: no
-    join, no shuffle — the centroid matrix rides into the UDF closure."""
-    from pyspark.sql.functions import pandas_udf
-
-    b = np.asarray(centroids, dtype=np.float64)
-
-    @pandas_udf("int")
-    def assign(vs: pd.Series) -> pd.Series:
-        if len(vs) == 0:
-            return pd.Series([], dtype="int32")
-        m = np.stack(vs.to_numpy()).astype(np.float64)
-        nrm = np.linalg.norm(m, axis=1, keepdims=True)
-        nrm[nrm == 0] = 1.0
-        return pd.Series(np.argmax((m / nrm) @ b.T, axis=1).astype("int32"))
-
-    return df.withColumn("_cluster", assign(F.col(vec_col)))
+# the Arrow-matmul assignment kernel moved to similarity.assign_arrow in
+# r6 (index builds dispatch to it past ASSIGN_ARROW_MIN_K centroids);
+# the trainer keeps this alias — same contract as similarity.ivf_assign
+# (argmax cosine, ties → lowest cluster id, zero-norm rows → cluster 0),
+# vectorized because the per-centroid HOF expressions cost O(k·dim)
+# interpreter steps per row (measured 51 s for 3 passes at 50k×64,
+# k≈100, vs ~2 s — the r5 scale-smoke catch)
+from pcap_converter_spark.operators.similarity import (  # noqa: E402
+    assign_arrow as _assign_arrow,
+)
 
 
 def kmeans_fit(

@@ -20,6 +20,7 @@ the plan as literals — deterministic across runs and executors.
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd  # noqa: F401 — resolves pandas_udf type hints at runtime
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -267,7 +268,13 @@ def ivf_assign(df: DataFrame, centroids: np.ndarray,
     """Attach the nearest-centroid cluster id as ``_cluster`` — a pure
     projection over plan-literal centroids (no shuffle, no join). At rest,
     write the corpus partitioned by ``_cluster`` (io.sinks.write_partitioned)
-    so probes become partition-pruned scans."""
+    so probes become partition-pruned scans.
+
+    PERF: the per-centroid dot expressions are higher-order functions
+    Catalyst interprets per element — O(k·dim) interpreter steps per row.
+    Fine at probe-sized k (the oracle-parity path); for corpus-sized
+    ASSIGNMENT passes at larger k use ``assign_clusters``, which switches
+    to one Arrow-batched matmul per batch (same argmax contract)."""
     norm_v = norm(F.col(vec_col))
     dots = F.array(
         *[
@@ -278,6 +285,50 @@ def ivf_assign(df: DataFrame, centroids: np.ndarray,
     )
     cluster = (F.array_position(dots, F.array_max(dots)) - 1).cast("int")
     return df.withColumn("_cluster", cluster)
+
+
+def assign_arrow(
+    df: DataFrame, centroids: np.ndarray, vec_col: str = "embedding"
+) -> DataFrame:
+    """Nearest-centroid assignment as ONE Arrow-batched matmul per batch.
+
+    Same contract as ``ivf_assign`` (argmax cosine against
+    broadcast-by-value centroids, ties → lowest cluster id, zero-norm
+    rows → cluster 0) but vectorized: the per-centroid HOF expressions
+    ivf_assign plans are interpreted per element — measured 51 s for 3
+    assignment passes at 50k×64 with k≈100, vs ~2 s here (the r5
+    SemDeDup scale-smoke catch). Still a projection: no join, no
+    shuffle — the centroid matrix rides into the UDF closure."""
+    from pyspark.sql.functions import pandas_udf
+
+    b = np.asarray(centroids, dtype=np.float64)
+
+    @pandas_udf("int")
+    def assign(vs: pd.Series) -> pd.Series:
+        if len(vs) == 0:
+            return pd.Series([], dtype="int32")
+        m = np.stack(vs.to_numpy()).astype(np.float64)
+        nrm = np.linalg.norm(m, axis=1, keepdims=True)
+        nrm[nrm == 0] = 1.0
+        return pd.Series(np.argmax((m / nrm) @ b.T, axis=1).astype("int32"))
+
+    return df.withColumn("_cluster", assign(F.col(vec_col)))
+
+
+ASSIGN_ARROW_MIN_K = 17  # ≤16 centroids: expression path (oracle parity)
+
+
+def assign_clusters(
+    df: DataFrame, centroids: np.ndarray, vec_col: str = "embedding"
+) -> DataFrame:
+    """The corpus-assignment dispatcher: plan-literal expressions for
+    probe-sized k (pure JVM, zero Python — the driver-oracle path),
+    Arrow matmul once k makes the interpreted HOF cost dominate. Index
+    BUILDS go through this — at 100 TB with k ≈ √n clusters the
+    expression path would be quadratic-feeling in practice."""
+    if len(centroids) >= ASSIGN_ARROW_MIN_K:
+        return assign_arrow(df, centroids, vec_col)
+    return ivf_assign(df, centroids, vec_col)
 
 
 def ivf_topk(
@@ -299,7 +350,7 @@ def ivf_topk(
     q = np.asarray(query_vec, dtype=np.float64)
     q = q / np.linalg.norm(q)
     probes = np.argsort(-(centroids @ q))[:nprobe].tolist()
-    assigned = ivf_assign(df, centroids, vec_col)
+    assigned = assign_clusters(df, centroids, vec_col)
     return (
         assigned.filter(F.col("_cluster").isin([int(p) for p in probes]))
         .select(
@@ -339,7 +390,7 @@ def ivf_write(
 
     from pcap_converter_spark.io.sinks import write_partitioned
 
-    assigned = ivf_assign(df, centroids, vec_col)
+    assigned = assign_clusters(df, centroids, vec_col)
     if files_per_cluster <= 1:
         assigned = assigned.repartition(_F.col("_cluster"))
     else:
@@ -368,7 +419,7 @@ def ivf_append(
 
     from pcap_converter_spark.io.sinks import write_partitioned
 
-    assigned = ivf_assign(df, centroids, vec_col)
+    assigned = assign_clusters(df, centroids, vec_col)
     if files_per_cluster <= 1:
         assigned = assigned.repartition(_F.col("_cluster"))
     else:
@@ -391,7 +442,7 @@ def pq_append(
     the EXISTING codebooks and append their (id, vnorm, code) rows —
     byte-compatible with every earlier row, so the ADC probe needs no
     version logic."""
-    assigned = ivf_assign(df, centroids, vec_col)
+    assigned = assign_clusters(df, centroids, vec_col)
     coded = pq_assign(assigned, codebooks, vec_col)
     slim = coded.select(
         id_col,
@@ -490,7 +541,7 @@ def ivf_topk_batch(
     )
     if broadcast_probe:
         probed = F.broadcast(probed)
-    side = ivf_assign(corpus, centroids, vec_col) if assign_corpus else corpus
+    side = assign_clusters(corpus, centroids, vec_col) if assign_corpus else corpus
     scored = side.join(probed, "_cluster").select(
         F.col(q_id_col),
         F.col(id_col),
@@ -688,7 +739,7 @@ def pq_write(
     a cosine estimate. Same co-location/salting story as ``ivf_write``."""
     from pcap_converter_spark.io.sinks import write_partitioned
 
-    assigned = ivf_assign(df, centroids, vec_col)
+    assigned = assign_clusters(df, centroids, vec_col)
     coded = pq_assign(assigned, codebooks, vec_col)
     slim = coded.select(
         id_col,

@@ -236,6 +236,41 @@ def test_ivf_topk_batch_matches_per_query_loop(spark, emb_df):
         assert got[qid] == exp, qid
 
 
+def test_assign_clusters_arrow_matches_expression_path(spark, emb_df):
+    """The k-dispatched assignment: the Arrow matmul kernel and the
+    plan-literal expression path agree row-for-row (same argmax, same
+    lowest-id tie-break, zero-norm → cluster 0), and the dispatcher
+    routes big-k to Arrow."""
+    import numpy as np
+
+    cents = similarity.fixed_centroids(DIM, 20, seed=5)  # ≥ ASSIGN_ARROW_MIN_K
+    with_zero = emb_df.union(
+        spark.createDataFrame(
+            [(999, [0.0] * DIM)], "vec_id long, embedding array<float>"
+        )
+    )
+    expr = {
+        r["vec_id"]: r["_cluster"]
+        for r in similarity.ivf_assign(with_zero, cents).collect()
+    }
+    arrow = {
+        r["vec_id"]: r["_cluster"]
+        for r in similarity.assign_arrow(with_zero, cents).collect()
+    }
+    assert expr == arrow
+    assert arrow[999] == 0
+    via_dispatch = {
+        r["vec_id"]: r["_cluster"]
+        for r in similarity.assign_clusters(with_zero, cents).collect()
+    }
+    assert via_dispatch == expr
+    # small k keeps the pure-JVM expression plan (no Python eval node)
+    small = similarity.assign_clusters(
+        emb_df, similarity.fixed_centroids(DIM, 4, seed=5)
+    )
+    assert "ArrowEvalPython" not in small._jdf.queryExecution().executedPlan().toString()
+
+
 def test_topk_batch_broadcast_escape_hatch(spark, emb_df):
     """broadcast_probe=False degrades the exploded-query side to a
     shuffle join with identical answers — the oversized-batch escape
