@@ -69,3 +69,75 @@ def mix_sources(
             F.col(source_col) == src, b < int(round(rate * buckets))
         ).otherwise(keep)
     return df.withColumn("keep_mix", keep)
+
+
+def temperature_rates(
+    df,
+    alpha: float = 0.7,
+    source_col: str = "source",
+    weight_col: str | None = None,
+) -> dict[str, float]:
+    """Per-source keep rates from TEMPERATURE sampling — the standard
+    multi-source rebalancing (multilingual/multi-domain training mixes,
+    e.g. the mBERT/XLM-R exponent): target share of source i ∝ nᵢ^α, so
+    α = 1 keeps natural proportions and α → 0 approaches uniform. Rates
+    are normalized so the LARGEST down-weighting factor is 1.0 — the
+    head source keeps rate  (nᵢ^α / nᵢ) / max_j(nⱼ^α / nⱼ)  and every
+    other source keeps more of itself (never > 1: this operator only
+    downsamples; upweight by epoch repetition at training time instead).
+
+    ``weight_col`` sizes sources by a column sum (e.g. n_tokens — the
+    budget that actually matters) instead of document count. One
+    aggregation over the corpus (bounded output: one row per source);
+    feed the result straight to ``mix_sources`` for deterministic
+    membership."""
+    if not 0 < alpha <= 1:
+        raise ValueError("alpha must be in (0, 1]")
+    agg = (
+        F.sum(weight_col) if weight_col else F.count(F.lit(1))
+    )
+    sizes = {
+        r["src"]: float(r["n"])
+        for r in df.groupBy(F.col(source_col).alias("src"))
+        .agg(agg.alias("n"))
+        .collect()
+        if r["n"]
+    }
+    if not sizes:
+        return {}
+    factors = {s: n ** alpha / n for s, n in sizes.items()}
+    top = max(factors.values())
+    return {s: f / top for s, f in factors.items()}
+
+
+def token_budget_flag(
+    df,
+    budget_tokens: int,
+    per_source: bool = True,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    tokens_col: str = "n_tokens",
+):
+    """keep_budget=True for a deterministic prefix of documents whose
+    cumulative token count stays within ``budget_tokens`` (per source by
+    default, corpus-wide with ``per_source=False``) — "give me ~10B
+    tokens of this source" without materializing or counting twice.
+
+    Order is content-addressed (hash_bucket of the id, ties by id), NOT
+    arrival order, so the selected subset is reproducible across engines
+    and partition layouts and is a SUPERSET-stable prefix: growing the
+    corpus only inserts new docs into the hash order, it never reorders
+    existing ones relative to each other. A document straddling the
+    boundary is kept iff its own start offset is inside the budget (so
+    the realized total can overshoot by at most one document). One
+    window cumsum — a single shuffle keyed by source."""
+    from pyspark.sql import Window
+
+    part = [source_col] if per_source else []
+    w = (
+        Window.partitionBy(*part)
+        .orderBy(hash_bucket(F.col(id_col)), F.col(id_col))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    start = F.coalesce(F.sum(tokens_col).over(w), F.lit(0))
+    return df.withColumn("keep_budget", start < F.lit(int(budget_tokens)))
