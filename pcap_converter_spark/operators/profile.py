@@ -33,6 +33,7 @@ def profile(
     df: DataFrame,
     columns: list[str] | None = None,
     round_digits: int = 4,
+    include_approx: bool = True,
 ) -> DataFrame:
     """Per-column profile as one aggregation job.
 
@@ -42,6 +43,9 @@ def profile(
     stays below the rounding); strings add lexicographic ``min`` /
     ``max`` in ``value_str`` plus ``avg_len``. Unsupported types (arrays,
     structs, binary) keep the count/nulls/distinct triple only.
+    ``include_approx=False`` drops the HLL++ rows — the exact-stats form
+    a cross-engine hash gate can check (sketch values are engine-specific
+    by construction).
 
     Returns (column, stat, value, value_str) ordered by (column, stat);
     exactly one of value/value_str is non-NULL per row.
@@ -63,7 +67,7 @@ def profile(
             c, "nulls",
             (F.count(F.lit(1)) - F.count(fc)).cast("double"), "num",
         )
-        if not isinstance(dt, (T.MapType,)):
+        if include_approx and not isinstance(dt, (T.MapType,)):
             add(
                 c, "distinct_approx",
                 F.approx_count_distinct(fc).cast("double"), "num",

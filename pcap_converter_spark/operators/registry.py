@@ -1527,22 +1527,116 @@ def run_olap(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUPING SETS list CUBE cannot express; src 'ntile' = the
     ranking/navigation window family (ntile, percent_rank, cume_dist,
     dense_rank, first_value, nth_value) over one named window with total
-    tie-broken order. Disjoint columns NULL-padded per src."""
+    tie-broken order; src 'profile' (r6 — the one-pass dataset PROFILER,
+    operators/profile.py, previously pytest-oracle-only): every exact
+    per-column statistic of the ``part`` table (count/nulls, numeric
+    min/max/mean/sum, string min/max/avg_len) from ONE aggregation over
+    one scan, the HLL++ sketch rows excluded by ``include_approx=False``
+    because sketch values are engine-specific (ex_approx_distinct's
+    documented territory). Disjoint columns NULL-padded per src."""
     from pcap_converter_spark.io.loader import register_views
+    from pcap_converter_spark.operators.profile import profile as _profile
 
     register_views(spark, sf_dir)
-    return spark.sql(
+    olap = spark.sql(
         _olap_sql(
             "round(percentile_cont(0.5) WITHIN GROUP "
             "(ORDER BY o_totalprice), 4)",
             "STRING",
         )
     )
+    ns = F.lit(None).cast("string")
+    nd = F.lit(None).cast("double")
+    olap_p = (
+        olap.withColumn("pcol", ns)
+        .withColumn("stat", ns)
+        .withColumn("value", nd)
+        .withColumn("value_str", ns)
+    )
+    prof = _profile(
+        load_table(spark, sf_dir, "part"), include_approx=False
+    )
+    prof_p = prof.select(
+        F.lit("profile").alias("src"),
+        ns.alias("o_orderpriority"),
+        ns.alias("o_orderstatus"),
+        F.lit(None).cast("int").alias("gp"),
+        F.lit(None).cast("int").alias("gs"),
+        F.lit(None).cast("bigint").alias("n"),
+        nd.alias("lo"),
+        nd.alias("hi"),
+        nd.alias("med"),
+        F.lit(None).cast("bigint").alias("c_custkey"),
+        F.lit(None).cast("int").alias("quartile"),
+        nd.alias("pr"),
+        nd.alias("cd"),
+        F.lit(None).cast("int").alias("dr"),
+        F.lit(None).cast("bigint").alias("fv"),
+        F.lit(None).cast("bigint").alias("nv3"),
+        F.col("column").alias("pcol"),
+        "stat",
+        "value",
+        "value_str",
+    )
+    return olap_p.unionByName(prof_p).orderBy(
+        "src", "o_orderpriority", "o_orderstatus", "gp", "gs", "c_custkey",
+        "pcol", "stat",
+    )
 
 
-_OLAP_ORACLE_SQL = _olap_sql(
-    "round(quantile_cont(o_totalprice, 0.5), 4)", "VARCHAR"
-)
+# the profiler arm's DuckDB twin: the same per-column stats re-derived
+# from one aggregate row over part (static schema: p_partkey BIGINT,
+# p_name/p_brand/p_type VARCHAR, p_size INT, p_retailprice DOUBLE)
+def _profile_part_sql() -> str:
+    num_cols = ["p_partkey", "p_size", "p_retailprice"]
+    str_cols = ["p_name", "p_brand", "p_type"]
+    aggs, rows = [], []
+    for c in num_cols + str_cols:
+        aggs.append(f"CAST(count({c}) AS DOUBLE) AS cnt_{c}")
+        aggs.append(f"CAST(count(*) - count({c}) AS DOUBLE) AS nul_{c}")
+        rows.append(f"SELECT '{c}' AS pcol, 'count' AS stat, cnt_{c} AS value, "
+                    f"CAST(NULL AS VARCHAR) AS value_str FROM pr")
+        rows.append(f"SELECT '{c}', 'nulls', nul_{c}, NULL FROM pr")
+    for c in num_cols:
+        aggs += [
+            f"round(min(CAST({c} AS DOUBLE)), 4) AS min_{c}",
+            f"round(max(CAST({c} AS DOUBLE)), 4) AS max_{c}",
+            f"round(avg(CAST({c} AS DOUBLE)), 4) AS avg_{c}",
+            f"round(sum(CAST({c} AS DOUBLE)), 4) AS sum_{c}",
+        ]
+        for st in ("min", "max", "avg", "sum"):
+            stat = "mean" if st == "avg" else st
+            rows.append(f"SELECT '{c}', '{stat}', {st}_{c}, NULL FROM pr")
+    for c in str_cols:
+        aggs += [
+            f"min({c}) AS smin_{c}",
+            f"max({c}) AS smax_{c}",
+            f"round(avg(length({c})), 4) AS len_{c}",
+        ]
+        rows.append(f"SELECT '{c}', 'min', CAST(NULL AS DOUBLE), smin_{c} FROM pr")
+        rows.append(f"SELECT '{c}', 'max', CAST(NULL AS DOUBLE), smax_{c} FROM pr")
+        rows.append(f"SELECT '{c}', 'avg_len', len_{c}, NULL FROM pr")
+    return (
+        f"WITH pr AS (SELECT {', '.join(aggs)} FROM part) "
+        + " UNION ALL ".join(rows)
+    )
+
+
+_OLAP_ORACLE_SQL = f"""
+SELECT o.*, CAST(NULL AS VARCHAR) AS pcol, CAST(NULL AS VARCHAR) AS stat,
+       CAST(NULL AS DOUBLE) AS value, CAST(NULL AS VARCHAR) AS value_str
+FROM ({_olap_sql("round(quantile_cont(o_totalprice, 0.5), 4)", "VARCHAR")}) o
+UNION ALL
+SELECT 'profile' AS src, CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR),
+       CAST(NULL AS INT), CAST(NULL AS INT), CAST(NULL AS BIGINT),
+       CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+       CAST(NULL AS BIGINT), CAST(NULL AS INT), CAST(NULL AS DOUBLE),
+       CAST(NULL AS DOUBLE), CAST(NULL AS INT), CAST(NULL AS BIGINT),
+       CAST(NULL AS BIGINT), p.pcol, p.stat, p.value, p.value_str
+FROM ({_profile_part_sql()}) p
+ORDER BY src, o_orderpriority NULLS FIRST, o_orderstatus NULLS FIRST,
+         gp, gs, c_custkey, pcol, stat
+"""
 
 
 def run_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
