@@ -175,6 +175,11 @@ def _cmd_compact(argv: list[str]) -> int:
                     help="local worker threads (default: all cores)")
     ap.add_argument("-v", "--verbose", action="store_true")
     args = ap.parse_args(argv)
+    if args.in_place and args.vacuum:
+        ap.error(
+            "--vacuum applies to manifest generations; the --in-place "
+            "swap has none (drop one of the flags)"
+        )
 
     from pcap_converter_spark.operators import incremental as inc
 

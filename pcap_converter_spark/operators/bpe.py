@@ -35,6 +35,8 @@ separate on purpose:
 
 from __future__ import annotations
 
+from typing import Iterator  # noqa: F401 — resolves pandas_udf type hints
+
 import pandas as pd  # noqa: F401 — resolves pandas_udf type hints at runtime
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -148,26 +150,29 @@ def encode_bpe(
     text: Column, merges: list[tuple[str, str]], cache_size: int = 65_536
 ) -> Column:
     """Text column → array<string> of BPE symbols under the learned
-    merges, as one Arrow-batched pandas UDF. Per-worker LRU cache over
-    distinct words: on Zipf-distributed text most stream words are cache
-    hits, so the sequential merge loop runs roughly once per distinct
-    word, not once per occurrence."""
+    merges, as one Arrow-batched pandas UDF in the ITERATOR form — the
+    LRU cache over distinct words is built once per task and survives
+    across Arrow batches (the scalar form would rebuild it per ~10k-row
+    batch, re-segmenting the Zipf head every time). On Zipf-distributed
+    text most stream words are cache hits, so the sequential merge loop
+    runs roughly once per distinct word, not once per occurrence."""
     ranks = {tuple(p): i for i, p in enumerate(merges)}
 
     @F.pandas_udf(T.ArrayType(T.StringType()))
-    def enc(texts: pd.Series) -> pd.Series:
+    def enc(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
         import functools
 
         @functools.lru_cache(maxsize=cache_size)
         def seg(word: str) -> tuple[str, ...]:
             return tuple(segment_word(word, ranks))
 
-        out = []
-        for t in texts:
-            toks: list[str] = []
-            for w in (t or "").lower().split():
-                toks.extend(seg(w))
-            out.append(toks)
-        return pd.Series(out)
+        for texts in batches:
+            out = []
+            for t in texts:
+                toks: list[str] = []
+                for w in (t or "").lower().split():
+                    toks.extend(seg(w))
+                out.append(toks)
+            yield pd.Series(out)
 
     return enc(text)

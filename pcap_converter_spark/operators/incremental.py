@@ -212,21 +212,27 @@ def resolve_index_root(spark: SparkSession, path: str) -> str:
     return f"{path}/{m['root']}"
 
 
-# meta rows cached per (session, resolved root): the parameters are
-# IMMUTABLE for an index generation's life (that is the whole point of
-# storing them with the data), so re-collecting the one-row parquet on
-# every probe/append — a full Spark job each — is pure overhead; a
-# streaming ingest hook pays it once per micro-batch otherwise.
-# write_corpus_index invalidates the path's entries (fresh index, fresh
-# parameters); compaction copies meta verbatim into the new generation,
-# whose different resolved root misses the cache naturally.
-_META_CACHE: dict[tuple[str, str], dict] = {}
+# meta rows cached per (session, resolved root, meta-dir mtime): the
+# parameters are IMMUTABLE for an index generation's life (that is the
+# whole point of storing them with the data), so re-collecting the
+# one-row parquet on every probe/append — a full Spark job each — is
+# pure overhead; a streaming ingest hook pays it once per micro-batch
+# otherwise. The mtime in the key makes the cache safe against rewrites
+# this process cannot see (another driver re-running write_corpus_index
+# with different parameters, or the same path spelled 'file:///...'):
+# an overwrite replaces the meta directory's children, bumping its
+# modification time, so the stale entry simply misses. One
+# getFileStatus per call — a namenode round trip, not a Spark job.
+_META_CACHE: dict[tuple[str, str, int], dict] = {}
 
 
-def _drop_meta_cache(spark: SparkSession, path: str) -> None:
-    app = spark.sparkContext.applicationId
-    for k in [k for k in _META_CACHE if k[0] == app and k[1].startswith(path)]:
-        del _META_CACHE[k]
+def _meta_mtime(spark: SparkSession, root: str) -> int:
+    fs, jvm = _hadoop_fs(spark, root)
+    return int(
+        fs.getFileStatus(
+            jvm.org.apache.hadoop.fs.Path(f"{root}/meta")
+        ).getModificationTime()
+    )
 
 
 def read_index_meta(spark: SparkSession, path: str) -> dict:
@@ -236,7 +242,9 @@ def read_index_meta(spark: SparkSession, path: str) -> dict:
     (a one-row Parquet: portable to any Hadoop filesystem, unlike a
     driver-local JSON side file)."""
     root = resolve_index_root(spark, path)
-    key = (spark.sparkContext.applicationId, root)
+    key = (
+        spark.sparkContext.applicationId, root, _meta_mtime(spark, root)
+    )
     cached = _META_CACHE.get(key)
     if cached is not None:
         return dict(cached)
@@ -273,7 +281,6 @@ def write_corpus_index(
     if num_hashes % bands:
         raise ValueError("bands must divide num_hashes")
     spark = docs.sparkSession
-    _drop_meta_cache(spark, path)
     # a fresh write is an OVERWRITE of the whole index: drop any manifest
     # generations from a previous life of this path, or the new flat
     # tables would be shadowed by a stale gen-* dir
@@ -378,7 +385,10 @@ def compact_corpus_index(
         )
     meta = read_index_meta(spark, path)
     root = resolve_index_root(spark, path)
-    local_root = root[7:] if root.startswith("file://") else root
+    # both URI spellings a local path can arrive as — 'file:///x' and
+    # Hadoop's single-slash 'file:/x' — must strip to a POSIX path
+    # before shutil sees them
+    local_root = urlparse(root).path if scheme == "file" else root
     tiers = meta["tiers"].split(",")
     tables = (["exact"] if "exact" in tiers else []) + (
         ["sigs", "bands"] if "near" in tiers else []
@@ -441,31 +451,51 @@ def compact_corpus_index_safe(
             "tables": tables + ["meta"],
         }
     ).encode()
-    out = fs.create(
-        jvm.org.apache.hadoop.fs.Path(f"{path}/manifest-{epoch:06d}"), False
-    )
+    # commit = write to a dot-tmp name, then RENAME to the final
+    # manifest name: a plain create() is visible as an empty file before
+    # close() on HDFS/local (a reader's json.loads('') would crash mid-
+    # commit); the tmp name starts with '.' so the manifest-* glob never
+    # sees it, and the rename is atomic on HDFS/local. On S3A the rename
+    # is a single-object copy+delete of a tiny file — a reader can
+    # briefly see both old and new manifests, which is harmless because
+    # max-epoch wins and both are complete.
+    tmp = jvm.org.apache.hadoop.fs.Path(f"{path}/.manifest-{epoch:06d}.tmp")
+    final = jvm.org.apache.hadoop.fs.Path(f"{path}/manifest-{epoch:06d}")
+    out = fs.create(tmp, True)
     try:
         out.write(bytearray(body))
     finally:
         out.close()
+    if not fs.rename(tmp, final):
+        raise IOError(
+            f"could not commit manifest-{epoch:06d} at {path} (rename "
+            "failed — concurrent compaction?)"
+        )
 
 
 def vacuum_corpus_index(spark: SparkSession, path: str) -> None:
-    """Remove every generation below the live epoch (and its manifest) —
+    """Remove every generation BELOW the live epoch (and its manifest) —
     run after ``compact_corpus_index_safe`` once in-flight readers have
-    drained. The live generation and manifest are untouched; a flat
-    legacy layout's tables (epoch 0) are removed only if a manifest
-    generation has superseded them."""
+    drained. The live generation and manifest are untouched, and so is
+    any generation with an epoch ABOVE the live one: that is an
+    in-flight (or crashed) compaction's staging area — deleting it out
+    from under a running compaction would let the compaction commit a
+    manifest pointing at half-deleted tables. A crashed orphan is
+    reclaimed by the NEXT successful compact+vacuum cycle, whose higher
+    epoch supersedes it. A flat legacy layout's tables (epoch 0) are
+    removed only if a manifest generation has superseded them."""
     epoch = _live_epoch(spark, path)
     if epoch == 0:
         return
     fs, jvm = _hadoop_fs(spark, path)
-    live_gen = f"gen-{epoch:06d}"
-    live_manifest = f"manifest-{epoch:06d}"
     for pat in (f"{path}/manifest-*", f"{path}/gen-*"):
         for s in fs.globStatus(jvm.org.apache.hadoop.fs.Path(pat)) or []:
             name = s.getPath().getName()
-            if name not in (live_gen, live_manifest):
+            try:
+                e = int(name.rsplit("-", 1)[1])
+            except (IndexError, ValueError):
+                continue
+            if e < epoch:
                 fs.delete(s.getPath(), True)
     # legacy flat tables superseded by the live generation
     for sub in ("meta", "exact", "sigs", "bands"):

@@ -2381,10 +2381,12 @@ def run_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
       occurrences + the min-id odd survivors whose digest was novel) —
       a hash match proves probe semantics, in-batch collapse, and the
       probe→sink→append ordering end to end."""
-    import uuid
-
     from pcap_converter_spark.streaming.stateful import streaming_dedup
-    from pcap_converter_spark.streaming.windows import stage_as_dir
+    from pcap_converter_spark.streaming.windows import (
+        finish_available_now,
+        stage_as_dir,
+        start_available_now,
+    )
 
     stage = stage_as_dir(f"{sf_dir}/documents.parquet", "docs_stream_")
     schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
@@ -2392,23 +2394,15 @@ def run_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the two branches are INDEPENDENT streaming queries — start the
     # stateful drain non-blocking and run the whole ingest cycle while it
     # works, so the entry pays one stream-startup latency, not two
-    # (unique per-run sink name + drop, the drain_available_now contract)
-    name = f"ex_stream_dedup_{uuid.uuid4().hex[:8]}"
-    q = (
-        streaming_dedup(stream)
-        .writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
+    q, name = start_available_now(
+        streaming_dedup(stream), "ex_stream_dedup", "append"
     )
     try:
         ingest = _run_ingest_branch(spark, sf_dir)
-        q.awaitTermination()
-    finally:
+    except BaseException:
         q.stop()
-    out = spark.table(name).localCheckpoint(eager=True)
-    spark.catalog.dropTempView(name)
+        raise
+    out = finish_available_now(spark, q, name)
     # one input file → one batch → "first occurrence" is the scan order;
     # canonicalize to min doc_id per content so the answer is deterministic
     state = (

@@ -129,15 +129,42 @@ def token_budget_flag(
     corpus only inserts new docs into the hash order, it never reorders
     existing ones relative to each other. A document straddling the
     boundary is kept iff its own start offset is inside the budget (so
-    the realized total can overshoot by at most one document). One
-    window cumsum — a single shuffle keyed by source."""
+    the realized total can overshoot by at most one document).
+
+    Scale shape: a naive global cumsum window would funnel the whole
+    corpus through ONE task (an unpartitioned window), so the running
+    sum is two-phase — a cumsum window partitioned by (source, bucket)
+    runs bucket-parallel, and each bucket's START OFFSET comes from a
+    window over the per-bucket totals (a ``buckets``-row frame,
+    broadcast back). Two shuffles of the data rows, both keyed; the only
+    serial computation is over 100 rows per source."""
     from pyspark.sql import Window
 
     part = [source_col] if per_source else []
-    w = (
+    b = hash_bucket(F.col(id_col))
+    rows = df.withColumn("_tb", b)
+    # phase 1: per-bucket totals → each bucket's global start offset
+    # (window over ≤ `buckets` rows per source — metadata-sized)
+    wb = (
         Window.partitionBy(*part)
-        .orderBy(hash_bucket(F.col(id_col)), F.col(id_col))
+        .orderBy("_tb")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
-    start = F.coalesce(F.sum(tokens_col).over(w), F.lit(0))
-    return df.withColumn("keep_budget", start < F.lit(int(budget_tokens)))
+    offsets = (
+        rows.groupBy(*part, "_tb")
+        .agg(F.sum(tokens_col).alias("_bt"))
+        .withColumn("_off", F.coalesce(F.sum("_bt").over(wb), F.lit(0)))
+        .drop("_bt")
+    )
+    # phase 2: cumsum WITHIN each bucket (parallel across buckets)
+    wi = (
+        Window.partitionBy(*(part + ["_tb"]))
+        .orderBy(F.col(id_col))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    start = F.col("_off") + F.coalesce(F.sum(tokens_col).over(wi), F.lit(0))
+    return (
+        rows.join(F.broadcast(offsets), part + ["_tb"])
+        .withColumn("keep_budget", start < F.lit(int(budget_tokens)))
+        .drop("_tb", "_off")
+    )

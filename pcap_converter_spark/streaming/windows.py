@@ -127,6 +127,36 @@ def session_counts(
     )
 
 
+def start_available_now(df: DataFrame, query_name: str, mode: str):
+    """Start (without awaiting) an availableNow drain into a uniquely
+    named memory sink; returns (query, sink_name) for
+    ``finish_available_now``. Split from ``drain_available_now`` so a
+    caller can do independent work while the drain runs (e.g.
+    ex_stream_dedup overlaps its ingest cycle with the stateful drain)
+    while the sink-lifecycle contract stays in ONE place."""
+    name = f"{query_name}_{uuid.uuid4().hex[:8]}"
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    return q, name
+
+
+def finish_available_now(spark, q, name: str) -> DataFrame:
+    """Await the drain started by ``start_available_now``, materialize
+    the sink once (eager localCheckpoint) and drop the temp view."""
+    try:
+        q.awaitTermination()
+    finally:
+        q.stop()
+    out = spark.table(name).localCheckpoint(eager=True)
+    spark.catalog.dropTempView(name)
+    return out
+
+
 def drain_available_now(df: DataFrame, query_name: str, mode: str) -> DataFrame:
     """Drain everything currently available through the streaming engine and
     return the result as a stable batch DataFrame (test/bench harness;
@@ -137,22 +167,8 @@ def drain_available_now(df: DataFrame, query_name: str, mode: str) -> DataFrame:
     materialized once via an eager localCheckpoint, and the sink table is
     dropped before returning — so two consecutive full runs leave no stray
     catalog entries and never collide on a sink name."""
-    name = f"{query_name}_{uuid.uuid4().hex[:8]}"
-    q = (
-        df.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(mode)
-        .trigger(availableNow=True)
-        .start()
-    )
-    try:
-        q.awaitTermination()
-    finally:
-        q.stop()
-    spark = df.sparkSession
-    out = spark.table(name).localCheckpoint(eager=True)
-    spark.catalog.dropTempView(name)
-    return out
+    q, name = start_available_now(df, query_name, mode)
+    return finish_available_now(df.sparkSession, q, name)
 
 
 def run_available_now_append(df: DataFrame, query_name: str) -> DataFrame:

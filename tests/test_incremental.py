@@ -365,11 +365,18 @@ def test_safe_compaction_manifest_generations(spark, tmp_path):
     inc.compact_corpus_index_safe(spark, p, files_per_table=2)
     assert inc.resolve_index_root(spark, p).endswith("gen-000002")
 
-    # vacuum drops legacy tables + gen-1, keeps the live generation
+    # vacuum drops legacy tables + gen-1, keeps the live generation AND
+    # any higher-epoch orphan (an in-flight/crashed compaction's staging
+    # area must never be deleted out from under it)
+    os.makedirs(f"{p}/gen-000007")
     inc.vacuum_corpus_index(spark, p)
     assert not os.path.exists(f"{p}/exact")
     assert not os.path.exists(f"{p}/gen-000001")
     assert os.path.exists(f"{p}/gen-000002/exact")
+    assert os.path.exists(f"{p}/gen-000007")
+    import shutil
+
+    shutil.rmtree(f"{p}/gen-000007")
     flags3 = sorted(
         map(tuple, inc.flag_against_index(_corpus_b(spark), p).collect())
     )
