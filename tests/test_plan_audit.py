@@ -233,3 +233,23 @@ def test_semantic_neardup_is_single_cluster_shuffle(spark):
     assert "Join" not in plan, plan
     ex = [l for l in plan.splitlines() if "Arguments: hashpartitioning" in l]
     assert len(ex) == 1 and "_cluster" in ex[0], plan
+
+
+def test_bm25_filters_terms_before_any_join(spark):
+    """bm25_topk: the (doc,term,tf) table must filter to the query's
+    literal terms BEFORE joining anything — the per-query cost is the
+    token explosion plus a terms-sized fraction of the corpus, never a
+    corpus × corpus join. The doc-length side joins broadcast-free only
+    on the pipeline's own doc key; the tiny per-term df frame
+    broadcasts."""
+    from pcap_converter_spark.operators.tfidf import bm25_topk
+
+    docs = load_table(spark, SF, "documents")
+    handles: list = []
+    out = bm25_topk(docs, "vector hash join", k=5, handles=handles)
+    plan = audit.formatted_plan(out)
+    # the isin over literal terms exists as a Filter (term IN (...))
+    assert "term#" in plan and " IN " in plan, plan
+    audit.assert_broadcast_join(out, "(bm25)")
+    for h in handles:
+        h.unpersist()
