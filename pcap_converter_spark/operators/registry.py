@@ -2416,10 +2416,19 @@ def run_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _run_ingest_branch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The 'ingest' branch of ex_stream_dedup: build the at-rest index
     from the even-slice 4-word chunks, stream the odd-slice chunks
-    through streaming/ingest.py's foreachBatch hook, return the index's
-    post-drain exact table. Fresh temp dirs per call (removed at exit),
-    so repeat runs in one session are independent."""
+    through streaming/ingest.py's foreachBatch hook in TWO micro-batches
+    (two staged files with ascending mtimes + maxFilesPerTrigger=1 —
+    FileStreamSource admits files in timestamp order, so batch order is
+    pinned), and return the index's post-drain exact table. The oracle
+    re-derives batch-2 survivors as "novel vs the index AND vs batch 1",
+    so the hash proves CROSS-BATCH dedup — a doc ingested in batch N is
+    deduplicated against every batch < N via the appended keys, the
+    property the two-drain pytest proves in-process. Fresh temp dirs per
+    call (removed at exit), so repeat runs in one session are
+    independent."""
     import atexit
+    import glob as _glob
+    import os as _os
     import shutil
     import tempfile
 
@@ -2438,14 +2447,31 @@ def _run_ingest_branch(spark: SparkSession, sf_dir: str) -> DataFrame:
         atexit.register(shutil.rmtree, d, ignore_errors=True)
     idx, src_dir, sink_dir, ckpt = dirs
     evens = ch.filter(F.col("_doc") % 10 == 0).select("pid", "chunk")
-    odds = ch.filter(F.col("_doc") % 10 == 1).select("pid", "chunk")
     incremental.write_corpus_index(
         evens, idx, text_col="chunk", id_col="pid", tiers=("exact",)
     )
-    odds.coalesce(1).write.mode("overwrite").parquet(src_dir)
-    stream = spark.readStream.schema(
-        "pid long, chunk string"
-    ).parquet(src_dir)
+    # stage the two "days" as single files with pinned arrival order
+    # (slices {1,3} and {5,7} mod 10 — chosen because the fixture corpus
+    # has dup chunks spanning the two days that are NOT in the even-day
+    # index: 92 of them at sf0.01, so the cross-batch path is genuinely
+    # exercised, not vacuously green)
+    for day, mods in ((1, (1, 3)), (2, (5, 7))):
+        part = tempfile.mkdtemp(prefix="ing_part_")
+        ch.filter(
+            (F.col("_doc") % 10).isin(list(mods))
+        ).select("pid", "chunk").coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(part)
+        src = _glob.glob(f"{part}/part-*.parquet")[0]
+        dst = _os.path.join(src_dir, f"day_{day:02d}.parquet")
+        shutil.move(src, dst)
+        _os.utime(dst, (1_000_000 + day, 1_000_000 + day))
+        shutil.rmtree(part, ignore_errors=True)
+    stream = (
+        spark.readStream.schema("pid long, chunk string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
     run_dedup_ingest(
         stream,
         idx,
@@ -2476,16 +2502,25 @@ WITH ich AS (
   WHERE len(lws) > 0),
 iev AS (SELECT sha256(chunk) AS h, doc_id * 1000 + chunk_id AS pid
         FROM ich WHERE doc_id % 10 = 0),
-iod AS (SELECT sha256(chunk) AS h, doc_id * 1000 + chunk_id AS pid
-        FROM ich WHERE doc_id % 10 = 1),
-isv AS (SELECT h, min(pid) AS pid FROM iod
-        WHERE h NOT IN (SELECT h FROM iev) GROUP BY h)
+iodA AS (SELECT sha256(chunk) AS h, doc_id * 1000 + chunk_id AS pid
+         FROM ich WHERE doc_id % 10 IN (1, 3)),
+iodB AS (SELECT sha256(chunk) AS h, doc_id * 1000 + chunk_id AS pid
+         FROM ich WHERE doc_id % 10 IN (5, 7)),
+isvA AS (SELECT h, min(pid) AS pid FROM iodA
+         WHERE h NOT IN (SELECT h FROM iev) GROUP BY h),
+-- batch 2 dedups against the index AND batch 1's appended keys: a
+-- digest seen anywhere in batch 1 (kept if novel, dropped if indexed —
+-- either way the index now has it or always had it) never survives
+isvB AS (SELECT h, min(pid) AS pid FROM iodB
+         WHERE h NOT IN (SELECT h FROM iev)
+           AND h NOT IN (SELECT h FROM iodA) GROUP BY h)
 SELECT src, content_hash, doc_id FROM (
   SELECT 'state' AS src, sha256(text) AS content_hash,
          min(doc_id) AS doc_id
   FROM documents GROUP BY sha256(text)
   UNION ALL SELECT 'ingest', h, pid FROM iev
-  UNION ALL SELECT 'ingest', h, pid FROM isv
+  UNION ALL SELECT 'ingest', h, pid FROM isvA
+  UNION ALL SELECT 'ingest', h, pid FROM isvB
 ) u ORDER BY src, content_hash, doc_id
 """
 
