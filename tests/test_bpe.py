@@ -89,3 +89,36 @@ def test_training_on_dataframe_equals_word_counts_path(spark):
         None, n_merges=6, word_counts=bpe.word_frequencies(df)
     )
     assert via_df == via_wc
+
+
+def test_fuzz_bpe_roundtrip_and_determinism():
+    """Property (no Spark needed — the merge loop and encoder are pure):
+    for random word-count tables, training is deterministic, encoding any
+    word is lossless (symbols concatenate back to word + END), and every
+    learned merge concatenates two symbols that co-occurred."""
+    import random
+
+    rng = random.Random(13)
+    alphabet = "abcde"
+    for _ in range(25):
+        wc = [
+            (
+                "".join(rng.choice(alphabet) for _ in range(rng.randint(1, 8))),
+                rng.randint(1, 20),
+            )
+            for _ in range(rng.randint(1, 30))
+        ]
+        m1 = bpe.train_bpe(None, n_merges=15, word_counts=wc)
+        m2 = bpe.train_bpe(None, n_merges=15, word_counts=list(wc))
+        assert m1 == m2  # deterministic
+        ranks = {tuple(p): i for i, p in enumerate(m1)}
+        for w, _ in wc:
+            syms = bpe.segment_word(w, ranks)
+            assert "".join(syms) == w + bpe.END  # lossless
+        # greedy property: rank-0 merge is fully applied — its pair can
+        # never remain adjacent in any segmentation
+        if m1:
+            a, b = m1[0]
+            for w, _ in wc:
+                syms = bpe.segment_word(w, ranks)
+                assert (a, b) not in list(zip(syms, syms[1:])), (w, syms)
