@@ -216,10 +216,39 @@ def run_text_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     pack = pack_documents(
         docs.select("doc_id", TX.token_count(t).alias("nt")), "nt"
     )
+    # the feature-hashing embedder (operators/embed.py), hash-gated in
+    # its EXACT form: unnormalized cells are integer sums of ±1 (float32
+    # holds them exactly), serialized as an int CSV; the L2 norm rides as
+    # a separately rounded column, so hash/sign/accumulate AND the norm
+    # are both cross-engine-proven while the float32 cast of the
+    # normalized form (not re-derivable in an all-double engine) stays
+    # pytest-replayed
+    from pcap_converter_spark.operators.embed import hashed_embeddings
+
+    hemb = hashed_embeddings(docs, dim=16, normalize=False).select(
+        "doc_id",
+        F.array_join(
+            F.transform(
+                F.col("embedding"), lambda x: x.cast("int").cast("string")
+            ),
+            ",",
+        ).alias("hemb"),
+        F.round(
+            F.sqrt(
+                F.aggregate(
+                    F.col("embedding").cast("array<double>"),
+                    F.lit(0.0),
+                    lambda a, x: a + x * x,
+                )
+            ),
+            4,
+        ).alias("hemb_norm"),
+    )
     out = (
         per_doc.join(rep, "doc_id")
         .join(pack, "doc_id")
         .join(top_tfidf_terms(docs, tf=tf_tab), "doc_id")
+        .join(hemb, "doc_id", "left")
         .withColumn(
             "gopher_keep",
             gopher_keep(
@@ -257,6 +286,20 @@ _LANGID_CASE = (
 # One oracle for the whole text surface. The winnowing fingerprint hashes
 # words with md5-low32 (functions/text.py word_hash32) precisely so this
 # portable twin exists — DuckDB ships no crc32/xxhash64.
+# feature-hashing embedder fragments (dim 16): per-cell signed sums
+# re-derived from the same md5-low32 hash, assembled as 16 conditional
+# sums per doc (exact integers — no float divergence possible)
+_HEMB_SUMS = ", ".join(
+    f"CAST(coalesce(sum(CASE WHEN i = {k} THEN v END), 0) AS BIGINT) AS v{k}"
+    for k in range(16)
+)
+_HEMB_CSV = "concat_ws(',', " + ", ".join(
+    f"CAST(hv.v{k} AS VARCHAR)" for k in range(16)
+) + ")"
+_HEMB_NORM = "round(sqrt(" + " + ".join(
+    f"CAST(hv.v{k} AS DOUBLE) * hv.v{k}" for k in range(16)
+) + "), 4)"
+
 _TEXT_ALL_ORACLE = f"""
 WITH w AS (
   SELECT doc_id, lang, text,
@@ -349,7 +392,15 @@ pk AS (
                    PARTITION BY doc_id % 16 ORDER BY doc_id
                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
                  AS BIGINT), 0) AS st
-        FROM w) s)
+        FROM w) s),
+hcell AS (
+  SELECT doc_id, CAST(h % 16 AS INT) AS i,
+         sum(1 - 2 * ((h // 16) % 2)) AS v
+  FROM (SELECT doc_id,
+               CAST(md5_number_lower(wd) & 4294967295 AS BIGINT) AS h
+        FROM (SELECT doc_id, unnest(lws) AS wd FROM w) z) zz
+  GROUP BY doc_id, i),
+hvec AS (SELECT doc_id, {_HEMB_SUMS} FROM hcell GROUP BY doc_id)
 SELECT doc_id,
   ((md5_number_lower(CAST(doc_id AS VARCHAR)) & 4294967295) % 100) < 20
     AS in_sample_20,
@@ -390,6 +441,8 @@ SELECT doc_id,
   pk.pack_offset AS pack_offset,
   tt.top_term AS top_term,
   tt.top_tfidf AS top_tfidf,
+  CASE WHEN len(lws) = 0 THEN NULL ELSE {_HEMB_CSV} END AS hemb,
+  CASE WHEN len(lws) = 0 THEN NULL ELSE {_HEMB_NORM} END AS hemb_norm,
   (len(ws) >= 20 AND len(ws) <= 100000
    AND round(CASE WHEN len(ws) > 0
              THEN length(array_to_string(ws, '')) / CAST(len(ws) AS DOUBLE)
@@ -403,6 +456,7 @@ FROM b LEFT JOIN (SELECT doc_id, top_term, top_tfidf FROM t_top WHERE rn = 1) tt
   JOIN pii_c USING (doc_id)
   LEFT JOIN enc USING (doc_id)
   JOIN pk USING (doc_id)
+  LEFT JOIN hvec hv USING (doc_id)
 ORDER BY doc_id
 """
 
