@@ -75,6 +75,29 @@ def _session_key(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
     return (spark.sparkContext.applicationId, os.path.abspath(sf_dir))
 
 
+_TF_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def _tf_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The (doc, term, tf) table per (session, sf_dir), materialized once
+    (eager localCheckpoint — no persist handle to leak). The token
+    explosion is THE shared corpus preprocessing step
+    (tfidf.term_frequencies' own contract says compute once and pass via
+    ``tf``); ex_text_all's tf-idf/vocab consumers and ex_sim_topk's bm25
+    tier all read this one materialization, exactly as a production
+    pipeline would."""
+    from pcap_converter_spark.operators.tfidf import term_frequencies
+
+    key = _session_key(spark, sf_dir)
+    tf = _TF_CACHE.get(key)
+    if tf is None:
+        tf = term_frequencies(_docs(spark, sf_dir)).localCheckpoint(
+            eager=True
+        )
+        _TF_CACHE[key] = tf
+    return tf
+
+
 def _eager(spark: SparkSession, df: DataFrame, handles: list) -> DataFrame:
     """Materialize ``df`` once, then unpersist the operator's internal
     caches (VERDICT r2: leaked persist() blocks accumulate over a long
@@ -113,18 +136,18 @@ def run_text_all(spark: SparkSession, sf_dir: str) -> DataFrame:
         gopher_keep, repetition_stats,
     )
     from pcap_converter_spark.operators.sampling import sample_flag, split_assign
-    from pcap_converter_spark.operators.tfidf import (
-        term_frequencies, top_tfidf_terms,
-    )
+    from pcap_converter_spark.operators.tfidf import top_tfidf_terms
     from pcap_converter_spark.operators.vocab import build_vocab, encode_tokens
 
     t = F.col("text")
     rfp = TX.rolling_fingerprint_udf()
     docs = _docs(spark, sf_dir)
     did = F.col("doc_id")
-    # ONE token explosion feeds both corpus-level consumers (vocab counts +
-    # tf-idf); repeating it per operator would re-scan the dominant table
-    tf_tab = term_frequencies(docs).persist()
+    # ONE token explosion feeds every corpus-level consumer (vocab counts,
+    # tf-idf here; the bm25 tier of ex_sim_topk too) via the per-session
+    # materialized table — repeating it per operator would re-scan the
+    # dominant table
+    tf_tab = _tf_table(spark, sf_dir)
     # bounded driver-side artifact (like IVF centroids): 16-entry vocab,
     # deliberately smaller than the corpus term set so OOV→0 is exercised
     vocab = build_vocab(docs, size=16, tf=tf_tab)
@@ -262,7 +285,9 @@ def run_text_all(spark: SparkSession, sf_dir: str) -> DataFrame:
         .drop("_stop_hits", "_praw")
         .orderBy("doc_id")
     )
-    return _eager(spark, out, [tf_tab])
+    # no handle for tf_tab: it is the SESSION-cached materialization
+    # (_tf_table), alive for other entries — not this entry's persist
+    return _eager(spark, out, [])
 
 
 # language pieces GENERATED from TX.LANG_STOPWORDS so both engines extend
@@ -1230,6 +1255,7 @@ def run_sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     bm = tfidf.bm25_topk(
         _docs(spark, sf_dir), _BM25_QUERY, k=10,
         k1=_BM25_K1, b=_BM25_B, handles=handles,
+        tf=_tf_table(spark, sf_dir),
     ).select(
         F.lit("bm25").alias("tier"),
         F.col("doc_id").alias("hit_id"),
