@@ -82,3 +82,29 @@ def test_composes_with_semantic_dedup(spark):
     for v, r in rows.items():
         if r["is_dup"]:
             assert r["keep_id"] == v % 4
+
+
+def test_embeddings_feed_the_ann_ladder_at_rest(spark, tmp_path):
+    """docs → hashed_embeddings → ivf_write → partition-pruned at-rest
+    probe: the engine-native featurizer wires straight into the vector
+    at-rest layout, and the probe's top hit for a doc's own vector is
+    the doc itself (cos 1.0)."""
+    import numpy as np
+
+    from pcap_converter_spark.operators import similarity
+
+    rows = [(i, f"document number {i} about topic {i % 5} with words")
+            for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    emb = hashed_embeddings(df, dim=32).withColumnRenamed(
+        "doc_id", "vec_id"
+    )
+    cents = similarity.fixed_centroids(32, 4, seed=9)
+    p = str(tmp_path / "hivf")
+    similarity.ivf_write(emb, cents, p)
+    q = [float(x) for x in emb.filter("vec_id = 7").first()["embedding"]]
+    hits = similarity.ivf_topk_at_rest(
+        spark, p, cents, q, k=3, nprobe=4  # nprobe=C → exact
+    ).collect()
+    assert hits[0]["vec_id"] == 7
+    assert np.isclose(hits[0]["cos_sim"], 1.0)
