@@ -51,6 +51,85 @@ def pack_documents(
     )
 
 
+def pack_documents_bestfit(
+    df: DataFrame,
+    tokens_col: str,
+    id_col: str = "doc_id",
+    budget: int = 256,
+    n_shards: int = 16,
+) -> DataFrame:
+    """NO-SPLIT packing: every document lands WHOLE in exactly one bin —
+    the form loaders need when an example cannot straddle sequences (SFT
+    conversations, contrastive pairs, any loss that cannot mask across a
+    cut). Concat-and-cut (``pack_documents``) wastes zero tokens but
+    splits documents; this trades some padding for intactness, using
+    BEST-FIT-DECREASING per shard — sort by length descending, place
+    each doc into the open bin with the least residual capacity that
+    still fits (the classic bin-packing heuristic, ≤ 11/9·OPT + 1 bins).
+
+    Returns (id, pack_shard, pack_bin, pack_offset, truncated):
+    ``truncated`` marks documents longer than ``budget``, which occupy a
+    bin alone and must be cut (or routed to a long-context stream) by
+    the caller. Deterministic end to end: shard = id mod n_shards,
+    placement order = (tokens DESC, id ASC), ties between equal-residual
+    bins break to the lowest bin id.
+
+    Scale shape: one shuffle keyed by shard, then a per-shard
+    O(d log d) loop (bisect over the sorted residual list) inside
+    ``applyInPandas`` — the per-shard sequential pass is the standard
+    compromise (a shard is the data-parallel loader unit); size
+    ``n_shards`` so one shard's (id, tokens) pairs fit an executor,
+    exactly like any grouped-map operator."""
+    import bisect
+
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType()),
+            T.StructField("pack_shard", T.LongType()),
+            T.StructField("pack_bin", T.LongType()),
+            T.StructField("pack_offset", T.LongType()),
+            T.StructField("truncated", T.BooleanType()),
+        ]
+    )
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["_nt", id_col], ascending=[False, True])
+        shard = int(pdf["pack_shard"].iloc[0])
+        residuals: list[tuple[int, int]] = []  # sorted (residual, bin)
+        n_bins = 0
+        rows = []
+        for doc, nt in zip(pdf[id_col], pdf["_nt"]):
+            nt_eff = min(int(nt), budget)
+            i = bisect.bisect_left(residuals, (nt_eff, -1))
+            if i == len(residuals):
+                b, off, res = n_bins, 0, budget - nt_eff
+                n_bins += 1
+            else:
+                r, b = residuals.pop(i)
+                off, res = budget - r, r - nt_eff
+            if res > 0:
+                bisect.insort(residuals, (res, b))
+            rows.append(
+                (int(doc), shard, b, off, bool(int(nt) > budget))
+            )
+        return pd.DataFrame(
+            rows,
+            columns=[
+                id_col, "pack_shard", "pack_bin", "pack_offset", "truncated",
+            ],
+        )
+
+    d = df.select(
+        F.col(id_col),
+        (F.col(id_col) % n_shards).alias("pack_shard"),
+        F.col(tokens_col).cast("long").alias("_nt"),
+    ).filter(F.col("_nt") > 0)
+    return d.groupBy("pack_shard").applyInPandas(pack, schema=out_schema)
+
+
 def materialize_packed(
     df: DataFrame,
     ids_col: str,

@@ -438,3 +438,74 @@ def test_compression_ratio_separates_boilerplate(spark):
     assert got[3] == 0.0
     b = ("menu home login " * 50).encode()
     assert got[1] == round(len(zlib.compress(b, 6)) / len(b), 4)
+
+
+def _py_bestfit(docs, budget):
+    """Python replay of best-fit-decreasing: (residual, bin) kept sorted,
+    leftmost residual >= nt wins (smallest residual, then lowest bin)."""
+    import bisect
+
+    residuals, n_bins, out = [], 0, {}
+    for d, nt in sorted(docs, key=lambda x: (-x[1], x[0])):
+        nt_eff = min(nt, budget)
+        i = bisect.bisect_left(residuals, (nt_eff, -1))
+        if i == len(residuals):
+            b, off, res = n_bins, 0, budget - nt_eff
+            n_bins += 1
+        else:
+            r, b = residuals.pop(i)
+            off, res = budget - r, r - nt_eff
+        if res > 0:
+            bisect.insort(residuals, (res, b))
+        out[d] = (b, off, nt > budget)
+    return out
+
+
+def test_pack_bestfit_matches_replay_and_invariants(spark):
+    """Best-fit-decreasing no-split packing: exact Python replay per
+    shard, no document straddles a bin, bins never exceed budget, and
+    it uses no more bins than next-fit would."""
+    from pcap_converter_spark.operators.packing import pack_documents_bestfit
+
+    rows = [(i, 1 + (i * 37) % 200) for i in range(120)]
+    df = spark.createDataFrame(rows, "doc_id long, n_tokens int")
+    got = {
+        r["doc_id"]: (r["pack_shard"], r["pack_bin"], r["pack_offset"],
+                      r["truncated"])
+        for r in pack_documents_bestfit(
+            df, "n_tokens", budget=256, n_shards=4
+        ).collect()
+    }
+    assert len(got) == 120
+    toks = dict(rows)
+    for shard in range(4):
+        docs = [(d, n) for d, n in rows if d % 4 == shard]
+        exp = _py_bestfit(docs, 256)
+        for d, n in docs:
+            s, b, off, tr = got[d]
+            assert s == shard
+            assert (b, off, tr) == exp[d], d
+    # invariants: within a (shard, bin), occupied ranges are disjoint and
+    # the load fits the budget
+    from collections import defaultdict
+
+    bins = defaultdict(list)
+    for d, (s, b, off, tr) in got.items():
+        bins[(s, b)].append((off, off + min(toks[d], 256)))
+    for k, spans in bins.items():
+        spans.sort()
+        assert spans[-1][1] <= 256, k
+        for (a1, e1), (a2, _) in zip(spans, spans[1:]):
+            assert e1 <= a2, k
+    # a doc longer than the budget is flagged and sits alone at offset 0
+    big = spark.createDataFrame(
+        [(0, 300), (4, 100)], "doc_id long, n_tokens int"
+    )
+    bg = {
+        r["doc_id"]: r
+        for r in pack_documents_bestfit(
+            big, "n_tokens", budget=256, n_shards=4
+        ).collect()
+    }
+    assert bg[0]["truncated"] and bg[0]["pack_offset"] == 0
+    assert not bg[4]["truncated"]
