@@ -107,6 +107,7 @@ def main() -> int:
     # (ex_dedup_exact 'incr')
     from pcap_converter_spark.operators.registry import (
         _incr_index_path,
+        _incr_near_index_path,
         _ivf_rest_path,
         _pq_rest_path,
     )
@@ -116,6 +117,7 @@ def main() -> int:
     _warm_step("ivf_index", lambda: _ivf_rest_path(spark, sf_dir))
     _warm_step("pq_index", lambda: _pq_rest_path(spark, sf_dir))
     _warm_step("incr_index", lambda: _incr_index_path(spark, sf_dir))
+    _warm_step("incr_near_index", lambda: _incr_near_index_path(spark, sf_dir))
 
     timings: dict[str, float] = {}
     for name, fn in runners.items():

@@ -519,6 +519,45 @@ def _incr_index_path(spark: SparkSession, sf_dir: str) -> str:
     return path
 
 
+# the NEAR-tier at-rest index (whole even docs, md5l32 shingle hash so the
+# stored MinHash signatures have an exact DuckDB twin), probed by the
+# 'incr_near' tier of ex_dedup_exact; same lifecycle as the exact index
+_INCR_NEAR_CACHE: dict[tuple[str, str], str] = {}
+_INCR_NH, _INCR_K, _INCR_SEED = 16, 3, 42
+_INCR_NEAR_TAU = 0.5
+
+
+def _incr_near_index_path(spark: SparkSession, sf_dir: str) -> str:
+    import atexit
+    import shutil
+    import tempfile
+
+    from pcap_converter_spark.operators import incremental
+
+    key = _session_key(spark, sf_dir)
+    path = _INCR_NEAR_CACHE.get(key)
+    if path is None:
+        path = tempfile.mkdtemp(prefix="corpus_nidx_")
+        incremental.write_corpus_index(
+            _docs(spark, sf_dir).filter(F.col("doc_id") % 2 == 0),
+            path,
+            num_hashes=_INCR_NH,
+            # bands == num_hashes saturates band recall (r = 1): the
+            # candidate set is exactly {pairs agreeing on ≥1 signature
+            # component}, so the oracle can re-derive the estimate over
+            # ALL cross pairs with an est > 0 filter instead of
+            # replaying crc32 band keys (the pytest construction,
+            # test_near_tier_sql_replay_with_md5_hash)
+            bands=_INCR_NH,
+            shingle_k=_INCR_K,
+            seed=_INCR_SEED,
+            shingle_hash="md5l32",
+        )
+        _INCR_NEAR_CACHE[key] = path
+        atexit.register(shutil.rmtree, path, ignore_errors=True)
+    return path
+
+
 def run_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup at BOTH granularities plus benchmark decontamination
     plus the CROSS-SNAPSHOT incremental probe, one tagged result:
@@ -533,6 +572,11 @@ def run_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     (operators/incremental.py), the odd docs probed against it as the
     "next snapshot"; a hash-green row proves the index write → read-back →
     broadcast-probe round trip, the way ivf_rest proves the IVF layout.
+    Tier 'incr_near' (r6) completes the family: the NEAR half of the
+    same index machinery — whole even docs' md5l32 MinHash signatures at
+    rest, odd docs flagged by banded candidate generation + the
+    signature-agreement Jaccard estimator; the oracle re-derives BOTH
+    sides' signatures and the best cross-pair agreement from scratch.
     Registered with 4-word passages so the fixture corpus actually
     produces duplicate groups to hash-check (the 32-word production
     default yields none on synthetic word soup).
@@ -596,11 +640,32 @@ def run_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit("incr").alias("tier"), "content_hash", "dup_count", "doc_ids"
         )
     )
+    # tier 'incr_near' (r6): the NEAR half of the incremental family —
+    # odd docs probed against the md5l32 MinHash index over even docs
+    # (signature-agreement Jaccard estimate, the index stores no text);
+    # one row per probed doc with (dup_near, near_est). The oracle
+    # re-derives BOTH sides' 16-component signatures from scratch in SQL
+    # and the best cross-pair agreement, so the hash proves the stored
+    # signatures, the banding recall contract, and the estimator.
+    near_tier = incremental.flag_against_index(
+        docs.filter(did % 2 == 1),
+        _incr_near_index_path(spark, sf_dir),
+        threshold=_INCR_NEAR_TAU,
+        handles=handles,
+    ).select(
+        F.lit("incr_near").alias("tier"),
+        F.lit(None).cast("string").alias("content_hash"),
+        F.lit(None).cast("bigint").alias("dup_count"),
+        F.array(F.col("doc_id")).alias("doc_ids"),
+        "dup_near",
+        F.round("near_est", 4).alias("near_est"),
+    )
     merged = (
         doc_tier.unionByName(pas_tier)
         .select("tier", "content_hash", "dup_count", "doc_ids")
         .unionByName(dec_tier)
         .unionByName(inc_tier)
+        .unionByName(near_tier, allowMissingColumns=True)
     )
     # doc_ids serialized to a CSV string (already sorted by the operators):
     # the driver canonicalizer sorts with pandas and cannot hash list cells
@@ -612,11 +677,28 @@ def run_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_join(F.col("doc_ids").cast("array<string>"), ",").alias(
             "doc_ids"
         ),
-    ).orderBy("tier", "content_hash")
+        "dup_near",
+        "near_est",
+    ).orderBy("tier", "content_hash", "doc_ids")
     return _eager(spark, out, handles)
 
 
-_DEDUP_EXACT_ORACLE = """
+# the near tier's SQL twin re-derives every stored MinHash signature
+# from scratch: md5-low32 shingle hashes, all 16 universal-hash minima
+# (the same (a, b) constants both engines pin), then the best cross-pair
+# agreement — lifted from tests/test_incremental.py's cross-engine
+# replay into the driver window (r6)
+from pcap_converter_spark.operators.dedup import (  # noqa: E402
+    _MERSENNE31 as _MH_P,
+    _minhash_params as _mh_params,
+)
+
+_INCR_SIG_EXPRS = ", ".join(
+    f"list_min(list_transform(hs, h -> (h * {a}::BIGINT + {b}) % {_MH_P}))"
+    for a, b in _mh_params(_INCR_NH, _INCR_SEED)
+)
+
+_DEDUP_EXACT_ORACLE = f"""
 WITH doc_t AS (
   SELECT 'doc' AS tier, sha256(text) AS content_hash, count(*) AS dup_count,
          array_to_string(list_sort(list(doc_id)), ',') AS doc_ids
@@ -663,10 +745,44 @@ inc_t AS (
   SELECT 'incr' AS tier, h AS content_hash, count(*) AS dup_count,
          array_to_string(list_sort(list(doc_id)), ',') AS doc_ids
   FROM inc0 GROUP BY h
-  HAVING bool_or(in_idx) AND bool_or(NOT in_idx))
-SELECT * FROM doc_t UNION ALL SELECT * FROM pas_t UNION ALL SELECT * FROM dec_t
-UNION ALL SELECT * FROM inc_t
-ORDER BY tier, content_hash
+  HAVING bool_or(in_idx) AND bool_or(NOT in_idx)),
+nsh AS (
+  SELECT doc_id,
+         CASE WHEN len(lws) >= {_INCR_K}
+           THEN list_distinct(list_transform(
+             range(1, len(lws) - {_INCR_K - 1} + 1),
+             i -> concat_ws(' ', lws[i], lws[i+1], lws[i+2])))
+           ELSE [array_to_string(lws, ' ')] END AS sh
+  FROM w),
+nhs AS (
+  SELECT doc_id,
+         list_transform(sh,
+           x -> CAST(md5_number_lower(x) & 4294967295 AS BIGINT)
+                & {_MH_P}) AS hs
+  FROM nsh),
+nsig AS (SELECT doc_id, [{_INCR_SIG_EXPRS}] AS sig FROM nhs),
+npair AS (
+  SELECT o.doc_id AS doc_id,
+         len(list_filter(range(1, {_INCR_NH + 1}),
+                         i -> e.sig[i] = o.sig[i])) / {_INCR_NH}.0 AS est
+  FROM nsig o JOIN nsig e
+    ON o.doc_id % 2 = 1 AND e.doc_id % 2 = 0),
+nbest AS (SELECT doc_id, max(est) AS best FROM npair
+          WHERE est > 0 GROUP BY doc_id),
+near_t AS (
+  SELECT 'incr_near' AS tier, CAST(NULL AS VARCHAR) AS content_hash,
+         CAST(NULL AS BIGINT) AS dup_count,
+         CAST(o.doc_id AS VARCHAR) AS doc_ids,
+         coalesce(nb.best >= {_INCR_NEAR_TAU}, false) AS dup_near,
+         round(nb.best, 4) AS near_est
+  FROM (SELECT doc_id FROM documents WHERE doc_id % 2 = 1) o
+  LEFT JOIN nbest nb USING (doc_id))
+SELECT tier, content_hash, dup_count, doc_ids,
+       CAST(NULL AS BOOLEAN) AS dup_near, CAST(NULL AS DOUBLE) AS near_est
+FROM (SELECT * FROM doc_t UNION ALL SELECT * FROM pas_t
+      UNION ALL SELECT * FROM dec_t UNION ALL SELECT * FROM inc_t) z
+UNION ALL SELECT * FROM near_t
+ORDER BY tier, content_hash, doc_ids
 """
 
 # n-gram pair SQL, parameterized on the shingle document-frequency cut:
