@@ -34,6 +34,7 @@ def hashed_embeddings(
     text_col: str = "text",
     id_col: str = "doc_id",
     normalize: bool = True,
+    tf: DataFrame | None = None,
 ) -> DataFrame:
     """(id_col, embedding array<float>) — the hashing-trick featurizer.
 
@@ -43,22 +44,43 @@ def hashed_embeddings(
     ANN ladder) assume. Documents with no tokens are ABSENT from the
     result (a zero vector has no direction) — left-join if every doc
     needs a row. Deterministic across engines, reruns and partition
-    layouts by construction."""
+    layouts by construction.
+
+    Pass a precomputed ``tfidf.term_frequencies`` table via ``tf`` to
+    share the token explosion with the other corpus-text operators (the
+    standard contract): each (doc, term, tf) row contributes tf·sign at
+    the term's index — identical cells, one corpus scan fewer."""
     if dim <= 0:
         raise ValueError("dim must be positive")
-    toks = df.select(
-        F.col(id_col), F.explode(words(F.lower(F.col(text_col)))).alias("w")
-    )
-    h = word_hash32(F.col("w"))
-    idx = F.pmod(h, F.lit(dim)).cast("int")
-    sign = (
-        F.lit(1.0) - F.lit(2.0) * F.pmod(F.floor(h / F.lit(dim)), F.lit(2))
-    )
-    cells = (
-        toks.select(F.col(id_col), idx.alias("i"), sign.alias("s"))
-        .groupBy(id_col, "i")
-        .agg(F.sum("s").alias("v"))
-    )
+    if tf is not None:
+        h = word_hash32(F.col("term"))
+        src = tf.select(
+            F.col("doc").alias(id_col),
+            F.pmod(h, F.lit(dim)).cast("int").alias("i"),
+            (
+                F.col("tf")
+                * (
+                    F.lit(1.0)
+                    - F.lit(2.0)
+                    * F.pmod(F.floor(h / F.lit(dim)), F.lit(2))
+                )
+            ).alias("s"),
+        )
+    else:
+        toks = df.select(
+            F.col(id_col),
+            F.explode(words(F.lower(F.col(text_col)))).alias("w"),
+        )
+        h = word_hash32(F.col("w"))
+        src = toks.select(
+            F.col(id_col),
+            F.pmod(h, F.lit(dim)).cast("int").alias("i"),
+            (
+                F.lit(1.0)
+                - F.lit(2.0) * F.pmod(F.floor(h / F.lit(dim)), F.lit(2))
+            ).alias("s"),
+        )
+    cells = src.groupBy(id_col, "i").agg(F.sum("s").alias("v"))
     m = F.map_from_entries(
         F.collect_list(F.struct(F.col("i"), F.col("v")))
     )

@@ -567,6 +567,7 @@ def flag_against_index(
     threshold: float = 0.7,
     broadcast_probe: bool = True,
     handles: list | None = None,
+    probe_tiers: tuple[str, ...] | None = None,
 ) -> DataFrame:
     """One row per snapshot doc: (id, dup_exact, dup_near, near_est).
 
@@ -578,6 +579,13 @@ def flag_against_index(
     ``zip_with`` equality over the two signatures — candidates are
     LSH-bounded, so the arrays compared are a vanishing fraction of n².
 
+    ``probe_tiers`` restricts which index tiers the probe RUNS (default:
+    every tier the index stores): a caller that only wants the near
+    verdict passes ("near",) and skips the snapshot digest pass and both
+    exact joins entirely — the skipped tier's columns come back NULL.
+    (``dedup_incremental`` always probes everything; treat a skipped
+    tier's NULL as "not checked", not "not a duplicate".)
+
     The snapshot's digest frame and signature/band frame are persisted
     (each is referenced by more than one join); the handles are appended
     to ``handles`` for caller cleanup, or stay session-cached without.
@@ -587,27 +595,36 @@ def flag_against_index(
     spark = docs.sparkSession
     meta = read_index_meta(spark, path)
     root = resolve_index_root(spark, path)
-    tiers = meta["tiers"].split(",")
+    tiers = [
+        t
+        for t in meta["tiers"].split(",")
+        if probe_tiers is None or t in probe_tiers
+    ]
     out = docs.select(F.col(id_col))
 
-    snap = _digests(docs, text_col, id_col).persist()
-    if handles is not None:
-        handles.append(snap)
-    idx = spark.read.parquet(f"{root}/exact")
-    snap_keys = snap.select("content_hash").distinct()
-    hit = (
-        idx.join(_maybe_broadcast(snap_keys, broadcast_probe), "content_hash")
-        .select("content_hash")
-        .distinct()
-        .withColumn("_hit", F.lit(True))
-    )
-    exact_flags = snap.join(
-        _maybe_broadcast(hit, broadcast_probe), "content_hash", "left"
-    ).select(
-        F.col("doc_id").alias(id_col),
-        F.coalesce("_hit", F.lit(False)).alias("dup_exact"),
-    )
-    out = out.join(exact_flags, id_col, "left")
+    if "exact" in tiers:
+        snap = _digests(docs, text_col, id_col).persist()
+        if handles is not None:
+            handles.append(snap)
+        idx = spark.read.parquet(f"{root}/exact")
+        snap_keys = snap.select("content_hash").distinct()
+        hit = (
+            idx.join(
+                _maybe_broadcast(snap_keys, broadcast_probe), "content_hash"
+            )
+            .select("content_hash")
+            .distinct()
+            .withColumn("_hit", F.lit(True))
+        )
+        exact_flags = snap.join(
+            _maybe_broadcast(hit, broadcast_probe), "content_hash", "left"
+        ).select(
+            F.col("doc_id").alias(id_col),
+            F.coalesce("_hit", F.lit(False)).alias("dup_exact"),
+        )
+        out = out.join(exact_flags, id_col, "left")
+    else:
+        out = out.withColumn("dup_exact", F.lit(None).cast("boolean"))
 
     if "near" in tiers:
         nh = meta["num_hashes"]

@@ -70,16 +70,21 @@ def pack_documents_bestfit(
     Returns (id, pack_shard, pack_bin, pack_offset, truncated):
     ``truncated`` marks documents longer than ``budget``, which occupy a
     bin alone and must be cut (or routed to a long-context stream) by
-    the caller. Deterministic end to end: shard = id mod n_shards,
-    placement order = (tokens DESC, id ASC), ties between equal-residual
-    bins break to the lowest bin id.
+    the caller. Documents with NULL or non-positive token counts are
+    ABSENT from the result (the ``materialize_packed`` convention —
+    there is nothing to place); left-join if every doc needs a row.
+    Deterministic end to end: shard = id mod n_shards, placement order =
+    (tokens DESC, id ASC), ties between equal-residual bins break to the
+    lowest bin id.
 
-    Scale shape: one shuffle keyed by shard, then a per-shard
-    O(d log d) loop (bisect over the sorted residual list) inside
-    ``applyInPandas`` — the per-shard sequential pass is the standard
-    compromise (a shard is the data-parallel loader unit); size
-    ``n_shards`` so one shard's (id, tokens) pairs fit an executor,
-    exactly like any grouped-map operator."""
+    Scale shape: one shuffle keyed by shard, then a per-shard sequential
+    loop inside ``applyInPandas`` — bisect finds each doc's bin in
+    O(log B) over the B open-bin residuals, but the Python list's
+    pop/insort shifts are O(B), so the loop is O(d·B) worst case (B ≈
+    d·avg_len/budget). That is fine at loader-shard sizes; a shard big
+    enough for B to hurt wants a tree/bucketed residual structure — and
+    should usually just raise ``n_shards``, which is the parallelism AND
+    work bound (a shard is the data-parallel loader unit)."""
     import bisect
 
     import pandas as pd

@@ -248,7 +248,9 @@ def run_text_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     # pytest-replayed
     from pcap_converter_spark.operators.embed import hashed_embeddings
 
-    hemb = hashed_embeddings(docs, dim=16, normalize=False).select(
+    hemb = hashed_embeddings(
+        docs, dim=16, normalize=False, tf=tf_tab
+    ).select(
         "doc_id",
         F.array_join(
             F.transform(
@@ -652,6 +654,7 @@ def run_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         _incr_near_index_path(spark, sf_dir),
         threshold=_INCR_NEAR_TAU,
         handles=handles,
+        probe_tiers=("near",),  # the 'incr' tier already proves exact
     ).select(
         F.lit("incr_near").alias("tier"),
         F.lit(None).cast("string").alias("content_hash"),

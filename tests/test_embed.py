@@ -52,6 +52,26 @@ def test_matches_python_replay_exactly(spark):
         )
 
 
+def test_tf_table_path_equals_explode_path(spark):
+    """Passing a precomputed term_frequencies table produces bit-identical
+    embeddings to the internal token explosion (tf·sign == per-occurrence
+    sign accumulation)."""
+    from pcap_converter_spark.operators.tfidf import term_frequencies
+
+    df = spark.createDataFrame(DOCS, "doc_id long, text string")
+    a = sorted(
+        (r["doc_id"], tuple(r["embedding"]))
+        for r in hashed_embeddings(df, dim=16).collect()
+    )
+    b = sorted(
+        (r["doc_id"], tuple(r["embedding"]))
+        for r in hashed_embeddings(
+            df, dim=16, tf=term_frequencies(df)
+        ).collect()
+    )
+    assert a == b
+
+
 def test_partition_invariance(spark):
     df = spark.createDataFrame(DOCS * 3, "doc_id long, text string").dropDuplicates(
         ["doc_id"]

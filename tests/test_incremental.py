@@ -303,6 +303,27 @@ def test_compaction_preserves_content_and_shrinks_files(spark, tmp_path):
     assert flags_after == flags_before
 
 
+def test_probe_tiers_near_only_skips_exact(spark, index_path):
+    """probe_tiers=("near",): the near columns equal the full probe's,
+    dup_exact comes back NULL (not-checked, not not-duplicate), and the
+    plan never computes snapshot digests (no sha256 node)."""
+    full = {
+        r["doc_id"]: r
+        for r in inc.flag_against_index(
+            _corpus_b(spark), index_path, threshold=0.5
+        ).collect()
+    }
+    out = inc.flag_against_index(
+        _corpus_b(spark), index_path, threshold=0.5, probe_tiers=("near",)
+    )
+    assert "sha2" not in out._jdf.queryExecution().executedPlan().toString()
+    near = {r["doc_id"]: r for r in out.collect()}
+    for d in full:
+        assert near[d]["dup_exact"] is None, d
+        assert near[d]["dup_near"] == full[d]["dup_near"], d
+        assert near[d]["near_est"] == full[d]["near_est"], d
+
+
 def test_compaction_refuses_remote_schemes(spark):
     """The in-place swap is driver-local shutil; any non-local scheme must
     fail loudly at the top, pointing at the manifest variant (ADVICE r5)."""

@@ -464,7 +464,7 @@ def _py_bestfit(docs, budget):
 def test_pack_bestfit_matches_replay_and_invariants(spark):
     """Best-fit-decreasing no-split packing: exact Python replay per
     shard, no document straddles a bin, bins never exceed budget, and
-    it uses no more bins than next-fit would."""
+    it uses no more bins than a naive sequential next-fit would."""
     from pcap_converter_spark.operators.packing import pack_documents_bestfit
 
     rows = [(i, 1 + (i * 37) % 200) for i in range(120)]
@@ -497,6 +497,17 @@ def test_pack_bestfit_matches_replay_and_invariants(spark):
         assert spans[-1][1] <= 256, k
         for (a1, e1), (a2, _) in zip(spans, spans[1:]):
             assert e1 <= a2, k
+    # bin economy: per shard, best-fit-decreasing uses no more bins than
+    # a naive sequential (id-order) next-fit replay
+    for shard in range(4):
+        docs = [(d, min(n, 256)) for d, n in rows if d % 4 == shard]
+        nf_bins, load = 1, 0
+        for _, n in sorted(docs):
+            if load + n > 256:
+                nf_bins, load = nf_bins + 1, 0
+            load += n
+        bf_bins = len({got[d][1] for d, _ in docs})
+        assert bf_bins <= nf_bins, shard
     # a doc longer than the budget is flagged and sits alone at offset 0
     big = spark.createDataFrame(
         [(0, 300), (4, 100)], "doc_id long, n_tokens int"
