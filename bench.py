@@ -21,42 +21,25 @@ import sys
 import time
 
 
-def main() -> int:
-    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
-    sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or "0.1"
+def run_warmup(spark, sf_dir: str, cpus, runners) -> None:
+    """Untimed session warmup — everything here is one-time session or
+    fixture cost, not operator cost. A tiny end-to-end query (JVM/codegen
+    paths), one stage through each Python-worker pool (PySpark keeps two
+    distinct reusable pools — pandas-UDF stages vs driver-parallelize
+    stages, keyed by worker env; the first stage through a cold pool forks
+    `cpus` interpreters at ~3 s each in parallel), the materialized
+    at-rest indexes (building an index is a ONE-TIME cost of having one —
+    the entries time the partition-pruned PROBES, VERDICT r4 #1), the
+    ingest-branch fixture (VERDICT r6 #1), and one drain through each
+    streaming path (engine init + applyInPandasWithState pool +
+    foreachBatch commit path).
 
-    from pyspark.sql import SparkSession
+    Every step gets its OWN try/except and a LOUD stderr line on failure:
+    r5 shipped one try block around all of them, and a silent partial
+    failure meant the "untimed" index builds landed inside the first
+    timed entry that touched each index (ex_dedup_exact +7 s, ex_sim_topk
+    +6 s on the driver's recording — the r5 bench mystery)."""
 
-    import __spark_entry__ as entrymod
-    from pcap_converter_spark.session import apply_runtime_confs
-
-    spark = (
-        SparkSession.builder.appName("bench")
-        .master(f"local[{cpus}]")
-        .config("spark.sql.shuffle.partitions", cpus)
-        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.driver.memory", os.environ.get("PCS_DRIVER_MEM", "8g"))
-        .config("spark.ui.enabled", "false")
-        .getOrCreate()
-    )
-    apply_runtime_confs(spark)
-    spark.sparkContext.setLogLevel("ERROR")
-
-    runners = entrymod.queries()
-
-    # Warmup outside the timed region: a tiny end-to-end query (JVM/codegen
-    # paths) plus one stage through each Python-worker pool. PySpark keeps
-    # two distinct reusable worker pools (pandas-UDF stages vs
-    # driver-parallelize stages, keyed by worker env); the first stage
-    # through a cold pool forks `cpus` interpreters at ~3 s each in
-    # parallel, which would otherwise land inside whichever timed query
-    # happens to hit that pool first.
-    # Every warmup step gets its OWN try/except and a LOUD stderr line on
-    # failure: r5 shipped one try block around all of them, and a silent
-    # partial failure meant the "untimed" index builds landed inside the
-    # first timed entry that touched each index (ex_dedup_exact +7 s,
-    # ex_sim_topk +6 s on the driver's recording — the r5 bench mystery).
     def _warm_step(label, fn):
         import traceback
 
@@ -99,15 +82,64 @@ def main() -> int:
             pd.DataFrame({"i": range(int(cpus) * 10)})
         ).write.format("noop").mode("overwrite").save()
 
-    # pre-build the materialized at-rest indexes untimed (same pattern as
-    # the cached register_views): building an at-rest index is a ONE-TIME
-    # cost of having an index, not query cost — the entries time the
-    # partition-pruned PROBES (VERDICT r4 #1): IVF (ex_sim_topk 'ivf_rest'
-    # + 'batch'), IVF-PQ ('pq_rest'), incremental corpus index
-    # (ex_dedup_exact 'incr')
+    def _warm_streaming():
+        # first streaming query in a session pays engine init + the
+        # applyInPandasWithState worker pool fork — session startup cost,
+        # not operator cost. Drain a 2-row stream through the stateful
+        # dedup path once, untimed, then once through the foreachBatch
+        # ingest loop (a distinct query/commit path from the memory-sink
+        # drain).
+        import shutil
+        import tempfile
+
+        from pcap_converter_spark.operators import incremental
+        from pcap_converter_spark.streaming.ingest import run_dedup_ingest
+        from pcap_converter_spark.streaming.stateful import streaming_dedup
+        from pcap_converter_spark.streaming.windows import drain_available_now
+
+        d = tempfile.mkdtemp(prefix="bench_warm_stream_")
+        try:
+            spark.createDataFrame(
+                [(0, "warm a"), (1, "warm a")], "doc_id long, text string"
+            ).coalesce(1).write.mode("overwrite").parquet(d)
+            stream = spark.readStream.schema(
+                "doc_id long, text string"
+            ).parquet(d)
+            drain_available_now(
+                streaming_dedup(stream), "bench_warm_stream", "append"
+            )
+            idx = tempfile.mkdtemp(prefix="bench_warm_ing_idx_")
+            ckpt = tempfile.mkdtemp(prefix="bench_warm_ing_ckpt_")
+            try:
+                incremental.write_corpus_index(
+                    spark.createDataFrame(
+                        [(0, "warm a")], "doc_id long, text string"
+                    ),
+                    idx,
+                    tiers=("exact",),
+                )
+                stream2 = spark.readStream.schema(
+                    "doc_id long, text string"
+                ).parquet(d)
+                run_dedup_ingest(
+                    stream2,
+                    idx,
+                    sink=lambda df, bid: df.write.format("noop").mode(
+                        "overwrite"
+                    ).save(),
+                    query_name="bench_warm_ingest",
+                    checkpoint=ckpt,
+                )
+            finally:
+                shutil.rmtree(idx, ignore_errors=True)
+                shutil.rmtree(ckpt, ignore_errors=True)
+        finally:
+            shutil.rmtree(d, ignore_errors=True)
+
     from pcap_converter_spark.operators.registry import (
         _incr_index_path,
         _incr_near_index_path,
+        _ingest_fixture_paths,
         _ivf_rest_path,
         _pq_rest_path,
     )
@@ -118,6 +150,34 @@ def main() -> int:
     _warm_step("pq_index", lambda: _pq_rest_path(spark, sf_dir))
     _warm_step("incr_index", lambda: _incr_index_path(spark, sf_dir))
     _warm_step("incr_near_index", lambda: _incr_near_index_path(spark, sf_dir))
+    _warm_step("ingest_fixture", lambda: _ingest_fixture_paths(spark, sf_dir))
+    _warm_step("streaming_engine", _warm_streaming)
+
+
+def main() -> int:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or "0.1"
+
+    from pyspark.sql import SparkSession
+
+    import __spark_entry__ as entrymod
+    from pcap_converter_spark.session import apply_runtime_confs
+
+    spark = (
+        SparkSession.builder.appName("bench")
+        .master(f"local[{cpus}]")
+        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("PCS_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    apply_runtime_confs(spark)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    runners = entrymod.queries()
+    run_warmup(spark, sf_dir, cpus, runners)
 
     timings: dict[str, float] = {}
     for name, fn in runners.items():

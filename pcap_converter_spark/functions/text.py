@@ -286,7 +286,13 @@ def html_to_text(html: Column) -> Column:
     layered on top via the quality operators."""
     # script/style blocks and comments dropped in ONE pass (r6: each
     # regexp_replace is a full rescan of the page; the chain is the
-    # measured hot half of warc_decode)
+    # measured hot half of warc_decode). NOT identical to the old
+    # script-pass-then-comment-pass chain: leftmost alternation strips a
+    # comment CONTAINING '<script>' as a comment, where the old order
+    # consumed from that '<script>' through the first real '</script>'
+    # and deleted the text between (e.g. '<!-- <script> -->keep<script>x
+    # </script>' now keeps 'keep'). The new behavior is the correct one —
+    # pinned by test_comment_embedded_script_tag.
     t = F.regexp_replace(
         html, r"(?is)<(script|style)\b.*?</\1>|<!--.*?-->", " "
     )

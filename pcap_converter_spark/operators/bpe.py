@@ -162,6 +162,8 @@ def encode_bpe(
     def enc(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
         import functools
 
+        from pcap_converter_spark.functions.text import ws_tokens
+
         @functools.lru_cache(maxsize=cache_size)
         def seg(word: str) -> tuple[str, ...]:
             return tuple(segment_word(word, ranks))
@@ -170,7 +172,13 @@ def encode_bpe(
             out = []
             for t in texts:
                 toks: list[str] = []
-                for w in (t or "").lower().split():
+                # ws_tokens, NOT str.split(): training's word_frequencies
+                # splits with Java \s+ (ASCII), while str.split() also
+                # breaks on Unicode whitespace (U+00A0 is ubiquitous in
+                # web text) — a word containing U+00A0 is ONE trained
+                # word but would be TWO at encode time, diverging from
+                # the learned merge statistics
+                for w in ws_tokens((t or "").lower()):
                     toks.extend(seg(w))
                 out.append(toks)
             yield pd.Series(out)

@@ -417,32 +417,66 @@ def compact_corpus_index_safe(
     (``resolve_index_root``), so there is NO window where a table
     directory is missing — they see the previous generation until the
     manifest lands, the new one after; a crashed compaction leaves an
-    orphan gen dir and no manifest, which the next run simply supersedes.
-    Works on any Hadoop filesystem (local, HDFS, S3A — the manifest PUT
-    is a single-object create, atomic on S3 and at close() on HDFS).
-    Previous generations stay on disk for in-flight readers;
-    ``vacuum_corpus_index`` removes them once readers have drained. Do
-    not run concurrent ``extend_corpus_index`` appends across the commit
-    point — an append sealed into the old generation is lost at vacuum."""
+    orphan staging/gen dir and no manifest, which later generations skip
+    over and vacuum reclaims. Works on any Hadoop filesystem (local,
+    HDFS, S3A — the manifest PUT is a single-object create, atomic on S3
+    and at close() on HDFS). Previous generations stay on disk for
+    in-flight readers; ``vacuum_corpus_index`` removes them once readers
+    have drained. Do not run concurrent ``extend_corpus_index`` appends
+    across the commit point — an append sealed into the old generation
+    is lost at vacuum. Concurrent compactions are safe but wasteful:
+    each stages into its own tmp dir, claims its own generation slot,
+    and commits its own manifest — the higher epoch wins at read time,
+    both generations are complete, and neither writer ever touches the
+    other's files (ADVICE r6)."""
     import json as _json
+    import uuid as _uuid
 
     meta = read_index_meta(spark, path)
     root = resolve_index_root(spark, path)
-    epoch = _live_epoch(spark, path) + 1
-    new_root = f"{path}/gen-{epoch:06d}"
+    live = _live_epoch(spark, path)
     tiers = meta["tiers"].split(",")
     tables = (["exact"] if "exact" in tiers else []) + (
         ["sigs", "bands"] if "near" in tiers else []
     )
+    # Stage into a UNIQUE tmp dir, then rename it to an unclaimed gen-N
+    # before the manifest commit (ADVICE r6): staging straight into
+    # gen-(live+1) would let a concurrent compaction's mode('overwrite')
+    # writes partially clobber tables this writer's manifest ends up
+    # pointing at. With a per-writer tmp dir each writer only ever
+    # touches its own staging area until the all-or-nothing dir rename.
+    # The dot-prefix keeps readers' gen-*/manifest-* globs blind to
+    # in-flight staging.
+    stage_root = f"{path}/.genstage.{_uuid.uuid4().hex}.tmp"
     # meta copied verbatim (parameters are immutable for the index's life)
     spark.read.parquet(f"{root}/meta").coalesce(1).write.mode(
         "overwrite"
-    ).parquet(f"{new_root}/meta")
+    ).parquet(f"{stage_root}/meta")
     for sub in tables:
         spark.read.parquet(f"{root}/{sub}").repartition(
             files_per_table
-        ).write.mode("overwrite").parquet(f"{new_root}/{sub}")
+        ).write.mode("overwrite").parquet(f"{stage_root}/{sub}")
     fs, jvm = _hadoop_fs(spark, path)
+    stage_p = jvm.org.apache.hadoop.fs.Path(stage_root)
+    # claim a generation slot: probe upward from live+1 past any slot an
+    # in-flight or crashed writer already holds (an orphan gen dir with
+    # no manifest must be SKIPPED, not overwritten — deleting it could
+    # pull files out from under a writer between its dir rename and its
+    # manifest PUT). exists-check before rename because Hadoop rename
+    # onto an existing DIRECTORY moves the source INTO it instead of
+    # failing, which would nest the generation.
+    epoch = live + 1
+    while True:
+        dest_p = jvm.org.apache.hadoop.fs.Path(f"{path}/gen-{epoch:06d}")
+        if not fs.exists(dest_p) and fs.rename(stage_p, dest_p):
+            break
+        epoch += 1
+        if epoch > live + 1000:
+            fs.delete(stage_p, True)
+            raise IOError(
+                f"could not claim a generation slot at {path} "
+                f"(gen-{live + 1:06d}..gen-{epoch:06d} all taken)"
+            )
     body = _json.dumps(
         {
             "version": INDEX_VERSION,

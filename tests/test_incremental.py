@@ -413,6 +413,38 @@ def test_safe_compaction_manifest_generations(spark, tmp_path):
     assert flags4 == flags_before
 
 
+def test_safe_compaction_skips_orphan_generation_slot(spark, tmp_path):
+    """A crashed (or in-flight) compaction's orphan gen dir with no
+    manifest must be SKIPPED, not overwritten or deleted: the next
+    compaction claims the following slot and commits there, and the
+    orphan's files are never touched (ADVICE r6 — a losing writer can
+    never clobber files a winner's manifest points at)."""
+    import json
+    import os
+
+    p = str(tmp_path / "orphan")
+    inc.write_corpus_index(_corpus_a(spark), p)
+    # simulate a crashed compaction that renamed its staging dir into
+    # gen-000001 but died before the manifest PUT
+    os.makedirs(f"{p}/gen-000001")
+    open(f"{p}/gen-000001/sentinel", "w").write("orphan")
+
+    inc.compact_corpus_index_safe(spark, p, files_per_table=2)
+
+    # committed into the NEXT slot; orphan untouched; reads resolve there
+    m = json.loads(open(f"{p}/manifest-000002").read())
+    assert m["root"] == "gen-000002"
+    assert inc.resolve_index_root(spark, p).endswith("gen-000002")
+    assert open(f"{p}/gen-000001/sentinel").read() == "orphan"
+    assert not os.path.exists(f"{p}/manifest-000001")
+    # no staging debris left behind
+    assert not [d for d in os.listdir(p) if d.startswith(".genstage.")]
+    flags = sorted(
+        map(tuple, inc.flag_against_index(_corpus_b(spark), p).collect())
+    )
+    assert flags  # probe still answers through the committed generation
+
+
 def test_fuzz_exact_probe_is_set_membership(spark):
     """Property: dup_exact over random snapshots is exactly Python set
     membership of the text — for any split, any duplicate structure."""

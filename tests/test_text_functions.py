@@ -346,6 +346,19 @@ def test_html_to_text_no_entity_double_decode(spark):
     assert out == "escaped &lt;b&gt; then & then real <i>"
 
 
+def test_comment_embedded_script_tag(spark):
+    """A '<script>' INSIDE a comment is part of the comment, not a script
+    opener: the one-pass leftmost alternation strips the comment and keeps
+    the text after it. (The old script-pass-first chain consumed from the
+    commented '<script>' through the first real '</script>', deleting
+    'keep' — ADVICE r6 pinned the new, correct behavior.)"""
+    df = spark.createDataFrame(
+        [("<!-- <script> -->keep<script>x</script> after",)], ["h"]
+    )
+    out = df.select(TX.html_to_text(F.col("h")).alias("t")).collect()[0]["t"]
+    assert out == "keep after"
+
+
 def test_language_id_covers_seven_profiles(spark):
     samples = {
         "en": "the cat is in the house and a dog",
