@@ -576,10 +576,18 @@ def exact_matches(
             handles.append(snap)
         snap.count()  # materialize the cache before branches fan out
     idx = spark.read.parquet(f"{resolve_index_root(spark, path)}/exact")
-    snap_keys = snap.select("content_hash").distinct()
+    # no pre-distinct on the snapshot keys: the semi join can't multiply
+    # index rows and the post-join distinct canonicalizes anyway — a
+    # distinct before the broadcast build would add a whole shuffle round
+    # just to shrink the broadcast by the snapshot's internal dup factor
+    snap_keys = snap.select("content_hash")
     # digests on both sides: small by construction (bounded by the overlap)
     common = (
-        idx.join(_maybe_broadcast(snap_keys, broadcast_probe), "content_hash")
+        idx.join(
+            _maybe_broadcast(snap_keys, broadcast_probe),
+            "content_hash",
+            "left_semi",
+        )
         .select("content_hash")
         .distinct()
     )
