@@ -140,7 +140,9 @@ def run_warmup(spark, sf_dir: str, cpus, runners) -> None:
         _incr_index_path,
         _incr_near_index_path,
         _ingest_fixture_paths,
+        _ivf_append_path,
         _ivf_rest_path,
+        _pq_append_path,
         _pq_rest_path,
     )
 
@@ -148,6 +150,8 @@ def run_warmup(spark, sf_dir: str, cpus, runners) -> None:
     _warm_step("udf_pool", _warm_udf_pool)
     _warm_step("ivf_index", lambda: _ivf_rest_path(spark, sf_dir))
     _warm_step("pq_index", lambda: _pq_rest_path(spark, sf_dir))
+    _warm_step("ivf_app_index", lambda: _ivf_append_path(spark, sf_dir))
+    _warm_step("pq_app_index", lambda: _pq_append_path(spark, sf_dir))
     _warm_step("incr_index", lambda: _incr_index_path(spark, sf_dir))
     _warm_step("incr_near_index", lambda: _incr_near_index_path(spark, sf_dir))
     _warm_step("ingest_fixture", lambda: _ingest_fixture_paths(spark, sf_dir))

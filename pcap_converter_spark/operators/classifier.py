@@ -88,6 +88,38 @@ def train_quality_classifier(
     return pipe.fit(feats)
 
 
+def score_quality_literal(
+    docs: DataFrame,
+    weights,
+    bias: float,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+) -> DataFrame:
+    """(id, n_tokens, quality_score, quality_pred) under LITERAL raw-space
+    coefficients — the SERVING path of a trained model at corpus scale: a
+    fitted (scaler, LR) pair folds into raw-feature space (wᵢ' = wᵢ/σᵢ,
+    b' = b − Σ wᵢμᵢ/σᵢ; zero-variance features fold to w' = 0, matching
+    MLlib's scaler which emits 0.0 for them), and scoring becomes ONE pure
+    projection — no model object, no broadcast, the literal-codebook
+    pattern of the PQ tiers. ``quality_score`` is rounded to 4 BEFORE both
+    the output and the threshold comparison, so last-ulp exp() divergence
+    between engines cannot flip a verdict (the tfidf convention).
+    ``n_tokens`` rides along so callers can fold this into token-count
+    schemas without re-tokenizing."""
+    feats = quality_features(docs, text_col, id_col)
+    z = F.lit(float(bias))
+    for c, w in zip(FEATURE_COLS, weights):
+        z = z + F.col(c) * F.lit(float(w))
+    p = F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 4)
+    return feats.select(
+        F.col(id_col),
+        F.col("f_tokens").cast("bigint").alias("n_tokens"),
+        p.alias("quality_score"),
+        (p >= F.lit(float(threshold))).alias("quality_pred"),
+    )
+
+
 def score_quality(
     docs: DataFrame,
     model,

