@@ -120,6 +120,48 @@ def _eager(spark: SparkSession, df: DataFrame, handles: list) -> DataFrame:
 # text analysis
 # ---------------------------------------------------------------------------
 
+# Literal BPE merge list for the hash-gated encode surface ('bpe_seg' /
+# 'n_bpe_pieces' in ex_text_all). Provenance: operators/bpe.py train_bpe
+# (n_merges=32) over the sf0.01 documents' word-frequency table
+# (word_frequencies semantics: top-2000 lowercased \s+ words by
+# (count DESC, word ASC)) — trained ONCE and baked, the literal-codebook
+# pattern. The oracle replays segmentation as a sequential replace chain
+# over marker-wrapped symbols, which equals the rank-greedy encoder for
+# merges learned in training order (pinned by
+# test_bpe.test_sequential_replay_equals_rank_greedy).
+_BPE_MERGES = (
+    ("e", "r"), ("e", "</w>"), ("n", "</w>"), ("er", "</w>"), ("o", "w"),
+    ("ow", "</w>"), ("o", "r"), ("s", "t"), ("h", "</w>"), ("a", "t"),
+    ("l", "u"), ("i", "n"), ("a", "</w>"), ("g", "</w>"), ("y", "</w>"),
+    ("a", "r"), ("p", "ar"), ("t", "</w>"), ("i", "n</w>"), ("j", "o"),
+    ("jo", "in</w>"), ("a", "s"), ("as", "h</w>"), ("h", "ash</w>"),
+    ("r", "ow</w>"), ("at", "c"), ("atc", "h</w>"), ("b", "atch</w>"),
+    ("a", "n</w>"), ("c", "an</w>"), ("s", "can</w>"), ("c", "o"),
+)
+# segmentation markers: non-ASCII so they cannot collide with corpus words
+# (the testdata corpus is pure ASCII; whitespace-split words can never
+# contain the \s chars either way)
+_BPE_B, _BPE_E, _BPE_SEP = "␂", "␃", "␟"
+
+
+def _bpe_seg_sql() -> str:
+    """Per-word segmentation replay for the oracle: wrap each character
+    (plus the </w> end marker) as ␂sym␃, then apply each merge IN TRAINING
+    ORDER as one left-to-right replace of '␂a␃␂b␃' → '␂ab␃' — replace()
+    restarts its scan after each substitution, which is exactly the
+    leftmost-first semantics of the rank-greedy encoder."""
+    expr = (
+        "array_to_string(list_transform(range(1, length(w) + 1), "
+        f"j -> '{_BPE_B}' || substring(w, CAST(j AS INT), 1) || '{_BPE_E}'),"
+        f" '') || '{_BPE_B}</w>{_BPE_E}'"
+    )
+    for a, b in _BPE_MERGES:
+        pat = _BPE_B + a + _BPE_E + _BPE_B + b + _BPE_E
+        rep = _BPE_B + a + b + _BPE_E
+        expr = f"replace({expr}, '{pat}', '{rep}')"
+    return expr
+
+
 def run_text_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full text-analysis surface in ONE hash-checked result:
     token/BPE counts, punctuation+stopword ratios, quality score, language
@@ -194,6 +236,8 @@ def run_text_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     s0 = docs.select(
         "doc_id", "lang", "text", TX.words(F.lower(t)).alias("_ws")
     )
+    from pcap_converter_spark.operators.bpe import encode_bpe
+
     s1 = s0.select(
         "doc_id", "lang", "text", "_ws",
         *[
@@ -203,6 +247,7 @@ def run_text_all(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(ws).alias("_nt"),
         TX.punct_ratio(t).alias("_pr"),
         F.length(F.concat_ws("", ws)).alias("_chars"),
+        encode_bpe(t, list(_BPE_MERGES)).alias("_bpe"),
     )
     nt, praw = F.col("_nt"), F.col("_pr")
     sratio = TX.stopword_ratio_t(ws, F.col("_s_en"))
@@ -236,6 +281,13 @@ def run_text_all(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_join(
             encode_tokens(ws, vocab).cast("array<string>"), ","
         ).alias("vocab_ids"),
+        # the REAL BPE encode under the literal trained merges, hash-gated:
+        # the full piece sequence rides as a ␟-joined string and the
+        # oracle replays segmentation per word (rank-greedy == sequential
+        # replay for merges in training order); `_bpe` is a staged
+        # attribute so the Arrow UDF runs once, not once per consumer
+        F.array_join(F.col("_bpe"), _BPE_SEP).alias("bpe_seg"),
+        F.size(F.col("_bpe")).alias("n_bpe_pieces"),
     )
     rep = repetition_stats(docs)
     pack = pack_documents(
@@ -429,7 +481,17 @@ hcell AS (
                CAST(md5_number_lower(wd) & 4294967295 AS BIGINT) AS h
         FROM (SELECT doc_id, unnest(lws) AS wd FROM w) z) zz
   GROUP BY doc_id, i),
-hvec AS (SELECT doc_id, {_HEMB_SUMS} FROM hcell GROUP BY doc_id)
+hvec AS (SELECT doc_id, {_HEMB_SUMS} FROM hcell GROUP BY doc_id),
+bpes AS (
+  SELECT doc_id,
+         array_to_string(list_transform(lws, w -> {_bpe_seg_sql()}), '')
+           AS segall
+  FROM w),
+bpec AS (
+  SELECT doc_id,
+         replace(segall, '{_BPE_E}{_BPE_B}', '{_BPE_SEP}') AS y,
+         length(segall) - length(replace(segall, '{_BPE_B}', '')) AS np
+  FROM bpes)
 SELECT doc_id,
   ((md5_number_lower(CAST(doc_id AS VARCHAR)) & 4294967295) % 100) < 20
     AS in_sample_20,
@@ -472,6 +534,9 @@ SELECT doc_id,
   tt.top_tfidf AS top_tfidf,
   CASE WHEN len(lws) = 0 THEN NULL ELSE {_HEMB_CSV} END AS hemb,
   CASE WHEN len(lws) = 0 THEN NULL ELSE {_HEMB_NORM} END AS hemb_norm,
+  CASE WHEN len(lws) = 0 THEN ''
+       ELSE substring(bpec.y, 2, length(bpec.y) - 2) END AS bpe_seg,
+  CASE WHEN len(lws) = 0 THEN 0 ELSE bpec.np END AS n_bpe_pieces,
   (len(ws) >= 20 AND len(ws) <= 100000
    AND round(CASE WHEN len(ws) > 0
              THEN length(array_to_string(ws, '')) / CAST(len(ws) AS DOUBLE)
@@ -486,6 +551,7 @@ FROM b LEFT JOIN (SELECT doc_id, top_term, top_tfidf FROM t_top WHERE rn = 1) tt
   LEFT JOIN enc USING (doc_id)
   JOIN pk USING (doc_id)
   LEFT JOIN hvec hv USING (doc_id)
+  JOIN bpec USING (doc_id)
 ORDER BY doc_id
 """
 

@@ -122,3 +122,39 @@ def test_fuzz_bpe_roundtrip_and_determinism():
             for w, _ in wc:
                 syms = bpe.segment_word(w, ranks)
                 assert (a, b) not in list(zip(syms, syms[1:])), (w, syms)
+
+
+def test_sequential_replay_equals_rank_greedy():
+    """The driver oracle replays BPE segmentation as a sequential replace
+    chain (each merge applied left-to-right in TRAINING order over
+    marker-wrapped symbols) — pin that this equals the rank-greedy
+    ``segment_word`` encoder for merges learned in that order, which is
+    what makes the ex_text_all 'bpe_seg' hash comparison meaningful."""
+    import random
+
+    B, E = "␂", "␃"
+
+    def wrap(s: str) -> str:
+        return B + s + E
+
+    def seq_replay(word: str, merges) -> list[str]:
+        s = "".join(wrap(c) for c in word) + wrap(bpe.END)
+        for a, b in merges:
+            s = s.replace(wrap(a) + wrap(b), wrap(a + b))
+        return s[1:-1].split(E + B)
+
+    rng = random.Random(11)
+    alpha = "abcdef"
+    words = [
+        "".join(rng.choice(alpha) for _ in range(rng.randint(1, 14)))
+        for _ in range(3000)
+    ]
+    counts = Counter(words)
+    merges = bpe.train_bpe(
+        None,
+        n_merges=50,
+        word_counts=sorted(counts.items(), key=lambda kv: (-kv[1], kv[0])),
+    )
+    ranks = {tuple(p): i for i, p in enumerate(merges)}
+    for w in set(words):
+        assert seq_replay(w, merges) == bpe.segment_word(w, ranks), w
