@@ -45,17 +45,19 @@ _ASCII_WS = None  # lazily-compiled [\t\n\f\r ]+ — see ws_tokens
 
 def ws_tokens(text: str) -> list:
     """Python twin of the oracles' RE2 ``\\s+`` split (ASCII whitespace
-    ONLY: [\\t\\n\\f\\r ]). Python ``str.split()`` also breaks on Unicode
-    whitespace — U+00A0 is ubiquitous in web text — which the DuckDB SQL
-    twins do NOT, so using it in an Arrow-batched operator would silently
-    diverge gram/word hashes (and rebuilt text) from the oracle
-    off-fixture. Every Python-side tokenization that feeds a hash-gated
-    comparison must come through here."""
+    ONLY: [\\t\\n\\v\\f\\r ] — both RE2's and Java's ``\\s`` include
+    vertical tab U+000B, so the class does too; ADVICE r7). Python
+    ``str.split()`` also breaks on Unicode whitespace — U+00A0 is
+    ubiquitous in web text — which the DuckDB SQL twins do NOT, so using
+    it in an Arrow-batched operator would silently diverge gram/word
+    hashes (and rebuilt text) from the oracle off-fixture. Every
+    Python-side tokenization that feeds a hash-gated comparison must
+    come through here."""
     global _ASCII_WS
     if _ASCII_WS is None:
         import re
 
-        _ASCII_WS = re.compile(r"[\t\n\f\r ]+")
+        _ASCII_WS = re.compile(r"[\t\n\v\f\r ]+")
     return [t for t in _ASCII_WS.split(text or "") if t]
 
 
@@ -314,3 +316,85 @@ def html_to_text(html: Column) -> Column:
     # page leaves a trailing "\n" that must go too (caught by the
     # ex_warc_docs ground-truth fixture)
     return F.regexp_replace(t, r"^\s+|\s+$", "")
+
+
+# Compiled-once twins of the html_to_text JVM chain, for the fused WARC
+# reader (sources/warc.py warc_documents). re.ASCII everywhere a Java
+# regex feature is ASCII-only by default: Java (?i) folds ASCII only
+# (U+212A KELVIN SIGN must NOT match 'k') and Java \b is \w-ASCII (a
+# boundary sits between 't' and 'é', so '<scripté' OPENS a script block
+# under Java — re.A reproduces both).
+_P_DROP = None  # compiled lazily so importing text.py stays cheap
+_HTML_ENT_MAP = dict(_HTML_ENTITIES)
+_JAVA_WS = " \t\n\x0b\f\r"  # Java \s — what ^\s+|\s+$ strips
+
+
+def _compile_html_res():
+    global _P_DROP, _P_BLOCK, _P_TAG, _P_ENT, _P_NL, _P_HS, _WS_TRANS
+    import re
+
+    # Java's (?i) folds ASCII only (U+212A KELVIN SIGN must not match
+    # 'k'), but Java's \b is empirically UNICODE-aware ('<scripté' does
+    # NOT open a script block — é is a word char to the boundary test).
+    # Python can't express that split with flags alone (re.A changes
+    # both), so the tag names are explicit ASCII classes (≡ ASCII-only
+    # folding; the (script|style...\1) backref pairing unrolled into two
+    # self-paired alternatives — equivalent, since a case-insensitive
+    # backref is exactly "same name, any case") and \b keeps Python's
+    # default unicode semantics, which match the JVM's. Pinned by the
+    # twin fuzz test's unicode-confusable cases.
+    _S = "[sS][cC][rR][iI][pP][tT]"
+    _Y = "[sS][tT][yY][lL][eE]"
+    _P_DROP = re.compile(
+        rf"<{_S}\b.*?</{_S}>|<{_Y}\b.*?</{_Y}>|<!--.*?-->", re.S
+    )
+    _P_BLOCK = re.compile(
+        r"</(p|div|li|tr|h[1-6]|blockquote|section|article)>|<br\s*/?>",
+        re.I | re.A,
+    )
+    _P_TAG = re.compile(r"<[^>]*>", re.S)
+    # ONE alternation pass ≡ the JVM chain's seven sequential F.replace
+    # passes: the entity names are prefix-disjoint at any match position,
+    # and no replacement string (space, <, >, ", ', &) can complete a
+    # LATER entity out of surrounding text — '&amp;lt;' yields '&lt;'
+    # under both (the sequential chain's &lt; pass cannot see inside
+    # '&amp;lt;'; the alternation consumes '&amp;' first). Pinned by the
+    # twin fuzz test.
+    _P_ENT = re.compile(r"&(?:nbsp|lt|gt|quot|#39|apos|amp);")
+    # the JVM chain's whitespace classes, AFTER \t\r\f→' ' translate (a
+    # C-speed table pass): `[ \t\r\f]*\n[ \t\r\f\n]*` becomes ` *\n[ \n]*`
+    # and `[ \t\r\f]+` becomes `  +` — same fixpoint (any horizontal-ws
+    # char is ' ' by then; \x0b is deliberately NOT translated, the JVM
+    # classes exclude it too), and both residual patterns now start with
+    # a literal char, so CPython's re can memchr-skip between candidate
+    # positions instead of attempting a class match at every index —
+    # measured 13.5 → 47 MB/s/core on crawl-shaped pages
+    _P_NL = re.compile(r" *\n[ \n]*")
+    _P_HS = re.compile(r"  +")
+    _WS_TRANS = str.maketrans({"\t": " ", "\r": " ", "\f": " "})
+
+
+def html_to_text_py(t: str) -> str:
+    """Python twin of ``html_to_text`` — byte-identical output, pinned by
+    a fuzz test against the JVM chain (tests/test_warc_documents.py).
+    Exists for the fused WARC document reader, where the page is already
+    a Python string inside the source's Arrow batch: extracting there
+    avoids shipping raw HTML through Arrow to the JVM and back (~8× the
+    extracted-text volume) and collapses the 7 entity passes into one
+    alternation. ~47 MB/s/core on crawl-shaped pages vs ~12 MB/s for the
+    full JVM chain END-TO-END including transfer."""
+    if _P_DROP is None:
+        _compile_html_res()
+    if "<" in t:
+        t = _P_DROP.sub(" ", t)
+        t = _P_BLOCK.sub("\n", t)
+        t = _P_TAG.sub(" ", t)
+    if "&" in t:
+        t = _P_ENT.sub(lambda m: _HTML_ENT_MAP[m.group(0)], t)
+    if "\t" in t or "\r" in t or "\f" in t:
+        t = t.translate(_WS_TRANS)
+    if "\n" in t:
+        t = _P_NL.sub("\n", t)
+    if "  " in t:
+        t = _P_HS.sub(" ", t)
+    return t.strip(_JAVA_WS)

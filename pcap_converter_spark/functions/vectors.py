@@ -41,7 +41,37 @@ def cosine(a: Column, b: Column) -> Column:
     return F.when((na > 0) & (nb > 0), dot(a, b) / (na * nb))
 
 
+import math
+
+
+def _array_sql(values: list[float]) -> str:
+    # repr() is CPython's shortest round-trip form; the SQL parser reads
+    # the 'D' suffix back to the bit-identical double (pinned by test)
+    return "array(" + ",".join(repr(v) + "D" for v in values) + ")"
+
+
 def literal_vector(values: list[float]) -> Column:
     """A query vector as an array literal — broadcast by value inside the
-    plan itself: every executor evaluates it locally, no join, no shuffle."""
-    return F.array(*[F.lit(float(v)) for v in values])
+    plan itself: every executor evaluates it locally, no join, no shuffle.
+
+    Built as ONE parsed SQL expression, not F.array(*[F.lit(x) ...]):
+    each F.lit/F.array is a Py4J round trip (~0.5 ms), so a 16-dim vector
+    cost ~10 ms of DRIVER time and the PQ probe's 8×16-row codebooks cost
+    ~1 s per plan CONSTRUCTION — the 'fixed per-probe job cost' of
+    VERDICT r7 #2 was mostly this. The expr form is one round trip per
+    vector (~10× less driver latency); values round-trip exactly via
+    repr (non-finite values fall back to the lit chain — SQL text has no
+    NaN/Infinity literal)."""
+    vals = [float(v) for v in values]
+    if not vals or not all(map(math.isfinite, vals)):
+        return F.array(*[F.lit(v) for v in vals])
+    return F.expr(_array_sql(vals))
+
+
+def literal_matrix(rows) -> Column:
+    """An array-of-arrays literal (e.g. one PQ codebook: ks × dsub) in a
+    single parsed expression — same rationale as ``literal_vector``."""
+    mats = [[float(v) for v in r] for r in rows]
+    if not mats or not all(all(map(math.isfinite, r)) for r in mats):
+        return F.array(*[literal_vector(r) for r in mats])
+    return F.expr("array(" + ",".join(_array_sql(r) for r in mats) + ")")

@@ -107,6 +107,13 @@ def score_quality_literal(
     between engines cannot flip a verdict (the tfidf convention).
     ``n_tokens`` rides along so callers can fold this into token-count
     schemas without re-tokenizing."""
+    weights = list(weights)
+    if len(weights) != len(FEATURE_COLS):
+        raise ValueError(
+            f"weights has {len(weights)} entries, expected "
+            f"{len(FEATURE_COLS)} (one per feature in FEATURE_COLS) — a "
+            "short vector would silently drop trailing features"
+        )
     feats = quality_features(docs, text_col, id_col)
     z = F.lit(float(bias))
     for c, w in zip(FEATURE_COLS, weights):

@@ -78,6 +78,46 @@ def _session_key(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
 
 
 _TF_CACHE: dict[tuple[str, str], DataFrame] = {}
+_READ_CACHE: dict[tuple[str, str], DataFrame] = {}
+_DL_CACHE: dict[tuple[str, str], tuple[DataFrame, tuple[int, float]]] = {}
+
+
+def _read_parquet_cached(spark: SparkSession, path: str) -> DataFrame:
+    """Per-(session, path) parquet reader frame. ``spark.read.parquet``
+    does eager schema discovery + file listing (~0.1-0.15 s per call of
+    pure driver latency); the at-rest probe tiers re-read the same
+    immutable index directories every bench run, so the reader frame is
+    built once. NOT for paths whose contents change between reads."""
+    key = (_session_key(spark, "")[0], path)
+    df = _READ_CACHE.get(key)
+    if df is None:
+        df = spark.read.parquet(path)
+        _READ_CACHE[key] = df
+    return df
+
+
+def _dl_stats(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, tuple[int, float]]:
+    """BM25's per-corpus constants, shared across queries: the doc-length
+    frame (eager localCheckpoint of one agg over the shared tf table —
+    no persist handle to leak) and (n_docs, avgdl). Re-deriving these per
+    query cost an eager agg job inside every ex_sim_topk construction."""
+    key = _session_key(spark, sf_dir)
+    hit = _DL_CACHE.get(key)
+    if hit is None:
+        dl = (
+            _tf_table(spark, sf_dir)
+            .groupBy("doc")
+            .agg(F.sum("tf").alias("_dl"))
+            .localCheckpoint(eager=True)
+        )
+        row = dl.agg(
+            F.count(F.lit(1)).alias("n"), F.avg("_dl").alias("avgdl")
+        ).collect()[0]
+        hit = (dl, (int(row["n"]), float(row["avgdl"] or 0.0)))
+        _DL_CACHE[key] = hit
+    return hit
 
 
 def _tf_table(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1473,39 +1513,44 @@ def run_sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ivf = similarity.ivf_topk(
         emb, _SIM_CENTS, qv, k=10, nprobe=_SIM_NPROBE
     ).withColumn("tier", F.lit("ivf"))
-    # tier 'ivf_rest': probe the MATERIALIZED index (cluster-partitioned
-    # parquet, directory-pruned scan) with the same literal centroids —
-    # must hash-match the in-memory ivf tier's oracle exactly, proving the
-    # at-rest layout, not just its plan shape (r3 verdict #7)
-    rest = similarity.ivf_topk_at_rest(
-        spark, _ivf_rest_path(spark, sf_dir), _SIM_CENTS, qv,
-        k=10, nprobe=_SIM_NPROBE,
-    ).withColumn("tier", F.lit("ivf_rest"))
-    # tier 'pq_rest': ADC probe of the materialized IVF-PQ index (codes +
-    # vnorm only, no raw vectors at rest) — the oracle re-derives encode +
-    # ADC from the same literal codebooks, so a hash match proves the
-    # 64×-compressed layout scores exactly as specified
-    pq = similarity.pq_topk_at_rest(
-        spark, _pq_rest_path(spark, sf_dir), _SIM_CENTS, _SIM_CBS, qv,
-        k=10, nprobe=_SIM_NPROBE,
-    ).withColumn("tier", F.lit("pq_rest"))
+    # tiers 'ivf_rest' + 'ivf_app' in ONE plan (VERDICT r7 #2): probe the
+    # MATERIALIZED index (cluster-partitioned parquet, directory-pruned
+    # scan) AND the index built as base-write + ivf_append of a held-out
+    # slice, with the same literal centroids — the pruned scans union
+    # under their tier tag and one window takes per-tier top-k, identical
+    # rows to the former per-index orderBy/limit jobs. 'ivf_rest' must
+    # hash-match the in-memory ivf tier's oracle exactly (the at-rest
+    # layout, not just plan shape — r3 verdict #7); 'ivf_app' against the
+    # SAME full-corpus oracle proves appended rows are byte-compatible
+    # and probes see old + new with no rewrite (VERDICT r6 #7). The
+    # reader frames are session-cached (_read_parquet_cached) — re-
+    # reading an immutable index directory per construction was ~0.15 s
+    # of driver latency apiece.
+    restapp = similarity.ivf_topk_at_rest_many(
+        spark,
+        [
+            ("ivf_rest", _read_parquet_cached(spark, _ivf_rest_path(spark, sf_dir))),
+            ("ivf_app", _read_parquet_cached(spark, _ivf_append_path(spark, sf_dir))),
+        ],
+        _SIM_CENTS, qv, k=10, nprobe=_SIM_NPROBE,
+    )
+    # tiers 'pq_rest' + 'pq_app', same ONE-plan move: ADC probes of the
+    # materialized IVF-PQ indexes (codes + vnorm only, no raw vectors at
+    # rest) — the oracle re-derives encode + ADC from the same literal
+    # codebooks, so a hash match proves the 64×-compressed layout scores
+    # exactly as specified, and the expensive literal-codebook scoring
+    # expression is constructed once for both generations
+    pqboth = similarity.pq_topk_at_rest_many(
+        spark,
+        [
+            ("pq_rest", _read_parquet_cached(spark, _pq_rest_path(spark, sf_dir))),
+            ("pq_app", _read_parquet_cached(spark, _pq_append_path(spark, sf_dir))),
+        ],
+        _SIM_CENTS, _SIM_CBS, qv, k=10, nprobe=_SIM_NPROBE,
+    )
     quant = similarity.quantized_topk(emb, qv, k=10).withColumn(
         "tier", F.lit("quant")
     )
-    # tiers 'ivf_app' / 'pq_app': the SAME probes against indexes built as
-    # base-write + ivf_append/pq_append of a held-out slice. The oracle is
-    # the full-corpus IVF / PQ SQL — a hash match proves the appended rows
-    # are byte-compatible with the original layout (same assignment, same
-    # codes, same stored norms) and that probes see old + new with no
-    # rewrite (VERDICT r6 #7).
-    app = similarity.ivf_topk_at_rest(
-        spark, _ivf_append_path(spark, sf_dir), _SIM_CENTS, qv,
-        k=10, nprobe=_SIM_NPROBE,
-    ).withColumn("tier", F.lit("ivf_app"))
-    pqa = similarity.pq_topk_at_rest(
-        spark, _pq_append_path(spark, sf_dir), _SIM_CENTS, _SIM_CBS, qv,
-        k=10, nprobe=_SIM_NPROBE,
-    ).withColumn("tier", F.lit("pq_app"))
     # 'batch<qid>' tiers: one job, many queries, against the at-rest IVF
     # index. The query vectors are cast to double so the riding-column
     # scores use the same double arithmetic as the literal-vector tiers
@@ -1518,7 +1563,7 @@ def run_sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     bat = similarity.ivf_topk_batch(
         queries,
-        spark.read.parquet(_ivf_rest_path(spark, sf_dir)),
+        _read_parquet_cached(spark, _ivf_rest_path(spark, sf_dir)),
         _SIM_CENTS,
         k=10,
         nprobe=_SIM_NPROBE,
@@ -1530,10 +1575,11 @@ def run_sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("hit_id"),
         F.col("cos_sim").alias("score"),
     )
+    dl, dl_stats = _dl_stats(spark, sf_dir)
     bm = tfidf.bm25_topk(
         _docs(spark, sf_dir), _BM25_QUERY, k=10,
         k1=_BM25_K1, b=_BM25_B, handles=handles,
-        tf=_tf_table(spark, sf_dir),
+        tf=_tf_table(spark, sf_dir), dl=dl, stats=dl_stats,
     ).select(
         F.lit("bm25").alias("tier"),
         F.col("doc_id").alias("hit_id"),
@@ -1542,10 +1588,8 @@ def run_sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     vec = (
         exact.unionByName(ann)
         .unionByName(ivf)
-        .unionByName(rest)
-        .unionByName(app)
-        .unionByName(pq)
-        .unionByName(pqa)
+        .unionByName(restapp)
+        .unionByName(pqboth)
         .unionByName(quant)
         .select(
             "tier",
@@ -2468,12 +2512,17 @@ def run_warc_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pcap_converter_spark.sources.warc import (
         conversions_as_documents,
         read_warc,
-        responses_as_documents,
+        warc_documents,
     )
 
-    docs = responses_as_documents(
-        read_warc(spark, _WARC_FIXTURE), extract_text=True
-    )
+    # the FUSED fast path (r8): charset decode + HTML→text run inside the
+    # source's own Arrow batch via html_to_text_py, the byte-identical
+    # Python twin of the JVM chain (pinned by tests/test_warc_documents
+    # fuzz + full-fixture equality vs the un-fused
+    # responses_as_documents(read_warc(...)) chain) — so this hash row
+    # certifies the production front-door path against generator ground
+    # truth
+    docs = warc_documents(spark, _WARC_FIXTURE)
     docs_branch = docs.select(
         F.lit("docs").alias("op"),
         F.col("url"),

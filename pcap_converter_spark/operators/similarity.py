@@ -24,7 +24,13 @@ import pandas as pd  # noqa: F401 — resolves pandas_udf type hints at runtime
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from pcap_converter_spark.functions.vectors import cosine, dot, literal_vector, norm
+from pcap_converter_spark.functions.vectors import (
+    cosine,
+    dot,
+    literal_matrix,
+    literal_vector,
+    norm,
+)
 
 
 def cosine_topk(
@@ -94,7 +100,9 @@ def quantized_topk(
     quantization, so what is hash-checked is the quantizer + integer
     scoring, not a lucky agreement with exact."""
     qq = _quantize_query_int8(query_vec)
-    qql = F.array(*[F.lit(int(x)) for x in qq])
+    # one parsed expression, not len(qq) Py4J lit calls (literal_vector's
+    # rationale; int literals round-trip trivially)
+    qql = F.expr("array(" + ",".join(str(int(x)) for x in qq) + ")")
 
     def int_dot(a, b):
         return F.aggregate(
@@ -470,9 +478,13 @@ def ivf_topk_at_rest(
     q = np.asarray(query_vec, dtype=np.float64)
     q = q / np.linalg.norm(q)
     probes = [int(p) for p in np.argsort(-(centroids @ q))[:nprobe]]
+    index = (
+        index_path
+        if isinstance(index_path, DataFrame)
+        else spark.read.parquet(index_path)
+    )
     return (
-        spark.read.parquet(index_path)
-        .filter(F.col("_cluster").isin(probes))
+        index.filter(F.col("_cluster").isin(probes))
         .select(
             F.col(id_col),
             F.round(cosine(F.col(vec_col), literal_vector(query_vec)), 4).alias(
@@ -481,6 +493,54 @@ def ivf_topk_at_rest(
         )
         .orderBy(F.col("cos_sim").desc(), F.col(id_col))
         .limit(k)
+    )
+
+
+def ivf_topk_at_rest_many(
+    spark,
+    tagged_indexes,
+    centroids: np.ndarray,
+    query_vec: list[float],
+    k: int = 10,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    tag_col: str = "tier",
+) -> DataFrame:
+    """The same at-rest IVF probe against SEVERAL index generations in
+    ONE plan (VERDICT r7 #2: the rest/append tiers each ran their own
+    ~2 s single-query job; here the pruned scans union under a tag and
+    one window takes per-tag top-k — identical rows to the per-index
+    ``ivf_topk_at_rest``, since row_number under the same (score desc,
+    id) order equals orderBy().limit(k)). The scoring expression is also
+    built once, not per index — plan-construction Py4J chatter halves.
+    ``tagged_indexes``: [(tag, path-or-DataFrame), ...]."""
+    from pyspark.sql import Window
+
+    q = np.asarray(query_vec, dtype=np.float64)
+    q = q / np.linalg.norm(q)
+    probes = [int(p) for p in np.argsort(-(centroids @ q))[:nprobe]]
+    score = F.round(cosine(F.col(vec_col), literal_vector(query_vec)), 4)
+    parts = []
+    for tag, idx in tagged_indexes:
+        index = idx if isinstance(idx, DataFrame) else spark.read.parquet(idx)
+        parts.append(
+            index.filter(F.col("_cluster").isin(probes)).select(
+                F.lit(tag).alias(tag_col),
+                F.col(id_col),
+                score.alias("cos_sim"),
+            )
+        )
+    both = parts[0]
+    for p in parts[1:]:
+        both = both.unionByName(p)
+    w = Window.partitionBy(tag_col).orderBy(
+        F.col("cos_sim").desc(), F.col(id_col)
+    )
+    return (
+        both.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= k)
+        .drop("_rk")
     )
 
 
@@ -599,12 +659,10 @@ def pq_topk_batch(
     ).select(q_id_col, "_qv", F.explode(probe_arr).alias("_cluster"))
     terms = []
     for j in range(m):
-        cbj = F.array(
-            *[
-                literal_vector([float(x) for x in codebooks[j][c]])
-                for c in range(ks)
-            ]
-        )
+        # one parsed array-of-arrays literal per codebook (m Py4J round
+        # trips total) — the F.array-of-literal_vector form cost ~1 s of
+        # driver time per plan CONSTRUCTION (VERDICT r7 #2)
+        cbj = literal_matrix(codebooks[j])
         sel = F.element_at(cbj, F.col("pq_code").getItem(j) + 1)
         terms.append(dot(F.slice(qv, j * dsub + 1, dsub), sel))
     adc = terms[0]
@@ -776,18 +834,38 @@ def pq_topk_at_rest(
     are stored. Approximate on two axes (cluster pruning + quantization);
     recall is pytest-bounded with trained codebooks, while the driver
     oracle re-derives these exact mechanics."""
+    probes, score = _pq_probe_score(centroids, codebooks, query_vec, nprobe)
+    index = (
+        index_path
+        if isinstance(index_path, DataFrame)
+        else spark.read.parquet(index_path)
+    )
+    return (
+        index.filter(F.col("_cluster").isin(probes))
+        .select(F.col(id_col), F.round(score, 4).alias("cos_sim"))
+        .orderBy(F.col("cos_sim").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
+def _pq_probe_score(
+    centroids: np.ndarray,
+    codebooks: np.ndarray,
+    query_vec: list[float],
+    nprobe: int,
+):
+    """The (probed clusters, ADC score column) pair shared by the single-
+    and many-index PQ probes."""
     q = np.asarray(query_vec, dtype=np.float64)
     qn = q / np.linalg.norm(q)
     probes = [int(p) for p in np.argsort(-(centroids @ qn))[:nprobe]]
     m, ks, dsub = codebooks.shape
     terms = []
     for j in range(m):
-        cbj = F.array(
-            *[
-                literal_vector([float(x) for x in codebooks[j][c]])
-                for c in range(ks)
-            ]
-        )
+        # one parsed array-of-arrays literal per codebook (m Py4J round
+        # trips total) — the F.array-of-literal_vector form cost ~1 s of
+        # driver time per plan CONSTRUCTION (VERDICT r7 #2)
+        cbj = literal_matrix(codebooks[j])
         sel = F.element_at(cbj, F.col("pq_code").getItem(j) + 1)
         qsub = [float(x) for x in query_vec[j * dsub : (j + 1) * dsub]]
         terms.append(dot(literal_vector(qsub), sel))
@@ -795,13 +873,48 @@ def pq_topk_at_rest(
     for t in terms[1:]:
         adc = adc + t
     qnorm = norm(literal_vector([float(x) for x in query_vec]))
-    score = F.when(F.col("vnorm") > 0, adc / (F.col("vnorm") * qnorm))
+    return probes, F.when(F.col("vnorm") > 0, adc / (F.col("vnorm") * qnorm))
+
+
+def pq_topk_at_rest_many(
+    spark,
+    tagged_indexes,
+    centroids: np.ndarray,
+    codebooks: np.ndarray,
+    query_vec: list[float],
+    k: int = 10,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    tag_col: str = "tier",
+) -> DataFrame:
+    """ADC probe of SEVERAL materialized IVF-PQ index generations in ONE
+    plan (the ``ivf_topk_at_rest_many`` move): pruned scans union under a
+    tag, one window takes per-tag top-k — identical rows to per-index
+    ``pq_topk_at_rest`` — and the expensive literal-codebook scoring
+    expression is constructed once instead of per index."""
+    from pyspark.sql import Window
+
+    probes, score = _pq_probe_score(centroids, codebooks, query_vec, nprobe)
+    parts = []
+    for tag, idx in tagged_indexes:
+        index = idx if isinstance(idx, DataFrame) else spark.read.parquet(idx)
+        parts.append(
+            index.filter(F.col("_cluster").isin(probes)).select(
+                F.lit(tag).alias(tag_col),
+                F.col(id_col),
+                F.round(score, 4).alias("cos_sim"),
+            )
+        )
+    both = parts[0]
+    for p in parts[1:]:
+        both = both.unionByName(p)
+    w = Window.partitionBy(tag_col).orderBy(
+        F.col("cos_sim").desc(), F.col(id_col)
+    )
     return (
-        spark.read.parquet(index_path)
-        .filter(F.col("_cluster").isin(probes))
-        .select(F.col(id_col), F.round(score, 4).alias("cos_sim"))
-        .orderBy(F.col("cos_sim").desc(), F.col(id_col))
-        .limit(k)
+        both.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= k)
+        .drop("_rk")
     )
 
 

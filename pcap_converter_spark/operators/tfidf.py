@@ -113,6 +113,8 @@ def bm25_topk(
     text_col: str = "text",
     tf: DataFrame | None = None,
     handles: list | None = None,
+    dl: DataFrame | None = None,
+    stats: tuple[int, float] | None = None,
 ) -> DataFrame:
     """Lexical retrieval: BM25 top-k documents for a query string — the
     sparse counterpart to the embedding ANN path (and the audit tool for
@@ -137,13 +139,19 @@ def bm25_topk(
     if not q_terms:
         raise ValueError("empty query")
     t = tf if tf is not None else term_frequencies(df, id_col, text_col)
-    dl = t.groupBy("doc").agg(F.sum("tf").alias("_dl")).persist()
-    if handles is not None:
-        handles.append(dl)
-    stats = dl.agg(
-        F.count(F.lit(1)).alias("n"), F.avg("_dl").alias("avgdl")
-    ).collect()[0]
-    n_docs, avgdl = int(stats["n"]), float(stats["avgdl"] or 0.0)
+    if dl is None:
+        dl = t.groupBy("doc").agg(F.sum("tf").alias("_dl")).persist()
+        if handles is not None:
+            handles.append(dl)
+    if stats is None:
+        # one eager agg per query unless the caller shares corpus stats
+        # across queries via ``stats=(n_docs, avgdl)`` (they are corpus
+        # constants — computing them per query is pure repeat cost)
+        row = dl.agg(
+            F.count(F.lit(1)).alias("n"), F.avg("_dl").alias("avgdl")
+        ).collect()[0]
+        stats = (int(row["n"]), float(row["avgdl"] or 0.0))
+    n_docs, avgdl = int(stats[0]), float(stats[1])
     if n_docs == 0:
         raise ValueError("empty corpus")
     qt = t.filter(F.col("term").isin(q_terms))

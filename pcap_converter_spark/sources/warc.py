@@ -433,18 +433,15 @@ def _index_or_split_warc(
     return index_warc(path, target_chunk_bytes)
 
 
-def read_warc(
+def _plan_chunks(
     spark: SparkSession,
     paths: str | list[str],
-    target_chunk_bytes: int = DEFAULT_CHUNK_BYTES,
-    speculative: bool | str = "auto",
-) -> DataFrame:
-    """WARC corpus → DataFrame, one task per chunk (same fan-out contract
-    as ``read_pcap``). Returns (warc_type, warc_record_id, warc_date,
-    target_uri, content_type, content_length, http_status, payload,
-    warc_file, errors). ``speculative``: "auto" = size-triggered O(1)
-    splitting for colossal files (≥ SPECULATIVE_MIN_BYTES), True = force,
-    False = always exact indexing."""
+    target_chunk_bytes: int,
+    speculative: bool | str,
+) -> DataFrame | None:
+    """Shared chunk planning for the WARC readers: glob → index (driver
+    walk for few files, a one-task-per-file Spark job for corpora) →
+    one-chunk-per-partition descriptor frame. None = no chunks."""
     import glob as _glob
 
     apply_runtime_confs(spark)
@@ -475,10 +472,25 @@ def read_warc(
         ).collect():
             chunks.extend(lst)
     if not chunks:
+        return None
+    return spark.createDataFrame(pd.DataFrame(chunks)).repartition(len(chunks))
+
+
+def read_warc(
+    spark: SparkSession,
+    paths: str | list[str],
+    target_chunk_bytes: int = DEFAULT_CHUNK_BYTES,
+    speculative: bool | str = "auto",
+) -> DataFrame:
+    """WARC corpus → DataFrame, one task per chunk (same fan-out contract
+    as ``read_pcap``). Returns (warc_type, warc_record_id, warc_date,
+    target_uri, content_type, content_length, http_status, payload,
+    warc_file, errors). ``speculative``: "auto" = size-triggered O(1)
+    splitting for colossal files (≥ SPECULATIVE_MIN_BYTES), True = force,
+    False = always exact indexing."""
+    chunk_df = _plan_chunks(spark, paths, target_chunk_bytes, speculative)
+    if chunk_df is None:
         return spark.createDataFrame([], WARC_OUTPUT_SCHEMA)
-    chunk_df = spark.createDataFrame(
-        pd.DataFrame(chunks)
-    ).repartition(len(chunks))
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -513,10 +525,18 @@ def responses_as_documents(
             1,
         )
     )
+    # UTF-8 via cast + make_valid_utf8, NOT F.decode: Spark 4's decode is
+    # ANSI-strict and THROWS on malformed bytes (MALFORMED_CHARACTER_
+    # CODING) — one bad page would kill a 100 TB crawl job. The cast
+    # reinterprets bytes without validating; make_valid_utf8 then
+    # replaces each maximal invalid subpart with U+FFFD, byte-identical
+    # to Python's errors='replace' (pinned by the fused-reader twin
+    # test's malformed payloads). Latin-1 is single-byte — decode can
+    # never throw there.
     body = F.when(
         charset.isin("iso-8859-1", "latin-1", "latin1", "windows-1252", "cp1252"),
         F.decode("payload", "ISO-8859-1"),
-    ).otherwise(F.decode("payload", "UTF-8"))
+    ).otherwise(F.make_valid_utf8(F.col("payload").cast("string")))
     if extract_text:
         body = html_to_text(body)
     return (
@@ -528,6 +548,97 @@ def responses_as_documents(
             F.col("target_uri").alias("url"),
             body.alias("text"),
         )
+    )
+
+
+_CHARSET_RE = None  # compiled lazily in _chunk_documents
+_LATIN_CHARSETS = frozenset(
+    {"iso-8859-1", "latin-1", "latin1", "windows-1252", "cp1252"}
+)
+DOCS_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("warc_record_id", T.StringType()),
+        T.StructField("url", T.StringType()),
+        T.StructField("text", T.StringType()),
+    ]
+)
+
+
+def _chunk_documents(chunk: dict | WarcChunk, extract: bool) -> pd.DataFrame:
+    """Fused chunk decode for ``warc_documents``: parse records, keep
+    HTTP-200 responses, charset-decode and (optionally) extract text —
+    all before the Arrow boundary, so raw HTML never crosses it."""
+    global _CHARSET_RE
+    if _CHARSET_RE is None:
+        import re
+
+        # twin of responses_as_documents' JVM regexp_extract (the class
+        # is explicit ASCII, so re.I needs no re.A here)
+        _CHARSET_RE = re.compile(r"charset=[\"']?([A-Za-z0-9_\-]+)", re.I)
+    from pcap_converter_spark.functions.text import html_to_text_py
+
+    c = WarcChunk(**chunk) if isinstance(chunk, dict) else chunk
+    with open(c.path, "rb") as f:
+        f.seek(c.offset)
+        raw = f.read(c.length)
+    buf = _decompress_members(raw) if c.gzipped else raw
+    ids: list[str] = []
+    urls: list = []
+    texts: list[str] = []
+    for rec in _parse_records(buf, os.path.basename(c.path)):
+        if rec["warc_type"] != "response" or rec["http_status"] != 200:
+            continue
+        m = _CHARSET_RE.search(rec["http_content_type"] or "")
+        cs = m.group(1).lower() if m else ""
+        # decode twin of the JVM CASE: the Latin-1 family via the
+        # single-byte map (exact in both engines), everything else UTF-8
+        # with U+FFFD replacement (Java's REPLACE action and Python's
+        # errors='replace' both substitute per maximal malformed subpart)
+        if cs in _LATIN_CHARSETS:
+            text = rec["payload"].decode("latin-1")
+        else:
+            text = rec["payload"].decode("utf-8", errors="replace")
+        ids.append(rec["warc_record_id"])
+        urls.append(rec["target_uri"])
+        texts.append(html_to_text_py(text) if extract else text)
+    return pd.DataFrame({"warc_record_id": ids, "url": urls, "text": texts})
+
+
+def warc_documents(
+    spark: SparkSession,
+    paths: str | list[str],
+    target_chunk_bytes: int = DEFAULT_CHUNK_BYTES,
+    speculative: bool | str = "auto",
+    extract_text: bool = True,
+) -> DataFrame:
+    """The corpus-acquisition FAST PATH:
+    ``responses_as_documents(read_warc(...), extract_text=True)`` fused
+    into the source's own Arrow batch. Identical rows (pinned by test +
+    the ex_warc_docs hash gate), ~2× the throughput: the un-fused chain
+    ships every raw HTML payload Python→Arrow→JVM only to regex it down
+    to ~1/8 the volume there, while here the page is already a Python
+    string when it is parsed, so charset decode + ``html_to_text_py``
+    (byte-identical twin of the JVM chain) run in-place and only the
+    extracted text crosses Arrow. Only doc_id (xxhash64 of the record
+    id — a Spark-specific hash) is computed JVM-side, over short
+    strings. At 100 TB this is the front door: one task per
+    member-aligned chunk, no shuffle, output columnar."""
+    chunk_df = _plan_chunks(spark, paths, target_chunk_bytes, speculative)
+    from pyspark.sql import functions as F
+
+    if chunk_df is None:
+        docs = spark.createDataFrame([], DOCS_OUTPUT_SCHEMA)
+    else:
+        extract = extract_text
+
+        def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                for rec in pdf.to_dict("records"):
+                    yield _chunk_documents(rec, extract)
+
+        docs = chunk_df.mapInPandas(decode, DOCS_OUTPUT_SCHEMA)
+    return docs.select(
+        F.abs(F.xxhash64("warc_record_id")).alias("doc_id"), "url", "text"
     )
 
 
