@@ -89,11 +89,22 @@ def train_bpe(
         if df is None:
             raise ValueError("need df or word_counts")
         word_counts = word_frequencies(df, text_col, max_words)
+    return [(a, b) for a, b, _ in train_bpe_detailed(word_counts, n_merges)]
+
+
+def train_bpe_detailed(
+    word_counts: list[tuple[str, int]], n_merges: int
+) -> list[tuple[str, str, int]]:
+    """``train_bpe`` plus each round's winning weighted pair count:
+    [(left, right, count), ...]. The count is the pre-merge occurrence
+    total the argmax saw that round — emitting it makes a training-replay
+    hash prove the argmax VALUE, not just the chosen pair (the
+    'bpe_train' driver rows)."""
     vocab: dict[tuple[str, ...], int] = {}
     for w, c in word_counts:
         syms = tuple(list(w) + [END])
         vocab[syms] = vocab.get(syms, 0) + c
-    merges: list[tuple[str, str]] = []
+    merges: list[tuple[str, str, int]] = []
     for _ in range(n_merges):
         pairs: dict[tuple[str, str], int] = {}
         for syms, c in vocab.items():
@@ -105,7 +116,7 @@ def train_bpe(
         if best[1] < 2:
             break  # every remaining pair is unique: nothing left to learn
         pair = best[0]
-        merges.append(pair)
+        merges.append((pair[0], pair[1], int(best[1])))
         merged = pair[0] + pair[1]
         nxt: dict[tuple[str, ...], int] = {}
         for syms, c in vocab.items():

@@ -202,6 +202,88 @@ def _bpe_seg_sql() -> str:
     return expr
 
 
+# top-K word-table budget the baked _BPE_MERGES were trained under (see
+# provenance note above) — the 'bpe_train' rows replay training at this
+# same budget so a hash match at sf0.01 certifies the literal list
+_BPE_TRAIN_WORDS = 2000
+
+
+def _bpe_train_ctes() -> str:
+    """The 32-round BPE training loop as chained DuckDB CTEs (the
+    pagerank/semdedup iterative-oracle pattern, at trainer depth): each
+    round counts adjacent symbol pairs over the marker-wrapped vocab
+    (zipped unnest of ls[1:n-1] / ls[2:n] — the adjacency join), takes
+    the (count DESC, pair ASC) argmax among pairs seen >= 2 times
+    (train_bpe's exact stop rule: an empty b{k} makes every later round
+    a LEFT-JOIN no-op, mirroring the Python break), and applies the
+    merge as one leftmost replace over the wrapped strings (replay ==
+    tuple-walk merge, the _bpe_seg_sql argument). MATERIALIZED is
+    load-bearing: v{k} is referenced twice per round, so DuckDB's
+    default CTE inlining would go exponential in rounds."""
+    B, E = _BPE_B, _BPE_E
+    base = (
+        "array_to_string(list_transform(range(1, length(w0)+1), "
+        f"j -> '{B}' || substring(w0, CAST(j AS INT), 1) || '{E}'), '') "
+        f"|| '{B}</w>{E}'"
+    )
+    ctes = [
+        "bw AS MATERIALIZED (SELECT term AS w0, count(*) AS c FROM t_e "
+        f"GROUP BY term ORDER BY c DESC, w0 LIMIT {_BPE_TRAIN_WORDS})",
+        f"v0 AS MATERIALIZED (SELECT w0, c, {base} AS s FROM bw)",
+    ]
+    n = len(_BPE_MERGES)
+    for k in range(1, n + 1):
+        ctes.append(
+            f"p{k} AS (SELECT a, b, sum(c) AS pc FROM ("
+            "SELECT c, unnest(ls[1:len(ls)-1]) AS a, "
+            "unnest(ls[2:len(ls)]) AS b FROM "
+            f"(SELECT c, str_split(trim(s, '{B}{E}'), '{E}{B}') AS ls "
+            f"FROM v{k-1}) q) z GROUP BY a, b)"
+        )
+        ctes.append(
+            f"b{k} AS MATERIALIZED (SELECT a, b, pc FROM p{k} "
+            "WHERE pc >= 2 ORDER BY pc DESC, a, b LIMIT 1)"
+        )
+        ctes.append(
+            f"v{k} AS MATERIALIZED (SELECT w0, c, "
+            "CASE WHEN m.a IS NULL THEN s ELSE "
+            f"replace(s, '{B}' || m.a || '{E}{B}' || m.b || '{E}', "
+            f"'{B}' || m.a || m.b || '{E}') END AS s "
+            f"FROM v{k-1} LEFT JOIN b{k} m ON TRUE)"
+        )
+    union = " UNION ALL ".join(
+        f"SELECT {k} AS rank, a, b, pc FROM b{k}" for k in range(1, n + 1)
+    )
+    baked = ", ".join(
+        f"({i + 1}, '{a}', '{b}')" for i, (a, b) in enumerate(_BPE_MERGES)
+    )
+    ctes.append(f"bt AS (SELECT * FROM ({union}))")
+    ctes.append(f"bkd AS (SELECT * FROM (VALUES {baked}) t(rank, a, b))")
+    return ",\n".join(ctes)
+
+
+def _bpe_train_union_sql() -> str:
+    """The 'bpe_train' rows appended to the text oracle: doc_id = -rank,
+    the learned pair rides bpe_seg, its weighted pair count
+    n_bpe_pieces, and split = 'baked'/'retrained' vs the _BPE_MERGES
+    literal — at sf0.01 (the training SF) every row hashes 'baked',
+    pinning the merge list's provenance inside the driver gate."""
+    cols = [
+        "CAST(-bt.rank AS BIGINT) AS doc_id",
+        "NULL AS in_sample_20",
+        "CASE WHEN bk.rank IS NOT NULL THEN 'baked' ELSE 'retrained' END"
+        " AS split",
+    ] + ["NULL"] * 24 + [
+        f"bt.a || '{_BPE_SEP}' || bt.b AS bpe_seg",
+        "CAST(bt.pc AS INT) AS n_bpe_pieces",
+        "NULL AS gopher_keep",
+    ]
+    return (
+        "SELECT " + ", ".join(cols) + " FROM bt LEFT JOIN bkd bk "
+        "ON bt.rank = bk.rank AND bt.a = bk.a AND bt.b = bk.b"
+    )
+
+
 def run_text_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full text-analysis surface in ONE hash-checked result:
     token/BPE counts, punctuation+stopword ratios, quality score, language
@@ -381,6 +463,34 @@ def run_text_all(spark: SparkSession, sf_dir: str) -> DataFrame:
         .drop("_stop_hits", "_praw")
         .orderBy("doc_id")
     )
+    # 'bpe_train' rows (doc_id = -rank, VERDICT r7 #5): re-learn the
+    # 32-merge list from THIS corpus' top-2000 word table (the same
+    # budget the baked _BPE_MERGES were trained under) and emit each
+    # round's (pair, weighted count) plus split='baked'/'retrained' vs
+    # the literal. The corpus pass rides the shared tf materialization;
+    # the merge loop is the documented bounded driver-side artifact path
+    # (bpe.py module docstring). The oracle REPLAYS all 32 training
+    # rounds in chained CTEs (_bpe_train_ctes) — at sf0.01 every row
+    # hashes 'baked', so the literal list's provenance is now inside the
+    # gate, not a comment.
+    from pcap_converter_spark.operators.bpe import (
+        train_bpe_detailed, word_frequencies,
+    )
+
+    wc = word_frequencies(docs, max_words=_BPE_TRAIN_WORDS, tf=tf_tab)
+    trows = []
+    for i, (a, b, pc) in enumerate(
+        train_bpe_detailed(wc, n_merges=len(_BPE_MERGES))
+    ):
+        baked = i < len(_BPE_MERGES) and (a, b) == _BPE_MERGES[i]
+        trows.append(
+            (-(i + 1), "baked" if baked else "retrained",
+             a + _BPE_SEP + b, int(pc))
+        )
+    tdf = spark.createDataFrame(
+        trows, "doc_id bigint, split string, bpe_seg string, n_bpe_pieces int"
+    )
+    out = out.unionByName(tdf, allowMissingColumns=True)
     # no handle for tf_tab: it is the SESSION-cached materialization
     # (_tf_table), alive for other entries — not this entry's persist
     return _eager(spark, out, [])
@@ -531,7 +641,8 @@ bpec AS (
   SELECT doc_id,
          replace(segall, '{_BPE_E}{_BPE_B}', '{_BPE_SEP}') AS y,
          length(segall) - length(replace(segall, '{_BPE_B}', '')) AS np
-  FROM bpes)
+  FROM bpes),
+{_bpe_train_ctes()}
 SELECT doc_id,
   ((md5_number_lower(CAST(doc_id AS VARCHAR)) & 4294967295) % 100) < 20
     AS in_sample_20,
@@ -592,6 +703,8 @@ FROM b LEFT JOIN (SELECT doc_id, top_term, top_tfidf FROM t_top WHERE rn = 1) tt
   JOIN pk USING (doc_id)
   LEFT JOIN hvec hv USING (doc_id)
   JOIN bpec USING (doc_id)
+UNION ALL
+{_bpe_train_union_sql()}
 ORDER BY doc_id
 """
 

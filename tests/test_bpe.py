@@ -41,6 +41,18 @@ def test_stops_when_no_pair_repeats():
     assert bpe.train_bpe(None, n_merges=10, word_counts=wc) == []
 
 
+def test_detailed_counts_match_sennrich_example():
+    """train_bpe_detailed returns each round's winning weighted pair
+    count (what the 'bpe_train' driver rows hash); the pairs must equal
+    train_bpe's and the counts the paper's worked arithmetic."""
+    wc = [("low", 5), ("lower", 2), ("newest", 6), ("widest", 3)]
+    detail = bpe.train_bpe_detailed(wc, n_merges=4)
+    assert [(a, b) for a, b, _ in detail] == bpe.train_bpe(
+        None, n_merges=4, word_counts=wc
+    )
+    assert [c for _, _, c in detail] == [9, 9, 9, 7]
+
+
 def test_word_frequencies_matches_counter(spark):
     rows = [
         (1, "the cat sat on the mat"),
