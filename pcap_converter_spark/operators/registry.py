@@ -3249,6 +3249,19 @@ _LM_TAU_BI = 3.44  # bigram keep threshold (~median at sf0.01)
 _CLF_W = (-0.013925, 1.530807, 0.0, 0.232307, -0.485032)
 _CLF_B = -6.77728
 _CLF_TAU = 0.5
+# The PRE-fold (standardized-space) fit the raw literals derive from:
+# LogisticRegression coefficients/intercept over scaler(withMean) output
+# at sf0.01. The 'cfold' rows re-derive the five feature moments from
+# data in BOTH engines and fold these, asserting the result reproduces
+# _CLF_W/_CLF_B — so the fold's provenance is hash-gated, not a comment
+# (VERDICT r7 #6). Zero-variance gate: round(sigma, 6) > 0, a
+# deterministic cross-engine twin of MLlib's exact sigma == 0 branch
+# (exact at the training SF where f_punct's m2 accumulates literal 0s).
+_CLF_WSTD = (
+    -0.3486803825269606, 0.31977705923605965, 0.0,
+    0.5623575517965025, -0.01280594990417962,
+)
+_CLF_BSTD = 0.13690318959210135
 
 
 def run_lm_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3313,7 +3326,83 @@ def run_lm_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("quality_score").alias("log_ppl"),
         F.col("quality_pred").alias("kept"),
     )
-    return uni.unionByName(bi).unionByName(clf).orderBy("src", "doc_id")
+    # 'cfold' rows (VERDICT r7 #6): training-fold provenance inside the
+    # gate. Re-derive the five feature moments over the SAME target
+    # slice the weak-teacher fit saw, fold the baked standardized-space
+    # fit (_CLF_WSTD/_CLF_BSTD) to raw space in the plan, and emit
+    # doc_id = fid:      folded weight (kept = reproduces _CLF_W[fid])
+    # doc_id = 5:        folded bias   (kept = reproduces _CLF_B)
+    # doc_id = 10/20+fid: the mu / sigma moments themselves.
+    # The oracle recomputes moments from its own feature CTEs and folds
+    # the same literals — a hash match proves features, moments, AND the
+    # w/sigma, b - sum(w*mu/sigma) arithmetic that produced the serving
+    # literals.
+    from pcap_converter_spark.operators.classifier import (
+        FEATURE_COLS, quality_features,
+    )
+
+    feats = quality_features(tgt)
+    mom = (
+        feats.select(
+            F.explode(
+                F.array(*[
+                    F.struct(
+                        F.lit(i).alias("fid"),
+                        F.col(c).cast("double").alias("v"),
+                    )
+                    for i, c in enumerate(FEATURE_COLS)
+                ])
+            ).alias("s")
+        )
+        .select("s.fid", "s.v")
+        .groupBy("fid")
+        .agg(F.avg("v").alias("mu"), F.stddev_samp("v").alias("sg"))
+    )
+    wstd = F.element_at(
+        F.array(*[F.lit(float(w)) for w in _CLF_WSTD]), F.col("fid") + 1
+    )
+    wraw_baked = F.element_at(
+        F.array(*[F.lit(float(w)) for w in _CLF_W]), F.col("fid") + 1
+    )
+    live = F.round("sg", 6) > 0
+    fold = mom.withColumn(
+        "wr", F.when(live, wstd / F.col("sg")).otherwise(F.lit(0.0))
+    )
+    fid, ntn = F.col("fid").cast("bigint"), F.lit(None).cast("bigint")
+    nkeep = F.lit(None).cast("boolean")
+    src = F.lit("cfold").alias("src")
+    wrows = fold.select(
+        src, fid.alias("doc_id"), ntn.alias("n_tokens"),
+        F.round("wr", 6).alias("log_ppl"),
+        (F.round("wr", 6) == wraw_baked).alias("kept"),
+    )
+    brow = fold.agg(
+        (
+            F.lit(_CLF_BSTD)
+            - F.sum(
+                F.when(live, wstd * F.col("mu") / F.col("sg")).otherwise(
+                    F.lit(0.0)
+                )
+            )
+        ).alias("br")
+    ).select(
+        src, F.lit(5).cast("bigint").alias("doc_id"),
+        ntn.alias("n_tokens"), F.round("br", 6).alias("log_ppl"),
+        (F.round("br", 6) == F.lit(float(_CLF_B))).alias("kept"),
+    )
+    mrows = fold.select(
+        src, (fid + 10).alias("doc_id"), ntn.alias("n_tokens"),
+        F.round("mu", 6).alias("log_ppl"), nkeep.alias("kept"),
+    )
+    srows = fold.select(
+        src, (fid + 20).alias("doc_id"), ntn.alias("n_tokens"),
+        F.round("sg", 6).alias("log_ppl"), nkeep.alias("kept"),
+    )
+    return (
+        uni.unionByName(bi).unionByName(clf).unionByName(wrows)
+        .unionByName(brow).unionByName(mrows).unionByName(srows)
+        .orderBy("src", "doc_id")
+    )
 
 
 _LM_FILTER_ORACLE = f"""
