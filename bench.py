@@ -225,14 +225,39 @@ def main() -> int:
     runners = entrymod.queries()
     run_warmup(spark, sf_dir, cpus, runners)
 
+    def _jvm_gc_ms() -> int | None:
+        """Cumulative driver-JVM GC time (all collectors). Sampled around
+        each entry so a timing regression can be attributed: a jump whose
+        gc_ms delta ≈ wall delta is inherited heap debt / GC pause, not
+        plan cost (VERDICT r8 #3 — ex_curate doubled in r8 with its code
+        untouched, and nothing recorded could separate the two)."""
+        try:
+            beans = spark._jvm.java.lang.management.ManagementFactory\
+                .getGarbageCollectorMXBeans()
+            return sum(
+                beans.get(i).getCollectionTime()
+                for i in range(beans.size())
+            )
+        except Exception:
+            return None
+
     timings: dict[str, float] = {}
+    gc_ms: dict[str, int] = {}
     for name, fn in runners.items():
+        g0 = _jvm_gc_ms()
         t0 = time.perf_counter()
         try:
             df = fn(spark, sf_dir)
             df.write.format("noop").mode("overwrite").save()
             timings[name] = round(time.perf_counter() - t0, 3)
-            print(f"bench: {name} {timings[name]}s", file=sys.stderr)
+            g1 = _jvm_gc_ms()
+            if g0 is not None and g1 is not None:
+                gc_ms[name] = g1 - g0
+            print(
+                f"bench: {name} {timings[name]}s"
+                + (f" (gc {gc_ms[name]}ms)" if name in gc_ms else ""),
+                file=sys.stderr,
+            )
         except Exception as exc:  # a broken query must not hide the others
             print(f"bench: {name} failed: {exc}", file=sys.stderr)
             timings[name] = -1.0
@@ -355,6 +380,8 @@ def main() -> int:
         out["pcap_decode_pkts_per_sec"] = pcap_pps
     if warc_stats is not None:
         out.update(warc_stats)
+    if gc_ms:
+        out["query_gc_ms"] = gc_ms
     out["host"] = _cpu_side_channel(cpu_start, _cpu_sample())
     print(json.dumps(out))
     return 0

@@ -319,11 +319,14 @@ def html_to_text(html: Column) -> Column:
 
 
 # Compiled-once twins of the html_to_text JVM chain, for the fused WARC
-# reader (sources/warc.py warc_documents). re.ASCII everywhere a Java
-# regex feature is ASCII-only by default: Java (?i) folds ASCII only
-# (U+212A KELVIN SIGN must NOT match 'k') and Java \b is \w-ASCII (a
-# boundary sits between 't' and 'é', so '<scripté' OPENS a script block
-# under Java — re.A reproduces both).
+# reader (sources/warc.py warc_documents). Two Java quirks to mirror,
+# split across mechanisms because no single Python flag expresses both:
+# Java (?i) folds ASCII only (U+212A KELVIN SIGN must NOT match 'k') —
+# reproduced with explicit ASCII classes — while Java \b is
+# UNICODE-aware ('<scripté' does NOT open a script block; é is a word
+# char to the boundary test) — reproduced by keeping Python's default
+# unicode \b. Details at _compile_html_res; pinned by the twin fuzz
+# test's unicode-confusable cases.
 _P_DROP = None  # compiled lazily so importing text.py stays cheap
 _HTML_ENT_MAP = dict(_HTML_ENTITIES)
 _JAVA_WS = " \t\n\x0b\f\r"  # Java \s — what ^\s+|\s+$ strips

@@ -95,6 +95,7 @@ def score_quality_literal(
     text_col: str = "text",
     id_col: str = "doc_id",
     threshold: float = 0.5,
+    feats: DataFrame | None = None,
 ) -> DataFrame:
     """(id, n_tokens, quality_score, quality_pred) under LITERAL raw-space
     coefficients — the SERVING path of a trained model at corpus scale: a
@@ -106,7 +107,11 @@ def score_quality_literal(
     the output and the threshold comparison, so last-ulp exp() divergence
     between engines cannot flip a verdict (the tfidf convention).
     ``n_tokens`` rides along so callers can fold this into token-count
-    schemas without re-tokenizing."""
+    schemas without re-tokenizing. Callers that already hold a
+    ``quality_features`` frame (e.g. one they persist and reuse for
+    moment provenance) pass it via ``feats`` to skip re-featurizing —
+    the featurize projection tokenizes, so running it twice doubles the
+    entry's scan work."""
     weights = list(weights)
     if len(weights) != len(FEATURE_COLS):
         raise ValueError(
@@ -114,7 +119,8 @@ def score_quality_literal(
             f"{len(FEATURE_COLS)} (one per feature in FEATURE_COLS) — a "
             "short vector would silently drop trailing features"
         )
-    feats = quality_features(docs, text_col, id_col)
+    if feats is None:
+        feats = quality_features(docs, text_col, id_col)
     z = F.lit(float(bias))
     for c, w in zip(FEATURE_COLS, weights):
         z = z + F.col(c) * F.lit(float(w))

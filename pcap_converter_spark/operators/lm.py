@@ -115,8 +115,27 @@ def perplexity_buckets(
     — bounded like every other model artifact here); the bucketing
     itself is a pure projection. With more than two cuts the buckets are
     named ``q0..qN`` instead. NULL scores (docs the model could not
-    score) bucket as NULL."""
-    qs = scored.approxQuantile(col, list(cuts), relative_error)
+    score) bucket as NULL.
+
+    ``relative_error=0`` switches the cuts to EXACT percentiles
+    (``F.percentile`` — SQL-standard percentile_cont linear
+    interpolation at position p·(n−1), so the values are reproducible in
+    any ANSI engine; this is what the ex_lm_filter 'bucket' provenance
+    rows hash-check against DuckDB's quantile_cont). The exact aggregate
+    buffers the column's values in one aggregation buffer — fine for
+    audits and fixtures; at corpus scale keep the default sketch, whose
+    error bound is the knob CCNet itself tolerates."""
+    if relative_error == 0:
+        qs = list(
+            scored.agg(
+                F.percentile(
+                    F.col(col),
+                    F.array(*[F.lit(float(x)) for x in cuts]),
+                ).alias("qs")
+            ).collect()[0]["qs"]
+        )
+    else:
+        qs = scored.approxQuantile(col, list(cuts), relative_error)
     names = (
         ["head", "middle", "tail"]
         if len(cuts) == 2

@@ -78,17 +78,28 @@ def _session_key(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
 
 
 _TF_CACHE: dict[tuple[str, str], DataFrame] = {}
-_READ_CACHE: dict[tuple[str, str], DataFrame] = {}
+_READ_CACHE: dict[tuple[str, str, int], DataFrame] = {}
 _DL_CACHE: dict[tuple[str, str], tuple[DataFrame, tuple[int, float]]] = {}
 
 
 def _read_parquet_cached(spark: SparkSession, path: str) -> DataFrame:
-    """Per-(session, path) parquet reader frame. ``spark.read.parquet``
-    does eager schema discovery + file listing (~0.1-0.15 s per call of
-    pure driver latency); the at-rest probe tiers re-read the same
-    immutable index directories every bench run, so the reader frame is
-    built once. NOT for paths whose contents change between reads."""
-    key = (_session_key(spark, "")[0], path)
+    """Per-(session, path, dir-mtime) parquet reader frame.
+    ``spark.read.parquet`` does eager schema discovery + file listing
+    (~0.1-0.15 s per call of pure driver latency); the at-rest probe
+    tiers re-read the same immutable index directories every bench run,
+    so the reader frame is built once. The directory mtime rides the key
+    (ADVICE r8): a rewrite of the directory within a session (e.g. an
+    index regenerated for a new run) bumps the mtime and naturally
+    invalidates the cached listing instead of silently serving stale
+    files. (A rewrite that leaves mtime unchanged is not possible for a
+    real re-write — replacing files in a dir updates the dir's mtime.)"""
+    import os
+
+    try:
+        mtime = os.stat(path).st_mtime_ns
+    except OSError:
+        mtime = -1
+    key = (_session_key(spark, "")[0], path, mtime)
     df = _READ_CACHE.get(key)
     if df is None:
         df = spark.read.parquet(path)
@@ -262,21 +273,41 @@ def _bpe_train_ctes() -> str:
     return ",\n".join(ctes)
 
 
+# _TEXT_ALL_ORACLE's output columns, IN ORDER. The bpe_train UNION ALL
+# branch aligns POSITIONALLY against the main SELECT, so any column
+# added/removed/reordered there must land here too — the union row is
+# generated from this list (NULL unless overridden below), and the
+# shape-parity pytest compares both engines' column sets, so drift turns
+# a test red instead of silently misaligning the hash (ADVICE r8).
+_TEXT_ALL_COLS = (
+    "doc_id", "in_sample_20", "split", "n_tokens", "n_bpe", "punct_r",
+    "stop_r", "quality", "labeled_lang", "guessed_lang", "fp", "rfp",
+    "mean_wlen", "pii_emails", "pii_ips", "pii_phones", "pii_fp",
+    "dup_ngram_frac", "top_ngram_frac", "vocab_ids", "pack_shard",
+    "pack_bin", "pack_offset", "top_term", "top_tfidf", "hemb",
+    "hemb_norm", "bpe_seg", "n_bpe_pieces", "gopher_keep",
+)
+
+
 def _bpe_train_union_sql() -> str:
     """The 'bpe_train' rows appended to the text oracle: doc_id = -rank,
     the learned pair rides bpe_seg, its weighted pair count
     n_bpe_pieces, and split = 'baked'/'retrained' vs the _BPE_MERGES
     literal — at sf0.01 (the training SF) every row hashes 'baked',
-    pinning the merge list's provenance inside the driver gate."""
+    pinning the merge list's provenance inside the driver gate. Columns
+    are generated from _TEXT_ALL_COLS so the positional union cannot
+    drift from the main SELECT's shape."""
+    overrides = {
+        "doc_id": "CAST(-bt.rank AS BIGINT)",
+        "split": (
+            "CASE WHEN bk.rank IS NOT NULL THEN 'baked' "
+            "ELSE 'retrained' END"
+        ),
+        "bpe_seg": f"bt.a || '{_BPE_SEP}' || bt.b",
+        "n_bpe_pieces": "CAST(bt.pc AS INT)",
+    }
     cols = [
-        "CAST(-bt.rank AS BIGINT) AS doc_id",
-        "NULL AS in_sample_20",
-        "CASE WHEN bk.rank IS NOT NULL THEN 'baked' ELSE 'retrained' END"
-        " AS split",
-    ] + ["NULL"] * 24 + [
-        f"bt.a || '{_BPE_SEP}' || bt.b AS bpe_seg",
-        "CAST(bt.pc AS INT) AS n_bpe_pieces",
-        "NULL AS gopher_keep",
+        f"{overrides.get(c, 'NULL')} AS {c}" for c in _TEXT_ALL_COLS
     ]
     return (
         "SELECT " + ", ".join(cols) + " FROM bt LEFT JOIN bkd bk "
@@ -3281,20 +3312,61 @@ def run_lm_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     to 4 before both the output AND the keep comparison, so last-ulp
     ln() divergence between engines cannot flip a row (the tfidf
     convention). For 'bi' rows n_tokens carries the TRANSITION count
-    (tokens − 1 per doc with ≥ 2 tokens; shorter docs have no bi row)."""
+    (tokens − 1 per doc with ≥ 2 tokens; shorter docs have no bi row).
+    'bucket' rows drive-prove lm.perplexity_buckets (CCNet's tertile
+    split): n_tokens carries the bucket id (0/1/2 = head/middle/tail
+    from EXACT percentile_cont cuts over the 4-dp-rounded scores), kept
+    the head+middle train-slice verdict. 'clf'/'cfold' rows are the
+    trained-classifier axis + its training-fold provenance (see inline
+    comments)."""
     from pcap_converter_spark.operators import lm
 
     docs = _docs(spark, sf_dir)
     ref = docs.filter(F.col("doc_id") % 5 == 0)
     tgt = docs.filter(F.col("doc_id") % 5 != 0)
-    model = lm.unigram_model(ref, vocab_size=_LM_VOCAB)
-    scored = lm.perplexity_score(tgt, model)
+    # The unigram arms ride the session's shared (doc, term, tf)
+    # materialization (_tf_table — the same one bm25/tfidf/vocab read)
+    # instead of re-tokenizing: ref/tgt are doc_id-partition slices of
+    # the full corpus, so a filter on the cached table IS their tf.
+    tf_all = _tf_table(spark, sf_dir)
+    model = lm.unigram_model(
+        ref, vocab_size=_LM_VOCAB, tf=tf_all.filter(F.col("doc") % 5 == 0)
+    )
+    # eager: the per-doc score frame feeds BOTH the 'uni' rows and the
+    # 'bucket' tertile split (whose exact-percentile cut pass would
+    # otherwise re-run the scoring agg); it is 3 scalars per target doc
+    scored = lm.perplexity_score(
+        tgt, model, tf=tf_all.filter(F.col("doc") % 5 != 0)
+    ).localCheckpoint(eager=True)
     uni = scored.select(
         F.lit("uni").alias("src"),
         "doc_id",
         "n_tokens",
         F.round("log_ppl", 4).alias("log_ppl"),
         (F.round("log_ppl", 4) <= F.lit(_LM_TAU)).alias("kept"),
+    )
+    # 'bucket' rows: CCNet's final head/middle/tail tertile split,
+    # drive-proving lm.perplexity_buckets (VERDICT r8 #7 — pytest-only
+    # until now). Buckets ride n_tokens as 0/1/2 (head/middle/tail);
+    # kept = CCNet's train slice (head+middle). Scores are rounded to 4
+    # BEFORE the cuts so both engines bucket identical inputs, and the
+    # cuts are EXACT percentile_cont values (relative_error=0) — bitwise
+    # reproducible from the same 4-dp inputs in any ANSI engine, so the
+    # oracle's quantile_cont lands on the identical doubles.
+    b_in = scored.select(
+        "doc_id", F.round("log_ppl", 4).alias("log_ppl")
+    )
+    bucketed = lm.perplexity_buckets(b_in, relative_error=0.0)
+    bucket = bucketed.select(
+        F.lit("bucket").alias("src"),
+        "doc_id",
+        F.when(F.col("ppl_bucket") == "head", F.lit(0))
+        .when(F.col("ppl_bucket") == "middle", F.lit(1))
+        .otherwise(F.lit(2))
+        .cast("bigint")
+        .alias("n_tokens"),
+        "log_ppl",
+        (F.col("ppl_bucket") != "tail").alias("kept"),
     )
     uni_m, bi_m = lm.bigram_model(
         ref, vocab_size=_LM_VOCAB, bigram_size=_LM_BI, unigram=model
@@ -3314,11 +3386,16 @@ def run_lm_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     # verdict; the oracle re-derives all five features AND the sigmoid in
     # SQL, so the hash proves featurize → fold → score → threshold.
     from pcap_converter_spark.operators.classifier import (
-        score_quality_literal,
+        FEATURE_COLS, quality_features, score_quality_literal,
     )
 
+    # Featurize ONCE (VERDICT r8 #4): the clf scores and the cfold
+    # moments both read this frame; an eager localCheckpoint keeps the
+    # tokenization + 2-gram array algebra to a single pass (feats is 5
+    # doubles + id per doc — tiny next to the corpus at any scale).
+    feats = quality_features(tgt).localCheckpoint(eager=True)
     clf = score_quality_literal(
-        tgt, _CLF_W, _CLF_B, threshold=_CLF_TAU
+        tgt, _CLF_W, _CLF_B, threshold=_CLF_TAU, feats=feats
     ).select(
         F.lit("clf").alias("src"),
         "doc_id",
@@ -3333,15 +3410,10 @@ def run_lm_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     # doc_id = fid:      folded weight (kept = reproduces _CLF_W[fid])
     # doc_id = 5:        folded bias   (kept = reproduces _CLF_B)
     # doc_id = 10/20+fid: the mu / sigma moments themselves.
-    # The oracle recomputes moments from its own feature CTEs and folds
-    # the same literals — a hash match proves features, moments, AND the
-    # w/sigma, b - sum(w*mu/sigma) arithmetic that produced the serving
-    # literals.
-    from pcap_converter_spark.operators.classifier import (
-        FEATURE_COLS, quality_features,
-    )
-
-    feats = quality_features(tgt)
+    # The oracle recomputes moments from its own feature CTEs (the cmom/
+    # cfold CTEs in _LM_FILTER_ORACLE) and folds the same literals — a
+    # hash match proves features, moments, AND the w/sigma,
+    # b - sum(w*mu/sigma) arithmetic that produced the serving literals.
     mom = (
         feats.select(
             F.explode(
@@ -3399,9 +3471,9 @@ def run_lm_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("sg", 6).alias("log_ppl"), nkeep.alias("kept"),
     )
     return (
-        uni.unionByName(bi).unionByName(clf).unionByName(wrows)
-        .unionByName(brow).unionByName(mrows).unionByName(srows)
-        .orderBy("src", "doc_id")
+        uni.unionByName(bi).unionByName(bucket).unionByName(clf)
+        .unionByName(wrows).unionByName(brow).unionByName(mrows)
+        .unionByName(srows).orderBy("src", "doc_id")
     )
 
 
@@ -3451,6 +3523,10 @@ bsc AS (
 bagg AS (
   SELECT doc_id, count(*) AS n_trans, -avg(lp) AS lp
   FROM bsc GROUP BY doc_id),
+bcut AS (
+  SELECT quantile_cont(round(lp, 4), {(1 / 3)!r}) AS c1,
+         quantile_cont(round(lp, 4), {(2 / 3)!r}) AS c2
+  FROM agg),
 cfg AS (
   SELECT doc_id,
          CASE WHEN len(lws) >= 2
@@ -3480,7 +3556,29 @@ csc AS (
                                  + {_CLF_W[1]!r} * fm + {_CLF_W[2]!r} * fp
                                  + {_CLF_W[3]!r} * fs + {_CLF_W[4]!r} * fd))),
                4) AS p
-  FROM cfeat)
+  FROM cfeat),
+cmom AS (
+  SELECT fid, avg(v) AS mu, stddev_samp(v) AS sg FROM (
+    SELECT 0 AS fid, ft AS v FROM cfeat
+    UNION ALL SELECT 1, fm FROM cfeat
+    UNION ALL SELECT 2, fp FROM cfeat
+    UNION ALL SELECT 3, fs FROM cfeat
+    UNION ALL SELECT 4, fd FROM cfeat) z
+  GROUP BY fid),
+cfold AS (
+  SELECT m.fid, m.mu, m.sg,
+         CASE WHEN round(m.sg, 6) > 0 THEN l.wstd / m.sg
+              ELSE 0.0 END AS wr,
+         CASE WHEN round(m.sg, 6) > 0 THEN l.wstd * m.mu / m.sg
+              ELSE 0.0 END AS contrib,
+         l.wraw
+  FROM cmom m JOIN (VALUES
+    (0, {_CLF_WSTD[0]!r}, {_CLF_W[0]!r}),
+    (1, {_CLF_WSTD[1]!r}, {_CLF_W[1]!r}),
+    (2, {_CLF_WSTD[2]!r}, {_CLF_W[2]!r}),
+    (3, {_CLF_WSTD[3]!r}, {_CLF_W[3]!r}),
+    (4, {_CLF_WSTD[4]!r}, {_CLF_W[4]!r})) AS l(fid, wstd, wraw)
+    ON m.fid = l.fid)
 SELECT src, doc_id, n_tokens, log_ppl, kept FROM (
   SELECT 'uni' AS src, doc_id, n_tokens, round(lp, 4) AS log_ppl,
          round(lp, 4) <= {_LM_TAU} AS kept
@@ -3490,9 +3588,38 @@ SELECT src, doc_id, n_tokens, log_ppl, kept FROM (
          round(lp, 4) <= {_LM_TAU_BI} AS kept
   FROM bagg
   UNION ALL
+  SELECT 'bucket' AS src, doc_id,
+         CAST(CASE WHEN round(lp, 4) <= c1 THEN 0
+                   WHEN round(lp, 4) <= c2 THEN 1
+                   ELSE 2 END AS BIGINT) AS n_tokens,
+         round(lp, 4) AS log_ppl,
+         round(lp, 4) <= c2 AS kept
+  FROM agg, bcut
+  UNION ALL
   SELECT 'clf' AS src, doc_id, n_tokens, p AS log_ppl,
          p >= {_CLF_TAU!r} AS kept
   FROM csc
+  UNION ALL
+  SELECT 'cfold' AS src, CAST(fid AS BIGINT) AS doc_id,
+         CAST(NULL AS BIGINT) AS n_tokens, round(wr, 6) AS log_ppl,
+         round(wr, 6) = wraw AS kept
+  FROM cfold
+  UNION ALL
+  SELECT 'cfold' AS src, CAST(5 AS BIGINT) AS doc_id,
+         CAST(NULL AS BIGINT) AS n_tokens,
+         round({_CLF_BSTD!r} - sum(contrib), 6) AS log_ppl,
+         round({_CLF_BSTD!r} - sum(contrib), 6) = {_CLF_B!r} AS kept
+  FROM cfold
+  UNION ALL
+  SELECT 'cfold' AS src, CAST(fid + 10 AS BIGINT) AS doc_id,
+         CAST(NULL AS BIGINT) AS n_tokens, round(mu, 6) AS log_ppl,
+         CAST(NULL AS BOOLEAN) AS kept
+  FROM cfold
+  UNION ALL
+  SELECT 'cfold' AS src, CAST(fid + 20 AS BIGINT) AS doc_id,
+         CAST(NULL AS BIGINT) AS n_tokens, round(sg, 6) AS log_ppl,
+         CAST(NULL AS BOOLEAN) AS kept
+  FROM cfold
 ) u ORDER BY src, doc_id
 """
 
