@@ -660,17 +660,31 @@ def simhash64(text: Column) -> Column:
         shifts = np.arange(64, dtype=np.uint64)
         one = np.uint64(1)
         out = np.zeros(len(texts), dtype=np.int64)
+        # per-batch word-hash cache: corpora are Zipfian, so the same
+        # words recur across the batch's documents — hashing each UNIQUE
+        # word once cuts the Python-side md5 count by ~the mean word
+        # frequency (the md5 loop is this UDF's hot path; the bit matrix
+        # below is already one vectorized NumPy op per doc). Bounded:
+        # dropped wholesale if it outgrows ~4M entries (degenerate
+        # all-unique corpora), since an unbounded dict would outlive the
+        # batch via the executor-cached UDF closure.
+        cache: dict[str, int] = {}
+
+        def _h(w: str) -> int:
+            v = cache.get(w)
+            if v is None:
+                v = int.from_bytes(
+                    hashlib.md5(w.encode()).digest()[8:16], "little"
+                )
+                if len(cache) < 4_000_000:
+                    cache[w] = v
+            return v
+
         for i, t in enumerate(texts):
             ws = set(_ws_tokens((t or "").lower()))
             if not ws:
                 continue
-            hs = np.array(
-                [
-                    int.from_bytes(hashlib.md5(w.encode()).digest()[8:16], "little")
-                    for w in ws
-                ],
-                dtype=np.uint64,
-            )
+            hs = np.array([_h(w) for w in ws], dtype=np.uint64)
             bits = (hs[:, None] >> shifts[None, :]) & one  # (words, 64)
             counters = (2 * bits.astype(np.int64) - 1).sum(axis=0)
             fp = np.bitwise_or.reduce(

@@ -2188,8 +2188,17 @@ ORDER BY src, o_orderpriority NULLS FIRST, o_orderstatus NULLS FIRST,
 
 
 def run_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """HyperLogLog++ approximate distinct (rows-only: sketch estimates are
-    engine-specific by construction; pytest bounds the relative error)."""
+    """HyperLogLog++ approximate distinct. Rows-only BY DESIGN: sketch
+    estimates are engine-specific by construction (Spark's HLL++ and
+    DuckDB's approx_count_distinct use different register layouts/bias
+    tables, so their estimates differ legitimately) — the driver's
+    rows-only check pins shape/liveness, and the ACCURACY contract is
+    pytest-pinned instead: tests/test_asof.py::test_approx_distinct_error_bound
+    (per-group |approx − exact| ≤ max(5, 10%·exact) at the default rsd
+    0.05) and tests/test_profile.py:49 (profiler's distinct_approx within
+    5% of exact). The default rsd 0.05 implies ±~1.6% typical error at
+    scale; the pytest bound is looser because fixture groups are small,
+    where HLL's absolute floor dominates."""
     from pcap_converter_spark.io.loader import register_views
 
     register_views(spark, sf_dir)

@@ -92,11 +92,65 @@ def gen_embeddings(path: str, n: int, dim: int = 64, seed: int = 11) -> None:
     pq.write_table(tab, path)
 
 
+def _ensure_smoke_warcs(work: str, n_docs: int = 80_000) -> tuple[str, str]:
+    """Deterministic per-record-gzip WARC pair (full = n_docs records,
+    half = the same stream stopped at n_docs/2), generated once. Built
+    from fixtures/warcgen.py like bench.py's archive, but sized for an
+    exponent pair rather than a throughput headline."""
+    import gzip
+    import io
+
+    sys.path.insert(0, "/root/repo")
+    from fixtures import warcgen as wg
+
+    full = os.path.join(work, f"warc_{n_docs}.warc.gz")
+    half = os.path.join(work, f"warc_{n_docs // 2}.warc.gz")
+    if os.path.exists(full) and os.path.exists(half):
+        return full, half
+    tmp_f, tmp_h = full + ".part", half + ".part"
+    with open(tmp_f, "wb") as ff, open(tmp_h, "wb") as fh:
+        for i in range(n_docs):
+            body = (
+                "<html><body>"
+                + f"<h1>Doc {i}</h1>"
+                + "".join(
+                    f"<p>Para {j}: " + "tok " * (20 + (i + j) % 7) + "</p>"
+                    for j in range(5)
+                )
+                + "</body></html>"
+            ).encode()
+            rec = wg.response_record(
+                f"https://smoke.example/{i}", body,
+                rec_id=f"<urn:uuid:s{i}>",
+                date=f"2026-03-{1 + i % 28:02d}T00:00:00Z",
+            )
+            buf = io.BytesIO()
+            with gzip.GzipFile(
+                fileobj=buf, mode="wb", mtime=0, compresslevel=1
+            ) as gz:
+                gz.write(rec)
+            member = buf.getvalue()
+            ff.write(member)
+            if i < n_docs // 2:
+                fh.write(member)
+    os.replace(tmp_f, full)
+    os.replace(tmp_h, half)
+    return full, half
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--docs", type=int, default=100_000)
     ap.add_argument("--vecs", type=int, default=50_000)
+    ap.add_argument(
+        "--only",
+        default=None,
+        help="comma-separated op names to re-measure solo (a full-suite "
+        "recording can carry one contention-skewed pair; re-run the "
+        "flagged op alone and splice the clean numbers)",
+    )
     args = ap.parse_args()
+    only = set(args.only.split(",")) if args.only else None
 
     work = "/tmp/scale_smoke"
     os.makedirs(work, exist_ok=True)
@@ -325,6 +379,8 @@ def main() -> int:
     out: dict[str, dict] = {}
 
     def measure(name: str, mk, half_df, full_df) -> None:
+        if only is not None and name not in only:
+            return
         # untimed per-op warmup at half size: the op's first execution
         # compiles its generated code and faults in its worker-side paths;
         # without this the half-size point (always timed first) absorbs
@@ -353,6 +409,26 @@ def main() -> int:
         measure(name, mk, docs_half, docs_full)
     for name, mk in vec_ops.items():
         measure(name, mk, vecs_half, vecs_full)
+
+    # the fused WARC→documents source (r8 surface): exponent over ARCHIVE
+    # BYTES rather than row count — the reader's unit of scale is the
+    # chunk-indexed gzip member stream. Half = the same generator stopped
+    # at half the records, so both points carry identical per-record work.
+    try:
+        from pcap_converter_spark.sources.warc import warc_documents
+
+        wfull, whalf = _ensure_smoke_warcs(work)
+
+        def _mk_warc(path):
+            sz = os.path.getsize(path)
+            tgt = max(256 << 10, sz // 64)
+            return lambda: warc_documents(
+                spark, path, target_chunk_bytes=tgt
+            )
+
+        measure("warc_documents", _mk_warc, whalf, wfull)
+    except Exception as exc:  # pragma: no cover - smoke resilience
+        print(f"scale_smoke: warc_documents skipped: {exc}", file=sys.stderr)
 
     print(json.dumps({"docs": args.docs, "vecs": args.vecs, "ops": out}))
     bad = [k for k, v in out.items() if v["exp"] >= 1.8]
