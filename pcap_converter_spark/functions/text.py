@@ -227,6 +227,65 @@ def pii_redact(text: Column) -> Column:
     return F.regexp_replace(out, PII_IPV4_RE, "<IP>")
 
 
+# ---------------------------------------------------------------------------
+# Mojibake repair (encoding damage)
+# ---------------------------------------------------------------------------
+# The single most common encoding damage in web corpora: UTF-8 bytes
+# decoded as Windows-1252 ("Ã©" where the page meant "é", "â€™" for "'",
+# "Â " before NBSP/punctuation). The repair table is GENERATED, not
+# hand-typed: for each character in the curated set, the damaged form is
+# literally good.encode('utf-8').decode('cp1252') — so the mapping cannot
+# drift from the encodings it models. Characters whose UTF-8 bytes hit
+# cp1252's five undefined codepoints (0x81 8D 8F 90 9D) are skipped (a
+# real cp1252 decode of them raises; pages damaged THROUGH those bytes
+# need byte-level repair, out of scope for a column expression).
+#
+# Replacements apply longest-damaged-form-first in one fixed order, as a
+# chain of plain `replace` calls — pure JVM string ops (no regex, no
+# UDF), whole-stage-codegen friendly, and reproducible verbatim in any
+# engine with `replace` (the ex_text_all oracle checks the repair against
+# the generator's ground-truth GOOD character, an independent derivation,
+# not a twin of this chain). Limitations, documented not hidden: text
+# that LEGITIMATELY contains a damaged-looking sequence is repaired too
+# (table-based repair is heuristic by nature), and DOUBLY-encoded
+# sequences ("ÃƒÂ©" — é through two decode cycles) are out of scope: the
+# second cycle maps through cp1252 characters (ƒ, Â) this single-cycle
+# table deliberately does not key on, so a second application of the
+# column does NOT recover them (pinned by test: the partial fix is
+# stable, never corrupting further). Byte-level tools own that case.
+
+_MOJIBAKE_CHARS = (
+    "éèêëáàâäãåçíìîïñóòôöõúùûüýÿÉÈÊÁÀÂÄÇÍÓÔÖÚÜÑßæÆøØåÅ"
+    "‘’“”–—…•°€£¥©®™«»¿¡½§¶µ·†‡‰›‹ﬁﬂ"
+)
+
+
+def _gen_mojibake_pairs() -> tuple[tuple[str, str], ...]:
+    pairs = []
+    for good in sorted(set(_MOJIBAKE_CHARS)):
+        try:
+            bad = good.encode("utf-8").decode("cp1252")
+        except UnicodeDecodeError:
+            continue  # UTF-8 bytes hit a cp1252 hole — see module comment
+        pairs.append((bad, good))
+    # longest damaged form first, then lexicographic: a fixed, total
+    # order every engine replays identically
+    pairs.sort(key=lambda p: (-len(p[0]), p[0]))
+    return tuple(pairs)
+
+
+MOJIBAKE_PAIRS = _gen_mojibake_pairs()
+
+
+def fix_mojibake_t(text: Column) -> Column:
+    """Repair UTF-8-decoded-as-cp1252 damage via the generated
+    MOJIBAKE_PAIRS table — one chained-replace projection."""
+    out = text
+    for bad, good in MOJIBAKE_PAIRS:
+        out = F.replace(out, F.lit(bad), F.lit(good))
+    return out
+
+
 def rolling_fingerprint_udf(window: int = 8):
     """Arrow-batched variant of ``rolling_fingerprint`` — identical values.
 

@@ -283,9 +283,9 @@ _TEXT_ALL_COLS = (
     "doc_id", "in_sample_20", "split", "n_tokens", "n_bpe", "punct_r",
     "stop_r", "quality", "labeled_lang", "guessed_lang", "fp", "rfp",
     "mean_wlen", "pii_emails", "pii_ips", "pii_phones", "pii_fp",
-    "dup_ngram_frac", "top_ngram_frac", "vocab_ids", "pack_shard",
-    "pack_bin", "pack_offset", "top_term", "top_tfidf", "hemb",
-    "hemb_norm", "bpe_seg", "n_bpe_pieces", "gopher_keep",
+    "moji_fp", "dup_ngram_frac", "top_ngram_frac", "vocab_ids",
+    "pack_shard", "pack_bin", "pack_offset", "top_term", "top_tfidf",
+    "hemb", "hemb_norm", "bpe_seg", "n_bpe_pieces", "gopher_keep",
 )
 
 
@@ -431,6 +431,28 @@ def run_text_all(spark: SparkSession, sf_dir: str) -> DataFrame:
         TX.pii_count(pii_src, TX.PII_IPV4_RE).alias("pii_ips"),
         TX.pii_count(pii_src, TX.PII_PHONE_RE).alias("pii_phones"),
         F.md5(TX.pii_redact(pii_src).cast("binary")).alias("pii_fp"),
+        # mojibake repair, hash-gated against GROUND TRUTH: each doc's
+        # text is decorated with one DAMAGED form from the generated
+        # table (cycled by doc_id so the corpus covers all pairs), run
+        # through fix_mojibake_t, and fingerprinted. The oracle builds
+        # text || ' ' || the expected GOOD character — an independent
+        # derivation, so the hash proves the repair itself, the fixed
+        # replace order, AND that clean text passes through untouched
+        # (a fixer that mangled the body would shift the md5).
+        F.md5(
+            TX.fix_mojibake_t(
+                F.concat(
+                    t,
+                    F.lit(" "),
+                    F.element_at(
+                        F.array(
+                            *[F.lit(b) for b, _ in TX.MOJIBAKE_PAIRS]
+                        ),
+                        (did % len(TX.MOJIBAKE_PAIRS) + 1).cast("int"),
+                    ),
+                )
+            ).cast("binary")
+        ).alias("moji_fp"),
         F.array_join(
             encode_tokens(ws, vocab).cast("array<string>"), ","
         ).alias("vocab_ids"),
@@ -551,6 +573,14 @@ _LANGID_CASE = (
 # feature-hashing embedder fragments (dim 16): per-cell signed sums
 # re-derived from the same md5-low32 hash, assembled as 16 conditional
 # sums per doc (exact integers — no float divergence possible)
+# mojibake ground truth for the oracle: the GOOD characters, indexed the
+# same way the Spark side cycles the DAMAGED forms — the oracle never
+# runs the repair chain, it asserts the repaired output equals what an
+# undamaged page would have contained (independent derivation)
+_MOJI_GOODS_SQL = "[" + ", ".join(
+    "'" + g.replace("'", "''") + "'" for _, g in TX.MOJIBAKE_PAIRS
+) + "]"
+
 _HEMB_SUMS = ", ".join(
     f"CAST(coalesce(sum(CASE WHEN i = {k} THEN v END), 0) AS BIGINT) AS v{k}"
     for k in range(16)
@@ -704,6 +734,8 @@ SELECT doc_id,
   pii_c.pii_ips AS pii_ips,
   pii_c.pii_phones AS pii_phones,
   pii_c.pii_fp AS pii_fp,
+  md5(text || ' ' || ({_MOJI_GOODS_SQL})[
+        CAST(doc_id % {len(TX.MOJIBAKE_PAIRS)} AS INT) + 1]) AS moji_fp,
   rep.dup_ngram_frac AS dup_ngram_frac,
   rep.top_ngram_frac AS top_ngram_frac,
   array_to_string(

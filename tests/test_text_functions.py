@@ -449,3 +449,59 @@ def test_bm25_topk_matches_python_reference(spark):
     )
     assert got == exp_rows
     assert got[0][0] == 1  # both query terms → top
+
+
+# --------------------------------------------------------------- mojibake
+def test_mojibake_pairs_are_true_encoding_roundtrips():
+    """The table is generated, but pin the CONTRACT: every damaged form is
+    exactly good.encode('utf-8').decode('cp1252'), no pair's damaged form
+    contains another's (replace order cannot eat a longer match), and the
+    order is longest-first."""
+    assert len(TX.MOJIBAKE_PAIRS) >= 60
+    for bad, good in TX.MOJIBAKE_PAIRS:
+        assert bad == good.encode("utf-8").decode("cp1252")
+    bads = [b for b, _ in TX.MOJIBAKE_PAIRS]
+    assert len(set(bads)) == len(bads)
+    for i, a in enumerate(bads):
+        for b in bads[:i] + bads[i + 1:]:
+            assert a not in b, (a, b)
+    lens = [len(b) for b in bads]
+    assert lens == sorted(lens, reverse=True)
+
+
+def test_fix_mojibake_repairs_and_passes_clean_text(spark):
+    rows = [
+        # (damaged, expected) — one per pair, plus clean controls
+        *[(f"before {bad} after", f"before {good} after")
+          for bad, good in TX.MOJIBAKE_PAIRS],
+        ("plain ascii stays put", "plain ascii stays put"),
+        ("déjà vu — already clean unicode…", "déjà vu — already clean unicode…"),
+        ("", ""),
+    ]
+    df = spark.createDataFrame(
+        [(i, s) for i, (s, _) in enumerate(rows)], ["i", "s"]
+    )
+    got = {
+        r["i"]: r["f"]
+        for r in df.select("i", TX.fix_mojibake_t(F.col("s")).alias("f")).collect()
+    }
+    for i, (_, want) in enumerate(rows):
+        assert got[i] == want, (i, rows[i], got[i])
+
+
+def test_fix_mojibake_double_encoding_is_out_of_scope_but_stable(spark):
+    """Doubly-damaged text ('\u00e9' through two decode cycles) maps through
+    cp1252 characters the single-cycle table deliberately does not key on
+    — the documented out-of-scope case. Pin the SAFETY half of that
+    contract: the fixer repairs the recoverable suffix, and a second
+    application is a fixpoint (never corrupts further)."""
+    twice = "\u00e9".encode("utf-8").decode("cp1252").encode("utf-8").decode("cp1252")
+    df = spark.createDataFrame([(twice,)], ["s"])
+    once = df.select(TX.fix_mojibake_t(F.col("s")).alias("f")).collect()[0]["f"]
+    # the '\u00c2\u00a9'\u2192'\u00a9' pair fires (its damaged form IS present); the leading
+    # '\u00c3\u0192' stays \u2014 partially repaired, not mangled
+    assert once == "\u00c3\u0192\u00a9"
+    again = df.select(
+        TX.fix_mojibake_t(TX.fix_mojibake_t(F.col("s"))).alias("f")
+    ).collect()[0]["f"]
+    assert again == once
