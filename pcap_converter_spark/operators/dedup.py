@@ -354,6 +354,82 @@ def remove_duplicate_spans(
     return joined.mapInPandas(rebuild, schema=out_schema)
 
 
+def line_dedup(
+    df: DataFrame,
+    min_docs: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Line-level boilerplate removal — the CCNet / RefinedWeb curation
+    step between document dedup and span dedup: a LINE whose normalized
+    form (trimmed, lowercased) appears in ≥ ``min_docs`` DISTINCT
+    documents is navigation/footer/cookie-banner boilerplate and is
+    removed from every document containing it; document order of the
+    surviving lines is preserved and untouched documents pass through
+    byte-identical. Blank lines are never counted or removed (they are
+    structure, not content). Returns (id_col, clean_text, n_removed)
+    with n_removed = lines removed from that document.
+
+    Distinct from the other text-editing tier (remove_duplicate_spans):
+    spans catch COPIED RUNS at word granularity and keep the first
+    occurrence; line dedup catches TEMPLATED lines repeated across the
+    site and keeps none (RefinedWeb's rule — a line shared by many pages
+    is noise in all of them).
+
+    Scale shape, all pure column expressions (no Python): one
+    posexplode(split) per document; the doc-frequency aggregation is
+    map-side combined on md5 keys; ONLY boilerplate hashes (a tiny,
+    bounded-by-template-vocabulary table — templates repeat, that is the
+    premise) survive to a broadcast join against the line table; the
+    rebuild is ONE shuffle of the line table by doc. Untouched documents
+    come back byte-identical because split('\\n') → ordered join('\\n')
+    is lossless (pinned by test) — no second "pass originals through"
+    join is needed, which matters at web scale where MOST documents
+    contain some boilerplate and an edited-docs-only path would save
+    nothing while adding an unbounded semi-join side.
+    """
+    lines = df.select(
+        F.col(id_col).alias("doc"),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"),
+    )
+    norm = F.trim(F.lower(F.col("line")))
+    keyed = lines.withColumn(
+        "_lk", F.when(norm != "", F.md5(norm.cast("binary")))
+    )
+    boiler = (
+        keyed.filter(F.col("_lk").isNotNull())
+        .groupBy("_lk")
+        .agg(F.count_distinct("doc").alias("_df"))
+        .filter(F.col("_df") >= int(min_docs))
+        .select("_lk", F.lit(True).alias("_rm"))
+    )
+    marked = keyed.join(F.broadcast(boiler), "_lk", "left")
+    keep = F.col("_rm").isNull()
+    return (
+        marked.groupBy("doc")
+        .agg(
+            F.array_join(
+                F.transform(
+                    # collect_list skips nulls, so the when() drops
+                    # removed lines while array_sort on (pos, line)
+                    # restores document order
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(keep, F.struct("pos", "line"))
+                        )
+                    ),
+                    lambda s: s.line,
+                ),
+                "\n",
+            ).alias("clean_text"),
+            F.sum(F.when(keep, 0).otherwise(1)).cast("int").alias(
+                "n_removed"
+            ),
+        )
+        .withColumnRenamed("doc", id_col)
+    )
+
+
 def _shingle_table(df: DataFrame, text_col: str, id_col: str, k: int) -> DataFrame:
     """Exploded (doc, shingle-hash) table via one Arrow-batched pass.
 

@@ -3247,17 +3247,60 @@ _SUBSTR_W = 8
 
 
 def run_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact substring-span dedup (the Lee-et-al ExactSubstr pass, word
-    granularity): every ≥8-word span occurring more than once corpus-wide
-    is removed from all occurrences except the (doc, pos)-first — the
-    text-EDITING tier of the dedup ladder (boilerplate and quoted reposts
-    vanish from copies; the documents survive). The oracle recomputes the
-    identical md5-low63 gram keys, canonical-occurrence struct-min, span
-    coverage, and word-mask rebuild in SQL, so the emitted CLEAN TEXT
-    itself is hash-gated, not just the dup decision."""
-    return dedup.remove_duplicate_spans(
-        _docs(spark, sf_dir), min_words=_SUBSTR_W
-    ).orderBy("doc_id")
+    """BOTH text-EDITING dedup tiers, src-tagged. 'span': exact
+    substring-span dedup (the Lee-et-al ExactSubstr pass, word
+    granularity) — every ≥8-word span occurring more than once
+    corpus-wide is removed from all occurrences except the
+    (doc, pos)-first (boilerplate and quoted reposts vanish from copies;
+    the documents survive). The oracle recomputes the identical
+    md5-low63 gram keys, canonical-occurrence struct-min, span coverage,
+    and word-mask rebuild in SQL, so the emitted CLEAN TEXT itself is
+    hash-gated, not just the dup decision. 'line' (r9): line-level
+    boilerplate removal (dedup.line_dedup — the CCNet/RefinedWeb rule: a
+    normalized line appearing in ≥3 distinct docs is template noise,
+    removed from ALL of them, unlike span dedup's keep-first). The
+    fixture corpus is single-line word soup, so the entry fabricates the
+    line structure deterministically in BOTH engines: each doc's words
+    reshaped into 10-word lines, then boilerplate injected by doc_id —
+    a mixed-case cookie banner on doc_id%3==0, its lowercase twin on
+    %3==1 (proving the trim+lower normalization joins them), and a
+    newsletter footer on %2==0. The oracle re-derives the reshape, the
+    injection, the distinct-doc line frequencies, and the ordered
+    rebuild in SQL — the cleaned text hashes exactly."""
+    docs = _docs(spark, sf_dir)
+    span = dedup.remove_duplicate_spans(
+        docs, min_words=_SUBSTR_W
+    ).select(F.lit("span").alias("src"), "doc_id", "clean_text", "n_removed")
+    did = F.col("doc_id")
+    toks = docs.select("doc_id", TX.words(F.col("text")).alias("_ws"))
+    ws = F.col("_ws")
+    n_last = F.greatest(F.ceil(F.size(ws) / _LINE_W) - 1, F.lit(0))
+    line_arr = F.transform(
+        F.sequence(F.lit(0), n_last),
+        lambda i: F.concat_ws(" ", F.slice(ws, i * _LINE_W + 1, _LINE_W)),
+    )
+    arr = line_arr
+    arr = F.when(
+        did % 3 == 0, F.concat(F.array(F.lit(_LINE_COOKIE_MIXED)), arr)
+    ).otherwise(arr)
+    arr = F.when(
+        did % 3 == 1, F.concat(arr, F.array(F.lit(_LINE_COOKIE_LOWER)))
+    ).otherwise(arr)
+    arr = F.when(
+        did % 2 == 0, F.concat(arr, F.array(F.lit(_LINE_FOOTER)))
+    ).otherwise(arr)
+    lined = toks.select("doc_id", F.array_join(arr, "\n").alias("text"))
+    line = dedup.line_dedup(lined, min_docs=3).select(
+        F.lit("line").alias("src"), "doc_id", "clean_text",
+        F.col("n_removed"),
+    )
+    return span.unionByName(line).orderBy("src", "doc_id")
+
+
+_LINE_W = 10  # fabricated line width (words) for the 'line' branch
+_LINE_COOKIE_MIXED = "Cookie Policy | Accept All"
+_LINE_COOKIE_LOWER = "cookie policy | accept all"
+_LINE_FOOTER = "Subscribe to our newsletter today"
 
 
 _SUBSTR_ORACLE = f"""
@@ -3289,13 +3332,52 @@ rebuilt AS (
                     ' ' ORDER BY w.wp) AS ct,
          count(c.wp) AS n_removed
   FROM wt w LEFT JOIN cov c ON w.doc_id = c.doc_id AND w.wp = c.wp
-  GROUP BY w.doc_id)
-SELECT d.doc_id,
-       CASE WHEN coalesce(r.n_removed, 0) = 0 THEN d.text
-            ELSE coalesce(r.ct, '') END AS clean_text,
-       CAST(coalesce(r.n_removed, 0) AS INT) AS n_removed
-FROM documents d LEFT JOIN rebuilt r USING (doc_id)
-ORDER BY doc_id
+  GROUP BY w.doc_id),
+larr0 AS (
+  SELECT doc_id,
+         list_transform(
+           range(0, greatest(CAST(ceil(len(ws) / {_LINE_W}.0) AS BIGINT)
+                             - 1, 0) + 1),
+           i -> array_to_string(
+                  list_slice(ws, i * {_LINE_W} + 1, i * {_LINE_W} + {_LINE_W}),
+                  ' ')) AS la
+  FROM docs0),
+larr AS (
+  SELECT doc_id,
+         (CASE WHEN doc_id % 3 = 0 THEN ['{_LINE_COOKIE_MIXED}']
+               ELSE CAST([] AS VARCHAR[]) END)
+         || la
+         || (CASE WHEN doc_id % 3 = 1 THEN ['{_LINE_COOKIE_LOWER}']
+                  ELSE CAST([] AS VARCHAR[]) END)
+         || (CASE WHEN doc_id % 2 = 0 THEN ['{_LINE_FOOTER}']
+                  ELSE CAST([] AS VARCHAR[]) END) AS la
+  FROM larr0),
+lk AS (
+  SELECT doc_id, generate_subscripts(la, 1) AS pos, unnest(la) AS line,
+         CASE WHEN trim(lower(unnest(la))) <> ''
+              THEN md5(trim(lower(unnest(la)))) END AS k
+  FROM larr),
+lboil AS (
+  SELECT k FROM lk WHERE k IS NOT NULL
+  GROUP BY k HAVING count(DISTINCT doc_id) >= 3),
+lclean AS (
+  SELECT lk.doc_id,
+         coalesce(string_agg(CASE WHEN b.k IS NULL THEN line END,
+                             chr(10) ORDER BY pos), '') AS clean_text,
+         count(b.k) AS n_removed
+  FROM lk LEFT JOIN lboil b USING (k)
+  GROUP BY lk.doc_id)
+SELECT src, doc_id, clean_text, n_removed FROM (
+  SELECT 'span' AS src, d.doc_id,
+         CASE WHEN coalesce(r.n_removed, 0) = 0 THEN d.text
+              ELSE coalesce(r.ct, '') END AS clean_text,
+         CAST(coalesce(r.n_removed, 0) AS INT) AS n_removed
+  FROM documents d LEFT JOIN rebuilt r USING (doc_id)
+  UNION ALL
+  SELECT 'line' AS src, doc_id, clean_text,
+         CAST(n_removed AS INT) AS n_removed
+  FROM lclean
+) u ORDER BY src, doc_id
 """
 
 

@@ -399,3 +399,95 @@ class TestRemoveDuplicateSpans:
         assert got[2]["clean_text"] == "lead more words"
         assert got[2]["n_removed"] == 4  # the NBSP pair counts as one word
         assert got[1]["clean_text"] == rows[0][1]
+
+
+class TestLineDedup:
+    """line_dedup: RefinedWeb/CCNet boilerplate-line removal by
+    cross-document line frequency."""
+
+    def _run(self, spark, rows, min_docs=2):
+        from pcap_converter_spark.operators.dedup import line_dedup
+
+        df = spark.createDataFrame(rows, ["doc_id", "text"])
+        return {
+            r["doc_id"]: (r["clean_text"], r["n_removed"])
+            for r in line_dedup(df, min_docs=min_docs).collect()
+        }
+
+    def test_boilerplate_line_removed_everywhere(self, spark):
+        got = self._run(spark, [
+            (0, "unique alpha\nSubscribe to our newsletter\nunique beta"),
+            (1, "other text\nsubscribe to our newsletter"),
+            (2, "totally clean document"),
+        ])
+        # normalized (trim+lower) forms match across docs 0 and 1 -> both
+        # occurrences removed (keep NONE, unlike span dedup's keep-first)
+        assert got[0] == ("unique alpha\nunique beta", 1)
+        assert got[1] == ("other text", 1)
+        assert got[2] == ("totally clean document", 0)
+
+    def test_untouched_docs_are_byte_identical(self, spark):
+        texts = [
+            "plain single line",
+            "two\nlines here",
+            "trailing newline\n",
+            "\nleading blank",
+            "inner\n\nblank line",
+            "",
+            "  spaced  \n\ttabbed\t",
+        ]
+        got = self._run(spark, list(enumerate(texts)), min_docs=2)
+        for i, t in enumerate(texts):
+            assert got[i] == (t, 0), (i, t, got[i])
+
+    def test_blank_lines_never_counted_or_removed(self, spark):
+        got = self._run(spark, [
+            (0, "a\n\nb"),
+            (1, "c\n\nd"),
+            (2, "e\n\nf"),
+        ])
+        # the blank middle line appears in all three docs but is structure
+        assert got[0] == ("a\n\nb", 0)
+
+    def test_within_doc_repeats_count_one_doc(self, spark):
+        got = self._run(spark, [
+            (0, "same line\nsame line\nsame line"),
+            (1, "different content"),
+        ])
+        # df('same line') == 1 distinct doc -> below min_docs=2, kept
+        assert got[0] == ("same line\nsame line\nsame line", 0)
+
+    def test_fully_boilerplate_doc_empties(self, spark):
+        got = self._run(spark, [
+            (0, "footer one\nfooter two"),
+            (1, "footer one\nfooter two"),
+            (2, "real text\nfooter one"),
+        ])
+        assert got[0] == ("", 2)
+        assert got[1] == ("", 2)
+        assert got[2] == ("real text", 1)
+
+    def test_min_docs_threshold(self, spark):
+        rows = [
+            (0, "shared pair\nown zero"),
+            (1, "shared pair\nown one"),
+            (2, "own two"),
+        ]
+        # threshold 3: the pair-shared line survives
+        got = self._run(spark, rows, min_docs=3)
+        assert got[0] == ("shared pair\nown zero", 0)
+        # threshold 2: removed from both
+        got = self._run(spark, rows, min_docs=2)
+        assert got[0] == ("own zero", 1)
+        assert got[1] == ("own one", 1)
+
+    def test_plan_broadcasts_boilerplate_and_stays_python_free(self, spark):
+        from pcap_converter_spark.operators.dedup import line_dedup
+
+        df = spark.createDataFrame(
+            [(0, "x\ny"), (1, "x\nz")], ["doc_id", "text"]
+        )
+        plan = line_dedup(df)._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in plan, plan[:2000]
+        for node in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+            assert node not in plan, node
