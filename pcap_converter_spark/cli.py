@@ -96,6 +96,15 @@ def _cmd_curate(argv: list[str]) -> int:
                     help="at-rest corpus index: drop docs earlier snapshots hold")
     ap.add_argument("--update-index", action="store_true",
                     help="append the kept docs' keys to --index afterwards")
+    ap.add_argument("--fix-encoding", action="store_true",
+                    help="repair UTF-8-as-cp1252 mojibake before any stage")
+    ap.add_argument("--line-dedup", type=int, default=None, metavar="N",
+                    help="drop lines shared by >= N distinct docs "
+                         "(boilerplate) before the funnel")
+    ap.add_argument("--substring-dedup", type=int, default=None,
+                    metavar="W",
+                    help="remove repeated >= W-word spans (keep first "
+                         "occurrence) before the funnel")
     args = ap.parse_args(argv)
     if args.update_index and not args.index:
         raise SystemExit("error: --update-index requires --index")
@@ -103,6 +112,7 @@ def _cmd_curate(argv: list[str]) -> int:
     from pcap_converter_spark.operators.pipeline import (
         curate,
         curation_report,
+        prepare_text,
         write_kept,
     )
 
@@ -110,8 +120,22 @@ def _cmd_curate(argv: list[str]) -> int:
     docs = _load_corpus(spark, args.format, _expand(args.input))
     bench = spark.read.parquet(args.benchmark) if args.benchmark else None
     handles: list = []
+    # prepare OUTSIDE curate so the artifact written below carries the
+    # repaired/edited text the funnel judged, not the raw input
+    docs = prepare_text(
+        docs,
+        fix_encoding=args.fix_encoding,
+        line_dedup_min_docs=args.line_dedup,
+        substring_dedup=args.substring_dedup,
+        handles=handles,
+    )
     flags = curate(docs, bench, corpus_index=args.index, handles=handles)
     flags = flags.localCheckpoint(eager=True)
+    if args.fix_encoding or args.line_dedup or args.substring_dedup:
+        # write_kept reads `docs` AFTER the funnel caches release below —
+        # pin the edited text so the artifact write doesn't re-run the
+        # line/span dedup lineage
+        docs = docs.localCheckpoint(eager=True)
     for h in handles:
         h.unpersist()
     kept = write_kept(flags, docs, args.out)

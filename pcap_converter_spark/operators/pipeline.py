@@ -46,6 +46,56 @@ from pcap_converter_spark.operators.quality import (
 )
 
 
+def prepare_text(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    fix_encoding: bool = False,
+    line_dedup_min_docs: int | None = None,
+    substring_dedup: int | None = None,
+    handles: list | None = None,
+) -> DataFrame:
+    """The text-repair/editing prelude as a standalone step, in
+    RefinedWeb order: repair encoding damage first (everything downstream
+    judges repaired text), drop templated lines second
+    (``dedup.line_dedup``), cut copied spans third
+    (``dedup.remove_duplicate_spans``). Returns ``docs`` with
+    ``text_col`` replaced and EVERY OTHER COLUMN preserved — callers that
+    write an artifact afterwards (``write_kept``, the CLI) must pass the
+    PREPARED frame, or the artifact would carry the unedited text the
+    funnel never judged. ``curate`` routes its own prelude through this
+    function, so operator-level and CLI-level composition cannot drift.
+
+    Editing stages that shuffle (line/span dedup) persist their boundary
+    frame; handles are appended to ``handles`` when given (the curate
+    contract), else left cached for the session."""
+    own_handles: list = handles if handles is not None else []
+
+    def _stage(df: DataFrame) -> DataFrame:
+        df = df.persist()
+        own_handles.append(df)
+        return df
+
+    others = [c for c in docs.columns if c != text_col]
+    if fix_encoding:
+        from pcap_converter_spark.functions.text import fix_mojibake_t
+
+        docs = docs.withColumn(text_col, fix_mojibake_t(F.col(text_col)))
+    if line_dedup_min_docs is not None:
+        cleaned = dedup.line_dedup(
+            docs, min_docs=int(line_dedup_min_docs),
+            id_col=id_col, text_col=text_col,
+        ).select(id_col, F.col("clean_text").alias(text_col))
+        docs = _stage(docs.select(*others).join(cleaned, id_col))
+    if substring_dedup is not None:
+        cleaned = dedup.remove_duplicate_spans(
+            docs, min_words=int(substring_dedup),
+            id_col=id_col, text_col=text_col,
+        ).select(id_col, F.col("clean_text").alias(text_col))
+        docs = _stage(docs.select(*others).join(cleaned, id_col))
+    return docs
+
+
 def curate(
     docs: DataFrame,
     benchmark: DataFrame | None = None,
@@ -59,6 +109,8 @@ def curate(
     corpus_index: str | None = None,
     index_threshold: float = 0.7,
     substring_dedup: int | None = None,
+    fix_encoding: bool = False,
+    line_dedup_min_docs: int | None = None,
     embeddings: DataFrame | None = None,
     emb_id_col: str = "vec_id",
     vec_col: str = "embedding",
@@ -90,6 +142,20 @@ def curate(
       quality, digests, and shingles all judge the cleaned text (an
       exact copy edits down to nothing and exits at the quality gate
       rather than the digest stage).
+    - ``fix_encoding=True`` prepends mojibake repair
+      (``functions/text.fix_mojibake_t`` — UTF-8-as-cp1252 damage) as
+      the very first projection, BEFORE any text-editing or judging
+      stage: encoding damage otherwise defeats both dedup (damaged and
+      clean copies of the same page hash apart) and quality signals
+      (damaged pages read as high-punctuation gibberish). Zero extra
+      scans — it fuses into whichever stage scans text first.
+    - ``line_dedup_min_docs=n`` prepends line-level boilerplate removal
+      (``dedup.line_dedup`` — the CCNet/RefinedWeb rule) after encoding
+      repair and before span dedup: templated lines shared by ≥n docs
+      vanish everywhere, so span dedup and every downstream judge see
+      content, not navigation chrome. The RefinedWeb stage order
+      (fix encoding → drop template lines → cut copied spans → judge)
+      is exactly this composition with all three tiers on.
     - ``embeddings=`` (an (emb_id_col, vec_col) frame keyed by the same
       ids as ``docs``) inserts SEMANTIC dedup between near-dup CC and
       decontamination: auto-sized k-means + within-cluster prune
@@ -109,15 +175,17 @@ def curate(
 
     did, t = F.col(id_col), F.col(text_col)
 
-    # stage 0 (optional): substring-span editing — the text every later
-    # stage sees is the deduplicated text
-    if substring_dedup is not None:
-        docs = _stage(
-            dedup.remove_duplicate_spans(
-                docs, min_words=int(substring_dedup),
-                id_col=id_col, text_col=text_col,
-            ).select(did, F.col("clean_text").alias(text_col))
-        )
+    # optional text-repair/editing prelude (stage 0): the text every
+    # later stage sees is the repaired/deduplicated text
+    docs = prepare_text(
+        docs,
+        text_col=text_col,
+        id_col=id_col,
+        fix_encoding=fix_encoding,
+        line_dedup_min_docs=line_dedup_min_docs,
+        substring_dedup=substring_dedup,
+        handles=own_handles,
+    )
 
     # stage 1: quality — ONE pure projection, no shuffle. gopher_keep
     # needs only the dup-2-gram FRACTION, which is array algebra

@@ -109,3 +109,27 @@ def test_cli_index_exact_only_wet(spark, tmp_path):
     import os
 
     assert os.path.isdir(f"{idx}/exact") and not os.path.isdir(f"{idx}/sigs")
+
+
+def test_cli_curate_with_text_editing_prelude(spark, tmp_path):
+    """--fix-encoding / --line-dedup / --substring-dedup: the artifact
+    carries the REPAIRED+EDITED text (write_kept gets the prepared frame,
+    not the raw input)."""
+    moji = "cafÃ©"  # 'café' damaged: UTF-8 read as cp1252
+    boiler = "Subscribe To Our Newsletter"
+    day = str(tmp_path / "ed.jsonl.gz")
+    _jsonl(day, [
+        {"url": f"https://s.org/e/{i}",
+         "text": _prose("ed", i) + f" {moji}\n{boiler}"}
+        for i in range(4)
+    ])
+    out = str(tmp_path / "artifact_ed")
+    assert main(["curate", "--input", day, "--format", "jsonl",
+                 "--out", out, "--fix-encoding", "--line-dedup", "3"]) == 0
+    kept = spark.read.parquet(out)
+    texts = [r["text"] for r in kept.collect()]
+    assert texts, "everything was dropped"
+    for t in texts:
+        assert "café" in t, t            # mojibake repaired in the artifact
+        assert "Ã©" not in t   # damaged form gone
+        assert boiler not in t           # boilerplate line removed
