@@ -1,0 +1,114 @@
+"""Property fuzz for the text-cleaning operators added in r9: mojibake
+repair round-trips arbitrary damaged text, and line_dedup equals a
+pure-Python reference on random multi-line corpora.
+
+The mojibake round-trip property rests on an alignment argument worth
+recording: cp1252 is single-byte, so damaging a string damages each
+character independently (decode distributes over concatenation), and a
+damaged form can only ever MATCH at a damaged-form boundary — 0xE2/0xC3/
+0xC2 ('â'/'Ã'/'Â') are UTF-8 LEAD bytes, never continuation bytes, so no
+replacement key can start mid-form or span two forms. fix ∘ damage is
+therefore the identity on any mix of ASCII and table characters, not
+just on isolated examples.
+"""
+
+from __future__ import annotations
+
+from hypothesis import assume, given, settings
+from hypothesis import strategies as st
+
+from pcap_converter_spark.functions.text import MOJIBAKE_PAIRS
+from pcap_converter_spark.operators.dedup import line_dedup
+
+_GOODS = [g for _, g in MOJIBAKE_PAIRS]
+
+# pieces: plain ASCII words, table characters, spaces
+_piece = st.one_of(
+    st.text(
+        alphabet="abcdefghijklmnopqrstuvwxyz0123456789 .,!?", max_size=8
+    ),
+    st.sampled_from(_GOODS),
+)
+
+
+def _py_fix(s: str) -> str:
+    for bad, good in MOJIBAKE_PAIRS:
+        s = s.replace(bad, good)
+    return s
+
+
+@settings(max_examples=15, deadline=None)
+@given(st.lists(_piece, max_size=12))
+def test_fuzz_mojibake_roundtrip_and_engine_parity(spark, pieces):
+    from pyspark.sql import functions as F
+
+    from pcap_converter_spark.functions.text import fix_mojibake_t
+
+    clean = "".join(pieces)
+    # the identity property below holds only for clean text with no
+    # damage-LOOKALIKE substring (e.g. the good chars 'â','€','™'
+    # adjacent spell a damaged right-quote) — the documented heuristic
+    # limitation of table-based repair, excluded rather than asserted
+    assume(_py_fix(clean) == clean)
+    damaged = clean.encode("utf-8").decode("cp1252")
+    df = spark.createDataFrame([(clean,), (damaged,)], ["s"])
+    got = [
+        r["f"]
+        for r in df.select(fix_mojibake_t(F.col("s")).alias("f")).collect()
+    ]
+    # engine output == the pure-Python replay of the same chain
+    assert got[0] == _py_fix(clean)
+    assert got[1] == _py_fix(damaged)
+    # fix ∘ damage == identity (the alignment argument in the docstring)
+    assert got[1] == clean
+
+
+def _py_line_dedup(rows: list[tuple[int, str]], min_docs: int):
+    from collections import defaultdict
+
+    freq: dict[str, set] = defaultdict(set)
+    for i, t in rows:
+        for ln in t.split("\n"):
+            k = ln.strip().lower()
+            if k:
+                freq[k].add(i)
+    boiler = {k for k, docs in freq.items() if len(docs) >= min_docs}
+    out = {}
+    for i, t in rows:
+        kept, removed = [], 0
+        for ln in t.split("\n"):
+            k = ln.strip().lower()
+            if k and k in boiler:
+                removed += 1
+            else:
+                kept.append(ln)
+        out[i] = ("\n".join(kept), removed)
+    return out
+
+
+_line = st.one_of(
+    st.sampled_from(
+        ["", "  ", "shared footer", "Shared Footer", "cookie notice",
+         "alpha beta", "gamma", "x"]
+    ),
+    st.text(alphabet="abcdef ", max_size=6),
+)
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    docs=st.lists(
+        st.lists(_line, min_size=1, max_size=6).map("\n".join),
+        min_size=1,
+        max_size=8,
+    ),
+    min_docs=st.integers(2, 4),
+)
+def test_fuzz_line_dedup_matches_python_reference(spark, docs, min_docs):
+    rows = list(enumerate(docs))
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        r["doc_id"]: (r["clean_text"], r["n_removed"])
+        for r in line_dedup(df, min_docs=min_docs).collect()
+    }
+    assert got == _py_line_dedup(rows, min_docs)
