@@ -101,3 +101,77 @@ def profile(
         "(column, stat, value, value_str)"
     )
     return stacked.orderBy("column", "stat")
+
+
+def profile_diff(
+    old: DataFrame,
+    new: DataFrame,
+    rel_threshold: float = 0.0,
+    round_digits: int = 4,
+) -> DataFrame:
+    """Snapshot drift report — the QA step a ROLLING pipeline runs before
+    committing a new crawl: join two ``profile()`` outputs and emit, per
+    (column, stat), the old/new values with absolute and relative change,
+    flagging rows whose relative change exceeds ``rel_threshold``
+    (``drifted``; string stats flag on any inequality). A schema change
+    surfaces as one-sided rows (``old_value``/``new_value`` NULL with the
+    other side present) — those always flag.
+
+    Shape: both profiles are tiny long-format frames (a few rows per
+    column), so this is a full-outer join of two bounded artifacts —
+    driver-cheap at any corpus size, because ``profile()`` already
+    reduced each snapshot to one aggregation row. ``distinct_approx``
+    rows compare sketch-to-sketch: same-engine estimates are stable for
+    similar data, so drift in the ESTIMATE is still a cardinality-drift
+    signal even though the absolute value is not cross-engine exact.
+    """
+    o = old.select(
+        "column", "stat",
+        F.col("value").alias("old_value"),
+        F.col("value_str").alias("old_str"),
+    )
+    n = new.select(
+        "column", "stat",
+        F.col("value").alias("new_value"),
+        F.col("value_str").alias("new_str"),
+    )
+    j = o.join(n, ["column", "stat"], "full_outer")
+    delta = F.round(F.col("new_value") - F.col("old_value"), round_digits)
+    rel = F.when(
+        F.col("old_value").isNotNull()
+        & F.col("new_value").isNotNull()
+        & (F.abs(F.col("old_value")) > 0),
+        F.round(
+            (F.col("new_value") - F.col("old_value"))
+            / F.abs(F.col("old_value")),
+            round_digits,
+        ),
+    )
+    one_sided = (
+        F.col("old_value").isNull() & F.col("new_value").isNotNull()
+    ) | (
+        F.col("old_value").isNotNull() & F.col("new_value").isNull()
+    ) | (
+        F.col("old_str").isNull() != F.col("new_str").isNull()
+    )
+    num_drift = (
+        F.col("old_value").isNotNull()
+        & F.col("new_value").isNotNull()
+        & (
+            F.when(
+                F.abs(F.col("old_value")) > 0,
+                F.abs(rel) > F.lit(float(rel_threshold)),
+            ).otherwise(F.col("new_value") != F.col("old_value"))
+        )
+    )
+    str_drift = (
+        F.col("old_str").isNotNull()
+        & F.col("new_str").isNotNull()
+        & (F.col("old_str") != F.col("new_str"))
+    )
+    return j.select(
+        "column", "stat", "old_value", "new_value",
+        delta.alias("delta"), rel.alias("rel_change"),
+        "old_str", "new_str",
+        (one_sided | num_drift | str_drift).alias("drifted"),
+    ).orderBy("column", "stat")

@@ -92,3 +92,57 @@ def test_timestamp_and_array_columns(spark):
     # array column: count/nulls/distinct only, no numeric stats
     assert ("embedding", "count") in estats
     assert ("embedding", "mean") not in estats
+
+
+def test_profile_diff_flags_drift_and_schema_change(spark):
+    from pcap_converter_spark.operators.profile import profile, profile_diff
+
+    old = spark.createDataFrame(
+        [(i, float(i), "x" * (1 + i % 3)) for i in range(100)],
+        "id long, v double, s string",
+    )
+    # new snapshot: v doubled (mean/sum drift), one column dropped, one added
+    new = spark.createDataFrame(
+        [(i, float(i) * 2, i % 7) for i in range(100)],
+        "id long, v double, k long",
+    )
+    d = {
+        (r["column"], r["stat"]): r
+        for r in profile_diff(
+            profile(old, include_approx=False),
+            profile(new, include_approx=False),
+            rel_threshold=0.05,
+        ).collect()
+    }
+    # stable column: identical stats, nothing drifts
+    assert not d[("id", "mean")]["drifted"]
+    assert d[("id", "mean")]["rel_change"] == 0.0
+    # doubled column: mean drift flagged with the right relative change
+    assert d[("v", "mean")]["drifted"]
+    assert d[("v", "mean")]["rel_change"] == 1.0
+    assert d[("v", "sum")]["delta"] == 4950.0
+    # dropped column: one-sided old, flagged
+    assert d[("s", "count")]["new_value"] is None
+    assert d[("s", "count")]["drifted"]
+    # added column: one-sided new, flagged
+    assert d[("k", "count")]["old_value"] is None
+    assert d[("k", "count")]["drifted"]
+
+
+def test_profile_diff_threshold_suppresses_small_drift(spark):
+    from pcap_converter_spark.operators.profile import profile, profile_diff
+
+    old = spark.createDataFrame([(float(i),) for i in range(100)], "v double")
+    new = spark.createDataFrame(
+        [(float(i) * 1.01,) for i in range(100)], "v double"
+    )
+    d = {
+        (r["column"], r["stat"]): r
+        for r in profile_diff(
+            profile(old, include_approx=False),
+            profile(new, include_approx=False),
+            rel_threshold=0.05,
+        ).collect()
+    }
+    assert not d[("v", "mean")]["drifted"]   # 1% < 5% threshold
+    assert d[("v", "mean")]["rel_change"] == 0.01
