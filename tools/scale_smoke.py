@@ -281,6 +281,22 @@ def main() -> int:
         "substring_dedup": lambda d: lambda: dedup.remove_duplicate_spans(
             d, min_words=8
         ),
+        # line-level boilerplate removal (r9): the word-soup corpus has
+        # no newlines, so reshape into 12-word lines + one injected
+        # boilerplate line per even doc first (pure SQL, same cost at
+        # both sizes per doc) — the exponent guards the doc-frequency
+        # agg + broadcast + ordered-rebuild shuffle
+        "line_dedup": lambda d: lambda: dedup.line_dedup(
+            d.selectExpr(
+                "doc_id",
+                "concat_ws('\\n', array_join(slice(split(text, ' '), 1, 60),"
+                " ' '), CASE WHEN doc_id % 2 = 0 THEN"
+                " 'subscribe to our newsletter' ELSE"
+                " array_join(slice(split(text, ' '), 61, 60), ' ') END)"
+                " AS text",
+            ),
+            min_docs=3,
+        ),
         # train one broadcastable model + score the corpus — both halves
         # are hash-aggregations, so the exponent guards the token explosion
         "lm_filter": lambda d: lambda: lm.perplexity_score(
