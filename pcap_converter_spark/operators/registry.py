@@ -91,8 +91,12 @@ def _read_parquet_cached(spark: SparkSession, path: str) -> DataFrame:
     (ADVICE r8): a rewrite of the directory within a session (e.g. an
     index regenerated for a new run) bumps the mtime and naturally
     invalidates the cached listing instead of silently serving stale
-    files. (A rewrite that leaves mtime unchanged is not possible for a
-    real re-write — replacing files in a dir updates the dir's mtime.)"""
+    files. Caveat, stated not hidden: files added inside a NESTED
+    partition subdir (cluster=X/...) bump the subdir's mtime, not the
+    root's — in-place partition appends still need the caller to bypass
+    or re-key this cache (the append tiers do: each generation gets its
+    own path), so the convention "not for paths whose contents change"
+    stands for nested layouts."""
     import os
 
     try:
