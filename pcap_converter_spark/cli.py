@@ -108,6 +108,16 @@ def _cmd_curate(argv: list[str]) -> int:
     args = ap.parse_args(argv)
     if args.update_index and not args.index:
         raise SystemExit("error: --update-index requires --index")
+    if args.line_dedup is not None and args.line_dedup < 2:
+        raise SystemExit(
+            "error: --line-dedup must be >= 2 (below 2 removes every "
+            "non-blank line)"
+        )
+    if args.substring_dedup is not None and args.substring_dedup < 2:
+        raise SystemExit(
+            "error: --substring-dedup must be >= 2 (a 1-word 'span' "
+            "removes every repeated word)"
+        )
 
     from pcap_converter_spark.operators.pipeline import (
         curate,
@@ -131,7 +141,11 @@ def _cmd_curate(argv: list[str]) -> int:
     )
     flags = curate(docs, bench, corpus_index=args.index, handles=handles)
     flags = flags.localCheckpoint(eager=True)
-    if args.fix_encoding or args.line_dedup or args.substring_dedup:
+    if (
+        args.fix_encoding
+        or args.line_dedup is not None
+        or args.substring_dedup is not None
+    ):
         # write_kept reads `docs` AFTER the funnel caches release below —
         # pin the edited text so the artifact write doesn't re-run the
         # line/span dedup lineage

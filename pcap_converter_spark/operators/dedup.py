@@ -388,9 +388,22 @@ def line_dedup(
     contain some boilerplate and an edited-docs-only path would save
     nothing while adding an unbounded semi-join side.
     """
+    if int(min_docs) < 2:
+        raise ValueError(
+            f"min_docs={min_docs}: a threshold below 2 removes EVERY "
+            "non-blank line (df >= 1 holds for any line that exists) — "
+            "reject loudly rather than silently empty the corpus"
+        )
+    # NULL text coalesces to '' so the document SURVIVES (as one blank,
+    # never-removed line → clean_text ''): posexplode of split(NULL)
+    # emits no rows, which would silently drop the doc from the output —
+    # and from the corpus entirely once a caller inner-joins the result
+    # back (review-caught data-loss path via pipeline.prepare_text)
     lines = df.select(
         F.col(id_col).alias("doc"),
-        F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"),
+        F.posexplode(
+            F.split(F.coalesce(F.col(text_col), F.lit("")), "\n")
+        ).alias("pos", "line"),
     )
     norm = F.trim(F.lower(F.col("line")))
     keyed = lines.withColumn(

@@ -117,23 +117,39 @@ def perplexity_buckets(
     named ``q0..qN`` instead. NULL scores (docs the model could not
     score) bucket as NULL.
 
-    ``relative_error=0`` switches the cuts to EXACT percentiles
-    (``F.percentile`` — SQL-standard percentile_cont linear
-    interpolation at position p·(n−1), so the values are reproducible in
-    any ANSI engine; this is what the ex_lm_filter 'bucket' provenance
-    rows hash-check against DuckDB's quantile_cont). The exact aggregate
-    buffers the column's values in one aggregation buffer — fine for
-    audits and fixtures; at corpus scale keep the default sketch, whose
-    error bound is the knob CCNet itself tolerates."""
+    ``relative_error=0`` switches the cuts to EXACT DISCRETE quantiles:
+    the value at rank ⌈p·n⌉ (1-indexed) of the non-NULL scores — pure
+    integer rank arithmetic over actual elements, so any engine
+    reproduces the cut EXACTLY from the same inputs. (The first exact
+    implementation used percentile_cont interpolation and was caught by
+    review producing cuts 1 ulp apart between Spark and DuckDB on
+    tie-heavy 4-dp inputs — interpolation ARITHMETIC is not portable
+    bit-for-bit; element selection is.) The exact path sorts the score
+    column once (one global-order window) — fine for audits and
+    fixtures, where ex_lm_filter's 'bucket' provenance rows hash-check
+    it against the oracle's identical rank derivation; at corpus scale
+    keep the default sketch, whose error bound is the knob CCNet itself
+    tolerates."""
     if relative_error == 0:
-        qs = list(
-            scored.agg(
-                F.percentile(
-                    F.col(col),
-                    F.array(*[F.lit(float(x)) for x in cuts]),
-                ).alias("qs")
-            ).collect()[0]["qs"]
-        )
+        import math
+
+        from pyspark.sql import Window
+
+        nn = scored.filter(F.col(col).isNotNull())
+        n = nn.count()
+        if n == 0:
+            qs: list[float] = []
+        else:
+            ranks = [max(1, math.ceil(p * n)) for p in cuts]
+            w = Window.orderBy(F.col(col))
+            by_rank = {
+                r["_rn"]: r[col]
+                for r in nn.select(col)
+                .withColumn("_rn", F.row_number().over(w))
+                .filter(F.col("_rn").isin(list(set(ranks))))
+                .collect()
+            }
+            qs = [by_rank[r] for r in ranks]
     else:
         qs = scored.approxQuantile(col, list(cuts), relative_error)
     names = (

@@ -137,16 +137,18 @@ def profile_diff(
     )
     j = o.join(n, ["column", "stat"], "full_outer")
     delta = F.round(F.col("new_value") - F.col("old_value"), round_digits)
-    rel = F.when(
+    # the UNROUNDED ratio drives the threshold comparison — rounding
+    # first would silently pass any drift under 0.5·10^-round_digits
+    # even at rel_threshold=0 (review-caught); round_digits only shapes
+    # the REPORTED column
+    rel_raw = F.when(
         F.col("old_value").isNotNull()
         & F.col("new_value").isNotNull()
         & (F.abs(F.col("old_value")) > 0),
-        F.round(
-            (F.col("new_value") - F.col("old_value"))
-            / F.abs(F.col("old_value")),
-            round_digits,
-        ),
+        (F.col("new_value") - F.col("old_value"))
+        / F.abs(F.col("old_value")),
     )
+    rel = F.round(rel_raw, round_digits)
     one_sided = (
         F.col("old_value").isNull() & F.col("new_value").isNotNull()
     ) | (
@@ -160,7 +162,7 @@ def profile_diff(
         & (
             F.when(
                 F.abs(F.col("old_value")) > 0,
-                F.abs(rel) > F.lit(float(rel_threshold)),
+                F.abs(rel_raw) > F.lit(float(rel_threshold)),
             ).otherwise(F.col("new_value") != F.col("old_value"))
         )
     )

@@ -103,9 +103,18 @@ def _read_parquet_cached(spark: SparkSession, path: str) -> DataFrame:
         mtime = os.stat(path).st_mtime_ns
     except OSError:
         mtime = -1
-    key = (_session_key(spark, "")[0], path, mtime)
+    app = _session_key(spark, "")[0]
+    key = (app, path, mtime)
     df = _READ_CACHE.get(key)
     if df is None:
+        # evict superseded generations of the same (session, path): the
+        # very scenario the mtime key handles (a dir regenerated within
+        # one session) would otherwise leave one dead reader frame per
+        # rewrite in this module-level dict for the session's lifetime
+        for stale in [
+            k for k in _READ_CACHE if k[0] == app and k[1] == path
+        ]:
+            del _READ_CACHE[stale]
         df = spark.read.parquet(path)
         _READ_CACHE[key] = df
     return df
@@ -3493,9 +3502,11 @@ def run_lm_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     # until now). Buckets ride n_tokens as 0/1/2 (head/middle/tail);
     # kept = CCNet's train slice (head+middle). Scores are rounded to 4
     # BEFORE the cuts so both engines bucket identical inputs, and the
-    # cuts are EXACT percentile_cont values (relative_error=0) — bitwise
-    # reproducible from the same 4-dp inputs in any ANSI engine, so the
-    # oracle's quantile_cont lands on the identical doubles.
+    # cuts are EXACT DISCRETE quantiles (relative_error=0): the element
+    # at rank ⌈p·n⌉ — selection, not interpolation, so both engines
+    # land on the identical double (review caught percentile_cont
+    # interpolation drifting 1 ulp between engines on tie-heavy input);
+    # the oracle's bord/bcnt/bcut CTEs replay the same rank arithmetic.
     b_in = scored.select(
         "doc_id", F.round("log_ppl", 4).alias("log_ppl")
     )
@@ -3666,10 +3677,17 @@ bsc AS (
 bagg AS (
   SELECT doc_id, count(*) AS n_trans, -avg(lp) AS lp
   FROM bsc GROUP BY doc_id),
-bcut AS (
-  SELECT quantile_cont(round(lp, 4), {(1 / 3)!r}) AS c1,
-         quantile_cont(round(lp, 4), {(2 / 3)!r}) AS c2
+bord AS (
+  SELECT round(lp, 4) AS v,
+         row_number() OVER (ORDER BY round(lp, 4)) AS rn
   FROM agg),
+bcnt AS (SELECT count(*) AS n FROM agg),
+bcut AS (
+  SELECT
+    (SELECT v FROM bord, bcnt
+      WHERE rn = greatest(1, CAST(ceil({(1 / 3)!r} * n) AS BIGINT))) AS c1,
+    (SELECT v FROM bord, bcnt
+      WHERE rn = greatest(1, CAST(ceil({(2 / 3)!r} * n) AS BIGINT))) AS c2),
 cfg AS (
   SELECT doc_id,
          CASE WHEN len(lws) >= 2

@@ -491,3 +491,28 @@ class TestLineDedup:
         assert "BroadcastHashJoin" in plan, plan[:2000]
         for node in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
             assert node not in plan, node
+
+    def test_null_text_survives_as_empty(self, spark):
+        """Review-caught data-loss path: posexplode of split(NULL) emits
+        no rows, silently dropping the doc — NULL text must coalesce to
+        an empty surviving document instead."""
+        from pcap_converter_spark.operators.dedup import line_dedup
+
+        df = spark.createDataFrame(
+            [(0, None), (1, "a\nb"), (2, "a\nc")], ["doc_id", "text"]
+        )
+        got = {
+            r["doc_id"]: (r["clean_text"], r["n_removed"])
+            for r in line_dedup(df, min_docs=2).collect()
+        }
+        assert got[0] == ("", 0)
+        assert got[1] == ("b", 1)
+
+    def test_min_docs_below_two_rejected(self, spark):
+        import pytest as _pt
+
+        from pcap_converter_spark.operators.dedup import line_dedup
+
+        df = spark.createDataFrame([(0, "x")], ["doc_id", "text"])
+        with _pt.raises(ValueError, match="min_docs"):
+            line_dedup(df, min_docs=1)

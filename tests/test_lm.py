@@ -158,3 +158,31 @@ def test_perplexity_buckets_head_middle_tail(spark):
         ).collect()
     }
     assert q4[1] == "q0" and q4[9] == "q3" and q4[99] is None
+
+
+def test_perplexity_buckets_exact_rank_cuts_and_empty_frame(spark):
+    """relative_error=0: cuts are the elements at rank ceil(p*n) —
+    selection, not interpolation (review: percentile_cont drifted 1 ulp
+    across engines on ties) — and an empty frame degrades like the
+    sketch path instead of crashing."""
+    from pyspark.sql import functions as F
+
+    from pcap_converter_spark.operators.lm import perplexity_buckets
+
+    df = spark.createDataFrame(
+        [(i, float(v)) for i, v in enumerate([5, 1, 3, 2, 4, 3])],
+        ["doc_id", "log_ppl"],
+    )
+    got = {
+        r["doc_id"]: r["ppl_bucket"]
+        for r in perplexity_buckets(df, relative_error=0.0).collect()
+    }
+    # sorted scores [1,2,3,3,4,5], n=6: c1 = rank ceil(6/3)=2 -> 2.0,
+    # c2 = rank ceil(12/3)=4 -> 3.0
+    assert got == {1: "head", 3: "head", 2: "middle", 5: "middle",
+                   0: "tail", 4: "tail"}
+    empty = spark.createDataFrame([], "doc_id long, log_ppl double")
+    assert perplexity_buckets(empty, relative_error=0.0).count() == 0
+    nulls = spark.createDataFrame([(0, None)], "doc_id long, log_ppl double")
+    row = perplexity_buckets(nulls, relative_error=0.0).collect()[0]
+    assert row["ppl_bucket"] is None  # NULL scores bucket as NULL

@@ -41,6 +41,11 @@ sys.path.insert(0, "/root/repo")
 VOCAB = [f"w{i:04d}" for i in range(10_000)]
 
 
+class _SkipOp(Exception):
+    """Control-flow marker: an op excluded by --only whose FIXTURE
+    generation is expensive enough to skip too (the WARC archive pair)."""
+
+
 def gen_documents(path: str, n: int, seed: int = 7) -> None:
     """Word-soup docs, ~120 words each, with planted near-dup groups
     (every 40th doc is a copy of its predecessor with one word changed)
@@ -433,6 +438,9 @@ def main() -> int:
     try:
         from pcap_converter_spark.sources.warc import warc_documents
 
+        if only is not None and "warc_documents" not in only:
+            raise _SkipOp  # don't generate the 80k-record archive pair
+            # for a solo re-run of some other op (the --only workflow)
         wfull, whalf = _ensure_smoke_warcs(work)
 
         def _mk_warc(path):
@@ -443,6 +451,8 @@ def main() -> int:
             )
 
         measure("warc_documents", _mk_warc, whalf, wfull)
+    except _SkipOp:
+        pass
     except Exception as exc:  # pragma: no cover - smoke resilience
         print(f"scale_smoke: warc_documents skipped: {exc}", file=sys.stderr)
 
