@@ -98,6 +98,9 @@ def _cmd_curate(argv: list[str]) -> int:
                     help="append the kept docs' keys to --index afterwards")
     ap.add_argument("--fix-encoding", action="store_true",
                     help="repair UTF-8-as-cp1252 mojibake before any stage")
+    ap.add_argument("--languages", default=None, metavar="L1,L2",
+                    help="keep only docs whose stopword-profile language "
+                         "guess is in this comma-separated set (e.g. en,de)")
     ap.add_argument("--line-dedup", type=int, default=None, metavar="N",
                     help="drop lines shared by >= N distinct docs "
                          "(boilerplate) before the funnel")
@@ -139,7 +142,14 @@ def _cmd_curate(argv: list[str]) -> int:
         substring_dedup=args.substring_dedup,
         handles=handles,
     )
-    flags = curate(docs, bench, corpus_index=args.index, handles=handles)
+    flags = curate(
+        docs, bench, corpus_index=args.index, handles=handles,
+        languages=(
+            tuple(x for x in args.languages.split(",") if x)
+            if args.languages
+            else None
+        ),
+    )
     flags = flags.localCheckpoint(eager=True)
     if (
         args.fix_encoding

@@ -104,6 +104,7 @@ def curate(
     jaccard_threshold: float = 0.7,
     max_shingle_df: int = 8,
     decon_k: int = 5,
+    languages: tuple[str, ...] | None = None,
     pack_budget: int = 256,
     handles: list | None = None,
     corpus_index: str | None = None,
@@ -142,6 +143,14 @@ def curate(
       quality, digests, and shingles all judge the cleaned text (an
       exact copy edits down to nothing and exits at the quality gate
       rather than the digest stage).
+    - ``languages=('en', ...)`` inserts the LANGUAGE gate in front of the
+      quality rules — the CCNet/RefinedWeb first cut: docs whose
+      stopword-profile guess (functions/text.language_id_t) is not in the
+      target set drop with a ``keep_lang`` flag (present ONLY when the
+      gate runs; ``curation_report`` adapts, funnel-first). Zero extra
+      scans or shuffles: the guess rides the SAME tokenized projection
+      the quality stage already builds, so the gate is a few more
+      columns in one existing select.
     - ``fix_encoding=True`` prepends mojibake repair
       (``functions/text.fix_mojibake_t`` — UTF-8-as-cp1252 damage) as
       the very first projection, BEFORE any text-editing or judging
@@ -199,6 +208,18 @@ def curate(
     toks = docs.select(did, t, TX.words(F.lower(t)).alias("_ws"))
     ws = F.col("_ws")
     grams = token_ngrams(ws, 2)
+    lang_stat = (
+        [
+            TX.language_id_t(
+                {
+                    lang: TX.stopword_hits_t(ws, lang)
+                    for lang in TX.LANG_STOPWORDS
+                }
+            ).alias("_lang")
+        ]
+        if languages is not None
+        else []
+    )
     stats = toks.select(
         did,
         t,
@@ -210,16 +231,29 @@ def curate(
             F.lit(1.0)
             - F.size(F.array_distinct(grams)) / F.size(grams)
         ).alias("dup_ngram_frac"),
+        *lang_stat,
     )
-    quality = _stage(stats.select(
-        did,
-        t,
-        gopher_keep(
-            F.col("_nt"), F.col("_mwl"), F.col("_pr"), F.col("_sh"),
-            F.col("dup_ngram_frac"),
-        ).alias("keep_quality"),
-        F.col("_nt").alias("_tokens"),
-    ))
+    gop = gopher_keep(
+        F.col("_nt"), F.col("_mwl"), F.col("_pr"), F.col("_sh"),
+        F.col("dup_ngram_frac"),
+    )
+    if languages is not None:
+        keep_lang = F.col("_lang").isin(list(languages))
+        # funnel convention: a lang-dropped doc has NULL downstream flags
+        quality = _stage(stats.select(
+            did,
+            t,
+            keep_lang.alias("keep_lang"),
+            F.when(keep_lang, gop).alias("keep_quality"),
+            F.col("_nt").alias("_tokens"),
+        ))
+    else:
+        quality = _stage(stats.select(
+            did,
+            t,
+            gop.alias("keep_quality"),
+            F.col("_nt").alias("_tokens"),
+        ))
     q_docs = quality.filter("keep_quality")
 
     # stage 1b (optional): cross-snapshot dedup — probe the at-rest corpus
@@ -342,11 +376,18 @@ def curate(
     packed = pack_documents(survivors, "_tokens", id_col=id_col,
                             budget=pack_budget)
 
+    q_flag_cols = (
+        ["keep_lang", "keep_quality"]
+        if languages is not None
+        else ["keep_quality"]
+    )
     flags = docs.select(did).join(
-        quality.select(id_col, "keep_quality"), id_col, "left"
+        quality.select(id_col, *q_flag_cols), id_col, "left"
     )
     kept_expr = F.col("keep_quality")
-    cols = ["keep_quality"]
+    if languages is not None:
+        kept_expr = F.col("keep_lang") & kept_expr
+    cols = list(q_flag_cols)
     if novel is not None:
         flags = flags.join(novel, id_col, "left")
         kept_expr = kept_expr & F.col("keep_novel")
@@ -395,6 +436,8 @@ def curation_report(flags: DataFrame) -> DataFrame:
     # embedding row — as True: they entered and survived)
     present = flags.columns
     chain = [("quality", "keep_quality")]
+    if "keep_lang" in present:
+        chain.insert(0, ("lang", "keep_lang"))
     if "keep_novel" in present:
         chain.append(("novel", "keep_novel"))
     chain += [("exact", "keep_exact"), ("neardup", "keep_neardup")]

@@ -403,3 +403,31 @@ def test_curate_with_corpus_index_stage(spark, tmp_path):
     assert rep["kept"][1] == 2
     for h in handles:
         h.unpersist()
+
+
+def test_curate_language_gate(spark):
+    from pcap_converter_spark.operators.pipeline import curate, curation_report
+
+    en = "the is a of and to in that it was on for with as his " * 3
+    de = "der die und das ist ein nicht mit sich auf er so wie " * 3
+    rows = [(i, en + f"enword{i} " * 10) for i in range(6)] + [
+        (10 + i, de + f"deword{i} " * 10) for i in range(3)
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    flags = curate(docs, languages=("en",))
+    got = {r["doc_id"]: r for r in flags.collect()}
+    assert "keep_lang" in flags.columns
+    for i in range(6):
+        assert got[i]["keep_lang"], i
+    for i in range(3):
+        assert not got[10 + i]["keep_lang"]
+        # funnel convention: lang-dropped docs have NULL downstream flags
+        assert got[10 + i]["keep_quality"] is None
+        assert got[10 + i]["kept"] is False
+    # report puts the lang stage FIRST: its n_entered is the corpus size
+    rep = {r["stage"]: r for r in curation_report(flags).collect()}
+    assert rep["lang"]["n_entered"] == 9
+    assert rep["lang"]["n_kept"] == 6
+    assert rep["quality"]["n_entered"] == 6
+    # default form unchanged: no keep_lang column when the gate is off
+    assert "keep_lang" not in curate(docs).columns
