@@ -62,6 +62,57 @@ def _corpus_args(ap: argparse.ArgumentParser) -> None:
     ap.add_argument("-v", "--verbose", action="store_true")
 
 
+def _prep_args(ap: argparse.ArgumentParser) -> None:
+    """Text-repair/editing prelude flags, shared by `curate` AND `index`:
+    an index probed by a prep-enabled curate run must be built over
+    IDENTICALLY prepared text, or the two sides chunk/digest different
+    bytes and cross-snapshot dedup silently misses."""
+    ap.add_argument("--fix-encoding", action="store_true",
+                    help="repair UTF-8-as-cp1252 mojibake before any stage")
+    ap.add_argument("--line-dedup", type=int, default=None, metavar="N",
+                    help="drop lines shared by >= N distinct docs "
+                         "(boilerplate) before the funnel")
+    ap.add_argument("--substring-dedup", type=int, default=None,
+                    metavar="W",
+                    help="remove repeated >= W-word spans (keep first "
+                         "occurrence) before the funnel")
+
+
+def _validate_prep(args) -> None:
+    if args.line_dedup is not None and args.line_dedup < 2:
+        raise SystemExit(
+            "error: --line-dedup must be >= 2 (below 2 removes every "
+            "non-blank line)"
+        )
+    if args.substring_dedup is not None and args.substring_dedup < 2:
+        raise SystemExit(
+            "error: --substring-dedup must be >= 2 (a 1-word 'span' "
+            "removes every repeated word)"
+        )
+
+
+def _prep_enabled(args) -> bool:
+    return bool(
+        args.fix_encoding
+        or args.line_dedup is not None
+        or args.substring_dedup is not None
+    )
+
+
+def _apply_prep(docs, args, handles: list):
+    if not _prep_enabled(args):
+        return docs
+    from pcap_converter_spark.operators.pipeline import prepare_text
+
+    return prepare_text(
+        docs,
+        fix_encoding=args.fix_encoding,
+        line_dedup_min_docs=args.line_dedup,
+        substring_dedup=args.substring_dedup,
+        handles=handles,
+    )
+
+
 def _expand(patterns: list[str]) -> list[str]:
     paths: list[str] = []
     for pat in patterns:
@@ -96,36 +147,18 @@ def _cmd_curate(argv: list[str]) -> int:
                     help="at-rest corpus index: drop docs earlier snapshots hold")
     ap.add_argument("--update-index", action="store_true",
                     help="append the kept docs' keys to --index afterwards")
-    ap.add_argument("--fix-encoding", action="store_true",
-                    help="repair UTF-8-as-cp1252 mojibake before any stage")
+    _prep_args(ap)
     ap.add_argument("--languages", default=None, metavar="L1,L2",
                     help="keep only docs whose stopword-profile language "
                          "guess is in this comma-separated set (e.g. en,de)")
-    ap.add_argument("--line-dedup", type=int, default=None, metavar="N",
-                    help="drop lines shared by >= N distinct docs "
-                         "(boilerplate) before the funnel")
-    ap.add_argument("--substring-dedup", type=int, default=None,
-                    metavar="W",
-                    help="remove repeated >= W-word spans (keep first "
-                         "occurrence) before the funnel")
     args = ap.parse_args(argv)
     if args.update_index and not args.index:
         raise SystemExit("error: --update-index requires --index")
-    if args.line_dedup is not None and args.line_dedup < 2:
-        raise SystemExit(
-            "error: --line-dedup must be >= 2 (below 2 removes every "
-            "non-blank line)"
-        )
-    if args.substring_dedup is not None and args.substring_dedup < 2:
-        raise SystemExit(
-            "error: --substring-dedup must be >= 2 (a 1-word 'span' "
-            "removes every repeated word)"
-        )
+    _validate_prep(args)
 
     from pcap_converter_spark.operators.pipeline import (
         curate,
         curation_report,
-        prepare_text,
         write_kept,
     )
 
@@ -135,13 +168,7 @@ def _cmd_curate(argv: list[str]) -> int:
     handles: list = []
     # prepare OUTSIDE curate so the artifact written below carries the
     # repaired/edited text the funnel judged, not the raw input
-    docs = prepare_text(
-        docs,
-        fix_encoding=args.fix_encoding,
-        line_dedup_min_docs=args.line_dedup,
-        substring_dedup=args.substring_dedup,
-        handles=handles,
-    )
+    docs = _apply_prep(docs, args, handles)
     flags = curate(
         docs, bench, corpus_index=args.index, handles=handles,
         languages=(
@@ -151,17 +178,12 @@ def _cmd_curate(argv: list[str]) -> int:
         ),
     )
     flags = flags.localCheckpoint(eager=True)
-    if (
-        args.fix_encoding
-        or args.line_dedup is not None
-        or args.substring_dedup is not None
-    ):
-        # write_kept reads `docs` AFTER the funnel caches release below —
-        # pin the edited text so the artifact write doesn't re-run the
-        # line/span dedup lineage
-        docs = docs.localCheckpoint(eager=True)
-    for h in handles:
-        h.unpersist()
+    # handles (the prep + funnel boundary caches) stay persisted through
+    # EVERY consumer of `docs` — the artifact write and the index
+    # extension both read the PREPARED text, and releasing before them
+    # would re-run the line/span dedup lineage per consumer (an extra
+    # eager checkpoint of docs here would avoid that too, but costs a
+    # second copy of the corpus in block storage for no benefit)
     kept = write_kept(flags, docs, args.out)
     for r in curation_report(flags).collect():
         print(f"{r['stage']:>9}: {r['n_entered']:>8} -> {r['n_kept']:>8} "
@@ -174,6 +196,8 @@ def _cmd_curate(argv: list[str]) -> int:
         extend_corpus_index(
             docs.join(kept.select("doc_id"), "doc_id"), args.index
         )
+    for h in handles:
+        h.unpersist()
     print(f"Wrote {args.out}: {kept.count()} kept documents", file=sys.stderr)
     return 0
 
@@ -188,12 +212,19 @@ def _cmd_index(argv: list[str]) -> int:
                     help="extend an existing index (params come from its meta)")
     ap.add_argument("--exact-only", action="store_true",
                     help="digest tier only (no MinHash signatures/bands)")
+    _prep_args(ap)
     args = ap.parse_args(argv)
+    _validate_prep(args)
 
     from pcap_converter_spark.operators import incremental as inc
 
     spark = _spark_for(args)
     docs = _load_corpus(spark, args.format, _expand(args.input))
+    # same prep flags as `curate` (see _prep_args): an index probed by a
+    # prep-enabled curate run must be built over identically prepared
+    # text, or the two sides digest different bytes and miss dups
+    handles: list = []
+    docs = _apply_prep(docs, args, handles)
     if args.append:
         inc.extend_corpus_index(docs, args.out)
     else:
@@ -201,6 +232,8 @@ def _cmd_index(argv: list[str]) -> int:
             docs, args.out,
             tiers=("exact",) if args.exact_only else ("exact", "near"),
         )
+    for h in handles:  # index files are written; drop prep caches
+        h.unpersist()
     root = inc.resolve_index_root(spark, args.out)
     n = spark.read.parquet(f"{root}/exact").count()
     print(f"Index at {args.out}: {n} digest rows", file=sys.stderr)

@@ -17,6 +17,9 @@ def spark():
     s = (
         SparkSession.builder.master("local[4]")
         .appName("pcs-tests")
+        # 2g: the CLI round-trip tests (prep prelude + funnel + index
+        # probe in one lineage) OOM the 1g default heap
+        .config("spark.driver.memory", "2g")
         .config("spark.sql.shuffle.partitions", "4")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.ui.enabled", "false")

@@ -133,3 +133,41 @@ def test_cli_curate_with_text_editing_prelude(spark, tmp_path):
         assert "café" in t, t            # mojibake repaired in the artifact
         assert "Ã©" not in t   # damaged form gone
         assert boiler not in t           # boilerplate line removed
+
+
+def test_cli_index_and_curate_agree_on_prepared_text(spark, tmp_path):
+    """--line-dedup on BOTH subcommands: the index digests the PREPARED
+    text, so a day-2 refetch (same content, same boilerplate) still hits
+    the index even though the boilerplate line is stripped on both
+    sides. An index built over RAW text would chunk different bytes and
+    miss it."""
+    boiler = "subscribe to our newsletter"
+    day1 = str(tmp_path / "p1.jsonl.gz")
+    _jsonl(day1, [
+        {"url": f"https://s.org/a/{i}", "text": _prose("one", i) + f"\n{boiler}"}
+        for i in range(6)
+    ])
+    idx = str(tmp_path / "idx_p")
+    assert main(["index", "--input", day1, "--format", "jsonl",
+                 "--out", idx, "--line-dedup", "3"]) == 0
+
+    day2 = str(tmp_path / "p2.jsonl.gz")
+    _jsonl(day2, [
+        {"url": "https://s.org/a/1",
+         "text": _prose("one", 1) + f"\n{boiler}"},   # refetch of day-1 doc
+        {"url": "https://s.org/b/1",
+         "text": _prose("two", 1) + f"\n{boiler}"},   # genuinely new
+        {"url": "https://s.org/b/2",
+         "text": _prose("two", 2) + f"\n{boiler}"},
+        {"url": "https://s.org/b/3",
+         "text": _prose("two", 3) + f"\n{boiler}"},
+    ])
+    out = str(tmp_path / "artifact_p")
+    assert main(["curate", "--input", day2, "--format", "jsonl",
+                 "--out", out, "--index", idx, "--line-dedup", "3"]) == 0
+    kept = spark.read.parquet(out)
+    urls = sorted(r["url"] for r in kept.collect())
+    assert "https://s.org/a/1" not in urls  # refetch caught via the index
+    assert urls == [f"https://s.org/b/{i}" for i in (1, 2, 3)]
+    # and the artifact text is the PREPARED text (boilerplate stripped)
+    assert all(boiler not in r["text"] for r in kept.collect())
