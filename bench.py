@@ -217,6 +217,13 @@ def main() -> int:
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("PCS_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
+        # no console progress bars: their \r-rewritten stage lines emit
+        # tens of KB per query, and the driver's output capture is
+        # size-capped — BENCH_r09.json lost the summary JSON line and 30
+        # of 54 per-entry timings to exactly this spam (VERDICT r9 #2).
+        # With bars off the whole run prints a few KB: ~60 one-line
+        # 'bench:' markers on stderr + ONE summary JSON line on stdout.
+        .config("spark.ui.showConsoleProgress", "false")
         .getOrCreate()
     )
     apply_runtime_confs(spark)
@@ -273,6 +280,17 @@ def main() -> int:
             spark._jvm.System.gc()
         except Exception:
             pass
+
+    # recoverable checkpoint on stderr (NOT a bare JSON line — the
+    # driver's artifact parser must only ever see the one final stdout
+    # record): if the run dies or is truncated during the throughput
+    # sections below, the full per-query suite is still in the artifact
+    print(
+        "bench: suite-partial "
+        + json.dumps({"queries": timings, "gc_ms": gc_ms}),
+        file=sys.stderr,
+        flush=True,
+    )
 
     # ETL throughput: decode the fixture pcap through the full source +
     # defrag pipeline (reference anchor: 494k pkts/s on 4 Rust threads).
@@ -383,7 +401,7 @@ def main() -> int:
     if gc_ms:
         out["query_gc_ms"] = gc_ms
     out["host"] = _cpu_side_channel(cpu_start, _cpu_sample())
-    print(json.dumps(out))
+    print(json.dumps(out), flush=True)
     return 0
 
 

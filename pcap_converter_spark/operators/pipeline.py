@@ -84,7 +84,7 @@ def prepare_text(
     if line_dedup_min_docs is not None:
         cleaned = dedup.line_dedup(
             docs, min_docs=int(line_dedup_min_docs),
-            id_col=id_col, text_col=text_col,
+            id_col=id_col, text_col=text_col, handles=own_handles,
         ).select(id_col, F.col("clean_text").alias(text_col))
         docs = _stage(docs.select(*others).join(cleaned, id_col))
     if substring_dedup is not None:

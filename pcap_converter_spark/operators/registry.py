@@ -3330,6 +3330,8 @@ _LINE_W = 10  # fabricated line width (words) for the 'line' branch
 _LINE_COOKIE_MIXED = "Cookie Policy | Accept All"
 _LINE_COOKIE_LOWER = "cookie policy | accept all"
 _LINE_FOOTER = "Subscribe to our newsletter today"
+# dedup.LINE_WS (" \t\r\f\x0b\xa0") spelled as a DuckDB expression
+_DUCK_LINE_WS = "(' ' || chr(9) || chr(13) || chr(12) || chr(11) || chr(160))"
 
 
 _SUBSTR_ORACLE = f"""
@@ -3382,9 +3384,11 @@ larr AS (
                   ELSE CAST([] AS VARCHAR[]) END) AS la
   FROM larr0),
 lk AS (
+  -- trim the SAME explicit whitespace class as dedup.LINE_WS (space,
+  -- tab, CR, FF, VT, NBSP) — plain trim() is space-only in both engines
   SELECT doc_id, generate_subscripts(la, 1) AS pos, unnest(la) AS line,
-         CASE WHEN trim(lower(unnest(la))) <> ''
-              THEN md5(trim(lower(unnest(la)))) END AS k
+         CASE WHEN trim(lower(unnest(la)), {_DUCK_LINE_WS}) <> ''
+              THEN md5(trim(lower(unnest(la)), {_DUCK_LINE_WS})) END AS k
   FROM larr),
 lboil AS (
   SELECT k FROM lk WHERE k IS NOT NULL

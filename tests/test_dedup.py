@@ -492,6 +492,73 @@ class TestLineDedup:
         for node in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
             assert node not in plan, node
 
+    def test_shuffle_fallback_parity(self, spark):
+        """The counted broadcast gate (VERDICT r9 #1): forcing the
+        boilerplate table over the limit must take the shuffle-join path
+        and produce output identical to the broadcast path — the fallback
+        is a physical-strategy change only."""
+        from pcap_converter_spark.operators.dedup import line_dedup
+
+        rows = [
+            (0, "unique alpha\nSubscribe now\nunique beta"),
+            (1, "other text\nsubscribe now"),
+            (2, "shared tail\nmore words"),
+            (3, "shared tail\nown line"),
+            (4, "totally clean document"),
+        ]
+        df = spark.createDataFrame(rows, ["doc_id", "text"])
+
+        def run(limit):
+            return {
+                r["doc_id"]: (r["clean_text"], r["n_removed"])
+                for r in line_dedup(
+                    df, min_docs=2, broadcast_limit=limit
+                ).collect()
+            }
+
+        assert run(0) == run(4_000_000)
+
+    def test_over_limit_plan_has_no_forced_broadcast(self, spark):
+        """broadcast_limit=0 must not plant an explicit broadcast hint:
+        with AQE's auto-broadcast disabled the join degrades to a
+        shuffle join, proving the hint is gone (AQE may still pick
+        broadcast at runtime in production — that is the point: AQE has
+        a size gate, F.broadcast does not)."""
+        from pcap_converter_spark.operators.dedup import line_dedup
+
+        df = spark.createDataFrame(
+            [(0, "x\ny"), (1, "x\nz")], ["doc_id", "text"]
+        )
+        with_conf = spark.conf
+        old = with_conf.get("spark.sql.autoBroadcastJoinThreshold", "10MB")
+        try:
+            with_conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+            plan = (
+                line_dedup(df, broadcast_limit=0)
+                ._jdf.queryExecution()
+                .executedPlan()
+                .toString()
+            )
+        finally:
+            with_conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        assert "BroadcastHashJoin" not in plan, plan[:2000]
+
+    def test_explicit_whitespace_class_trim(self, spark):
+        """ADVICE r9: tab-indented boilerplate joins its space-indented
+        twin; a tabs/NBSP-only line is structure (never counted), exactly
+        like a spaces-only line."""
+        got = self._run(spark, [
+            (0, "\tShared Footer\nown zero"),
+            (1, "  shared footer \xa0\nown one"),
+            (2, "\t\xa0\nown two"),
+            (3, "\t\xa0\nown three"),
+        ])
+        assert got[0] == ("own zero", 1)
+        assert got[1] == ("own one", 1)
+        # the whitespace-only line appears in docs 2+3 but is blank after
+        # the explicit-class trim -> never counted, never removed
+        assert got[2] == ("\t\xa0\nown two", 0)
+
     def test_null_text_survives_as_empty(self, spark):
         """Review-caught data-loss path: posexplode of split(NULL) emits
         no rows, silently dropping the doc — NULL text must coalesce to

@@ -18,7 +18,7 @@ from hypothesis import assume, given, settings
 from hypothesis import strategies as st
 
 from pcap_converter_spark.functions.text import MOJIBAKE_PAIRS
-from pcap_converter_spark.operators.dedup import line_dedup
+from pcap_converter_spark.operators.dedup import LINE_WS, line_dedup
 
 _GOODS = [g for _, g in MOJIBAKE_PAIRS]
 
@@ -67,9 +67,11 @@ def _py_line_dedup(rows: list[tuple[int, str]], min_docs: int):
     from collections import defaultdict
 
     freq: dict[str, set] = defaultdict(set)
+    # strip the operator's EXPLICIT whitespace class, not str.strip()'s
+    # all-Unicode set — the contract is dedup.LINE_WS (ADVICE r9)
     for i, t in rows:
         for ln in t.split("\n"):
-            k = ln.strip().lower()
+            k = ln.strip(LINE_WS).lower()
             if k:
                 freq[k].add(i)
     boiler = {k for k, docs in freq.items() if len(docs) >= min_docs}
@@ -77,7 +79,7 @@ def _py_line_dedup(rows: list[tuple[int, str]], min_docs: int):
     for i, t in rows:
         kept, removed = [], 0
         for ln in t.split("\n"):
-            k = ln.strip().lower()
+            k = ln.strip(LINE_WS).lower()
             if k and k in boiler:
                 removed += 1
             else:
@@ -88,10 +90,11 @@ def _py_line_dedup(rows: list[tuple[int, str]], min_docs: int):
 
 _line = st.one_of(
     st.sampled_from(
-        ["", "  ", "shared footer", "Shared Footer", "cookie notice",
+        ["", "  ", "\t", "\xa0", "shared footer", "Shared Footer",
+         "\tshared footer", "shared footer\xa0", "cookie notice",
          "alpha beta", "gamma", "x"]
     ),
-    st.text(alphabet="abcdef ", max_size=6),
+    st.text(alphabet="abcdef \t\xa0", max_size=6),
 )
 
 
