@@ -99,6 +99,46 @@ def _prep_enabled(args) -> bool:
     )
 
 
+def _prep_sig(args) -> str:
+    from pcap_converter_spark.operators.incremental import prep_signature
+
+    return prep_signature(
+        args.fix_encoding, args.line_dedup, args.substring_dedup
+    )
+
+
+def _reconcile_prep(spark, args, index_path: str) -> str:
+    """Compare the CLI prep flags to the index's recorded prep signature
+    (ADVICE r9: a mismatched invocation silently digests different bytes
+    and cross-snapshot dedup misses with no warning). No flags given →
+    ADOPT the index's recorded values; conflicting flags → error. Returns
+    the effective signature. Indexes from before the signature existed
+    record nothing and pass unchecked."""
+    from pcap_converter_spark.operators import incremental as inc
+
+    mine = _prep_sig(args)
+    recorded = inc.read_index_meta(spark, index_path).get("prep")
+    if recorded is None or recorded == mine:
+        return mine
+    if not _prep_enabled(args):
+        vals = inc.parse_prep_signature(recorded)
+        args.fix_encoding = vals["fix_encoding"]
+        args.line_dedup = vals["line_dedup_min_docs"]
+        args.substring_dedup = vals["substring_dedup"]
+        print(
+            f"note: adopting the index's text-prep flags ({recorded})",
+            file=sys.stderr,
+        )
+        return recorded
+    raise SystemExit(
+        f"error: index at {index_path} was built with text prep "
+        f"'{recorded}' but this invocation specifies '{mine}' — the two "
+        "sides would digest different bytes and dedup would silently "
+        "miss; pass matching flags (or none, to adopt the index's) or "
+        "rebuild the index"
+    )
+
+
 def _apply_prep(docs, args, handles: list):
     if not _prep_enabled(args):
         return docs
@@ -111,6 +151,28 @@ def _apply_prep(docs, args, handles: list):
         substring_dedup=args.substring_dedup,
         handles=handles,
     )
+
+
+def _parse_languages(raw: str | None) -> tuple[str, ...] | None:
+    """Split/strip/validate --languages (ADVICE r9: 'en, de' left ' de'
+    unmatched and an unknown code silently dropped every doc of that
+    language — the gate compares against stopword-profile guesses, so
+    only known profile codes and 'und' can ever match)."""
+    if raw is None:
+        return None
+    from pcap_converter_spark.functions.text import LANG_STOPWORDS
+
+    known = set(LANG_STOPWORDS) | {"und"}
+    langs = tuple(x.strip() for x in raw.split(",") if x.strip())
+    if not langs:
+        raise SystemExit("error: --languages is empty")
+    bad = [x for x in langs if x not in known]
+    if bad:
+        raise SystemExit(
+            f"error: unknown language code(s) {', '.join(map(repr, bad))} "
+            f"in --languages; known: {', '.join(sorted(known))}"
+        )
+    return langs
 
 
 def _expand(patterns: list[str]) -> list[str]:
@@ -166,16 +228,20 @@ def _cmd_curate(argv: list[str]) -> int:
     docs = _load_corpus(spark, args.format, _expand(args.input))
     bench = spark.read.parquet(args.benchmark) if args.benchmark else None
     handles: list = []
+    # reconcile prep flags against the index's recorded signature BEFORE
+    # preparing: adoption may change the flags that are about to run
+    prep_sig = (
+        _reconcile_prep(spark, args, args.index)
+        if args.index
+        else _prep_sig(args)
+    )
     # prepare OUTSIDE curate so the artifact written below carries the
     # repaired/edited text the funnel judged, not the raw input
     docs = _apply_prep(docs, args, handles)
     flags = curate(
         docs, bench, corpus_index=args.index, handles=handles,
-        languages=(
-            tuple(x for x in args.languages.split(",") if x)
-            if args.languages
-            else None
-        ),
+        index_prep=prep_sig,
+        languages=_parse_languages(args.languages),
     )
     flags = flags.localCheckpoint(eager=True)
     # handles (the prep + funnel boundary caches) stay persisted through
@@ -194,7 +260,8 @@ def _cmd_curate(argv: list[str]) -> int:
         )
 
         extend_corpus_index(
-            docs.join(kept.select("doc_id"), "doc_id"), args.index
+            docs.join(kept.select("doc_id"), "doc_id"), args.index,
+            prep=prep_sig,
         )
     for h in handles:
         h.unpersist()
@@ -222,15 +289,20 @@ def _cmd_index(argv: list[str]) -> int:
     docs = _load_corpus(spark, args.format, _expand(args.input))
     # same prep flags as `curate` (see _prep_args): an index probed by a
     # prep-enabled curate run must be built over identically prepared
-    # text, or the two sides digest different bytes and miss dups
+    # text, or the two sides digest different bytes and miss dups. On
+    # --append the flags reconcile against the meta's recorded signature
+    # (adopt when none given, error on conflict) BEFORE preparing.
+    if args.append:
+        prep_sig = _reconcile_prep(spark, args, args.out)
     handles: list = []
     docs = _apply_prep(docs, args, handles)
     if args.append:
-        inc.extend_corpus_index(docs, args.out)
+        inc.extend_corpus_index(docs, args.out, prep=prep_sig)
     else:
         inc.write_corpus_index(
             docs, args.out,
             tiers=("exact",) if args.exact_only else ("exact", "near"),
+            prep=_prep_sig(args),
         )
     for h in handles:  # index files are written; drop prep caches
         h.unpersist()

@@ -400,6 +400,18 @@ def line_dedup(
     contain some boilerplate and an edited-docs-only path would save
     nothing while adding an unbounded semi-join side.
     """
+    if df.isStreaming:
+        raise ValueError(
+            "line_dedup is batch-only by contract: the boilerplate rule "
+            "is a cross-document distinct-doc frequency (df >= min_docs) "
+            "over the WHOLE corpus, which has no incremental formulation "
+            "— a line's df only grows, so a keep decision made at batch N "
+            "can be invalidated at batch N+1, and un-removing text from "
+            "an already-emitted document is impossible. Clean at rest "
+            "before streaming ingest (the CLI's --line-dedup does), or "
+            "maintain line-hash df counts in the at-rest corpus index "
+            "and re-clean periodically."
+        )
     if int(min_docs) < 2:
         raise ValueError(
             f"min_docs={min_docs}: a threshold below 2 removes EVERY "

@@ -6,7 +6,8 @@ snapshot against it — the operation behind "dedup snapshot N+1 against
 snapshots 1..N". The index stores no document text, only fixed-width
 keys, so it is ~100-1000× smaller than the corpus it summarizes:
 
-    {path}/meta/    one row: (version, shingle_k, num_hashes, bands, seed)
+    {path}/meta/    one row: (version, shingle_k, num_hashes, bands, seed,
+                    shingle_hash, tiers, prep)
     {path}/exact/   (content_hash, doc_id)          — sha256 hex, ~75 B/doc
     {path}/sigs/    (doc_id, sig array<bigint>)     — 8·num_hashes B/doc
     {path}/bands/   (band, band_hash, doc_id)       — one row per LSH band
@@ -64,8 +65,59 @@ _META_SCHEMA = T.StructType(
         T.StructField("seed", T.IntegerType()),
         T.StructField("shingle_hash", T.StringType()),
         T.StructField("tiers", T.StringType()),
+        # text-prep provenance (prep_signature): an index probed by a
+        # prep-enabled run must have been built over IDENTICALLY prepared
+        # text, or the two sides digest different bytes and cross-snapshot
+        # dedup silently misses (ADVICE r9). Same version (old indexes
+        # simply lack the column and read as None = unrecorded).
+        T.StructField("prep", T.StringType()),
     ]
 )
+
+
+def prep_signature(
+    fix_encoding: bool = False,
+    line_dedup_min_docs: int | None = None,
+    substring_dedup: int | None = None,
+) -> str:
+    """Canonical one-line encoding of the text-prep prelude an index (or
+    probe) ran before digesting — ``pipeline.prepare_text``'s three knobs.
+    Recorded in the index meta at build time and compared on append/probe:
+    equality of signatures == byte-identical digest inputs for identical
+    raw text."""
+    return (
+        f"enc={int(bool(fix_encoding))}"
+        f";line={'' if line_dedup_min_docs is None else int(line_dedup_min_docs)}"
+        f";sub={'' if substring_dedup is None else int(substring_dedup)}"
+    )
+
+
+def parse_prep_signature(sig: str) -> dict:
+    """Inverse of ``prep_signature`` → {fix_encoding, line_dedup_min_docs,
+    substring_dedup} (the adopt-the-meta's-values path on append)."""
+    vals = dict(part.split("=", 1) for part in sig.split(";"))
+    return {
+        "fix_encoding": vals.get("enc") == "1",
+        "line_dedup_min_docs": int(vals["line"]) if vals.get("line") else None,
+        "substring_dedup": int(vals["sub"]) if vals.get("sub") else None,
+    }
+
+
+def check_prep_compatible(
+    spark: SparkSession, path: str, prep: str
+) -> None:
+    """Raise if the index at ``path`` records a prep signature different
+    from ``prep``. An index without a recorded signature (pre-prep builds)
+    passes — there is nothing to compare against."""
+    recorded = read_index_meta(spark, path).get("prep")
+    if recorded is not None and recorded != prep:
+        raise ValueError(
+            f"corpus index at {path} was built with text prep "
+            f"'{recorded}' but this run prepares '{prep}' — the two "
+            "sides would digest different bytes and dedup would "
+            "silently miss; re-run with the index's prep flags or "
+            "rebuild the index"
+        )
 
 
 def _digests(docs: DataFrame, text_col: str, id_col: str) -> DataFrame:
@@ -270,12 +322,18 @@ def write_corpus_index(
     seed: int = 42,
     tiers: tuple[str, ...] = ("exact", "near"),
     shingle_hash: str = "crc32",
+    prep: str | None = None,
 ) -> None:
     """Materialize the index from scratch (overwrite). ``tiers`` controls
     what is stored: ("exact",) for digest-only indexes (e.g. passage
     digests, where MinHash over a 4-word window is meaningless) skips the
     signature pass entirely. The exact tier is mandatory — digests cost
-    ~75 B/doc and every probe reads them unconditionally."""
+    ~75 B/doc and every probe reads them unconditionally.
+
+    ``prep`` is the ``prep_signature`` of the text preparation ``docs``
+    went through before this call (default: the no-prep signature) —
+    recorded in the meta so appends and probes can verify they digest
+    identically prepared bytes."""
     if "exact" not in tiers:
         raise ValueError('tiers must include "exact"')
     if num_hashes % bands:
@@ -291,7 +349,7 @@ def write_corpus_index(
             fs.delete(s.getPath(), True)
     spark.createDataFrame(
         [(INDEX_VERSION, shingle_k, num_hashes, bands, seed, shingle_hash,
-          ",".join(tiers))],
+          ",".join(tiers), prep if prep is not None else prep_signature())],
         schema=_META_SCHEMA,
     ).coalesce(1).write.mode("overwrite").parquet(f"{path}/meta")
     if "exact" in tiers:
@@ -316,6 +374,7 @@ def extend_corpus_index(
     path: str,
     text_col: str = "text",
     id_col: str = "doc_id",
+    prep: str | None = None,
 ) -> None:
     """Append a snapshot's rows under the index's OWN pinned parameters —
     an append of new key files, never a rewrite or read of what's there.
@@ -323,8 +382,16 @@ def extend_corpus_index(
     visible across ``compact_corpus_index_safe`` generations — but do not
     race a compaction: an append landing in the old generation after the
     new one was sealed is lost at vacuum (run compaction during an append
-    pause, as documented there)."""
+    pause, as documented there).
+
+    ``prep``: the ``prep_signature`` of the preparation ``docs`` went
+    through; when given, it is verified against the meta's recorded
+    signature (raises on mismatch — a mismatched append would poison the
+    index with differently-digested bytes). None skips the check for
+    callers that manage preparation themselves."""
     spark = docs.sparkSession
+    if prep is not None:
+        check_prep_compatible(spark, path, prep)
     meta = read_index_meta(spark, path)
     root = resolve_index_root(spark, path)
     tiers = meta["tiers"].split(",")

@@ -105,10 +105,13 @@ def curate(
     max_shingle_df: int = 8,
     decon_k: int = 5,
     languages: tuple[str, ...] | None = None,
+    lang_min_evidence: int = 1,
+    lang_default: str = "und",
     pack_budget: int = 256,
     handles: list | None = None,
     corpus_index: str | None = None,
     index_threshold: float = 0.7,
+    index_prep: str | None = None,
     substring_dedup: int | None = None,
     fix_encoding: bool = False,
     line_dedup_min_docs: int | None = None,
@@ -136,6 +139,9 @@ def curate(
       the rolling-crawl composition. The funnel does NOT update the
       index; call ``incremental.extend_corpus_index`` on the kept docs
       once the artifact is written (so a failed run never poisons it).
+      The index's recorded text-prep signature is verified up front
+      against this call's prelude flags — pass ``index_prep=`` when
+      ``docs`` was prepared externally (the CLI does).
 
     - ``substring_dedup=w`` prepends the span-EDITING pass
       (``dedup.remove_duplicate_spans``): repeated ≥w-word spans vanish
@@ -150,7 +156,12 @@ def curate(
       gate runs; ``curation_report`` adapts, funnel-first). Zero extra
       scans or shuffles: the guess rides the SAME tokenized projection
       the quality stage already builds, so the gate is a few more
-      columns in one existing select.
+      columns in one existing select. ``lang_min_evidence`` raises the
+      guess's evidence bar (language_id_t: fewer total stopword hits
+      than this → NULL guess); NULL guesses are treated as
+      ``lang_default`` (default ``'und'``), so
+      ``languages=('en','und'), lang_min_evidence=3`` keeps English plus
+      anything too thin to call, while ``('en',)`` drops both bands.
     - ``fix_encoding=True`` prepends mojibake repair
       (``functions/text.fix_mojibake_t`` — UTF-8-as-cp1252 damage) as
       the very first projection, BEFORE any text-editing or judging
@@ -184,6 +195,24 @@ def curate(
 
     did, t = F.col(id_col), F.col(text_col)
 
+    # probe-vs-index prep provenance check, BEFORE any work: the index
+    # must have been built over identically prepared text or the digest
+    # comparison is meaningless (ADVICE r9). ``index_prep`` overrides the
+    # signature for callers that prepared ``docs`` externally (the CLI);
+    # by default the funnel's own prelude flags describe the preparation.
+    if corpus_index is not None:
+        from pcap_converter_spark.operators import incremental as INC
+
+        INC.check_prep_compatible(
+            docs.sparkSession,
+            corpus_index,
+            index_prep
+            if index_prep is not None
+            else INC.prep_signature(
+                fix_encoding, line_dedup_min_docs, substring_dedup
+            ),
+        )
+
     # optional text-repair/editing prelude (stage 0): the text every
     # later stage sees is the repaired/deduplicated text
     docs = prepare_text(
@@ -214,7 +243,8 @@ def curate(
                 {
                     lang: TX.stopword_hits_t(ws, lang)
                     for lang in TX.LANG_STOPWORDS
-                }
+                },
+                min_evidence=lang_min_evidence,
             ).alias("_lang")
         ]
         if languages is not None
@@ -238,7 +268,12 @@ def curate(
         F.col("dup_ngram_frac"),
     )
     if languages is not None:
-        keep_lang = F.col("_lang").isin(list(languages))
+        # NULL guess (insufficient evidence under lang_min_evidence) is
+        # judged as lang_default — a too-thin-to-call doc's fate is the
+        # caller's policy, never a silent NULL-propagating drop
+        keep_lang = F.coalesce(
+            F.col("_lang"), F.lit(lang_default)
+        ).isin(list(languages))
         # funnel convention: a lang-dropped doc has NULL downstream flags
         quality = _stage(stats.select(
             did,

@@ -40,6 +40,18 @@ _DUCK_SHINGLES = (
     "i -> concat_ws(' ', lws[i], lws[i+1], lws[i+2])))"
 )
 
+# span-dedup window and the fabricated-line constants, shared by the
+# ex_substring_dedup 'span'/'line' branches AND the ex_curate
+# composed-prelude family (defined up here because several oracle
+# f-strings below interpolate them at module load)
+_SUBSTR_W = 8
+_LINE_W = 10  # fabricated line width (words)
+_LINE_COOKIE_MIXED = "Cookie Policy | Accept All"
+_LINE_COOKIE_LOWER = "cookie policy | accept all"
+_LINE_FOOTER = "Subscribe to our newsletter today"
+# dedup.LINE_WS (" \t\r\f\x0b\xa0") spelled as a DuckDB expression
+_DUCK_LINE_WS = "(' ' || chr(9) || chr(13) || chr(12) || chr(11) || chr(160))"
+
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Documents table, spread across the cores when the scan yields fewer
@@ -294,9 +306,10 @@ def _bpe_train_ctes() -> str:
 # a test red instead of silently misaligning the hash (ADVICE r8).
 _TEXT_ALL_COLS = (
     "doc_id", "in_sample_20", "split", "n_tokens", "n_bpe", "punct_r",
-    "stop_r", "quality", "labeled_lang", "guessed_lang", "fp", "rfp",
+    "stop_r", "quality", "labeled_lang", "guessed_lang", "lang_minev",
+    "fp", "rfp",
     "mean_wlen", "pii_emails", "pii_ips", "pii_phones", "pii_fp",
-    "moji_fp", "dup_ngram_frac", "top_ngram_frac", "vocab_ids",
+    "moji_fp", "moji2_fp", "dup_ngram_frac", "top_ngram_frac", "vocab_ids",
     "pack_shard", "pack_bin", "pack_offset", "top_term", "top_tfidf",
     "hemb", "hemb_norm", "bpe_seg", "n_bpe_pieces", "gopher_keep",
 )
@@ -326,6 +339,103 @@ def _bpe_train_union_sql() -> str:
         "SELECT " + ", ".join(cols) + " FROM bt LEFT JOIN bkd bk "
         "ON bt.rank = bk.rank AND bt.a = bk.a AND bt.b = bk.b"
     )
+
+
+def _profile_sql(name: str, pred: str) -> str:
+    """One profile() replay in SQL: the exact stats (include_approx=False)
+    of operators/profile.py over documents rows matching ``pred``, long
+    format (column, stat, value, value_str) — generated per stat so the
+    CTE cannot drift from the operator's stat list for the profiled
+    columns (doc_id numeric; lang/text string)."""
+    base = f"FROM documents WHERE {pred}"
+    arms: list[str] = []
+
+    def num(col: str, stat: str, expr: str) -> None:
+        arms.append(
+            f"SELECT '{col}' AS \"column\", '{stat}' AS stat, "
+            f"CAST({expr} AS DOUBLE) AS value, "
+            f"CAST(NULL AS VARCHAR) AS value_str {base}"
+        )
+
+    def st(col: str, stat: str, expr: str) -> None:
+        arms.append(
+            f"SELECT '{col}', '{stat}', CAST(NULL AS DOUBLE), "
+            f"CAST({expr} AS VARCHAR) {base}"
+        )
+
+    num("doc_id", "count", "count(doc_id)")
+    num("doc_id", "nulls", "count(*) - count(doc_id)")
+    num("doc_id", "min", "round(CAST(min(doc_id) AS DOUBLE), 4)")
+    num("doc_id", "max", "round(CAST(max(doc_id) AS DOUBLE), 4)")
+    num("doc_id", "mean", "round(avg(CAST(doc_id AS DOUBLE)), 4)")
+    num("doc_id", "sum", "round(sum(CAST(doc_id AS DOUBLE)), 4)")
+    for c in ("lang", "text"):
+        num(c, "count", f"count({c})")
+        num(c, "nulls", f"count(*) - count({c})")
+        st(c, "min", f"min({c})")
+        st(c, "max", f"max({c})")
+        num(c, "avg_len", f"round(avg(length({c})), 4)")
+    return f"{name} AS (" + " UNION ALL ".join(arms) + ")"
+
+
+def _profile_diff_ctes() -> str:
+    """profile_diff() replayed in SQL over the two deterministic slices
+    the runner profiles (doc_id%2) — full-outer join of the two profile
+    CTEs with the operator's delta/rel_change/drifted expressions
+    (rel_threshold=0, round 4; the unrounded ratio drives the flag)."""
+    return f"""{_profile_sql("prof_o", "doc_id % 2 = 0")},
+{_profile_sql("prof_n", "doc_id % 2 = 1")},
+pdiff AS (
+  SELECT o."column" AS pcol, o.stat AS pstat,
+         o.value AS old_value, n.value AS new_value,
+         round(n.value - o.value, 4) AS delta,
+         round(CASE WHEN o.value IS NOT NULL AND n.value IS NOT NULL
+                         AND abs(o.value) > 0
+                    THEN (n.value - o.value) / abs(o.value) END,
+               4) AS rel_change,
+         o.value_str AS old_str, n.value_str AS new_str,
+         ((o.value IS NULL AND n.value IS NOT NULL)
+          OR (o.value IS NOT NULL AND n.value IS NULL)
+          OR ((o.value_str IS NULL) <> (n.value_str IS NULL))
+          OR (o.value IS NOT NULL AND n.value IS NOT NULL
+              AND CASE WHEN abs(o.value) > 0
+                       THEN abs((n.value - o.value) / abs(o.value)) > 0.0
+                       ELSE n.value <> o.value END)
+          OR (o.value_str IS NOT NULL AND n.value_str IS NOT NULL
+              AND o.value_str <> n.value_str)) AS drifted
+  FROM prof_o o FULL OUTER JOIN prof_n n
+    ON o."column" = n."column" AND o.stat = n.stat)"""
+
+
+def _profile_diff_union_sql() -> str:
+    """The 'profile_diff' rows appended to the text oracle (VERDICT r9
+    stretch #7): each (column, stat) diff row rides the union with
+    typed carriers — old/new/delta/rel in the four double columns
+    (punct_r/stop_r/quality/mean_wlen), the string stats in
+    bpe_seg/top_term, the drift flag in gopher_keep — so the driver's
+    canonicalizer compares floats natively (no cross-engine string
+    formatting of doubles). doc_id = -2000 - rank keeps the family's
+    ids disjoint from docs and bpe_train rows."""
+    overrides = {
+        "doc_id": (
+            'CAST(-2000 - row_number() OVER (ORDER BY pcol, pstat) '
+            "AS BIGINT)"
+        ),
+        "split": "'profile_diff'",
+        "fp": "pcol",
+        "rfp": "pstat",
+        "punct_r": "old_value",
+        "stop_r": "new_value",
+        "quality": "delta",
+        "mean_wlen": "rel_change",
+        "bpe_seg": "old_str",
+        "top_term": "new_str",
+        "gopher_keep": "drifted",
+    }
+    cols = [
+        f"{overrides.get(c, 'NULL')} AS {c}" for c in _TEXT_ALL_COLS
+    ]
+    return "SELECT " + ", ".join(cols) + " FROM pdiff"
 
 
 def run_text_all(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -430,6 +540,12 @@ def run_text_all(spark: SparkSession, sf_dir: str) -> DataFrame:
         TX.language_id_t(
             {lang: F.col(f"_s_{lang}") for lang in TX.LANG_STOPWORDS}
         ).alias("guessed_lang"),
+        # the min-evidence variant (VERDICT r9 #4): hash-gates the NULL
+        # band (0 < best hits < threshold) alongside the two-way guess
+        TX.language_id_t(
+            {lang: F.col(f"_s_{lang}") for lang in TX.LANG_STOPWORDS},
+            min_evidence=_LANG_MINEV,
+        ).alias("lang_minev"),
         TX.fingerprint_t(ws).alias("fp"),
         # serialized to a CSV string: the driver canonicalizer sorts results
         # with pandas, which cannot factorize list cells (r3 red rows) — the
@@ -466,6 +582,25 @@ def run_text_all(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             ).cast("binary")
         ).alias("moji_fp"),
+        # the DOUBLE-encoding band (VERDICT r9 #6): each doc decorated
+        # with one doubly-damaged form, run through the repair TWICE;
+        # the oracle expects text || the generation-time two-pass
+        # fixpoint, so the hash pins both halves of the contract — two
+        # passes reach the fixpoint, and neither pass corrupts the body
+        F.md5(
+            TX.fix_mojibake_t(TX.fix_mojibake_t(
+                F.concat(
+                    t,
+                    F.lit(" "),
+                    F.element_at(
+                        F.array(
+                            *[F.lit(d) for d, _ in TX.MOJIBAKE_DOUBLE]
+                        ),
+                        (did % len(TX.MOJIBAKE_DOUBLE) + 1).cast("int"),
+                    ),
+                )
+            )).cast("binary")
+        ).alias("moji2_fp"),
         F.array_join(
             encode_tokens(ws, vocab).cast("array<string>"), ","
         ).alias("vocab_ids"),
@@ -557,6 +692,40 @@ def run_text_all(spark: SparkSession, sf_dir: str) -> DataFrame:
         trows, "doc_id bigint, split string, bpe_seg string, n_bpe_pieces int"
     )
     out = out.unionByName(tdf, allowMissingColumns=True)
+    # 'profile_diff' rows (doc_id = -2000 - rank, VERDICT r9 stretch #7):
+    # profile() both doc_id%2 slices (exact stats only — the HLL++ rows
+    # are engine-specific by construction) and diff them; each
+    # (column, stat) row rides typed carrier columns (see
+    # _profile_diff_union_sql) so the driver hashes the drift QA artifact
+    # itself — floats stay floats, no cross-engine string formatting.
+    from pyspark.sql.window import Window
+
+    from pcap_converter_spark.operators.profile import (
+        profile, profile_diff,
+    )
+
+    prof_cols = ["doc_id", "lang", "text"]
+    pdiff = profile_diff(
+        profile(docs.filter(did % 2 == 0).select(*prof_cols),
+                include_approx=False),
+        profile(docs.filter(did % 2 == 1).select(*prof_cols),
+                include_approx=False),
+    )
+    rn = F.row_number().over(Window.orderBy("column", "stat"))
+    pdf = pdiff.select(
+        (F.lit(-2000) - rn).cast("bigint").alias("doc_id"),
+        F.lit("profile_diff").alias("split"),
+        F.col("column").alias("fp"),
+        F.col("stat").alias("rfp"),
+        F.col("old_value").alias("punct_r"),
+        F.col("new_value").alias("stop_r"),
+        F.col("delta").alias("quality"),
+        F.col("rel_change").alias("mean_wlen"),
+        F.col("old_str").alias("bpe_seg"),
+        F.col("new_str").alias("top_term"),
+        F.col("drifted").alias("gopher_keep"),
+    )
+    out = out.unionByName(pdf, allowMissingColumns=True)
     # no handle for tf_tab: it is the SESSION-cached materialization
     # (_tf_table), alive for other entries — not this entry's persist
     return _eager(spark, out, [])
@@ -571,14 +740,22 @@ _LANG_SCORES_SQL = ", ".join(
 _LANG_BEST_SQL = (
     "greatest(" + ", ".join(f"s_{lang}" for lang in TX.LANG_STOPWORDS) + ")"
 )
-_LANGID_CASE = (
-    "CASE "
-    + " ".join(
-        f"WHEN best > 0 AND s_{lang} = best THEN '{lang}'"
-        for lang in TX.LANG_STOPWORDS
+def _langid_case_sql(min_evidence: int) -> str:
+    """DuckDB twin of TX.language_id_t(scores, min_evidence): winning
+    profile at best >= min_evidence, 'und' at best = 0, NULL between."""
+    return (
+        "CASE "
+        + " ".join(
+            f"WHEN best >= {int(min_evidence)} AND s_{lang} = best "
+            f"THEN '{lang}'"
+            for lang in TX.LANG_STOPWORDS
+        )
+        + " WHEN best = 0 THEN 'und' ELSE NULL END"
     )
-    + " ELSE 'und' END"
-)
+
+
+_LANGID_CASE = _langid_case_sql(1)
+_LANG_MINEV = 3  # the hash-gated threshold case in ex_text_all
 
 # One oracle for the whole text surface. The winnowing fingerprint hashes
 # words with md5-low32 (functions/text.py word_hash32) precisely so this
@@ -592,6 +769,11 @@ _LANGID_CASE = (
 # undamaged page would have contained (independent derivation)
 _MOJI_GOODS_SQL = "[" + ", ".join(
     "'" + g.replace("'", "''") + "'" for _, g in TX.MOJIBAKE_PAIRS
+) + "]"
+# double-encoding band: the expected TWO-PASS fixpoints (independent of
+# the engine chain — generated with asserted convergence in text.py)
+_MOJI_DBL_SQL = "[" + ", ".join(
+    "'" + f.replace("'", "''") + "'" for _, f in TX.MOJIBAKE_DOUBLE
 ) + "]"
 
 _HEMB_SUMS = ", ".join(
@@ -716,7 +898,8 @@ bpec AS (
          replace(segall, '{_BPE_E}{_BPE_B}', '{_BPE_SEP}') AS y,
          length(segall) - length(replace(segall, '{_BPE_B}', '')) AS np
   FROM bpes),
-{_bpe_train_ctes()}
+{_bpe_train_ctes()},
+{_profile_diff_ctes()}
 SELECT doc_id,
   ((md5_number_lower(CAST(doc_id AS VARCHAR)) & 4294967295) % 100) < 20
     AS in_sample_20,
@@ -733,6 +916,7 @@ SELECT doc_id,
       + 0.3 * least(1.0, sraw * 10.0), 4) AS quality,
   lang AS labeled_lang,
   {_LANGID_CASE} AS guessed_lang,
+  {_langid_case_sql(_LANG_MINEV)} AS lang_minev,
   md5(array_to_string(lws, ' ')) AS fp,
   array_to_string(
     CASE WHEN len(lws) = 0 THEN CAST([] AS BIGINT[])
@@ -749,6 +933,8 @@ SELECT doc_id,
   pii_c.pii_fp AS pii_fp,
   md5(text || ' ' || ({_MOJI_GOODS_SQL})[
         CAST(doc_id % {len(TX.MOJIBAKE_PAIRS)} AS INT) + 1]) AS moji_fp,
+  md5(text || ' ' || ({_MOJI_DBL_SQL})[
+        CAST(doc_id % {len(TX.MOJIBAKE_DOUBLE)} AS INT) + 1]) AS moji2_fp,
   rep.dup_ngram_frac AS dup_ngram_frac,
   rep.top_ngram_frac AS top_ngram_frac,
   array_to_string(
@@ -781,6 +967,8 @@ FROM b LEFT JOIN (SELECT doc_id, top_term, top_tfidf FROM t_top WHERE rn = 1) tt
   JOIN bpec USING (doc_id)
 UNION ALL
 {_bpe_train_union_sql()}
+UNION ALL
+{_profile_diff_union_sql()}
 ORDER BY doc_id
 """
 
@@ -2282,6 +2470,110 @@ def _curate_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     return flags
 
 
+# --- composed-prelude family (VERDICT r9 #2): the full RefinedWeb-order
+# product path — fix_encoding → line dedup → span dedup → language gate →
+# funnel — driven through ONE curate() call and hash-gated. The corpus is
+# a deterministic fabrication over a 1/3 slice of the default family's
+# corpus: words reshaped into 10-word lines, boilerplate injected (the
+# ex_substring_dedup 'line' constants, keyed on i2 = doc_id div 3 so the
+# %3==0 slice still sees all injection classes), a doc-unique
+# mojibake-carrying line (i2%5), a doc-unique line ending in a shared
+# 12-word span (i2%4), and DAMAGED CLONES (doc_id+10M, é→Ã©) for
+# i2%55==0 docs. The clones make the composition ORDER provable: only if
+# encoding repair runs BEFORE exact dedup does the clone hash equal its
+# original and get dropped (keep_exact=false); line/span edits are
+# provable through every kept doc's token count (pack_bin/pack_offset
+# are cumulative sums of PREPARED-text token counts).
+_PRELUDE_SPAN12 = (
+    "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+)
+# the fix-BEFORE-line-dedup probe: this line is injected CLEAN into
+# exactly two docs (i2 ∈ {0,10}) and DAMAGED (é→Ã©) into exactly two
+# others (i2 ∈ {20,30}). Separately each variant's line-df is 2 <
+# min_docs=3 (kept); only if encoding repair runs FIRST do the variants
+# normalize identically (df=4 ≥ 3) and vanish from all four docs —
+# shifting those docs' token counts and every later pack position in
+# their shards. Sensitivity holds at every SF (the four ids exist from
+# sf0.001 up). The damaged clones (below) additionally pin the documented
+# exact-copy behavior: a clone that repairs byte-identical to its
+# original is wiped to '' by span dedup (keep-first) and exits at the
+# language gate, never reaching the digest stage.
+_PRELUDE_MOJI_BOILER = "résumé café boilerplate notice"
+_PRELUDE_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def _prelude_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pcap_converter_spark.operators.pipeline import curate
+
+    key = _session_key(spark, sf_dir)
+    flags = _PRELUDE_CACHE.get(key)
+    if flags is None:
+        did = F.col("doc_id")
+        base = _docs(spark, sf_dir).filter((did % 83 != 0) & (did % 3 == 0))
+        toks = base.select("doc_id", TX.words(F.col("text")).alias("_ws"))
+        i2 = F.expr("doc_id div 3")
+        ws = F.col("_ws")
+        n_last = F.greatest(F.ceil(F.size(ws) / _LINE_W) - 1, F.lit(0))
+        arr = F.transform(
+            F.sequence(F.lit(0), n_last),
+            lambda i: F.concat_ws(" ", F.slice(ws, i * _LINE_W + 1, _LINE_W)),
+        )
+        arr = F.when(
+            i2 % 3 == 0, F.concat(F.array(F.lit(_LINE_COOKIE_MIXED)), arr)
+        ).otherwise(arr)
+        arr = F.when(
+            i2 % 3 == 1, F.concat(arr, F.array(F.lit(_LINE_COOKIE_LOWER)))
+        ).otherwise(arr)
+        arr = F.when(
+            i2 % 2 == 0, F.concat(arr, F.array(F.lit(_LINE_FOOTER)))
+        ).otherwise(arr)
+        arr = F.when(
+            i2 % 5 == 0,
+            F.concat(arr, F.array(F.concat(
+                F.lit("m"), did.cast("string"), F.lit(" café menu")
+            ))),
+        ).otherwise(arr)
+        arr = F.when(
+            i2 % 4 == 0,
+            F.concat(arr, F.array(F.concat(
+                F.lit("sp"), did.cast("string"),
+                F.lit(" " + _PRELUDE_SPAN12),
+            ))),
+        ).otherwise(arr)
+        arr = F.when(
+            i2.isin(0, 10),
+            F.concat(arr, F.array(F.lit(_PRELUDE_MOJI_BOILER))),
+        ).otherwise(arr)
+        arr = F.when(
+            i2.isin(20, 30),
+            F.concat(arr, F.array(
+                F.lit(_PRELUDE_MOJI_BOILER.replace("é", "Ã©"))
+            )),
+        ).otherwise(arr)
+        lined = toks.select(
+            "doc_id", F.array_join(arr, "\n").alias("text")
+        )
+        clones = lined.filter((i2 % 5 == 0) & (i2 % 11 == 0)).select(
+            (did + F.lit(10_000_000)).alias("doc_id"),
+            F.replace(F.col("text"), F.lit("é"), F.lit("Ã©")).alias("text"),
+        )
+        handles: list = []
+        flags = _eager(
+            spark,
+            curate(
+                lined.unionByName(clones),
+                fix_encoding=True,
+                line_dedup_min_docs=3,
+                substring_dedup=8,
+                languages=("en",),
+                handles=handles,
+            ),
+            handles,
+        )
+        _PRELUDE_CACHE[key] = flags
+    return flags
+
+
 # the write_kept training artifact per (session, sf_dir): written once,
 # read back by run_curate's 'rest' branch; removed at interpreter exit
 _WRITE_KEPT_CACHE: dict[tuple[str, str], str] = {}
@@ -2327,7 +2619,15 @@ def run_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
       (operators/pipeline.py curation_report — (stage, n_entered, n_kept,
       n_dropped) as ONE aggregation over the same shared flags frame),
       NULL-padded into the union; its oracle branch re-aggregates the
-      full funnel SQL independently."""
+      full funnel SQL independently.
+    - 'pflags'/'preport' (r10, VERDICT r9 #2): the COMPOSED text-prep
+      prelude driven through one curate(fix_encoding=True,
+      line_dedup_min_docs=3, substring_dedup=8, languages=('en',)) call
+      over a fabricated line-structured corpus with damaged clones (see
+      _prelude_flags) — the oracle re-derives repair → line dedup → span
+      dedup → language gate → quality → exact → near-dup → pack
+      end-to-end in SQL, so the hash proves the composition and its
+      ORDER, not just the parts."""
     from pcap_converter_spark.operators.pipeline import curation_report
 
     # phase timers to stderr (the ex_dedup_exact pattern): the entry's
@@ -2340,9 +2640,13 @@ def run_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
     _t_funnel = _time.perf_counter() - _t0
     _t0 = _time.perf_counter()
     _kept_path = _write_kept_path(spark, sf_dir)
+    _t_art = _time.perf_counter() - _t0
+    _t0 = _time.perf_counter()
+    prelude_frame = _prelude_flags(spark, sf_dir)
     print(
         f"bench: ex_curate phases funnel={round(_t_funnel, 2)}s "
-        f"artifact={round(_time.perf_counter() - _t0, 2)}s",
+        f"artifact={round(_t_art, 2)}s "
+        f"prelude={round(_time.perf_counter() - _t0, 2)}s",
         file=_sys.stderr,
     )
 
@@ -2352,16 +2656,43 @@ def run_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
     flags = (
         flags_frame
         .withColumn("src", F.lit("flags"))
+        .withColumn("keep_lang", nb)
         .withColumn("stage", ns)
         .withColumn("n_entered", nl)
         .withColumn("n_kept", nl)
         .withColumn("n_dropped", nl)
+    )
+    pflags = (
+        prelude_frame
+        .withColumn("src", F.lit("pflags"))
+        .withColumn("stage", ns)
+        .withColumn("n_entered", nl)
+        .withColumn("n_kept", nl)
+        .withColumn("n_dropped", nl)
+    )
+    preport = curation_report(prelude_frame).select(
+        F.lit("preport").alias("src"),
+        nl.alias("doc_id"),
+        nb.alias("keep_lang"),
+        nb.alias("keep_quality"),
+        nb.alias("keep_exact"),
+        nb.alias("keep_neardup"),
+        nb.alias("keep_decon"),
+        nb.alias("kept"),
+        nl.alias("pack_shard"),
+        nl.alias("pack_bin"),
+        nl.alias("pack_offset"),
+        "stage",
+        F.col("n_entered").cast("bigint").alias("n_entered"),
+        F.col("n_kept").cast("bigint").alias("n_kept"),
+        F.col("n_dropped").cast("bigint").alias("n_dropped"),
     )
     t = F.lit(True)
     rest = (
         spark.read.parquet(_kept_path)
         .select(
             "doc_id",
+            nb.alias("keep_lang"),
             t.alias("keep_quality"),
             t.alias("keep_exact"),
             t.alias("keep_neardup"),
@@ -2380,6 +2711,7 @@ def run_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
     report = curation_report(flags_frame).select(
         F.lit("report").alias("src"),
         nl.alias("doc_id"),
+        nb.alias("keep_lang"),
         nb.alias("keep_quality"),
         nb.alias("keep_exact"),
         nb.alias("keep_neardup"),
@@ -2393,14 +2725,17 @@ def run_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_kept").cast("bigint").alias("n_kept"),
         F.col("n_dropped").cast("bigint").alias("n_dropped"),
     )
+    cols = (
+        "src", "doc_id", "keep_lang", "keep_quality", "keep_exact",
+        "keep_neardup", "keep_decon", "kept", "pack_shard", "pack_bin",
+        "pack_offset", "stage", "n_entered", "n_kept", "n_dropped",
+    )
     return (
         flags.unionByName(rest)
-        .select(
-            "src", "doc_id", "keep_quality", "keep_exact", "keep_neardup",
-            "keep_decon", "kept", "pack_shard", "pack_bin", "pack_offset",
-            "stage", "n_entered", "n_kept", "n_dropped",
-        )
+        .unionByName(pflags)
+        .select(*cols)
         .unionByName(report)
+        .unionByName(preport)
         .orderBy("src", "doc_id", "stage")
     )
 
@@ -2526,48 +2861,292 @@ LEFT JOIN pk USING (doc_id)
 ORDER BY doc_id
 """
 
-# run_curate's three branches: the funnel itself ('flags'), the write_kept
+# the composed-prelude funnel (run_curate 'pflags'/'preport'): the SQL
+# re-derives, end to end, exactly what ONE curate(fix_encoding=True,
+# line_dedup_min_docs=3, substring_dedup=8, languages=('en',)) call does
+# over the fabricated corpus _prelude_flags builds — fabrication (line
+# reshape + injections + damaged clones), mojibake repair (on this corpus
+# the full generated repair table reduces to the é pair — the only
+# damage fabricated; the FULL table is separately hash-gated via
+# ex_text_all's moji_fp), line-level boilerplate removal (min_docs=3,
+# explicit whitespace-class trim), span dedup (W=8, keep (doc,pos)-first,
+# space-joined rebuild), the 17-profile language gate, and the funnel
+# (quality → exact → near-dup CC → pack). Sensitivity: the damaged clones
+# prove repair ordering through keep_exact; every line/span edit shifts
+# the PREPARED token counts and with them every kept doc's
+# pack_bin/pack_offset.
+_PRELUDE_ORACLE = f"""
+WITH RECURSIVE pbase AS MATERIALIZED (
+  SELECT doc_id, doc_id // 3 AS i2,
+         {_DUCK_WORDS.format(src="text")} AS ws
+  FROM documents WHERE doc_id % 83 <> 0 AND doc_id % 3 = 0),
+plarr0 AS MATERIALIZED (
+  SELECT doc_id, i2,
+         list_transform(
+           range(0, greatest(CAST(ceil(len(ws) / {_LINE_W}.0) AS BIGINT)
+                             - 1, 0) + 1),
+           i -> array_to_string(
+                  list_slice(ws, i * {_LINE_W} + 1, i * {_LINE_W} + {_LINE_W}),
+                  ' ')) AS la
+  FROM pbase),
+plarr AS MATERIALIZED (
+  SELECT doc_id, i2,
+         (CASE WHEN i2 % 3 = 0 THEN ['{_LINE_COOKIE_MIXED}']
+               ELSE CAST([] AS VARCHAR[]) END)
+         || la
+         || (CASE WHEN i2 % 3 = 1 THEN ['{_LINE_COOKIE_LOWER}']
+                  ELSE CAST([] AS VARCHAR[]) END)
+         || (CASE WHEN i2 % 2 = 0 THEN ['{_LINE_FOOTER}']
+                  ELSE CAST([] AS VARCHAR[]) END)
+         || (CASE WHEN i2 % 5 = 0
+                  THEN ['m' || CAST(doc_id AS VARCHAR) || ' café menu']
+                  ELSE CAST([] AS VARCHAR[]) END)
+         || (CASE WHEN i2 % 4 = 0
+                  THEN ['sp' || CAST(doc_id AS VARCHAR)
+                        || ' {_PRELUDE_SPAN12}']
+                  ELSE CAST([] AS VARCHAR[]) END)
+         || (CASE WHEN i2 IN (0, 10) THEN ['{_PRELUDE_MOJI_BOILER}']
+                  ELSE CAST([] AS VARCHAR[]) END)
+         || (CASE WHEN i2 IN (20, 30)
+                  THEN ['{_PRELUDE_MOJI_BOILER.replace("é", "Ã©")}']
+                  ELSE CAST([] AS VARCHAR[]) END) AS la
+  FROM plarr0),
+plined AS MATERIALIZED (
+  SELECT doc_id, i2, array_to_string(la, chr(10)) AS text FROM plarr),
+pcorp AS MATERIALIZED (
+  SELECT doc_id, text FROM plined
+  UNION ALL
+  SELECT doc_id + 10000000, replace(text, 'é', 'Ã©')
+  FROM plined WHERE i2 % 5 = 0 AND i2 % 11 = 0),
+pfx AS MATERIALIZED (SELECT doc_id, replace(text, 'Ã©', 'é') AS text FROM pcorp),
+plk AS MATERIALIZED (
+  SELECT doc_id, generate_subscripts(ls, 1) AS pos, unnest(ls) AS line,
+         CASE WHEN trim(lower(unnest(ls)), {_DUCK_LINE_WS}) <> ''
+              THEN md5(trim(lower(unnest(ls)), {_DUCK_LINE_WS})) END AS k
+  FROM (SELECT doc_id, string_split(text, chr(10)) AS ls FROM pfx) z),
+pboil AS MATERIALIZED (
+  SELECT k FROM plk WHERE k IS NOT NULL
+  GROUP BY k HAVING count(DISTINCT doc_id) >= 3),
+pclean AS MATERIALIZED (
+  SELECT plk.doc_id,
+         coalesce(string_agg(CASE WHEN b.k IS NULL THEN line END,
+                             chr(10) ORDER BY pos), '') AS text
+  FROM plk LEFT JOIN pboil b USING (k)
+  GROUP BY plk.doc_id),
+pws AS MATERIALIZED (
+  SELECT doc_id, text, {_DUCK_WORDS.format(src="text")} AS ws FROM pclean),
+pocc AS MATERIALIZED (
+  SELECT doc_id, CAST(pos AS INT) AS pos,
+         CAST(md5_number_lower(
+                array_to_string(ws[pos + 1 : pos + {_SUBSTR_W}], ' '))
+              & 9223372036854775807::UBIGINT AS BIGINT) AS gh
+  FROM (SELECT doc_id, ws,
+               unnest(range(greatest(len(ws) - {_SUBSTR_W} + 1, 0))) AS pos
+        FROM pws) z),
+pcanon AS MATERIALIZED (
+  SELECT gh, min({{'doc': doc_id, 'pos': pos}}) AS first
+  FROM pocc GROUP BY gh HAVING count(*) > 1),
+pmarked AS MATERIALIZED (
+  SELECT o.doc_id, o.pos FROM pocc o JOIN pcanon c ON o.gh = c.gh
+  WHERE NOT (o.doc_id = c.first.doc AND o.pos = c.first.pos)),
+pcov AS MATERIALIZED (
+  SELECT DISTINCT m.doc_id, m.pos + i.i AS wp
+  FROM pmarked m, (SELECT unnest(range({_SUBSTR_W})) AS i) i),
+pwt AS MATERIALIZED (
+  SELECT doc_id, generate_subscripts(ws, 1) - 1 AS wp, unnest(ws) AS word
+  FROM pws),
+prebuilt AS MATERIALIZED (
+  SELECT w.doc_id,
+         string_agg(CASE WHEN c.wp IS NULL THEN w.word END,
+                    ' ' ORDER BY w.wp) AS ct,
+         count(c.wp) AS n_removed
+  FROM pwt w LEFT JOIN pcov c ON w.doc_id = c.doc_id AND w.wp = c.wp
+  GROUP BY w.doc_id),
+pprep AS MATERIALIZED (
+  SELECT c.doc_id,
+         CASE WHEN coalesce(r.n_removed, 0) = 0 THEN c.text
+              ELSE coalesce(r.ct, '') END AS text
+  FROM pclean c LEFT JOIN prebuilt r USING (doc_id)),
+pw2 AS MATERIALIZED (
+  SELECT doc_id, text, {_DUCK_WORDS.format(src="lower(text)")} AS lws
+  FROM pprep),
+plg AS MATERIALIZED (
+  SELECT doc_id, ({_LANGID_CASE}) IN ('en') AS keep_lang
+  FROM (SELECT z.*, {_LANG_BEST_SQL} AS best
+        FROM (SELECT doc_id, {_LANG_SCORES_SQL} FROM pw2) z) zz),
+pq0 AS MATERIALIZED (
+  SELECT doc_id, text, lws, len(lws) AS nt,
+         CASE WHEN len(lws) > 0
+              THEN length(array_to_string(lws, '')) * 1.0 / len(lws)
+              ELSE 0.0 END AS mwl,
+         CASE WHEN length(text) > 0
+              THEN (length(text)
+                    - length(regexp_replace(text, '[^a-zA-Z0-9\\s]', '', 'g')))
+                   * 1.0 / length(text)
+              ELSE 0.0 END AS pr,
+         {_DUCK_STOP_FILTER["en"]} AS sh
+  FROM pw2),
+pg2 AS MATERIALIZED (
+  SELECT doc_id,
+         unnest(CASE WHEN len(lws) >= 2
+           THEN list_transform(range(1, len(lws)),
+                               i -> concat_ws(' ', lws[i], lws[i+1]))
+           ELSE [array_to_string(lws, ' ')] END) AS gram
+  FROM pw2),
+prep2 AS MATERIALIZED (
+  SELECT doc_id, 1.0 - count(DISTINCT gram) * 1.0 / count(*) AS dupf
+  FROM pg2 GROUP BY doc_id),
+pq AS MATERIALIZED (
+  SELECT pq0.doc_id, pq0.text, pq0.lws, pq0.nt,
+         CASE WHEN plg.keep_lang THEN
+           (nt >= 20 AND nt <= 100000 AND mwl >= 3.0 AND mwl <= 10.0
+            AND pr < 0.1 AND sh >= 2 AND dupf < 0.5) END AS keep_quality
+  FROM pq0 JOIN prep2 USING (doc_id) JOIN plg USING (doc_id)),
+pqs AS MATERIALIZED (SELECT * FROM pq WHERE keep_quality),
+pex AS MATERIALIZED (
+  SELECT doc_id,
+         (doc_id = min(doc_id) OVER (PARTITION BY text)) AS keep_exact
+  FROM pqs),
+pes AS MATERIALIZED (SELECT pqs.* FROM pqs JOIN pex USING (doc_id) WHERE keep_exact),
+ps3 AS MATERIALIZED (SELECT doc_id, {_DUCK_SHINGLES} AS shl FROM pes),
+pje_raw AS MATERIALIZED (SELECT doc_id, unnest(shl) AS sh_text FROM ps3),
+pje0 AS MATERIALIZED (SELECT doc_id,
+        CAST(md5_number_lower(sh_text) & 9223372036854775807::UBIGINT
+             AS BIGINT) AS shh
+        FROM pje_raw),
+pjdfc AS MATERIALIZED (SELECT shh, count(*) AS c FROM pje0 GROUP BY shh),
+pje AS MATERIALIZED (SELECT pje0.doc_id, pje0.shh FROM pje0 JOIN pjdfc USING (shh)
+        WHERE c <= {_JACCARD_DF_CUT}),
+pjsz AS MATERIALIZED (SELECT doc_id, count(*) AS n FROM pje GROUP BY doc_id),
+pjinter AS MATERIALIZED (
+  SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS ni
+  FROM pje a JOIN pje b ON a.shh = b.shh AND a.doc_id < b.doc_id
+  GROUP BY da, db),
+pjpairs AS MATERIALIZED (
+  SELECT da, db FROM pjinter
+  JOIN pjsz na ON da = na.doc_id JOIN pjsz nb ON db = nb.doc_id
+  WHERE round(ni / CAST(na.n + nb.n - ni AS DOUBLE), 4) >= 0.7),
+psym AS MATERIALIZED (SELECT da AS a, db AS b FROM pjpairs
+         UNION ALL SELECT db, da FROM pjpairs),
+preach(doc, anc) AS (
+  SELECT doc_id, doc_id FROM pes
+  UNION
+  SELECT r.doc, s2.b FROM preach r JOIN psym s2 ON s2.a = r.anc),
+pnd AS MATERIALIZED (
+  SELECT doc AS doc_id, (doc = min(anc)) AS keep_neardup
+  FROM preach GROUP BY doc),
+pns AS MATERIALIZED (SELECT pes.* FROM pes JOIN pnd USING (doc_id) WHERE keep_neardup),
+pdec AS MATERIALIZED (SELECT doc_id, true AS keep_decon FROM pns),
+ppk AS MATERIALIZED (
+  SELECT doc_id, doc_id % 16 AS pack_shard,
+         CAST(floor(start / 256.0) AS BIGINT) AS pack_bin,
+         CAST(start % 256 AS BIGINT) AS pack_offset
+  FROM (SELECT doc_id, coalesce(CAST(sum(nt) OVER (
+              PARTITION BY doc_id % 16 ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT),
+            0) AS start
+        FROM pns) t)
+SELECT d.doc_id, plg.keep_lang, pq.keep_quality, pex.keep_exact,
+       pnd.keep_neardup, pdec.keep_decon,
+       coalesce(plg.keep_lang AND pq.keep_quality AND pex.keep_exact
+                AND pnd.keep_neardup AND pdec.keep_decon, false) AS kept,
+       ppk.pack_shard, ppk.pack_bin, ppk.pack_offset
+FROM pcorp d
+LEFT JOIN plg USING (doc_id)
+LEFT JOIN pq USING (doc_id)
+LEFT JOIN pex USING (doc_id)
+LEFT JOIN pnd USING (doc_id)
+LEFT JOIN pdec USING (doc_id)
+LEFT JOIN ppk USING (doc_id)
+ORDER BY doc_id
+"""
+
+# run_curate's five branches: the funnel itself ('flags'), the write_kept
 # artifact read-back ('rest' — expected rows are the funnel's kept rows
-# with all flags true, re-derived from the same SQL), and the per-stage
+# with all flags true, re-derived from the same SQL), the per-stage
 # funnel summary ('report' — an independent re-aggregation of the funnel
 # SQL, NULL-padded into the union; merged from the former
-# ex_curate_report entry in r6)
+# ex_curate_report entry in r6), and the composed-prelude family
+# ('pflags'/'preport' — r10, VERDICT r9 #2)
 _CURATE_TAGGED_ORACLE = f"""
-SELECT src, doc_id, keep_quality, keep_exact, keep_neardup, keep_decon,
-       kept, pack_shard, pack_bin, pack_offset,
+WITH cfun AS MATERIALIZED ({_CURATE_ORACLE}),
+     pfun AS MATERIALIZED ({_PRELUDE_ORACLE})
+SELECT src, doc_id, keep_lang, keep_quality, keep_exact, keep_neardup,
+       keep_decon, kept, pack_shard, pack_bin, pack_offset,
        stage, n_entered, n_kept, n_dropped FROM (
-  SELECT 'flags' AS src, a.*, CAST(NULL AS VARCHAR) AS stage,
+  SELECT 'flags' AS src, a.doc_id, CAST(NULL AS BOOLEAN) AS keep_lang,
+         a.keep_quality, a.keep_exact, a.keep_neardup, a.keep_decon,
+         a.kept, a.pack_shard, a.pack_bin, a.pack_offset,
+         CAST(NULL AS VARCHAR) AS stage,
          CAST(NULL AS BIGINT) AS n_entered, CAST(NULL AS BIGINT) AS n_kept,
          CAST(NULL AS BIGINT) AS n_dropped
-  FROM ({_CURATE_ORACLE}) a
+  FROM cfun a
   UNION ALL
-  SELECT 'rest' AS src, doc_id, true, true, true, true, true,
+  SELECT 'rest' AS src, doc_id, CAST(NULL AS BOOLEAN),
+         true, true, true, true, true,
          pack_shard, pack_bin, pack_offset, CAST(NULL AS VARCHAR),
          CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), CAST(NULL AS BIGINT)
-  FROM ({_CURATE_ORACLE}) b WHERE kept
+  FROM cfun WHERE kept
+  UNION ALL
+  SELECT 'pflags' AS src, p.doc_id, p.keep_lang, p.keep_quality,
+         p.keep_exact, p.keep_neardup, p.keep_decon, p.kept,
+         p.pack_shard, p.pack_bin, p.pack_offset,
+         CAST(NULL AS VARCHAR) AS stage,
+         CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), CAST(NULL AS BIGINT)
+  FROM pfun p
   UNION ALL
   SELECT 'report' AS src, CAST(NULL AS BIGINT) AS doc_id,
          CAST(NULL AS BOOLEAN), CAST(NULL AS BOOLEAN),
          CAST(NULL AS BOOLEAN), CAST(NULL AS BOOLEAN),
-         CAST(NULL AS BOOLEAN), CAST(NULL AS BIGINT),
-         CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+         CAST(NULL AS BOOLEAN), CAST(NULL AS BOOLEAN),
+         CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
          stage, n_entered, n_kept, n_dropped
   FROM (
-    WITH agg AS (
-      SELECT count(*) AS n_in,
-             count(CASE WHEN keep_quality THEN 1 END) AS q,
-             count(CASE WHEN keep_exact THEN 1 END) AS e,
-             count(CASE WHEN keep_neardup THEN 1 END) AS n,
-             count(CASE WHEN keep_decon THEN 1 END) AS d,
-             count(CASE WHEN kept THEN 1 END) AS k
-      FROM ({_CURATE_ORACLE}) f)
     SELECT stage, n_entered, n_kept, n_entered - n_kept AS n_dropped FROM (
-      SELECT 'quality' AS stage, n_in AS n_entered, q AS n_kept FROM agg
-      UNION ALL SELECT 'exact', q, e FROM agg
-      UNION ALL SELECT 'neardup', e, n FROM agg
-      UNION ALL SELECT 'decon', n, d FROM agg
-      UNION ALL SELECT 'kept', d, k FROM agg) t
+      SELECT 'quality' AS stage, n_in AS n_entered, q AS n_kept FROM (
+        SELECT count(*) AS n_in,
+               count(CASE WHEN keep_quality THEN 1 END) AS q FROM cfun) z
+      UNION ALL SELECT 'exact',
+        (SELECT count(CASE WHEN keep_quality THEN 1 END) FROM cfun),
+        (SELECT count(CASE WHEN keep_exact THEN 1 END) FROM cfun)
+      UNION ALL SELECT 'neardup',
+        (SELECT count(CASE WHEN keep_exact THEN 1 END) FROM cfun),
+        (SELECT count(CASE WHEN keep_neardup THEN 1 END) FROM cfun)
+      UNION ALL SELECT 'decon',
+        (SELECT count(CASE WHEN keep_neardup THEN 1 END) FROM cfun),
+        (SELECT count(CASE WHEN keep_decon THEN 1 END) FROM cfun)
+      UNION ALL SELECT 'kept',
+        (SELECT count(CASE WHEN keep_decon THEN 1 END) FROM cfun),
+        (SELECT count(CASE WHEN kept THEN 1 END) FROM cfun)) t
   ) r
+  UNION ALL
+  SELECT 'preport' AS src, CAST(NULL AS BIGINT) AS doc_id,
+         CAST(NULL AS BOOLEAN), CAST(NULL AS BOOLEAN),
+         CAST(NULL AS BOOLEAN), CAST(NULL AS BOOLEAN),
+         CAST(NULL AS BOOLEAN), CAST(NULL AS BOOLEAN),
+         CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+         stage, n_entered, n_kept, n_dropped
+  FROM (
+    SELECT stage, n_entered, n_kept, n_entered - n_kept AS n_dropped FROM (
+      SELECT 'lang' AS stage,
+        (SELECT count(*) FROM pfun) AS n_entered,
+        (SELECT count(CASE WHEN keep_lang THEN 1 END) FROM pfun) AS n_kept
+      UNION ALL SELECT 'quality',
+        (SELECT count(CASE WHEN keep_lang THEN 1 END) FROM pfun),
+        (SELECT count(CASE WHEN keep_quality THEN 1 END) FROM pfun)
+      UNION ALL SELECT 'exact',
+        (SELECT count(CASE WHEN keep_quality THEN 1 END) FROM pfun),
+        (SELECT count(CASE WHEN keep_exact THEN 1 END) FROM pfun)
+      UNION ALL SELECT 'neardup',
+        (SELECT count(CASE WHEN keep_exact THEN 1 END) FROM pfun),
+        (SELECT count(CASE WHEN keep_neardup THEN 1 END) FROM pfun)
+      UNION ALL SELECT 'decon',
+        (SELECT count(CASE WHEN keep_neardup THEN 1 END) FROM pfun),
+        (SELECT count(CASE WHEN keep_decon THEN 1 END) FROM pfun)
+      UNION ALL SELECT 'kept',
+        (SELECT count(CASE WHEN keep_decon THEN 1 END) FROM pfun),
+        (SELECT count(CASE WHEN kept THEN 1 END) FROM pfun)) t
+  ) pr2
 ) u ORDER BY src, doc_id, stage
 """
 
@@ -3272,9 +3851,6 @@ _SEMDEDUP_ORACLE = _semdedup_oracle(_SEM_INIT, _SEM_ITERS, _SEM_TAU)
 # exact substring-span dedup — dedup.remove_duplicate_spans
 # ---------------------------------------------------------------------------
 
-_SUBSTR_W = 8
-
-
 def run_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BOTH text-EDITING dedup tiers, src-tagged. 'span': exact
     substring-span dedup (the Lee-et-al ExactSubstr pass, word
@@ -3326,12 +3902,6 @@ def run_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return span.unionByName(line).orderBy("src", "doc_id")
 
 
-_LINE_W = 10  # fabricated line width (words) for the 'line' branch
-_LINE_COOKIE_MIXED = "Cookie Policy | Accept All"
-_LINE_COOKIE_LOWER = "cookie policy | accept all"
-_LINE_FOOTER = "Subscribe to our newsletter today"
-# dedup.LINE_WS (" \t\r\f\x0b\xa0") spelled as a DuckDB expression
-_DUCK_LINE_WS = "(' ' || chr(9) || chr(13) || chr(12) || chr(11) || chr(160))"
 
 
 _SUBSTR_ORACLE = f"""

@@ -171,3 +171,78 @@ def test_cli_index_and_curate_agree_on_prepared_text(spark, tmp_path):
     assert urls == [f"https://s.org/b/{i}" for i in (1, 2, 3)]
     # and the artifact text is the PREPARED text (boilerplate stripped)
     assert all(boiler not in r["text"] for r in kept.collect())
+
+
+def test_cli_prep_provenance_recorded_and_enforced(spark, tmp_path):
+    """ADVICE r9 (medium): the prep flags are recorded in the index meta
+    at build time; a conflicting --append or curate --index invocation
+    errors before touching the index; an invocation with NO prep flags
+    ADOPTS the meta's values (verified by the adopted edit showing up in
+    the artifact)."""
+    import pytest
+
+    from pcap_converter_spark.operators import incremental as inc
+
+    boiler = "subscribe to our newsletter"
+    day1 = str(tmp_path / "pr1.jsonl.gz")
+    _jsonl(day1, [
+        {"url": f"https://s.org/a/{i}", "text": _prose("one", i) + f"\n{boiler}"}
+        for i in range(6)
+    ])
+    idx = str(tmp_path / "idx_prov")
+    assert main(["index", "--input", day1, "--format", "jsonl",
+                 "--out", idx, "--line-dedup", "3"]) == 0
+    assert inc.read_index_meta(spark, idx)["prep"] == "enc=0;line=3;sub="
+
+    day2 = str(tmp_path / "pr2.jsonl.gz")
+    _jsonl(day2, [
+        {"url": f"https://s.org/b/{i}", "text": _prose("two", i) + f"\n{boiler}"}
+        for i in range(4)
+    ])
+
+    # conflicting --append: rejected before any write
+    n_before = spark.read.parquet(f"{idx}/exact").count()
+    with pytest.raises(SystemExit, match="text prep"):
+        main(["index", "--input", day2, "--format", "jsonl",
+              "--out", idx, "--append", "--fix-encoding"])
+    assert spark.read.parquet(f"{idx}/exact").count() == n_before
+
+    # conflicting curate --index: rejected
+    out = str(tmp_path / "artifact_prov")
+    with pytest.raises(SystemExit, match="text prep"):
+        main(["curate", "--input", day2, "--format", "jsonl",
+              "--out", out, "--index", idx, "--substring-dedup", "8"])
+
+    # flag-free curate --index ADOPTS line-dedup=3: runs green and the
+    # artifact text carries the adopted edit (boilerplate stripped)
+    assert main(["curate", "--input", day2, "--format", "jsonl",
+                 "--out", out, "--index", idx]) == 0
+    kept = spark.read.parquet(out).collect()
+    assert kept and all(boiler not in r["text"] for r in kept)
+
+    # flag-free --append adopts too (same digests as a flagged append)
+    assert main(["index", "--input", day2, "--format", "jsonl",
+                 "--out", idx, "--append"]) == 0
+    assert spark.read.parquet(f"{idx}/exact").count() == n_before + 4
+
+
+def test_cli_languages_parsing(spark, tmp_path):
+    """ADVICE r9: --languages strips tokens and rejects unknown codes
+    instead of silently dropping every doc."""
+    import pytest
+
+    from pcap_converter_spark.cli import _parse_languages
+
+    assert _parse_languages("en, de") == ("en", "de")
+    assert _parse_languages(None) is None
+    with pytest.raises(SystemExit, match="unknown language"):
+        _parse_languages("english")
+    with pytest.raises(SystemExit, match="empty"):
+        _parse_languages(" , ")
+
+    day = str(tmp_path / "lg.jsonl.gz")
+    _jsonl(day, [{"url": "https://s.org/x", "text": _prose("one", 0)}])
+    out = str(tmp_path / "artifact_lg")
+    with pytest.raises(SystemExit, match="unknown language"):
+        main(["curate", "--input", day, "--format", "jsonl",
+              "--out", out, "--languages", "english"])

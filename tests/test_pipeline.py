@@ -431,3 +431,29 @@ def test_curate_language_gate(spark):
     assert rep["quality"]["n_entered"] == 6
     # default form unchanged: no keep_lang column when the gate is off
     assert "keep_lang" not in curate(docs).columns
+
+
+def test_curate_language_gate_min_evidence_default(spark):
+    """lang_min_evidence + lang_default: a doc whose stopword evidence
+    falls under the bar gets a NULL guess, which the gate judges as
+    lang_default — ('en','und') keeps it, ('en',) drops it."""
+    from pcap_converter_spark.operators.pipeline import curate
+
+    en = "the is a of and to in that it was on for with as his " * 3
+    thin = "bonjour le monde " + "plainword " * 60  # 1 fr hit, < 3
+    rows = [(0, en + "enword " * 10), (1, thin)]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+
+    keep = curate(docs, languages=("en", "und"), lang_min_evidence=3)
+    got = {r["doc_id"]: r["keep_lang"] for r in keep.collect()}
+    assert got == {0: True, 1: True}
+
+    drop = curate(docs, languages=("en",), lang_min_evidence=3)
+    got = {r["doc_id"]: r["keep_lang"] for r in drop.collect()}
+    assert got == {0: True, 1: False}
+
+    # explicit default routes the thin band into a named language
+    adopt = curate(docs, languages=("fr",), lang_min_evidence=3,
+                   lang_default="fr")
+    got = {r["doc_id"]: r["keep_lang"] for r in adopt.collect()}
+    assert got == {0: False, 1: True}

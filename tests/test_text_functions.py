@@ -505,3 +505,83 @@ def test_fix_mojibake_double_encoding_is_out_of_scope_but_stable(spark):
         TX.fix_mojibake_t(TX.fix_mojibake_t(F.col("s"))).alias("f")
     ).collect()[0]["f"]
     assert again == once
+
+
+def test_language_id_covers_seventeen_profiles(spark):
+    """r10 widening: the ten new high-resource profiles each win on a
+    sample built from their own function words (deterministic ties by
+    dict order are part of the contract)."""
+    samples = {
+        "sv": "och att det som en är inte huset",
+        "da": "og det at en til er ikke hunden",
+        "no": "og det som er på til ikke huset",
+        "pl": "i w nie na się jest to dom",
+        "cs": "a je se na to že ale dům",
+        "ro": "și de la cu un este pentru casa",
+        "tr": "bir ve bu için çok ama gibi ev",
+        "fi": "ja on ei että se mutta hän talo",
+        "id": "yang dan di itu dengan untuk tidak rumah",
+        "ru": "и в не на что это как дом",
+    }
+    assert set(samples) | {"en", "de", "es", "fr", "it", "pt", "nl"} == set(
+        TX.LANG_STOPWORDS
+    )
+    df = spark.createDataFrame(list(samples.items()), ["lang", "text"])
+    got = {r["lang"]: r["g"] for r in df.select(
+        "lang", TX.language_id(F.col("text")).alias("g")).collect()}
+    assert got == {k: k for k in samples}, got
+
+
+def test_language_id_min_evidence_band(spark):
+    """VERDICT r9 #4: three-way verdict — confident guess at
+    best >= min_evidence, NULL on thin evidence (0 < best < threshold),
+    'und' only at zero hits; min_evidence=1 reproduces the historical
+    two-way behavior."""
+    rows = [
+        (0, "le chien est dans une maison et les chats"),  # fr, 5 hits
+        (1, "bonjour le monde"),                           # fr, 1 hit
+        (2, "xyzzy qwerty plugh"),                         # zero hits
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+
+    def run(minev):
+        return {
+            r["doc_id"]: r["g"]
+            for r in df.select(
+                "doc_id",
+                TX.language_id(F.col("text"), min_evidence=minev).alias("g"),
+            ).collect()
+        }
+
+    assert run(1) == {0: "fr", 1: "fr", 2: "und"}
+    assert run(3) == {0: "fr", 1: None, 2: "und"}
+
+
+def test_fix_mojibake_double_encoding_converges_by_two_passes(spark):
+    """r10 sharpening of the double-encoding contract: some forms ('‡')
+    are NOT a one-pass fixpoint — the first pass reconstructs their
+    single-damaged form, the second completes it; every form is a
+    fixpoint after two passes and no pass corrupts (the generated
+    MOJIBAKE_DOUBLE table carries the asserted fixpoints)."""
+    twice = "‡".encode("utf-8").decode("cp1252").encode(
+        "utf-8").decode("cp1252")
+    df = spark.createDataFrame([(twice,)], ["s"])
+    once = df.select(TX.fix_mojibake_t(F.col("s")).alias("f")).collect()[0]["f"]
+    assert once == "â€¡"  # the single-damaged form of '‡'
+    again = df.select(
+        TX.fix_mojibake_t(TX.fix_mojibake_t(F.col("s"))).alias("f")
+    ).collect()[0]["f"]
+    assert again == "‡"  # second pass completes the repair
+    third = df.select(
+        TX.fix_mojibake_t(TX.fix_mojibake_t(
+            TX.fix_mojibake_t(F.col("s")))).alias("f")
+    ).collect()[0]["f"]
+    assert third == again  # fixpoint by two
+    # engine parity with the generated table across ALL forms
+    dbls = [(d, f) for d, f in TX.MOJIBAKE_DOUBLE]
+    dfa = spark.createDataFrame(dbls, ["dbl", "expected"])
+    got = dfa.select(
+        TX.fix_mojibake_t(TX.fix_mojibake_t(F.col("dbl"))).alias("g"),
+        "expected",
+    ).collect()
+    assert all(r["g"] == r["expected"] for r in got)
