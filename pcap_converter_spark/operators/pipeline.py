@@ -77,6 +77,7 @@ def prepare_text(
         return df
 
     others = [c for c in docs.columns if c != text_col]
+    edited = False
     if fix_encoding:
         from pcap_converter_spark.functions.text import fix_mojibake_t
 
@@ -87,12 +88,25 @@ def prepare_text(
             id_col=id_col, text_col=text_col, handles=own_handles,
         ).select(id_col, F.col("clean_text").alias(text_col))
         docs = _stage(docs.select(*others).join(cleaned, id_col))
+        edited = True
     if substring_dedup is not None:
         cleaned = dedup.remove_duplicate_spans(
             docs, min_words=int(substring_dedup),
             id_col=id_col, text_col=text_col,
         ).select(id_col, F.col("clean_text").alias(text_col))
-        docs = _stage(docs.select(*others).join(cleaned, id_col))
+        docs = docs.select(*others).join(cleaned, id_col)
+        edited = True
+    if edited:
+        # Truncate lineage at the prelude boundary (lazy localCheckpoint:
+        # materializes with the caller's FIRST action, then every later
+        # plan starts from a leaf). Persisting alone caches DATA but not
+        # plan depth — each of curate's ~25 downstream eager actions
+        # re-analyzes the full prep lineage (two Arrow stages + joins),
+        # which measured 40 s of fixed driver overhead at fixture scale
+        # regardless of row count. Block-store cost equals the persist
+        # it replaces; the checkpointed blocks are freed by the context
+        # cleaner when the frame is dropped.
+        docs = docs.localCheckpoint(eager=False)
     return docs
 
 
@@ -237,15 +251,18 @@ def curate(
     toks = docs.select(did, t, TX.words(F.lower(t)).alias("_ws"))
     ws = F.col("_ws")
     grams = token_ngrams(ws, 2)
-    lang_stat = (
+    # language gate scores are STAGED as attribute columns before the
+    # CASE chain reads them: language_id_t references every score 2-3
+    # times (greatest + per-profile comparisons), and inlining the
+    # interpreted HOF filter per reference re-evaluated ~35 token-array
+    # passes per row (measured +5.5 s on the fixture funnel; the
+    # ex_text_all runner has always used this staged shape — its
+    # docstring explains why CollapseProject keeps multi-referenced
+    # projections separate)
+    lang_hits = (
         [
-            TX.language_id_t(
-                {
-                    lang: TX.stopword_hits_t(ws, lang)
-                    for lang in TX.LANG_STOPWORDS
-                },
-                min_evidence=lang_min_evidence,
-            ).alias("_lang")
+            TX.stopword_hits_t(ws, lang).alias(f"_s_{lang}")
+            for lang in TX.LANG_STOPWORDS
         ]
         if languages is not None
         else []
@@ -261,8 +278,19 @@ def curate(
             F.lit(1.0)
             - F.size(F.array_distinct(grams)) / F.size(grams)
         ).alias("dup_ngram_frac"),
-        *lang_stat,
+        *lang_hits,
     )
+    if languages is not None:
+        stats = stats.select(
+            "*",
+            TX.language_id_t(
+                {
+                    lang: F.col(f"_s_{lang}")
+                    for lang in TX.LANG_STOPWORDS
+                },
+                min_evidence=lang_min_evidence,
+            ).alias("_lang"),
+        )
     gop = gopher_keep(
         F.col("_nt"), F.col("_mwl"), F.col("_pr"), F.col("_sh"),
         F.col("dup_ngram_frac"),

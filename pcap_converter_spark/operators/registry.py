@@ -2509,59 +2509,66 @@ def _prelude_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     flags = _PRELUDE_CACHE.get(key)
     if flags is None:
         did = F.col("doc_id")
-        base = _docs(spark, sf_dir).filter((did % 83 != 0) & (did % 3 == 0))
+        # 1/15 corpus slice: the funnel's cost at fixture scale is fixed
+        # job overhead, not rows — a slice 5x thinner than the first cut
+        # (%3) proves the identical composition for a third of the wall
+        # time; i2 = doc_id div 15 still sweeps consecutive integers, so
+        # every injection class below appears at every SF
+        base = _docs(spark, sf_dir).filter((did % 83 != 0) & (did % 15 == 0))
         toks = base.select("doc_id", TX.words(F.col("text")).alias("_ws"))
-        i2 = F.expr("doc_id div 3")
+        i2 = F.expr("doc_id div 15")
         ws = F.col("_ws")
         n_last = F.greatest(F.ceil(F.size(ws) / _LINE_W) - 1, F.lit(0))
-        arr = F.transform(
+        body = F.transform(
             F.sequence(F.lit(0), n_last),
             lambda i: F.concat_ws(" ", F.slice(ws, i * _LINE_W + 1, _LINE_W)),
         )
-        arr = F.when(
-            i2 % 3 == 0, F.concat(F.array(F.lit(_LINE_COOKIE_MIXED)), arr)
-        ).otherwise(arr)
-        arr = F.when(
-            i2 % 3 == 1, F.concat(arr, F.array(F.lit(_LINE_COOKIE_LOWER)))
-        ).otherwise(arr)
-        arr = F.when(
-            i2 % 2 == 0, F.concat(arr, F.array(F.lit(_LINE_FOOTER)))
-        ).otherwise(arr)
-        arr = F.when(
-            i2 % 5 == 0,
-            F.concat(arr, F.array(F.concat(
+
+        # conditional-EMPTY arrays concatenated linearly (the SQL twin's
+        # `|| CASE ... END` shape): the first version nested
+        # when(c, concat(x, arr)).otherwise(arr) seven deep, duplicating
+        # the whole body expression in BOTH branches — a 2^7 expression
+        # tree that, re-derived by every funnel stage of the (then
+        # unpersisted) corpus, cost 263 s at sf0.1; this form is linear
+        # and the fabricated corpus is materialized ONCE below (3 s).
+        empty = F.array().cast("array<string>")
+
+        def opt(cond, line_col):
+            return F.when(cond, F.array(line_col)).otherwise(empty)
+
+        arr = F.concat(
+            opt(i2 % 3 == 0, F.lit(_LINE_COOKIE_MIXED)),
+            body,
+            opt(i2 % 3 == 1, F.lit(_LINE_COOKIE_LOWER)),
+            opt(i2 % 2 == 0, F.lit(_LINE_FOOTER)),
+            opt(i2 % 5 == 0, F.concat(
                 F.lit("m"), did.cast("string"), F.lit(" café menu")
-            ))),
-        ).otherwise(arr)
-        arr = F.when(
-            i2 % 4 == 0,
-            F.concat(arr, F.array(F.concat(
+            )),
+            opt(i2 % 4 == 0, F.concat(
                 F.lit("sp"), did.cast("string"),
                 F.lit(" " + _PRELUDE_SPAN12),
-            ))),
-        ).otherwise(arr)
-        arr = F.when(
-            i2.isin(0, 10),
-            F.concat(arr, F.array(F.lit(_PRELUDE_MOJI_BOILER))),
-        ).otherwise(arr)
-        arr = F.when(
-            i2.isin(20, 30),
-            F.concat(arr, F.array(
-                F.lit(_PRELUDE_MOJI_BOILER.replace("é", "Ã©"))
             )),
-        ).otherwise(arr)
+            opt(i2.isin(1, 7), F.lit(_PRELUDE_MOJI_BOILER)),
+            opt(i2.isin(2, 9),
+                F.lit(_PRELUDE_MOJI_BOILER.replace("é", "Ã©"))),
+        )
         lined = toks.select(
             "doc_id", F.array_join(arr, "\n").alias("text")
         )
-        clones = lined.filter((i2 % 5 == 0) & (i2 % 11 == 0)).select(
+        clones = lined.filter(i2 % 11 == 0).select(
             (did + F.lit(10_000_000)).alias("doc_id"),
             F.replace(F.col("text"), F.lit("é"), F.lit("Ã©")).alias("text"),
         )
+        # materialize the fabrication ONCE: the funnel's stages reference
+        # the corpus many times (fix chain, line explode, span grams,
+        # quality stats, digests, shingles, final flag join) and would
+        # otherwise re-run the fabrication expression per reference
+        corpus = lined.unionByName(clones).localCheckpoint(eager=True)
         handles: list = []
         flags = _eager(
             spark,
             curate(
-                lined.unionByName(clones),
+                corpus,
                 fix_encoding=True,
                 line_dedup_min_docs=3,
                 substring_dedup=8,
@@ -2877,9 +2884,9 @@ ORDER BY doc_id
 # pack_bin/pack_offset.
 _PRELUDE_ORACLE = f"""
 WITH RECURSIVE pbase AS MATERIALIZED (
-  SELECT doc_id, doc_id // 3 AS i2,
+  SELECT doc_id, doc_id // 15 AS i2,
          {_DUCK_WORDS.format(src="text")} AS ws
-  FROM documents WHERE doc_id % 83 <> 0 AND doc_id % 3 = 0),
+  FROM documents WHERE doc_id % 83 <> 0 AND doc_id % 15 = 0),
 plarr0 AS MATERIALIZED (
   SELECT doc_id, i2,
          list_transform(
@@ -2905,9 +2912,9 @@ plarr AS MATERIALIZED (
                   THEN ['sp' || CAST(doc_id AS VARCHAR)
                         || ' {_PRELUDE_SPAN12}']
                   ELSE CAST([] AS VARCHAR[]) END)
-         || (CASE WHEN i2 IN (0, 10) THEN ['{_PRELUDE_MOJI_BOILER}']
+         || (CASE WHEN i2 IN (1, 7) THEN ['{_PRELUDE_MOJI_BOILER}']
                   ELSE CAST([] AS VARCHAR[]) END)
-         || (CASE WHEN i2 IN (20, 30)
+         || (CASE WHEN i2 IN (2, 9)
                   THEN ['{_PRELUDE_MOJI_BOILER.replace("é", "Ã©")}']
                   ELSE CAST([] AS VARCHAR[]) END) AS la
   FROM plarr0),
@@ -2917,7 +2924,7 @@ pcorp AS MATERIALIZED (
   SELECT doc_id, text FROM plined
   UNION ALL
   SELECT doc_id + 10000000, replace(text, 'é', 'Ã©')
-  FROM plined WHERE i2 % 5 = 0 AND i2 % 11 = 0),
+  FROM plined WHERE i2 % 11 = 0),
 pfx AS MATERIALIZED (SELECT doc_id, replace(text, 'Ã©', 'é') AS text FROM pcorp),
 plk AS MATERIALIZED (
   SELECT doc_id, generate_subscripts(ls, 1) AS pos, unnest(ls) AS line,
