@@ -213,6 +213,14 @@ def _cmd_curate(argv: list[str]) -> int:
     ap.add_argument("--languages", default=None, metavar="L1,L2",
                     help="keep only docs whose stopword-profile language "
                          "guess is in this comma-separated set (e.g. en,de)")
+    ap.add_argument("--lang-min-evidence", type=int, default=1, metavar="N",
+                    help="language guesses need >= N stopword hits; docs "
+                         "below the bar guess NULL and are judged as "
+                         "--lang-default (default 1 = classic behavior)")
+    ap.add_argument("--lang-default", default="und", metavar="CODE",
+                    help="language assigned to below-evidence docs before "
+                         "the gate (default 'und'; e.g. pass 'en' to keep "
+                         "thin docs when filtering for en)")
     args = ap.parse_args(argv)
     if args.update_index and not args.index:
         raise SystemExit("error: --update-index requires --index")
@@ -238,10 +246,15 @@ def _cmd_curate(argv: list[str]) -> int:
     # prepare OUTSIDE curate so the artifact written below carries the
     # repaired/edited text the funnel judged, not the raw input
     docs = _apply_prep(docs, args, handles)
+    if args.lang_min_evidence < 1:
+        raise SystemExit("error: --lang-min-evidence must be >= 1")
+    _parse_languages(args.lang_default)  # raises on an unknown code
     flags = curate(
         docs, bench, corpus_index=args.index, handles=handles,
         index_prep=prep_sig,
         languages=_parse_languages(args.languages),
+        lang_min_evidence=args.lang_min_evidence,
+        lang_default=args.lang_default,
     )
     flags = flags.localCheckpoint(eager=True)
     # handles (the prep + funnel boundary caches) stay persisted through

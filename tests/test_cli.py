@@ -246,3 +246,45 @@ def test_cli_languages_parsing(spark, tmp_path):
     with pytest.raises(SystemExit, match="unknown language"):
         main(["curate", "--input", day, "--format", "jsonl",
               "--out", out, "--languages", "english"])
+
+
+def test_cli_lang_min_evidence_and_default(spark, tmp_path):
+    """--lang-min-evidence / --lang-default: thin-evidence docs guess
+    NULL and are judged as the default — kept when the default is in the
+    language set, dropped otherwise; unknown default rejected."""
+    import pytest
+
+    # the en doc is the standard quality-passing prose fixture; the thin
+    # doc passes the (en-centric) quality gate with EXACTLY two en
+    # stopword hits — enough for the gate's sh >= 2 rule, below the
+    # min-evidence bar of 3, and varied enough to pass the dup-2gram rule
+    thin = "the quick of " + " ".join(f"u{j}word" for j in range(40))
+    rows = [
+        {"url": "https://s.org/en", "text": _prose("one", 1)},
+        {"url": "https://s.org/thin", "text": thin},
+    ]
+    day = str(tmp_path / "lm.jsonl.gz")
+    _jsonl(day, rows)
+
+    out1 = str(tmp_path / "artifact_keep")
+    assert main(["curate", "--input", day, "--format", "jsonl",
+                 "--out", out1, "--languages", "en,und",
+                 "--lang-min-evidence", "3"]) == 0
+    kept = sorted(r["url"] for r in spark.read.parquet(out1).collect())
+    assert kept == ["https://s.org/en", "https://s.org/thin"]
+
+    out2 = str(tmp_path / "artifact_drop")
+    assert main(["curate", "--input", day, "--format", "jsonl",
+                 "--out", out2, "--languages", "en",
+                 "--lang-min-evidence", "3"]) == 0
+    kept = sorted(r["url"] for r in spark.read.parquet(out2).collect())
+    assert kept == ["https://s.org/en"]
+
+    with pytest.raises(SystemExit, match="unknown language"):
+        main(["curate", "--input", day, "--format", "jsonl",
+              "--out", str(tmp_path / "x"), "--languages", "en",
+              "--lang-default", "english"])
+    with pytest.raises(SystemExit, match="lang-min-evidence"):
+        main(["curate", "--input", day, "--format", "jsonl",
+              "--out", str(tmp_path / "x"), "--languages", "en",
+              "--lang-min-evidence", "0"])
