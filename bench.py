@@ -399,9 +399,26 @@ def main() -> int:
     if warc_stats is not None:
         out.update(warc_stats)
     if gc_ms:
-        out["query_gc_ms"] = gc_ms
+        # per-entry GC attribution rides a PRE-summary stderr line, NOT
+        # the final record: the driver's artifact keeps only the last
+        # ~2000 chars of output, and gc_ms (~1.1 KB) pushed the r9
+        # summary line to 2.8 KB — bigger than the window it must fit
+        # (VERDICT r9 #2 follow-through; the summary line below now
+        # measures ~1.7 KB)
+        print("bench: gc-ms " + json.dumps(gc_ms), file=sys.stderr,
+              flush=True)
     out["host"] = _cpu_side_channel(cpu_start, _cpu_sample())
-    print(json.dumps(out), flush=True)
+    line = json.dumps(out)
+    if len(line) > 1900:  # keep the whole record inside the tail window
+        slim = dict(out)
+        slim["queries"] = {
+            k: v for k, v in timings.items()
+            if not (k.startswith("dq") or k.startswith("pq"))
+        }
+        print("bench: full-queries " + json.dumps(out["queries"]),
+              file=sys.stderr, flush=True)
+        line = json.dumps(slim)
+    print(line, flush=True)
     return 0
 
 
