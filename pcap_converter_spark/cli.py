@@ -175,6 +175,20 @@ def _parse_languages(raw: str | None) -> tuple[str, ...] | None:
     return langs
 
 
+def _validate_lang_default(code: str) -> None:
+    """--lang-default is ONE code consumed verbatim by the gate's
+    coalesce — validate it as such (the comma-list parser would accept
+    'en,de' or ' en', which can never match and would silently drop the
+    whole below-evidence band; review-caught)."""
+    from pcap_converter_spark.functions.text import LANG_STOPWORDS
+
+    if code not in set(LANG_STOPWORDS) | {"und"}:
+        raise SystemExit(
+            f"error: --lang-default {code!r} is not a single known "
+            "language code (one profile code or 'und')"
+        )
+
+
 def _expand(patterns: list[str]) -> list[str]:
     paths: list[str] = []
     for pat in patterns:
@@ -225,6 +239,13 @@ def _cmd_curate(argv: list[str]) -> int:
     if args.update_index and not args.index:
         raise SystemExit("error: --update-index requires --index")
     _validate_prep(args)
+    # pure argument checks belong BEFORE any Spark work: a bad flag must
+    # not first run the eager prep jobs (and leak their persists on the
+    # SystemExit path — review-caught ordering bug)
+    languages = _parse_languages(args.languages)
+    if args.lang_min_evidence < 1:
+        raise SystemExit("error: --lang-min-evidence must be >= 1")
+    _validate_lang_default(args.lang_default)
 
     from pcap_converter_spark.operators.pipeline import (
         curate,
@@ -246,13 +267,10 @@ def _cmd_curate(argv: list[str]) -> int:
     # prepare OUTSIDE curate so the artifact written below carries the
     # repaired/edited text the funnel judged, not the raw input
     docs = _apply_prep(docs, args, handles)
-    if args.lang_min_evidence < 1:
-        raise SystemExit("error: --lang-min-evidence must be >= 1")
-    _parse_languages(args.lang_default)  # raises on an unknown code
     flags = curate(
         docs, bench, corpus_index=args.index, handles=handles,
         index_prep=prep_sig,
-        languages=_parse_languages(args.languages),
+        languages=languages,
         lang_min_evidence=args.lang_min_evidence,
         lang_default=args.lang_default,
     )

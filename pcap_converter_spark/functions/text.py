@@ -152,10 +152,13 @@ def language_id_t(scores: dict, min_evidence: int = 1) -> Column:
       tables, non-text), a *determination*, not missing evidence.
 
     The default ``min_evidence=1`` reproduces the historical two-way
-    behavior exactly (the NULL band is empty)."""
+    behavior exactly (the NULL band is empty). NULL/absent tokens (NULL
+    text → NULL scores → NULL best) are 'und' like zero hits — the
+    historical contract (review-caught: a bare ``best == 0`` test let
+    NULL best fall through to the insufficient-evidence NULL)."""
     best = F.greatest(*scores.values())
     # F.when with no otherwise → NULL on the unmatched (insufficient) band
-    expr = F.when(best == 0, F.lit("und"))
+    expr = F.when(best.isNull() | (best <= 0), F.lit("und"))
     # build CASE from last profile to first so earlier profiles win ties
     for lang in reversed(list(scores)):
         expr = F.when(

@@ -429,9 +429,14 @@ def line_dedup(
             F.split(F.coalesce(F.col(text_col), F.lit("")), "\n")
         ).alias("pos", "line"),
     )
+    # \z, not $: Java's '$' also matches BEFORE a final line terminator
+    # (U+2028/U+2029/U+0085 — which survive split('\n') and are outside
+    # LINE_WS), so '$' would strip whitespace ahead of such a terminator
+    # while the DuckDB twin's trim(chars) and Python's strip(LINE_WS)
+    # would not — a cross-engine divergence off-fixture (review-caught)
     norm = F.lower(
         F.regexp_replace(
-            F.col("line"), f"^[{LINE_WS}]+|[{LINE_WS}]+$", ""
+            F.col("line"), f"\\A[{LINE_WS}]+|[{LINE_WS}]+\\z", ""
         )
     )
     keyed = lines.withColumn(

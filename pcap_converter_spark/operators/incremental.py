@@ -331,9 +331,14 @@ def write_corpus_index(
     ~75 B/doc and every probe reads them unconditionally.
 
     ``prep`` is the ``prep_signature`` of the text preparation ``docs``
-    went through before this call (default: the no-prep signature) —
-    recorded in the meta so appends and probes can verify they digest
-    identically prepared bytes."""
+    went through before this call — recorded in the meta so appends and
+    probes can verify they digest identically prepared bytes. Default
+    None records NOTHING (reads back as NULL = unrecorded, checks skip):
+    a library caller who prepared text themselves and never says so must
+    not get the no-prep signature asserted on their behalf — that would
+    hard-fail their own matching prep-enabled probes (review-caught).
+    The CLI always passes an explicit signature, including the no-prep
+    one, so CLI-built indexes are always self-describing."""
     if "exact" not in tiers:
         raise ValueError('tiers must include "exact"')
     if num_hashes % bands:
@@ -349,7 +354,7 @@ def write_corpus_index(
             fs.delete(s.getPath(), True)
     spark.createDataFrame(
         [(INDEX_VERSION, shingle_k, num_hashes, bands, seed, shingle_hash,
-          ",".join(tiers), prep if prep is not None else prep_signature())],
+          ",".join(tiers), prep)],
         schema=_META_SCHEMA,
     ).coalesce(1).write.mode("overwrite").parquet(f"{path}/meta")
     if "exact" in tiers:

@@ -54,6 +54,7 @@ def prepare_text(
     line_dedup_min_docs: int | None = None,
     substring_dedup: int | None = None,
     handles: list | None = None,
+    checkpoint: bool = True,
 ) -> DataFrame:
     """The text-repair/editing prelude as a standalone step, in
     RefinedWeb order: repair encoding damage first (everything downstream
@@ -97,16 +98,23 @@ def prepare_text(
         docs = docs.select(*others).join(cleaned, id_col)
         edited = True
     if edited:
-        # Truncate lineage at the prelude boundary (lazy localCheckpoint:
-        # materializes with the caller's FIRST action, then every later
-        # plan starts from a leaf). Persisting alone caches DATA but not
-        # plan depth — each of curate's ~25 downstream eager actions
-        # re-analyzes the full prep lineage (two Arrow stages + joins),
-        # which measured 40 s of fixed driver overhead at fixture scale
-        # regardless of row count. Block-store cost equals the persist
-        # it replaces; the checkpointed blocks are freed by the context
-        # cleaner when the frame is dropped.
-        docs = docs.localCheckpoint(eager=False)
+        if checkpoint:
+            # Truncate lineage at the prelude boundary (lazy
+            # localCheckpoint: materializes with the caller's FIRST
+            # action, then every later plan starts from a leaf).
+            # Persisting alone caches DATA but not plan depth — each of
+            # curate's ~25 downstream eager actions re-analyzes the full
+            # prep lineage (two Arrow stages + joins), which measured
+            # 40 s of fixed driver overhead at fixture scale regardless
+            # of row count. Block-store cost equals a persist.
+            # TRADEOFF: localCheckpoint blocks are NOT recomputable — on
+            # a cluster with executor churn (dynamic allocation, spot
+            # nodes) a lost block fails the job instead of recomputing;
+            # pass checkpoint=False there to keep the recomputable
+            # persist (and the per-action analysis cost).
+            docs = docs.localCheckpoint(eager=False)
+        else:
+            docs = _stage(docs)
     return docs
 
 

@@ -750,7 +750,7 @@ def _langid_case_sql(min_evidence: int) -> str:
             f"THEN '{lang}'"
             for lang in TX.LANG_STOPWORDS
         )
-        + " WHEN best = 0 THEN 'und' ELSE NULL END"
+        + " WHEN best IS NULL OR best <= 0 THEN 'und' ELSE NULL END"
     )
 
 
@@ -2473,31 +2473,34 @@ def _curate_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- composed-prelude family (VERDICT r9 #2): the full RefinedWeb-order
 # product path — fix_encoding → line dedup → span dedup → language gate →
 # funnel — driven through ONE curate() call and hash-gated. The corpus is
-# a deterministic fabrication over a 1/3 slice of the default family's
-# corpus: words reshaped into 10-word lines, boilerplate injected (the
-# ex_substring_dedup 'line' constants, keyed on i2 = doc_id div 3 so the
-# %3==0 slice still sees all injection classes), a doc-unique
+# a deterministic fabrication over a 1/15 slice of documents (the
+# funnel's fixture cost is fixed job overhead, not rows): words reshaped
+# into 10-word lines, boilerplate injected (the ex_substring_dedup
+# 'line' constants, keyed on i2 = doc_id div 15, which sweeps
+# consecutive integers so every class appears at every SF), a doc-unique
 # mojibake-carrying line (i2%5), a doc-unique line ending in a shared
-# 12-word span (i2%4), and DAMAGED CLONES (doc_id+10M, é→Ã©) for
-# i2%55==0 docs. The clones make the composition ORDER provable: only if
-# encoding repair runs BEFORE exact dedup does the clone hash equal its
-# original and get dropped (keep_exact=false); line/span edits are
-# provable through every kept doc's token count (pack_bin/pack_offset
-# are cumulative sums of PREPARED-text token counts).
+# 12-word span (i2%4), the _PRELUDE_MOJI_BOILER probe (below), and
+# DAMAGED CLONES (doc_id+10M, é→Ã©) for i2%11==0 docs (i2=0 — doc 0 —
+# is already excluded by the %83 corpus split; clones with i2%55==0
+# additionally carry the é line, so their damage is real, not a no-op).
+# Composition-order proofs: the split-count boiler probe pins repair
+# BEFORE line dedup; the clones pin the exact-copy wipe (a clone that
+# repairs byte-identical to its original is reduced to '' by span
+# dedup's keep-first rule and exits at the language gate); and every
+# line/span edit shifts PREPARED-text token counts, which cascade into
+# every kept doc's pack_bin/pack_offset (cumulative sums).
 _PRELUDE_SPAN12 = (
     "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
 )
 # the fix-BEFORE-line-dedup probe: this line is injected CLEAN into
-# exactly two docs (i2 ∈ {0,10}) and DAMAGED (é→Ã©) into exactly two
-# others (i2 ∈ {20,30}). Separately each variant's line-df is 2 <
+# exactly two docs (i2 ∈ {1,7}) and DAMAGED (é→Ã©) into exactly two
+# others (i2 ∈ {2,9}). Separately each variant's line-df is 2 <
 # min_docs=3 (kept); only if encoding repair runs FIRST do the variants
 # normalize identically (df=4 ≥ 3) and vanish from all four docs —
 # shifting those docs' token counts and every later pack position in
-# their shards. Sensitivity holds at every SF (the four ids exist from
-# sf0.001 up). The damaged clones (below) additionally pin the documented
-# exact-copy behavior: a clone that repairs byte-identical to its
-# original is wiped to '' by span dedup (keep-first) and exits at the
-# language gate, never reaching the digest stage.
+# their shards. Sensitivity holds at every SF (docs 15/30/105/135 exist
+# from sf0.001 up and none is on the %83 exclusion; i2=0 is avoided —
+# doc 0 IS excluded).
 _PRELUDE_MOJI_BOILER = "résumé café boilerplate notice"
 _PRELUDE_CACHE: dict[tuple[str, str], DataFrame] = {}
 
@@ -3902,11 +3905,18 @@ def run_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         did % 2 == 0, F.concat(arr, F.array(F.lit(_LINE_FOOTER)))
     ).otherwise(arr)
     lined = toks.select("doc_id", F.array_join(arr, "\n").alias("text"))
-    line = dedup.line_dedup(lined, min_docs=3).select(
+    # handles + eager materialization: line_dedup's counted gate persists
+    # the boiler table; without a handle it would leak one session-cached
+    # frame per invocation (review-caught — the exact leaked-persist
+    # class the r2 handle convention exists for)
+    handles: list = []
+    line = dedup.line_dedup(lined, min_docs=3, handles=handles).select(
         F.lit("line").alias("src"), "doc_id", "clean_text",
         F.col("n_removed"),
     )
-    return span.unionByName(line).orderBy("src", "doc_id")
+    return _eager(
+        spark, span.unionByName(line).orderBy("src", "doc_id"), handles
+    )
 
 
 

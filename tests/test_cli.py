@@ -280,10 +280,17 @@ def test_cli_lang_min_evidence_and_default(spark, tmp_path):
     kept = sorted(r["url"] for r in spark.read.parquet(out2).collect())
     assert kept == ["https://s.org/en"]
 
-    with pytest.raises(SystemExit, match="unknown language"):
+    with pytest.raises(SystemExit, match="known language"):
         main(["curate", "--input", day, "--format", "jsonl",
               "--out", str(tmp_path / "x"), "--languages", "en",
               "--lang-default", "english"])
+    # a comma list is NOT a valid single default (review-caught: the
+    # list parser would accept it and the gate would silently drop
+    # the whole below-evidence band)
+    with pytest.raises(SystemExit, match="known language"):
+        main(["curate", "--input", day, "--format", "jsonl",
+              "--out", str(tmp_path / "x"), "--languages", "en",
+              "--lang-default", "en,de"])
     with pytest.raises(SystemExit, match="lang-min-evidence"):
         main(["curate", "--input", day, "--format", "jsonl",
               "--out", str(tmp_path / "x"), "--languages", "en",

@@ -605,3 +605,30 @@ class TestLineDedupStreamingContract:
         ).parquet(d)
         with _pt.raises(ValueError, match="batch-only"):
             line_dedup(stream)
+
+
+class TestLineDedupUnicodeTerminators:
+    def test_dollar_anchor_divergence_fixed(self, spark):
+        """Review-caught: Java '$' matches BEFORE a final U+2028/U+2029/
+        U+0085, so a '[ws]+$' trim would strip whitespace ahead of such a
+        terminator while DuckDB's trim(chars) and Python's strip(LINE_WS)
+        would not. With \\z the engine keeps the space — the two variants
+        normalize APART, stay under min_docs, and are preserved."""
+        from pcap_converter_spark.operators.dedup import LINE_WS, line_dedup
+
+        rows = [
+            (0, "footer  \nown zero"),
+            (1, "footer  \nown one"),
+            (2, "footer \nown two"),
+        ]
+        got = {
+            r["doc_id"]: (r["clean_text"], r["n_removed"])
+            for r in line_dedup(
+                spark.createDataFrame(rows, ["doc_id", "text"]), min_docs=3
+            ).collect()
+        }
+        # python reference with the explicit class: 'footer  ' (df 2)
+        # and 'footer ' (df 1) are DIFFERENT keys -> all kept
+        assert "footer  ".strip(LINE_WS) != "footer ".strip(LINE_WS)
+        for i, t in rows:
+            assert got[i] == (t, 0), (i, got[i])

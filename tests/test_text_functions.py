@@ -585,3 +585,19 @@ def test_fix_mojibake_double_encoding_converges_by_two_passes(spark):
         "expected",
     ).collect()
     assert all(r["g"] == r["expected"] for r in got)
+
+
+def test_language_id_null_text_is_und(spark):
+    """Review-caught: NULL text (NULL token array -> NULL scores/best)
+    must guess 'und' like the historical two-way chain did, at every
+    min_evidence — not fall into the insufficient-evidence NULL band."""
+    df = spark.createDataFrame([(0, None), (1, "")], ["i", "text"])
+    for minev in (1, 3):
+        got = {
+            r["i"]: r["g"]
+            for r in df.select(
+                "i",
+                TX.language_id(F.col("text"), min_evidence=minev).alias("g"),
+            ).collect()
+        }
+        assert got == {0: "und", 1: "und"}, (minev, got)
