@@ -115,3 +115,80 @@ def test_fuzz_line_dedup_matches_python_reference(spark, docs, min_docs):
         for r in line_dedup(df, min_docs=min_docs).collect()
     }
     assert got == _py_line_dedup(rows, min_docs)
+
+
+# --- composed prelude property: prepare_text(fix -> line -> span) must
+# equal the sequential pure-Python composition of the three references
+# on arbitrary corpora (the driver gate proves the composition on ONE
+# fabricated corpus; this pins it over random ones)
+
+from pcap_converter_spark.functions.text import ws_tokens as _wst
+
+
+def _py_span_dedup(rows: list[tuple[int, str]], w: int):
+    """The test_fuzz_spans reference, inlined (tests are not a package)."""
+    occ: dict = {}
+    toks = {d: _wst(t) for d, t in rows}
+    for d, t in rows:
+        ws = toks[d]
+        for i in range(max(len(ws) - w + 1, 0)):
+            occ.setdefault(tuple(ws[i:i + w]), []).append((d, i))
+    marked: dict[int, set[int]] = {d: set() for d, _ in rows}
+    for positions in occ.values():
+        if len(positions) <= 1:
+            continue
+        first = min(positions)
+        for d, p in positions:
+            if (d, p) != first:
+                marked[d].update(range(p, p + w))
+    out = {}
+    for d, t in rows:
+        cov = marked[d] & set(range(len(toks[d])))
+        out[d] = t if not cov else " ".join(
+            x for i, x in enumerate(toks[d]) if i not in cov
+        )
+    return out
+
+
+_pword = st.sampled_from(["aa", "bb", "cc", "shared", "footer", "café"])
+
+
+@st.composite
+def _pdoc(draw):
+    n_lines = draw(st.integers(1, 4))
+    lines = []
+    for _ in range(n_lines):
+        n = draw(st.integers(0, 6))
+        lines.append(" ".join(draw(_pword) for _ in range(n)))
+    return "\n".join(lines)
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    docs=st.lists(_pdoc(), min_size=1, max_size=6),
+    min_docs=st.integers(2, 3),
+)
+def test_fuzz_composed_prelude_matches_python_composition(
+    spark, docs, min_docs
+):
+    from pcap_converter_spark.operators.pipeline import prepare_text
+
+    w = 3
+    # damage a deterministic subset so fix_encoding has work to do
+    rows = [
+        (i, t.replace("é", "Ã©") if i % 2 == 0 else t)
+        for i, t in enumerate(docs)
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        r["doc_id"]: r["text"]
+        for r in prepare_text(
+            df, fix_encoding=True, line_dedup_min_docs=min_docs,
+            substring_dedup=w,
+        ).select("doc_id", "text").collect()
+    }
+    # python composition in the same order
+    fixed = [(i, _py_fix(t)) for i, t in rows]
+    lined = {i: ct for i, (ct, _) in _py_line_dedup(fixed, min_docs).items()}
+    expected = _py_span_dedup(sorted(lined.items()), w)
+    assert got == expected
