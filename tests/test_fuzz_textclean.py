@@ -92,9 +92,13 @@ _line = st.one_of(
     st.sampled_from(
         ["", "  ", "\t", "\xa0", "shared footer", "Shared Footer",
          "\tshared footer", "shared footer\xa0", "cookie notice",
+         # U+2028 pins the \z anchor: it is a Java line terminator but
+         # NOT in LINE_WS, so whitespace before a trailing U+2028 must
+         # survive the trim exactly as str.strip(LINE_WS) keeps it
+         "shared footer \u2028", "shared footer\u2028",
          "alpha beta", "gamma", "x"]
     ),
-    st.text(alphabet="abcdef \t\xa0", max_size=6),
+    st.text(alphabet="abcdef \t\xa0\u2028", max_size=6),
 )
 
 
