@@ -355,13 +355,22 @@ def curate(
         ))
         q_docs = q_docs.join(novel.filter("keep_novel").select(id_col), id_col)
 
-    # stage 2: exact dedup — keep the lowest id of each digest group
+    # stage 2: exact dedup — keep the lowest id of each digest group.
+    # ONE window shuffle (min over partitionBy digest), not groupBy+join:
+    # the join form shuffles the digest table twice (agg + join probe)
+    # for the identical result; at 100 TB the digest table is the full
+    # corpus' (id, 32-byte hash) pairs, so halving its shuffles matters
+    # (and at fixture scale it deletes a whole stage of job overhead).
+    from pyspark.sql.window import Window as _W
+
     digests = q_docs.select(
         did, F.sha2(t.cast("binary"), 256).alias("_digest")
     )
-    exact_keep = digests.groupBy("_digest").agg(F.min(id_col).alias("_keep"))
-    exact = _stage(digests.join(exact_keep, "_digest").select(
-        did, (did == F.col("_keep")).alias("keep_exact")
+    exact = _stage(digests.select(
+        did,
+        (did == F.min(id_col).over(_W.partitionBy("_digest"))).alias(
+            "keep_exact"
+        ),
     ))
     e_docs = q_docs.join(exact, id_col).filter("keep_exact")
 

@@ -2455,17 +2455,26 @@ def _curate_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     flags = _CURATE_CACHE.get(key)
     if flags is None:
         handles: list = []
-        docs = _docs(spark, sf_dir)
-        did = F.col("doc_id")
-        flags = _eager(
-            spark,
-            curate(
-                docs.filter(did % 83 != 0),
-                docs.filter(did % 83 == 0),
-                handles=handles,
-            ),
-            handles,
+        # fixture-scale parallelism (see _CURATE_PARTS): 8-way input +
+        # 8 shuffle partitions for this entry's eager window — the
+        # funnel is a dozen sequential tiny shuffles at sf0.1, where
+        # 32-way fan-out is pure scheduling overhead
+        from pcap_converter_spark.io.loader import load_table
+
+        docs = load_table(spark, sf_dir, "documents").repartition(
+            _CURATE_PARTS
         )
+        did = F.col("doc_id")
+        with _scoped_shuffle_partitions(spark, _CURATE_PARTS):
+            flags = _eager(
+                spark,
+                curate(
+                    docs.filter(did % 83 != 0),
+                    docs.filter(did % 83 == 0),
+                    handles=handles,
+                ),
+                handles,
+            )
         _CURATE_CACHE[key] = flags
     return flags
 
@@ -2503,6 +2512,112 @@ _PRELUDE_SPAN12 = (
 # doc 0 IS excluded).
 _PRELUDE_MOJI_BOILER = "résumé café boilerplate notice"
 _PRELUDE_CACHE: dict[tuple[str, str], DataFrame] = {}
+_PRELUDE_CORPUS_CACHE: dict[tuple[str, str], DataFrame] = {}
+# fixture-scale parallelism for the curation entries: the funnel and the
+# prelude are FIXED-JOB-OVERHEAD bound at sf0.1 (a dozen sequential
+# shuffles over a few thousand rows) — 32-way task fan-out per stage is
+# pure scheduling cost there (measured: 8-way cuts the warm funnel
+# ~30%). This is RUNNER tuning for the bench fixture, not operator
+# policy: curate() itself inherits whatever partitioning production
+# callers give it.
+_CURATE_PARTS = 8
+
+
+class _scoped_shuffle_partitions:
+    """Temporarily set spark.sql.shuffle.partitions for one entry's
+    eager window, restoring the caller's value after — the conf is read
+    at execution-plan time, so it only affects plans materialized inside
+    the scope."""
+
+    def __init__(self, spark: SparkSession, n: int) -> None:
+        self.spark, self.n = spark, n
+
+    def __enter__(self):
+        self.prev = self.spark.conf.get("spark.sql.shuffle.partitions")
+        self.spark.conf.set("spark.sql.shuffle.partitions", str(self.n))
+
+    def __exit__(self, *exc):
+        self.spark.conf.set("spark.sql.shuffle.partitions", self.prev)
+
+
+def _prelude_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The fabricated line-structured corpus, built ONCE per (session,
+    sf_dir) and shared by the composed-prelude family (ex_curate
+    'pflags'/'preport') AND ex_substring_dedup's 'line' branch (VERDICT
+    r10 #1 — the two entries previously fabricated near-identical
+    corpora from the same constants). Checkpointed eagerly: the prelude
+    funnel references it many times (fix chain, line explode, span
+    grams, quality stats, digests, shingles, final flag join) and would
+    otherwise re-run the fabrication expression per reference."""
+    key = _session_key(spark, sf_dir)
+    corpus = _PRELUDE_CORPUS_CACHE.get(key)
+    if corpus is not None:
+        return corpus
+    from pcap_converter_spark.io.loader import load_table
+
+    did = F.col("doc_id")
+    # 1/15 corpus slice: the funnel's cost at fixture scale is fixed
+    # job overhead, not rows — a slice 5x thinner than the first cut
+    # (%3) proves the identical composition for a third of the wall
+    # time; i2 = doc_id div 15 still sweeps consecutive integers, so
+    # every injection class below appears at every SF. Read directly
+    # (not _docs): the slice is a few hundred rows, so _docs' 32-way
+    # spread would only add a scheduling-heavy exchange before the
+    # _CURATE_PARTS repartition below.
+    base = load_table(spark, sf_dir, "documents").filter(
+        (did % 83 != 0) & (did % 15 == 0)
+    )
+    toks = base.select("doc_id", TX.words(F.col("text")).alias("_ws"))
+    i2 = F.expr("doc_id div 15")
+    ws = F.col("_ws")
+    n_last = F.greatest(F.ceil(F.size(ws) / _LINE_W) - 1, F.lit(0))
+    body = F.transform(
+        F.sequence(F.lit(0), n_last),
+        lambda i: F.concat_ws(" ", F.slice(ws, i * _LINE_W + 1, _LINE_W)),
+    )
+
+    # conditional-EMPTY arrays concatenated linearly (the SQL twin's
+    # `|| CASE ... END` shape): the first version nested
+    # when(c, concat(x, arr)).otherwise(arr) seven deep, duplicating
+    # the whole body expression in BOTH branches — a 2^7 expression
+    # tree that, re-derived by every funnel stage of the (then
+    # unpersisted) corpus, cost 263 s at sf0.1; this form is linear
+    # and the fabricated corpus is materialized ONCE below (3 s).
+    empty = F.array().cast("array<string>")
+
+    def opt(cond, line_col):
+        return F.when(cond, F.array(line_col)).otherwise(empty)
+
+    arr = F.concat(
+        opt(i2 % 3 == 0, F.lit(_LINE_COOKIE_MIXED)),
+        body,
+        opt(i2 % 3 == 1, F.lit(_LINE_COOKIE_LOWER)),
+        opt(i2 % 2 == 0, F.lit(_LINE_FOOTER)),
+        opt(i2 % 5 == 0, F.concat(
+            F.lit("m"), did.cast("string"), F.lit(" café menu")
+        )),
+        opt(i2 % 4 == 0, F.concat(
+            F.lit("sp"), did.cast("string"),
+            F.lit(" " + _PRELUDE_SPAN12),
+        )),
+        opt(i2.isin(1, 7), F.lit(_PRELUDE_MOJI_BOILER)),
+        opt(i2.isin(2, 9),
+            F.lit(_PRELUDE_MOJI_BOILER.replace("é", "Ã©"))),
+    )
+    lined = toks.select(
+        "doc_id", F.array_join(arr, "\n").alias("text")
+    )
+    clones = lined.filter(i2 % 11 == 0).select(
+        (did + F.lit(10_000_000)).alias("doc_id"),
+        F.replace(F.col("text"), F.lit("é"), F.lit("Ã©")).alias("text"),
+    )
+    corpus = (
+        lined.unionByName(clones)
+        .repartition(_CURATE_PARTS)
+        .localCheckpoint(eager=True)
+    )
+    _PRELUDE_CORPUS_CACHE[key] = corpus
+    return corpus
 
 
 def _prelude_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2511,75 +2626,21 @@ def _prelude_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = _session_key(spark, sf_dir)
     flags = _PRELUDE_CACHE.get(key)
     if flags is None:
-        did = F.col("doc_id")
-        # 1/15 corpus slice: the funnel's cost at fixture scale is fixed
-        # job overhead, not rows — a slice 5x thinner than the first cut
-        # (%3) proves the identical composition for a third of the wall
-        # time; i2 = doc_id div 15 still sweeps consecutive integers, so
-        # every injection class below appears at every SF
-        base = _docs(spark, sf_dir).filter((did % 83 != 0) & (did % 15 == 0))
-        toks = base.select("doc_id", TX.words(F.col("text")).alias("_ws"))
-        i2 = F.expr("doc_id div 15")
-        ws = F.col("_ws")
-        n_last = F.greatest(F.ceil(F.size(ws) / _LINE_W) - 1, F.lit(0))
-        body = F.transform(
-            F.sequence(F.lit(0), n_last),
-            lambda i: F.concat_ws(" ", F.slice(ws, i * _LINE_W + 1, _LINE_W)),
-        )
-
-        # conditional-EMPTY arrays concatenated linearly (the SQL twin's
-        # `|| CASE ... END` shape): the first version nested
-        # when(c, concat(x, arr)).otherwise(arr) seven deep, duplicating
-        # the whole body expression in BOTH branches — a 2^7 expression
-        # tree that, re-derived by every funnel stage of the (then
-        # unpersisted) corpus, cost 263 s at sf0.1; this form is linear
-        # and the fabricated corpus is materialized ONCE below (3 s).
-        empty = F.array().cast("array<string>")
-
-        def opt(cond, line_col):
-            return F.when(cond, F.array(line_col)).otherwise(empty)
-
-        arr = F.concat(
-            opt(i2 % 3 == 0, F.lit(_LINE_COOKIE_MIXED)),
-            body,
-            opt(i2 % 3 == 1, F.lit(_LINE_COOKIE_LOWER)),
-            opt(i2 % 2 == 0, F.lit(_LINE_FOOTER)),
-            opt(i2 % 5 == 0, F.concat(
-                F.lit("m"), did.cast("string"), F.lit(" café menu")
-            )),
-            opt(i2 % 4 == 0, F.concat(
-                F.lit("sp"), did.cast("string"),
-                F.lit(" " + _PRELUDE_SPAN12),
-            )),
-            opt(i2.isin(1, 7), F.lit(_PRELUDE_MOJI_BOILER)),
-            opt(i2.isin(2, 9),
-                F.lit(_PRELUDE_MOJI_BOILER.replace("é", "Ã©"))),
-        )
-        lined = toks.select(
-            "doc_id", F.array_join(arr, "\n").alias("text")
-        )
-        clones = lined.filter(i2 % 11 == 0).select(
-            (did + F.lit(10_000_000)).alias("doc_id"),
-            F.replace(F.col("text"), F.lit("é"), F.lit("Ã©")).alias("text"),
-        )
-        # materialize the fabrication ONCE: the funnel's stages reference
-        # the corpus many times (fix chain, line explode, span grams,
-        # quality stats, digests, shingles, final flag join) and would
-        # otherwise re-run the fabrication expression per reference
-        corpus = lined.unionByName(clones).localCheckpoint(eager=True)
+        corpus = _prelude_corpus(spark, sf_dir)
         handles: list = []
-        flags = _eager(
-            spark,
-            curate(
-                corpus,
-                fix_encoding=True,
-                line_dedup_min_docs=3,
-                substring_dedup=8,
-                languages=("en",),
-                handles=handles,
-            ),
-            handles,
-        )
+        with _scoped_shuffle_partitions(spark, _CURATE_PARTS):
+            flags = _eager(
+                spark,
+                curate(
+                    corpus,
+                    fix_encoding=True,
+                    line_dedup_min_docs=3,
+                    substring_dedup=8,
+                    languages=("en",),
+                    handles=handles,
+                ),
+                handles,
+            )
         _PRELUDE_CACHE[key] = flags
     return flags
 
@@ -2885,8 +2946,13 @@ ORDER BY doc_id
 # prove repair ordering through keep_exact; every line/span edit shifts
 # the PREPARED token counts and with them every kept doc's
 # pack_bin/pack_offset.
-_PRELUDE_ORACLE = f"""
-WITH RECURSIVE pbase AS MATERIALIZED (
+# the fabricated line-structured corpus (pbase → pcorp) as a shared
+# CTE fragment: interpolated into BOTH the composed-prelude oracle
+# (_PRELUDE_ORACLE) and the ex_substring_dedup oracle's 'line'
+# branch, mirroring the shared _prelude_corpus fabrication on the
+# Spark side (VERDICT r10 #1) — one fabrication, two consumers, in
+# both engines
+_PRELUDE_FAB_SQL = f"""pbase AS MATERIALIZED (
   SELECT doc_id, doc_id // 15 AS i2,
          {_DUCK_WORDS.format(src="text")} AS ws
   FROM documents WHERE doc_id % 83 <> 0 AND doc_id % 15 = 0),
@@ -2927,7 +2993,10 @@ pcorp AS MATERIALIZED (
   SELECT doc_id, text FROM plined
   UNION ALL
   SELECT doc_id + 10000000, replace(text, 'é', 'Ã©')
-  FROM plined WHERE i2 % 11 = 0),
+  FROM plined WHERE i2 % 11 = 0)"""
+
+_PRELUDE_ORACLE = f"""
+WITH RECURSIVE {_PRELUDE_FAB_SQL},
 pfx AS MATERIALIZED (SELECT doc_id, replace(text, 'Ã©', 'é') AS text FROM pcorp),
 plk AS MATERIALIZED (
   SELECT doc_id, generate_subscripts(ls, 1) AS pos, unnest(ls) AS line,
@@ -3870,50 +3939,44 @@ def run_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     the documents survive). The oracle recomputes the identical
     md5-low63 gram keys, canonical-occurrence struct-min, span coverage,
     and word-mask rebuild in SQL, so the emitted CLEAN TEXT itself is
-    hash-gated, not just the dup decision. 'line' (r9): line-level
-    boilerplate removal (dedup.line_dedup — the CCNet/RefinedWeb rule: a
-    normalized line appearing in ≥3 distinct docs is template noise,
-    removed from ALL of them, unlike span dedup's keep-first). The
-    fixture corpus is single-line word soup, so the entry fabricates the
-    line structure deterministically in BOTH engines: each doc's words
-    reshaped into 10-word lines, then boilerplate injected by doc_id —
-    a mixed-case cookie banner on doc_id%3==0, its lowercase twin on
-    %3==1 (proving the trim+lower normalization joins them), and a
-    newsletter footer on %2==0. The oracle re-derives the reshape, the
-    injection, the distinct-doc line frequencies, and the ordered
+    hash-gated, not just the dup decision. 'line' (r9; corpus SHARED
+    since r11): line-level boilerplate removal (dedup.line_dedup — the
+    CCNet/RefinedWeb rule: a normalized line appearing in ≥3 distinct
+    docs is template noise, removed from ALL of them, unlike span
+    dedup's keep-first), over the SAME fabricated line-structured corpus
+    the ex_curate prelude family curates (_prelude_corpus — VERDICT r10
+    #1: the two entries previously fabricated near-identical corpora
+    from the same boilerplate constants; now ONE fabrication is
+    checkpointed per session and both read it). line_dedup here sees the
+    corpus RAW (no encoding repair first), which pins the CONTRAST with
+    the prelude's composed path: the clean and mojibake-damaged
+    cookie-probe variants do NOT merge (each line-df 2 < 3 → kept),
+    while the prelude — repair-first — merges them to df 4 and removes
+    all four. The mixed/lower cookie banners still merge (df ≥ 3 →
+    removed), proving the trim+lower normalization; clone body lines
+    (df 2: original + damaged clone) prove the distinct-doc count. The
+    oracle re-derives the fabrication, the frequencies, and the ordered
     rebuild in SQL — the cleaned text hashes exactly."""
     docs = _docs(spark, sf_dir)
     span = dedup.remove_duplicate_spans(
         docs, min_words=_SUBSTR_W
     ).select(F.lit("span").alias("src"), "doc_id", "clean_text", "n_removed")
-    did = F.col("doc_id")
-    toks = docs.select("doc_id", TX.words(F.col("text")).alias("_ws"))
-    ws = F.col("_ws")
-    n_last = F.greatest(F.ceil(F.size(ws) / _LINE_W) - 1, F.lit(0))
-    line_arr = F.transform(
-        F.sequence(F.lit(0), n_last),
-        lambda i: F.concat_ws(" ", F.slice(ws, i * _LINE_W + 1, _LINE_W)),
-    )
-    arr = line_arr
-    arr = F.when(
-        did % 3 == 0, F.concat(F.array(F.lit(_LINE_COOKIE_MIXED)), arr)
-    ).otherwise(arr)
-    arr = F.when(
-        did % 3 == 1, F.concat(arr, F.array(F.lit(_LINE_COOKIE_LOWER)))
-    ).otherwise(arr)
-    arr = F.when(
-        did % 2 == 0, F.concat(arr, F.array(F.lit(_LINE_FOOTER)))
-    ).otherwise(arr)
-    lined = toks.select("doc_id", F.array_join(arr, "\n").alias("text"))
     # handles + eager materialization: line_dedup's counted gate persists
     # the boiler table; without a handle it would leak one session-cached
     # frame per invocation (review-caught — the exact leaked-persist
     # class the r2 handle convention exists for)
     handles: list = []
-    line = dedup.line_dedup(lined, min_docs=3, handles=handles).select(
-        F.lit("line").alias("src"), "doc_id", "clean_text",
-        F.col("n_removed"),
-    )
+    # only line_dedup's eager boiler count runs inside this scope (the
+    # lazy rebuild materializes at _eager below, where span's full-docs
+    # plan wants the session default) — fixture-scale shuffle trim for
+    # the counted gate's explode+agg job, same rationale as _curate_flags
+    with _scoped_shuffle_partitions(spark, _CURATE_PARTS):
+        line = dedup.line_dedup(
+            _prelude_corpus(spark, sf_dir), min_docs=3, handles=handles
+        ).select(
+            F.lit("line").alias("src"), "doc_id", "clean_text",
+            F.col("n_removed"),
+        )
     return _eager(
         spark, span.unionByName(line).orderBy("src", "doc_id"), handles
     )
@@ -3951,32 +4014,14 @@ rebuilt AS (
          count(c.wp) AS n_removed
   FROM wt w LEFT JOIN cov c ON w.doc_id = c.doc_id AND w.wp = c.wp
   GROUP BY w.doc_id),
-larr0 AS (
-  SELECT doc_id,
-         list_transform(
-           range(0, greatest(CAST(ceil(len(ws) / {_LINE_W}.0) AS BIGINT)
-                             - 1, 0) + 1),
-           i -> array_to_string(
-                  list_slice(ws, i * {_LINE_W} + 1, i * {_LINE_W} + {_LINE_W}),
-                  ' ')) AS la
-  FROM docs0),
-larr AS (
-  SELECT doc_id,
-         (CASE WHEN doc_id % 3 = 0 THEN ['{_LINE_COOKIE_MIXED}']
-               ELSE CAST([] AS VARCHAR[]) END)
-         || la
-         || (CASE WHEN doc_id % 3 = 1 THEN ['{_LINE_COOKIE_LOWER}']
-                  ELSE CAST([] AS VARCHAR[]) END)
-         || (CASE WHEN doc_id % 2 = 0 THEN ['{_LINE_FOOTER}']
-                  ELSE CAST([] AS VARCHAR[]) END) AS la
-  FROM larr0),
+{_PRELUDE_FAB_SQL},
 lk AS (
   -- trim the SAME explicit whitespace class as dedup.LINE_WS (space,
   -- tab, CR, FF, VT, NBSP) — plain trim() is space-only in both engines
-  SELECT doc_id, generate_subscripts(la, 1) AS pos, unnest(la) AS line,
-         CASE WHEN trim(lower(unnest(la)), {_DUCK_LINE_WS}) <> ''
-              THEN md5(trim(lower(unnest(la)), {_DUCK_LINE_WS})) END AS k
-  FROM larr),
+  SELECT doc_id, generate_subscripts(ls, 1) AS pos, unnest(ls) AS line,
+         CASE WHEN trim(lower(unnest(ls)), {_DUCK_LINE_WS}) <> ''
+              THEN md5(trim(lower(unnest(ls)), {_DUCK_LINE_WS})) END AS k
+  FROM (SELECT doc_id, string_split(text, chr(10)) AS ls FROM pcorp) z),
 lboil AS (
   SELECT k FROM lk WHERE k IS NOT NULL
   GROUP BY k HAVING count(DISTINCT doc_id) >= 3),
