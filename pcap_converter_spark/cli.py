@@ -76,6 +76,12 @@ def _prep_args(ap: argparse.ArgumentParser) -> None:
                     metavar="W",
                     help="remove repeated >= W-word spans (keep first "
                          "occurrence) before the funnel")
+    ap.add_argument("--prelude-recomputable", action="store_true",
+                    help="keep the prep output as a recomputable persist "
+                         "instead of the default localCheckpoint: slower "
+                         "driver-side per action, but an executor loss "
+                         "(dynamic allocation, spot nodes) recomputes "
+                         "instead of failing the job")
 
 
 def _validate_prep(args) -> None:
@@ -150,6 +156,7 @@ def _apply_prep(docs, args, handles: list):
         line_dedup_min_docs=args.line_dedup,
         substring_dedup=args.substring_dedup,
         handles=handles,
+        checkpoint=not args.prelude_recomputable,
     )
 
 

@@ -399,6 +399,16 @@ def line_dedup(
     join is needed, which matters at web scale where MOST documents
     contain some boilerplate and an edited-docs-only path would save
     nothing while adding an unbounded semi-join side.
+
+    NOT fully lazy (ADVICE r10): the counted broadcast gate runs the
+    full explode+aggregate job AT CALL TIME (one count over the
+    persisted boilerplate table). On the broadcast path with
+    ``handles=None`` the boiler persist is released immediately after
+    the count — the broadcast exchange re-derives the (already
+    counted, cheap) aggregation once at execution instead of pinning a
+    session-lifetime cache for handle-less callers; pass ``handles``
+    to keep the cache until you unpersist it (the shuffle fallback
+    keeps the persist either way: both join sides read it).
     """
     if df.isStreaming:
         raise ValueError(
@@ -467,6 +477,12 @@ def line_dedup(
     if handles is not None:
         handles.append(boiler)
     small = boiler.count() <= int(broadcast_limit)
+    if small and handles is None:
+        # handle-less broadcast path: release the persist now (ADVICE
+        # r10 — it would otherwise pin block storage for the session).
+        # The broadcast exchange replays the explode+agg lineage once at
+        # execution; with handles the cache serves it instead.
+        boiler.unpersist()
     marked = keyed.join(
         F.broadcast(boiler) if small else boiler, "_lk", "left"
     )

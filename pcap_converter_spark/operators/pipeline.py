@@ -110,8 +110,18 @@ def prepare_text(
             # TRADEOFF: localCheckpoint blocks are NOT recomputable — on
             # a cluster with executor churn (dynamic allocation, spot
             # nodes) a lost block fails the job instead of recomputing;
-            # pass checkpoint=False there to keep the recomputable
+            # pass checkpoint=False there (curate's prelude_checkpoint /
+            # the CLI's --prelude-recomputable) to keep the recomputable
             # persist (and the per-action analysis cost).
+            # LIFECYCLE (ADVICE r10): checkpoint blocks have no persist
+            # handle — DataFrame.unpersist() does not apply to them, so
+            # they are NOT appended to ``handles``; the JVM
+            # ContextCleaner frees them when the returned frame's RDD is
+            # garbage-collected. Long-lived sessions composing many
+            # curate() calls should drop references to returned frames
+            # (del / let them go out of scope) once materialized — or
+            # run checkpoint=False, whose persist handle releases
+            # deterministically through ``handles``.
             docs = docs.localCheckpoint(eager=False)
         else:
             docs = _stage(docs)
@@ -137,6 +147,7 @@ def curate(
     substring_dedup: int | None = None,
     fix_encoding: bool = False,
     line_dedup_min_docs: int | None = None,
+    prelude_checkpoint: bool = True,
     embeddings: DataFrame | None = None,
     emb_id_col: str = "vec_id",
     vec_col: str = "embedding",
@@ -236,7 +247,11 @@ def curate(
         )
 
     # optional text-repair/editing prelude (stage 0): the text every
-    # later stage sees is the repaired/deduplicated text
+    # later stage sees is the repaired/deduplicated text.
+    # prelude_checkpoint=False keeps the recomputable persist path for
+    # clusters with executor churn (ADVICE r10 — the localCheckpoint
+    # default trades recomputability for plan-depth control; see
+    # prepare_text); the CLI exposes it as --prelude-recomputable.
     docs = prepare_text(
         docs,
         text_col=text_col,
@@ -245,6 +260,7 @@ def curate(
         line_dedup_min_docs=line_dedup_min_docs,
         substring_dedup=substring_dedup,
         handles=own_handles,
+        checkpoint=prelude_checkpoint,
     )
 
     # stage 1: quality — ONE pure projection, no shuffle. gopher_keep

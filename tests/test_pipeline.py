@@ -457,3 +457,46 @@ def test_curate_language_gate_min_evidence_default(spark):
                    lang_default="fr")
     got = {r["doc_id"]: r["keep_lang"] for r in adopt.collect()}
     assert got == {0: False, 1: True}
+
+
+def test_prelude_checkpoint_escape_hatch_parity(spark):
+    """prelude_checkpoint=False (the cluster-safe recomputable-persist
+    mode — curate's escape hatch from the default localCheckpoint, and
+    the CLI's --prelude-recomputable) must produce byte-identical flags
+    to the default, so the durable mode cannot rot (VERDICT r10 stretch
+    #7). The corpus exercises every prelude stage: mojibake damage
+    (repair), a boilerplate line shared by 3 docs (line dedup), a
+    repeated 8-word span (span dedup), plus the language gate."""
+    from pcap_converter_spark.operators.pipeline import curate
+
+    body = ("the quick brown fox jumps over the lazy dog and it was a "
+            "fine day in the field with sun and wind for all of them")
+    boiler = "Cookie Policy | Accept All"
+    span = "alpha beta gamma delta epsilon zeta eta theta"
+    rows = [
+        (0, boiler + "\n" + body + "\n" + span),
+        (1, boiler + "\n" + body.replace("fox", "cat") + "\n" + span),
+        (2, boiler.lower() + "\n" + body.replace("fox", "owl")),
+        (3, body.replace("fox", "hen") + " résumé"),
+        # damaged twin of 3's accent: repairs to the same bytes
+        (4, body.replace("fox", "hen") + " rÃ©sumÃ©"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+
+    def run(checkpoint: bool):
+        handles: list = []
+        out = curate(
+            docs,
+            fix_encoding=True,
+            line_dedup_min_docs=3,
+            substring_dedup=8,
+            languages=("en",),
+            prelude_checkpoint=checkpoint,
+            handles=handles,
+        )
+        got = sorted(tuple(r) for r in out.collect())
+        for h in handles:
+            h.unpersist()
+        return got
+
+    assert run(True) == run(False)
