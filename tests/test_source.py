@@ -123,3 +123,40 @@ def test_index_cache_serves_and_invalidates(tmp_path):
     fresh = _index_or_split(path, 1 << 20, "auto")
     assert fresh is not first
     assert sum(c.n_records for c in fresh) == 20
+
+
+def test_corpus_chunk_frame_never_collects_descriptors(spark, tmp_path,
+                                                        monkeypatch):
+    """Multi-file corpora (> the few-files threshold) must plan their
+    chunk descriptors EXECUTOR-side end to end (VERDICT r10 #6: the old
+    index-then-collect path materialized O(|chunks|) dicts on the driver
+    — hundreds of MB at 100 TB). Pinned by forbidding RDD.collect during
+    planning AND by decode parity with per-file driver-path reads."""
+    import pyspark.rdd
+
+    from pcap_converter_spark.sources.pcap import read_pcap
+
+    paths = []
+    for i in range(6):  # > _DRIVER_INDEX_MAX_FILES -> distributed path
+        p = str(tmp_path / f"c{i}.pcap")
+        g.write_pcap(
+            p, [(1_000_000 + j, _udp_pkt(j)) for j in range(10 + i)]
+        )
+        paths.append(p)
+
+    orig_collect = pyspark.rdd.RDD.collect
+
+    def _no_collect(self, *a, **k):
+        raise AssertionError(
+            "chunk planning collected descriptors to the driver"
+        )
+
+    monkeypatch.setattr(pyspark.rdd.RDD, "collect", _no_collect)
+    try:
+        df, _ = read_pcap(spark, paths, target_chunk_bytes=1 << 10)
+    finally:
+        monkeypatch.setattr(pyspark.rdd.RDD, "collect", orig_collect)
+    got = df.groupBy("pcap_file").count().collect()
+    assert {r["pcap_file"]: r["count"] for r in got} == {
+        f"c{i}.pcap": 10 + i for i in range(6)
+    }

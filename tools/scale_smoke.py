@@ -302,6 +302,24 @@ def main() -> int:
             ),
             min_docs=3,
         ),
+        # the >4M-key FALLBACK branch of the counted gate (VERDICT r10
+        # #3: SCALE_SMOKE's line_dedup only ever exercised the broadcast
+        # path): broadcast_limit=0 forces the shuffle hash join the
+        # operator degrades to on a raw web crawl, so the fallback's
+        # scaling is RECORDED, not just output-parity-tested
+        "line_dedup_shuffle": lambda d: lambda: dedup.line_dedup(
+            d.selectExpr(
+                "doc_id",
+                "concat_ws('\\n', array_join(slice(split(text, ' '), 1, 60),"
+                " ' '), CASE WHEN doc_id % 2 = 0 THEN"
+                " 'subscribe to our newsletter' ELSE"
+                " array_join(slice(split(text, ' '), 61, 60), ' ') END)"
+                " AS text",
+            ),
+            min_docs=3,
+            broadcast_limit=0,
+            handles=pending,
+        ),
         # train one broadcastable model + score the corpus — both halves
         # are hash-aggregations, so the exponent guards the token explosion
         "lm_filter": lambda d: lambda: lm.perplexity_score(
