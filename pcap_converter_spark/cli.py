@@ -167,9 +167,12 @@ def _parse_languages(raw: str | None) -> tuple[str, ...] | None:
     only known profile codes and 'und' can ever match)."""
     if raw is None:
         return None
-    from pcap_converter_spark.functions.text import LANG_STOPWORDS
+    from pcap_converter_spark.functions.text import (
+        LANG_SCRIPTS,
+        LANG_STOPWORDS,
+    )
 
-    known = set(LANG_STOPWORDS) | {"und"}
+    known = set(LANG_STOPWORDS) | set(LANG_SCRIPTS) | {"und"}
     langs = tuple(x.strip() for x in raw.split(",") if x.strip())
     if not langs:
         raise SystemExit("error: --languages is empty")
@@ -187,9 +190,12 @@ def _validate_lang_default(code: str) -> None:
     coalesce — validate it as such (the comma-list parser would accept
     'en,de' or ' en', which can never match and would silently drop the
     whole below-evidence band; review-caught)."""
-    from pcap_converter_spark.functions.text import LANG_STOPWORDS
+    from pcap_converter_spark.functions.text import (
+        LANG_SCRIPTS,
+        LANG_STOPWORDS,
+    )
 
-    if code not in set(LANG_STOPWORDS) | {"und"}:
+    if code not in set(LANG_STOPWORDS) | set(LANG_SCRIPTS) | {"und"}:
         raise SystemExit(
             f"error: --lang-default {code!r} is not a single known "
             "language code (one profile code or 'und')"

@@ -47,6 +47,53 @@ LANG_STOPWORDS: dict[str, tuple[str, ...]] = {
     "ru": ("и", "в", "не", "на", "что", "это", "как"),
 }
 
+# Whitespace-free-script profiles (r11, VERDICT r10 #2): zh/ja/ko/th have
+# no (or optional) word spaces, so the stopword ratio test scores 0 and the
+# old chain sent every such document to 'und' — silently discarding three
+# of the largest languages of a real crawl. Script CHARACTER COUNTS are the
+# standard cheap discriminator: each profile is a set of BMP codepoint
+# ranges, counted in one regex pass per profile in both engines. DICT
+# ORDER IS THE DECISION ORDER and it is load-bearing: Japanese text mixes
+# kana with Han (kanji) — often MORE kanji than kana — while Chinese text
+# contains no kana at all, so kana is checked first and Han LAST (the
+# fallback for kana-free Han text = Chinese). Hangul/Thai are disjoint
+# scripts, order among them is cosmetic.
+LANG_SCRIPTS: dict[str, tuple[tuple[int, int], ...]] = {
+    # Hiragana + Katakana (U+3040–U+30FF)
+    "ja": ((0x3040, 0x30FF),),
+    # Hangul Jamo, Compatibility Jamo, Syllables
+    "ko": ((0x1100, 0x11FF), (0x3130, 0x318F), (0xAC00, 0xD7A3)),
+    # Thai (letters through symbols; excludes the unassigned tail)
+    "th": ((0x0E01, 0x0E5B),),
+    # CJK Unified Ideographs + Extension A — LAST: Han without kana
+    "zh": ((0x4E00, 0x9FFF), (0x3400, 0x4DBF),),
+}
+
+
+def script_class_java(lang: str) -> str:
+    """Java-regex character class for a script profile (explicit \\uXXXX
+    escapes, so no non-ASCII bytes ride the generated plan)."""
+    return "[" + "".join(
+        f"\\u{lo:04X}-\\u{hi:04X}" for lo, hi in LANG_SCRIPTS[lang]
+    ) + "]"
+
+
+def script_class_re2(lang: str) -> str:
+    """RE2 (DuckDB) character class for a script profile."""
+    return "[" + "".join(
+        f"\\x{{{lo:04X}}}-\\x{{{hi:04X}}}" for lo, hi in LANG_SCRIPTS[lang]
+    ) + "]"
+
+
+def script_hits_t(text: Column, lang: str) -> Column:
+    """Count of ``lang``-script characters in ``text`` — one regex pass
+    (length minus the class-stripped length). All ranges are BMP, so
+    Java's UTF-16 length and DuckDB's codepoint length agree."""
+    return F.length(text) - F.length(
+        F.regexp_replace(text, script_class_java(lang), "")
+    )
+
+
 # BPE-ish token pattern: letter runs, digit runs, or single non-space symbol —
 # the shape a byte-pair pre-tokenizer sees before merges.
 BPE_TOKEN_RE = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"
@@ -140,7 +187,12 @@ def quality_score(text: Column) -> Column:
     )
 
 
-def language_id_t(scores: dict, min_evidence: int = 1) -> Column:
+def language_id_t(
+    scores: dict,
+    min_evidence: int = 1,
+    script_scores: dict | None = None,
+    script_min_chars: int = 3,
+) -> Column:
     """Language CASE chain from per-language score columns (ordered dict,
     earlier profiles win ties). Three-way verdict (VERDICT r9 #4):
 
@@ -155,7 +207,18 @@ def language_id_t(scores: dict, min_evidence: int = 1) -> Column:
     behavior exactly (the NULL band is empty). NULL/absent tokens (NULL
     text → NULL scores → NULL best) are 'und' like zero hits — the
     historical contract (review-caught: a bare ``best == 0`` test let
-    NULL best fall through to the insufficient-evidence NULL)."""
+    NULL best fall through to the insufficient-evidence NULL).
+
+    ``script_scores`` (r11, VERDICT r10 #2) prepends the whitespace-free
+    SCRIPT tier: per-language script-character counts (script_hits_t,
+    LANG_SCRIPTS order — kana before Han, see LANG_SCRIPTS) checked
+    BEFORE the stopword chain. A script wins when its character count
+    reaches ``script_min_chars`` AND at least the best stopword score —
+    a genuine zh/ja/ko/th document has hundreds of script chars and ~0
+    stopword hits, while an English page quoting a CJK phrase keeps its
+    dominant stopword evidence. NULL text → NULL counts → every script
+    condition is false → the stopword chain's NULL handling applies
+    ('und'), unchanged."""
     best = F.greatest(*scores.values())
     # F.when with no otherwise → NULL on the unmatched (insufficient) band
     expr = F.when(best.isNull() | (best <= 0), F.lit("und"))
@@ -165,18 +228,34 @@ def language_id_t(scores: dict, min_evidence: int = 1) -> Column:
             (best >= int(min_evidence)) & (scores[lang] == best),
             F.lit(lang),
         ).otherwise(expr)
+    if script_scores:
+        best0 = F.coalesce(best, F.lit(0))
+        for lang in reversed(list(script_scores)):
+            sc = script_scores[lang]
+            expr = F.when(
+                (sc >= int(script_min_chars)) & (sc >= best0), F.lit(lang)
+            ).otherwise(expr)
     return expr
 
 
-def language_id(text: Column, min_evidence: int = 1) -> Column:
-    """Stopword-profile language guess: the language whose function words
-    hit most tokens; ``und`` (undetermined) when nothing hits; NULL when
-    hits exist but fall below ``min_evidence`` (see language_id_t). Ties
-    break by profile order (en, de, es, ...) — deterministic."""
+def language_id(
+    text: Column, min_evidence: int = 1, script_min_chars: int = 3
+) -> Column:
+    """Language guess: whitespace-free SCRIPTS first (zh/ja/ko/th by
+    script-character count — see LANG_SCRIPTS; without this tier such
+    documents score 0 stopword hits and all land in 'und'), then the
+    stopword-profile chain — the language whose function words hit most
+    tokens; ``und`` (undetermined) when nothing hits; NULL when hits
+    exist but fall below ``min_evidence`` (see language_id_t). Ties
+    break by profile order — deterministic."""
     ws = words(F.lower(text))
     return language_id_t(
         {lang: stopword_hits_t(ws, lang) for lang in LANG_STOPWORDS},
         min_evidence=min_evidence,
+        script_scores={
+            lang: script_hits_t(text, lang) for lang in LANG_SCRIPTS
+        },
+        script_min_chars=script_min_chars,
     )
 
 

@@ -195,6 +195,10 @@ def curate(
       ``lang_default`` (default ``'und'``), so
       ``languages=('en','und'), lang_min_evidence=3`` keeps English plus
       anything too thin to call, while ``('en',)`` drops both bands.
+      Whitespace-free scripts route through the SCRIPT tier first (r11:
+      zh/ja/ko/th by script-character count, text.LANG_SCRIPTS — such
+      docs have no stopword signal and previously all landed in 'und'),
+      so ``languages=('zh','ja')`` works as expected.
     - ``fix_encoding=True`` prepends mojibake repair
       (``functions/text.fix_mojibake_t`` — UTF-8-as-cp1252 damage) as
       the very first projection, BEFORE any text-editing or judging
@@ -288,6 +292,14 @@ def curate(
             TX.stopword_hits_t(ws, lang).alias(f"_s_{lang}")
             for lang in TX.LANG_STOPWORDS
         ]
+        + [
+            # whitespace-free script tier (r11): one regex count per
+            # script, checked ahead of the stopword chain — without it
+            # every zh/ja/ko/th document scores 0 stopword hits and the
+            # gate routes three of a crawl's largest languages to 'und'
+            TX.script_hits_t(t, lang).alias(f"_sc_{lang}")
+            for lang in TX.LANG_SCRIPTS
+        ]
         if languages is not None
         else []
     )
@@ -313,6 +325,10 @@ def curate(
                     for lang in TX.LANG_STOPWORDS
                 },
                 min_evidence=lang_min_evidence,
+                script_scores={
+                    lang: F.col(f"_sc_{lang}")
+                    for lang in TX.LANG_SCRIPTS
+                },
             ).alias("_lang"),
         )
     gop = gopher_keep(

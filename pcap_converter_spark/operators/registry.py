@@ -307,7 +307,7 @@ def _bpe_train_ctes() -> str:
 _TEXT_ALL_COLS = (
     "doc_id", "in_sample_20", "split", "n_tokens", "n_bpe", "punct_r",
     "stop_r", "quality", "labeled_lang", "guessed_lang", "lang_minev",
-    "fp", "rfp",
+    "script_lang", "fp", "rfp",
     "mean_wlen", "pii_emails", "pii_ips", "pii_phones", "pii_fp",
     "moji_fp", "moji2_fp", "dup_ngram_frac", "top_ngram_frac", "vocab_ids",
     "pack_shard", "pack_bin", "pack_offset", "top_term", "top_tfidf",
@@ -520,10 +520,24 @@ def run_text_all(spark: SparkSession, sf_dir: str) -> DataFrame:
             TX.stopword_hits_t(ws, lang).alias(f"_s_{lang}")
             for lang in TX.LANG_STOPWORDS
         ],
+        *[
+            # whitespace-free script tier (r11): staged like the
+            # stopword scores — the CASE chain reads each count twice
+            TX.script_hits_t(t, lang).alias(f"_sc_{lang}")
+            for lang in TX.LANG_SCRIPTS
+        ],
         F.size(ws).alias("_nt"),
         TX.punct_ratio(t).alias("_pr"),
         F.length(F.concat_ws("", ws)).alias("_chars"),
         encode_bpe(t, list(_BPE_MERGES)).alias("_bpe"),
+        # per-doc CJK/Thai probe snippet (cycled by doc_id): the corpus
+        # is ASCII, so the script ROUTER needs fixture text of its own —
+        # script_lang below hash-gates real kana/hangul/han/thai through
+        # both engines' scorers (VERDICT r10 #2)
+        F.element_at(
+            F.array(*[F.lit(s) for s in _SCRIPT_SNIPPETS]),
+            (F.col("doc_id") % len(_SCRIPT_SNIPPETS) + 1).cast("int"),
+        ).alias("_snip"),
     )
     nt, praw = F.col("_nt"), F.col("_pr")
     sratio = TX.stopword_ratio_t(ws, F.col("_s_en"))
@@ -538,14 +552,28 @@ def run_text_all(spark: SparkSession, sf_dir: str) -> DataFrame:
         TX.quality_score_t(nt, praw, sratio).alias("quality"),
         F.col("lang").alias("labeled_lang"),
         TX.language_id_t(
-            {lang: F.col(f"_s_{lang}") for lang in TX.LANG_STOPWORDS}
+            {lang: F.col(f"_s_{lang}") for lang in TX.LANG_STOPWORDS},
+            script_scores={
+                lang: F.col(f"_sc_{lang}") for lang in TX.LANG_SCRIPTS
+            },
         ).alias("guessed_lang"),
         # the min-evidence variant (VERDICT r9 #4): hash-gates the NULL
         # band (0 < best hits < threshold) alongside the two-way guess
         TX.language_id_t(
             {lang: F.col(f"_s_{lang}") for lang in TX.LANG_STOPWORDS},
             min_evidence=_LANG_MINEV,
+            script_scores={
+                lang: F.col(f"_sc_{lang}") for lang in TX.LANG_SCRIPTS
+            },
         ).alias("lang_minev"),
+        # the script router over REAL whitespace-free text (r11): the
+        # full language_id chain on the per-doc probe snippet — kana
+        # beats kanji-count for ja, Han-without-kana is zh, the
+        # mixed-script snippet keeps its dominant stopword verdict, and
+        # the no-signal snippet stays 'und'. The oracle re-derives the
+        # verdict through the RE2 twins of the same script classes;
+        # ground-truth codes are additionally pytest-pinned.
+        TX.language_id(F.col("_snip")).alias("script_lang"),
         TX.fingerprint_t(ws).alias("fp"),
         # serialized to a CSV string: the driver canonicalizer sorts results
         # with pandas, which cannot factorize list cells (r3 red rows) — the
@@ -740,11 +768,25 @@ _LANG_SCORES_SQL = ", ".join(
 _LANG_BEST_SQL = (
     "greatest(" + ", ".join(f"s_{lang}" for lang in TX.LANG_STOPWORDS) + ")"
 )
-def _langid_case_sql(min_evidence: int) -> str:
-    """DuckDB twin of TX.language_id_t(scores, min_evidence): winning
-    profile at best >= min_evidence, 'und' at best = 0, NULL between."""
+def _langid_case_sql(min_evidence: int, scripts: bool = False) -> str:
+    """DuckDB twin of TX.language_id_t(scores, min_evidence[,
+    script_scores]): winning profile at best >= min_evidence, 'und' at
+    best = 0, NULL between. ``scripts=True`` prepends the whitespace-free
+    SCRIPT tier (r11) — sc_{lang} columns (see _SCRIPT_SCORES_SQL) win
+    when they reach the char floor AND the best stopword score, in
+    TX.LANG_SCRIPTS order (kana before Han — the ja-vs-zh tiebreak)."""
+    script_arms = (
+        " ".join(
+            f"WHEN sc_{lang} >= {_SCRIPT_MIN_CHARS} "
+            f"AND sc_{lang} >= coalesce(best, 0) THEN '{lang}'"
+            for lang in TX.LANG_SCRIPTS
+        ) + " "
+        if scripts
+        else ""
+    )
     return (
         "CASE "
+        + script_arms
         + " ".join(
             f"WHEN best >= {int(min_evidence)} AND s_{lang} = best "
             f"THEN '{lang}'"
@@ -754,8 +796,45 @@ def _langid_case_sql(min_evidence: int) -> str:
     )
 
 
-_LANGID_CASE = _langid_case_sql(1)
+# script-character counts (r11): one RE2 pass per script, generated from
+# the same LANG_SCRIPTS ranges the Spark side compiles to Java classes —
+# DuckDB length() counts codepoints and every range is BMP, so the two
+# engines' counts agree character for character. A function, not a
+# .format template: the RE2 classes contain literal '\x{4E00}' braces.
+_SCRIPT_MIN_CHARS = 3  # language_id_t's script_min_chars default
+
+
+def _script_scores_sql(src: str) -> str:
+    return ", ".join(
+        f"length({src}) - length(regexp_replace({src}, "
+        f"'{TX.script_class_re2(lang)}', '', 'g')) AS sc_{lang}"
+        for lang in TX.LANG_SCRIPTS
+    )
+
+
+_LANGID_CASE = _langid_case_sql(1, scripts=True)
 _LANG_MINEV = 3  # the hash-gated threshold case in ex_text_all
+
+# whitespace-free-script probe snippets (r11, VERDICT r10 #2): the ASCII
+# fixture corpus gives the script router nothing to route, so ex_text_all
+# cycles these per doc_id and hash-gates the verdict through BOTH
+# engines' scorers (Java vs RE2 char classes over real kana / hangul /
+# han / thai). Expected codes (ja ko zh th en und) are pytest-pinned in
+# tests/test_text_functions.py — the hash proves cross-engine agreement,
+# the pytest proves the answers are RIGHT. Index 4 mixes scripts: 8
+# English stopword hits beat 3 Han chars, so the dominant-evidence rule
+# keeps 'en'; index 5 has no signal at all.
+_SCRIPT_SNIPPETS = (
+    "日本語のテキストです。これはひらがなとカタカナの文章",
+    "한국어 텍스트 문서입니다 테스트",
+    "这是一段没有空格的中文文本内容测试",
+    "นี่คือข้อความภาษาไทยสำหรับการทดสอบ",
+    "the cat and the dog of the house is in the garden 中文字",
+    "123 456 789 %%%",
+)
+_SCRIPT_SNIPPETS_SQL = "[" + ", ".join(
+    "'" + s.replace("'", "''") + "'" for s in _SCRIPT_SNIPPETS
+) + "]"
 
 # One oracle for the whole text surface. The winnowing fingerprint hashes
 # words with md5-low32 (functions/text.py word_hash32) precisely so this
@@ -794,13 +873,25 @@ WITH w AS (
          {_DUCK_WORDS.format(src="lower(text)")} AS lws
   FROM documents),
 sc AS (
-  SELECT *, {_LANG_SCORES_SQL},
+  SELECT *, {_LANG_SCORES_SQL}, {_script_scores_sql("text")},
          CASE WHEN length(text) > 0
               THEN (length(text) - length(regexp_replace(text, '[^a-zA-Z0-9\\s]', '', 'g')))
                    / CAST(length(text) AS DOUBLE) ELSE 0.0 END AS praw,
          list_transform(lws, x -> CAST(md5_number_lower(x) & 4294967295 AS BIGINT)) AS hs,
          least(8, len(lws)) AS win
   FROM w),
+snp0 AS (
+  SELECT doc_id, ({_SCRIPT_SNIPPETS_SQL})[
+           CAST(doc_id % {len(_SCRIPT_SNIPPETS)} AS INT) + 1] AS snip
+  FROM documents),
+snp1 AS (
+  SELECT doc_id, snip, {_DUCK_WORDS.format(src="lower(snip)")} AS lws
+  FROM snp0),
+snps AS (
+  SELECT doc_id, {_LANG_SCORES_SQL}, {_script_scores_sql("snip")}
+  FROM snp1),
+snpb AS (SELECT *, {_LANG_BEST_SQL} AS best FROM snps),
+snp AS (SELECT doc_id, {_LANGID_CASE} AS script_lang FROM snpb),
 b AS (
   SELECT *, {_LANG_BEST_SQL} AS best,
          CASE WHEN len(lws) > 0 THEN s_en / CAST(len(lws) AS DOUBLE)
@@ -916,7 +1007,8 @@ SELECT doc_id,
       + 0.3 * least(1.0, sraw * 10.0), 4) AS quality,
   lang AS labeled_lang,
   {_LANGID_CASE} AS guessed_lang,
-  {_langid_case_sql(_LANG_MINEV)} AS lang_minev,
+  {_langid_case_sql(_LANG_MINEV, scripts=True)} AS lang_minev,
+  snp.script_lang AS script_lang,
   md5(array_to_string(lws, ' ')) AS fp,
   array_to_string(
     CASE WHEN len(lws) = 0 THEN CAST([] AS BIGINT[])
@@ -965,6 +1057,7 @@ FROM b LEFT JOIN (SELECT doc_id, top_term, top_tfidf FROM t_top WHERE rn = 1) tt
   JOIN pk USING (doc_id)
   LEFT JOIN hvec hv USING (doc_id)
   JOIN bpec USING (doc_id)
+  JOIN snp USING (doc_id)
 UNION ALL
 {_bpe_train_union_sql()}
 UNION ALL
@@ -3052,7 +3145,8 @@ pw2 AS MATERIALIZED (
 plg AS MATERIALIZED (
   SELECT doc_id, ({_LANGID_CASE}) IN ('en') AS keep_lang
   FROM (SELECT z.*, {_LANG_BEST_SQL} AS best
-        FROM (SELECT doc_id, {_LANG_SCORES_SQL} FROM pw2) z) zz),
+        FROM (SELECT doc_id, {_LANG_SCORES_SQL},
+                     {_script_scores_sql("text")} FROM pw2) z) zz),
 pq0 AS MATERIALIZED (
   SELECT doc_id, text, lws, len(lws) AS nt,
          CASE WHEN len(lws) > 0

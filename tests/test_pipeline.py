@@ -500,3 +500,28 @@ def test_prelude_checkpoint_escape_hatch_parity(spark):
         return got
 
     assert run(True) == run(False)
+
+
+def test_curate_language_gate_scripts(spark):
+    """The gate routes whitespace-free scripts (r11): zh/ja docs used to
+    score 0 stopword hits and land in 'und' — languages=('ja',) must now
+    keep Japanese and drop Chinese/English, not drop everything."""
+    from pcap_converter_spark.operators.pipeline import curate
+
+    ja = "これは日本語の文章です。" * 12
+    zh = "这是一段中文的测试文本内容。" * 12
+    en = ("the quick brown fox jumps over the lazy dog and it was a "
+          "fine day in the field with sun and wind for all of them")
+    docs = spark.createDataFrame(
+        [(0, ja), (1, zh), (2, en)], ["doc_id", "text"]
+    )
+    got = {
+        r["doc_id"]: r["keep_lang"]
+        for r in curate(docs, languages=("ja",)).collect()
+    }
+    assert got == {0: True, 1: False, 2: False}
+    got = {
+        r["doc_id"]: r["keep_lang"]
+        for r in curate(docs, languages=("zh", "en")).collect()
+    }
+    assert got == {0: False, 1: True, 2: True}

@@ -601,3 +601,53 @@ def test_language_id_null_text_is_und(spark):
             ).collect()
         }
         assert got == {0: "und", 1: "und"}, (minev, got)
+
+
+def test_language_id_script_tier_ground_truth(spark):
+    """The whitespace-free SCRIPT tier (r11): zh/ja/ko/th have no
+    stopword signal, so the old chain sent them all to 'und'. Ground
+    truth per snippet is pinned HERE (the ex_text_all hash proves only
+    cross-engine agreement); kana-before-Han ordering and the
+    dominant-evidence rule get their own cases."""
+    from pcap_converter_spark.operators.registry import _SCRIPT_SNIPPETS
+
+    rows = [(i, s) for i, s in enumerate(_SCRIPT_SNIPPETS)] + [
+        # Japanese with MORE kanji than kana: kana presence must win
+        # (Chinese text never contains kana)
+        (10, "日本国憲法第九条戦争放棄の条文です"),
+        # Korean with hanja sprinkled in: hangul checked before Han
+        (11, "대한민국 憲法 제1조 민주공화국"),
+        # English quoting a short CJK phrase: 3 Han chars meet the char
+        # floor but not the 8 stopword hits -> dominant evidence keeps en
+        (12, "the cat and the dog of the house is in the garden 中文字"),
+        # two stray CJK chars: below the 3-char floor -> stopword chain
+        (13, "the cat and the dog 中文"),
+    ]
+    df = spark.createDataFrame(rows, ["i", "text"])
+    got = {
+        r["i"]: r["g"]
+        for r in df.select(
+            "i", TX.language_id(F.col("text")).alias("g")
+        ).collect()
+    }
+    assert got[0] == "ja" and got[10] == "ja"
+    assert got[1] == "ko" and got[11] == "ko"
+    assert got[2] == "zh"
+    assert got[3] == "th"
+    assert got[4] == "en" and got[12] == "en" and got[13] == "en"
+    assert got[5] == "und"
+
+
+def test_script_hits_counts_bmp_chars(spark):
+    """script_hits_t counts exactly the profile's codepoints (one per
+    character, not per byte)."""
+    df = spark.createDataFrame(
+        [(0, "abcかなカナ漢字한xyz")], ["i", "text"]
+    )
+    got = df.select(
+        TX.script_hits_t(F.col("text"), "ja").alias("ja"),
+        TX.script_hits_t(F.col("text"), "zh").alias("zh"),
+        TX.script_hits_t(F.col("text"), "ko").alias("ko"),
+        TX.script_hits_t(F.col("text"), "th").alias("th"),
+    ).collect()[0]
+    assert (got["ja"], got["zh"], got["ko"], got["th"]) == (4, 2, 1, 0)
