@@ -139,6 +139,7 @@ def run_warmup(spark, sf_dir: str, cpus, runners) -> None:
     from pcap_converter_spark.operators.registry import (
         _incr_index_path,
         _incr_near_index_path,
+        _incr_prep_index_path,
         _ingest_fixture_paths,
         _ivf_append_path,
         _ivf_rest_path,
@@ -154,6 +155,7 @@ def run_warmup(spark, sf_dir: str, cpus, runners) -> None:
     _warm_step("pq_app_index", lambda: _pq_append_path(spark, sf_dir))
     _warm_step("incr_index", lambda: _incr_index_path(spark, sf_dir))
     _warm_step("incr_near_index", lambda: _incr_near_index_path(spark, sf_dir))
+    _warm_step("incr_prep_index", lambda: _incr_prep_index_path(spark, sf_dir))
     _warm_step("ingest_fixture", lambda: _ingest_fixture_paths(spark, sf_dir))
     _warm_step("streaming_engine", _warm_streaming)
 

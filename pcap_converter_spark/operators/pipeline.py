@@ -83,6 +83,14 @@ def prepare_text(
         from pcap_converter_spark.functions.text import fix_mojibake_t
 
         docs = docs.withColumn(text_col, fix_mojibake_t(F.col(text_col)))
+        # the repair chain is ~90 stacked replaces: downstream stages
+        # reference the text column many times (stats, digests,
+        # shingles), and each reference re-carries the whole chain
+        # through analysis — so a fix-only prelude gets the same
+        # boundary materialization as the editing stages (measured:
+        # a fix-only curate(corpus_index=...) call spent ~2× the funnel
+        # in re-analysis without it)
+        edited = True
     if line_dedup_min_docs is not None:
         cleaned = dedup.line_dedup(
             docs, min_docs=int(line_dedup_min_docs),
