@@ -152,6 +152,74 @@ def build() -> tuple[list[bytes], list[dict]]:
     return records, expected
 
 
+MAIN_PARQUET_PATH = os.path.join(DATA_DIR, "warc_main.parquet")
+
+
+def _main_page(i: int) -> tuple[bytes, str, str]:
+    """A crawl-shaped page with chrome: nav, article, teaser, link-farm
+    sidebar, footer. Returns (html, expected_full_text, expected_main) —
+    the FULL expectation follows html_to_text's rules (every block's
+    text, chrome included), the MAIN expectation keeps only the blocks
+    html_main_text_py's spec classifies as content: the headline (7
+    words ≥ the 5-word floor), the plain paragraph, and the paragraph
+    with one inline link (link density 2/15). The nav/footer drop as
+    semantic chrome, the all-link sidebar div fails the density test
+    (7/7), the 2-word teaser fails the word floor."""
+    head = f"Main article {i} headline with several words"
+    p1 = (f"First real paragraph of article {i} has enough plain words "
+          "& passes the floor.")
+    p2a = "Second paragraph keeps an inline"
+    link_txt = "reference link"
+    p2b = f"and still reads as content for page {i}."
+    html = (
+        "<html><head><script>var n = 1;</script></head><body>"
+        '<nav><ul><li><a href="/">Home</a></li>'
+        '<li><a href="/about">About us</a></li>'
+        '<li><a href="/contact">Contact</a></li></ul></nav>'
+        f"<h1>{_enc(head)}</h1>"
+        f"<p>{_enc(p1)}</p>"
+        f'<p>{_enc(p2a)} <a href="/ref">{link_txt}</a> {_enc(p2b)}</p>'
+        "<p>Read more</p>"
+        '<div><a href="/r1">Related post one</a> '
+        '<a href="/r2">Other related post two</a></div>'
+        "<footer><p>Copyright 2026 Fixture Example. "
+        "All rights reserved.</p></footer>"
+        "</body></html>"
+    )
+    p2 = f"{p2a} {link_txt} {p2b}"
+    full = "\n".join([
+        "Home", "About us", "Contact", head, p1, p2, "Read more",
+        "Related post one Other related post two",
+        "Copyright 2026 Fixture Example. All rights reserved.",
+    ])
+    main = "\n".join([head, p1, p2])
+    return html.encode("utf-8"), full, main
+
+
+def build_main() -> tuple[list[bytes], list[dict], list[dict]]:
+    """Chrome-carrying pages for the 'main' branch (r11, VERDICT r10 #5).
+    Returns (records, expected_full_rows, expected_main_rows); page 5 is
+    a 404 — absent from BOTH expectations, re-pinning the 200-only
+    contract in main mode."""
+    records: list[bytes] = []
+    full_rows: list[dict] = []
+    main_rows: list[dict] = []
+    for i in range(6):
+        url = f"https://fixture.example/main/{i:02d}"
+        html, full, main = _main_page(i)
+        status = 404 if i == 5 else 200
+        records.append(
+            wg.response_record(
+                url, html, rec_id=f"<urn:uuid:main-{i}>", status=status,
+                date=f"2026-03-{1 + i:02d}T00:00:00Z",
+            )
+        )
+        if status == 200:
+            full_rows.append({"url": url, "text": full})
+            main_rows.append({"url": url, "text": main})
+    return records, full_rows, main_rows
+
+
 WET_PATH = os.path.join(DATA_DIR, "wet_fixture.warc.gz")
 WET_PARQUET_PATH = os.path.join(DATA_DIR, "wet_docs.parquet")
 JSONL_PATH = os.path.join(DATA_DIR, "docs_fixture.jsonl.gz")
@@ -212,10 +280,15 @@ def _write_expected(path: str, expected: list[dict]) -> None:
 def main() -> None:
     os.makedirs(DATA_DIR, exist_ok=True)
     records, expected = build()
+    m_records, m_full, m_main = build_main()
+    records.extend(m_records)
+    expected.extend(m_full)  # 'docs' mode sees the chrome text too
     wg.write_warc(WARC_PATH, records, gzipped=True)
     _write_expected(PARQUET_PATH, expected)
+    _write_expected(MAIN_PARQUET_PATH, m_main)
     print(f"wrote {WARC_PATH} ({os.path.getsize(WARC_PATH)} bytes), "
-          f"{PARQUET_PATH} ({len(expected)} docs)")
+          f"{PARQUET_PATH} ({len(expected)} docs), "
+          f"{MAIN_PARQUET_PATH} ({len(m_main)} docs)")
     wet_records, wet_expected = build_wet()
     wg.write_warc(WET_PATH, wet_records, gzipped=True)
     _write_expected(WET_PARQUET_PATH, wet_expected)

@@ -589,6 +589,104 @@ def _compile_html_res():
     _WS_TRANS = str.maketrans({"\t": " ", "\r": " ", "\f": " "})
 
 
+# --------------------------------------------------- main-content extraction
+# Block-level boilerplate pruning in the jusText / Arc90-readability
+# family (both public algorithms): segment the page into block-level
+# units, score each by word count and link density, keep the
+# content-shaped blocks. Deliberately SIMPLER than jusText (no stopword
+# densities, no short/near-good context propagation) so the rule set is
+# small enough to pin with ground-truth fixtures:
+#
+# 1. <script>/<style>/comments drop wholesale (the html_to_text pass).
+# 2. Blocks break at block-level tags (_MAIN_BLOCK_RE); inline tags
+#    become spaces inside the block, exactly like html_to_text.
+# 3. Anything inside <nav>/<header>/<footer>/<aside> is chrome by HTML5
+#    semantics — skipped outright (depth-counted, malformed-nesting safe).
+# 4. A surviving block is MAIN content iff it has ≥ min_words ASCII-ws
+#    words AND its link density (words inside <a> ÷ words) ≤
+#    max_link_density — navigation/related-post link farms fail the
+#    density test even outside semantic containers; short teasers
+#    ("Read more") fail the word floor. Note headings shorter than the
+#    floor drop too — lower min_words to keep them.
+# 5. Kept blocks are entity-decoded, ASCII-ws-normalized, joined by \n.
+
+_MAIN_MIN_WORDS = 5
+_MAIN_MAX_LINK_DENSITY = 0.5
+_MAIN_BORING = frozenset({"nav", "header", "footer", "aside"})
+_MAIN_BLOCKS = frozenset(
+    {
+        "p", "div", "li", "tr", "h1", "h2", "h3", "h4", "h5", "h6",
+        "blockquote", "section", "article", "ul", "ol", "table", "br",
+        "body", "html", "head", "main", "td", "th",
+    }
+)
+_P_ANYTAG = None  # compiled with the other patterns
+
+
+def html_main_text_py(
+    t: str,
+    min_words: int = _MAIN_MIN_WORDS,
+    max_link_density: float = _MAIN_MAX_LINK_DENSITY,
+) -> str:
+    """Main-content extraction (see the block comment above): the page's
+    content blocks, entity-decoded and whitespace-normalized, joined by
+    newlines — navigation, sidebars, footers and link farms pruned.
+    Python-side like ``html_to_text_py`` (runs inside the fused WARC
+    reader's Arrow batch); ``responses_as_documents(extract_text='main')``
+    wraps it in an Arrow-batched pandas UDF for the JVM-frame face."""
+    global _P_ANYTAG
+    if _P_DROP is None:
+        _compile_html_res()
+    if _P_ANYTAG is None:
+        import re
+
+        _P_ANYTAG = re.compile(r"<(/?)([a-zA-Z][a-zA-Z0-9]*)[^>]*>|<[^>]*>",
+                               re.S)
+    t = _P_DROP.sub(" ", t)
+    blocks: list[tuple[list[str], list[str]]] = []
+    cur_words: list[str] = []
+    cur_link: list[str] = []
+    boring = 0
+    link = 0
+
+    def _close() -> None:
+        nonlocal cur_words, cur_link
+        if cur_words:
+            blocks.append((cur_words, cur_link))
+        cur_words, cur_link = [], []
+
+    pos = 0
+    for m in _P_ANYTAG.finditer(t):
+        seg = t[pos:m.start()]
+        pos = m.end()
+        if seg and boring == 0:
+            ws = ws_tokens(_P_ENT.sub(lambda e: _HTML_ENT_MAP[e.group(0)],
+                                      seg))
+            cur_words.extend(ws)
+            if link > 0:
+                cur_link.extend(ws)
+        name = (m.group(2) or "").lower()
+        if name in _MAIN_BORING:
+            _close()
+            boring = max(0, boring - 1) if m.group(1) else boring + 1
+        elif name == "a":
+            link = max(0, link - 1) if m.group(1) else link + 1
+        elif name in _MAIN_BLOCKS:
+            _close()
+    tail = t[pos:]
+    if tail and boring == 0:
+        cur_words.extend(
+            ws_tokens(_P_ENT.sub(lambda e: _HTML_ENT_MAP[e.group(0)], tail))
+        )
+    _close()
+    kept = [
+        " ".join(w)
+        for w, lw in blocks
+        if len(w) >= min_words and len(lw) / len(w) <= max_link_density
+    ]
+    return "\n".join(kept)
+
+
 def html_to_text_py(t: str) -> str:
     """Python twin of ``html_to_text`` — byte-identical output, pinned by
     a fuzz test against the JVM chain (tests/test_warc_documents.py).

@@ -3609,6 +3609,9 @@ _WET_DOCS_PARQUET = os.path.join(
 _JSONL_FIXTURE = os.path.join(
     _REPO_ROOT, "fixtures", "data", "docs_fixture.jsonl.gz"
 )
+_WARC_MAIN_PARQUET = os.path.join(
+    _REPO_ROOT, "fixtures", "data", "warc_main.parquet"
+)
 
 
 def run_warc_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3674,6 +3677,26 @@ def run_warc_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = warc_documents(spark, _WARC_FIXTURE)
     docs_branch = docs.select(
         F.lit("docs").alias("op"),
+        F.col("url"),
+        F.length("text").alias("n_chars"),
+        TX.token_count(F.col("text")).alias("n_tokens"),
+        F.md5(F.col("text").cast("binary")).alias("fp"),
+        "text",
+    )
+    # 'main' (r11, VERDICT r10 #5): the SAME fixture read with
+    # extract_text='main' — block-level main-content extraction
+    # (functions/text.html_main_text_py: nav/header/footer/aside chrome,
+    # all-link sidebars and sub-floor teasers pruned), restricted to the
+    # chrome-carrying /main/ pages. The oracle reads the generator's
+    # expected-main parquet — ground truth assembled from the plain
+    # content pieces, never through this repo's extractor — so the hash
+    # proves block segmentation, the semantic-container skip, the
+    # word-floor and link-density rules, AND that the 404 /main/ page
+    # stays absent (the 200-only contract in main mode).
+    main_branch = warc_documents(
+        spark, _WARC_FIXTURE, extract_text="main"
+    ).filter(F.col("url").startswith("https://fixture.example/main/")).select(
+        F.lit("main").alias("op"),
         F.col("url"),
         F.length("text").alias("n_chars"),
         TX.token_count(F.col("text")).alias("n_tokens"),
@@ -3767,7 +3790,8 @@ def run_warc_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit("drop")).alias("text"),
     )
     return (
-        docs_branch.unionByName(urls_branch)
+        docs_branch.unionByName(main_branch)
+        .unionByName(urls_branch)
         .unionByName(wet_branch)
         .unionByName(jsonl_branch)
         .unionByName(urldedup_branch)
@@ -3879,8 +3903,14 @@ jl AS (
          CAST(len({_DUCK_WORDS.format(src="text")}) AS INT) AS n_tokens,
          md5(text) AS fp, text
   FROM read_json('{_JSONL_FIXTURE}', format='newline_delimited',
-                 columns={{'url': 'VARCHAR', 'text': 'VARCHAR'}}))
-SELECT * FROM docs UNION ALL SELECT * FROM urls UNION ALL SELECT * FROM wet
+                 columns={{'url': 'VARCHAR', 'text': 'VARCHAR'}})),
+mainx AS (
+  SELECT 'main' AS op, url, CAST(length(text) AS INT) AS n_chars,
+         CAST(len({_DUCK_WORDS.format(src="text")}) AS INT) AS n_tokens,
+         md5(text) AS fp, text
+  FROM read_parquet('{_WARC_MAIN_PARQUET}'))
+SELECT * FROM docs UNION ALL SELECT * FROM mainx
+UNION ALL SELECT * FROM urls UNION ALL SELECT * FROM wet
 UNION ALL SELECT * FROM jl
 UNION ALL SELECT * FROM urldedup UNION ALL SELECT * FROM domcap
 ORDER BY op, url

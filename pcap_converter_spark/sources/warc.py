@@ -520,7 +520,7 @@ def read_warc(
 
 
 def responses_as_documents(
-    df: DataFrame, extract_text: bool = False
+    df: DataFrame, extract_text: bool | str = False
 ) -> DataFrame:
     """Bridge into the text pipeline: HTTP 200 response records →
     (doc_id, url, text) rows ready for the curation/dedup operators.
@@ -532,7 +532,11 @@ def responses_as_documents(
     it stays JVM-side. With ``extract_text=True`` the payload additionally
     runs through ``functions.text.html_to_text`` (JVM regexp chain —
     markup stripped, entities decoded, whitespace collapsed) so the
-    result feeds tokenize/quality/dedup directly."""
+    result feeds tokenize/quality/dedup directly.
+    ``extract_text='main'`` (r11) instead runs MAIN-CONTENT extraction —
+    block-level nav/footer/sidebar/link-farm pruning
+    (functions/text.html_main_text_py, jusText/Arc90-class) — the
+    standard stage between raw WARC responses and curation."""
     from pyspark.sql import functions as F
 
     from pcap_converter_spark.functions.text import html_to_text
@@ -556,7 +560,25 @@ def responses_as_documents(
         charset.isin("iso-8859-1", "latin-1", "latin1", "windows-1252", "cp1252"),
         F.decode("payload", "ISO-8859-1"),
     ).otherwise(F.make_valid_utf8(F.col("payload").cast("string")))
-    if extract_text:
+    if extract_text == "main":
+        # block-level boilerplate pruning (functions/text.py
+        # html_main_text_py — jusText/Arc90-class, see its module
+        # comment): block segmentation + link-density scoring is not a
+        # column-expression shape, so this mode runs as ONE Arrow-batched
+        # pandas UDF over the charset-decoded page. The fused reader
+        # (warc_documents(extract_text='main')) is the throughput path —
+        # there the page never crosses Arrow at all.
+        import pandas as _pd
+        from pyspark.sql.functions import pandas_udf as _pandas_udf
+
+        from pcap_converter_spark.functions.text import html_main_text_py
+
+        def _main(s):
+            return s.map(lambda x: None if x is None else html_main_text_py(x))
+
+        _main.__annotations__ = {"s": _pd.Series, "return": _pd.Series}
+        body = _pandas_udf("string")(_main)(body)
+    elif extract_text:
         body = html_to_text(body)
     return (
         df.filter(
@@ -594,7 +616,10 @@ def _chunk_documents(chunk: dict | WarcChunk, extract: bool) -> pd.DataFrame:
         # twin of responses_as_documents' JVM regexp_extract (the class
         # is explicit ASCII, so re.I needs no re.A here)
         _CHARSET_RE = re.compile(r"charset=[\"']?([A-Za-z0-9_\-]+)", re.I)
-    from pcap_converter_spark.functions.text import html_to_text_py
+    from pcap_converter_spark.functions.text import (
+        html_main_text_py,
+        html_to_text_py,
+    )
 
     c = WarcChunk(**chunk) if isinstance(chunk, dict) else chunk
     with open(c.path, "rb") as f:
@@ -619,7 +644,11 @@ def _chunk_documents(chunk: dict | WarcChunk, extract: bool) -> pd.DataFrame:
             text = rec["payload"].decode("utf-8", errors="replace")
         ids.append(rec["warc_record_id"])
         urls.append(rec["target_uri"])
-        texts.append(html_to_text_py(text) if extract else text)
+        if extract == "main":
+            text = html_main_text_py(text)
+        elif extract:
+            text = html_to_text_py(text)
+        texts.append(text)
     return pd.DataFrame({"warc_record_id": ids, "url": urls, "text": texts})
 
 
@@ -628,7 +657,7 @@ def warc_documents(
     paths: str | list[str],
     target_chunk_bytes: int = DEFAULT_CHUNK_BYTES,
     speculative: bool | str = "auto",
-    extract_text: bool = True,
+    extract_text: bool | str = True,
 ) -> DataFrame:
     """The corpus-acquisition FAST PATH:
     ``responses_as_documents(read_warc(...), extract_text=True)`` fused
@@ -641,7 +670,10 @@ def warc_documents(
     extracted text crosses Arrow. Only doc_id (xxhash64 of the record
     id — a Spark-specific hash) is computed JVM-side, over short
     strings. At 100 TB this is the front door: one task per
-    member-aligned chunk, no shuffle, output columnar."""
+    member-aligned chunk, no shuffle, output columnar.
+    ``extract_text='main'`` swaps the extractor for the main-content
+    pruner (html_main_text_py — nav/footer/sidebar/link-farm blocks
+    dropped), same fused shape."""
     chunk_df = _plan_chunks(spark, paths, target_chunk_bytes, speculative)
     from pyspark.sql import functions as F
 

@@ -188,3 +188,71 @@ def test_warc_documents_empty_glob_schema(spark, tmp_path):
 
     with pytest.raises(FileNotFoundError):
         warc_documents(spark, str(tmp_path / "none-*.warc.gz"))
+
+
+def test_html_main_text_rules():
+    """html_main_text_py block classification: semantic chrome skipped,
+    link farms fail density, teasers fail the word floor, content with a
+    sane inline link keeps the link text; malformed extra closers don't
+    underflow the chrome depth."""
+    from pcap_converter_spark.functions.text import html_main_text_py
+
+    html = (
+        "<html><body>"
+        '<nav><a href="/">Home</a> <a href="/a">About</a></nav>'
+        "<h1>A headline with five good words</h1>"
+        "<p>This paragraph has plenty of ordinary words to keep.</p>"
+        '<p>Inline <a href="/r">link text</a> inside enough real '
+        "content words.</p>"
+        "<p>Read more</p>"
+        '<div><a href="/1">Only link one</a> <a href="/2">Only link '
+        "two</a></div>"
+        "<footer><p>All rights reserved by the fixture.</p></footer>"
+        "</body></html>"
+    )
+    got = html_main_text_py(html)
+    assert got == (
+        "A headline with five good words\n"
+        "This paragraph has plenty of ordinary words to keep.\n"
+        "Inline link text inside enough real content words."
+    )
+    # entity decode inside kept blocks; knobs honored
+    assert html_main_text_py("<p>a &amp; b</p>", min_words=1) == "a & b"
+    assert html_main_text_py("<p>short one</p>") == ""
+    # stray extra </nav> must not make later content "boring"
+    assert (
+        html_main_text_py(
+            "</nav><p>still counted content words here fine</p>"
+        )
+        == "still counted content words here fine"
+    )
+
+
+def test_main_mode_faces_agree(spark):
+    """responses_as_documents(extract_text='main') (JVM frame + Arrow
+    UDF) and the fused warc_documents(extract_text='main') reader must
+    produce identical rows on the chrome fixture."""
+    import os
+
+    from pcap_converter_spark.operators.registry import _WARC_FIXTURE
+    from pcap_converter_spark.sources.warc import (
+        read_warc,
+        responses_as_documents,
+        warc_documents,
+    )
+
+    assert os.path.exists(_WARC_FIXTURE)
+    fused = {
+        r["url"]: r["text"]
+        for r in warc_documents(
+            spark, _WARC_FIXTURE, extract_text="main"
+        ).collect()
+    }
+    unfused = {
+        r["url"]: r["text"]
+        for r in responses_as_documents(
+            read_warc(spark, _WARC_FIXTURE), extract_text="main"
+        ).collect()
+    }
+    assert fused == unfused
+    assert any("/main/" in u for u in fused)
