@@ -192,6 +192,7 @@ def language_id_t(
     min_evidence: int = 1,
     script_scores: dict | None = None,
     script_min_chars: int = 3,
+    best: Column | None = None,
 ) -> Column:
     """Language CASE chain from per-language score columns (ordered dict,
     earlier profiles win ties). Three-way verdict (VERDICT r9 #4):
@@ -218,8 +219,15 @@ def language_id_t(
     stopword hits, while an English page quoting a CJK phrase keeps its
     dominant stopword evidence. NULL text → NULL counts → every script
     condition is false → the stopword chain's NULL handling applies
-    ('und'), unchanged."""
-    best = F.greatest(*scores.values())
+    ('und'), unchanged.
+
+    ``best`` optionally supplies a PRE-STAGED greatest-score column: the
+    CASE references best once per arm (plus twice per script arm), so
+    letting each reference expand greatest(|scores|) multiplies the
+    expression tree ~|scores|× — wide callers (ex_text_all's two chains,
+    curate's gate) stage it as an attribute; the value is identical."""
+    if best is None:
+        best = F.greatest(*scores.values())
     # F.when with no otherwise → NULL on the unmatched (insufficient) band
     expr = F.when(best.isNull() | (best <= 0), F.lit("und"))
     # build CASE from last profile to first so earlier profiles win ties

@@ -156,6 +156,7 @@ def curate(
     fix_encoding: bool = False,
     line_dedup_min_docs: int | None = None,
     prelude_checkpoint: bool = True,
+    near_dedup: bool = True,
     embeddings: DataFrame | None = None,
     emb_id_col: str = "vec_id",
     vec_col: str = "embedding",
@@ -207,6 +208,9 @@ def curate(
       zh/ja/ko/th by script-character count, text.LANG_SCRIPTS — such
       docs have no stopword signal and previously all landed in 'und'),
       so ``languages=('zh','ja')`` works as expected.
+    - ``near_dedup=False`` skips stage 3 entirely — the CCNet/C4-class
+      exact-only funnel (digest dedup but no MinHash pass); the
+      ``keep_neardup`` column is then absent and the report adapts.
     - ``fix_encoding=True`` prepends mojibake repair
       (``functions/text.fix_mojibake_t`` — UTF-8-as-cp1252 damage) as
       the very first projection, BEFORE any text-editing or judging
@@ -325,7 +329,14 @@ def curate(
         *lang_hits,
     )
     if languages is not None:
-        stats = stats.select(
+        # the best score staged as an attribute first — the CASE chain
+        # references it per arm (see language_id_t's ``best`` note)
+        stats = stats.withColumn(
+            "_lbest",
+            F.greatest(
+                *[F.col(f"_s_{lang}") for lang in TX.LANG_STOPWORDS]
+            ),
+        ).select(
             "*",
             TX.language_id_t(
                 {
@@ -337,6 +348,7 @@ def curate(
                     lang: F.col(f"_sc_{lang}")
                     for lang in TX.LANG_SCRIPTS
                 },
+                best=F.col("_lbest"),
             ).alias("_lang"),
         )
     gop = gopher_keep(
@@ -414,26 +426,36 @@ def curate(
     ))
     e_docs = q_docs.join(exact, id_col).filter("keep_exact")
 
-    # stage 3: near dedup — LSH pairs on the survivors, CC keep-lowest-id
-    pairs = dedup.ngram_jaccard_pairs(
-        e_docs,
-        text_col=text_col,
-        id_col=id_col,
-        threshold=jaccard_threshold,
-        max_shingle_df=max_shingle_df,
-        handles=own_handles,
-    )
-    groups = dedup.duplicate_groups(pairs, e_docs, id_col=id_col,
-                                    handles=own_handles)
-    near = _stage(groups.select(
-        F.col("doc").alias(id_col), (F.col("doc") == F.col("root")).alias("keep_neardup")
-    ))
+    # stage 3: near dedup — LSH pairs on the survivors, CC keep-lowest-id.
+    # ``near_dedup=False`` skips the stage entirely (the CCNet/C4-class
+    # exact-only funnel — many production pipelines stop at digests);
+    # like the other optional stages its flag column is then ABSENT and
+    # curation_report adapts.
+    if near_dedup:
+        pairs = dedup.ngram_jaccard_pairs(
+            e_docs,
+            text_col=text_col,
+            id_col=id_col,
+            threshold=jaccard_threshold,
+            max_shingle_df=max_shingle_df,
+            handles=own_handles,
+        )
+        groups = dedup.duplicate_groups(pairs, e_docs, id_col=id_col,
+                                        handles=own_handles)
+        near = _stage(groups.select(
+            F.col("doc").alias(id_col), (F.col("doc") == F.col("root")).alias("keep_neardup")
+        ))
+    else:
+        near = None
     # the persisted stage-3 boundary carries ids + token counts ONLY: the
     # decon pass below re-joins text from the (already persisted) quality
     # boundary instead of caching the text column a second time (ADVICE r3)
     n_docs = _stage(
-        e_docs.join(near, id_col).filter("keep_neardup")
-        .select(did, F.col("_tokens"))
+        (
+            e_docs.join(near, id_col).filter("keep_neardup")
+            if near is not None
+            else e_docs
+        ).select(did, F.col("_tokens"))
     )
 
     # stage 3b (optional): semantic dedup over the near-dup survivors —
@@ -512,9 +534,13 @@ def curate(
         flags = flags.join(novel, id_col, "left")
         kept_expr = kept_expr & F.col("keep_novel")
         cols.append("keep_novel")
-    flags = flags.join(exact, id_col, "left").join(near, id_col, "left")
-    kept_expr = kept_expr & F.col("keep_exact") & F.col("keep_neardup")
-    cols += ["keep_exact", "keep_neardup"]
+    flags = flags.join(exact, id_col, "left")
+    kept_expr = kept_expr & F.col("keep_exact")
+    cols.append("keep_exact")
+    if near is not None:
+        flags = flags.join(near, id_col, "left")
+        kept_expr = kept_expr & F.col("keep_neardup")
+        cols.append("keep_neardup")
     if semantic is not None:
         flags = flags.join(semantic, id_col, "left")
         kept_expr = kept_expr & F.col("keep_semantic")
@@ -560,7 +586,9 @@ def curation_report(flags: DataFrame) -> DataFrame:
         chain.insert(0, ("lang", "keep_lang"))
     if "keep_novel" in present:
         chain.append(("novel", "keep_novel"))
-    chain += [("exact", "keep_exact"), ("neardup", "keep_neardup")]
+    chain.append(("exact", "keep_exact"))
+    if "keep_neardup" in present:  # absent under near_dedup=False
+        chain.append(("neardup", "keep_neardup"))
     if "keep_semantic" in present:
         chain.append(("semantic", "keep_semantic"))
     chain.append(("decon", "keep_decon"))

@@ -579,6 +579,13 @@ def run_text_all(spark: SparkSession, sf_dir: str) -> DataFrame:
             },
         ).alias("script_lang"),
     )
+    # pre-staged greatest score: both CASE chains reference `best` per
+    # arm, and an inline greatest(17) per reference multiplies the
+    # expression tree ~17x (pure codegen/compile weight)
+    s1 = s1.withColumn(
+        "_best",
+        F.greatest(*[F.col(f"_s_{lang}") for lang in TX.LANG_STOPWORDS]),
+    )
     nt, praw = F.col("_nt"), F.col("_pr")
     sratio = TX.stopword_ratio_t(ws, F.col("_s_en"))
     per_doc = s1.select(
@@ -596,6 +603,7 @@ def run_text_all(spark: SparkSession, sf_dir: str) -> DataFrame:
             script_scores={
                 lang: F.col(f"_sc_{lang}") for lang in TX.LANG_SCRIPTS
             },
+            best=F.col("_best"),
         ).alias("guessed_lang"),
         # the min-evidence variant (VERDICT r9 #4): hash-gates the NULL
         # band (0 < best hits < threshold) alongside the two-way guess
@@ -605,6 +613,7 @@ def run_text_all(spark: SparkSession, sf_dir: str) -> DataFrame:
             script_scores={
                 lang: F.col(f"_sc_{lang}") for lang in TX.LANG_SCRIPTS
             },
+            best=F.col("_best"),
         ).alias("lang_minev"),
         (F.col("doc_id") % len(_SCRIPT_SNIPPETS)).cast("int").alias(
             "_snip_i"
@@ -1357,10 +1366,16 @@ def run_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         # near-dup pair count) runs inside the 8-partition scope; the
         # returned flags plan stays LAZY and materializes once, inside
         # the union's final _eager job with everything else
+        # near_dedup=False: the CCNet/C4-class exact-only funnel — the
+        # tier's claim is the prep-reconciled INDEX path (signature →
+        # prepared probe → novel gate composition); the MinHash stage is
+        # already hash-proven by ex_curate and would only add its fixed
+        # Arrow/shuffle overhead here
         prep_flags = _curate(
             snap2.repartition(_CURATE_PARTS),
             fix_encoding=True,
             corpus_index=_incr_prep_index_path(spark, sf_dir),
+            near_dedup=False,
             handles=handles,
         )
     prep_tier = prep_flags.select(
@@ -4749,25 +4764,45 @@ def extension_queries() -> tuple[dict, dict]:
     # ex_semdedup, ex_lm_filter). ex_approx_distinct stays last: a
     # no-oracle entry INSIDE the window records err "no_oracle" and
     # counts as broken (driver contract).
+    # fixture-scale shuffle trim for the EAGER heavy entries (the
+    # _CURATE_PARTS rationale, applied at registration): each of these
+    # materializes inside its runner (_eager), so the scope covers the
+    # real work; at sf0.1 their shuffles move single-digit MB and 32-way
+    # reducer fan-out is pure scheduling cost (interleaved same-session
+    # A/B: ex_dedup_jaccard 3.6-3.8 s @32 vs 2.4-2.6 s @8). Operator
+    # code keeps caller partitioning — production callers never see
+    # this. Streaming entries are excluded (state-store partitioning
+    # rides the conf); ex_skew_salted is excluded because reducer
+    # fan-out IS its subject.
+    def _sp_trimmed(fn):
+        import functools
+
+        @functools.wraps(fn)
+        def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+            with _scoped_shuffle_partitions(spark, _CURATE_PARTS):
+                return fn(spark, sf_dir)
+
+        return wrapped
+
     runners = {
-        "ex_text_all": run_text_all,
-        "ex_dedup_exact": run_dedup_exact,
-        "ex_dedup_jaccard": run_dedup_jaccard,
-        "ex_dedup_simhash": run_dedup_simhash,
-        "ex_dedup_embed": run_dedup_embed,
-        "ex_sim_topk": run_sim_topk,
-        "ex_sim_pairs": run_sim_pairs,
-        "ex_mm_all": run_mm_all,
+        "ex_text_all": _sp_trimmed(run_text_all),
+        "ex_dedup_exact": _sp_trimmed(run_dedup_exact),
+        "ex_dedup_jaccard": _sp_trimmed(run_dedup_jaccard),
+        "ex_dedup_simhash": _sp_trimmed(run_dedup_simhash),
+        "ex_dedup_embed": _sp_trimmed(run_dedup_embed),
+        "ex_sim_topk": _sp_trimmed(run_sim_topk),
+        "ex_sim_pairs": _sp_trimmed(run_sim_pairs),
+        "ex_mm_all": _sp_trimmed(run_mm_all),
         "ex_stream_sessions": run_stream_sessions,
         "ex_stream_dedup": run_stream_dedup,
-        "ex_json_extract": run_json_extract,
+        "ex_json_extract": _sp_trimmed(run_json_extract),
         "ex_skew_salted": run_skew_salted,
-        "ex_olap": run_olap,
-        "ex_semdedup": run_semdedup,
-        "ex_lm_filter": run_lm_filter,
-        "ex_substring_dedup": run_substring_dedup,
+        "ex_olap": _sp_trimmed(run_olap),
+        "ex_semdedup": _sp_trimmed(run_semdedup),
+        "ex_lm_filter": _sp_trimmed(run_lm_filter),
+        "ex_substring_dedup": _sp_trimmed(run_substring_dedup),
         "ex_curate": run_curate,
-        "ex_graph_pagerank": run_graph_pagerank,
+        "ex_graph_pagerank": _sp_trimmed(run_graph_pagerank),
         "ex_warc_docs": run_warc_docs,
         "ex_approx_distinct": run_approx_distinct,
     }

@@ -525,3 +525,24 @@ def test_curate_language_gate_scripts(spark):
         for r in curate(docs, languages=("zh", "en")).collect()
     }
     assert got == {0: False, 1: True, 2: True}
+
+
+def test_curate_exact_only_funnel(spark):
+    """near_dedup=False — the CCNet/C4-class exact-only funnel: the
+    keep_neardup column is absent, near-dups survive (only exact copies
+    drop), and the report chain adapts."""
+    from pcap_converter_spark.operators.pipeline import (
+        curate,
+        curation_report,
+    )
+
+    docs = spark.createDataFrame(DOCS, ["doc_id", "text"])
+    flags = curate(docs, near_dedup=False)
+    assert "keep_neardup" not in flags.columns
+    r = {row["doc_id"]: row for row in flags.collect()}
+    assert r[1]["keep_exact"] is False          # exact dup still drops
+    assert r[2]["keep_exact"] and r[2]["kept"]  # near dup of 0 SURVIVES
+    rep = {row["stage"]: row for row in curation_report(flags).collect()}
+    assert "neardup" not in rep
+    assert rep["exact"]["n_entered"] == rep["quality"]["n_kept"]
+    assert rep["decon"]["n_entered"] == rep["exact"]["n_kept"]
