@@ -30,8 +30,13 @@ import sys
 import time
 
 
-def _load_corpus(spark, fmt: str, paths: list[str]):
-    """Documents frame (doc_id, url?, text) from any acquisition format."""
+def _load_corpus(spark, fmt: str, paths: list[str],
+                 html_extract: str = "text"):
+    """Documents frame (doc_id, url?, text) from any acquisition format.
+    ``html_extract`` applies to the warc format only: 'text' = the full
+    HTML→text chain, 'main' = block-level main-content extraction
+    (nav/footer/sidebar/link-farm pruning — the jusText-class stage a
+    crawl pipeline runs between raw responses and curation)."""
     if fmt == "parquet":
         return spark.read.parquet(*paths)
     if fmt == "jsonl":
@@ -42,13 +47,18 @@ def _load_corpus(spark, fmt: str, paths: list[str]):
         from pcap_converter_spark.sources.warc import (
             conversions_as_documents,
             read_warc,
-            responses_as_documents,
+            warc_documents,
         )
 
-        raw = read_warc(spark, paths)
         if fmt == "wet":
-            return conversions_as_documents(raw)
-        return responses_as_documents(raw, extract_text=True)
+            return conversions_as_documents(read_warc(spark, paths))
+        # the fused reader IS the production front door (charset decode
+        # + extraction inside the source's Arrow batch; byte-identical
+        # to responses_as_documents(read_warc(...)) by test + hash gate)
+        return warc_documents(
+            spark, paths,
+            extract_text="main" if html_extract == "main" else True,
+        )
     raise SystemExit(f"error: unknown --format {fmt!r}")
 
 
@@ -60,6 +70,11 @@ def _corpus_args(ap: argparse.ArgumentParser) -> None:
     ap.add_argument("-j", type=int, default=None, metavar="N",
                     help="local-mode parallelism (default: all cores)")
     ap.add_argument("-v", "--verbose", action="store_true")
+    ap.add_argument("--html-extract", default="text",
+                    choices=["text", "main"],
+                    help="warc format only: 'text' = full HTML->text; "
+                         "'main' = block-level main-content extraction "
+                         "(nav/footer/sidebar/link-farm pruning)")
 
 
 def _prep_args(ap: argparse.ArgumentParser) -> None:
@@ -109,7 +124,8 @@ def _prep_sig(args) -> str:
     from pcap_converter_spark.operators.incremental import prep_signature
 
     return prep_signature(
-        args.fix_encoding, args.line_dedup, args.substring_dedup
+        args.fix_encoding, args.line_dedup, args.substring_dedup,
+        html_extract=getattr(args, "html_extract", "text"),
     )
 
 
@@ -126,11 +142,12 @@ def _reconcile_prep(spark, args, index_path: str) -> str:
     recorded = inc.read_index_meta(spark, index_path).get("prep")
     if recorded is None or recorded == mine:
         return mine
-    if not _prep_enabled(args):
+    if not _prep_enabled(args) and args.html_extract == "text":
         vals = inc.parse_prep_signature(recorded)
         args.fix_encoding = vals["fix_encoding"]
         args.line_dedup = vals["line_dedup_min_docs"]
         args.substring_dedup = vals["substring_dedup"]
+        args.html_extract = vals["html_extract"]
         print(
             f"note: adopting the index's text-prep flags ({recorded})",
             file=sys.stderr,
@@ -267,7 +284,8 @@ def _cmd_curate(argv: list[str]) -> int:
     )
 
     spark = _spark_for(args)
-    docs = _load_corpus(spark, args.format, _expand(args.input))
+    docs = _load_corpus(spark, args.format, _expand(args.input),
+                        html_extract=args.html_extract)
     bench = spark.read.parquet(args.benchmark) if args.benchmark else None
     handles: list = []
     # reconcile prep flags against the index's recorded signature BEFORE
@@ -330,7 +348,8 @@ def _cmd_index(argv: list[str]) -> int:
     from pcap_converter_spark.operators import incremental as inc
 
     spark = _spark_for(args)
-    docs = _load_corpus(spark, args.format, _expand(args.input))
+    docs = _load_corpus(spark, args.format, _expand(args.input),
+                        html_extract=args.html_extract)
     # same prep flags as `curate` (see _prep_args): an index probed by a
     # prep-enabled curate run must be built over identically prepared
     # text, or the two sides digest different bytes and miss dups. On
@@ -422,6 +441,11 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("-j", type=int, default=None, metavar="N",
                     help="local-mode parallelism (default: all cores)")
     ap.add_argument("-v", "--verbose", action="store_true")
+    ap.add_argument("--html-extract", default="text",
+                    choices=["text", "main"],
+                    help="warc format only: 'text' = full HTML->text; "
+                         "'main' = block-level main-content extraction "
+                         "(nav/footer/sidebar/link-farm pruning)")
     ap.add_argument("--single-file", action="store_true",
                     help="write one parquet part-file instead of N")
     args = ap.parse_args(argv)

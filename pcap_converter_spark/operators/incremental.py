@@ -79,27 +79,36 @@ def prep_signature(
     fix_encoding: bool = False,
     line_dedup_min_docs: int | None = None,
     substring_dedup: int | None = None,
+    html_extract: str = "text",
 ) -> str:
     """Canonical one-line encoding of the text-prep prelude an index (or
-    probe) ran before digesting — ``pipeline.prepare_text``'s three knobs.
-    Recorded in the index meta at build time and compared on append/probe:
-    equality of signatures == byte-identical digest inputs for identical
-    raw text."""
-    return (
+    probe) ran before digesting — ``pipeline.prepare_text``'s three knobs
+    plus (r11) the WARC extraction mode: 'main' extraction produces
+    different bytes than the full HTML→text chain, so an index built from
+    one and probed with the other would silently miss exactly like a prep
+    mismatch. The ``hx`` field is appended ONLY for the non-default
+    'main' mode, so signatures recorded before the field existed (always
+    full-text) stay string-equal to new full-text probes."""
+    sig = (
         f"enc={int(bool(fix_encoding))}"
         f";line={'' if line_dedup_min_docs is None else int(line_dedup_min_docs)}"
         f";sub={'' if substring_dedup is None else int(substring_dedup)}"
     )
+    if html_extract == "main":
+        sig += ";hx=main"
+    return sig
 
 
 def parse_prep_signature(sig: str) -> dict:
     """Inverse of ``prep_signature`` → {fix_encoding, line_dedup_min_docs,
-    substring_dedup} (the adopt-the-meta's-values path on append)."""
+    substring_dedup, html_extract} (the adopt-the-meta's-values path on
+    append; ``hx`` absent = the full-text default)."""
     vals = dict(part.split("=", 1) for part in sig.split(";"))
     return {
         "fix_encoding": vals.get("enc") == "1",
         "line_dedup_min_docs": int(vals["line"]) if vals.get("line") else None,
         "substring_dedup": int(vals["sub"]) if vals.get("sub") else None,
+        "html_extract": vals.get("hx", "text"),
     }
 
 

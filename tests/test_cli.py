@@ -295,3 +295,33 @@ def test_cli_lang_min_evidence_and_default(spark, tmp_path):
         main(["curate", "--input", day, "--format", "jsonl",
               "--out", str(tmp_path / "x"), "--languages", "en",
               "--lang-min-evidence", "0"])
+
+
+def test_cli_curate_warc_html_extract_main(spark, tmp_path):
+    """`curate --format warc --html-extract main`: the artifact carries
+    MAIN-extracted text — the nav/footer chrome that full-text mode
+    keeps must be gone, the article body present."""
+    from fixtures import warcgen as wg
+
+    seg = str(tmp_path / "seg.warc.gz")
+    recs = []
+    for i in range(4):
+        body = (
+            "<html><body>"
+            '<nav><a href="/">Home</a> <a href="/a">About</a></nav>'
+            f"<p>the article {i} body is a mix of "
+            + " ".join(f"m{i}w{j}" for j in range(18))
+            + " in the end</p>"
+            "<footer><p>All rights reserved by chrome footer.</p></footer>"
+            "</body></html>"
+        ).encode()
+        recs.append(wg.response_record(
+            f"https://m.org/{i}", body, rec_id=f"<urn:uuid:m-{i}>"
+        ))
+    wg.write_warc(seg, recs, gzipped=True)
+    out = str(tmp_path / "art")
+    assert main(["curate", "--input", seg, "--format", "warc",
+                 "--html-extract", "main", "--out", out]) == 0
+    texts = [r["text"] for r in spark.read.parquet(out).collect()]
+    assert texts and all(t.startswith("the article") for t in texts)
+    assert all("Home" not in t and "chrome footer" not in t for t in texts)

@@ -632,3 +632,21 @@ class TestLineDedupUnicodeTerminators:
         assert "footer  ".strip(LINE_WS) != "footer ".strip(LINE_WS)
         for i, t in rows:
             assert got[i] == (t, 0), (i, got[i])
+
+
+def test_line_dedup_handleless_broadcast_releases_cache(spark):
+    """ADVICE r10: with handles=None on the broadcast path the boiler
+    persist must be released right after the counted gate — no
+    session-lifetime cached frame accrues per call."""
+    from pcap_converter_spark.operators.dedup import line_dedup
+
+    df = spark.createDataFrame(
+        [(i, "shared boiler line\nunique line %d" % i) for i in range(4)],
+        ["doc_id", "text"],
+    )
+    jsc = spark.sparkContext._jsc.sc()
+    before = jsc.getPersistentRDDs().size()
+    out = line_dedup(df, min_docs=2)  # handles=None, tiny -> broadcast
+    assert jsc.getPersistentRDDs().size() == before
+    assert all("shared boiler line" not in r["clean_text"]
+               for r in out.collect())

@@ -569,13 +569,20 @@ def test_prep_signature_roundtrip_and_operator_checks(spark, tmp_path):
         "fix_encoding": True,
         "line_dedup_min_docs": 3,
         "substring_dedup": None,
+        "html_extract": "text",  # hx absent = the full-text default
     }
+    # the r11 extraction-mode field: appended only for 'main' (so old
+    # text-mode signatures stay string-equal), round-trips
+    sig_m = inc.prep_signature(True, 3, None, html_extract="main")
+    assert sig_m == "enc=1;line=3;sub=;hx=main"
+    assert inc.parse_prep_signature(sig_m)["html_extract"] == "main"
     assert inc.prep_signature(**vals) == sig
     # default (no prep) signature parses back to all-off
     assert inc.parse_prep_signature(inc.prep_signature()) == {
         "fix_encoding": False,
         "line_dedup_min_docs": None,
         "substring_dedup": None,
+        "html_extract": "text",
     }
 
     p = str(tmp_path / "prov_idx")
