@@ -775,7 +775,14 @@ def _warc_datasource_cls():
             )
             # same speculative routing as read_warc / the streaming face: a
             # colossal file read via spark.read.format("warc") must not
-            # serialize the full exact walk on the driver (ADVICE r4)
+            # serialize the full exact walk on the driver (ADVICE r4).
+            # CEILING, inherent to the Python DataSource API: partitions()
+            # must RETURN the full descriptor list on the driver, so this
+            # face is O(|chunks|) driver memory by contract — unlike
+            # read_warc/warc_documents, whose corpus planning stays
+            # executor-side end to end (chunk_frame pattern, r11). For
+            # 100 TB batch reads use those; this face exists for the
+            # spark.read.format("warc") / readStream ergonomics.
             spec = _spec_option(self._options)
             return [
                 InputPartition(c.__dict__)
