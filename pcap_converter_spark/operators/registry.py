@@ -4803,7 +4803,7 @@ def extension_queries() -> tuple[dict, dict]:
         "ex_substring_dedup": _sp_trimmed(run_substring_dedup),
         "ex_curate": _sp_trimmed(run_curate),
         "ex_graph_pagerank": _sp_trimmed(run_graph_pagerank),
-        "ex_warc_docs": _sp_trimmed(run_warc_docs),
+        "ex_warc_docs": run_warc_docs,  # map-bound decode, no shuffle to trim
         "ex_approx_distinct": run_approx_distinct,
     }
     oracles = {
