@@ -385,6 +385,27 @@ def main() -> int:
             "warc_decode_docs_per_sec": round(n_docs / dt),
             "warc_decode_mb_per_sec": round(wsize / dt / (1 << 20), 1),
         }
+
+        # MAIN-content extraction throughput (r11 surface): same archive
+        # through warc_documents(extract_text='main') — the block
+        # classifier replaces the flat regex chain, so this headline
+        # records its overhead explicitly (and guards regression).
+        # Deliberately NOT in `timings`: the suite total's composition
+        # would silently shift vs earlier rounds.
+        def _warc_main_run():
+            warc_documents(
+                spark, wpath, target_chunk_bytes=tgt, extract_text="main"
+            ).write.format("noop").mode("overwrite").save()
+
+        _warc_main_run()  # untimed warmup (fresh codegen path)
+        dtm = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            _warc_main_run()
+            dtm = min(dtm, time.perf_counter() - t0)
+        warc_stats["warc_main_mb_per_sec"] = round(
+            wsize / dtm / (1 << 20), 1
+        )
     except Exception as exc:
         print(f"bench: warc_decode failed: {exc}", file=sys.stderr)
 

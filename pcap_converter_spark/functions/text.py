@@ -663,13 +663,18 @@ def html_main_text_py(
             blocks.append((cur_words, cur_link))
         cur_words, cur_link = [], []
 
+    ent = _HTML_ENT_MAP.get
     pos = 0
     for m in _P_ANYTAG.finditer(t):
         seg = t[pos:m.start()]
         pos = m.end()
-        if seg and boring == 0:
-            ws = ws_tokens(_P_ENT.sub(lambda e: _HTML_ENT_MAP[e.group(0)],
-                                      seg))
+        # hot-path guards (the html_to_text_py pattern): most inter-tag
+        # segments are empty or pure whitespace, and most carry no
+        # entity — skip the regex passes for them
+        if seg and boring == 0 and not seg.isspace():
+            if "&" in seg:
+                seg = _P_ENT.sub(lambda e: ent(e.group(0)), seg)
+            ws = ws_tokens(seg)
             cur_words.extend(ws)
             if link > 0:
                 cur_link.extend(ws)
@@ -682,10 +687,10 @@ def html_main_text_py(
         elif name in _MAIN_BLOCKS:
             _close()
     tail = t[pos:]
-    if tail and boring == 0:
-        cur_words.extend(
-            ws_tokens(_P_ENT.sub(lambda e: _HTML_ENT_MAP[e.group(0)], tail))
-        )
+    if tail and boring == 0 and not tail.isspace():
+        if "&" in tail:
+            tail = _P_ENT.sub(lambda e: ent(e.group(0)), tail)
+        cur_words.extend(ws_tokens(tail))
     _close()
     kept = [
         " ".join(w)
