@@ -45,6 +45,14 @@ LANG_STOPWORDS: dict[str, tuple[str, ...]] = {
     "fi": ("ja", "on", "ei", "että", "se", "mutta", "hän"),
     "id": ("yang", "dan", "di", "itu", "dengan", "untuk", "tidak"),
     "ru": ("и", "в", "не", "на", "что", "это", "как"),
+    # r11 widening: three more top-10-crawl languages. All are
+    # whitespace-tokenized scripts, so the stopword tier fits (the
+    # space-FREE scripts live in LANG_SCRIPTS instead). Arabic attaches
+    # some function words as prefixes (وـ, بـ) — the profile uses only
+    # forms that stand alone in running text.
+    "ar": ("في", "من", "على", "أن", "إلى", "عن", "هذا"),
+    "hi": ("के", "है", "में", "की", "और", "से", "का"),
+    "he": ("של", "את", "על", "הוא", "עם", "זה", "כי"),
 }
 
 # Whitespace-free-script profiles (r11, VERDICT r10 #2): zh/ja/ko/th have

@@ -508,9 +508,11 @@ def test_fix_mojibake_double_encoding_is_out_of_scope_but_stable(spark):
 
 
 def test_language_id_covers_seventeen_profiles(spark):
-    """r10 widening: the ten new high-resource profiles each win on a
-    sample built from their own function words (deterministic ties by
-    dict order are part of the contract)."""
+    """r10 widening (ten high-resource profiles) + r11 widening (ar/hi/he
+    — whitespace-tokenized non-Latin scripts ride the stopword tier; the
+    space-FREE scripts have their own LANG_SCRIPTS tier): each profile
+    wins on a sample built from its own function words (deterministic
+    ties by dict order are part of the contract)."""
     samples = {
         "sv": "och att det som en är inte huset",
         "da": "og det at en til er ikke hunden",
@@ -522,6 +524,9 @@ def test_language_id_covers_seventeen_profiles(spark):
         "fi": "ja on ei että se mutta hän talo",
         "id": "yang dan di itu dengan untuk tidak rumah",
         "ru": "и в не на что это как дом",
+        "ar": "في من على أن إلى عن هذا البيت",
+        "hi": "के है में की और से का घर",
+        "he": "של את על הוא עם זה כי בית",
     }
     assert set(samples) | {"en", "de", "es", "fr", "it", "pt", "nl"} == set(
         TX.LANG_STOPWORDS
