@@ -284,17 +284,21 @@ def _cmd_curate(argv: list[str]) -> int:
     )
 
     spark = _spark_for(args)
-    docs = _load_corpus(spark, args.format, _expand(args.input),
-                        html_extract=args.html_extract)
-    bench = spark.read.parquet(args.benchmark) if args.benchmark else None
-    handles: list = []
     # reconcile prep flags against the index's recorded signature BEFORE
-    # preparing: adoption may change the flags that are about to run
+    # loading the corpus: adoption may change html_extract, which applies
+    # at corpus-LOAD time, not in prepare_text — reconciling after the
+    # load would record the adopted signature while the corpus was
+    # extracted the other way, silently digesting different bytes than
+    # the index (the exact miss the signature exists to prevent)
     prep_sig = (
         _reconcile_prep(spark, args, args.index)
         if args.index
         else _prep_sig(args)
     )
+    docs = _load_corpus(spark, args.format, _expand(args.input),
+                        html_extract=args.html_extract)
+    bench = spark.read.parquet(args.benchmark) if args.benchmark else None
+    handles: list = []
     # prepare OUTSIDE curate so the artifact written below carries the
     # repaired/edited text the funnel judged, not the raw input
     docs = _apply_prep(docs, args, handles)
@@ -348,15 +352,16 @@ def _cmd_index(argv: list[str]) -> int:
     from pcap_converter_spark.operators import incremental as inc
 
     spark = _spark_for(args)
-    docs = _load_corpus(spark, args.format, _expand(args.input),
-                        html_extract=args.html_extract)
     # same prep flags as `curate` (see _prep_args): an index probed by a
     # prep-enabled curate run must be built over identically prepared
     # text, or the two sides digest different bytes and miss dups. On
     # --append the flags reconcile against the meta's recorded signature
-    # (adopt when none given, error on conflict) BEFORE preparing.
+    # (adopt when none given, error on conflict) BEFORE loading — the
+    # adopted html_extract applies at corpus-load time.
     if args.append:
         prep_sig = _reconcile_prep(spark, args, args.out)
+    docs = _load_corpus(spark, args.format, _expand(args.input),
+                        html_extract=args.html_extract)
     handles: list = []
     docs = _apply_prep(docs, args, handles)
     if args.append:

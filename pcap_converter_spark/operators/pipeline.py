@@ -632,4 +632,8 @@ def write_kept(
     )
     out = docs.join(kept, id_col)
     out.write.mode("overwrite").partitionBy("pack_shard").parquet(path)
-    return docs.sparkSession.read.parquet(path)
+    # an all-dropped snapshot (everything deduped/gated away) writes an
+    # artifact with no data files, which has no inferable schema — read
+    # it back under the writer's own schema so the empty case round-trips
+    # instead of crashing the caller (ADVICE r11 regression test)
+    return docs.sparkSession.read.schema(out.schema).parquet(path)

@@ -325,3 +325,52 @@ def test_cli_curate_warc_html_extract_main(spark, tmp_path):
     texts = [r["text"] for r in spark.read.parquet(out).collect()]
     assert texts and all(t.startswith("the article") for t in texts)
     assert all("Home" not in t and "chrome footer" not in t for t in texts)
+
+
+def test_cli_adopted_html_extract_applies_at_load(spark, tmp_path, capsys):
+    """ADVICE r11 (high): `curate --index` with no flags ADOPTS the
+    index's recorded html_extract — and the adoption must take effect at
+    corpus-LOAD time. The index holds MAIN-extracted digests; a refetch
+    curated with no flags must dedup away, which only happens if the
+    curate side also loads main text (the pre-fix code loaded full text
+    first, then mutated args.html_extract after the fact — digests never
+    matched and the signature check passed anyway)."""
+    from fixtures import warcgen as wg
+
+    def seg_at(path: str) -> None:
+        recs = []
+        for i in range(4):
+            body = (
+                "<html><body>"
+                '<nav><a href="/">Home</a> <a href="/a">About</a></nav>'
+                f"<p>the article {i} body is a mix of "
+                + " ".join(f"h{i}w{j}" for j in range(18))
+                + " in the end</p>"
+                "<footer><p>All rights reserved by chrome footer.</p></footer>"
+                "</body></html>"
+            ).encode()
+            recs.append(wg.response_record(
+                f"https://hx.org/{i}", body, rec_id=f"<urn:uuid:hx-{i}>"
+            ))
+        wg.write_warc(path, recs, gzipped=True)
+
+    seg1 = str(tmp_path / "snap1.warc.gz")
+    seg_at(seg1)
+    idx = str(tmp_path / "idx_hx")
+    assert main(["index", "--input", seg1, "--format", "warc",
+                 "--html-extract", "main", "--out", idx,
+                 "--exact-only"]) == 0
+
+    # snapshot 2 = the same pages refetched (same bodies, new segment)
+    seg2 = str(tmp_path / "snap2.warc.gz")
+    seg_at(seg2)
+    out = str(tmp_path / "art_hx")
+    assert main(["curate", "--input", seg2, "--format", "warc",
+                 "--index", idx, "--out", out]) == 0
+    err = capsys.readouterr().err
+    assert "adopting the index's text-prep flags" in err
+    # every snapshot-2 doc is a refetch: main-mode digests match the
+    # index and ALL are dropped as non-novel (the artifact is empty, so
+    # the CLI's own closing count is the observable — an empty parquet
+    # dir has no inferable schema to read back)
+    assert f"Wrote {out}: 0 kept documents" in err
