@@ -126,11 +126,26 @@ def ws_tokens(text: str) -> list:
     Python-side tokenization that feeds a hash-gated comparison must
     come through here."""
     global _ASCII_WS
+    if not text:
+        return []
+    # fast path: on pure-ASCII text, str.split() splits on exactly the
+    # six class chars PLUS \x1c-\x1f (the ASCII separator controls, which
+    # Python isspace() accepts but RE2/Java \s do not) — guard those four
+    # explicitly and the C-speed split is bit-identical to the regex
+    # split. ~5× faster on crawl-shaped segments (r12 main-mode work).
+    if (
+        text.isascii()
+        and "\x1c" not in text
+        and "\x1d" not in text
+        and "\x1e" not in text
+        and "\x1f" not in text
+    ):
+        return text.split()
     if _ASCII_WS is None:
         import re
 
         _ASCII_WS = re.compile(r"[\t\n\v\f\r ]+")
-    return [t for t in _ASCII_WS.split(text or "") if t]
+    return [t for t in _ASCII_WS.split(text) if t]
 
 
 def token_count(text: Column) -> Column:
@@ -625,6 +640,13 @@ def _compile_html_res():
 #    ("Read more") fail the word floor. Note headings shorter than the
 #    floor drop too — lower min_words to keep them.
 # 5. Kept blocks are entity-decoded, ASCII-ws-normalized, joined by \n.
+# 6. Block boundaries implicitly terminate inline anchors: the link
+#    counter resets whenever a block closes (ADVICE r11 — crawl HTML is
+#    full of unclosed <a>, which would otherwise mark every later block
+#    link-dense and drop the rest of the page). A genuinely
+#    block-wrapping anchor (card UIs) therefore only counts its words
+#    inside the block where the <a> opened — an accepted tradeoff; card
+#    farms are usually inside semantic chrome anyway.
 
 _MAIN_MIN_WORDS = 5
 _MAIN_MAX_LINK_DENSITY = 0.5
@@ -637,6 +659,8 @@ _MAIN_BLOCKS = frozenset(
     }
 )
 _P_ANYTAG = None  # compiled with the other patterns
+_P_BORING_TAG = None
+_TAG_KIND = None  # name → 1 boring / 2 anchor / 3 block
 
 
 def html_main_text_py(
@@ -649,8 +673,17 @@ def html_main_text_py(
     newlines — navigation, sidebars, footers and link farms pruned.
     Python-side like ``html_to_text_py`` (runs inside the fused WARC
     reader's Arrow batch); ``responses_as_documents(extract_text='main')``
-    wraps it in an Arrow-batched pandas UDF for the JVM-frame face."""
-    global _P_ANYTAG
+    wraps it in an Arrow-batched pandas UDF for the JVM-frame face.
+
+    Perf shape (r12): boring subtrees are SKIP-SCANNED — on entering
+    <nav>/<header>/<footer>/<aside> the walker jumps tag-to-tag with a
+    boring-names-only regex until the matching close, so a link-dense
+    mega-nav costs one regex search per boring tag instead of one loop
+    iteration per tag (VERDICT r11 #4). Safe because segments inside
+    boring regions were already discarded and the only other state those
+    regions could touch — the anchor counter — resets at every block
+    boundary anyway (rule 6)."""
+    global _P_ANYTAG, _P_BORING_TAG, _TAG_KIND
     if _P_DROP is None:
         _compile_html_res()
     if _P_ANYTAG is None:
@@ -658,54 +691,101 @@ def html_main_text_py(
 
         _P_ANYTAG = re.compile(r"<(/?)([a-zA-Z][a-zA-Z0-9]*)[^>]*>|<[^>]*>",
                                re.S)
+        # the skip-scanner replicates _P_ANYTAG's name semantics exactly:
+        # maximal [a-zA-Z0-9] name run (the lookahead), ASCII-only case
+        # folding (explicit classes, same reason as _compile_html_res),
+        # attributes consumed to the first '>'
+        _P_BORING_TAG = re.compile(
+            r"<(/?)(?:[nN][aA][vV]|[hH][eE][aA][dD][eE][rR]"
+            r"|[fF][oO][oO][tT][eE][rR]|[aA][sS][iI][dD][eE])"
+            r"(?![a-zA-Z0-9])[^>]*>",
+            re.S,
+        )
+        _TAG_KIND = {n: 1 for n in _MAIN_BORING}
+        _TAG_KIND["a"] = 2
+        _TAG_KIND.update((n, 3) for n in _MAIN_BLOCKS)
     t = _P_DROP.sub(" ", t)
-    blocks: list[tuple[list[str], list[str]]] = []
-    cur_words: list[str] = []
-    cur_link: list[str] = []
-    boring = 0
+    blocks: list[tuple[list[str], int, int]] = []  # (parts, words, linkwords)
+    parts: list[str] = []
+    nw = 0  # words in the open block
+    nl = 0  # of them, words inside an anchor
     link = 0
-
-    def _close() -> None:
-        nonlocal cur_words, cur_link
-        if cur_words:
-            blocks.append((cur_words, cur_link))
-        cur_words, cur_link = [], []
-
     ent = _HTML_ENT_MAP.get
+    ent_sub = _P_ENT.sub
+    kind_of = _TAG_KIND.get
+    search = _P_ANYTAG.search
+    bsearch = _P_BORING_TAG.search
     pos = 0
-    for m in _P_ANYTAG.finditer(t):
-        seg = t[pos:m.start()]
+    end = len(t)
+    while pos < end:
+        m = search(t, pos)
+        if m is None:
+            break
+        start = m.start()
+        if start > pos:
+            seg = t[pos:start]
+            # hot-path guards (the html_to_text_py pattern): most
+            # inter-tag segments are pure whitespace and most carry no
+            # entity — skip the expensive passes for them
+            if not seg.isspace():
+                if "&" in seg:
+                    seg = ent_sub(lambda e: ent(e.group(0)), seg)
+                ws = ws_tokens(seg)
+                if ws:
+                    parts.append(" ".join(ws))
+                    nw += len(ws)
+                    if link > 0:
+                        nl += len(ws)
         pos = m.end()
-        # hot-path guards (the html_to_text_py pattern): most inter-tag
-        # segments are empty or pure whitespace, and most carry no
-        # entity — skip the regex passes for them
-        if seg and boring == 0 and not seg.isspace():
-            if "&" in seg:
-                seg = _P_ENT.sub(lambda e: ent(e.group(0)), seg)
-            ws = ws_tokens(seg)
-            cur_words.extend(ws)
-            if link > 0:
-                cur_link.extend(ws)
-        name = (m.group(2) or "").lower()
-        if name in _MAIN_BORING:
-            _close()
-            boring = max(0, boring - 1) if m.group(1) else boring + 1
-        elif name == "a":
-            link = max(0, link - 1) if m.group(1) else link + 1
-        elif name in _MAIN_BLOCKS:
-            _close()
-    tail = t[pos:]
-    if tail and boring == 0 and not tail.isspace():
-        if "&" in tail:
-            tail = _P_ENT.sub(lambda e: ent(e.group(0)), tail)
-        cur_words.extend(ws_tokens(tail))
-    _close()
-    kept = [
-        " ".join(w)
-        for w, lw in blocks
-        if len(w) >= min_words and len(lw) / len(w) <= max_link_density
-    ]
-    return "\n".join(kept)
+        g2 = m.group(2)
+        kind = kind_of(g2.lower()) if g2 is not None else None
+        if kind is None:
+            continue
+        if kind == 2:  # <a> / </a>
+            if m.group(1):
+                if link:
+                    link -= 1
+            else:
+                link += 1
+            continue
+        # boring or block tag: the open block ends here, and the anchor
+        # counter resets with it (rule 6 — unclosed-<a> recovery)
+        if nw:
+            blocks.append((parts, nw, nl))
+            parts = []
+            nw = 0
+            nl = 0
+        link = 0
+        if kind == 1 and not m.group(1):  # boring OPEN: skip the subtree
+            depth = 1
+            while depth:
+                bm = bsearch(t, pos)
+                if bm is None:
+                    pos = end
+                    break
+                pos = bm.end()
+                if bm.group(1):
+                    depth -= 1
+                else:
+                    depth += 1
+    if pos < end:
+        tail = t[pos:]
+        if not tail.isspace():
+            if "&" in tail:
+                tail = ent_sub(lambda e: ent(e.group(0)), tail)
+            ws = ws_tokens(tail)
+            if ws:
+                parts.append(" ".join(ws))
+                nw += len(ws)
+                if link > 0:
+                    nl += len(ws)
+    if nw:
+        blocks.append((parts, nw, nl))
+    return "\n".join(
+        " ".join(p)
+        for p, w, lw in blocks
+        if w >= min_words and lw / w <= max_link_density
+    )
 
 
 def html_to_text_py(t: str) -> str:
