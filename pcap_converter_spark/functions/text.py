@@ -181,6 +181,68 @@ def stopword_hits_t(ws: Column, lang: str = "en") -> Column:
     return F.size(F.filter(ws, lambda w: w.isin(*stops)))
 
 
+def stopword_hits_sql(ws_col: str, lang: str) -> str:
+    """Spark-SQL string twin of ``stopword_hits_t`` over a token-array
+    COLUMN NAME. Exists for RPC economy: a wide caller staging all
+    |LANG_STOPWORDS| score columns through the Column API pays ~80 py4j
+    round trips per profile (lambda plumbing); one ``F.expr`` of this
+    string is a single round trip for the identical plan. No profile
+    word contains a quote or backslash (asserted at import, see the
+    MOJIBAKE_PAIRS block), so plain single-quoting is safe."""
+    stops = ", ".join(f"'{w}'" for w in LANG_STOPWORDS[lang])
+    return f"size(filter({ws_col}, w -> w IN ({stops})))"
+
+
+def language_id_case_sql(
+    min_evidence: int = 1,
+    scores_fmt: str = "s_{}",
+    script_fmt: str | None = None,
+    best_col: str = "best",
+    script_min_chars: int = 3,
+) -> str:
+    """ANSI-SQL CASE string twin of ``language_id_t`` over STAGED score
+    column names (``scores_fmt``/``script_fmt`` are ``str.format``
+    templates, ``best_col`` the pre-staged greatest). Same dialect on
+    both engines — the DuckDB oracles and the Spark runners can generate
+    from this one function, so the chains cannot drift. Semantics are
+    language_id_t's exactly: script arms first (char floor AND >= best
+    stopword score, LANG_SCRIPTS order — kana before Han), then the
+    stopword arms in LANG_STOPWORDS order (earlier profiles win ties),
+    'und' at zero/NULL best, NULL on the insufficient-evidence band."""
+    script_arms = (
+        " ".join(
+            f"WHEN {script_fmt.format(lang)} >= {int(script_min_chars)} "
+            f"AND {script_fmt.format(lang)} >= coalesce({best_col}, 0) "
+            f"THEN '{lang}'"
+            for lang in LANG_SCRIPTS
+        ) + " "
+        if script_fmt
+        else ""
+    )
+    return (
+        "CASE "
+        + script_arms
+        + " ".join(
+            f"WHEN {best_col} >= {int(min_evidence)} "
+            f"AND {scores_fmt.format(lang)} = {best_col} THEN '{lang}'"
+            for lang in LANG_STOPWORDS
+        )
+        + f" WHEN {best_col} IS NULL OR {best_col} <= 0 THEN 'und'"
+        + " ELSE NULL END"
+    )
+
+
+def fix_mojibake_sql(inner: str) -> str:
+    """Spark-SQL string twin of ``fix_mojibake_t`` — the same
+    MOJIBAKE_PAIRS chain as one nested ``replace`` expression string
+    (~690 py4j round trips → 1). No pair contains a quote or
+    backslash (generation-time property of the cp1252 cycle)."""
+    out = inner
+    for bad, good in MOJIBAKE_PAIRS:
+        out = f"replace({out}, '{bad}', '{good}')"
+    return out
+
+
 def stopword_ratio_t(ws: Column, hits: Column) -> Column:
     """Stopword fraction from a token array + precomputed hit count."""
     return F.when(F.size(ws) > 0, hits / F.size(ws)).otherwise(F.lit(0.0))
@@ -424,6 +486,19 @@ def _gen_mojibake_pairs() -> tuple[tuple[str, str], ...]:
 
 
 MOJIBAKE_PAIRS = _gen_mojibake_pairs()
+
+# the SQL-string twins below embed these as single-quoted literals; the
+# tables are code-reviewed (stopwords) or generated (mojibake), so pin
+# the no-quote/no-backslash property at import time rather than hoping
+assert not any(
+    "'" in s or "\\" in s
+    for ws in LANG_STOPWORDS.values()
+    for s in ws
+), "stopword profiles must stay quote/backslash-free (SQL embedding)"
+assert not any(
+    "'" in b or "\\" in b or "'" in g or "\\" in g
+    for b, g in MOJIBAKE_PAIRS
+), "mojibake pairs must stay quote/backslash-free (SQL embedding)"
 
 
 def fix_mojibake_t(text: Column) -> Column:

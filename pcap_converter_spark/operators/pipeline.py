@@ -301,7 +301,10 @@ def curate(
     # projections separate)
     lang_hits = (
         [
-            TX.stopword_hits_t(ws, lang).alias(f"_s_{lang}")
+            # SQL-string twin (r12): identical plan, ~80× fewer py4j
+            # round trips per profile — curate builds this projection on
+            # every call and the Column form dominated construction
+            F.expr(TX.stopword_hits_sql("_ws", lang)).alias(f"_s_{lang}")
             for lang in TX.LANG_STOPWORDS
         ]
         + [
@@ -338,17 +341,15 @@ def curate(
             ),
         ).select(
             "*",
-            TX.language_id_t(
-                {
-                    lang: F.col(f"_s_{lang}")
-                    for lang in TX.LANG_STOPWORDS
-                },
-                min_evidence=lang_min_evidence,
-                script_scores={
-                    lang: F.col(f"_sc_{lang}")
-                    for lang in TX.LANG_SCRIPTS
-                },
-                best=F.col("_lbest"),
+            # the generated CASE string is language_id_t's exact plan
+            # over the staged scores (one py4j round trip, r12)
+            F.expr(
+                TX.language_id_case_sql(
+                    min_evidence=lang_min_evidence,
+                    scores_fmt="_s_{}",
+                    script_fmt="_sc_{}",
+                    best_col="_lbest",
+                )
             ).alias("_lang"),
         )
     gop = gopher_keep(

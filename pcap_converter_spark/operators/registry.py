@@ -438,6 +438,18 @@ def _profile_diff_union_sql() -> str:
     return "SELECT " + ", ".join(cols) + " FROM pdiff"
 
 
+def _moji_src_sql(pairs) -> str:
+    """Spark-SQL string for the mojibake decoration source: the doc's
+    text plus one damaged form cycled by doc_id (the Column form's
+    ``concat(t, ' ', element_at(array(...), doc_id % n + 1))`` exactly;
+    table entries are quote/backslash-free, asserted at text.py import)."""
+    arr = "array(" + ", ".join(f"'{b}'" for b, _ in pairs) + ")"
+    return (
+        f"concat(text, ' ', element_at({arr}, "
+        f"cast(doc_id % {len(pairs)} + 1 as int)))"
+    )
+
+
 def run_text_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full text-analysis surface in ONE hash-checked result:
     token/BPE counts, punctuation+stopword ratios, quality score, language
@@ -470,7 +482,9 @@ def run_text_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     tf_tab = _tf_table(spark, sf_dir)
     # bounded driver-side artifact (like IVF centroids): 16-entry vocab,
     # deliberately smaller than the corpus term set so OOV→0 is exercised
+    _t0 = _time.perf_counter()
     vocab = build_vocab(docs, size=16, tf=tf_tab)
+    _t_vocab = _time.perf_counter() - _t0
     # deterministic PII decoration: the synthetic corpus carries no PII, so
     # the detector is exercised against injected tokens whose presence
     # varies by doc_id (a regex that matches nothing would hash-check
@@ -516,8 +530,11 @@ def run_text_all(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     s1 = s0.select(
         "doc_id", "lang", "text", "_ws",
+        # SQL-string form (r12): identical plan to stopword_hits_t, ~80×
+        # fewer py4j round trips — this projection stages 20 profiles
+        # and the driver-side construction cost was ~35% of the entry
         *[
-            TX.stopword_hits_t(ws, lang).alias(f"_s_{lang}")
+            F.expr(TX.stopword_hits_sql("_ws", lang)).alias(f"_s_{lang}")
             for lang in TX.LANG_STOPWORDS
         ],
         *[
@@ -552,13 +569,18 @@ def run_text_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     snip_scored = snip_src.select(
         "_snip_i",
         *[
-            TX.stopword_hits_t(F.col("_sn_ws"), lang).alias(f"_sn_s_{lang}")
+            F.expr(TX.stopword_hits_sql("_sn_ws", lang)).alias(
+                f"_sn_s_{lang}"
+            )
             for lang in TX.LANG_STOPWORDS
         ],
         *[
             TX.script_hits_t(F.col("_snip"), lang).alias(f"_sn_sc_{lang}")
             for lang in TX.LANG_SCRIPTS
         ],
+    ).withColumn(
+        "_sn_best",
+        F.greatest(*[F.col(f"_sn_s_{lang}") for lang in TX.LANG_STOPWORDS]),
     )
     snip_verdict = snip_scored.select(
         "_snip_i",
@@ -567,16 +589,15 @@ def run_text_all(spark: SparkSession, sf_dir: str) -> DataFrame:
         # snippet keeps its dominant stopword verdict, the no-signal
         # snippet stays 'und'. The oracle re-derives the verdict through
         # the RE2 twins of the same script classes; ground-truth codes
-        # are pytest-pinned (tests/test_text_functions.py).
-        TX.language_id_t(
-            {
-                lang: F.col(f"_sn_s_{lang}")
-                for lang in TX.LANG_STOPWORDS
-            },
-            script_scores={
-                lang: F.col(f"_sn_sc_{lang}")
-                for lang in TX.LANG_SCRIPTS
-            },
+        # are pytest-pinned (tests/test_text_functions.py). SQL-string
+        # CASE (r12): the generated chain is language_id_t's plan for a
+        # fraction of the py4j round trips.
+        F.expr(
+            TX.language_id_case_sql(
+                scores_fmt="_sn_s_{}",
+                script_fmt="_sn_sc_{}",
+                best_col="_sn_best",
+            )
         ).alias("script_lang"),
     )
     # pre-staged greatest score: both CASE chains reference `best` per
@@ -598,22 +619,24 @@ def run_text_all(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(sratio, 4).alias("stop_r"),
         TX.quality_score_t(nt, praw, sratio).alias("quality"),
         F.col("lang").alias("labeled_lang"),
-        TX.language_id_t(
-            {lang: F.col(f"_s_{lang}") for lang in TX.LANG_STOPWORDS},
-            script_scores={
-                lang: F.col(f"_sc_{lang}") for lang in TX.LANG_SCRIPTS
-            },
-            best=F.col("_best"),
+        # SQL-string CASE chains (r12): language_id_t's exact plan over
+        # the staged score columns, generated by the same function the
+        # semantics live in — one py4j round trip per chain instead of
+        # ~1900 (the two chains were the entry's widest Column trees)
+        F.expr(
+            TX.language_id_case_sql(
+                scores_fmt="_s_{}", script_fmt="_sc_{}", best_col="_best"
+            )
         ).alias("guessed_lang"),
         # the min-evidence variant (VERDICT r9 #4): hash-gates the NULL
         # band (0 < best hits < threshold) alongside the two-way guess
-        TX.language_id_t(
-            {lang: F.col(f"_s_{lang}") for lang in TX.LANG_STOPWORDS},
-            min_evidence=_LANG_MINEV,
-            script_scores={
-                lang: F.col(f"_sc_{lang}") for lang in TX.LANG_SCRIPTS
-            },
-            best=F.col("_best"),
+        F.expr(
+            TX.language_id_case_sql(
+                min_evidence=_LANG_MINEV,
+                scores_fmt="_s_{}",
+                script_fmt="_sc_{}",
+                best_col="_best",
+            )
         ).alias("lang_minev"),
         (F.col("doc_id") % len(_SCRIPT_SNIPPETS)).cast("int").alias(
             "_snip_i"
@@ -635,43 +658,30 @@ def run_text_all(spark: SparkSession, sf_dir: str) -> DataFrame:
         # mojibake repair, hash-gated against GROUND TRUTH: each doc's
         # text is decorated with one DAMAGED form from the generated
         # table (cycled by doc_id so the corpus covers all pairs), run
-        # through fix_mojibake_t, and fingerprinted. The oracle builds
-        # text || ' ' || the expected GOOD character — an independent
-        # derivation, so the hash proves the repair itself, the fixed
-        # replace order, AND that clean text passes through untouched
-        # (a fixer that mangled the body would shift the md5).
-        F.md5(
-            TX.fix_mojibake_t(
-                F.concat(
-                    t,
-                    F.lit(" "),
-                    F.element_at(
-                        F.array(
-                            *[F.lit(b) for b, _ in TX.MOJIBAKE_PAIRS]
-                        ),
-                        (did % len(TX.MOJIBAKE_PAIRS) + 1).cast("int"),
-                    ),
-                )
-            ).cast("binary")
+        # through the fix_mojibake chain, and fingerprinted. The oracle
+        # builds text || ' ' || the expected GOOD character — an
+        # independent derivation, so the hash proves the repair itself,
+        # the fixed replace order, AND that clean text passes through
+        # untouched (a fixer that mangled the body would shift the md5).
+        # SQL-string form (r12): fix_mojibake_t's exact ~75-replace
+        # chain as ONE expr — the Column form was ~700 py4j round trips
+        # per application and moji2 applies it twice.
+        F.expr(
+            "md5(cast("
+            + TX.fix_mojibake_sql(_moji_src_sql(TX.MOJIBAKE_PAIRS))
+            + " as binary))"
         ).alias("moji_fp"),
         # the DOUBLE-encoding band (VERDICT r9 #6): each doc decorated
         # with one doubly-damaged form, run through the repair TWICE;
         # the oracle expects text || the generation-time two-pass
         # fixpoint, so the hash pins both halves of the contract — two
         # passes reach the fixpoint, and neither pass corrupts the body
-        F.md5(
-            TX.fix_mojibake_t(TX.fix_mojibake_t(
-                F.concat(
-                    t,
-                    F.lit(" "),
-                    F.element_at(
-                        F.array(
-                            *[F.lit(d) for d, _ in TX.MOJIBAKE_DOUBLE]
-                        ),
-                        (did % len(TX.MOJIBAKE_DOUBLE) + 1).cast("int"),
-                    ),
-                )
-            )).cast("binary")
+        F.expr(
+            "md5(cast("
+            + TX.fix_mojibake_sql(
+                TX.fix_mojibake_sql(_moji_src_sql(TX.MOJIBAKE_DOUBLE))
+            )
+            + " as binary))"
         ).alias("moji2_fp"),
         F.array_join(
             encode_tokens(ws, vocab).cast("array<string>"), ","
@@ -751,6 +761,7 @@ def run_text_all(spark: SparkSession, sf_dir: str) -> DataFrame:
         train_bpe_detailed, word_frequencies,
     )
 
+    _t0 = _time.perf_counter()
     wc = word_frequencies(docs, max_words=_BPE_TRAIN_WORDS, tf=tf_tab)
     trows = []
     for i, (a, b, pc) in enumerate(
@@ -764,6 +775,7 @@ def run_text_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     tdf = spark.createDataFrame(
         trows, "doc_id bigint, split string, bpe_seg string, n_bpe_pieces int"
     )
+    _t_bpe = _time.perf_counter() - _t0
     out = out.unionByName(tdf, allowMissingColumns=True)
     # 'profile_diff' rows (doc_id = -2000 - rank, VERDICT r9 stretch #7):
     # profile() both doc_id%2 slices (exact stats only — the HLL++ rows
@@ -801,7 +813,18 @@ def run_text_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = out.unionByName(pdf, allowMissingColumns=True)
     # no handle for tf_tab: it is the SESSION-cached materialization
     # (_tf_table), alive for other entries — not this entry's persist
-    return _eager(spark, out, [])
+    _t0 = _time.perf_counter()
+    res = _eager(spark, out, [])
+    # phase timers to stderr (the ex_dedup_exact pattern): vocab/bpe are
+    # the entry's sequential driver-side collect jobs, final is the one
+    # materializing job for the whole union
+    print(
+        f"bench: ex_text_all phases vocab={round(_t_vocab, 2)}s "
+        f"bpe_train={round(_t_bpe, 2)}s "
+        f"final={round(_time.perf_counter() - _t0, 2)}s",
+        file=_sys.stderr,
+    )
+    return res
 
 
 # language pieces GENERATED from TX.LANG_STOPWORDS so both engines extend
@@ -1361,6 +1384,7 @@ def run_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
+    _t0 = _time.perf_counter()
     with _scoped_shuffle_partitions(spark, _CURATE_PARTS):
         # curate's call-time eager work (the boundary persists and the
         # near-dup pair count) runs inside the 8-partition scope; the
@@ -1378,6 +1402,7 @@ def run_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
             near_dedup=False,
             handles=handles,
         )
+    _t_prep = _time.perf_counter() - _t0
     prep_tier = prep_flags.select(
         F.lit("incr_prep").alias("tier"),
         F.lit(None).cast("string").alias("content_hash"),
@@ -1430,6 +1455,7 @@ def run_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     res = _eager(spark, out, handles)
     print(
         f"bench: ex_dedup_exact phases digest={round(_t_digest, 2)}s "
+        f"prep={round(_t_prep, 2)}s "  # incr_prep's eager curate call
         f"fanout={round(_time.perf_counter() - _t0, 2)}s",
         file=_sys.stderr,
     )

@@ -656,3 +656,89 @@ def test_script_hits_counts_bmp_chars(spark):
         TX.script_hits_t(F.col("text"), "th").alias("th"),
     ).collect()[0]
     assert (got["ja"], got["zh"], got["ko"], got["th"]) == (4, 2, 1, 0)
+
+
+def test_sql_string_twins_match_column_builders(spark):
+    """The r12 SQL-string twins (stopword_hits_sql, language_id_case_sql,
+    fix_mojibake_sql — built for py4j round-trip economy) must produce the
+    SAME values as the Column builders they replace, across the contract's
+    edge band: NULL text, empty text, zero hits, the insufficient-evidence
+    NULL band, stopword ties (dict-order win), script-vs-stopword
+    arbitration, and mojibake forms adjacent to clean text."""
+    rows = [
+        (0, None),
+        (1, ""),
+        (2, "xqz 123 %%%"),                      # zero hits -> und
+        (3, "the of and to in it is"),           # clear en
+        (4, "el la de que los"),                 # clear es
+        (5, "the el"),                           # thin evidence band
+        (6, "これは日本語のテキストです"),          # script tier ja
+        (7, "中文没有空格的句子在这里"),            # script tier zh (no kana)
+        (8, "the quick brown fox 漢字 and the rest of it"),  # mixed keeps en
+        (9, "a " + TX.MOJIBAKE_PAIRS[0][0] + " b " + TX.MOJIBAKE_PAIRS[-1][0]),
+        (10, "i w na to"),                       # pl/cs collision band
+    ]
+    df = spark.createDataFrame(rows, ["i", "text"])
+    ws = F.col("_ws")
+    staged = df.select(
+        "i", "text", TX.words(F.lower(F.col("text"))).alias("_ws")
+    ).select(
+        "i", "text", "_ws",
+        *[
+            TX.stopword_hits_t(ws, lang).alias(f"_c_{lang}")
+            for lang in TX.LANG_STOPWORDS
+        ],
+        *[
+            F.expr(TX.stopword_hits_sql("_ws", lang)).alias(f"_q_{lang}")
+            for lang in TX.LANG_STOPWORDS
+        ],
+        *[
+            TX.script_hits_t(F.col("text"), lang).alias(f"_sc_{lang}")
+            for lang in TX.LANG_SCRIPTS
+        ],
+    ).withColumn(
+        "_best",
+        F.greatest(*[F.col(f"_c_{lang}") for lang in TX.LANG_STOPWORDS]),
+    )
+    for me in (1, 3):
+        out = staged.select(
+            "i",
+            *[
+                (F.col(f"_c_{lang}") == F.col(f"_q_{lang}")).alias(
+                    f"eq_{lang}"
+                )
+                for lang in TX.LANG_STOPWORDS
+            ],
+            TX.language_id_t(
+                {
+                    lang: F.col(f"_c_{lang}")
+                    for lang in TX.LANG_STOPWORDS
+                },
+                min_evidence=me,
+                script_scores={
+                    lang: F.col(f"_sc_{lang}")
+                    for lang in TX.LANG_SCRIPTS
+                },
+                best=F.col("_best"),
+            ).alias("col_form"),
+            F.expr(
+                TX.language_id_case_sql(
+                    min_evidence=me,
+                    scores_fmt="_c_{}",
+                    script_fmt="_sc_{}",
+                    best_col="_best",
+                )
+            ).alias("sql_form"),
+        ).collect()
+        for r in out:
+            for lang in TX.LANG_STOPWORDS:
+                # NULL text -> NULL counts on both sides
+                assert r[f"eq_{lang}"] in (True, None), (r["i"], lang)
+            assert r["col_form"] == r["sql_form"], (me, r["i"])
+    moji = df.select(
+        "i",
+        TX.fix_mojibake_t(F.col("text")).alias("col_form"),
+        F.expr(TX.fix_mojibake_sql("text")).alias("sql_form"),
+    ).collect()
+    for r in moji:
+        assert r["col_form"] == r["sql_form"], r["i"]
