@@ -53,6 +53,16 @@ LANG_STOPWORDS: dict[str, tuple[str, ...]] = {
     "ar": ("في", "من", "على", "أن", "إلى", "عن", "هذا"),
     "hi": ("के", "है", "में", "की", "और", "से", "का"),
     "he": ("של", "את", "על", "הוא", "עם", "זה", "כי"),
+    # r12 widening (VERDICT r11 #3): Vietnamese is top-10 crawl and
+    # whitespace-tokenized Latin — it belongs here, not in the script
+    # tier (every profile word carries diacritics, so pure-ASCII corpora
+    # keep scoring 0); Persian and Urdu are whitespace-tokenized
+    # Arabic-SCRIPT languages whose function words the ar profile cannot
+    # hit (fa prefers U+06CC yeh / U+06A9 kaf, ur adds U+06C1/U+06D2
+    # heh-goal/bari-yeh) — without their own profiles both land in 'und'.
+    "vi": ("và", "của", "là", "có", "không", "được", "một"),
+    "fa": ("در", "به", "از", "که", "این", "را", "با"),
+    "ur": ("کے", "میں", "ہے", "اور", "سے", "کا", "ہیں"),
 }
 
 # Whitespace-free-script profiles (r11, VERDICT r10 #2): zh/ja/ko/th have
@@ -66,6 +76,14 @@ LANG_STOPWORDS: dict[str, tuple[str, ...]] = {
 # contains no kana at all, so kana is checked first and Han LAST (the
 # fallback for kana-free Han text = Chinese). Hangul/Thai are disjoint
 # scripts, order among them is cosmetic.
+#
+# PINNED POLICY (r12, VERDICT r11 #3): a kanji-ONLY Japanese page (no
+# kana at all — rare but real: tables, name lists, classical text) is
+# labeled 'zh'. Han characters alone cannot distinguish ja from zh
+# without a lexicon, and kana-free pages are overwhelmingly Chinese in
+# crawl data, so the fallback optimizes corpus-level accuracy and stays
+# deterministic. Hash-gated by the kanji-only probe snippet in
+# ex_text_all and pinned by tests/test_text_functions.py.
 LANG_SCRIPTS: dict[str, tuple[tuple[int, int], ...]] = {
     # Hiragana + Katakana (U+3040–U+30FF)
     "ja": ((0x3040, 0x30FF),),

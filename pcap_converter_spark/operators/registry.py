@@ -887,11 +887,17 @@ _LANG_MINEV = 3  # the hash-gated threshold case in ex_text_all
 # fixture corpus gives the script router nothing to route, so ex_text_all
 # cycles these per doc_id and hash-gates the verdict through BOTH
 # engines' scorers (Java vs RE2 char classes over real kana / hangul /
-# han / thai). Expected codes (ja ko zh th en und) are pytest-pinned in
-# tests/test_text_functions.py — the hash proves cross-engine agreement,
-# the pytest proves the answers are RIGHT. Index 4 mixes scripts: 8
-# English stopword hits beat 3 Han chars, so the dominant-evidence rule
-# keeps 'en'; index 5 has no signal at all.
+# han / thai). Expected codes (ja ko zh th en und vi fa ur zh) are
+# pytest-pinned in tests/test_text_functions.py — the hash proves
+# cross-engine agreement, the pytest proves the answers are RIGHT.
+# Index 4 mixes scripts: 8 English stopword hits beat 3 Han chars, so
+# the dominant-evidence rule keeps 'en'; index 5 has no signal at all.
+# Indexes 6-8 (r12, VERDICT r11 #3) carry the new stopword profiles —
+# real Vietnamese / Persian / Urdu running text, so the vi/fa/ur chains
+# have hash-gated WIN rows, not just dead CASE arms. Index 9 is the
+# PINNED kanji-only policy case: Han with zero kana is labeled 'zh' by
+# design (see text.LANG_SCRIPTS) — the hash keeps the policy from
+# drifting silently.
 _SCRIPT_SNIPPETS = (
     "日本語のテキストです。これはひらがなとカタカナの文章",
     "한국어 텍스트 문서입니다 테스트",
@@ -899,6 +905,10 @@ _SCRIPT_SNIPPETS = (
     "นี่คือข้อความภาษาไทยสำหรับการทดสอบ",
     "the cat and the dog of the house is in the garden 中文字",
     "123 456 789 %%%",
+    "đây là một đoạn văn bản tiếng việt và không có gì của nó",
+    "این متن فارسی است که در آن از کلمات را با هم می نویسیم",
+    "یہ تحریر اردو میں ہے اور اس کے ساتھ کا اور سے بھی ہیں",
+    "東京大学研究所報告書発表内容概要",
 )
 _SCRIPT_SNIPPETS_SQL = "[" + ", ".join(
     "'" + s.replace("'", "''") + "'" for s in _SCRIPT_SNIPPETS

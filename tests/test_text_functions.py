@@ -527,6 +527,11 @@ def test_language_id_covers_seventeen_profiles(spark):
         "ar": "في من على أن إلى عن هذا البيت",
         "hi": "के है में की और से का घर",
         "he": "של את על הוא עם זה כי בית",
+        # r12 widening: vi (whitespace-tokenized Latin, diacritic-bearing
+        # words), fa/ur (Arabic-script profiles the ar words cannot hit)
+        "vi": "và của là có không được một nhà",
+        "fa": "در به از که این را با خانه",
+        "ur": "کے میں ہے اور سے کا ہیں گھر",
     }
     assert set(samples) | {"en", "de", "es", "fr", "it", "pt", "nl"} == set(
         TX.LANG_STOPWORDS
@@ -641,6 +646,18 @@ def test_language_id_script_tier_ground_truth(spark):
     assert got[3] == "th"
     assert got[4] == "en" and got[12] == "en" and got[13] == "en"
     assert got[5] == "und"
+    # r12 profiles (VERDICT r11 #3): Vietnamese in the stopword tier
+    # (whitespace-tokenized Latin, diacritic-bearing function words),
+    # Persian and Urdu as Arabic-SCRIPT stopword profiles the ar chain
+    # cannot hit
+    assert got[6] == "vi"
+    assert got[7] == "fa"
+    assert got[8] == "ur"
+    # PINNED POLICY (see text.LANG_SCRIPTS): kanji-only Japanese — Han
+    # with zero kana — is labeled 'zh'; Han alone cannot separate ja
+    # from zh without a lexicon, and kana-free pages are overwhelmingly
+    # Chinese in crawl data
+    assert got[9] == "zh"
 
 
 def test_script_hits_counts_bmp_chars(spark):
