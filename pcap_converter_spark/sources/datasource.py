@@ -19,6 +19,11 @@ Options (all strings, per the DataSource options contract):
 - ``target_chunk_bytes``: split granularity (default 64 MB)
 - ``speculative``: "auto" (default) | "true" | "false" — colossal-file
   O(1) splitting, see ``sources/pcap._index_or_split``
+- ``coarse_partitions``: "auto" (default) | "true" | "false" — above
+  ``max_planned_chunks`` (default 65536) estimated chunks the planner
+  emits one partition per FILE (tasks sub-index their file at read
+  time), keeping driver memory O(|paths|) on many-file corpora
+- ``max_planned_chunks``: the auto-coarsening threshold
 
 Register once per session::
 
@@ -82,13 +87,45 @@ class PcapDataSourceReader(DataSourceReader):
         speculative: bool | str = {"true": True, "false": False}.get(
             spec_raw, "auto"
         )
+        # driver-memory coarsening (r12, VERDICT r11 #6 — same contract
+        # as the WARC face): partitions() must return the descriptor
+        # list on the driver, so above ``max_planned_chunks`` ESTIMATED
+        # chunks (a size-only stat pass, O(|paths|)) the face emits one
+        # partition per FILE and each task sub-indexes its own file at
+        # read time. Per-file tasks trade intra-file parallelism for an
+        # O(|paths|) driver — the right trade for many-file corpora;
+        # force with coarse_partitions=true|false.
+        coarse_raw = str(self._options.get("coarse_partitions", "auto")).lower()
+        if coarse_raw in ("true", "false"):
+            coarse = coarse_raw == "true"
+        else:
+            cap = int(self._options.get("max_planned_chunks", 65536))
+            est = sum(os.path.getsize(p) // target + 1 for p in paths)
+            coarse = est > cap
+        if coarse:
+            return [
+                InputPartition(
+                    {"coarse_path": p, "target": target,
+                     "speculative": speculative}
+                )
+                for p in paths
+            ]
         chunks = []
         for p in paths:
             chunks.extend(_index_or_split(p, target, speculative))
         return [InputPartition(c.__dict__) for c in chunks]
 
     def read(self, partition: InputPartition) -> Iterator:
-        return _decode_to_batches(partition.value, self._schema)
+        v = partition.value
+        if "coarse_path" in v:
+            from pcap_converter_spark.sources.pcap import _index_or_split
+
+            for c in _index_or_split(
+                v["coarse_path"], v["target"], v["speculative"]
+            ):
+                yield from _decode_to_batches(c.__dict__, self._schema)
+        else:
+            yield from _decode_to_batches(v, self._schema)
 
 
 def _decode_to_batches(chunk_dict: dict, schema) -> Iterator:

@@ -78,6 +78,42 @@ def test_datasource_partition_per_chunk(registered, tmp_path):
     assert df.count() == 2000
 
 
+def test_datasource_coarse_partitions(registered, tmp_path):
+    """VERDICT r11 #6 (pcap twin of the WARC test): above
+    max_planned_chunks estimated chunks the planner emits one partition
+    per FILE — tasks sub-index their own file — with rows identical to
+    the fine-grained plan."""
+    spark = registered
+    paths = []
+    for i in range(5):
+        fp = str(tmp_path / f"c{i}.pcap")
+        g.write_pcap(
+            fp, [(1_000_000 + j, _udp_pkt(j)) for j in range(400)]
+        )
+        paths.append(fp)
+    tiny = 8 << 10
+    from pcap_converter_spark.sources.pcap import index_pcap
+
+    n_chunks = sum(
+        len(index_pcap(p, target_chunk_bytes=tiny)) for p in paths
+    )
+    glob_p = str(tmp_path / "c*.pcap")
+    fine = (
+        spark.read.format("pcap")
+        .option("target_chunk_bytes", str(tiny))
+        .load(glob_p)
+    )
+    assert fine.rdd.getNumPartitions() == n_chunks > len(paths)
+    coarse = (
+        spark.read.format("pcap")
+        .option("target_chunk_bytes", str(tiny))
+        .option("max_planned_chunks", "4")
+        .load(glob_p)
+    )
+    assert coarse.rdd.getNumPartitions() == len(paths)
+    assert _rows(coarse) == _rows(fine)
+
+
 def test_stream_reader_incremental_files(registered, tmp_path):
     """readStream.format('pcap') over a capture directory: first run
     consumes the files present; a later run on the SAME checkpoint picks

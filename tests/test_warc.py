@@ -152,6 +152,57 @@ def test_warc_datasource_face_matches_read_warc(spark, tmp_path):
     assert _rows(via_format) == _rows(read_warc(spark, p))
 
 
+def test_warc_datasource_coarse_partitions(spark, tmp_path):
+    """VERDICT r11 #6: above max_planned_chunks estimated chunks the batch
+    face plans ONE partition per file (driver memory O(|paths|), each task
+    sub-indexing its own file at read time) with rows identical to the
+    fine-grained plan; coarse_partitions=true|false forces either mode."""
+    from pcap_converter_spark.sources.warc import register_datasource
+
+    register_datasource(spark)
+    paths = []
+    for i in range(6):
+        fp = str(tmp_path / f"seg{i}.warc.gz")
+        wg.write_warc(fp, _corpus(12), gzipped=True)
+        paths.append(fp)
+    glob_p = str(tmp_path / "seg*.warc.gz")
+    fine = (
+        spark.read.format("warc")
+        .option("target_chunk_bytes", "2048")
+        .load(glob_p)
+    )
+    n_chunks = sum(
+        len(index_warc(p, target_chunk_bytes=2048)) for p in paths
+    )
+    assert fine.rdd.getNumPartitions() == n_chunks > len(paths)
+    # tiny cap -> auto-coarsens to one partition PER FILE, not per chunk:
+    # the bounded-driver assertion (the descriptor list the API forces
+    # through the driver is |files| long)
+    coarse = (
+        spark.read.format("warc")
+        .option("target_chunk_bytes", "2048")
+        .option("max_planned_chunks", "4")
+        .load(glob_p)
+    )
+    assert coarse.rdd.getNumPartitions() == len(paths)
+    assert _rows(coarse) == _rows(fine)
+    # explicit override beats the estimate in both directions
+    forced_fine = (
+        spark.read.format("warc")
+        .option("target_chunk_bytes", "2048")
+        .option("max_planned_chunks", "4")
+        .option("coarse_partitions", "false")
+        .load(glob_p)
+    )
+    assert forced_fine.rdd.getNumPartitions() == n_chunks
+    forced_coarse = (
+        spark.read.format("warc")
+        .option("coarse_partitions", "true")
+        .load(glob_p)
+    )
+    assert forced_coarse.rdd.getNumPartitions() == len(paths)
+
+
 def test_warc_index_cache_and_multifile_fanout(spark, tmp_path):
     """The descriptor cache serves repeat reads of an unchanged archive and
     invalidates on rewrite; >4 files route the index pass through the
