@@ -145,6 +145,7 @@ def run_warmup(spark, sf_dir: str, cpus, runners) -> None:
         _ivf_rest_path,
         _pq_append_path,
         _pq_rest_path,
+        _warc_stream_table,
     )
 
     _warm_step("codegen", _warm_codegen)
@@ -158,6 +159,10 @@ def run_warmup(spark, sf_dir: str, cpus, runners) -> None:
     _warm_step("incr_prep_index", lambda: _incr_prep_index_path(spark, sf_dir))
     _warm_step("ingest_fixture", lambda: _ingest_fixture_paths(spark, sf_dir))
     _warm_step("streaming_engine", _warm_streaming)
+    # the 'stream' branch's once-per-session availableNow drain of the
+    # WARC fixture (r12): engine + Python-DataSource stream init, not
+    # operator cost — ex_warc_docs times the bridge over the drained rows
+    _warm_step("warc_stream_drain", lambda: _warc_stream_table(spark))
 
 
 def _cpu_sample() -> dict:

@@ -3665,6 +3665,41 @@ _WARC_MAIN_PARQUET = os.path.join(
 )
 
 
+_WARC_STREAM_CACHE: dict[tuple, str] = {}  # session key -> sink table
+
+
+def _warc_stream_table(spark: SparkSession) -> str:
+    """Drain the WARC fixture through the Structured-Streaming face ONCE
+    per session (readStream.format('warc') → availableNow → memory sink)
+    and return the sink table name — the ivf_rest pattern: the drain is a
+    one-time session cost (streaming-engine init dominates at fixture
+    size), pre-run untimed by bench.py's warmup; ex_warc_docs' 'stream'
+    branch hash-gates the drained rows every run."""
+    import atexit
+    import shutil
+    import tempfile
+    import uuid
+
+    from pcap_converter_spark.sources.warc import register_datasource
+
+    key = _session_key(spark, "_warc_stream")
+    name = _WARC_STREAM_CACHE.get(key)
+    if name is None:
+        register_datasource(spark)
+        name = "warc_stream_" + uuid.uuid4().hex[:12]
+        ckpt = tempfile.mkdtemp(prefix="warc_stream_ck_")
+        atexit.register(shutil.rmtree, ckpt, ignore_errors=True)
+        (
+            spark.readStream.format("warc").load(_WARC_FIXTURE)
+            .writeStream.format("memory").queryName(name)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True).start()
+            .awaitTermination()
+        )
+        _WARC_STREAM_CACHE[key] = name
+    return name
+
+
 def run_warc_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The corpus-acquisition front door, hash-checked end to end, in two
     op-tagged branches:
@@ -3709,7 +3744,12 @@ def run_warc_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
       the 'urls' branch proves.
     - 'domcap': functions/urls.cap_per_domain(cap=3) over synthesized
       4-host urls vs a row_number twin over the url_domain regex chain
-      (host extract → userinfo/port strip → last-two-labels)."""
+      (host extract → userinfo/port strip → last-two-labels).
+    - 'stream' (r12): the fixture drained through the Structured-
+      Streaming face (readStream.format('warc'), availableNow → memory
+      sink) and bridged identically to 'docs' — the hash proves the
+      stream machinery lands on the same generator ground truth as the
+      batch read."""
     from pcap_converter_spark.functions import urls as U
     from pcap_converter_spark.sources.jsonl import read_jsonl_docs
     from pcap_converter_spark.sources.warc import (
@@ -3748,6 +3788,30 @@ def run_warc_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, _WARC_FIXTURE, extract_text="main"
     ).filter(F.col("url").startswith("https://fixture.example/main/")).select(
         F.lit("main").alias("op"),
+        F.col("url"),
+        F.length("text").alias("n_chars"),
+        TX.token_count(F.col("text")).alias("n_tokens"),
+        F.md5(F.col("text").cast("binary")).alias("fp"),
+        "text",
+    )
+    # 'stream' (r12, VERDICT r11 stretch #7): the SAME fixture drained
+    # through the Structured-Streaming face — readStream.format("warc")
+    # → availableNow drain into a memory sink → the same
+    # responses_as_documents bridge — hash-matched against the same
+    # generator ground truth as 'docs' (op-tagged 'stream'). One green
+    # row drives the stream machinery end to end (offset planning, chunk
+    # partitions, Arrow decode, exactly-once drain): the largest
+    # pytest-only surface left after r11. The drain itself is a
+    # once-per-session cost (~5-7 s of streaming-engine fixed overhead
+    # for a KB fixture) cached like the at-rest indexes and pre-run by
+    # bench.py's untimed warmup — the entry times the bridge over the
+    # drained rows, the gate still proves the drain's OUTPUT.
+    from pcap_converter_spark.sources.warc import responses_as_documents
+
+    stream_branch = responses_as_documents(
+        spark.table(_warc_stream_table(spark)), extract_text=True
+    ).select(
+        F.lit("stream").alias("op"),
         F.col("url"),
         F.length("text").alias("n_chars"),
         TX.token_count(F.col("text")).alias("n_tokens"),
@@ -3842,6 +3906,7 @@ def run_warc_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         docs_branch.unionByName(main_branch)
+        .unionByName(stream_branch)
         .unionByName(urls_branch)
         .unionByName(wet_branch)
         .unionByName(jsonl_branch)
@@ -3959,8 +4024,16 @@ mainx AS (
   SELECT 'main' AS op, url, CAST(length(text) AS INT) AS n_chars,
          CAST(len({_DUCK_WORDS.format(src="text")}) AS INT) AS n_tokens,
          md5(text) AS fp, text
-  FROM read_parquet('{_WARC_MAIN_PARQUET}'))
+  FROM read_parquet('{_WARC_MAIN_PARQUET}')),
+streamx AS (
+  -- the streaming drain must land on the SAME generator ground truth as
+  -- the batch read (exactly-once availableNow contract), op-tagged
+  SELECT 'stream' AS op, url, CAST(length(text) AS INT) AS n_chars,
+         CAST(len({_DUCK_WORDS.format(src="text")}) AS INT) AS n_tokens,
+         md5(text) AS fp, text
+  FROM warc_docs)
 SELECT * FROM docs UNION ALL SELECT * FROM mainx
+UNION ALL SELECT * FROM streamx
 UNION ALL SELECT * FROM urls UNION ALL SELECT * FROM wet
 UNION ALL SELECT * FROM jl
 UNION ALL SELECT * FROM urldedup UNION ALL SELECT * FROM domcap
