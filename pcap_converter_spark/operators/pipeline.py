@@ -80,9 +80,14 @@ def prepare_text(
     others = [c for c in docs.columns if c != text_col]
     edited = False
     if fix_encoding:
-        from pcap_converter_spark.functions.text import fix_mojibake_t
+        from pcap_converter_spark.functions.text import fix_mojibake_sql
 
-        docs = docs.withColumn(text_col, fix_mojibake_t(F.col(text_col)))
+        # SQL-string twin of fix_mojibake_t (r12): the same ~75-replace
+        # chain in ONE py4j round trip instead of ~700 — this runs on
+        # every fix-encoding curate/index call
+        docs = docs.withColumn(
+            text_col, F.expr(fix_mojibake_sql(f"`{text_col}`"))
+        )
         # the repair chain is ~90 stacked replaces: downstream stages
         # reference the text column many times (stats, digests,
         # shingles), and each reference re-carries the whole chain
