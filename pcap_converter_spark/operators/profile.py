@@ -34,6 +34,7 @@ def profile(
     columns: list[str] | None = None,
     round_digits: int = 4,
     include_approx: bool = True,
+    by: str | None = None,
 ) -> DataFrame:
     """Per-column profile as one aggregation job.
 
@@ -47,10 +48,19 @@ def profile(
     a cross-engine hash gate can check (sketch values are engine-specific
     by construction).
 
-    Returns (column, stat, value, value_str) ordered by (column, stat);
-    exactly one of value/value_str is non-NULL per row.
+    ``by`` (r12) profiles per GROUP in the same single aggregation — the
+    per-source health check a multi-source corpus runs before mixing
+    (one scan for all sources, still map-side partial aggregation; the
+    shuffle moves |groups| aggregate rows, never data rows). The group
+    column leads the output and is excluded from the profiled columns.
+
+    Returns (column, stat, value, value_str) — prefixed by the ``by``
+    column when grouped — ordered by (group,) column, stat; exactly one
+    of value/value_str is non-NULL per row.
     """
-    cols = columns if columns is not None else df.columns
+    cols = columns if columns is not None else [
+        c for c in df.columns if c != by
+    ]
     aggs = []
     plan: list[tuple[str, str, str]] = []  # (column, stat, kind)
 
@@ -89,18 +99,20 @@ def profile(
             add(c, "min", F.min(fc).cast("string"), "str")
             add(c, "max", F.max(fc).cast("string"), "str")
 
-    row = df.agg(*aggs)
-    # single-row wide → long: one stack expression, still one job
+    row = df.agg(*aggs) if by is None else df.groupBy(by).agg(*aggs)
+    # wide → long: one stack expression, still one job (one row per group)
     parts = []
     for i, (col, stat, kind) in enumerate(plan):
         v = f"CAST(_{i} AS DOUBLE)" if kind == "num" else "CAST(NULL AS DOUBLE)"
         s = f"CAST(_{i} AS STRING)" if kind == "str" else "CAST(NULL AS STRING)"
         parts.append(f"'{col}', '{stat}', {v}, {s}")
-    stacked = row.selectExpr(
+    stack = (
         f"stack({len(plan)}, {', '.join(parts)}) AS "
         "(column, stat, value, value_str)"
     )
-    return stacked.orderBy("column", "stat")
+    if by is None:
+        return row.selectExpr(stack).orderBy("column", "stat")
+    return row.selectExpr(f"`{by}`", stack).orderBy(by, "column", "stat")
 
 
 def profile_diff(

@@ -790,11 +790,18 @@ def run_text_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     prof_cols = ["doc_id", "lang", "text"]
+    # BOTH slices through ONE grouped aggregation (r12: profile's `by`
+    # — the per-source one-pass shape) instead of two scans; the ~70-row
+    # grouped frame is checkpointed so the two diff sides read it rather
+    # than re-running the aggregation per branch
+    both_prof = profile(
+        docs.select((did % 2).cast("int").alias("_slice"), *prof_cols),
+        include_approx=False,
+        by="_slice",
+    ).localCheckpoint(eager=True)
     pdiff = profile_diff(
-        profile(docs.filter(did % 2 == 0).select(*prof_cols),
-                include_approx=False),
-        profile(docs.filter(did % 2 == 1).select(*prof_cols),
-                include_approx=False),
+        both_prof.filter(F.col("_slice") == 0).drop("_slice"),
+        both_prof.filter(F.col("_slice") == 1).drop("_slice"),
     )
     rn = F.row_number().over(Window.orderBy("column", "stat"))
     pdf = pdiff.select(

@@ -146,3 +146,37 @@ def test_profile_diff_threshold_suppresses_small_drift(spark):
     }
     assert not d[("v", "mean")]["drifted"]   # 1% < 5% threshold
     assert d[("v", "mean")]["rel_change"] == 0.01
+
+
+def test_profile_grouped_matches_per_slice(spark):
+    """profile(by=...) (r12): one grouped aggregation must reproduce each
+    slice's standalone profile exactly — the per-source health-check
+    shape (one corpus scan for all sources)."""
+    from pyspark.sql import functions as F
+
+    from pcap_converter_spark.operators.profile import profile
+
+    df = spark.createDataFrame(
+        [(i, f"s{i % 2}", f"t{i:03d}" * (1 + i % 3), float(i))
+         for i in range(40)],
+        "doc_id long, src string, text string, score double",
+    )
+    grouped = profile(df, include_approx=False, by="src")
+    assert grouped.columns[0] == "src"
+    for key in ("s0", "s1"):
+        got = {
+            (r["column"], r["stat"]): (r["value"], r["value_str"])
+            for r in grouped.filter(F.col("src") == key).collect()
+        }
+        want = {
+            (r["column"], r["stat"]): (r["value"], r["value_str"])
+            for r in profile(
+                df.filter(F.col("src") == key).drop("src"),
+                include_approx=False,
+            ).collect()
+        }
+        assert got == want, key
+    # the group column itself is not profiled
+    assert not [
+        r for r in grouped.collect() if r["column"] == "src"
+    ]
