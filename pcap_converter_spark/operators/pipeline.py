@@ -141,6 +141,28 @@ def prepare_text(
     return docs
 
 
+def exact_keep_flags(digests: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(id, keep_exact) from an (id, ``_digest``) frame — keep the lowest
+    id of each digest group, as groupBy(min) + join-back.
+
+    The r11 window form (min OVER PARTITION BY digest) halved the
+    shuffles but lost MAP-SIDE partial aggregation: a mega-duplicate
+    digest group (empty pages, boilerplate-identical templates — common
+    at web scale) lands as full (id, 32-byte digest) rows in ONE window
+    task, a straggler/OOM hot spot AQE cannot split (ADVICE r11). The
+    aggregate form combiner-collapses such groups to one row per mapper,
+    and the join-back is AQE-skew-splittable. Cost-neutral at the
+    100k-doc scale smoke and at fixture scale (see the SCALE_SMOKE r12
+    curate note), so the skew-immune shape wins on safety with nothing
+    paid for it. Plan-audited: tests/test_plan_audit.py pins the partial
+    min and the absence of any Window node."""
+    did = F.col(id_col)
+    keepers = digests.groupBy("_digest").agg(F.min(id_col).alias("_keep_id"))
+    return digests.join(keepers, "_digest").select(
+        did, (did == F.col("_keep_id")).alias("keep_exact")
+    )
+
+
 def curate(
     docs: DataFrame,
     benchmark: DataFrame | None = None,
@@ -413,31 +435,13 @@ def curate(
         ))
         q_docs = q_docs.join(novel.filter("keep_novel").select(id_col), id_col)
 
-    # stage 2: exact dedup — keep the lowest id of each digest group,
-    # as groupBy(min) + join-back. The r11 window form (min OVER
-    # PARTITION BY digest) halved the shuffles but lost MAP-SIDE partial
-    # aggregation: a mega-duplicate digest group (empty pages,
-    # boilerplate-identical templates — common at web scale) lands as
-    # full (id, 32-byte digest) rows in ONE window task, a
-    # straggler/OOM hot spot AQE cannot split (ADVICE r11). The
-    # aggregate form combiner-collapses such groups to one row per
-    # mapper, and the join-back is AQE-skew-splittable. Cost-neutral at
-    # the 100k-doc scale smoke (three solo repeats of each form: exp
-    # 0.64-0.67 window vs 0.60-0.70 join — the funnel's exponent is its
-    # ~2.6s fixed overhead over a linear term, verified by a 200k point
-    # landing on the linear prediction, SCALE_SMOKE r12 note), so the
-    # skew-immune shape wins on safety with nothing paid for it.
+    # stage 2: exact dedup — keep the lowest id of each digest group
+    # (exact_keep_flags: groupBy+combiner+join-back, the skew-immune
+    # shape; rationale and measurements on the helper's docstring)
     digests = q_docs.select(
         did, F.sha2(t.cast("binary"), 256).alias("_digest")
     )
-    keepers = digests.groupBy("_digest").agg(
-        F.min(id_col).alias("_keep_id")
-    )
-    exact = _stage(
-        digests.join(keepers, "_digest").select(
-            did, (did == F.col("_keep_id")).alias("keep_exact")
-        )
-    )
+    exact = _stage(exact_keep_flags(digests, id_col=id_col))
     e_docs = q_docs.join(exact, id_col).filter("keep_exact")
 
     # stage 3: near dedup — LSH pairs on the survivors, CC keep-lowest-id.

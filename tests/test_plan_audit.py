@@ -253,3 +253,21 @@ def test_bm25_filters_terms_before_any_join(spark):
     audit.assert_broadcast_join(out, "(bm25)")
     for h in handles:
         h.unpersist()
+
+
+def test_funnel_exact_dedup_has_partial_agg_no_window(spark):
+    """curate's exact-dedup stage (pipeline.exact_keep_flags, r12): the
+    min-per-digest must run as a two-phase aggregate — partial_min gives
+    map-side combining, so a mega-duplicate digest group (empty pages,
+    boilerplate templates) collapses per mapper instead of landing in one
+    task — and NO Window node may appear (a window over a skewed digest
+    group is an unsplittable straggler AQE cannot rescue)."""
+    from pcap_converter_spark.operators.pipeline import exact_keep_flags
+
+    docs = load_table(spark, SF, "documents")
+    digests = docs.select(
+        "doc_id", F.sha2(F.col("text").cast("binary"), 256).alias("_digest")
+    )
+    plan = audit.formatted_plan(exact_keep_flags(digests))
+    assert "partial_min" in plan, plan
+    assert "Window" not in plan, plan
