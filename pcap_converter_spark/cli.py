@@ -14,6 +14,8 @@ reference-compatible)::
         [--index idx/ [--update-index]]
     python -m pcap_converter_spark index --input dump.jsonl.gz \
         --format jsonl --out idx/ [--append] [--exact-only]
+    python -m pcap_converter_spark profile --input 'seg-*.warc.gz' \
+        --format warc [--by src_col] [--exact-only] [--out prof/]
 
 Differences from the reference, by design:
 - `-f` accepts globs / multiple files (the corpus case the reference lacks).
@@ -422,10 +424,53 @@ def _cmd_compact(argv: list[str]) -> int:
     return 0
 
 
+def _cmd_profile(argv: list[str]) -> int:
+    """profile: the one-pass ingestion health check (operators/profile.py)
+    from a shell — per-column count/nulls/distinct/range/moment stats over
+    any acquisition format, optionally per GROUP (--by: the per-source
+    pre-mix check, still one corpus scan), written as parquet or printed."""
+    ap = argparse.ArgumentParser(prog="pcap-converter-spark profile")
+    _corpus_args(ap)
+    ap.add_argument("--by", default=None, metavar="COL",
+                    help="group column: per-group stats in the same single "
+                         "aggregation (e.g. a source/shard column)")
+    ap.add_argument("--out", default=None,
+                    help="write the profile as parquet (default: print)")
+    ap.add_argument("--exact-only", action="store_true",
+                    help="drop the HLL++ distinct_approx rows (exact "
+                         "stats only — cross-engine comparable)")
+    args = ap.parse_args(argv)
+
+    from pcap_converter_spark.operators.profile import profile
+
+    spark = _spark_for(args)
+    docs = _load_corpus(spark, args.format, _expand(args.input),
+                        html_extract=args.html_extract)
+    if args.by is not None and args.by not in docs.columns:
+        ap.error(
+            f"--by {args.by!r}: no such column "
+            f"(available: {', '.join(docs.columns)})"
+        )
+    prof = profile(
+        docs, include_approx=not args.exact_only, by=args.by
+    )
+    if args.out:
+        prof.write.mode("overwrite").parquet(args.out)
+        print(f"Wrote {args.out}: {prof.count()} stat rows", file=sys.stderr)
+    else:
+        for r in prof.collect():
+            d = r.asDict()
+            key = f"{d.pop(args.by)}\t" if args.by else ""
+            val = d["value"] if d["value"] is not None else d["value_str"]
+            print(f"{key}{d['column']}\t{d['stat']}\t{val}")
+    return 0
+
+
 _SUBCOMMANDS = {
     "curate": _cmd_curate,
     "index": _cmd_index,
     "compact": _cmd_compact,
+    "profile": _cmd_profile,
 }
 
 

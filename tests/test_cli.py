@@ -374,3 +374,32 @@ def test_cli_adopted_html_extract_applies_at_load(spark, tmp_path, capsys):
     # the CLI's own closing count is the observable — an empty parquet
     # dir has no inferable schema to read back)
     assert f"Wrote {out}: 0 kept documents" in err
+
+
+def test_cli_profile_grouped(spark, tmp_path, capsys):
+    """`profile` subcommand (r12): the one-pass health check from a shell
+    — grouped per-source stats land as parquet; --by validates against
+    the corpus columns before any Spark work."""
+    import pyspark.sql.functions as F
+
+    src = str(tmp_path / "docs_prof")
+    spark.range(30).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("s"), (F.col("id") % 2).cast("string")).alias("src"),
+        F.concat(F.lit("text body number "), F.col("id").cast("string"))
+        .alias("text"),
+    ).write.parquet(src)
+    out = str(tmp_path / "prof_out")
+    assert main(["profile", "--input", src, "--format", "parquet",
+                 "--by", "src", "--exact-only", "--out", out]) == 0
+    prof = spark.read.parquet(out)
+    assert prof.columns[0] == "src"
+    rows = {(r["src"], r["column"], r["stat"]): r for r in prof.collect()}
+    assert rows[("s0", "doc_id", "count")]["value"] == 15.0
+    assert rows[("s1", "doc_id", "count")]["value"] == 15.0
+    assert ("s0", "src", "count") not in rows  # group col not profiled
+    # unknown --by column is rejected before any aggregation runs
+    import pytest as _pytest
+    with _pytest.raises(SystemExit):
+        main(["profile", "--input", src, "--format", "parquet",
+              "--by", "nope", "--out", out])
