@@ -151,11 +151,21 @@ def exact_keep_flags(digests: DataFrame, id_col: str = "doc_id") -> DataFrame:
     at web scale) lands as full (id, 32-byte digest) rows in ONE window
     task, a straggler/OOM hot spot AQE cannot split (ADVICE r11). The
     aggregate form combiner-collapses such groups to one row per mapper,
-    and the join-back is AQE-skew-splittable. Cost-neutral at the
-    100k-doc scale smoke and at fixture scale (see the SCALE_SMOKE r12
-    curate note), so the skew-immune shape wins on safety with nothing
-    paid for it. Plan-audited: tests/test_plan_audit.py pins the partial
-    min and the absence of any Window node."""
+    and the join-back is AQE-skew-splittable.
+
+    The premium, measured honestly (r12, 4M-row digest frame with a 30%
+    mega-group, local[32], min-of-3): window 1.25 s vs this form 1.93 s
+    — at local scale the window's single-task group sort is cheap and
+    one shuffle beats two. The form still wins BY DESIGN at corpus
+    scale: the window must materialize the whole mega-group in ONE task
+    (1% empty pages at 100 TB ≈ 10⁹ rows × 40 B ≈ 40 GB — an OOM, and
+    AQE cannot split a window partition), while here the aggregate
+    emits one row per digest per MAPPER and the skewed join-back is
+    exactly the shape AQE's skew-join splits. Funnel-level cost is
+    noise either way (SCALE_SMOKE r12 curate note: exponents and
+    fixture timings indistinguishable). Plan-audited:
+    tests/test_plan_audit.py pins the partial min and the absence of
+    any Window node."""
     did = F.col(id_col)
     keepers = digests.groupBy("_digest").agg(F.min(id_col).alias("_keep_id"))
     return digests.join(keepers, "_digest").select(
