@@ -16,6 +16,8 @@ reference-compatible)::
         --format jsonl --out idx/ [--append] [--exact-only]
     python -m pcap_converter_spark profile --input 'seg-*.warc.gz' \
         --format warc [--by src_col] [--exact-only] [--out prof/]
+    python -m pcap_converter_spark pack --input artifact/ \
+        --format parquet --out shards/ [--seq-len 2048] [--shards 16]
 
 Differences from the reference, by design:
 - `-f` accepts globs / multiple files (the corpus case the reference lacks).
@@ -466,11 +468,62 @@ def _cmd_profile(argv: list[str]) -> int:
     return 0
 
 
+def _cmd_pack(argv: list[str]) -> int:
+    """pack: the last mile — a (curated) corpus to TENSOR-READY training
+    shards. Builds a corpus vocab (one bounded aggregation), encodes every
+    document, concat-and-cut packs to --seq-len (operators/packing.py
+    materialize_packed: one shuffle by shard + one bounded (shard,bin)
+    aggregation), and writes parquet partitioned by pack_shard — one row
+    per training sequence: (pack_shard, pack_bin, input_ids, doc_spans),
+    doc_spans carrying the (doc_id, start, end) attention/loss boundaries
+    a dataloader needs."""
+    ap = argparse.ArgumentParser(prog="pcap-converter-spark pack")
+    _corpus_args(ap)
+    ap.add_argument("--out", required=True, help="shard directory")
+    ap.add_argument("--seq-len", type=int, default=2048,
+                    help="tokens per training sequence (default 2048)")
+    ap.add_argument("--shards", type=int, default=16,
+                    help="independent packing streams (default 16)")
+    ap.add_argument("--vocab-size", type=int, default=50_000,
+                    help="corpus vocab budget; OOV tokens encode to 0")
+    ap.add_argument("--pad-id", type=int, default=0,
+                    help="padding id for each shard's final sequence")
+    args = ap.parse_args(argv)
+    if args.seq_len <= 0 or args.shards <= 0 or args.vocab_size <= 0:
+        ap.error("--seq-len/--shards/--vocab-size must be positive")
+
+    from pyspark.sql import functions as F
+
+    from pcap_converter_spark.operators.packing import materialize_packed
+    from pcap_converter_spark.operators.vocab import build_vocab, encode_column
+
+    spark = _spark_for(args)
+    docs = _load_corpus(spark, args.format, _expand(args.input),
+                        html_extract=args.html_extract)
+    vocab = build_vocab(docs, size=args.vocab_size)
+    encoded = docs.select(
+        "doc_id", encode_column(F.col("text"), vocab).alias("ids")
+    )
+    packed = materialize_packed(
+        encoded, "ids",
+        budget=args.seq_len, n_shards=args.shards, pad_id=args.pad_id,
+    )
+    packed.write.mode("overwrite").partitionBy("pack_shard").parquet(args.out)
+    n = spark.read.parquet(args.out).count()
+    print(
+        f"Wrote {args.out}: {n} sequences x {args.seq_len} tokens "
+        f"({args.shards} shards, vocab {len(vocab)})",
+        file=sys.stderr,
+    )
+    return 0
+
+
 _SUBCOMMANDS = {
     "curate": _cmd_curate,
     "index": _cmd_index,
     "compact": _cmd_compact,
     "profile": _cmd_profile,
+    "pack": _cmd_pack,
 }
 
 

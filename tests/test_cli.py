@@ -403,3 +403,40 @@ def test_cli_profile_grouped(spark, tmp_path, capsys):
     with _pytest.raises(SystemExit):
         main(["profile", "--input", src, "--format", "parquet",
               "--by", "nope", "--out", out])
+
+
+def test_cli_pack_end_to_end(spark, tmp_path):
+    """`pack` subcommand (r12): corpus -> vocab -> encode -> concat-and-
+    cut -> pack_shard-partitioned parquet of fixed-length sequences with
+    doc_spans boundaries — the curate->pack last mile from a shell."""
+    import pyspark.sql.functions as F
+
+    src = str(tmp_path / "docs_pack")
+    spark.range(40).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("alpha beta gamma delta word"),
+                 F.col("id").cast("string")).alias("text"),
+    ).write.parquet(src)
+    out = str(tmp_path / "shards")
+    assert main(["pack", "--input", src, "--format", "parquet",
+                 "--out", out, "--seq-len", "32", "--shards", "4",
+                 "--vocab-size", "64"]) == 0
+    shards = spark.read.parquet(out)
+    rows = shards.collect()
+    assert rows and set(shards.columns) >= {
+        "pack_shard", "pack_bin", "input_ids", "doc_spans"
+    }
+    # every sequence is exactly seq-len long; spans stay inside it and
+    # reference real documents
+    for r in rows:
+        assert len(r["input_ids"]) == 32
+        for sp in r["doc_spans"]:
+            assert 0 <= sp["start"] < sp["end"] <= 32
+            assert 0 <= sp["doc_id"] < 40
+    # all 4 shards present (partition pruning layout)
+    assert {r["pack_shard"] for r in rows} == {0, 1, 2, 3}
+    # bad knobs rejected before Spark work
+    import pytest as _pytest
+    with _pytest.raises(SystemExit):
+        main(["pack", "--input", src, "--format", "parquet",
+              "--out", out, "--seq-len", "0"])
