@@ -18,6 +18,9 @@ reference-compatible)::
         --format warc [--by src_col] [--exact-only] [--out prof/]
     python -m pcap_converter_spark pack --input artifact/ \
         --format parquet --out shards/ [--seq-len 2048] [--shards 16]
+    python -m pcap_converter_spark mix --source crawl=a/ --source books=b/ \
+        {--rate crawl=0.25 | --temperature 0.7 [--weight-col n_tokens]} \
+        --out mixed/
 
 Differences from the reference, by design:
 - `-f` accepts globs / multiple files (the corpus case the reference lacks).
@@ -518,12 +521,114 @@ def _cmd_pack(argv: list[str]) -> int:
     return 0
 
 
+def _cmd_mix(argv: list[str]) -> int:
+    """mix: deterministic multi-source training mix (operators/sampling).
+    Each --source is tagged, unioned, and downsampled by per-source keep
+    rates — given explicitly (--rate NAME=R) or derived by temperature
+    rebalancing (--temperature α: share ∝ n^α, the multilingual-mix
+    exponent; --weight-col sizes sources by a column sum, e.g. token
+    counts). Membership is content-addressed (no RNG, no shuffle), so a
+    re-mix over a grown corpus never flips an old document's decision."""
+    ap = argparse.ArgumentParser(prog="pcap-converter-spark mix")
+    ap.add_argument("--source", required=True, action="append",
+                    metavar="NAME=PATH",
+                    help="a named corpus (repeatable); globs allowed")
+    ap.add_argument("--format", default="parquet",
+                    choices=["parquet", "jsonl", "warc", "wet"],
+                    help="acquisition format shared by all sources")
+    ap.add_argument("--rate", action="append", default=[],
+                    metavar="NAME=R",
+                    help="explicit keep rate in [0,1] for a source "
+                         "(unlisted sources keep everything)")
+    ap.add_argument("--temperature", type=float, default=None,
+                    help="derive rates: target share of source i ∝ n_i^α "
+                         "(α in (0,1]; mutually exclusive with --rate)")
+    ap.add_argument("--weight-col", default=None,
+                    help="with --temperature: size sources by this "
+                         "column's sum (e.g. n_tokens) instead of doc count")
+    ap.add_argument("--out", required=True, help="mixed-corpus directory")
+    ap.add_argument("--html-extract", default="text",
+                    choices=["text", "main"])
+    ap.add_argument("-j", type=int, default=None, metavar="N")
+    ap.add_argument("-v", "--verbose", action="store_true")
+    args = ap.parse_args(argv)
+    if args.temperature is not None and args.rate:
+        ap.error("--temperature and --rate are mutually exclusive")
+    if args.temperature is None and not args.rate:
+        ap.error("give --rate NAME=R (repeatable) or --temperature α")
+
+    def _split(kv: str, what: str) -> tuple[str, str]:
+        if "=" not in kv:
+            ap.error(f"--{what} wants NAME=VALUE, got {kv!r}")
+        name, _, val = kv.partition("=")
+        return name, val
+
+    sources = dict(_split(s, "source") for s in args.source)
+    rates = {}
+    for r in args.rate:
+        name, val = _split(r, "rate")
+        if name not in sources:
+            ap.error(f"--rate {name}: no such --source")
+        rates[name] = float(val)
+        if not 0 <= rates[name] <= 1:
+            ap.error(f"--rate {name}: must be in [0,1]")
+
+    from pyspark.sql import functions as F
+
+    from pcap_converter_spark.operators.sampling import (
+        mix_sources,
+        temperature_rates,
+    )
+
+    spark = _spark_for(args)
+    parts = []
+    for name, path in sources.items():
+        d = _load_corpus(spark, args.format, _expand([path]),
+                         html_extract=args.html_extract)
+        cols = [F.lit(name).alias("source"), F.col("doc_id")]
+        cols.append(
+            F.col("url") if "url" in d.columns
+            else F.lit(None).cast("string").alias("url")
+        )
+        cols.append(F.col("text"))
+        parts.append(d.select(*cols))
+    union = parts[0]
+    for p in parts[1:]:
+        union = union.unionByName(p)
+    if args.temperature is not None:
+        if args.weight_col == "n_tokens":
+            # the budget that actually matters for a training mix;
+            # derived on the fly (the mixed frame carries only
+            # source/doc_id/url/text)
+            from pcap_converter_spark.functions.text import token_count
+
+            union = union.withColumn("n_tokens", token_count(F.col("text")))
+        elif args.weight_col is not None:
+            ap.error("--weight-col: only n_tokens is derivable here")
+        rates = temperature_rates(
+            union, alpha=args.temperature, weight_col=args.weight_col
+        )
+        for name, rate in sorted(rates.items()):
+            print(f"mix: {name} keep rate {rate:.4f}", file=sys.stderr)
+    mixed = (
+        mix_sources(union, rates)
+        .filter("keep_mix")
+        .drop("keep_mix", "n_tokens")  # drop is a no-op when absent
+    )
+    mixed.write.mode("overwrite").partitionBy("source").parquet(args.out)
+    kept = spark.read.parquet(args.out).count()
+    print(f"Wrote {args.out}: {kept} documents from {len(sources)} sources",
+          file=sys.stderr)
+    return 0
+
+
 _SUBCOMMANDS = {
     "curate": _cmd_curate,
     "index": _cmd_index,
     "compact": _cmd_compact,
     "profile": _cmd_profile,
     "pack": _cmd_pack,
+    "mix": _cmd_mix,
 }
 
 

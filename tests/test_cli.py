@@ -440,3 +440,62 @@ def test_cli_pack_end_to_end(spark, tmp_path):
     with _pytest.raises(SystemExit):
         main(["pack", "--input", src, "--format", "parquet",
               "--out", out, "--seq-len", "0"])
+
+
+def test_cli_mix_rates_and_temperature(spark, tmp_path):
+    """`mix` subcommand (r12): tagged union + deterministic per-source
+    keep rates (explicit and temperature-derived), written partitioned by
+    source — the multi-source training-mix move from a shell."""
+    import pyspark.sql.functions as F
+
+    big = str(tmp_path / "src_big")
+    spark.range(400).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("crawl doc body "), F.col("id").cast("string"))
+        .alias("text"),
+    ).write.parquet(big)
+    small = str(tmp_path / "src_small")
+    spark.range(40).select(
+        (F.col("id") + 10_000).alias("doc_id"),
+        F.concat(F.lit("book text "), F.col("id").cast("string"))
+        .alias("text"),
+    ).write.parquet(small)
+
+    out = str(tmp_path / "mixed")
+    assert main(["mix", "--source", f"crawl={big}",
+                 "--source", f"books={small}",
+                 "--rate", "crawl=0.25", "--out", out]) == 0
+    mixed = spark.read.parquet(out)
+    by_src = {r["source"]: r["n"] for r in
+              mixed.groupBy("source").count().withColumnRenamed(
+                  "count", "n").collect()}
+    assert by_src["books"] == 40            # unlisted source keeps all
+    assert 60 <= by_src["crawl"] <= 140     # ~25% of 400, hash-bucketed
+    # determinism: a re-run selects the identical membership
+    out2 = str(tmp_path / "mixed2")
+    assert main(["mix", "--source", f"crawl={big}",
+                 "--source", f"books={small}",
+                 "--rate", "crawl=0.25", "--out", out2]) == 0
+    ids = lambda p: sorted(
+        r["doc_id"] for r in spark.read.parquet(p).collect()
+    )
+    assert ids(out) == ids(out2)
+
+    # temperature: the head source is downsampled toward the tail
+    out3 = str(tmp_path / "mixed_t")
+    assert main(["mix", "--source", f"crawl={big}",
+                 "--source", f"books={small}",
+                 "--temperature", "0.5", "--out", out3]) == 0
+    by3 = {r["source"]: r["n"] for r in
+           spark.read.parquet(out3).groupBy("source").count()
+           .withColumnRenamed("count", "n").collect()}
+    assert by3["books"] == 40
+    assert by3["crawl"] < 400  # head source genuinely downsampled
+
+    import pytest as _pytest
+    with _pytest.raises(SystemExit):  # rate for an unknown source
+        main(["mix", "--source", f"crawl={big}", "--rate", "nope=0.5",
+              "--out", out])
+    with _pytest.raises(SystemExit):  # rates XOR temperature
+        main(["mix", "--source", f"crawl={big}", "--rate", "crawl=0.5",
+              "--temperature", "0.7", "--out", out])
