@@ -23,6 +23,15 @@ RUNTIME_CONFS = {
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
+    # Bound plan-STRING generation (r12): AQE formats the explain string
+    # on every plan update (AdaptiveSparkPlanExec.onUpdatePlan) and the
+    # default cap is ~2 GB — a deep-lineage funnel plan (the recomputable
+    # prelude keeps its full prep chain, and self-joins duplicate it per
+    # side) can OOM the DRIVER building a debug string nobody reads.
+    # Observed: java.lang.OutOfMemoryError in QueryExecution.explainString
+    # under a 2 GB test heap. 1 MB keeps explains useful and the cost
+    # bounded at any lineage depth.
+    "spark.sql.maxPlanStringLength": "1048576",
 }
 
 
