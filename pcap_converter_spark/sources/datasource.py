@@ -24,6 +24,9 @@ Options (all strings, per the DataSource options contract):
   emits one partition per FILE (tasks sub-index their file at read
   time), keeping driver memory O(|paths|) on many-file corpora
 - ``max_planned_chunks``: the auto-coarsening threshold
+- ``min_coarse_files`` (default 16): auto mode only coarsens when the
+  corpus has at least this many files — coarse parallelism IS the file
+  count, so a single colossal file over the cap keeps fine chunks
 
 Register once per session::
 
@@ -100,8 +103,12 @@ class PcapDataSourceReader(DataSourceReader):
             coarse = coarse_raw == "true"
         else:
             cap = int(self._options.get("max_planned_chunks", 65536))
+            # coarse parallelism IS the file count: a single colossal
+            # file over the cap keeps fine-grained chunks (descriptor
+            # memory beats a one-task scan); min_coarse_files tunes it
+            floor = int(self._options.get("min_coarse_files", 16))
             est = sum(os.path.getsize(p) // target + 1 for p in paths)
-            coarse = est > cap
+            coarse = est > cap and len(paths) >= floor
         if coarse:
             return [
                 InputPartition(

@@ -815,10 +815,17 @@ def _warc_datasource_cls():
                 coarse = coarse_raw == "true"
             else:
                 cap = int(self._options.get("max_planned_chunks", 65536))
+                # coarse parallelism IS the file count, so auto mode
+                # also requires enough files to parallelize over — a
+                # SINGLE colossal file over the cap must keep its
+                # fine-grained chunks (the driver paying descriptor
+                # memory beats a one-task scan of the whole file);
+                # min_coarse_files tunes the floor
+                floor = int(self._options.get("min_coarse_files", 16))
                 est = sum(
                     os.path.getsize(p) // target + 1 for p in paths
                 )
-                coarse = est > cap
+                coarse = est > cap and len(paths) >= floor
             if coarse:
                 return [
                     InputPartition(

@@ -108,6 +108,7 @@ def test_datasource_coarse_partitions(registered, tmp_path):
         spark.read.format("pcap")
         .option("target_chunk_bytes", str(tiny))
         .option("max_planned_chunks", "4")
+        .option("min_coarse_files", "5")
         .load(glob_p)
     )
     assert coarse.rdd.getNumPartitions() == len(paths)

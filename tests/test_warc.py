@@ -182,15 +182,29 @@ def test_warc_datasource_coarse_partitions(spark, tmp_path):
         spark.read.format("warc")
         .option("target_chunk_bytes", "2048")
         .option("max_planned_chunks", "4")
+        .option("min_coarse_files", "6")
         .load(glob_p)
     )
     assert coarse.rdd.getNumPartitions() == len(paths)
     assert _rows(coarse) == _rows(fine)
+    # a corpus BELOW the file floor keeps fine chunks even over the cap:
+    # coarse parallelism is the file count, and a near-single colossal
+    # file must not collapse to a near-single-task scan
+    single = (
+        spark.read.format("warc")
+        .option("target_chunk_bytes", "2048")
+        .option("max_planned_chunks", "4")
+        .load(paths[0])
+    )
+    assert single.rdd.getNumPartitions() == len(
+        index_warc(paths[0], target_chunk_bytes=2048)
+    ) > 1
     # explicit override beats the estimate in both directions
     forced_fine = (
         spark.read.format("warc")
         .option("target_chunk_bytes", "2048")
         .option("max_planned_chunks", "4")
+        .option("min_coarse_files", "6")
         .option("coarse_partitions", "false")
         .load(glob_p)
     )
