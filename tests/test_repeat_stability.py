@@ -1,0 +1,39 @@
+"""Repeat-call stability for the cache-heavy driver entries.
+
+The registry keeps per-(session, sf_dir) caches (at-rest indexes, the
+curate flags frame, the prelude corpus, the streamed WARC table, shared
+tf/embedding materializations). A cache-keying bug serves the SECOND
+call stale or foreign state (the ADVICE r4 id(spark)-collision class) —
+test_oracle_parity only ever calls each runner once, so nothing pinned
+it. Here every cache-backed entry runs twice in one session and must
+return byte-identical rows.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+import __spark_entry__ as entrymod
+
+SF = "/root/testdata/sf0.001"
+
+# the entries whose runners consult a per-session cache or at-rest
+# artifact (registry: _CURATE_CACHE, _INCR_*, _IVF/_PQ_REST, _QVEC,
+# _prelude_corpus, _WARC_STREAM_CACHE, the tf/hemb materializations)
+CACHED_ENTRIES = [
+    "ex_curate",
+    "ex_dedup_exact",
+    "ex_sim_topk",
+    "ex_text_all",
+    "ex_warc_docs",
+    "ex_lm_filter",
+]
+
+
+@pytest.mark.parametrize("name", CACHED_ENTRIES)
+def test_second_call_returns_identical_rows(spark, name):
+    fn = entrymod.queries()[name]
+    first = sorted(map(tuple, fn(spark, SF).collect()))
+    second = sorted(map(tuple, fn(spark, SF).collect()))
+    assert first == second, f"{name}: repeat call diverged"
+    assert first, f"{name}: empty result"
