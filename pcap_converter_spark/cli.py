@@ -563,13 +563,19 @@ def _cmd_mix(argv: list[str]) -> int:
         name, _, val = kv.partition("=")
         return name, val
 
-    sources = dict(_split(s, "source") for s in args.source)
+    pairs = [_split(s, "source") for s in args.source]
+    sources = dict(pairs)
+    if len(sources) != len(pairs):
+        ap.error("duplicate --source names")
     rates = {}
     for r in args.rate:
         name, val = _split(r, "rate")
         if name not in sources:
             ap.error(f"--rate {name}: no such --source")
-        rates[name] = float(val)
+        try:
+            rates[name] = float(val)
+        except ValueError:
+            ap.error(f"--rate {name}: {val!r} is not a number")
         if not 0 <= rates[name] <= 1:
             ap.error(f"--rate {name}: must be in [0,1]")
 
