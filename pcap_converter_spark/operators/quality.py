@@ -239,3 +239,94 @@ def gopher_keep(
         & (stop_hits >= 2)
         & (dup_ngram_frac < 0.5)
     )
+
+
+# C4's terminal-punctuation set: period, exclamation, question mark, or a
+# closing double quote (Raffel et al., arXiv:1910.10683 §2.2).
+C4_TERMINALS = (".", "!", "?", '"')
+
+
+def c4_line_clean(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_words: int = 5,
+    min_lines: int = 3,
+) -> DataFrame:
+    """C4's line-level page cleaning (Raffel et al., arXiv:1910.10683
+    §2.2) as ONE map-only projection — no shuffle, no UDF, no explode:
+    at 100 TB this is a pure scan-side pass that AQE never has to think
+    about, unlike the corpus-level dedups it usually precedes.
+
+    Pages split on newline; every line is space-trimmed. A line is KEPT
+    iff:
+
+    1. it is the FIRST occurrence of its exact trimmed form on the page
+       (intra-page keep-first dedup — repeated nav/footer copies drop;
+       copies of a line the rules drop would drop anyway, so applying
+       the dedup before the rules is order-indifferent);
+    2. it ends in a terminal punctuation mark (``C4_TERMINALS`` — the
+       published rule, which also drops empty lines for free);
+    3. it has >= ``min_words`` whitespace tokens;
+    4. it does not contain 'javascript' (case-insensitive — the C4 rule
+       targeting "please enable javascript" boilerplate).
+
+    Page gates (the whole page drops to ``''``):
+
+    5. the page contains 'lorem ipsum' (case-insensitive) or a '{'
+       (the C4 code/JSON heuristic);
+    6. fewer than ``min_lines`` lines survive rules 1-4 (C4 states the
+       gate over sentences; this operator applies it at line
+       granularity, documented deviation).
+
+    Returns (id, clean_text, n_removed): kept lines re-joined with
+    newlines ('' for a gated page), and the count of line slots absent
+    from the output (ALL of them for a gated page).
+
+    The keep-first test is ``array_position == index`` against a staged
+    attribute column — O(lines²) comparisons per page worst-case, but
+    pages hold dozens-to-hundreds of lines and the alternative
+    (posexplode + first-occurrence window) turns a map-only pass into
+    two full shuffles of every line in the corpus. The lambda only ever
+    references ATTRIBUTES (``_ls``), never an expression — Catalyst
+    inlines expressions referenced inside higher-order-function lambdas
+    once per ELEMENT (see ``token_ngrams``), which for array_position
+    would re-split the page per line.
+    """
+    lines = F.split(F.col(text_col), "\n")
+    staged = df.select(
+        F.col(id_col),
+        F.col(text_col),
+        F.transform(lines, F.trim).alias("_ls"),
+    )
+    ls = F.col("_ls")
+
+    def _keep(x: Column, i: Column) -> Column:
+        return (
+            (F.array_position(ls, x) == i + F.lit(1))
+            & F.substring(x, -1, 1).isin(*C4_TERMINALS)
+            & (F.size(F.split(x, r"\s+")) >= min_words)
+            & ~F.lower(x).contains("javascript")
+        )
+
+    kept = staged.select(
+        F.col(id_col),
+        F.col(text_col),
+        ls,
+        F.filter(ls, _keep).alias("_kept"),
+    )
+    gate = (
+        (F.size(F.col("_kept")) >= min_lines)
+        & ~F.lower(F.col(text_col)).contains("lorem ipsum")
+        & ~F.col(text_col).contains("{")
+    )
+    return kept.select(
+        F.col(id_col),
+        F.when(gate, F.array_join("_kept", "\n"))
+        .otherwise(F.lit(""))
+        .alias("clean_text"),
+        (
+            F.size("_ls")
+            - F.when(gate, F.size("_kept")).otherwise(F.lit(0))
+        ).cast("bigint").alias("n_removed"),
+    )

@@ -51,6 +51,15 @@ _LINE_COOKIE_LOWER = "cookie policy | accept all"
 _LINE_FOOTER = "Subscribe to our newsletter today"
 # dedup.LINE_WS (" \t\r\f\x0b\xa0") spelled as a DuckDB expression
 _DUCK_LINE_WS = "(' ' || chr(9) || chr(13) || chr(12) || chr(11) || chr(160))"
+# ex_substring_dedup 'c4' branch (quality.c4_line_clean): fabricated
+# probe lines, one per published C4 rule — rule 4 (javascript), rule 3
+# (min_words), page gate 5 (lorem ipsum / '{'). No single quotes (they
+# are interpolated into SQL string literals).
+_C4_W = 7  # fabricated c4 line width (words)
+_C4_JS_LINE = "please enable javascript to view this content."
+_C4_SHORT_LINE = "too short!"
+_C4_LOREM_LINE = "lorem ipsum dolor sit amet consectetur."
+_C4_CODE_LINE = "if (x) { return; }"
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4368,6 +4377,55 @@ _SEMDEDUP_ORACLE = _semdedup_oracle(_SEM_INIT, _SEM_ITERS, _SEM_TAU)
 # exact substring-span dedup — dedup.remove_duplicate_spans
 # ---------------------------------------------------------------------------
 
+def _c4_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fabricated newline-structured corpus for the 'c4' branch: a 1/13
+    documents slice reshaped into 7-word lines whose terminal character
+    cycles . ! (none) ? with the line index — so every page mixes
+    kept-by-rule and dropped-by-rule lines — plus one probe line per C4
+    rule keyed on i1 = doc_id div 13 (consecutive integers at every SF):
+    a duplicate of the first body line (keep-first dedup), the
+    javascript boilerplate (rule 4), a 2-word exclamation (rule 3), and
+    the two page-gate carriers (lorem ipsum / '{'). Map-only and tiny —
+    built lazily per call, no cache (unlike _prelude_corpus there is no
+    multi-stage funnel re-deriving it)."""
+    from pcap_converter_spark.io.loader import load_table
+
+    did = F.col("doc_id")
+    base = load_table(spark, sf_dir, "documents").filter(did % 13 == 5)
+    toks = base.select("doc_id", TX.words(F.col("text")).alias("_ws"))
+    i1 = F.expr("doc_id div 13")
+    ws = F.col("_ws")
+    n_last = F.greatest(F.ceil(F.size(ws) / _C4_W) - 1, F.lit(0))
+    sufx = F.array(F.lit("."), F.lit("!"), F.lit(""), F.lit("?"))
+    body = F.transform(
+        F.sequence(F.lit(0), n_last),
+        lambda j: F.concat(
+            F.concat_ws(" ", F.slice(ws, j * _C4_W + 1, _C4_W)),
+            F.element_at(sufx, ((j % 4) + 1).cast("int")),
+        ),
+    )
+    # the first body line, recomputed directly (j=0 suffix is '.') —
+    # cheaper than element_at(body, 1), which would inline the whole
+    # body expression a second time
+    first_line = F.concat(
+        F.concat_ws(" ", F.slice(ws, 1, _C4_W)), F.lit(".")
+    )
+    empty = F.array().cast("array<string>")
+
+    def opt(cond, line_col):
+        return F.when(cond, F.array(line_col)).otherwise(empty)
+
+    arr = F.concat(
+        body,
+        opt(i1 % 7 == 1, first_line),
+        opt(i1 % 6 == 0, F.lit(_C4_JS_LINE)),
+        opt(i1 % 5 == 3, F.lit(_C4_SHORT_LINE)),
+        opt(i1 % 9 == 2, F.lit(_C4_LOREM_LINE)),
+        opt(i1 % 9 == 4, F.lit(_C4_CODE_LINE)),
+    )
+    return toks.select("doc_id", F.array_join(arr, "\n").alias("text"))
+
+
 def run_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BOTH text-EDITING dedup tiers, src-tagged. 'span': exact
     substring-span dedup (the Lee-et-al ExactSubstr pass, word
@@ -4394,7 +4452,17 @@ def run_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     removed), proving the trim+lower normalization; clone body lines
     (df 2: original + damaged clone) prove the distinct-doc count. The
     oracle re-derives the fabrication, the frequencies, and the ordered
-    rebuild in SQL — the cleaned text hashes exactly."""
+    rebuild in SQL — the cleaned text hashes exactly.
+
+    'c4' (r12): the third text-editing tier — C4's line-level page
+    cleaning (quality.c4_line_clean, Raffel et al. arXiv:1910.10683
+    §2.2: terminal-punctuation lines only, >=5 words, no javascript,
+    intra-page keep-first line dedup, lorem-ipsum/'{'/min-lines page
+    gates), over a fabricated newline corpus with one probe line per
+    rule (_c4_corpus). Unlike 'span'/'line' this tier is MAP-ONLY (a
+    plan-audit pytest pins Exchange-free); the oracle re-derives the
+    fabrication and every rule with index lambdas over the split lines,
+    so the emitted page text and removal counts hash exactly."""
     docs = _docs(spark, sf_dir)
     span = dedup.remove_duplicate_spans(
         docs, min_words=_SUBSTR_W
@@ -4415,8 +4483,15 @@ def run_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit("line").alias("src"), "doc_id", "clean_text",
             F.col("n_removed"),
         )
+    from pcap_converter_spark.operators.quality import c4_line_clean
+
+    c4 = c4_line_clean(_c4_corpus(spark, sf_dir)).select(
+        F.lit("c4").alias("src"), "doc_id", "clean_text", "n_removed"
+    )
     return _eager(
-        spark, span.unionByName(line).orderBy("src", "doc_id"), handles
+        spark,
+        span.unionByName(line).unionByName(c4).orderBy("src", "doc_id"),
+        handles,
     )
 
 
@@ -4469,7 +4544,55 @@ lclean AS (
                              chr(10) ORDER BY pos), '') AS clean_text,
          count(b.k) AS n_removed
   FROM lk LEFT JOIN lboil b USING (k)
-  GROUP BY lk.doc_id)
+  GROUP BY lk.doc_id),
+c4base AS (
+  SELECT doc_id, doc_id // 13 AS i1,
+         {_DUCK_WORDS.format(src="text")} AS ws
+  FROM documents WHERE doc_id % 13 = 5),
+c4corp AS (
+  SELECT doc_id,
+         list_transform(
+           range(0, greatest(CAST(ceil(len(ws) / {_C4_W}.0) AS BIGINT)
+                             - 1, 0) + 1),
+           j -> array_to_string(
+                  list_slice(ws, j * {_C4_W} + 1, j * {_C4_W} + {_C4_W}),
+                  ' ')
+                || (['.', '!', '', '?'])[(j % 4) + 1])
+         || (CASE WHEN i1 % 7 = 1
+                  THEN [array_to_string(list_slice(ws, 1, {_C4_W}), ' ')
+                        || '.']
+                  ELSE CAST([] AS VARCHAR[]) END)
+         || (CASE WHEN i1 % 6 = 0 THEN ['{_C4_JS_LINE}']
+                  ELSE CAST([] AS VARCHAR[]) END)
+         || (CASE WHEN i1 % 5 = 3 THEN ['{_C4_SHORT_LINE}']
+                  ELSE CAST([] AS VARCHAR[]) END)
+         || (CASE WHEN i1 % 9 = 2 THEN ['{_C4_LOREM_LINE}']
+                  ELSE CAST([] AS VARCHAR[]) END)
+         || (CASE WHEN i1 % 9 = 4 THEN ['{_C4_CODE_LINE}']
+                  ELSE CAST([] AS VARCHAR[]) END) AS la
+  FROM c4base),
+c4pages AS (
+  SELECT doc_id, array_to_string(la, chr(10)) AS text,
+         list_transform(la, x -> trim(x)) AS ls
+  FROM c4corp),
+c4kept AS (
+  SELECT doc_id, text, ls,
+         list_filter(ls, (x, i) ->
+           list_position(ls, x) = i
+           AND right(x, 1) IN ('.', '!', '?', '"')
+           AND len(string_split_regex(x, '\\s+')) >= 5
+           AND NOT contains(lower(x), 'javascript')) AS kl
+  FROM c4pages),
+c4clean AS (
+  SELECT doc_id,
+         CASE WHEN gate THEN array_to_string(kl, chr(10))
+              ELSE '' END AS clean_text,
+         len(ls) - CASE WHEN gate THEN len(kl) ELSE 0 END AS n_removed
+  FROM (SELECT *,
+               (len(kl) >= 3
+                AND NOT contains(lower(text), 'lorem ipsum')
+                AND NOT contains(text, '{{')) AS gate
+        FROM c4kept) z)
 SELECT src, doc_id, clean_text, n_removed FROM (
   SELECT 'span' AS src, d.doc_id,
          CASE WHEN coalesce(r.n_removed, 0) = 0 THEN d.text
@@ -4480,6 +4603,10 @@ SELECT src, doc_id, clean_text, n_removed FROM (
   SELECT 'line' AS src, doc_id, clean_text,
          CAST(n_removed AS INT) AS n_removed
   FROM lclean
+  UNION ALL
+  SELECT 'c4' AS src, doc_id, clean_text,
+         CAST(n_removed AS INT) AS n_removed
+  FROM c4clean
 ) u ORDER BY src, doc_id
 """
 

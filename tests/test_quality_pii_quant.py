@@ -520,3 +520,90 @@ def test_pack_bestfit_matches_replay_and_invariants(spark):
     }
     assert bg[0]["truncated"] and bg[0]["pack_offset"] == 0
     assert not bg[4]["truncated"]
+
+
+# ---------------------------------------------------------------------------
+# C4 line-level page cleaning
+# ---------------------------------------------------------------------------
+
+C4_DOCS = [
+    # rule 2 (no terminal punct), rule 3 (short), rule 1 (exact repeat)
+    (0, "alpha beta gamma delta epsilon one.\n"
+        "no terminal punctuation on this line\n"
+        "too short!\n"
+        "zeta eta theta iota kappa two!\n"
+        "lambda mu nu xi omicron three?\n"
+        "alpha beta gamma delta epsilon one."),
+    # rule 4: javascript boilerplate (terminal punct + enough words)
+    (1, "please enable javascript to view this content.\n"
+        "first real sentence with plenty of words here.\n"
+        "second real sentence with plenty of words here!\n"
+        'third real sentence "with a quote ending"'),
+    # gate 5a: lorem ipsum anywhere on the page
+    (2, "perfectly fine sentence number one right here.\n"
+        "perfectly fine sentence number two right here.\n"
+        "perfectly fine sentence number three right here.\n"
+        "Lorem Ipsum dolor sit amet consectetur adipiscing."),
+    # gate 5b: curly brace anywhere on the page
+    (3, "perfectly fine sentence number one right here.\n"
+        "perfectly fine sentence number two right here.\n"
+        "if (broken) { return; }\n"
+        "perfectly fine sentence number three right here."),
+    # gate 6: only two lines survive the rules
+    (4, "only surviving line number one is right here.\n"
+        "only surviving line number two is right here.\n"
+        "dropped for no punct\nalso dropped"),
+    # whitespace trimming feeds both the dedup and the punct test
+    (5, "   padded line with five whole words.   \n"
+        "padded line with five whole words.\n"
+        "second kept line with many words too!\n"
+        "third kept line with many words too?"),
+    (6, ""),
+]
+
+
+def _py_c4(text: str, min_words: int = 5, min_lines: int = 3):
+    lines = [ln.strip(" ") for ln in text.split("\n")]
+    kept, seen = [], set()
+    for ln in lines:
+        if ln in seen:
+            continue
+        seen.add(ln)
+        if (
+            ln[-1:] in (".", "!", "?", '"')
+            and len(ln.split()) >= min_words
+            and "javascript" not in ln.lower()
+        ):
+            kept.append(ln)
+    gated = (
+        len(kept) >= min_lines
+        and "lorem ipsum" not in text.lower()
+        and "{" not in text
+    )
+    clean = "\n".join(kept) if gated else ""
+    return clean, len(lines) - (len(kept) if gated else 0)
+
+
+def test_c4_line_clean_matches_python_reference(spark):
+    df = spark.createDataFrame(C4_DOCS, ["doc_id", "text"])
+    got = {
+        r["doc_id"]: (r["clean_text"], r["n_removed"])
+        for r in quality.c4_line_clean(df).collect()
+    }
+    assert set(got) == {d for d, _ in C4_DOCS}
+    for doc_id, text in C4_DOCS:
+        assert got[doc_id] == _py_c4(text), f"doc {doc_id}"
+    # rule-by-rule spot pins (so a regression names its rule):
+    assert got[0][0].count("alpha beta") == 1          # keep-first dedup
+    assert "javascript" not in got[1][0]               # rule 4
+    assert got[1][0].endswith('"')                     # quote terminal kept
+    assert got[2] == ("", 4) and got[3] == ("", 4)     # page gates
+    assert got[4] == ("", 4)                           # min_lines gate
+    assert got[5][0].startswith("padded line")         # trimmed + deduped
+    assert got[6] == ("", 1)                           # empty page
+
+
+def test_c4_line_clean_is_shuffle_free(spark):
+    df = spark.createDataFrame(C4_DOCS, ["doc_id", "text"])
+    plan = quality.c4_line_clean(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan[:2000]
