@@ -91,6 +91,11 @@ def _prep_args(ap: argparse.ArgumentParser) -> None:
     bytes and cross-snapshot dedup silently misses."""
     ap.add_argument("--fix-encoding", action="store_true",
                     help="repair UTF-8-as-cp1252 mojibake before any stage")
+    ap.add_argument("--c4-clean", action="store_true",
+                    help="apply C4's page-local line rules (terminal "
+                         "punctuation, >= 5 words, no javascript, "
+                         "keep-first line dedup, lorem-ipsum/brace page "
+                         "gates) after encoding repair")
     ap.add_argument("--line-dedup", type=int, default=None, metavar="N",
                     help="drop lines shared by >= N distinct docs "
                          "(boilerplate) before the funnel")
@@ -122,6 +127,7 @@ def _validate_prep(args) -> None:
 def _prep_enabled(args) -> bool:
     return bool(
         args.fix_encoding
+        or args.c4_clean
         or args.line_dedup is not None
         or args.substring_dedup is not None
     )
@@ -133,6 +139,7 @@ def _prep_sig(args) -> str:
     return prep_signature(
         args.fix_encoding, args.line_dedup, args.substring_dedup,
         html_extract=getattr(args, "html_extract", "text"),
+        c4_rules=args.c4_clean,
     )
 
 
@@ -152,6 +159,7 @@ def _reconcile_prep(spark, args, index_path: str) -> str:
     if not _prep_enabled(args) and args.html_extract == "text":
         vals = inc.parse_prep_signature(recorded)
         args.fix_encoding = vals["fix_encoding"]
+        args.c4_clean = vals["c4_rules"]
         args.line_dedup = vals["line_dedup_min_docs"]
         args.substring_dedup = vals["substring_dedup"]
         args.html_extract = vals["html_extract"]
@@ -181,6 +189,7 @@ def _apply_prep(docs, args, handles: list):
         substring_dedup=args.substring_dedup,
         handles=handles,
         checkpoint=not args.prelude_recomputable,
+        c4_rules=args.c4_clean,
     )
 
 

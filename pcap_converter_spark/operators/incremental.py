@@ -80,20 +80,25 @@ def prep_signature(
     line_dedup_min_docs: int | None = None,
     substring_dedup: int | None = None,
     html_extract: str = "text",
+    c4_rules: bool = False,
 ) -> str:
     """Canonical one-line encoding of the text-prep prelude an index (or
-    probe) ran before digesting — ``pipeline.prepare_text``'s three knobs
+    probe) ran before digesting — ``pipeline.prepare_text``'s knobs
     plus (r11) the WARC extraction mode: 'main' extraction produces
     different bytes than the full HTML→text chain, so an index built from
     one and probed with the other would silently miss exactly like a prep
     mismatch. The ``hx`` field is appended ONLY for the non-default
     'main' mode, so signatures recorded before the field existed (always
-    full-text) stay string-equal to new full-text probes."""
+    full-text) stay string-equal to new full-text probes; ``c4`` (r12 —
+    C4 line-rule cleaning, quality.c4_line_clean) is appended only when
+    ON for the same back-compat reason."""
     sig = (
         f"enc={int(bool(fix_encoding))}"
         f";line={'' if line_dedup_min_docs is None else int(line_dedup_min_docs)}"
         f";sub={'' if substring_dedup is None else int(substring_dedup)}"
     )
+    if c4_rules:
+        sig += ";c4=1"
     if html_extract == "main":
         sig += ";hx=main"
     return sig
@@ -101,14 +106,15 @@ def prep_signature(
 
 def parse_prep_signature(sig: str) -> dict:
     """Inverse of ``prep_signature`` → {fix_encoding, line_dedup_min_docs,
-    substring_dedup, html_extract} (the adopt-the-meta's-values path on
-    append; ``hx`` absent = the full-text default)."""
+    substring_dedup, html_extract, c4_rules} (the adopt-the-meta's-values
+    path on append; ``hx``/``c4`` absent = the defaults)."""
     vals = dict(part.split("=", 1) for part in sig.split(";"))
     return {
         "fix_encoding": vals.get("enc") == "1",
         "line_dedup_min_docs": int(vals["line"]) if vals.get("line") else None,
         "substring_dedup": int(vals["sub"]) if vals.get("sub") else None,
         "html_extract": vals.get("hx", "text"),
+        "c4_rules": vals.get("c4") == "1",
     }
 
 

@@ -55,11 +55,15 @@ def prepare_text(
     substring_dedup: int | None = None,
     handles: list | None = None,
     checkpoint: bool = True,
+    c4_rules: bool = False,
 ) -> DataFrame:
     """The text-repair/editing prelude as a standalone step, in
     RefinedWeb order: repair encoding damage first (everything downstream
-    judges repaired text), drop templated lines second
-    (``dedup.line_dedup``), cut copied spans third
+    judges repaired text), apply C4's page-local line rules second when
+    ``c4_rules`` is on (``quality.c4_line_clean`` — map-only, so it sits
+    before any shuffling stage and shrinks what they shuffle), drop
+    templated lines third
+    (``dedup.line_dedup``), cut copied spans fourth
     (``dedup.remove_duplicate_spans``). Returns ``docs`` with
     ``text_col`` replaced and EVERY OTHER COLUMN preserved — callers that
     write an artifact afterwards (``write_kept``, the CLI) must pass the
@@ -95,6 +99,16 @@ def prepare_text(
         # boundary materialization as the editing stages (measured:
         # a fix-only curate(corpus_index=...) call spent ~2× the funnel
         # in re-analysis without it)
+        edited = True
+    if c4_rules:
+        from pcap_converter_spark.operators.quality import c4_line_clean
+
+        # column-preserving and join-free: c4_line_clean carries every
+        # input column through, so replacing the text is one more
+        # projection on the same map-only pass
+        docs = c4_line_clean(
+            docs, text_col=text_col, id_col=id_col
+        ).select(*others, F.col("clean_text").alias(text_col))
         edited = True
     if line_dedup_min_docs is not None:
         cleaned = dedup.line_dedup(
@@ -192,6 +206,7 @@ def curate(
     substring_dedup: int | None = None,
     fix_encoding: bool = False,
     line_dedup_min_docs: int | None = None,
+    c4_rules: bool = False,
     prelude_checkpoint: bool = True,
     near_dedup: bool = True,
     embeddings: DataFrame | None = None,
@@ -262,6 +277,13 @@ def curate(
       content, not navigation chrome. The RefinedWeb stage order
       (fix encoding → drop template lines → cut copied spans → judge)
       is exactly this composition with all three tiers on.
+    - ``c4_rules=True`` inserts C4's page-local line cleaning
+      (``quality.c4_line_clean`` — terminal-punctuation lines only,
+      >= 5 words, no javascript, intra-page keep-first dedup,
+      lorem-ipsum/'{'/min-lines page gates) between encoding repair and
+      corpus-level line dedup: map-only, so it runs before anything that
+      shuffles and shrinks what they shuffle. A page the gates empty
+      exits at the quality stage (0 tokens), same as a span-wiped copy.
     - ``embeddings=`` (an (emb_id_col, vec_col) frame keyed by the same
       ids as ``docs``) inserts SEMANTIC dedup between near-dup CC and
       decontamination: auto-sized k-means + within-cluster prune
@@ -295,7 +317,8 @@ def curate(
             index_prep
             if index_prep is not None
             else INC.prep_signature(
-                fix_encoding, line_dedup_min_docs, substring_dedup
+                fix_encoding, line_dedup_min_docs, substring_dedup,
+                c4_rules=c4_rules,
             ),
         )
 
@@ -314,6 +337,7 @@ def curate(
         substring_dedup=substring_dedup,
         handles=own_handles,
         checkpoint=prelude_checkpoint,
+        c4_rules=c4_rules,
     )
 
     # stage 1: quality — ONE pure projection, no shuffle. gopher_keep

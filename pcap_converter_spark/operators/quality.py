@@ -279,9 +279,12 @@ def c4_line_clean(
        gate over sentences; this operator applies it at line
        granularity, documented deviation).
 
-    Returns (id, clean_text, n_removed): kept lines re-joined with
-    newlines ('' for a gated page), and the count of line slots absent
-    from the output (ALL of them for a gated page).
+    Returns EVERY input column plus (clean_text, n_removed): kept lines
+    re-joined with newlines ('' for a gated page), and the count of line
+    slots absent from the output (ALL of them for a gated page).
+    Preserving the input columns keeps the op join-free for callers that
+    REPLACE the text (``pipeline.prepare_text``'s c4_rules stage) — a
+    join-back would put a shuffle under a map-only pass.
 
     The keep-first test is ``array_position == index`` against a staged
     attribute column — O(lines²) comparisons per page worst-case, but
@@ -293,10 +296,10 @@ def c4_line_clean(
     once per ELEMENT (see ``token_ngrams``), which for array_position
     would re-split the page per line.
     """
+    cols = list(df.columns)
     lines = F.split(F.col(text_col), "\n")
     staged = df.select(
-        F.col(id_col),
-        F.col(text_col),
+        *cols,
         F.transform(lines, F.trim).alias("_ls"),
     )
     ls = F.col("_ls")
@@ -310,8 +313,7 @@ def c4_line_clean(
         )
 
     kept = staged.select(
-        F.col(id_col),
-        F.col(text_col),
+        *cols,
         ls,
         F.filter(ls, _keep).alias("_kept"),
     )
@@ -321,7 +323,7 @@ def c4_line_clean(
         & ~F.col(text_col).contains("{")
     )
     return kept.select(
-        F.col(id_col),
+        *cols,
         F.when(gate, F.array_join("_kept", "\n"))
         .otherwise(F.lit(""))
         .alias("clean_text"),

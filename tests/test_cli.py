@@ -571,3 +571,51 @@ def test_cli_full_shell_story(spark, tmp_path):
     book_ids = set(range(500_000, 500_012))
     assert span_ids & book_ids
     assert span_ids & crawl_ids
+
+
+def test_cli_adopted_c4_clean_applies_and_dedups(spark, tmp_path, capsys):
+    """`index --c4-clean` then `curate --index` with NO prep flags: the
+    curate side must ADOPT c4 from the index's prep signature, and the
+    adoption is only observable if it actually runs — day-2 refetches
+    differ from day-1 ONLY in a line the C4 rules remove, so digests
+    match (and the refetch dedups away) iff both sides cleaned."""
+
+    def _c4_prose(tag: str, i: int) -> str:
+        return "\n".join(
+            f"the {tag} doc {i} sentence {j} has "
+            + " ".join(f"{tag}{i}s{j}w{k}" for k in range(8))
+            + " more words."
+            for j in range(4)
+        )
+
+    js = "please enable javascript to view this page."
+    day1 = str(tmp_path / "c4d1.jsonl.gz")
+    _jsonl(day1, [
+        {"url": f"https://s.org/c/{i}", "text": _c4_prose("cfe", i) + f"\n{js}"}
+        for i in range(6)
+    ])
+    idx = str(tmp_path / "idx_c4")
+    assert main(["index", "--input", day1, "--format", "jsonl",
+                 "--out", idx, "--c4-clean", "--exact-only"]) == 0
+
+    # day 2: one refetch whose ONLY difference is a different junk line
+    # (dropped by the rules on both sides), plus three new docs
+    day2 = str(tmp_path / "c4d2.jsonl.gz")
+    _jsonl(day2, [
+        {"url": "https://s.org/c/1",
+         "text": _c4_prose("cfe", 1) + "\ntracking beacon pixel xyz"},
+        {"url": "https://s.org/d/1", "text": _c4_prose("dlt", 1) + f"\n{js}"},
+        {"url": "https://s.org/d/2", "text": _c4_prose("dlt", 2) + f"\n{js}"},
+        {"url": "https://s.org/d/3", "text": _c4_prose("dlt", 3) + f"\n{js}"},
+    ])
+    out = str(tmp_path / "art_c4")
+    assert main(["curate", "--input", day2, "--format", "jsonl",
+                 "--index", idx, "--out", out]) == 0
+    err = capsys.readouterr().err
+    assert "adopting the index's text-prep flags" in err
+    assert ";c4=1" in err
+    kept = spark.read.parquet(out)
+    urls = sorted(r["url"] for r in kept.collect())
+    assert urls == [f"https://s.org/d/{i}" for i in (1, 2, 3)]
+    # and the artifact carries the CLEANED text
+    assert all("javascript" not in r["text"] for r in kept.collect())

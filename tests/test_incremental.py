@@ -570,6 +570,7 @@ def test_prep_signature_roundtrip_and_operator_checks(spark, tmp_path):
         "line_dedup_min_docs": 3,
         "substring_dedup": None,
         "html_extract": "text",  # hx absent = the full-text default
+        "c4_rules": False,       # c4 absent = off
     }
     # the r11 extraction-mode field: appended only for 'main' (so old
     # text-mode signatures stay string-equal), round-trips
@@ -577,12 +578,25 @@ def test_prep_signature_roundtrip_and_operator_checks(spark, tmp_path):
     assert sig_m == "enc=1;line=3;sub=;hx=main"
     assert inc.parse_prep_signature(sig_m)["html_extract"] == "main"
     assert inc.prep_signature(**vals) == sig
+    # the r12 C4-rules field: appended only when ON (old signatures stay
+    # string-equal to new no-c4 probes), round-trips, and composes with
+    # hx in canonical order
+    sig_c = inc.prep_signature(True, 3, None, c4_rules=True)
+    assert sig_c == "enc=1;line=3;sub=;c4=1"
+    assert inc.parse_prep_signature(sig_c)["c4_rules"] is True
+    assert inc.prep_signature(**inc.parse_prep_signature(sig_c)) == sig_c
+    sig_cm = inc.prep_signature(
+        True, 3, None, html_extract="main", c4_rules=True
+    )
+    assert sig_cm == "enc=1;line=3;sub=;c4=1;hx=main"
+    assert inc.prep_signature(**inc.parse_prep_signature(sig_cm)) == sig_cm
     # default (no prep) signature parses back to all-off
     assert inc.parse_prep_signature(inc.prep_signature()) == {
         "fix_encoding": False,
         "line_dedup_min_docs": None,
         "substring_dedup": None,
         "html_extract": "text",
+        "c4_rules": False,
     }
 
     p = str(tmp_path / "prov_idx")

@@ -546,3 +546,33 @@ def test_curate_exact_only_funnel(spark):
     assert "neardup" not in rep
     assert rep["exact"]["n_entered"] == rep["quality"]["n_kept"]
     assert rep["decon"]["n_entered"] == rep["exact"]["n_kept"]
+
+
+def test_prepare_text_c4_rules_order_and_passthrough(spark):
+    """c4_rules wiring (r12): prepare_text applies quality.c4_line_clean
+    between encoding repair and line dedup, preserves non-text columns,
+    and the composition ORDER is observable — repair first normalizes a
+    clean/damaged line pair identical, so c4's keep-first dedup drops
+    the second occurrence (unrepaired, both would survive)."""
+    from pcap_converter_spark.operators.pipeline import prepare_text
+
+    rows = [
+        (1, "first line one with five words café.\n"
+            "first line one with five words cafÃ©.\n"
+            "second line two with five words here.\n"
+            "third line three with five words here.",
+         "keepme"),
+        # every line violates a rule -> the min-lines gate empties it
+        (2, "no terminal punct junk\nalso junk", "gone"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "extra"])
+    out = prepare_text(df, fix_encoding=True, c4_rules=True, handles=[])
+    got = {r["doc_id"]: r for r in out.collect()}
+    assert got[1]["extra"] == "keepme" and got[2]["extra"] == "gone"
+    assert got[1]["text"].count("five words café.") == 1
+    assert "Ã©" not in got[1]["text"]
+    assert got[2]["text"] == ""
+    # without repair, the damaged variant is a distinct line and survives
+    raw = prepare_text(df, c4_rules=True, handles=[])
+    t1 = {r["doc_id"]: r["text"] for r in raw.collect()}[1]
+    assert "Ã©" in t1
