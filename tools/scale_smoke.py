@@ -173,6 +173,7 @@ def main() -> int:
         incremental,
         lm,
         packing,
+        quality,
         semdedup,
     )
     from pcap_converter_spark.session import get_spark
@@ -285,6 +286,19 @@ def main() -> int:
         # only duplicated grams survive to the join and rebuild
         "substring_dedup": lambda d: lambda: dedup.remove_duplicate_spans(
             d, min_words=8
+        ),
+        # C4 line-rule cleaning (r12): map-only by construction — the
+        # exponent should sit at ~1 with near-zero fixed overhead; the
+        # reshape gives every page punctuation-cycling 12-word lines so
+        # each rule actually fires
+        "c4_clean": lambda d: lambda: quality.c4_line_clean(
+            d.selectExpr(
+                "doc_id",
+                "array_join(transform(sequence(0, 9), j -> concat("
+                "array_join(slice(split(text, ' '), j * 12 + 1, 12), ' '),"
+                " element_at(array('.', '!', '', '?'),"
+                " cast(j % 4 + 1 as int)))), '\\n') AS text",
+            ),
         ),
         # line-level boilerplate removal (r9): the word-soup corpus has
         # no newlines, so reshape into 12-word lines + one injected
