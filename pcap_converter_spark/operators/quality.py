@@ -298,9 +298,13 @@ def c4_line_clean(
     """
     cols = list(df.columns)
     lines = F.split(F.col(text_col), "\n")
+    # single-arg lambda REQUIRED: transform() introspects the callable's
+    # arity and F.trim's optional second parameter makes it pass the
+    # element INDEX as the trim-character set (the deprecated two-param
+    # TRIM) — lines were silently never trimmed (caught by the c4 fuzz)
     staged = df.select(
         *cols,
-        F.transform(lines, F.trim).alias("_ls"),
+        F.transform(lines, lambda x: F.trim(x)).alias("_ls"),
     )
     ls = F.col("_ls")
 

@@ -196,3 +196,72 @@ def test_fuzz_composed_prelude_matches_python_composition(
     lined = {i: ct for i, (ct, _) in _py_line_dedup(fixed, min_docs).items()}
     expected = _py_span_dedup(sorted(lined.items()), w)
     assert got == expected
+
+
+# ---------------------------------------------------------------------------
+# C4 line-rule cleaning (r12): engine vs a pure-Python mirror
+# ---------------------------------------------------------------------------
+
+_C4_POOL = [
+    "please enable JavaScript to view this.",
+    "lorem ipsum",
+    "too short!",
+    "alpha beta gamma delta epsilon zeta.",
+    "alpha beta gamma delta epsilon zeta!",
+    "no terminal punctuation in this line",
+    "  padded line with five whole words here.  ",
+    'quoted line with five whole words"',
+    "if (x) { return; }",
+    "",
+]
+
+_c4_line = st.one_of(
+    # free-form: ASCII words, the terminal set, braces, tabs, é
+    st.text(alphabet='abc XYZ.!?"{}\t0é', max_size=30),
+    # pooled lines make intra-page duplicates and rule probes common
+    st.sampled_from(_C4_POOL),
+)
+
+
+def _py_c4_mirror(text: str, min_words: int = 5, min_lines: int = 3):
+    """Pure-Python mirror of quality.c4_line_clean's EXACT semantics:
+    space-only trim (both engines' default trim), word count via the
+    Java \\s class with split(limit=-1) empty-preserving behavior (what
+    F.split compiles to), keep-first on exact trimmed equality."""
+    import re
+
+    lines = [ln.strip(" ") for ln in text.split("\n")]
+    kept, seen = [], set()
+    for ln in lines:
+        first = ln not in seen
+        seen.add(ln)
+        wc = len(re.split("[ \t\x0b\f\r]+", ln))
+        if (
+            first
+            and ln[-1:] in (".", "!", "?", '"')
+            and wc >= min_words
+            and "javascript" not in ln.lower()
+        ):
+            kept.append(ln)
+    gated = (
+        len(kept) >= min_lines
+        and "lorem ipsum" not in text.lower()
+        and "{" not in text
+    )
+    return (
+        "\n".join(kept) if gated else "",
+        len(lines) - (len(kept) if gated else 0),
+    )
+
+
+@settings(max_examples=15, deadline=None)
+@given(st.lists(_c4_line, max_size=10))
+def test_fuzz_c4_line_clean_matches_python_mirror(spark, lines):
+    from pcap_converter_spark.operators.quality import c4_line_clean
+
+    text = "\n".join(lines)
+    df = spark.createDataFrame([(0, text)], ["doc_id", "text"])
+    row = c4_line_clean(df).collect()[0]
+    assert (row["clean_text"], row["n_removed"]) == _py_c4_mirror(text), (
+        repr(text)
+    )
