@@ -485,6 +485,38 @@ def run_text_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     rfp = TX.rolling_fingerprint_udf()
     docs = _docs(spark, sf_dir)
     did = F.col("doc_id")
+
+    # profile_diff's grouped aggregation (both doc_id%2 slices, one
+    # pass) STARTS here on its own driver thread — it only needs
+    # ``docs`` and otherwise sits idle while this entry's dominant
+    # driver-side cost, the ~10k py4j round trips building the wide
+    # union plan below, runs on the main thread (the run_curate overlap
+    # pattern); joined where its frame feeds profile_diff.
+    from pcap_converter_spark.operators.profile import profile
+
+    _prof_out: dict[str, object] = {}
+    _prof_errs: list[BaseException] = []
+
+    def _run_profile() -> None:
+        try:
+            t0 = _time.perf_counter()
+            _prof_out["frame"] = profile(
+                docs.select(
+                    (did % 2).cast("int").alias("_slice"),
+                    "doc_id", "lang", "text",
+                ),
+                include_approx=False,
+                by="_slice",
+            ).localCheckpoint(eager=True)
+            _prof_out["t"] = _time.perf_counter() - t0
+        except BaseException as e:
+            _prof_errs.append(e)
+
+    _prof_thread = _threading.Thread(
+        target=_run_profile, name="textall-profile"
+    )
+    _prof_thread.start()
+
     # ONE token explosion feeds every corpus-level consumer (vocab counts,
     # tf-idf here; the bm25 tier of ex_sim_topk too) via the per-session
     # materialized table — repeating it per operator would re-scan the
@@ -795,20 +827,21 @@ def run_text_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     # itself — floats stay floats, no cross-engine string formatting.
     from pyspark.sql.window import Window
 
-    from pcap_converter_spark.operators.profile import (
-        profile, profile_diff,
-    )
+    from pcap_converter_spark.operators.profile import profile_diff
 
-    prof_cols = ["doc_id", "lang", "text"]
     # BOTH slices through ONE grouped aggregation (r12: profile's `by`
     # — the per-source one-pass shape) instead of two scans; the ~70-row
     # grouped frame is checkpointed so the two diff sides read it rather
-    # than re-running the aggregation per branch
-    both_prof = profile(
-        docs.select((did % 2).cast("int").alias("_slice"), *prof_cols),
-        include_approx=False,
-        by="_slice",
-    ).localCheckpoint(eager=True)
+    # than re-running the aggregation per branch.
+    # JOINED here, STARTED at the top of the entry (the run_curate
+    # overlap pattern): the grouped-profile job only needs ``docs``, so
+    # it executes while the main thread spends its py4j round trips
+    # building the wide union plan above.
+    _prof_thread.join()
+    if _prof_errs:
+        raise _prof_errs[0]
+    both_prof = _prof_out["frame"]
+    _t_prof = _prof_out["t"]
     pdiff = profile_diff(
         both_prof.filter(F.col("_slice") == 0).drop("_slice"),
         both_prof.filter(F.col("_slice") == 1).drop("_slice"),
@@ -838,6 +871,7 @@ def run_text_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     print(
         f"bench: ex_text_all phases vocab={round(_t_vocab, 2)}s "
         f"bpe_train={round(_t_bpe, 2)}s "
+        f"profile={round(_t_prof, 2)}s "
         f"final={round(_time.perf_counter() - _t0, 2)}s",
         file=_sys.stderr,
     )
