@@ -4616,6 +4616,7 @@ def run_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # lazy rebuild materializes at _eager below, where span's full-docs
     # plan wants the session default) — fixture-scale shuffle trim for
     # the counted gate's explode+agg job, same rationale as _curate_flags
+    _t0 = _time.perf_counter()
     with _scoped_shuffle_partitions(spark, _CURATE_PARTS):
         line = dedup.line_dedup(
             _prelude_corpus(spark, sf_dir), min_docs=3, handles=handles
@@ -4623,16 +4624,28 @@ def run_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit("line").alias("src"), "doc_id", "clean_text",
             F.col("n_removed"),
         )
+    _t_gate = _time.perf_counter() - _t0
     from pcap_converter_spark.operators.quality import c4_line_clean
 
     c4 = c4_line_clean(_c4_corpus(spark, sf_dir)).select(
         F.lit("c4").alias("src"), "doc_id", "clean_text", "n_removed"
     )
-    return _eager(
+    _t0 = _time.perf_counter()
+    res = _eager(
         spark,
         span.unionByName(line).unionByName(c4).orderBy("src", "doc_id"),
         handles,
     )
+    # phase timers to stderr (the ex_dedup_exact pattern): 'gate' is
+    # line_dedup's eager boiler count (includes the _prelude_corpus
+    # fabrication checkpoint when this entry runs before ex_curate),
+    # 'union' the one materializing job for all three tiers
+    print(
+        f"bench: ex_substring_dedup phases gate={round(_t_gate, 2)}s "
+        f"union={round(_time.perf_counter() - _t0, 2)}s",
+        file=_sys.stderr,
+    )
+    return res
 
 
 
