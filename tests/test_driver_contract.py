@@ -77,3 +77,62 @@ def test_result_schema_is_pandas_sortable(name, spark, sf_dir):
         "canonicalizer sorts with pandas and crashes on unhashable cells — "
         "serialize (array_join / to_json) at the registry boundary"
     )
+
+
+def test_scoped_shuffle_partitions_is_refcounted_and_thread_safe(spark):
+    """The r12 overlap pattern runs two entry phases on concurrent
+    driver threads, BOTH inside _scoped_shuffle_partitions — the conf is
+    session-global, so the scope must restore only when the LAST holder
+    exits, and concurrent scopes must agree on n (a different value
+    raises loudly instead of silently winning)."""
+    import threading
+    import time
+
+    from pcap_converter_spark.operators.registry import (
+        _scoped_shuffle_partitions as scoped,
+    )
+
+    key = "spark.sql.shuffle.partitions"
+    prev = spark.conf.get(key)
+
+    # nested same-n: inner exit must NOT restore
+    with scoped(spark, 8):
+        with scoped(spark, 8):
+            assert spark.conf.get(key) == "8"
+        assert spark.conf.get(key) == "8", "inner exit restored too early"
+    assert spark.conf.get(key) == prev
+
+    # nested different-n refuses
+    with scoped(spark, 8):
+        with pytest.raises(ValueError, match="disagree"):
+            with scoped(spark, 4):
+                pass
+    assert spark.conf.get(key) == prev
+
+    # staggered threads: A enters, B enters, A exits (conf must stay 8
+    # for B), B exits (conf restores)
+    a_in, b_in, a_out = (
+        threading.Event(), threading.Event(), threading.Event(),
+    )
+    seen: dict[str, str] = {}
+
+    def thread_a():
+        with scoped(spark, 8):
+            a_in.set()
+            b_in.wait(10)
+        a_out.set()
+
+    def thread_b():
+        a_in.wait(10)
+        with scoped(spark, 8):
+            b_in.set()
+            a_out.wait(10)
+            seen["after_a_exit"] = spark.conf.get(key)
+
+    ts = [threading.Thread(target=thread_a), threading.Thread(target=thread_b)]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join(20)
+    assert seen["after_a_exit"] == "8", "first exit flipped the conf early"
+    assert spark.conf.get(key) == prev
