@@ -63,6 +63,17 @@ LANG_STOPWORDS: dict[str, tuple[str, ...]] = {
     "vi": ("và", "của", "là", "có", "không", "được", "một"),
     "fa": ("در", "به", "از", "که", "این", "را", "با"),
     "ur": ("کے", "میں", "ہے", "اور", "سے", "کا", "ہیں"),
+    # r12 second pass: three more top-20-crawl profiles. Ukrainian
+    # shares Cyrillic with ru, but its function words carry the
+    # Ukrainian-only letter і (U+0456) and uk-specific forms (та/що/як)
+    # the ru profile can never hit — and ru's и/что/это/как are not
+    # Ukrainian words, so the two Cyrillic profiles separate cleanly.
+    # Greek is its own whitespace-tokenized script (no cross-profile
+    # collision is possible). The Hungarian words deliberately avoid
+    # the bare 'a'/'is' tokens (both live in the en/cs profiles).
+    "uk": ("і", "та", "що", "це", "як", "але", "його"),
+    "el": ("και", "το", "της", "να", "είναι", "με", "που"),
+    "hu": ("és", "az", "hogy", "nem", "egy", "már", "csak"),
 }
 
 # Whitespace-free-script profiles (r11, VERDICT r10 #2): zh/ja/ko/th have

@@ -938,8 +938,8 @@ _LANG_MINEV = 3  # the hash-gated threshold case in ex_text_all
 # fixture corpus gives the script router nothing to route, so ex_text_all
 # cycles these per doc_id and hash-gates the verdict through BOTH
 # engines' scorers (Java vs RE2 char classes over real kana / hangul /
-# han / thai). Expected codes (ja ko zh th en und vi fa ur zh) are
-# pytest-pinned in tests/test_text_functions.py — the hash proves
+# han / thai). Expected codes (ja ko zh th en und vi fa ur zh uk el hu)
+# are pytest-pinned in tests/test_text_functions.py — the hash proves
 # cross-engine agreement, the pytest proves the answers are RIGHT.
 # Index 4 mixes scripts: 8 English stopword hits beat 3 Han chars, so
 # the dominant-evidence rule keeps 'en'; index 5 has no signal at all.
@@ -960,6 +960,13 @@ _SCRIPT_SNIPPETS = (
     "این متن فارسی است که در آن از کلمات را با هم می نویسیم",
     "یہ تحریر اردو میں ہے اور اس کے ساتھ کا اور سے بھی ہیں",
     "東京大学研究所報告書発表内容概要",
+    # indexes 10-12 (r12 second pass): Ukrainian / Greek / Hungarian
+    # running text so the uk/el/hu chains have hash-gated WIN rows —
+    # the uk snippet shares zero tokens with the ru profile (і/та/як
+    # vs и/что/как), pinning that the Cyrillic pair separates
+    "це текст українською мовою і він містить багато слів та речень як приклад",
+    "και αυτό είναι ένα κείμενο της ελληνικής γλώσσας με λέξεις που δοκιμάζουμε",
+    "és ez az a szöveg hogy nem csak egy példa már magyar nyelven",
 )
 _SCRIPT_SNIPPETS_SQL = "[" + ", ".join(
     "'" + s.replace("'", "''") + "'" for s in _SCRIPT_SNIPPETS

@@ -532,6 +532,11 @@ def test_language_id_covers_seventeen_profiles(spark):
         "vi": "và của là có không được một nhà",
         "fa": "در به از که این را با خانه",
         "ur": "کے میں ہے اور سے کا ہیں گھر",
+        # r12 second pass: uk (Cyrillic, token-disjoint from ru),
+        # el (own script), hu (avoids the en/cs 'a'/'is' tokens)
+        "uk": "і та що це як але його дім",
+        "el": "και το της να είναι με που σπίτι",
+        "hu": "és az hogy nem egy már csak ház",
     }
     assert set(samples) | {"en", "de", "es", "fr", "it", "pt", "nl"} == set(
         TX.LANG_STOPWORDS
@@ -624,14 +629,17 @@ def test_language_id_script_tier_ground_truth(spark):
     rows = [(i, s) for i, s in enumerate(_SCRIPT_SNIPPETS)] + [
         # Japanese with MORE kanji than kana: kana presence must win
         # (Chinese text never contains kana)
-        (10, "日本国憲法第九条戦争放棄の条文です"),
+        (100, "日本国憲法第九条戦争放棄の条文です"),
         # Korean with hanja sprinkled in: hangul checked before Han
-        (11, "대한민국 憲法 제1조 민주공화국"),
+        (101, "대한민국 憲法 제1조 민주공화국"),
         # English quoting a short CJK phrase: 3 Han chars meet the char
         # floor but not the 8 stopword hits -> dominant evidence keeps en
-        (12, "the cat and the dog of the house is in the garden 中文字"),
+        (102, "the cat and the dog of the house is in the garden 中文字"),
         # two stray CJK chars: below the 3-char floor -> stopword chain
-        (13, "the cat and the dog 中文"),
+        (103, "the cat and the dog 中文"),
+        # Russian text must stay ru, not leak into the new uk profile
+        # (the two Cyrillic profiles share zero tokens)
+        (104, "и в доме не было никого на этот раз что это как всегда"),
     ]
     df = spark.createDataFrame(rows, ["i", "text"])
     got = {
@@ -640,11 +648,11 @@ def test_language_id_script_tier_ground_truth(spark):
             "i", TX.language_id(F.col("text")).alias("g")
         ).collect()
     }
-    assert got[0] == "ja" and got[10] == "ja"
-    assert got[1] == "ko" and got[11] == "ko"
+    assert got[0] == "ja" and got[100] == "ja"
+    assert got[1] == "ko" and got[101] == "ko"
     assert got[2] == "zh"
     assert got[3] == "th"
-    assert got[4] == "en" and got[12] == "en" and got[13] == "en"
+    assert got[4] == "en" and got[102] == "en" and got[103] == "en"
     assert got[5] == "und"
     # r12 profiles (VERDICT r11 #3): Vietnamese in the stopword tier
     # (whitespace-tokenized Latin, diacritic-bearing function words),
@@ -658,6 +666,14 @@ def test_language_id_script_tier_ground_truth(spark):
     # from zh without a lexicon, and kana-free pages are overwhelmingly
     # Chinese in crawl data
     assert got[9] == "zh"
+    # r12 second-pass profiles: Ukrainian (Cyrillic, disjoint from the
+    # ru profile's tokens), Greek (own script), Hungarian (words chosen
+    # to dodge the en/cs 'a'/'is' collisions) — and ru text still says
+    # ru with the uk profile present
+    assert got[10] == "uk"
+    assert got[11] == "el"
+    assert got[12] == "hu"
+    assert got[104] == "ru"
 
 
 def test_script_hits_counts_bmp_chars(spark):
