@@ -106,9 +106,9 @@ def prepare_text(
         # column-preserving and join-free: c4_line_clean carries every
         # input column through, so replacing the text is one more
         # projection on the same map-only pass
-        docs = c4_line_clean(
-            docs, text_col=text_col, id_col=id_col
-        ).select(*others, F.col("clean_text").alias(text_col))
+        docs = c4_line_clean(docs, text_col=text_col).select(
+            *others, F.col("clean_text").alias(text_col)
+        )
         edited = True
     if line_dedup_min_docs is not None:
         cleaned = dedup.line_dedup(

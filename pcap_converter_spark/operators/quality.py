@@ -249,7 +249,6 @@ C4_TERMINALS = (".", "!", "?", '"')
 def c4_line_clean(
     df: DataFrame,
     text_col: str = "text",
-    id_col: str = "doc_id",
     min_words: int = 5,
     min_lines: int = 3,
 ) -> DataFrame:
@@ -258,8 +257,12 @@ def c4_line_clean(
     at 100 TB this is a pure scan-side pass that AQE never has to think
     about, unlike the corpus-level dedups it usually precedes.
 
-    Pages split on newline; every line is space-trimmed. A line is KEPT
-    iff:
+    Pages split on newline; every line is trimmed of the ``LINE_WS``
+    whitespace class (space, tab, CR, FF, VT, NBSP — same convention as
+    ``dedup.line_dedup``; plain trim() is ASCII-space-only, which on
+    CRLF input leaves every line ending in '\\r' so NO line ever passes
+    the terminal-punctuation rule and every Windows-newline page would
+    be silently emptied). A line is KEPT iff:
 
     1. it is the FIRST occurrence of its exact trimmed form on the page
        (intra-page keep-first dedup — repeated nav/footer copies drop;
@@ -281,10 +284,13 @@ def c4_line_clean(
 
     Returns EVERY input column plus (clean_text, n_removed): kept lines
     re-joined with newlines ('' for a gated page), and the count of line
-    slots absent from the output (ALL of them for a gated page).
-    Preserving the input columns keeps the op join-free for callers that
-    REPLACE the text (``pipeline.prepare_text``'s c4_rules stage) — a
-    join-back would put a shuffle under a map-only pass.
+    slots absent from the output (ALL of them for a gated page). NULL
+    text passes through as NULL with n_removed 0 — the same contract as
+    the other prelude stages (without the guard, size(null array) would
+    surface as a nonsense negative/NULL removal count). Preserving the
+    input columns keeps the op join-free for callers that REPLACE the
+    text (``pipeline.prepare_text``'s c4_rules stage) — a join-back
+    would put a shuffle under a map-only pass.
 
     The keep-first test is ``array_position == index`` against a staged
     attribute column — O(lines²) comparisons per page worst-case, but
@@ -296,15 +302,22 @@ def c4_line_clean(
     once per ELEMENT (see ``token_ngrams``), which for array_position
     would re-split the page per line.
     """
+    from pcap_converter_spark.operators.dedup import LINE_WS
+
     cols = list(df.columns)
     lines = F.split(F.col(text_col), "\n")
     # single-arg lambda REQUIRED: transform() introspects the callable's
-    # arity and F.trim's optional second parameter makes it pass the
-    # element INDEX as the trim-character set (the deprecated two-param
-    # TRIM) — lines were silently never trimmed (caught by the c4 fuzz)
+    # arity and a two-parameter function would receive the element INDEX
+    # as its second argument (an earlier F.trim-as-callable version
+    # silently bound the index to trim's optional trim-character set —
+    # caught by the c4 fuzz). The trim itself is the LINE_WS class via
+    # regexp_replace (the dedup.line_dedup idiom).
+    _ws_re = f"\\A[{LINE_WS}]+|[{LINE_WS}]+\\z"
     staged = df.select(
         *cols,
-        F.transform(lines, lambda x: F.trim(x)).alias("_ls"),
+        F.transform(
+            lines, lambda x: F.regexp_replace(x, _ws_re, "")
+        ).alias("_ls"),
     )
     ls = F.col("_ls")
 
@@ -326,12 +339,15 @@ def c4_line_clean(
         & ~F.lower(F.col(text_col)).contains("lorem ipsum")
         & ~F.col(text_col).contains("{")
     )
+    is_null = F.col(text_col).isNull()
     return kept.select(
         *cols,
-        F.when(gate, F.array_join("_kept", "\n"))
+        F.when(is_null, F.lit(None).cast("string"))
+        .when(gate, F.array_join("_kept", "\n"))
         .otherwise(F.lit(""))
         .alias("clean_text"),
-        (
+        F.when(is_null, F.lit(0))
+        .otherwise(
             F.size("_ls")
             - F.when(gate, F.size("_kept")).otherwise(F.lit(0))
         ).cast("bigint").alias("n_removed"),

@@ -461,6 +461,22 @@ def _moji_src_sql(pairs) -> str:
 
 
 def run_text_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entry wrapper: joins any overlap thread the implementation
+    started if the main thread raises mid-construction — an orphaned
+    worker would keep running jobs against the session after the caller
+    has moved on (see _text_all_impl for the entry's actual contract)."""
+    threads: list = []
+    try:
+        return _text_all_impl(spark, sf_dir, threads)
+    except BaseException:
+        for th in threads:
+            th.join()
+        raise
+
+
+def _text_all_impl(
+    spark: SparkSession, sf_dir: str, _threads: list
+) -> DataFrame:
     """The full text-analysis surface in ONE hash-checked result:
     token/BPE counts, punctuation+stopword ratios, quality score, language
     ID, normalization fingerprint, the winnowing rolling fingerprint
@@ -516,6 +532,7 @@ def run_text_all(spark: SparkSession, sf_dir: str) -> DataFrame:
         target=_run_profile, name="textall-profile"
     )
     _prof_thread.start()
+    _threads.append(_prof_thread)  # joined by the wrapper on error
 
     # ONE token explosion feeds every corpus-level consumer (vocab counts,
     # tf-idf here; the bm25 tier of ex_sim_topk too) via the per-session
@@ -1315,6 +1332,22 @@ def _incr_prep_index_path(spark: SparkSession, sf_dir: str) -> str:
 
 
 def run_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entry wrapper: joins the overlap thread if the main thread raises
+    mid-construction (an orphaned prep thread would keep appending
+    persisted frames to a handles list nobody unpersists — the VERDICT
+    r2 leaked-persist class; see _dedup_exact_impl for the contract)."""
+    threads: list = []
+    try:
+        return _dedup_exact_impl(spark, sf_dir, threads)
+    except BaseException:
+        for th in threads:
+            th.join()
+        raise
+
+
+def _dedup_exact_impl(
+    spark: SparkSession, sf_dir: str, _threads: list
+) -> DataFrame:
     """Exact dedup at BOTH granularities plus benchmark decontamination
     plus the CROSS-SNAPSHOT incremental probe, one tagged result:
     whole-document sha256 groups (tier 'doc'), fixed-window passage groups
@@ -1424,6 +1457,7 @@ def run_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     _prep_thread = _threading.Thread(target=_run_prep, name="dedup-prep")
     _prep_thread.start()
+    _threads.append(_prep_thread)  # joined by the wrapper on error
 
     pas_dig = (
         dedup.passage_table(docs, passage_words=4)
@@ -2951,16 +2985,33 @@ class _scoped_shuffle_partitions:
     The outermost enter (per session) records the previous value and
     sets ``n``; the last exit restores. Nested/concurrent scopes must
     agree on ``n`` (everything here uses _CURATE_PARTS) — a different
-    value raises instead of silently winning."""
+    value raises instead of silently winning.
+
+    Keyed per SESSION — (applicationId, id(session)) — not per
+    application: the conf lives on the SparkSession, and two sessions of
+    one context (spark.newSession()) must not share a refcount or one
+    session's exit would write the other's saved value into the wrong
+    conf. id() is safe here because self.spark holds the reference for
+    the scope's whole lifetime and the entry is deleted at last exit
+    (the ADVICE r4 id-reuse hazard needs a collected object).
+
+    ACCEPTED side effect of the r12 overlapped entries: while a worker
+    thread holds the scope, main-thread jobs planned in that window also
+    execute at ``n`` shuffle partitions. Every overlapped phase here is
+    a fixture-scale job where 8-way was measured faster or neutral, so
+    this is within the runner-tuning contract — but it does make plan
+    shapes timing-dependent; operator-level code must never rely on
+    this class."""
 
     _lock = _threading.Lock()
-    _active: dict[str, list] = {}  # applicationId -> [depth, prev, n]
+    # (applicationId, id(session)) -> [depth, prev, n]
+    _active: dict[tuple, list] = {}
 
     def __init__(self, spark: SparkSession, n: int) -> None:
         self.spark, self.n = spark, n
 
     def __enter__(self):
-        key = self.spark.sparkContext.applicationId
+        key = (self.spark.sparkContext.applicationId, id(self.spark))
         with self._lock:
             st = self._active.get(key)
             if st is None:
@@ -2979,7 +3030,7 @@ class _scoped_shuffle_partitions:
         return self
 
     def __exit__(self, *exc):
-        key = self.spark.sparkContext.applicationId
+        key = (self.spark.sparkContext.applicationId, id(self.spark))
         with self._lock:
             st = self._active[key]
             st[0] -= 1
@@ -4732,8 +4783,10 @@ c4corp AS (
                   ELSE CAST([] AS VARCHAR[]) END) AS la
   FROM c4base),
 c4pages AS (
+  -- trim the LINE_WS class, not plain trim (space-only) — mirrors
+  -- quality.c4_line_clean's regexp trim exactly
   SELECT doc_id, array_to_string(la, chr(10)) AS text,
-         list_transform(la, x -> trim(x)) AS ls
+         list_transform(la, x -> trim(x, {_DUCK_LINE_WS})) AS ls
   FROM c4corp),
 c4kept AS (
   SELECT doc_id, text, ls,

@@ -216,8 +216,9 @@ _C4_POOL = [
 ]
 
 _c4_line = st.one_of(
-    # free-form: ASCII words, the terminal set, braces, tabs, é
-    st.text(alphabet='abc XYZ.!?"{}\t0é', max_size=30),
+    # free-form: ASCII words, the terminal set, braces, the LINE_WS
+    # class members (tab, CR, NBSP), é
+    st.text(alphabet='abc XYZ.!?"{}\t\r\xa00é', max_size=30),
     # pooled lines make intra-page duplicates and rule probes common
     st.sampled_from(_C4_POOL),
 )
@@ -225,12 +226,13 @@ _c4_line = st.one_of(
 
 def _py_c4_mirror(text: str, min_words: int = 5, min_lines: int = 3):
     """Pure-Python mirror of quality.c4_line_clean's EXACT semantics:
-    space-only trim (both engines' default trim), word count via the
-    Java \\s class with split(limit=-1) empty-preserving behavior (what
-    F.split compiles to), keep-first on exact trimmed equality."""
+    LINE_WS trim (the dedup.line_dedup class — CRLF input must shed the
+    trailing \\r), word count via the Java \\s class with split(limit=-1)
+    empty-preserving behavior (what F.split compiles to), keep-first on
+    exact trimmed equality."""
     import re
 
-    lines = [ln.strip(" ") for ln in text.split("\n")]
+    lines = [ln.strip(LINE_WS) for ln in text.split("\n")]
     kept, seen = [], set()
     for ln in lines:
         first = ln not in seen

@@ -559,11 +559,30 @@ C4_DOCS = [
         "second kept line with many words too!\n"
         "third kept line with many words too?"),
     (6, ""),
+    # CRLF page: the LINE_WS trim removes the trailing \r, so the
+    # terminal-punct rule sees the real last character (plain trim()
+    # would empty every Windows-newline page — review-caught)
+    (7, "crlf line with five whole words one.\r\n"
+        "crlf line with five whole words two.\r\n"
+        "crlf line with five whole words three.\r"),
+    # tab-padded duplicate of a space-padded line must still dedup
+    (8, "\t padded line with five whole words. \t\n"
+        "padded line with five whole words.\n"
+        "second kept line with many words too!\n"
+        "third kept line with many words too?"),
+    (9, None),  # NULL text passes through as (NULL, 0)
 ]
 
 
 def _py_c4(text: str, min_words: int = 5, min_lines: int = 3):
-    lines = [ln.strip(" ") for ln in text.split("\n")]
+    # exact-semantics mirror — LINE_WS trim and Java-\s split(limit=-1)
+    # word count; the canonical copy lives in tests/test_fuzz_textclean
+    # (_py_c4_mirror) and a divergence between the two is itself a bug
+    import re
+
+    from pcap_converter_spark.operators.dedup import LINE_WS
+
+    lines = [ln.strip(LINE_WS) for ln in text.split("\n")]
     kept, seen = [], set()
     for ln in lines:
         if ln in seen:
@@ -571,7 +590,7 @@ def _py_c4(text: str, min_words: int = 5, min_lines: int = 3):
         seen.add(ln)
         if (
             ln[-1:] in (".", "!", "?", '"')
-            and len(ln.split()) >= min_words
+            and len(re.split("[ \t\x0b\f\r]+", ln)) >= min_words
             and "javascript" not in ln.lower()
         ):
             kept.append(ln)
@@ -592,7 +611,10 @@ def test_c4_line_clean_matches_python_reference(spark):
     }
     assert set(got) == {d for d, _ in C4_DOCS}
     for doc_id, text in C4_DOCS:
-        assert got[doc_id] == _py_c4(text), f"doc {doc_id}"
+        if text is None:
+            assert got[doc_id] == (None, 0), f"doc {doc_id}"
+        else:
+            assert got[doc_id] == _py_c4(text), f"doc {doc_id}"
     # rule-by-rule spot pins (so a regression names its rule):
     assert got[0][0].count("alpha beta") == 1          # keep-first dedup
     assert "javascript" not in got[1][0]               # rule 4
@@ -601,6 +623,10 @@ def test_c4_line_clean_matches_python_reference(spark):
     assert got[4] == ("", 4)                           # min_lines gate
     assert got[5][0].startswith("padded line")         # trimmed + deduped
     assert got[6] == ("", 1)                           # empty page
+    assert got[7][0].count("crlf line") == 3           # CRLF trimmed
+    assert "\r" not in got[7][0]
+    assert got[8][0].startswith("padded line")         # tab-pad deduped
+    assert got[8][1] == 1
 
 
 def test_c4_line_clean_is_shuffle_free(spark):
