@@ -916,3 +916,77 @@ def html_to_text_py(t: str) -> str:
     if "  " in t:
         t = _P_HS.sub(" ", t)
     return t.strip(_JAVA_WS)
+
+
+# ---------------------------------------------------------------------------
+# CCNet-style dedup normalization (r12 second pass)
+# ---------------------------------------------------------------------------
+
+def _gen_accent_table() -> tuple[str, str]:
+    """1:1 accent-folding table over Latin-1 Supplement + Latin
+    Extended-A/B (U+00C0–U+024F): every character whose NFD form is one
+    ASCII base letter plus combining marks maps to that base. Characters
+    WITHOUT a decomposition (ß ø æ ð þ đ ħ …) are deliberately absent —
+    unicodedata's combining-strip leaves them too, so the table matches
+    the canonical Python reference by construction. Generated, not
+    hand-typed, so the engines can never drift from the reference."""
+    import unicodedata
+
+    src, dst = [], []
+    for cp in range(0xC0, 0x250):
+        ch = chr(cp)
+        base = "".join(
+            c
+            for c in unicodedata.normalize("NFD", ch)
+            if not unicodedata.combining(c)
+        )
+        if len(base) == 1 and base != ch and ord(base) < 128:
+            src.append(ch)
+            dst.append(base)
+    return "".join(src), "".join(dst)
+
+
+ACCENT_SRC, ACCENT_DST = _gen_accent_table()
+assert "'" not in ACCENT_SRC and "\\" not in ACCENT_SRC, (
+    "accent table must stay quote/backslash-free (SQL embedding)"
+)
+
+# explicit whitespace class for the collapse step: Java \s includes \x0B
+# (VT) but RE2's does not — an explicit shared class keeps the Spark
+# column form and the DuckDB oracle twin bit-identical on any input
+_CCNET_WS = "[ \\t\\n\\r\\f]+"
+
+
+def ccnet_normalize_t(text: Column) -> Column:
+    """CCNet's dedup normalization (Wenzek et al., arXiv:1911.00359
+    §4.1 shape): lowercase → fold accents (the generated 1:1 table) →
+    digits to 0 → collapse whitespace runs to one space → trim. Pure
+    JVM column algebra — lower/translate/regexp_replace all stay inside
+    whole-stage codegen, so normalizing before digesting costs one
+    projection, never a UDF. Apply BEFORE sha2/md5 digesting so
+    trivially-reformatted copies (case, accents-stripped mirrors,
+    timestamps/ids varying only in digits, whitespace reflows) collapse
+    to one digest group."""
+    # U+0130 İ is pre-folded BEFORE lower(): it is the one Latin char
+    # where the engines' lower() disagree — the JVM expands it to
+    # i + combining dot (U+0307) while utf8proc (DuckDB) folds to plain
+    # i (found by the 244-char cross-engine sweep in the ccnet pytest)
+    x = F.lower(F.translate(text, "İ", "I"))
+    x = F.translate(x, ACCENT_SRC, ACCENT_DST)
+    x = F.regexp_replace(x, "[0-9]", "0")
+    x = F.regexp_replace(x, _CCNET_WS, " ")
+    return F.trim(x)
+
+
+def ccnet_normalize_sql(inner: str, dialect: str = "spark") -> str:
+    """SQL-string twin of ``ccnet_normalize_t`` for both engines —
+    identical shape; DuckDB's regexp_replace needs the explicit 'g'
+    flag (Spark replaces globally by default)."""
+    g = ", 'g'" if dialect == "duckdb" else ""
+    out = (
+        f"translate(lower(translate({inner}, 'İ', 'I')), "
+        f"'{ACCENT_SRC}', '{ACCENT_DST}')"
+    )
+    out = f"regexp_replace({out}, '[0-9]', '0'{g})"
+    out = f"regexp_replace({out}, '{_CCNET_WS}', ' '{g})"
+    return f"trim({out})"

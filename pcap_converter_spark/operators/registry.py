@@ -317,7 +317,7 @@ def _bpe_train_ctes() -> str:
 _TEXT_ALL_COLS = (
     "doc_id", "in_sample_20", "split", "n_tokens", "n_bpe", "punct_r",
     "stop_r", "quality", "labeled_lang", "guessed_lang", "lang_minev",
-    "script_lang", "fp", "rfp",
+    "script_lang", "fp", "ccnet_fp", "rfp",
     "mean_wlen", "pii_emails", "pii_ips", "pii_phones", "pii_fp",
     "moji_fp", "moji2_fp", "dup_ngram_frac", "top_ngram_frac", "vocab_ids",
     "pack_shard", "pack_bin", "pack_offset", "top_term", "top_tfidf",
@@ -701,6 +701,31 @@ def _text_all_impl(
             "_snip_i"
         ),
         TX.fingerprint_t(ws).alias("fp"),
+        # CCNet-style dedup normalization (r12 second pass): lowercase →
+        # accent-fold (the generated 1:1 table) → digits→0 → whitespace
+        # collapse, digested — the normalization CCNet applies before
+        # hashing so reformatted copies collapse. The ASCII corpus would
+        # make the fold a no-op, so the text is decorated with one
+        # accent-table character CYCLED by doc_id (500 docs > 244 table
+        # entries — every fold pair is exercised corpus-wide) plus a
+        # fixed case/digit/tab/run probe; the oracle rebuilds the same
+        # decoration and normalizes with the DuckDB twin.
+        F.md5(
+            TX.ccnet_normalize_t(
+                F.concat(
+                    t,
+                    F.lit(" "),
+                    F.substring(
+                        F.lit(TX.ACCENT_SRC),
+                        (
+                            F.col("doc_id") % len(TX.ACCENT_SRC) + 1
+                        ).cast("int"),
+                        1,
+                    ),
+                    F.lit(" No42\tÉLaN  straße"),
+                )
+            ).cast("binary")
+        ).alias("ccnet_fp"),
         # serialized to a CSV string: the driver canonicalizer sorts results
         # with pandas, which cannot factorize list cells (r3 red rows) — the
         # array form stays on the operator API (rolling_fingerprint_udf)
@@ -1019,6 +1044,15 @@ _HEMB_NORM = "round(sqrt(" + " + ".join(
     f"CAST(hv.v{k} AS DOUBLE) * hv.v{k}" for k in range(16)
 ) + "), 4)"
 
+# the ccnet_fp oracle twin: the SAME doc_id-cycled accent decoration the
+# Spark side builds, normalized via the generated DuckDB-dialect twin
+_CCNET_FP_SQL = TX.ccnet_normalize_sql(
+    "text || ' ' || substr('" + TX.ACCENT_SRC + "', "
+    "CAST(doc_id % " + str(len(TX.ACCENT_SRC)) + " AS INT) + 1, 1) "
+    "|| ' No42' || chr(9) || 'ÉLaN  straße'",
+    dialect="duckdb",
+)
+
 _TEXT_ALL_ORACLE = f"""
 WITH w AS (
   SELECT doc_id, lang, text,
@@ -1163,6 +1197,7 @@ SELECT doc_id,
   {_langid_case_sql(_LANG_MINEV, scripts=True)} AS lang_minev,
   snp.script_lang AS script_lang,
   md5(array_to_string(lws, ' ')) AS fp,
+  md5({_CCNET_FP_SQL}) AS ccnet_fp,
   array_to_string(
     CASE WHEN len(lws) = 0 THEN CAST([] AS BIGINT[])
          ELSE list_sort(list_distinct(list_transform(

@@ -775,3 +775,61 @@ def test_sql_string_twins_match_column_builders(spark):
     ).collect()
     for r in moji:
         assert r["col_form"] == r["sql_form"], r["i"]
+
+
+def test_ccnet_normalize_cross_engine_and_reference(spark):
+    """ccnet_normalize (r12 second pass): (1) the generated accent table
+    re-derives independently from unicodedata NFD folding; (2) the Spark
+    column form and the DuckDB SQL twin agree on EVERY table character
+    (this sweep found U+0130 İ, the one Latin char where the engines'
+    lower() disagree — now pre-folded) and on semantic probes; (3) the
+    normalization does what CCNet needs: case, accents, digits and
+    whitespace reflows collapse."""
+    import unicodedata
+
+    import duckdb
+
+    # 1. independent re-derivation of the table
+    for src, dst in zip(TX.ACCENT_SRC, TX.ACCENT_DST):
+        base = "".join(
+            c
+            for c in unicodedata.normalize("NFD", src)
+            if not unicodedata.combining(c)
+        )
+        assert base == dst and ord(dst) < 128, (src, dst)
+    assert len(TX.ACCENT_SRC) > 200  # Latin-1 Sup + Ext-A/B coverage
+
+    probes = [f"x {ch} No42\tÉLaN  straße" for ch in TX.ACCENT_SRC] + [
+        "Élan  CAFÉ  No42\nderniére\tligne",
+        "İstanbul II ıı",
+        "  reformatted   COPY  of the SAME page 2024  ",
+        "reformatted copy of the same PAGE 0000",
+        "",
+    ]
+    rows = list(enumerate(probes))
+    df = spark.createDataFrame(rows, ["i", "text"])
+    got = {
+        r["i"]: r["n"]
+        for r in df.select(
+            "i", TX.ccnet_normalize_t(F.col("text")).alias("n")
+        ).collect()
+    }
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(i INT, text VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", rows)
+    duck = dict(
+        con.execute(
+            "SELECT i, "
+            + TX.ccnet_normalize_sql("text", dialect="duckdb")
+            + " FROM t"
+        ).fetchall()
+    )
+    assert got == duck
+    # 3. semantics
+    assert got[len(TX.ACCENT_SRC)] == "elan cafe no00 derniere ligne"
+    # İ pre-folds to I (the engines' one lower() disagreement); dotless
+    # ı has NO decomposition so it passes through, like ß/æ/ø
+    assert got[len(TX.ACCENT_SRC) + 1] == "istanbul ii ıı"
+    # two reformatted copies of one page normalize identical
+    assert got[len(TX.ACCENT_SRC) + 2] == got[len(TX.ACCENT_SRC) + 3]
+    assert got[len(TX.ACCENT_SRC) + 4] == ""
