@@ -91,6 +91,12 @@ def _prep_args(ap: argparse.ArgumentParser) -> None:
     bytes and cross-snapshot dedup silently misses."""
     ap.add_argument("--fix-encoding", action="store_true",
                     help="repair UTF-8-as-cp1252 mojibake before any stage")
+    ap.add_argument("--normalize-digests", default=None,
+                    choices=["ccnet"],
+                    help="digest NORMALIZED text in dedup/index probes "
+                         "(ccnet: lowercase, accent-fold, digits to 0, "
+                         "whitespace collapse) so reformatted copies "
+                         "collapse; artifact text stays untouched")
     ap.add_argument("--c4-clean", action="store_true",
                     help="apply C4's page-local line rules (terminal "
                          "punctuation, >= 5 words, no javascript, "
@@ -128,6 +134,7 @@ def _prep_enabled(args) -> bool:
     return bool(
         args.fix_encoding
         or args.c4_clean
+        or args.normalize_digests
         or args.line_dedup is not None
         or args.substring_dedup is not None
     )
@@ -140,6 +147,7 @@ def _prep_sig(args) -> str:
         args.fix_encoding, args.line_dedup, args.substring_dedup,
         html_extract=getattr(args, "html_extract", "text"),
         c4_rules=args.c4_clean,
+        normalize=args.normalize_digests,
     )
 
 
@@ -160,6 +168,7 @@ def _reconcile_prep(spark, args, index_path: str) -> str:
         vals = inc.parse_prep_signature(recorded)
         args.fix_encoding = vals["fix_encoding"]
         args.c4_clean = vals["c4_rules"]
+        args.normalize_digests = vals["normalize"]
         args.line_dedup = vals["line_dedup_min_docs"]
         args.substring_dedup = vals["substring_dedup"]
         args.html_extract = vals["html_extract"]
@@ -321,6 +330,7 @@ def _cmd_curate(argv: list[str]) -> int:
     flags = curate(
         docs, bench, corpus_index=args.index, handles=handles,
         index_prep=prep_sig,
+        digest_normalize=args.normalize_digests,
         languages=languages,
         lang_min_evidence=args.lang_min_evidence,
         lang_default=args.lang_default,
@@ -344,6 +354,7 @@ def _cmd_curate(argv: list[str]) -> int:
         extend_corpus_index(
             docs.join(kept.select("doc_id"), "doc_id"), args.index,
             prep=prep_sig,
+            normalize=args.normalize_digests,
         )
     for h in handles:
         h.unpersist()
@@ -381,12 +392,16 @@ def _cmd_index(argv: list[str]) -> int:
     handles: list = []
     docs = _apply_prep(docs, args, handles)
     if args.append:
-        inc.extend_corpus_index(docs, args.out, prep=prep_sig)
+        inc.extend_corpus_index(
+            docs, args.out, prep=prep_sig,
+            normalize=args.normalize_digests,
+        )
     else:
         inc.write_corpus_index(
             docs, args.out,
             tiers=("exact",) if args.exact_only else ("exact", "near"),
             prep=_prep_sig(args),
+            normalize=args.normalize_digests,
         )
     for h in handles:  # index files are written; drop prep caches
         h.unpersist()

@@ -81,6 +81,7 @@ def prep_signature(
     substring_dedup: int | None = None,
     html_extract: str = "text",
     c4_rules: bool = False,
+    normalize: str | None = None,
 ) -> str:
     """Canonical one-line encoding of the text-prep prelude an index (or
     probe) ran before digesting — ``pipeline.prepare_text``'s knobs
@@ -90,8 +91,10 @@ def prep_signature(
     mismatch. The ``hx`` field is appended ONLY for the non-default
     'main' mode, so signatures recorded before the field existed (always
     full-text) stay string-equal to new full-text probes; ``c4`` (r12 —
-    C4 line-rule cleaning, quality.c4_line_clean) is appended only when
-    ON for the same back-compat reason."""
+    C4 line-rule cleaning, quality.c4_line_clean) and ``norm`` (r12 —
+    digest normalization, ``_apply_normalize``) are appended only when
+    ON for the same back-compat reason. Canonical field order:
+    enc;line;sub[;c4=1][;norm=...][;hx=main]."""
     sig = (
         f"enc={int(bool(fix_encoding))}"
         f";line={'' if line_dedup_min_docs is None else int(line_dedup_min_docs)}"
@@ -99,6 +102,8 @@ def prep_signature(
     )
     if c4_rules:
         sig += ";c4=1"
+    if normalize not in (None, "none"):
+        sig += f";norm={normalize}"
     if html_extract == "main":
         sig += ";hx=main"
     return sig
@@ -106,8 +111,9 @@ def prep_signature(
 
 def parse_prep_signature(sig: str) -> dict:
     """Inverse of ``prep_signature`` → {fix_encoding, line_dedup_min_docs,
-    substring_dedup, html_extract, c4_rules} (the adopt-the-meta's-values
-    path on append; ``hx``/``c4`` absent = the defaults)."""
+    substring_dedup, html_extract, c4_rules, normalize} (the
+    adopt-the-meta's-values path on append; ``hx``/``c4``/``norm``
+    absent = the defaults)."""
     vals = dict(part.split("=", 1) for part in sig.split(";"))
     return {
         "fix_encoding": vals.get("enc") == "1",
@@ -115,6 +121,7 @@ def parse_prep_signature(sig: str) -> dict:
         "substring_dedup": int(vals["sub"]) if vals.get("sub") else None,
         "html_extract": vals.get("hx", "text"),
         "c4_rules": vals.get("c4") == "1",
+        "normalize": vals.get("norm"),
     }
 
 
@@ -142,6 +149,30 @@ def _digests(docs: DataFrame, text_col: str, id_col: str) -> DataFrame:
     return docs.select(
         F.sha2(F.col(text_col).cast("binary"), 256).alias("content_hash"),
         F.col(id_col).alias("doc_id"),
+    )
+
+
+def _apply_normalize(
+    docs: DataFrame, text_col: str, normalize: str | None
+) -> DataFrame:
+    """Replace ``text_col`` with its digest-normalized form for the
+    DURATION of an index build/probe (r12 second pass): 'ccnet' routes
+    through functions/text.ccnet_normalize_t (lowercase, accent-fold,
+    digits→0, whitespace collapse), so trivially-reformatted refetches
+    digest AND shingle identically on both sides of a cross-snapshot
+    dedup. This transformation is index-internal — the caller's frame
+    and any written artifact keep the original text; like every other
+    prep knob it must be recorded in the prep signature (norm=ccnet) so
+    probes can never silently mix normalized and raw digests. Callers
+    passing precomputed ``digests=`` frames own their normalization."""
+    if normalize in (None, "none"):
+        return docs
+    if normalize == "ccnet":
+        from pcap_converter_spark.functions.text import ccnet_normalize_t
+
+        return docs.withColumn(text_col, ccnet_normalize_t(F.col(text_col)))
+    raise ValueError(
+        f"unknown digest normalization {normalize!r} (supported: ccnet)"
     )
 
 
@@ -338,6 +369,7 @@ def write_corpus_index(
     tiers: tuple[str, ...] = ("exact", "near"),
     shingle_hash: str = "crc32",
     prep: str | None = None,
+    normalize: str | None = None,
 ) -> None:
     """Materialize the index from scratch (overwrite). ``tiers`` controls
     what is stored: ("exact",) for digest-only indexes (e.g. passage
@@ -358,6 +390,7 @@ def write_corpus_index(
         raise ValueError('tiers must include "exact"')
     if num_hashes % bands:
         raise ValueError("bands must divide num_hashes")
+    docs = _apply_normalize(docs, text_col, normalize)
     spark = docs.sparkSession
     # a fresh write is an OVERWRITE of the whole index: drop any manifest
     # generations from a previous life of this path, or the new flat
@@ -395,6 +428,7 @@ def extend_corpus_index(
     text_col: str = "text",
     id_col: str = "doc_id",
     prep: str | None = None,
+    normalize: str | None = None,
 ) -> None:
     """Append a snapshot's rows under the index's OWN pinned parameters —
     an append of new key files, never a rewrite or read of what's there.
@@ -409,6 +443,7 @@ def extend_corpus_index(
     signature (raises on mismatch — a mismatched append would poison the
     index with differently-digested bytes). None skips the check for
     callers that manage preparation themselves."""
+    docs = _apply_normalize(docs, text_col, normalize)
     spark = docs.sparkSession
     if prep is not None:
         check_prep_compatible(spark, path, prep)
@@ -637,6 +672,7 @@ def exact_matches(
     broadcast_probe: bool = True,
     handles: list | None = None,
     digests: DataFrame | None = None,
+    normalize: str | None = None,
 ) -> DataFrame:
     """(content_hash, doc_id, origin) for every occurrence — indexed or in
     the snapshot — of a digest present on BOTH sides. The grouped view of
@@ -656,8 +692,9 @@ def exact_matches(
     ``digests`` and keep ownership of its lifecycle."""
     spark = docs.sparkSession
     if digests is not None:
-        snap = digests
+        snap = digests  # caller-normalized (see _apply_normalize)
     else:
+        docs = _apply_normalize(docs, text_col, normalize)
         snap = _digests(docs, text_col, id_col).persist()
         if handles is not None:
             handles.append(snap)
@@ -697,6 +734,7 @@ def flag_against_index(
     broadcast_probe: bool = True,
     handles: list | None = None,
     probe_tiers: tuple[str, ...] | None = None,
+    normalize: str | None = None,
 ) -> DataFrame:
     """One row per snapshot doc: (id, dup_exact, dup_near, near_est).
 
@@ -721,6 +759,7 @@ def flag_against_index(
     ``broadcast_probe=False`` applies to EVERY snapshot-derived side —
     keys, bands, candidates and signatures — so an oversized snapshot
     degrades to shuffle joins instead of blowing the broadcast limit."""
+    docs = _apply_normalize(docs, text_col, normalize)
     spark = docs.sparkSession
     meta = read_index_meta(spark, path)
     root = resolve_index_root(spark, path)
@@ -832,6 +871,7 @@ def dedup_incremental(
     broadcast_probe: bool = True,
     update: bool = False,
     handles: list | None = None,
+    normalize: str | None = None,
 ) -> DataFrame:
     """The composed snapshot step: keep only docs that duplicate nothing
     already indexed; with ``update=True`` the survivors' keys are appended
@@ -847,6 +887,7 @@ def dedup_incremental(
         threshold=threshold,
         broadcast_probe=broadcast_probe,
         handles=handles,
+        normalize=normalize,
     )
     keep = flags.filter(
         ~F.col("dup_exact") & ~F.coalesce(F.col("dup_near"), F.lit(False))

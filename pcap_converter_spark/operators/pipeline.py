@@ -233,6 +233,7 @@ def curate(
     fix_encoding: bool = False,
     line_dedup_min_docs: int | None = None,
     c4_rules: bool = False,
+    digest_normalize: str | None = None,
     prelude_checkpoint: bool = True,
     near_dedup: bool = True,
     embeddings: DataFrame | None = None,
@@ -303,6 +304,13 @@ def curate(
       content, not navigation chrome. The RefinedWeb stage order
       (fix encoding → drop template lines → cut copied spans → judge)
       is exactly this composition with all three tiers on.
+    - ``digest_normalize='ccnet'`` digests NORMALIZED text (lowercase,
+      accent-fold, digits→0, whitespace collapse —
+      functions/text.ccnet_normalize_t) in the exact-dedup stage AND the
+      corpus-index probe, so trivially-reformatted copies collapse; the
+      artifact text itself stays untouched (unlike the editing prelude).
+      Recorded in the prep signature as ``norm=ccnet`` — an index built
+      raw refuses a normalized probe and vice versa.
     - ``c4_rules=True`` inserts C4's page-local line cleaning
       (``quality.c4_line_clean`` — terminal-punctuation lines only,
       >= 5 words, no javascript, intra-page keep-first dedup,
@@ -344,7 +352,7 @@ def curate(
             if index_prep is not None
             else INC.prep_signature(
                 fix_encoding, line_dedup_min_docs, substring_dedup,
-                c4_rules=c4_rules,
+                c4_rules=c4_rules, normalize=digest_normalize,
             ),
         )
 
@@ -483,6 +491,7 @@ def curate(
             id_col=id_col,
             threshold=index_threshold,
             handles=own_handles,
+            normalize=digest_normalize,
         )
         novel = _stage(verdict_n.select(
             did,
@@ -497,9 +506,21 @@ def curate(
 
     # stage 2: exact dedup — keep the lowest id of each digest group
     # (exact_keep_flags: groupBy+combiner+join-back, the skew-immune
-    # shape; rationale and measurements on the helper's docstring)
+    # shape; rationale and measurements on the helper's docstring).
+    # digest_normalize applies HERE too: the in-snapshot digests must
+    # group the same reformatted copies the index probe catches, or a
+    # snapshot-internal case/accent refetch pair would slip the funnel
+    # the index-side normalization was turned on to stop.
+    _dt = t
+    if digest_normalize not in (None, "none"):
+        if digest_normalize != "ccnet":
+            raise ValueError(
+                f"unknown digest normalization {digest_normalize!r} "
+                "(supported: ccnet)"
+            )
+        _dt = TX.ccnet_normalize_t(t)
     digests = q_docs.select(
-        did, F.sha2(t.cast("binary"), 256).alias("_digest")
+        did, F.sha2(_dt.cast("binary"), 256).alias("_digest")
     )
     exact = _stage(exact_keep_flags(digests, id_col=id_col))
     e_docs = q_docs.join(exact, id_col).filter("keep_exact")

@@ -619,3 +619,41 @@ def test_cli_adopted_c4_clean_applies_and_dedups(spark, tmp_path, capsys):
     assert urls == [f"https://s.org/d/{i}" for i in (1, 2, 3)]
     # and the artifact carries the CLEANED text
     assert all("javascript" not in r["text"] for r in kept.collect())
+
+
+def test_cli_adopted_normalize_digests_applies(spark, tmp_path, capsys):
+    """`index --normalize-digests ccnet` then `curate --index` with NO
+    flags: the curate side adopts norm=ccnet from the signature, and the
+    adoption is only observable if it runs — day-2 refetches differ from
+    day-1 ONLY by case/accents/digits/whitespace (exactly what ccnet
+    normalization erases), so they dedup away iff both sides digested
+    normalized bytes. Raw digests would keep all four."""
+    day1 = str(tmp_path / "nd1.jsonl.gz")
+    _jsonl(day1, [
+        {"url": f"https://s.org/n/{i}",
+         "text": _prose("née", i) + " Élan CAFÉ 2024"}
+        for i in range(6)
+    ])
+    idx = str(tmp_path / "idx_nd")
+    assert main(["index", "--input", day1, "--format", "jsonl",
+                 "--out", idx, "--normalize-digests", "ccnet",
+                 "--exact-only"]) == 0
+
+    day2 = str(tmp_path / "nd2.jsonl.gz")
+    _jsonl(day2, [
+        # refetch of day-1 doc 1: lowercased, accents stripped, year
+        # bumped, whitespace reflowed
+        {"url": "https://s.org/n/1",
+         "text": _prose("née", 1).lower().replace("née", "nee")
+                 + "  elan  cafe   2025"},
+        {"url": "https://s.org/m/1", "text": _prose("mmm", 1) + " wholly new"},
+    ])
+    out = str(tmp_path / "art_nd")
+    assert main(["curate", "--input", day2, "--format", "jsonl",
+                 "--index", idx, "--out", out]) == 0
+    err = capsys.readouterr().err
+    assert "adopting the index's text-prep flags" in err
+    assert "norm=ccnet" in err
+    kept = spark.read.parquet(out)
+    urls = sorted(r["url"] for r in kept.collect())
+    assert urls == ["https://s.org/m/1"]

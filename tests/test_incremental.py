@@ -571,6 +571,7 @@ def test_prep_signature_roundtrip_and_operator_checks(spark, tmp_path):
         "substring_dedup": None,
         "html_extract": "text",  # hx absent = the full-text default
         "c4_rules": False,       # c4 absent = off
+        "normalize": None,       # norm absent = raw digests
     }
     # the r11 extraction-mode field: appended only for 'main' (so old
     # text-mode signatures stay string-equal), round-trips
@@ -590,6 +591,15 @@ def test_prep_signature_roundtrip_and_operator_checks(spark, tmp_path):
     )
     assert sig_cm == "enc=1;line=3;sub=;c4=1;hx=main"
     assert inc.prep_signature(**inc.parse_prep_signature(sig_cm)) == sig_cm
+    # the r12 digest-normalization field: appended only when set, slots
+    # between c4 and hx in canonical order, round-trips
+    sig_n = inc.prep_signature(
+        True, 3, None, html_extract="main", c4_rules=True,
+        normalize="ccnet",
+    )
+    assert sig_n == "enc=1;line=3;sub=;c4=1;norm=ccnet;hx=main"
+    assert inc.prep_signature(**inc.parse_prep_signature(sig_n)) == sig_n
+    assert inc.parse_prep_signature(sig_cm)["normalize"] is None
     # default (no prep) signature parses back to all-off
     assert inc.parse_prep_signature(inc.prep_signature()) == {
         "fix_encoding": False,
@@ -597,6 +607,7 @@ def test_prep_signature_roundtrip_and_operator_checks(spark, tmp_path):
         "substring_dedup": None,
         "html_extract": "text",
         "c4_rules": False,
+        "normalize": None,
     }
 
     p = str(tmp_path / "prov_idx")
@@ -615,3 +626,56 @@ def test_prep_signature_roundtrip_and_operator_checks(spark, tmp_path):
     # index_prep override: externally-prepared text declared to match
     flags = curate(docs, corpus_index=p, index_prep=sig)
     assert flags.count() == docs.count()
+
+
+def test_normalized_index_catches_reformatted_refetch(spark, tmp_path):
+    """normalize='ccnet' (r12 second pass): an index built over
+    normalized digests catches a refetch that differs only by case,
+    accents, digits, or whitespace reflow — and the raw form does not,
+    which is exactly why the signature records the knob."""
+    from pcap_converter_spark.operators import incremental as inc
+
+    day1 = spark.createDataFrame(
+        [(1, "Élan  CAFÉ page one with words 2024"),
+         (2, "a genuinely different second page here")],
+        ["doc_id", "text"],
+    )
+    # the refetch: same page, accents stripped by some proxy, different
+    # year, reflowed whitespace, lowercased
+    refetch = spark.createDataFrame(
+        [(11, "elan cafe page one with words 2025"),
+         (12, "an entirely novel third page of text")],
+        ["doc_id", "text"],
+    )
+
+    p_norm = str(tmp_path / "idx_norm")
+    inc.write_corpus_index(
+        day1, p_norm, tiers=("exact",),
+        prep=inc.prep_signature(normalize="ccnet"), normalize="ccnet",
+    )
+    flags = {
+        r["doc_id"]: r["dup_exact"]
+        for r in inc.flag_against_index(
+            refetch, p_norm, normalize="ccnet"
+        ).collect()
+    }
+    assert flags == {11: True, 12: False}
+
+    # raw digests miss the same refetch
+    p_raw = str(tmp_path / "idx_raw")
+    inc.write_corpus_index(
+        day1, p_raw, tiers=("exact",), prep=inc.prep_signature(),
+    )
+    raw_flags = {
+        r["doc_id"]: r["dup_exact"]
+        for r in inc.flag_against_index(refetch, p_raw).collect()
+    }
+    assert raw_flags == {11: False, 12: False}
+
+    # and the provenance check refuses mixing the two worlds
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="text prep"):
+        inc.extend_corpus_index(
+            refetch, p_norm, prep=inc.prep_signature()
+        )
