@@ -168,6 +168,7 @@ def main() -> int:
 
     from pyspark.sql import functions as F
 
+    from pcap_converter_spark.functions.text import ccnet_normalize_t
     from pcap_converter_spark.operators import (
         dedup,
         incremental,
@@ -301,6 +302,15 @@ def main() -> int:
                 " element_at(array('.', '!', '', '?'),"
                 " cast(j % 4 + 1 as int)))), '\\n') AS text",
             ),
+        ),
+        # CCNet digest normalization (r12 second pass): map-only like
+        # c4_clean — fixed-floor-dominated exponent expected; the digest
+        # keeps the timed plan from collapsing to a no-op projection
+        "ccnet_norm": lambda d: lambda: d.select(
+            "doc_id",
+            F.md5(
+                ccnet_normalize_t(F.col("text")).cast("binary")
+            ).alias("h"),
         ),
         # line-level boilerplate removal (r9): the word-soup corpus has
         # no newlines, so reshape into 12-word lines + one injected
