@@ -109,6 +109,11 @@ def _prep_args(ap: argparse.ArgumentParser) -> None:
                     metavar="W",
                     help="remove repeated >= W-word spans (keep first "
                          "occurrence) before the funnel")
+    ap.add_argument("--exact-salts", type=int, default=None, metavar="N",
+                    help="salt the exact-dedup join-back N ways "
+                         "(result-identical; for corpora with a "
+                         "mega-duplicate digest class, e.g. empty "
+                         "pages, where AQE cannot split the join)")
     ap.add_argument("--prelude-recomputable", action="store_true",
                     help="keep the prep output as a recomputable persist "
                          "instead of the default localCheckpoint: slower "
@@ -331,6 +336,7 @@ def _cmd_curate(argv: list[str]) -> int:
         docs, bench, corpus_index=args.index, handles=handles,
         index_prep=prep_sig,
         digest_normalize=args.normalize_digests,
+        exact_salts=args.exact_salts,
         languages=languages,
         lang_min_evidence=args.lang_min_evidence,
         lang_default=args.lang_default,

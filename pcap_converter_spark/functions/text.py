@@ -981,12 +981,20 @@ def ccnet_normalize_t(text: Column) -> Column:
 def ccnet_normalize_sql(inner: str, dialect: str = "spark") -> str:
     """SQL-string twin of ``ccnet_normalize_t`` for both engines —
     identical shape; DuckDB's regexp_replace needs the explicit 'g'
-    flag (Spark replaces globally by default)."""
-    g = ", 'g'" if dialect == "duckdb" else ""
+    flag (Spark replaces globally by default), and the whitespace-class
+    backslashes must be DOUBLED for Spark: its string-literal unescaper
+    consumes one level (an unrecognized escape like ``\\f`` silently
+    drops the backslash, turning the class into one that eats the
+    letter f — review-caught, pinned by the dialect-parity pytest),
+    while DuckDB string literals pass backslashes through untouched."""
+    if dialect == "duckdb":
+        g, ws = ", 'g'", _CCNET_WS
+    else:
+        g, ws = "", _CCNET_WS.replace("\\", "\\\\")
     out = (
         f"translate(lower(translate({inner}, 'İ', 'I')), "
         f"'{ACCENT_SRC}', '{ACCENT_DST}')"
     )
     out = f"regexp_replace({out}, '[0-9]', '0'{g})"
-    out = f"regexp_replace({out}, '{_CCNET_WS}', ' '{g})"
+    out = f"regexp_replace({out}, '{ws}', ' '{g})"
     return f"trim({out})"

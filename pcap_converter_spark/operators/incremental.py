@@ -895,5 +895,13 @@ def dedup_incremental(
     survivors = docs.join(keep, id_col)
     if update:
         survivors = survivors.localCheckpoint(eager=True)
-        extend_corpus_index(survivors, path, text_col=text_col, id_col=id_col)
+        # the append digests with the SAME normalization as the probe —
+        # an un-normalized append to a normalized index would store raw
+        # keys the next snapshot's normalized probe can never hit
+        # (review-caught: the exact silent-poisoning the prep signature
+        # exists to prevent)
+        extend_corpus_index(
+            survivors, path, text_col=text_col, id_col=id_col,
+            normalize=normalize,
+        )
     return survivors

@@ -234,6 +234,7 @@ def curate(
     line_dedup_min_docs: int | None = None,
     c4_rules: bool = False,
     digest_normalize: str | None = None,
+    exact_salts: int | None = None,
     prelude_checkpoint: bool = True,
     near_dedup: bool = True,
     embeddings: DataFrame | None = None,
@@ -304,6 +305,11 @@ def curate(
       content, not navigation chrome. The RefinedWeb stage order
       (fix encoding → drop template lines → cut copied spans → judge)
       is exactly this composition with all three tiers on.
+    - ``exact_salts=N`` routes the exact-dedup join-back through
+      ``skew.salted_join`` (exact_keep_flags' documented scale path for
+      mega-digest classes — AQE cannot split that join; see the
+      helper's verified skew story). Result-identical to the default;
+      runtime tuning only, so it is NOT part of the prep signature.
     - ``digest_normalize='ccnet'`` digests NORMALIZED text (lowercase,
       accent-fold, digits→0, whitespace collapse —
       functions/text.ccnet_normalize_t) in the exact-dedup stage AND the
@@ -522,7 +528,9 @@ def curate(
     digests = q_docs.select(
         did, F.sha2(_dt.cast("binary"), 256).alias("_digest")
     )
-    exact = _stage(exact_keep_flags(digests, id_col=id_col))
+    exact = _stage(
+        exact_keep_flags(digests, id_col=id_col, n_salts=exact_salts)
+    )
     e_docs = q_docs.join(exact, id_col).filter("keep_exact")
 
     # stage 3: near dedup — LSH pairs on the survivors, CC keep-lowest-id.

@@ -679,3 +679,26 @@ def test_normalized_index_catches_reformatted_refetch(spark, tmp_path):
         inc.extend_corpus_index(
             refetch, p_norm, prep=inc.prep_signature()
         )
+
+
+def test_dedup_incremental_update_appends_normalized_keys(spark, tmp_path):
+    """update=True must append the survivors' NORMALIZED keys to a
+    normalized index (review-caught: the append used raw digests, so a
+    reformatted refetch of an appended doc was never flagged again —
+    the silent poisoning the prep signature exists to prevent)."""
+    p = str(tmp_path / "idx_nupd")
+    day1 = _mk_docs(spark, [(1, "Seed Page with Words 2024")])
+    inc.write_corpus_index(
+        day1, p, tiers=("exact",),
+        prep=inc.prep_signature(normalize="ccnet"), normalize="ccnet",
+    )
+    day2 = _mk_docs(spark, [(11, "A Brand New Page of day two 2024")])
+    kept = inc.dedup_incremental(
+        day2, p, update=True, normalize="ccnet"
+    )
+    assert [r["doc_id"] for r in kept.collect()] == [11]
+    # day 3: a reformatted refetch of the day-2 SURVIVOR — caught only
+    # if the append stored normalized keys
+    day3 = _mk_docs(spark, [(21, "a brand  new page of DAY two 2025")])
+    kept3 = inc.dedup_incremental(day3, p, normalize="ccnet")
+    assert kept3.count() == 0

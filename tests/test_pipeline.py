@@ -576,3 +576,15 @@ def test_prepare_text_c4_rules_order_and_passthrough(spark):
     raw = prepare_text(df, c4_rules=True, handles=[])
     t1 = {r["doc_id"]: r["text"] for r in raw.collect()}[1]
     assert "Ã©" in t1
+
+
+def test_curate_exact_salts_is_result_identical(spark):
+    """exact_salts (r12 second pass, review-caught: the documented scale
+    path was unreachable from the funnel): curate's flags must be
+    byte-identical with the salted join-back on."""
+    df = spark.createDataFrame(DOCS, ["doc_id", "text"])
+    plain = sorted(map(tuple, curate(df, handles=[]).collect()))
+    salted = sorted(
+        map(tuple, curate(df, exact_salts=4, handles=[]).collect())
+    )
+    assert plain == salted

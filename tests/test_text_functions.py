@@ -833,3 +833,28 @@ def test_ccnet_normalize_cross_engine_and_reference(spark):
     # two reformatted copies of one page normalize identical
     assert got[len(TX.ACCENT_SRC) + 2] == got[len(TX.ACCENT_SRC) + 3]
     assert got[len(TX.ACCENT_SRC) + 4] == ""
+
+
+def test_ccnet_normalize_sql_spark_dialect_matches_column_form(spark):
+    """The SPARK dialect of the SQL twin must equal the Column form —
+    Spark's string-literal unescaper consumes one backslash level, so
+    the whitespace class needs doubled backslashes (review-caught: the
+    single-backslash form turned \\f into a class member 'f', eating
+    every letter f and keeping real form feeds)."""
+    probes = [
+        "flag off\fx",
+        "Élan  CAFÉ  No42\nderniére\tligne",
+        "İstanbul fifty five\r\n",
+        "",
+    ]
+    df = spark.createDataFrame(list(enumerate(probes)), ["i", "text"])
+    both = df.select(
+        "i",
+        TX.ccnet_normalize_t(F.col("text")).alias("col_form"),
+        F.expr(TX.ccnet_normalize_sql("text", dialect="spark")).alias(
+            "sql_form"
+        ),
+    ).collect()
+    for r in both:
+        assert r["col_form"] == r["sql_form"], (r["i"], probes[r["i"]])
+    assert both[0]["col_form"] == "flag off x"
