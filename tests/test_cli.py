@@ -657,3 +657,48 @@ def test_cli_adopted_normalize_digests_applies(spark, tmp_path, capsys):
     kept = spark.read.parquet(out)
     urls = sorted(r["url"] for r in kept.collect())
     assert urls == ["https://s.org/m/1"]
+
+
+def test_cli_adopted_c4_plus_normalize_compose(spark, tmp_path, capsys):
+    """Both r12 knobs in ONE recorded signature (enc=0;line=;sub=;c4=1;
+    norm=ccnet): curate with no flags adopts both, and the refetch only
+    dedups if BOTH applied — it differs from day 1 by a rule-dropped
+    junk line (c4) AND by case/accents/digits/reflow (ccnet)."""
+
+    def _prose4(tag: str, i: int) -> str:
+        return "\n".join(
+            f"the {tag} doc {i} sentence {j} has "
+            + " ".join(f"{tag}{i}s{j}w{k}" for k in range(8))
+            + " more words."
+            for j in range(4)
+        )
+
+    js = "please enable javascript to view this page."
+    day1 = str(tmp_path / "cn1.jsonl.gz")
+    _jsonl(day1, [
+        {"url": f"https://s.org/cn/{i}",
+         "text": _prose4("cné", i) + f" Élan 2024\n{js}"}
+        for i in range(6)
+    ])
+    idx = str(tmp_path / "idx_cn")
+    assert main(["index", "--input", day1, "--format", "jsonl",
+                 "--out", idx, "--c4-clean", "--normalize-digests",
+                 "ccnet", "--exact-only"]) == 0
+
+    day2 = str(tmp_path / "cn2.jsonl.gz")
+    _jsonl(day2, [
+        # refetch of day-1 doc 2: different junk line + reformatted
+        {"url": "https://s.org/cn/2",
+         "text": _prose4("cné", 2).upper().replace("CNÉ", "CNE")
+                 + "  ELAN  2025\ntracking beacon pixel xyz"},
+        {"url": "https://s.org/dn/1",
+         "text": _prose4("dnw", 1) + f" fresh 2024\n{js}"},
+    ])
+    out = str(tmp_path / "art_cn")
+    assert main(["curate", "--input", day2, "--format", "jsonl",
+                 "--index", idx, "--out", out]) == 0
+    err = capsys.readouterr().err
+    assert "adopting the index's text-prep flags" in err
+    assert ";c4=1;norm=ccnet" in err
+    kept = spark.read.parquet(out)
+    assert sorted(r["url"] for r in kept.collect()) == ["https://s.org/dn/1"]
