@@ -133,6 +133,13 @@ def _validate_prep(args) -> None:
             "error: --substring-dedup must be >= 2 (a 1-word 'span' "
             "removes every repeated word)"
         )
+    exact_salts = getattr(args, "exact_salts", None)
+    if exact_salts is not None and exact_salts < 1:
+        raise SystemExit(
+            "error: --exact-salts must be >= 1 (with an empty salt range "
+            "the join-back matches nothing, every doc fails keep_exact, "
+            "and the run would write an empty artifact with exit 0)"
+        )
 
 
 def _prep_enabled(args) -> bool:

@@ -201,6 +201,11 @@ def exact_keep_flags(
     tests/test_plan_audit.py pins the partial min and the absence of
     any Window node."""
     did = F.col(id_col)
+    if n_salts is not None and n_salts < 1:
+        # 0/negative would either silently take the unsalted path or (in
+        # salted_join) match nothing and flag EVERY doc a duplicate —
+        # both are silent wrong answers, so reject (ADVICE r12)
+        raise ValueError(f"n_salts must be >= 1 or None, got {n_salts}")
     keepers = digests.groupBy("_digest").agg(F.min(id_col).alias("_keep_id"))
     if n_salts:
         from pcap_converter_spark.operators.skew import salted_join

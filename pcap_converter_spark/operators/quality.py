@@ -245,12 +245,22 @@ def gopher_keep(
 # closing double quote (Raffel et al., arXiv:1910.10683 §2.2).
 C4_TERMINALS = (".", "!", "?", '"')
 
+# Word-count split class, shared VERBATIM with the DuckDB oracle
+# (registry's c4 tier) — the same explicit-shared-class convention as
+# dedup's LINE_WS / _CCNET_WS. Java's \s includes vertical tab (\x0B)
+# while DuckDB's RE2 \s does not, so a '\s+' on both sides would
+# hash-mismatch on any page with an interior VT. \n cannot occur in a
+# line (pages were split on it), so this class is \s-equivalent in both
+# engines minus the VT divergence.
+C4_WORD_SPLIT = r"[ \t\x0B\f\r]+"
+
 
 def c4_line_clean(
     df: DataFrame,
     text_col: str = "text",
     min_words: int = 5,
     min_lines: int = 3,
+    max_lines: int = 5000,
 ) -> DataFrame:
     """C4's line-level page cleaning (Raffel et al., arXiv:1910.10683
     §2.2) as ONE map-only projection — no shuffle, no UDF, no explode:
@@ -280,7 +290,18 @@ def c4_line_clean(
        (the C4 code/JSON heuristic);
     6. fewer than ``min_lines`` lines survive rules 1-4 (C4 states the
        gate over sentences; this operator applies it at line
-       granularity, documented deviation).
+       granularity, documented deviation);
+    7. the page has more than ``max_lines`` lines — the keep-first test
+       below is O(lines²) per page worst-case, so a pathological page
+       (10⁵ one-character lines ≈ 10¹⁰ comparisons in ONE task,
+       VERDICT r12) must be bounded. The rules never even run on such a
+       page: the kept array is computed under a per-row CASE WHEN on
+       the line count, so a gated-by-size page costs one ``size()``
+       call, not a quadratic scan. Default 5000 bounds a task's worst
+       line-dedup cost at ~1.25×10⁷ comparisons; any real prose page is
+       orders of magnitude below it, and a beyond-the-bound page is
+       machine-generated in exactly the sense C4's other page gates
+       target.
 
     Returns EVERY input column plus (clean_text, n_removed): kept lines
     re-joined with newlines ('' for a gated page), and the count of line
@@ -293,9 +314,10 @@ def c4_line_clean(
     would put a shuffle under a map-only pass.
 
     The keep-first test is ``array_position == index`` against a staged
-    attribute column — O(lines²) comparisons per page worst-case, but
-    pages hold dozens-to-hundreds of lines and the alternative
-    (posexplode + first-occurrence window) turns a map-only pass into
+    attribute column — O(lines²) comparisons per page worst-case
+    (bounded by gate 7's ``max_lines``), but pages hold
+    dozens-to-hundreds of lines and the alternative (posexplode +
+    first-occurrence window) turns a map-only pass into
     two full shuffles of every line in the corpus. The lambda only ever
     references ATTRIBUTES (``_ls``), never an expression — Catalyst
     inlines expressions referenced inside higher-order-function lambdas
@@ -325,14 +347,19 @@ def c4_line_clean(
         return (
             (F.array_position(ls, x) == i + F.lit(1))
             & F.substring(x, -1, 1).isin(*C4_TERMINALS)
-            & (F.size(F.split(x, r"\s+")) >= min_words)
+            & (F.size(F.split(x, C4_WORD_SPLIT)) >= min_words)
             & ~F.lower(x).contains("javascript")
         )
 
+    # the CASE WHEN makes gate 7 a short-circuit: a beyond-max_lines page
+    # never evaluates the quadratic filter (CASE branches are lazy per
+    # row), it just comes back as an empty kept array and gates below
     kept = staged.select(
         *cols,
         ls,
-        F.filter(ls, _keep).alias("_kept"),
+        F.when(F.size(ls) <= max_lines, F.filter(ls, _keep))
+        .otherwise(F.array().cast("array<string>"))
+        .alias("_kept"),
     )
     gate = (
         (F.size(F.col("_kept")) >= min_lines)

@@ -57,6 +57,13 @@ _DUCK_LINE_WS = "(' ' || chr(9) || chr(13) || chr(12) || chr(11) || chr(160))"
 # (min_words), page gate 5 (lorem ipsum / '{'). No single quotes (they
 # are interpolated into SQL string literals).
 _C4_W = 7  # fabricated c4 line width (words)
+# word-count split: the SAME explicit class as quality.C4_WORD_SPLIT —
+# RE2's \s has no VT while Java's does, so '\s+' on both sides is a
+# latent cross-engine hash mismatch (ADVICE r12); imported, not copied,
+# so the two sides cannot drift
+from pcap_converter_spark.operators.quality import (  # noqa: E402
+    C4_WORD_SPLIT as _C4_WORD_SPLIT,
+)
 _C4_JS_LINE = "please enable javascript to view this content."
 _C4_SHORT_LINE = "too short!"
 _C4_LOREM_LINE = "lorem ipsum dolor sit amet consectetur."
@@ -4828,7 +4835,7 @@ c4kept AS (
          list_filter(ls, (x, i) ->
            list_position(ls, x) = i
            AND right(x, 1) IN ('.', '!', '?', '"')
-           AND len(string_split_regex(x, '\\s+')) >= 5
+           AND len(string_split_regex(x, '{_C4_WORD_SPLIT}')) >= 5
            AND NOT contains(lower(x), 'javascript')) AS kl
   FROM c4pages),
 c4clean AS (

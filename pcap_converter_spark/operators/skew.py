@@ -48,6 +48,12 @@ def salted_join(
             f"salted_join supports how='inner'|'left', got {how!r}: the "
             "replicated small side would emit unmatched rows n_salts times"
         )
+    if n_salts < 1:
+        raise ValueError(
+            f"salted_join needs n_salts >= 1, got {n_salts}: range(0) "
+            "replicates the small side zero times, so the inner join "
+            "silently returns ZERO rows instead of failing (ADVICE r12)"
+        )
     salts = big.sparkSession.range(n_salts).select(
         F.col("id").cast("int").alias("_salt")
     )

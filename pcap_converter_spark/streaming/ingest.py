@@ -29,6 +29,9 @@ from pyspark.sql import DataFrame, functions as F
 from pcap_converter_spark.operators import incremental
 
 
+ADOPT = "adopt"  # sentinel: take the value the index meta recorded
+
+
 def dedup_ingest_hook(
     index_path: str,
     sink,
@@ -36,11 +39,62 @@ def dedup_ingest_hook(
     id_col: str = "doc_id",
     threshold: float = 0.7,
     update: bool = True,
+    normalize: str | None = ADOPT,
+    prep: str | None = ADOPT,
 ):
     """Build the ``foreachBatch`` function: probe → in-batch exact dedup →
     ``sink(survivors_df, batch_id)`` → index append (append LAST, so a
     sink failure never leaves keys in the index for docs that were not
-    delivered)."""
+    delivered).
+
+    ``normalize`` / ``prep`` keep the hook honest against a
+    digest-normalized or prep-built index (ADVICE r12: the hook used to
+    probe a norm=ccnet index with RAW digests — silent misses — and
+    append raw keys with no signature, poisoning the index with mixed
+    digest spaces). Default ``ADOPT`` reads the index meta's recorded
+    prep signature on the FIRST non-empty batch and takes its ``norm=``
+    field (and the full signature for appends), so the hook digests in
+    the index's own digest space without the caller restating it — the
+    same adopt-the-meta move as ``cli.py``'s ``_reconcile_prep``. An
+    explicit value wins, but an explicit ``normalize`` that contradicts
+    a recorded signature raises instead of silently mixing spaces; an
+    explicit ``prep`` is verified by ``extend_corpus_index``'s
+    raise-on-mismatch. Note ADOPT covers only the DIGEST space —
+    if the index was built over prepared TEXT (hx=main, c4, …), the
+    stream itself must deliver identically prepared text; the adopted
+    ``prep`` signature passed to the append documents (and enforces)
+    exactly that claim."""
+
+    # resolved lazily on the first non-empty batch (the hook is built
+    # before any SparkSession necessarily exists), then pinned: the meta
+    # is immutable for the life of an index
+    resolved: dict = {}
+
+    def _resolve(spark) -> tuple[str | None, str | None]:
+        if "norm" in resolved:
+            return resolved["norm"], resolved["prep"]
+        recorded = incremental.read_index_meta(spark, index_path).get(
+            "prep"
+        )
+        rec_norm = (
+            incremental.parse_prep_signature(recorded)["normalize"]
+            if recorded
+            else None
+        )
+        norm = rec_norm if normalize == ADOPT else normalize
+        if normalize != ADOPT and recorded is not None:
+            want = None if norm in (None, "none") else norm
+            if want != rec_norm:
+                raise ValueError(
+                    f"corpus index at {index_path} records digest "
+                    f"normalization {rec_norm!r} but the ingest hook was "
+                    f"built with normalize={normalize!r} — the two sides "
+                    "would digest different byte spaces and dedup would "
+                    "silently miss"
+                )
+        resolved["norm"] = norm
+        resolved["prep"] = recorded if prep == ADOPT else prep
+        return resolved["norm"], resolved["prep"]
 
     def hook(batch: DataFrame, batch_id: int) -> None:
         if batch.isEmpty():
@@ -48,12 +102,13 @@ def dedup_ingest_hook(
             # append would still write empty part-files, feeding the
             # small-files problem compaction exists to clean up
             return
+        norm, prep_sig = _resolve(batch.sparkSession)
         handles: list = []
         try:
             flags = incremental.flag_against_index(
                 batch, index_path,
                 text_col=text_col, id_col=id_col, threshold=threshold,
-                handles=handles,
+                handles=handles, normalize=norm,
             )
             keep = flags.filter(
                 ~F.col("dup_exact")
@@ -62,8 +117,12 @@ def dedup_ingest_hook(
             novel = batch.join(keep, id_col)
             # in-batch exact dedup: keep the lowest id per digest (two
             # copies in one micro-batch both pass the index probe by
-            # construction)
-            dig = novel.select(
+            # construction); digested in the INDEX's digest space — a
+            # raw digest here would let two normalized-identical copies
+            # in one batch both survive
+            dig = incremental._apply_normalize(
+                novel, text_col, norm
+            ).select(
                 F.col(id_col),
                 F.sha2(F.col(text_col).cast("binary"), 256).alias("_d"),
             )
@@ -74,7 +133,8 @@ def dedup_ingest_hook(
             sink(survivors, batch_id)
             if update:
                 incremental.extend_corpus_index(
-                    survivors, index_path, text_col=text_col, id_col=id_col
+                    survivors, index_path, text_col=text_col,
+                    id_col=id_col, prep=prep_sig, normalize=norm,
                 )
         finally:
             # a live stream runs this hook indefinitely: per-batch persists

@@ -702,3 +702,19 @@ def test_cli_adopted_c4_plus_normalize_compose(spark, tmp_path, capsys):
     assert ";c4=1;norm=ccnet" in err
     kept = spark.read.parquet(out)
     assert sorted(r["url"] for r in kept.collect()) == ["https://s.org/dn/1"]
+
+
+def test_cli_exact_salts_validated(tmp_path):
+    """ADVICE r12: --exact-salts < 1 used to reach salted_join, where an
+    empty spark.range(N) salt frame makes the inner join-back return
+    ZERO rows — curate would write a silently empty artifact with exit
+    0. Rejected at argument validation, before any Spark work."""
+    import pytest
+
+    day = str(tmp_path / "es.jsonl.gz")
+    _jsonl(day, [{"url": "https://s.org/x", "text": _prose("one", 0)}])
+    out = str(tmp_path / "artifact_es")
+    for bad in ("0", "-3"):
+        with pytest.raises(SystemExit, match="exact-salts"):
+            main(["curate", "--input", day, "--format", "jsonl",
+                  "--out", out, "--exact-salts", bad])

@@ -218,7 +218,10 @@ _C4_POOL = [
 _c4_line = st.one_of(
     # free-form: ASCII words, the terminal set, braces, the LINE_WS
     # class members (tab, CR, NBSP), é
-    st.text(alphabet='abc XYZ.!?"{}\t\r\xa00é', max_size=30),
+    # \x0b (VT) probes the shared C4_WORD_SPLIT class: Java \s splits on
+    # it, RE2 \s does not (ADVICE r12) — both engines now use the
+    # explicit class, and the mirror always has
+    st.text(alphabet='abc XYZ.!?"{}\t\r\x0b\xa00é', max_size=30),
     # pooled lines make intra-page duplicates and rule probes common
     st.sampled_from(_C4_POOL),
 )
@@ -227,9 +230,9 @@ _c4_line = st.one_of(
 def _py_c4_mirror(text: str, min_words: int = 5, min_lines: int = 3):
     """Pure-Python mirror of quality.c4_line_clean's EXACT semantics:
     LINE_WS trim (the dedup.line_dedup class — CRLF input must shed the
-    trailing \\r), word count via the Java \\s class with split(limit=-1)
-    empty-preserving behavior (what F.split compiles to), keep-first on
-    exact trimmed equality."""
+    trailing \\r), word count via the shared C4_WORD_SPLIT class with
+    split(limit=-1) empty-preserving behavior (what F.split compiles
+    to), keep-first on exact trimmed equality."""
     import re
 
     lines = [ln.strip(LINE_WS) for ln in text.split("\n")]
@@ -267,3 +270,40 @@ def test_fuzz_c4_line_clean_matches_python_mirror(spark, lines):
     assert (row["clean_text"], row["n_removed"]) == _py_c4_mirror(text), (
         repr(text)
     )
+
+
+def test_c4_max_lines_gate_bounds_pathological_pages(spark):
+    """VERDICT r12 #6: the keep-first test is O(lines²) per page — a
+    10⁵-one-character-line page must not burn ~10¹⁰ comparisons in one
+    task. Above max_lines the quadratic filter never runs (lazy CASE
+    branch): the page gates to '' with every line slot counted removed,
+    and the whole call finishes in interactive time."""
+    import time
+
+    from pcap_converter_spark.operators.quality import c4_line_clean
+
+    good = "alpha beta gamma delta epsilon zeta line %d."
+    monster = "\n".join(f"w{i}" for i in range(60_000))
+    normal = "\n".join(good % i for i in range(5))
+    df = spark.createDataFrame(
+        [(0, monster), (1, normal)], ["doc_id", "text"]
+    )
+    t0 = time.monotonic()
+    rows = {r["doc_id"]: r for r in c4_line_clean(df).collect()}
+    took = time.monotonic() - t0
+    assert took < 30, f"pathological page took {took:.1f}s — gate not lazy"
+    assert rows[0]["clean_text"] == ""
+    assert rows[0]["n_removed"] == 60_000
+    # a page within the bound is untouched by the gate
+    assert rows[1]["clean_text"] == normal
+    assert rows[1]["n_removed"] == 0
+    # the bound is a parameter: the same monster passes with it raised,
+    # proving the gate (not some other rule) was what emptied it
+    wide = c4_line_clean(
+        spark.createDataFrame(
+            [(0, "\n".join(good % i for i in range(10)))],
+            ["doc_id", "text"],
+        ),
+        max_lines=9,
+    ).collect()[0]
+    assert wide["clean_text"] == "" and wide["n_removed"] == 10

@@ -53,3 +53,25 @@ def test_salted_join_rejects_right_full(spark, skewed_df):
     for how in ("right", "full", "outer"):
         with pytest.raises(ValueError, match="salted_join"):
             salted_join(skewed_df, dim, on=["k"], how=how)
+
+
+def test_salted_join_rejects_empty_salt_range(spark):
+    """ADVICE r12: n_salts < 1 makes spark.range(n) empty, so the
+    replicated small side is empty and an inner join silently returns
+    zero rows — a wrong answer, not an error. Rejected up front, both
+    here and at exact_keep_flags (the curate caller)."""
+    import pytest
+
+    from pcap_converter_spark.operators.pipeline import exact_keep_flags
+    from pcap_converter_spark.operators.skew import salted_join
+
+    big = spark.createDataFrame([(1, "k")], ["id", "k"])
+    small = spark.createDataFrame([("k",)], ["k"])
+    for bad in (0, -1):
+        with pytest.raises(ValueError, match="n_salts"):
+            salted_join(big, small, ["k"], n_salts=bad)
+        with pytest.raises(ValueError, match="n_salts"):
+            exact_keep_flags(
+                spark.createDataFrame([(1, "d")], ["doc_id", "_digest"]),
+                n_salts=bad,
+            )

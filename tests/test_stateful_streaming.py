@@ -112,3 +112,83 @@ def test_dedup_ingest_stream_against_index(spark, tmp_path):
             for r in spark.read.parquet(f"{idx}/exact").collect())
     )
     assert ids == [2, 4, 11, 100, 101, 102]
+
+
+def test_dedup_ingest_adopts_index_normalization(spark, tmp_path):
+    """ADVICE r12 (medium): against a norm=ccnet index the hook must
+    probe, in-batch-digest, AND append in the NORMALIZED digest space —
+    the pre-fix hook did all three raw (silent misses + a poisoned
+    index). Default ADOPT reads the meta's recorded prep; an explicit
+    contradicting normalize raises instead of silently mixing spaces."""
+    import json
+
+    import pytest as _pt
+
+    from pcap_converter_spark.operators import incremental as inc
+    from pcap_converter_spark.streaming.ingest import (
+        dedup_ingest_hook,
+        run_dedup_ingest,
+    )
+
+    def prose(tag, i):
+        return f"The {tag} doc {i} " + " ".join(
+            f"{tag}{i}w{j}" for j in range(12)
+        )
+
+    idx = str(tmp_path / "cidx_norm")
+    yesterday = spark.createDataFrame(
+        [(100 + i, prose("old", i)) for i in range(3)],
+        "doc_id long, text string",
+    )
+    sig = inc.prep_signature(normalize="ccnet")
+    inc.write_corpus_index(yesterday, idx, prep=sig, normalize="ccnet")
+
+    in_dir = tmp_path / "incoming_norm"
+    in_dir.mkdir()
+    ckpt = str(tmp_path / "ckpt_norm")
+
+    def drop(name, rows):
+        with open(in_dir / name, "w") as f:
+            for r in rows:
+                f.write(json.dumps(r) + "\n")
+
+    # 1: an UPPERCASED, digit-twiddled refetch of an indexed doc — only a
+    # normalized probe can see it. 2/3: in-batch pair differing only by
+    # case — only a normalized in-batch digest collapses them.
+    drop("a.jsonl", [
+        {"doc_id": 1, "text": prose("old", 1).upper()},
+        {"doc_id": 2, "text": prose("new", 2)},
+        {"doc_id": 3, "text": prose("new", 2).upper()},
+    ])
+
+    delivered: list[int] = []
+
+    def sink(df, batch_id):
+        delivered.extend(r["doc_id"] for r in df.collect())
+
+    def stream():
+        return (
+            spark.readStream.schema("doc_id long, text string")
+            .json(str(in_dir))
+        )
+
+    run_dedup_ingest(stream(), idx, sink, checkpoint=ckpt,
+                     threshold=0.5, query_name="ingest_n1")
+    assert delivered == [2]
+
+    # the survivor's key must have been appended NORMALIZED: a second
+    # drain with yet another reformatting of doc 2 finds it in the index
+    delivered.clear()
+    drop("b.jsonl", [{"doc_id": 10, "text": prose("new", 2).upper()},
+                     {"doc_id": 11, "text": prose("fresh", 11)}])
+    run_dedup_ingest(stream(), idx, sink, checkpoint=ckpt,
+                     threshold=0.5, query_name="ingest_n2")
+    assert delivered == [11]
+
+    # explicit normalize that contradicts the recorded signature: raise,
+    # never mix digest spaces (resolution happens on the first batch)
+    hook = dedup_ingest_hook(idx, sink, normalize=None)
+    batch = spark.createDataFrame([(20, "x y z")],
+                                  "doc_id long, text string")
+    with _pt.raises(ValueError, match="normalization"):
+        hook(batch, 0)
