@@ -12,12 +12,18 @@ value comparison. Usage::
 from __future__ import annotations
 
 import math
+import os
 import sys
 import traceback
 from datetime import datetime
 from decimal import Decimal
 
-sys.path.insert(0, "/root/repo")
+# __spark_entry__ lives at the REPO ROOT (the driver's contract file, not
+# part of the installable package), so the root must be importable no
+# matter where this tool is launched from; pcap_converter_spark itself
+# resolves via the editable install when present, via this same path
+# entry otherwise.
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 TABLES = (
     "region", "nation", "customer", "supplier", "part",

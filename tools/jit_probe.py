@@ -1,0 +1,100 @@
+"""Measure ex_text_all's codegen-JIT behavior in a FRESH JVM (VERDICT
+r12 #1: the entry's final job swings 5.3-9.4 s run-to-run at identical
+plans, putting a ±5% error bar on the whole suite headline).
+
+Run:  python tools/jit_probe.py [n_repeats]
+
+Per fresh-session run it reports the entry wall time, the phase split
+(stderr markers already printed by the entry), and the JVM-side codegen
+metrics Spark collects (org.apache.spark.metrics.source.CodegenMetrics):
+max/mean generated METHOD bytecode size (HotSpot refuses to JIT any
+method over 8000 bytes — DontCompileHugeMethods — so a near/over-limit
+method is the classic bimodal-latency signature), generated class sizes,
+source compile time, plus the driver JIT compiler's cumulative
+compilation time around the final job.
+"""
+from __future__ import annotations
+
+import os
+import subprocess
+import sys
+import time
+
+ONE = """
+import sys, time, os
+sys.path.insert(0, os.getcwd())
+from pyspark.sql import SparkSession
+import __spark_entry__ as entrymod
+from pcap_converter_spark.session import apply_runtime_confs
+
+cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+spark = (
+    SparkSession.builder.appName("jitprobe")
+    .master(f"local[{cpus}]")
+    .config("spark.sql.shuffle.partitions", cpus)
+    .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+    .config("spark.driver.memory", "8g")
+    .config("spark.ui.enabled", "false")
+    .config("spark.ui.showConsoleProgress", "false")
+    .getOrCreate()
+)
+apply_runtime_confs(spark)
+spark.sparkContext.setLogLevel("ERROR")
+sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+jvm = spark._jvm
+def jit_ms():
+    return jvm.java.lang.management.ManagementFactory.getCompilationMXBean().getTotalCompilationTime()
+
+cg = jvm.org.apache.spark.metrics.source.CodegenMetrics
+
+def cg_stats():
+    m = cg.METRIC_GENERATED_METHOD_BYTECODE_SIZE().getSnapshot()
+    c = cg.METRIC_GENERATED_CLASS_BYTECODE_SIZE().getSnapshot()
+    t = cg.METRIC_COMPILATION_TIME().getSnapshot()
+    return dict(
+        method_max=m.getMax(), method_p99=int(m.get99thPercentile()),
+        method_mean=int(m.getMean()),
+        n_methods=cg.METRIC_GENERATED_METHOD_BYTECODE_SIZE().getCount(),
+        class_max=c.getMax(),
+        janino_total_ms=int(t.getMean() * t.size()),
+    )
+
+fn = entrymod.queries()["ex_text_all"]
+j0, t0 = jit_ms(), time.perf_counter()
+df = fn(spark, sf_dir)
+rows = df.collect()
+wall = time.perf_counter() - t0
+s = cg_stats()
+print(f"JITPROBE wall={wall:.2f} rows={len(rows)} jit_ms={jit_ms()-j0} "
+      + " ".join(f"{k}={v}" for k, v in s.items()), flush=True)
+# second call in the SAME session: warm JIT + caches = plan-cost floor
+j0, t0 = jit_ms(), time.perf_counter()
+rows = fn(spark, sf_dir).collect()
+print(f"JITPROBE warm={time.perf_counter()-t0:.2f} jit_ms={jit_ms()-j0}",
+      flush=True)
+spark.stop()
+"""
+
+
+def main() -> int:
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 3
+    for i in range(n):
+        t0 = time.time()
+        p = subprocess.run(
+            [sys.executable, "-c", ONE],
+            cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            capture_output=True, text=True,
+        )
+        for ln in (p.stdout + p.stderr).splitlines():
+            if "JITPROBE" in ln or "bench: ex_text_all" in ln:
+                print(f"run{i}: {ln}")
+        if p.returncode:
+            print(p.stderr[-2000:])
+            return p.returncode
+        print(f"run{i}: subprocess total {time.time()-t0:.1f}s")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
