@@ -206,7 +206,46 @@ def _cpu_side_channel(start: dict, end: dict) -> dict:
     return sc
 
 
+def _refuse_if_busy() -> None:
+    """--require-idle (VERDICT r12 stretch #7): refuse to stamp a
+    headline artifact from a provably contended host, so round-over-round
+    totals stop needing manual adjudication. Gates: 1-min loadavg > 1.0
+    at start, or steal > 0.1% over a 1-second /proc/stat window. Exits
+    nonzero WITHOUT printing the one-line JSON record — a refused run can
+    never be mistaken for a recording."""
+    s0 = _cpu_sample()
+    time.sleep(1.0)
+    s1 = _cpu_sample()
+    load = s0.get("loadavg1")
+    steal_pct = None
+    j0, j1 = s0.get("jiffies"), s1.get("jiffies")
+    if j0 and j1 and j1["total"] > j0["total"]:
+        steal_pct = 100 * (j1["steal"] - j0["steal"]) / (
+            j1["total"] - j0["total"]
+        )
+    problems = []
+    if load is not None and load > 1.0:
+        problems.append(f"loadavg1={load} > 1.0")
+    if steal_pct is not None and steal_pct > 0.1:
+        problems.append(f"cpu_steal={steal_pct:.2f}% > 0.1%")
+    if problems:
+        print(
+            "bench: REFUSED (--require-idle): " + ", ".join(problems),
+            file=sys.stderr,
+        )
+        raise SystemExit(3)
+    print(
+        f"bench: require-idle ok (loadavg1={load}, "
+        f"steal={0.0 if steal_pct is None else round(steal_pct, 3)}%)",
+        file=sys.stderr,
+    )
+
+
 def main() -> int:
+    if "--require-idle" in sys.argv[1:] or os.environ.get(
+        "SPARK_GRAFT_REQUIRE_IDLE"
+    ) == "1":
+        _refuse_if_busy()
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or "0.1"
@@ -255,10 +294,28 @@ def main() -> int:
         except Exception:
             return None
 
+    def _jvm_jit_ms() -> int | None:
+        """Cumulative driver-JVM JIT compilation time. Sampled around each
+        entry like gc_ms, for the same adjudication reason (r13): the wide
+        text entries are COMPILE-bound at fixture scale (ex_text_all's
+        final job computes 0.5 s of data warm but spends ~40 s of compiler
+        CPU cold), so their wall time amplifies host contention — a slow
+        recording whose jit delta ballooned alongside is JIT starvation
+        under foreign load, not a plan regression."""
+        try:
+            return (
+                spark._jvm.java.lang.management.ManagementFactory
+                .getCompilationMXBean().getTotalCompilationTime()
+            )
+        except Exception:
+            return None
+
     timings: dict[str, float] = {}
     gc_ms: dict[str, int] = {}
+    jit_ms: dict[str, int] = {}
     for name, fn in runners.items():
         g0 = _jvm_gc_ms()
+        c0 = _jvm_jit_ms()
         t0 = time.perf_counter()
         try:
             df = fn(spark, sf_dir)
@@ -267,9 +324,13 @@ def main() -> int:
             g1 = _jvm_gc_ms()
             if g0 is not None and g1 is not None:
                 gc_ms[name] = g1 - g0
+            c1 = _jvm_jit_ms()
+            if c0 is not None and c1 is not None:
+                jit_ms[name] = c1 - c0
             print(
                 f"bench: {name} {timings[name]}s"
-                + (f" (gc {gc_ms[name]}ms)" if name in gc_ms else ""),
+                + (f" (gc {gc_ms[name]}ms)" if name in gc_ms else "")
+                + (f" (jit {jit_ms[name]}ms)" if name in jit_ms else ""),
                 file=sys.stderr,
             )
         except Exception as exc:  # a broken query must not hide the others
@@ -294,7 +355,9 @@ def main() -> int:
     # sections below, the full per-query suite is still in the artifact
     print(
         "bench: suite-partial "
-        + json.dumps({"queries": timings, "gc_ms": gc_ms}),
+        + json.dumps(
+            {"queries": timings, "gc_ms": gc_ms, "jit_ms": jit_ms}
+        ),
         file=sys.stderr,
         flush=True,
     )
