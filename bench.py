@@ -143,6 +143,7 @@ def run_warmup(spark, sf_dir: str, cpus, runners) -> None:
         _ingest_fixture_paths,
         _ivf_append_path,
         _ivf_rest_path,
+        _pcap_stream_table,
         _pq_append_path,
         _pq_rest_path,
         _warc_stream_table,
@@ -163,6 +164,9 @@ def run_warmup(spark, sf_dir: str, cpus, runners) -> None:
     # WARC fixture (r12): engine + Python-DataSource stream init, not
     # operator cost — ex_warc_docs times the bridge over the drained rows
     _warm_step("warc_stream_drain", lambda: _warc_stream_table(spark))
+    # same for the pcap face (r13): pq4's 'stream' branch times the
+    # aggregation over the drained rows, the gate still hash-checks them
+    _warm_step("pcap_stream_drain", lambda: _pcap_stream_table(spark))
 
 
 def _cpu_sample() -> dict:

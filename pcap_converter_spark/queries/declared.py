@@ -112,12 +112,8 @@ DECLARED_QUERIES: dict[str, Q] = {
         ),
         Q("pq2_first_fragments", _PQ2_SQL, needs_packets=True),
         Q("pq3_defrag", _PQ3_SQL, needs_packets=True),
-        Q(
-            "pq4_protocol_mix",
-            "SELECT col_protocol, count(*) AS n, round(avg(frame_len), 2) AS avg_len "
-            "FROM packets GROUP BY col_protocol ORDER BY col_protocol",
-            needs_packets=True,
-        ),
+        # pq4_protocol_mix is a CUSTOM_RUNNER below (r13): it gained a
+        # src-tagged 'stream' branch driving readStream.format("pcap")
         Q(
             "pq5_tcp_flags",
             "SELECT tcp_flags, count(*) AS n FROM packets "
@@ -585,7 +581,57 @@ _DQ23_ORACLE = (
     "ORDER BY src, event_id"
 )
 
+# PQ4 (r13, VERDICT r12 #3): the protocol-mix aggregation in two
+# src-tagged branches — 'batch' over the decoded-fixture parquet, and
+# 'stream' over the SAME fixture pcap drained through the
+# Structured-Streaming face (readStream.format("pcap") → availableNow →
+# memory sink, once per session — registry._pcap_stream_table, the warc
+# 'stream' template). The oracle computes the identical aggregation from
+# the generator ground-truth parquet under BOTH tags, so a hash match
+# proves the stream face's offset planning, chunk partitioning, Arrow
+# decode, and exactly-once drain deliver byte-equal rows to the batch
+# decode — the last pytest-only face now inside the driver gate.
+_PQ4_BODY = (
+    "SELECT col_protocol, count(*) AS n, round(avg(frame_len), 2) AS avg_len "
+    "FROM packets GROUP BY col_protocol"
+)
+
+
+def _run_pq4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from pcap_converter_spark.io.loader import register_views
+    from pcap_converter_spark.operators.registry import _pcap_stream_table
+
+    register_views(spark, sf_dir)
+    spark.read.parquet(PACKETS_PARQUET).createOrReplaceTempView("packets")
+    batch = spark.sql(_PQ4_BODY).withColumn("src", F.lit("batch"))
+    streamed = (
+        spark.table(_pcap_stream_table(spark))
+        .groupBy("col_protocol")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("frame_len"), 2).alias("avg_len"),
+        )
+        .withColumn("src", F.lit("stream"))
+    )
+    return (
+        batch.unionByName(streamed)
+        .select("src", "col_protocol", "n", "avg_len")
+        .orderBy("src", "col_protocol")
+    )
+
+
+_PQ4_ORACLE = (
+    f"WITH packets AS (SELECT * FROM read_parquet('{PACKETS_PARQUET}')), "
+    f"body AS ({_PQ4_BODY}) "
+    "SELECT 'batch' AS src, * FROM body "
+    "UNION ALL SELECT 'stream' AS src, * FROM body "
+    "ORDER BY src, col_protocol"
+)
+
 CUSTOM_RUNNERS = {
+    "pq4_protocol_mix": (_run_pq4, _PQ4_ORACLE),
     "dq22_tumbling_window": (_run_dq22, _DQ22_ORACLE),
     "dq23_asof": (_run_dq23, _DQ23_ORACLE),
 }

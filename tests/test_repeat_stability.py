@@ -19,7 +19,8 @@ SF = "/root/testdata/sf0.001"
 
 # the entries whose runners consult a per-session cache or at-rest
 # artifact (registry: _CURATE_CACHE, _INCR_*, _IVF/_PQ_REST, _QVEC,
-# _prelude_corpus, _WARC_STREAM_CACHE, the tf/hemb materializations)
+# _prelude_corpus, _WARC_STREAM_CACHE, _PCAP_STREAM_CACHE, the tf/hemb
+# materializations)
 CACHED_ENTRIES = [
     "ex_curate",
     "ex_dedup_exact",
@@ -27,13 +28,16 @@ CACHED_ENTRIES = [
     "ex_text_all",
     "ex_warc_docs",
     "ex_lm_filter",
+    "pq4_protocol_mix",
 ]
 
 
 @pytest.mark.parametrize("name", CACHED_ENTRIES)
 def test_second_call_returns_identical_rows(spark, name):
     fn = entrymod.queries()[name]
-    first = sorted(map(tuple, fn(spark, SF).collect()))
-    second = sorted(map(tuple, fn(spark, SF).collect()))
+    # repr-keyed sort: NULLable columns (pq4's col_protocol on non-IP
+    # rows) break tuple comparison between str and None
+    first = sorted(map(tuple, fn(spark, SF).collect()), key=repr)
+    second = sorted(map(tuple, fn(spark, SF).collect()), key=repr)
     assert first == second, f"{name}: repeat call diverged"
     assert first, f"{name}: empty result"
