@@ -372,6 +372,20 @@ def ivf_topk(
     )
 
 
+
+def _drop_stale_generations(spark, path: str) -> None:
+    """A fresh write is an OVERWRITE of the whole index: drop any
+    manifest/generation from a previous life of this path, or the new
+    flat partitions would be shadowed by a stale gen-* dir (the
+    write_corpus_index rule applied to the ANN layouts)."""
+    from pcap_converter_spark.operators.incremental import _hadoop_fs
+
+    fs, jvm = _hadoop_fs(spark, path)
+    for pat in (f"{path}/manifest-*", f"{path}/gen-*"):
+        for st in fs.globStatus(jvm.org.apache.hadoop.fs.Path(pat)) or []:
+            fs.delete(st.getPath(), True)
+
+
 def ivf_write(
     df: DataFrame,
     centroids: np.ndarray,
@@ -398,6 +412,7 @@ def ivf_write(
 
     from pcap_converter_spark.io.sinks import write_partitioned
 
+    _drop_stale_generations(df.sparkSession, out)
     assigned = assign_clusters(df, centroids, vec_col)
     if files_per_cluster <= 1:
         assigned = assigned.repartition(_F.col("_cluster"))
@@ -427,6 +442,7 @@ def ivf_append(
 
     from pcap_converter_spark.io.sinks import write_partitioned
 
+    out = resolve_ann_root(df.sparkSession, out)  # append into the LIVE generation
     assigned = assign_clusters(df, centroids, vec_col)
     if files_per_cluster <= 1:
         assigned = assigned.repartition(_F.col("_cluster"))
@@ -450,6 +466,7 @@ def pq_append(
     the EXISTING codebooks and append their (id, vnorm, code) rows —
     byte-compatible with every earlier row, so the ADC probe needs no
     version logic."""
+    out = resolve_ann_root(df.sparkSession, out)  # append into the LIVE generation
     assigned = assign_clusters(df, centroids, vec_col)
     coded = pq_assign(assigned, codebooks, vec_col)
     slim = coded.select(
@@ -478,11 +495,7 @@ def ivf_topk_at_rest(
     q = np.asarray(query_vec, dtype=np.float64)
     q = q / np.linalg.norm(q)
     probes = [int(p) for p in np.argsort(-(centroids @ q))[:nprobe]]
-    index = (
-        index_path
-        if isinstance(index_path, DataFrame)
-        else spark.read.parquet(index_path)
-    )
+    index = _open_index(spark, index_path)
     return (
         index.filter(F.col("_cluster").isin(probes))
         .select(
@@ -523,7 +536,7 @@ def ivf_topk_at_rest_many(
     score = F.round(cosine(F.col(vec_col), literal_vector(query_vec)), 4)
     parts = []
     for tag, idx in tagged_indexes:
-        index = idx if isinstance(idx, DataFrame) else spark.read.parquet(idx)
+        index = _open_index(spark, idx)
         parts.append(
             index.filter(F.col("_cluster").isin(probes)).select(
                 F.lit(tag).alias(tag_col),
@@ -797,6 +810,7 @@ def pq_write(
     a cosine estimate. Same co-location/salting story as ``ivf_write``."""
     from pcap_converter_spark.io.sinks import write_partitioned
 
+    _drop_stale_generations(df.sparkSession, out)
     assigned = assign_clusters(df, centroids, vec_col)
     coded = pq_assign(assigned, codebooks, vec_col)
     slim = coded.select(
@@ -835,11 +849,7 @@ def pq_topk_at_rest(
     recall is pytest-bounded with trained codebooks, while the driver
     oracle re-derives these exact mechanics."""
     probes, score = _pq_probe_score(centroids, codebooks, query_vec, nprobe)
-    index = (
-        index_path
-        if isinstance(index_path, DataFrame)
-        else spark.read.parquet(index_path)
-    )
+    index = _open_index(spark, index_path)
     return (
         index.filter(F.col("_cluster").isin(probes))
         .select(F.col(id_col), F.round(score, 4).alias("cos_sim"))
@@ -897,7 +907,7 @@ def pq_topk_at_rest_many(
     probes, score = _pq_probe_score(centroids, codebooks, query_vec, nprobe)
     parts = []
     for tag, idx in tagged_indexes:
-        index = idx if isinstance(idx, DataFrame) else spark.read.parquet(idx)
+        index = _open_index(spark, idx)
         parts.append(
             index.filter(F.col("_cluster").isin(probes)).select(
                 F.lit(tag).alias(tag_col),
@@ -986,3 +996,167 @@ def lsh_bucket_topk(
         .orderBy(F.col("cos_sim").desc(), F.col(id_col))
         .limit(k)
     )
+
+
+# ---------------------------------------------------------------------------
+# at-rest index generations (r13, VERDICT r12 #5)
+#
+# ivf_append/pq_append accumulate one small parquet file per cluster per
+# append — a year of daily appends leaves every cluster directory a pile
+# of tiny files, while the probes' partition pruning still has to open
+# all of them. The fix mirrors incremental.compact_corpus_index_safe's
+# object-store-safe protocol exactly: compact into a NEW generation dir
+# ({path}/gen-<epoch>), commit with a single manifest-<epoch> object,
+# readers resolve through the highest-epoch manifest, vacuum reclaims
+# superseded generations once readers drain. A crashed compaction leaves
+# an orphan gen dir and no manifest — invisible to readers, skipped by
+# later slot claims, reclaimed by the next compact+vacuum cycle.
+# ---------------------------------------------------------------------------
+
+ANN_MANIFEST_VERSION = 1
+
+
+def resolve_ann_root(spark, path: str) -> str:
+    """The directory holding the LIVE cluster partitions: ``path`` itself
+    for a freshly written (flat) index, ``{path}/gen-<epoch>`` after a
+    ``compact_ann_index_safe`` — the corpus index's manifest protocol
+    applied to the ANN layouts (same epoch-max rule, same single-object
+    commit)."""
+    import json as _json
+
+    from pcap_converter_spark.operators.incremental import (
+        _hadoop_fs,
+        _live_epoch,
+    )
+
+    epoch = _live_epoch(spark, path)
+    if epoch == 0:
+        return path
+    fs, jvm = _hadoop_fs(spark, path)
+    stream = fs.open(
+        jvm.org.apache.hadoop.fs.Path(f"{path}/manifest-{epoch:06d}")
+    )
+    try:
+        body = jvm.org.apache.commons.io.IOUtils.toString(stream, "UTF-8")
+    finally:
+        stream.close()
+    m = _json.loads(body)
+    if m.get("version") != ANN_MANIFEST_VERSION:
+        raise ValueError(
+            f"ANN index manifest at {path} has version {m.get('version')}; "
+            f"this build reads {ANN_MANIFEST_VERSION}"
+        )
+    return f"{path}/{m['root']}"
+
+
+def _open_index(spark, index_path) -> DataFrame:
+    """Path-or-DataFrame reader every at-rest probe goes through: strings
+    resolve the live generation first, so probes keep working across
+    compactions with no caller change."""
+    if isinstance(index_path, DataFrame):
+        return index_path
+    return spark.read.parquet(resolve_ann_root(spark, index_path))
+
+
+def compact_ann_index_safe(
+    spark,
+    path: str,
+    files_per_cluster: int = 1,
+) -> None:
+    """Rewrite the live generation's cluster partitions as
+    ``files_per_cluster`` files each inside a new generation, then commit
+    it with one manifest object (the ``compact_corpus_index_safe``
+    protocol — see its docstring for the staging/slot-claim/commit
+    rationale; this docstring only records what differs). The data is ONE
+    Hive-partitioned table, so the stage is a single partitioned write;
+    rows, schema, and the probe's partition pruning are unchanged
+    (answer-invariance and pruning are both pytest-pinned). Do not run
+    concurrent appends across the commit point — an append sealed into
+    the old generation is lost at vacuum, exactly as for the corpus
+    index."""
+    import json as _json
+    import uuid as _uuid
+
+    from pcap_converter_spark.io.sinks import write_partitioned
+    from pcap_converter_spark.operators.incremental import (
+        _hadoop_fs,
+        _live_epoch,
+    )
+
+    root = resolve_ann_root(spark, path)
+    live = _live_epoch(spark, path)
+    stage_root = f"{path}/.genstage.{_uuid.uuid4().hex}.tmp"
+    df = spark.read.parquet(root)
+    if files_per_cluster <= 1:
+        df = df.repartition(F.col("_cluster"))
+    else:
+        salt = F.pmod(
+            F.xxhash64(*[F.col(c) for c in df.columns if c != "_cluster"]),
+            F.lit(int(files_per_cluster)),
+        )
+        df = df.repartition(F.col("_cluster"), salt)
+    write_partitioned(df, f"{stage_root}/data", ["_cluster"])
+    fs, jvm = _hadoop_fs(spark, path)
+    stage_p = jvm.org.apache.hadoop.fs.Path(stage_root)
+    epoch = live + 1
+    while True:
+        dest_p = jvm.org.apache.hadoop.fs.Path(f"{path}/gen-{epoch:06d}")
+        if not fs.exists(dest_p) and fs.rename(stage_p, dest_p):
+            break
+        epoch += 1
+        if epoch > live + 1000:
+            fs.delete(stage_p, True)
+            raise IOError(
+                f"could not claim a generation slot at {path} "
+                f"(gen-{live + 1:06d}..gen-{epoch:06d} all taken)"
+            )
+    body = _json.dumps(
+        {
+            "version": ANN_MANIFEST_VERSION,
+            "epoch": epoch,
+            "root": f"gen-{epoch:06d}/data",
+            "tables": ["data"],
+        }
+    ).encode()
+    tmp = jvm.org.apache.hadoop.fs.Path(f"{path}/.manifest-{epoch:06d}.tmp")
+    final = jvm.org.apache.hadoop.fs.Path(f"{path}/manifest-{epoch:06d}")
+    out = fs.create(tmp, True)
+    try:
+        out.write(bytearray(body))
+    finally:
+        out.close()
+    if not fs.rename(tmp, final):
+        raise IOError(
+            f"could not commit manifest-{epoch:06d} at {path} (rename "
+            "failed — concurrent compaction?)"
+        )
+
+
+def vacuum_ann_index(spark, path: str) -> None:
+    """Remove every generation BELOW the live epoch (and its manifest),
+    plus the legacy flat layout's cluster partitions once a generation
+    has superseded them. Generations ABOVE the live epoch are in-flight
+    (or crashed) compactions and stay — the corpus index's vacuum
+    contract verbatim."""
+    from pcap_converter_spark.operators.incremental import (
+        _hadoop_fs,
+        _live_epoch,
+    )
+
+    epoch = _live_epoch(spark, path)
+    if epoch == 0:
+        return
+    fs, jvm = _hadoop_fs(spark, path)
+    for pat in (f"{path}/manifest-*", f"{path}/gen-*"):
+        for s in fs.globStatus(jvm.org.apache.hadoop.fs.Path(pat)) or []:
+            name = s.getPath().getName()
+            try:
+                e = int(name.rsplit("-", 1)[1])
+            except (IndexError, ValueError):
+                continue
+            if e < epoch:
+                fs.delete(s.getPath(), True)
+    # the legacy flat layout: cluster partition dirs directly under path
+    for pat in (f"{path}/_cluster=*", f"{path}/_SUCCESS"):
+        for s in fs.globStatus(jvm.org.apache.hadoop.fs.Path(pat)) or []:
+            fs.delete(s.getPath(), True)

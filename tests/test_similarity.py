@@ -214,6 +214,17 @@ def test_pq_probe_prunes_partitions(spark, emb_df, tmp_path):
 
     m = re.search(r"PartitionFilters: \[([^\]]*)", plan)
     assert m and "_cluster" in m.group(1), plan
+    # the pruning must survive a generation compaction (r13): the probe
+    # resolves the manifest root, and the gen layout is the same
+    # Hive-partitioned table one directory deeper
+    similarity.compact_ann_index_safe(spark, p)
+    probe2 = similarity.pq_topk_at_rest(spark, p, cents, cbs, q, k=5, nprobe=2)
+    plan2 = probe2._jdf.queryExecution().executedPlan().toString()
+    m2 = re.search(r"PartitionFilters: \[([^\]]*)", plan2)
+    assert m2 and "_cluster" in m2.group(1), plan2
+    assert sorted(map(tuple, probe2.collect())) == sorted(
+        map(tuple, probe.collect())
+    )
 
 
 def test_ivf_topk_batch_matches_per_query_loop(spark, emb_df):
@@ -376,3 +387,111 @@ def test_ivf_and_pq_append_equal_one_shot(spark, emb_df, tmp_path):
     assert sorted(map(tuple, s_inc.collect())) == sorted(
         map(tuple, s_one.collect())
     )
+
+
+def test_ann_compaction_generations_answer_invariant(spark, emb_df, tmp_path):
+    """compact_ann_index_safe (r13, VERDICT r12 #5): rolling appends
+    leave a pile of per-append files; compaction rewrites the live
+    cluster partitions into a new generation behind a single-object
+    manifest commit — probe answers identical across generations,
+    appends land in the live generation, vacuum removes only superseded
+    layouts, a fresh write clears every generation. The corpus index's
+    safe-compaction contract applied to both ANN layouts."""
+    import glob
+    import json
+    import os
+
+    cents = similarity.fixed_centroids(DIM, 4, seed=42)
+    q = [float(np.float32(x)) for x in VECS[0]]
+    p = str(tmp_path / "ivf_gen")
+    similarity.ivf_write(emb_df.filter("vec_id < 30"), cents, p)
+    for lo in (30, 40, 50):
+        similarity.ivf_append(
+            emb_df.filter(f"vec_id >= {lo} AND vec_id < {lo + 10}"), cents, p
+        )
+    before = sorted(map(tuple, similarity.ivf_topk_at_rest(
+        spark, p, cents, q, k=8, nprobe=4).collect()))
+    n_flat = len(glob.glob(f"{p}/_cluster=*/*.parquet"))
+    assert n_flat >= 8  # the small-files pile compaction exists for
+
+    similarity.compact_ann_index_safe(spark, p)
+    m = json.loads(open(f"{p}/manifest-000001").read())
+    assert m["root"] == "gen-000001/data" and m["epoch"] == 1
+    assert similarity.resolve_ann_root(spark, p).endswith("gen-000001/data")
+    # compacted: one file per cluster directory; flat layout untouched
+    # (no rename window) until vacuum
+    for d in glob.glob(f"{p}/gen-000001/data/_cluster=*"):
+        assert len(glob.glob(f"{d}/*.parquet")) == 1
+    assert len(glob.glob(f"{p}/_cluster=*/*.parquet")) == n_flat
+    after = sorted(map(tuple, similarity.ivf_topk_at_rest(
+        spark, p, cents, q, k=8, nprobe=4).collect()))
+    assert after == before
+
+    # an append now resolves into the live generation and is visible
+    extra_id = 1000
+    row = emb_df.filter("vec_id = 0").selectExpr(
+        f"CAST({extra_id} AS BIGINT) AS vec_id", "embedding"
+    )
+    similarity.ivf_append(row, cents, p)
+    got = {t[0] for t in similarity.ivf_topk_at_rest(
+        spark, p, cents, q, k=8, nprobe=4).collect()}
+    assert extra_id in got  # a copy of vec 0 must rank in its top-8
+
+    # vacuum drops the flat layout, keeps the live generation and any
+    # higher-epoch orphan (in-flight compaction's staging)
+    os.makedirs(f"{p}/gen-000007")
+    similarity.vacuum_ann_index(spark, p)
+    assert not glob.glob(f"{p}/_cluster=*")
+    assert os.path.exists(f"{p}/gen-000001/data")
+    assert os.path.exists(f"{p}/gen-000007")
+    import shutil
+
+    shutil.rmtree(f"{p}/gen-000007")
+
+    # second compaction supersedes; vacuum reclaims gen-1
+    similarity.compact_ann_index_safe(spark, p)
+    assert similarity.resolve_ann_root(spark, p).endswith("gen-000002/data")
+    similarity.vacuum_ann_index(spark, p)
+    assert not os.path.exists(f"{p}/gen-000001")
+    still = {t[0] for t in similarity.ivf_topk_at_rest(
+        spark, p, cents, q, k=8, nprobe=4).collect()}
+    assert extra_id in still
+
+    # a fresh overwrite clears every generation and manifest
+    similarity.ivf_write(emb_df, cents, p)
+    assert not glob.glob(f"{p}/gen-*") and not glob.glob(f"{p}/manifest-*")
+    fresh = sorted(map(tuple, similarity.ivf_topk_at_rest(
+        spark, p, cents, q, k=8, nprobe=4).collect()))
+    assert fresh == before
+
+
+def test_pq_compaction_and_crash_orphan(spark, emb_df, tmp_path):
+    """The PQ layout through the same protocol, plus the crash-orphan
+    contract: a gen dir with no manifest is invisible to readers and the
+    next compaction claims the NEXT slot without touching it."""
+    import glob
+    import os
+
+    cents = similarity.fixed_centroids(DIM, 4, seed=42)
+    cbs = similarity.fixed_codebooks(DIM, m=4, ks=8, seed=3)
+    q = [float(np.float32(x)) for x in VECS[0]]
+    p = str(tmp_path / "pq_gen")
+    similarity.pq_write(emb_df.filter("vec_id < 40"), cents, cbs, p)
+    similarity.pq_append(emb_df.filter("vec_id >= 40"), cents, cbs, p)
+    before = sorted(map(tuple, similarity.pq_topk_at_rest(
+        spark, p, cents, cbs, q, k=8, nprobe=4).collect()))
+
+    # a crashed compaction's orphan: claimed slot, no manifest
+    os.makedirs(f"{p}/gen-000001/data")
+    assert similarity.resolve_ann_root(spark, p) == p  # reader-invisible
+
+    similarity.compact_ann_index_safe(spark, p, files_per_cluster=2)
+    # slot 1 was taken by the orphan: commit lands at 2, orphan untouched
+    assert similarity.resolve_ann_root(spark, p).endswith("gen-000002/data")
+    assert os.path.exists(f"{p}/gen-000001/data")
+    assert not glob.glob(f"{p}/gen-000001/data/*")  # never written into
+    for d in glob.glob(f"{p}/gen-000002/data/_cluster=*"):
+        assert len(glob.glob(f"{d}/*.parquet")) <= 2
+    after = sorted(map(tuple, similarity.pq_topk_at_rest(
+        spark, p, cents, cbs, q, k=8, nprobe=4).collect()))
+    assert after == before
