@@ -430,8 +430,15 @@ def _cmd_compact(argv: list[str]) -> int:
     manifest commit — works on any Hadoop filesystem, no rename window);
     --in-place is the legacy local-only directory swap."""
     ap = argparse.ArgumentParser(prog="pcap-converter-spark compact")
-    ap.add_argument("--index", required=True, help="index directory")
+    ap.add_argument("--index", help="corpus index directory")
+    ap.add_argument("--ann", metavar="DIR", default=None,
+                    help="an IVF/IVF-PQ at-rest index directory instead "
+                         "of a corpus index (r13): same generation + "
+                         "manifest protocol over the cluster partitions")
     ap.add_argument("--files-per-table", type=int, default=32)
+    ap.add_argument("--files-per-cluster", type=int, default=1,
+                    help="--ann only: files per cluster directory after "
+                         "compaction")
     ap.add_argument("--in-place", action="store_true",
                     help="legacy local-filesystem directory swap")
     ap.add_argument("--vacuum", action="store_true",
@@ -445,10 +452,28 @@ def _cmd_compact(argv: list[str]) -> int:
             "--vacuum applies to manifest generations; the --in-place "
             "swap has none (drop one of the flags)"
         )
+    if bool(args.index) == bool(args.ann):
+        ap.error("exactly one of --index / --ann is required")
+    if args.ann and args.in_place:
+        ap.error("--in-place applies to the corpus index layout only")
+
+    spark = _spark_for(args)
+    if args.ann:
+        from pcap_converter_spark.operators import similarity as sim
+
+        sim.compact_ann_index_safe(
+            spark, args.ann, files_per_cluster=args.files_per_cluster
+        )
+        if args.vacuum:
+            sim.vacuum_ann_index(spark, args.ann)
+        root = sim.resolve_ann_root(spark, args.ann)
+        n = spark.read.parquet(root).count()
+        print(f"Compacted {args.ann} (live root {root}): {n} vectors",
+              file=sys.stderr)
+        return 0
 
     from pcap_converter_spark.operators import incremental as inc
 
-    spark = _spark_for(args)
     if args.in_place:
         inc.compact_corpus_index(
             spark, args.index, files_per_table=args.files_per_table

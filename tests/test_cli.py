@@ -718,3 +718,40 @@ def test_cli_exact_salts_validated(tmp_path):
         with pytest.raises(SystemExit, match="exact-salts"):
             main(["curate", "--input", day, "--format", "jsonl",
                   "--out", out, "--exact-salts", bad])
+
+
+def test_cli_compact_ann(spark, tmp_path):
+    """compact --ann drives the r13 ANN generation protocol from the
+    shell: compact + vacuum leaves a manifest-resolved layout that
+    answers identically."""
+    import glob
+
+    import numpy as np
+
+    from pcap_converter_spark.operators import similarity as sim
+
+    rng = np.random.default_rng(11)
+    rows = [(i, [float(x) for x in rng.standard_normal(8)])
+            for i in range(40)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    cents = sim.fixed_centroids(8, 4, seed=42)
+    p = str(tmp_path / "annidx")
+    sim.ivf_write(df.filter("vec_id < 30"), cents, p)
+    sim.ivf_append(df.filter("vec_id >= 30"), cents, p)
+    q = rows[0][1]
+    before = sorted(map(tuple, sim.ivf_topk_at_rest(
+        spark, p, cents, q, k=5, nprobe=4).collect()))
+
+    assert main(["compact", "--ann", p, "--vacuum"]) == 0
+    assert glob.glob(f"{p}/manifest-*") and not glob.glob(f"{p}/_cluster=*")
+    after = sorted(map(tuple, sim.ivf_topk_at_rest(
+        spark, p, cents, q, k=5, nprobe=4).collect()))
+    assert after == before
+
+    # exactly one of --index/--ann
+    import pytest
+
+    with pytest.raises(SystemExit):
+        main(["compact", "--vacuum"])
+    with pytest.raises(SystemExit):
+        main(["compact", "--index", p, "--ann", p])
