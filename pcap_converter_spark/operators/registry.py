@@ -1016,6 +1016,16 @@ _SCRIPT_SNIPPETS = (
     "це текст українською мовою і він містить багато слів та речень як приклад",
     "και αυτό είναι ένα κείμενο της ελληνικής γλώσσας με λέξεις που δοκιμάζουμε",
     "és ez az a szöveg hogy nem csak egy példa már magyar nyelven",
+    # indexes 13-16 (r13, VERDICT r12 stretch #8): Bengali / Tamil /
+    # Telugu / Swahili running text — hash-gated WIN rows for the next
+    # crawl tier. The Brahmic three are script-distinct (no profile
+    # collision possible); the sw snippet's lone 'na' overlap with pl/cs
+    # is outscored by six sw-only tokens, pinning that the Latin
+    # profiles separate.
+    "এই লেখাটি বাংলা ভাষায় একটি উদাহরণ এবং তার থেকে কিছু শব্দ করে",
+    "இந்த உரை தமிழ் மொழியில் ஒரு எடுத்துக்காட்டு என்று அது மற்றும் இது",
+    "ఈ వచనం తెలుగు భాషలో ఒక ఉదాహరణ అని మరియు ఆ కూడా లో",
+    "hii ni maandishi ya kiswahili na maneno kwa mfano katika sentensi kwamba za",
 )
 _SCRIPT_SNIPPETS_SQL = "[" + ", ".join(
     "'" + s.replace("'", "''") + "'" for s in _SCRIPT_SNIPPETS

@@ -537,6 +537,12 @@ def test_language_id_covers_seventeen_profiles(spark):
         "uk": "і та що це як але його дім",
         "el": "και το της να είναι με που σπίτι",
         "hu": "és az hogy nem egy már csak ház",
+        # r13: bn/ta/te (whitespace Brahmic, script-distinct) + sw
+        # (Latin; the 'na' collision with pl/cs is outscored)
+        "bn": "এবং এই করে থেকে তার একটি হয় বাড়ি",
+        "ta": "மற்றும் இந்த என்று ஒரு அது இது என்ன வீடு",
+        "te": "మరియు ఒక ఈ అని కూడా లో ఆ ఇల్లు",
+        "sw": "ya wa na kwa katika kwamba za nyumba",
     }
     assert set(samples) | {"en", "de", "es", "fr", "it", "pt", "nl"} == set(
         TX.LANG_STOPWORDS
@@ -674,6 +680,14 @@ def test_language_id_script_tier_ground_truth(spark):
     assert got[11] == "el"
     assert got[12] == "hu"
     assert got[104] == "ru"
+    # r13 profiles (VERDICT r12 stretch #8): Bengali / Tamil / Telugu
+    # (whitespace-tokenized Brahmic — stopword tier, script-distinct)
+    # and Swahili (Latin; its snippet's lone 'na' overlap with the
+    # pl/cs profiles is outscored six-to-one by sw-only tokens)
+    assert got[13] == "bn"
+    assert got[14] == "ta"
+    assert got[15] == "te"
+    assert got[16] == "sw"
 
 
 def test_script_hits_counts_bmp_chars(spark):
