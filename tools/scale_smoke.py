@@ -31,7 +31,7 @@ import time
 
 import pandas as pd
 
-sys.path.insert(0, "/root/repo")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 # 10k synthetic words: with a tiny vocab every pair of random docs shares
 # many shingles (ambient Jaccard ~0.1), which makes every banding scheme
@@ -105,7 +105,7 @@ def _ensure_smoke_warcs(work: str, n_docs: int = 80_000) -> tuple[str, str]:
     import gzip
     import io
 
-    sys.path.insert(0, "/root/repo")
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
     from fixtures import warcgen as wg
 
     full = os.path.join(work, f"warc_{n_docs}.warc.gz")
