@@ -41,3 +41,17 @@ def test_require_idle_passes_quiet_host(monkeypatch):
     monkeypatch.setattr(bench, "_cpu_sample", lambda: next(seq))
     monkeypatch.setattr(bench.time, "sleep", lambda s: None)
     bench._refuse_if_busy()  # no raise
+
+
+def test_contended_verdict_logic():
+    """The artifact's host.contended flag (r13): steal or a busy start
+    marks the recording, a quiet profile does not."""
+    verdict = bench._contended
+
+    assert verdict({"cpu_steal_pct": 0.59, "loadavg1_start": 0.14})
+    assert verdict({"loadavg1_start": 5.8})
+    assert verdict({"cpu_busy_pct": 75})
+    assert not verdict(
+        {"cpu_steal_pct": 0.02, "cpu_busy_pct": 25, "loadavg1_start": 0.3}
+    )
+    assert not verdict({})
