@@ -144,23 +144,36 @@ def script_hits_t(text: Column, lang: str) -> Column:
     )
 
 
+# The ONE ASCII whitespace class every cross-engine tokenization shares
+# (r13, the C4_WORD_SPLIT convention generalized): Java's \s is
+# [ \t\n\x0B\f\r] but RE2's \s is [ \t\n\f\r] — NO vertical tab
+# (verified empirically against DuckDB; ADVICE r7's note claiming both
+# engines include VT was wrong about RE2, which made every literal '\s'
+# in a DuckDB oracle a latent hash mismatch on VT-bearing text). Both
+# engines therefore spell the class out: the Spark expressions below
+# keep their exact Java-\s semantics, and the oracle generators
+# interpolate the SAME constants, so the two sides cannot drift.
+WS_CHARS = r" \t\n\x0B\f\r"
+WS_SPLIT = f"[{WS_CHARS}]+"
+NON_WORD_CLASS = f"[^a-zA-Z0-9{WS_CHARS}]"
+
 # BPE-ish token pattern: letter runs, digit runs, or single non-space symbol —
 # the shape a byte-pair pre-tokenizer sees before merges.
-BPE_TOKEN_RE = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"
+BPE_TOKEN_RE = f"[a-zA-Z]+|[0-9]+|{NON_WORD_CLASS}"
 
 
 def words(text: Column) -> Column:
     """Whitespace tokens (empty input → single empty token, filtered out)."""
-    return F.filter(F.split(F.trim(text), "\\s+"), lambda w: w != "")
+    return F.filter(F.split(F.trim(text), WS_SPLIT), lambda w: w != "")
 
 
 _ASCII_WS = None  # lazily-compiled [\t\n\f\r ]+ — see ws_tokens
 
 
 def ws_tokens(text: str) -> list:
-    """Python twin of the oracles' RE2 ``\\s+`` split (ASCII whitespace
-    ONLY: [\\t\\n\\v\\f\\r ] — both RE2's and Java's ``\\s`` include
-    vertical tab U+000B, so the class does too; ADVICE r7). Python
+    """Python twin of the engines' shared ``WS_SPLIT`` class (ASCII
+    whitespace ONLY, VT included — Java's ``\\s`` has VT, RE2's does
+    not, so the oracles interpolate the explicit class; r13). Python
     ``str.split()`` also breaks on Unicode whitespace — U+00A0 is
     ubiquitous in web text — which the DuckDB SQL twins do NOT, so using
     it in an Arrow-batched operator would silently diverge gram/word
@@ -202,7 +215,7 @@ def bpe_token_count(text: Column) -> Column:
 
 def punct_ratio(text: Column) -> Column:
     """Fraction of non-alphanumeric, non-space characters."""
-    stripped = F.regexp_replace(text, "[^a-zA-Z0-9\\s]", "")
+    stripped = F.regexp_replace(text, NON_WORD_CLASS, "")
     return F.when(F.length(text) > 0,
                   (F.length(text) - F.length(stripped)) / F.length(text)
                   ).otherwise(F.lit(0.0))

@@ -32,7 +32,11 @@ from pcap_converter_spark.functions.text import ws_tokens as _ws_tokens
 
 
 def _words(text: Column) -> Column:
-    return F.filter(F.split(F.trim(F.lower(text)), "\\s+"), lambda w: w != "")
+    # WS_SPLIT: the explicit shared whitespace class (functions/text.py,
+    # r13) — same Java semantics as \s+, oracle-alignable on VT
+    from pcap_converter_spark.functions.text import WS_SPLIT
+
+    return F.filter(F.split(F.trim(F.lower(text)), WS_SPLIT), lambda w: w != "")
 
 
 def shingles(text: Column, k: int = 3) -> Column:

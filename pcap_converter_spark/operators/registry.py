@@ -27,7 +27,18 @@ from pcap_converter_spark.operators import dedup, multimodal, similarity
 # shared DuckDB SQL fragments (dialect twins of functions/text.py)
 # ---------------------------------------------------------------------------
 
-_DUCK_WORDS = "list_filter(string_split_regex(trim({src}), '\\s+'), x -> x <> '')"
+# the explicit shared whitespace/word classes (r13): RE2's \s lacks VT
+# while Java's includes it, so every oracle interpolates text.py's
+# constants instead of writing '\s' (the C4_WORD_SPLIT convention,
+# generalized after the same latent divergence was found in the word
+# splits, punct ratios, and the BPE pre-token regex)
+_DUCK_WS_SPLIT = TX.WS_SPLIT
+_DUCK_NONWORD = TX.NON_WORD_CLASS
+_DUCK_BPE_RE = TX.BPE_TOKEN_RE
+_DUCK_WORDS = (
+    "list_filter(string_split_regex(trim({src}), '" + _DUCK_WS_SPLIT
+    + "'), x -> x <> '')"
+)
 
 _DUCK_STOP_FILTER = {
     lang: "len(list_filter(lws, x -> x IN ({})))".format(
@@ -1079,7 +1090,7 @@ WITH w AS (
 sc AS (
   SELECT *, {_LANG_SCORES_SQL}, {_script_scores_sql("text")},
          CASE WHEN length(text) > 0
-              THEN (length(text) - length(regexp_replace(text, '[^a-zA-Z0-9\\s]', '', 'g')))
+              THEN (length(text) - length(regexp_replace(text, '{_DUCK_NONWORD}', '', 'g')))
                    / CAST(length(text) AS DOUBLE) ELSE 0.0 END AS praw,
          list_transform(lws, x -> CAST(md5_number_lower(x) & 4294967295 AS BIGINT)) AS hs,
          least(8, len(lws)) AS win
@@ -1203,7 +1214,7 @@ SELECT doc_id,
        WHEN (md5_number_lower(CAST(doc_id AS VARCHAR)) & 4294967295) % 100 < 90
        THEN 'val' ELSE 'test' END AS split,
   len(ws) AS n_tokens,
-  len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]')) AS n_bpe,
+  len(regexp_extract_all(text, '{_DUCK_BPE_RE}')) AS n_bpe,
   round(praw, 4) AS punct_r,
   round(sraw, 4) AS stop_r,
   round(0.4 * least(1.0, len(ws) / 50.0)
@@ -1683,7 +1694,7 @@ WITH doc_t AS (
   FROM documents GROUP BY sha256(text) HAVING count(*) > 1),
 w AS (
   SELECT doc_id,
-         list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+         list_filter(string_split_regex(trim(lower(text)), '{_DUCK_WS_SPLIT}'),
                      x -> x <> '') AS lws
   FROM documents),
 p AS (
@@ -1779,7 +1790,7 @@ ipq0 AS (
               ELSE 0.0 END AS mwl,
          CASE WHEN length(text) > 0
               THEN (length(text)
-                    - length(regexp_replace(text, '[^a-zA-Z0-9\\s]', '', 'g')))
+                    - length(regexp_replace(text, '{_DUCK_NONWORD}', '', 'g')))
                    * 1.0 / length(text)
               ELSE 0.0 END AS pr,
          {_DUCK_STOP_FILTER["en"]} AS sh
@@ -3433,7 +3444,7 @@ q0 AS (
               ELSE 0.0 END AS mwl,
          CASE WHEN length(text) > 0
               THEN (length(text)
-                    - length(regexp_replace(text, '[^a-zA-Z0-9\\s]', '', 'g')))
+                    - length(regexp_replace(text, '{_DUCK_NONWORD}', '', 'g')))
                    * 1.0 / length(text)
               ELSE 0.0 END AS pr,
          {_DUCK_STOP_FILTER["en"]} AS sh
@@ -3670,7 +3681,7 @@ pq0 AS MATERIALIZED (
               ELSE 0.0 END AS mwl,
          CASE WHEN length(text) > 0
               THEN (length(text)
-                    - length(regexp_replace(text, '[^a-zA-Z0-9\\s]', '', 'g')))
+                    - length(regexp_replace(text, '{_DUCK_NONWORD}', '', 'g')))
                    * 1.0 / length(text)
               ELSE 0.0 END AS pr,
          {_DUCK_STOP_FILTER["en"]} AS sh
@@ -4552,13 +4563,13 @@ def _run_ingest_branch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_STREAM_DEDUP_ORACLE = """
+_STREAM_DEDUP_ORACLE = f"""
 WITH ich AS (
   SELECT doc_id, CAST(i AS INT) AS chunk_id,
          array_to_string(list_slice(lws, CAST(i AS INT) * 4 + 1,
                                     CAST(i AS INT) * 4 + 4), ' ') AS chunk
   FROM (SELECT doc_id,
-               list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+               list_filter(string_split_regex(trim(lower(text)), '{_DUCK_WS_SPLIT}'),
                            x -> x <> '') AS lws
         FROM documents),
        unnest(range(0, greatest(CAST(ceil((len(lws) - 4) / 4.0) AS BIGINT),
@@ -5226,7 +5237,7 @@ cfeat AS (
               ELSE 0.0 END AS fm,
          CASE WHEN length(text) > 0
               THEN (length(text)
-                    - length(regexp_replace(text, '[^a-zA-Z0-9\\s]', '', 'g')))
+                    - length(regexp_replace(text, '{_DUCK_NONWORD}', '', 'g')))
                    / CAST(length(text) AS DOUBLE)
               ELSE 0.0 END AS fp,
          CAST({_DUCK_STOP_FILTER["en"]} AS DOUBLE) AS fs,

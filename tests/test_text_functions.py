@@ -872,3 +872,33 @@ def test_ccnet_normalize_sql_spark_dialect_matches_column_form(spark):
     for r in both:
         assert r["col_form"] == r["sql_form"], (r["i"], probes[r["i"]])
     assert both[0]["col_form"] == "flag off x"
+
+
+def test_no_raw_backslash_s_in_oracle_sql():
+    """r13: RE2's \\s excludes VT while Java's includes it, so a literal
+    '\\s' in any DuckDB oracle is a latent cross-engine hash mismatch on
+    VT-bearing text (the c4 ADVICE generalized). Every oracle must carry
+    the explicit shared classes from functions/text.py instead."""
+    import __spark_entry__ as e
+
+    oracles = e.oracle_sql()
+    offenders = {k for k, v in oracles.items() if "\\s" in v}
+    assert not offenders, offenders
+    # and the shared classes actually reach the SQL (interpolation ran)
+    assert not {k for k, v in oracles.items() if "{_DUCK" in v}
+    carriers = [k for k, v in oracles.items() if TX.WS_SPLIT in v]
+    assert len(carriers) >= 5, carriers
+
+
+def test_ws_split_class_matches_java_s_semantics(spark):
+    """The explicit WS_SPLIT class must be \\s-equivalent for Java (the
+    engine side keeps its exact old semantics) — including the VT case
+    RE2 diverges on."""
+    probe = "a\x0bb c\td\ne\ff\rg"
+    df = spark.createDataFrame([(probe,)], ["text"])
+    both = df.select(
+        F.split(F.trim(F.col("text")), "\\s+").alias("old"),
+        F.split(F.trim(F.col("text")), TX.WS_SPLIT).alias("new"),
+    ).collect()[0]
+    assert both["old"] == both["new"]
+    assert both["new"] == ["a", "b", "c", "d", "e", "f", "g"]
