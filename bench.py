@@ -221,12 +221,13 @@ def _contended(h: dict) -> bool:
     """Whole-run contention verdict stamped onto the artifact's host
     block. Steal is the reliable mid-run tripwire (foreign VMs taking
     our cycles); loadavg_start catches a busy launch --require-idle
-    would have refused; busy% is a weak signal because /proc/stat
-    counts OUR 32 task threads too — the threshold only trips when
-    another tenant's sustained load is unmistakable."""
+    would have refused. busy% is deliberately NOT a signal: /proc/stat
+    counts OUR OWN 32 task threads, so any sufficiently parallel suite
+    would self-trip a busy threshold and stamp a clean recording
+    contended — the exact adjudication error this flag exists to
+    prevent (r13 review)."""
     return bool(
         (h.get("cpu_steal_pct") or 0) > 0.1
-        or (h.get("cpu_busy_pct") or 0) > 60
         or (h.get("loadavg1_start") or 0) > 1.0
     )
 

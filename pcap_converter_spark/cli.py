@@ -435,10 +435,12 @@ def _cmd_compact(argv: list[str]) -> int:
                     help="an IVF/IVF-PQ at-rest index directory instead "
                          "of a corpus index (r13): same generation + "
                          "manifest protocol over the cluster partitions")
-    ap.add_argument("--files-per-table", type=int, default=32)
-    ap.add_argument("--files-per-cluster", type=int, default=1,
+    ap.add_argument("--files-per-table", type=int, default=None,
+                    help="--index only: files per table after compaction "
+                         "(default 32)")
+    ap.add_argument("--files-per-cluster", type=int, default=None,
                     help="--ann only: files per cluster directory after "
-                         "compaction")
+                         "compaction (default 1)")
     ap.add_argument("--in-place", action="store_true",
                     help="legacy local-filesystem directory swap")
     ap.add_argument("--vacuum", action="store_true",
@@ -456,6 +458,19 @@ def _cmd_compact(argv: list[str]) -> int:
         ap.error("exactly one of --index / --ann is required")
     if args.ann and args.in_place:
         ap.error("--in-place applies to the corpus index layout only")
+    # reject the layout-mismatched file-count flag instead of silently
+    # ignoring it and compacting with the other layout's default
+    # (r13 review)
+    if args.ann and args.files_per_table is not None:
+        ap.error("--files-per-table applies to --index; "
+                 "use --files-per-cluster with --ann")
+    if args.index and args.files_per_cluster is not None:
+        ap.error("--files-per-cluster applies to --ann; "
+                 "use --files-per-table with --index")
+    if args.files_per_table is None:
+        args.files_per_table = 32
+    if args.files_per_cluster is None:
+        args.files_per_cluster = 1
 
     spark = _spark_for(args)
     if args.ann:

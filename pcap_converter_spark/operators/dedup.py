@@ -28,14 +28,13 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from pcap_converter_spark.functions.text import WS_SPLIT
 from pcap_converter_spark.functions.text import ws_tokens as _ws_tokens
 
 
 def _words(text: Column) -> Column:
     # WS_SPLIT: the explicit shared whitespace class (functions/text.py,
     # r13) — same Java semantics as \s+, oracle-alignable on VT
-    from pcap_converter_spark.functions.text import WS_SPLIT
-
     return F.filter(F.split(F.trim(F.lower(text)), WS_SPLIT), lambda w: w != "")
 
 

@@ -265,18 +265,127 @@ def _hadoop_fs(spark: SparkSession, path: str):
     return p.getFileSystem(spark._jsc.hadoopConfiguration()), jvm
 
 
-def _live_epoch(spark: SparkSession, path: str) -> int:
+def _live_epoch(
+    spark: SparkSession, path: str, manifest_prefix: str = "manifest-"
+) -> int:
     """Highest committed manifest epoch, or 0 when the index uses the
-    legacy flat layout (tables directly under ``path``)."""
+    legacy flat layout (tables directly under ``path``). The prefix is
+    parameterized because the ANN layouts (similarity.py) share this
+    protocol with HIDDEN names (``_manifest-``/``_gen-``): their flat
+    readers LIST the path root, so an uncommitted generation must be
+    invisible to Spark's file index — unlike this module's readers,
+    which only ever open named subdirectories (r13 review)."""
     fs, jvm = _hadoop_fs(spark, path)
     statuses = fs.globStatus(
-        jvm.org.apache.hadoop.fs.Path(f"{path}/manifest-*")
+        jvm.org.apache.hadoop.fs.Path(f"{path}/{manifest_prefix}*")
     )
     if statuses is None or len(statuses) == 0:
         return 0
     return max(
         int(s.getPath().getName().rsplit("-", 1)[1]) for s in statuses
     )
+
+
+def _read_manifest(
+    spark: SparkSession, path: str, epoch: int,
+    manifest_prefix: str = "manifest-",
+) -> dict:
+    """Parse the committed manifest body for ``epoch`` (shared by the
+    corpus-index and ANN resolvers)."""
+    import json as _json
+
+    fs, jvm = _hadoop_fs(spark, path)
+    stream = fs.open(
+        jvm.org.apache.hadoop.fs.Path(f"{path}/{manifest_prefix}{epoch:06d}")
+    )
+    try:
+        body = jvm.org.apache.commons.io.IOUtils.toString(stream, "UTF-8")
+    finally:
+        stream.close()
+    return _json.loads(body)
+
+
+def _claim_generation_slot(
+    spark: SparkSession, path: str, stage_root: str, live: int,
+    gen_prefix: str = "gen-",
+) -> int:
+    """Rename the staged tmp dir into the first unclaimed generation slot
+    above ``live`` and return its epoch. An orphan gen dir with no
+    manifest is SKIPPED, not overwritten or deleted — deleting it could
+    pull files out from under a writer between its dir rename and its
+    manifest PUT. exists-check before rename because Hadoop rename onto
+    an existing DIRECTORY moves the source INTO it instead of failing,
+    which would nest the generation."""
+    fs, jvm = _hadoop_fs(spark, path)
+    stage_p = jvm.org.apache.hadoop.fs.Path(stage_root)
+    epoch = live + 1
+    while True:
+        dest_p = jvm.org.apache.hadoop.fs.Path(
+            f"{path}/{gen_prefix}{epoch:06d}"
+        )
+        if not fs.exists(dest_p) and fs.rename(stage_p, dest_p):
+            return epoch
+        epoch += 1
+        if epoch > live + 1000:
+            fs.delete(stage_p, True)
+            raise IOError(
+                f"could not claim a generation slot at {path} "
+                f"({gen_prefix}{live + 1:06d}..{gen_prefix}{epoch:06d} "
+                "all taken)"
+            )
+
+
+def _commit_manifest(
+    spark: SparkSession, path: str, epoch: int, body: dict,
+    manifest_prefix: str = "manifest-",
+) -> None:
+    """Commit = write the JSON body to a dot-tmp name, then RENAME to the
+    final manifest name: a plain create() is visible as an empty file
+    before close() on HDFS/local (a reader's json.loads('') would crash
+    mid-commit); the tmp name starts with '.' so manifest globs never see
+    it, and the rename is atomic on HDFS/local. On S3A the rename is a
+    single-object copy+delete of a tiny file — a reader can briefly see
+    both old and new manifests, which is harmless because max-epoch wins
+    and both are complete."""
+    import json as _json
+
+    fs, jvm = _hadoop_fs(spark, path)
+    data = _json.dumps(body).encode()
+    tmp = jvm.org.apache.hadoop.fs.Path(
+        f"{path}/.{manifest_prefix}{epoch:06d}.tmp"
+    )
+    final = jvm.org.apache.hadoop.fs.Path(
+        f"{path}/{manifest_prefix}{epoch:06d}"
+    )
+    out = fs.create(tmp, True)
+    try:
+        out.write(bytearray(data))
+    finally:
+        out.close()
+    if not fs.rename(tmp, final):
+        raise IOError(
+            f"could not commit {manifest_prefix}{epoch:06d} at {path} "
+            "(rename failed — concurrent compaction?)"
+        )
+
+
+def _vacuum_generations(
+    spark: SparkSession, path: str, epoch: int,
+    manifest_prefix: str = "manifest-", gen_prefix: str = "gen-",
+) -> None:
+    """Delete every manifest/generation strictly BELOW ``epoch``; higher
+    epochs are in-flight (or crashed) compactions and stay (shared by
+    both vacuum faces — see vacuum_corpus_index for the contract)."""
+    fs, jvm = _hadoop_fs(spark, path)
+    for pat in (f"{path}/{manifest_prefix}*", f"{path}/{gen_prefix}*"):
+        for s in fs.globStatus(jvm.org.apache.hadoop.fs.Path(pat)) or []:
+            name = s.getPath().getName()
+            try:
+                e = int(name.rsplit("-", 1)[1])
+            except (IndexError, ValueError):
+                continue
+            if e < epoch:
+                fs.delete(s.getPath(), True)
 
 
 def resolve_index_root(spark: SparkSession, path: str) -> str:
@@ -288,20 +397,10 @@ def resolve_index_root(spark: SparkSession, path: str) -> str:
     generation or the new one, never a missing directory. The manifest
     body is JSON naming the root; the epoch in the filename decides which
     manifest is live (max wins — no rename, no read-modify-write)."""
-    import json as _json
-
     epoch = _live_epoch(spark, path)
     if epoch == 0:
         return path
-    fs, jvm = _hadoop_fs(spark, path)
-    stream = fs.open(
-        jvm.org.apache.hadoop.fs.Path(f"{path}/manifest-{epoch:06d}")
-    )
-    try:
-        body = jvm.org.apache.commons.io.IOUtils.toString(stream, "UTF-8")
-    finally:
-        stream.close()
-    m = _json.loads(body)
+    m = _read_manifest(spark, path, epoch)
     if m.get("version") != INDEX_VERSION:
         raise ValueError(
             f"corpus index manifest at {path} has version "
@@ -551,7 +650,6 @@ def compact_corpus_index_safe(
     and commits its own manifest — the higher epoch wins at read time,
     both generations are complete, and neither writer ever touches the
     other's files (ADVICE r6)."""
-    import json as _json
     import uuid as _uuid
 
     meta = read_index_meta(spark, path)
@@ -578,55 +676,20 @@ def compact_corpus_index_safe(
         spark.read.parquet(f"{root}/{sub}").repartition(
             files_per_table
         ).write.mode("overwrite").parquet(f"{stage_root}/{sub}")
-    fs, jvm = _hadoop_fs(spark, path)
-    stage_p = jvm.org.apache.hadoop.fs.Path(stage_root)
-    # claim a generation slot: probe upward from live+1 past any slot an
-    # in-flight or crashed writer already holds (an orphan gen dir with
-    # no manifest must be SKIPPED, not overwritten — deleting it could
-    # pull files out from under a writer between its dir rename and its
-    # manifest PUT). exists-check before rename because Hadoop rename
-    # onto an existing DIRECTORY moves the source INTO it instead of
-    # failing, which would nest the generation.
-    epoch = live + 1
-    while True:
-        dest_p = jvm.org.apache.hadoop.fs.Path(f"{path}/gen-{epoch:06d}")
-        if not fs.exists(dest_p) and fs.rename(stage_p, dest_p):
-            break
-        epoch += 1
-        if epoch > live + 1000:
-            fs.delete(stage_p, True)
-            raise IOError(
-                f"could not claim a generation slot at {path} "
-                f"(gen-{live + 1:06d}..gen-{epoch:06d} all taken)"
-            )
-    body = _json.dumps(
+    # claim a slot (orphans skipped — _claim_generation_slot), then the
+    # single-object manifest commit (_commit_manifest); the crash-safety
+    # rationale lives on those shared helpers, which the ANN layouts
+    # (similarity.py) reuse with hidden name prefixes
+    epoch = _claim_generation_slot(spark, path, stage_root, live)
+    _commit_manifest(
+        spark, path, epoch,
         {
             "version": INDEX_VERSION,
             "epoch": epoch,
             "root": f"gen-{epoch:06d}",
             "tables": tables + ["meta"],
-        }
-    ).encode()
-    # commit = write to a dot-tmp name, then RENAME to the final
-    # manifest name: a plain create() is visible as an empty file before
-    # close() on HDFS/local (a reader's json.loads('') would crash mid-
-    # commit); the tmp name starts with '.' so the manifest-* glob never
-    # sees it, and the rename is atomic on HDFS/local. On S3A the rename
-    # is a single-object copy+delete of a tiny file — a reader can
-    # briefly see both old and new manifests, which is harmless because
-    # max-epoch wins and both are complete.
-    tmp = jvm.org.apache.hadoop.fs.Path(f"{path}/.manifest-{epoch:06d}.tmp")
-    final = jvm.org.apache.hadoop.fs.Path(f"{path}/manifest-{epoch:06d}")
-    out = fs.create(tmp, True)
-    try:
-        out.write(bytearray(body))
-    finally:
-        out.close()
-    if not fs.rename(tmp, final):
-        raise IOError(
-            f"could not commit manifest-{epoch:06d} at {path} (rename "
-            "failed — concurrent compaction?)"
-        )
+        },
+    )
 
 
 def vacuum_corpus_index(spark: SparkSession, path: str) -> None:
@@ -643,17 +706,9 @@ def vacuum_corpus_index(spark: SparkSession, path: str) -> None:
     epoch = _live_epoch(spark, path)
     if epoch == 0:
         return
-    fs, jvm = _hadoop_fs(spark, path)
-    for pat in (f"{path}/manifest-*", f"{path}/gen-*"):
-        for s in fs.globStatus(jvm.org.apache.hadoop.fs.Path(pat)) or []:
-            name = s.getPath().getName()
-            try:
-                e = int(name.rsplit("-", 1)[1])
-            except (IndexError, ValueError):
-                continue
-            if e < epoch:
-                fs.delete(s.getPath(), True)
+    _vacuum_generations(spark, path, epoch)
     # legacy flat tables superseded by the live generation
+    fs, jvm = _hadoop_fs(spark, path)
     for sub in ("meta", "exact", "sigs", "bands"):
         p = jvm.org.apache.hadoop.fs.Path(f"{path}/{sub}")
         if fs.exists(p):

@@ -376,12 +376,13 @@ def ivf_topk(
 def _drop_stale_generations(spark, path: str) -> None:
     """A fresh write is an OVERWRITE of the whole index: drop any
     manifest/generation from a previous life of this path, or the new
-    flat partitions would be shadowed by a stale gen-* dir (the
-    write_corpus_index rule applied to the ANN layouts)."""
+    flat partitions would be shadowed by a stale _gen-* dir (the
+    write_corpus_index rule applied to the ANN layouts; hidden names —
+    see the module's at-rest-generations banner)."""
     from pcap_converter_spark.operators.incremental import _hadoop_fs
 
     fs, jvm = _hadoop_fs(spark, path)
-    for pat in (f"{path}/manifest-*", f"{path}/gen-*"):
+    for pat in (f"{path}/{_ANN_MANIFEST}*", f"{path}/{_ANN_GEN}*"):
         for st in fs.globStatus(jvm.org.apache.hadoop.fs.Path(pat)) or []:
             fs.delete(st.getPath(), True)
 
@@ -1004,43 +1005,42 @@ def lsh_bucket_topk(
 # ivf_append/pq_append accumulate one small parquet file per cluster per
 # append — a year of daily appends leaves every cluster directory a pile
 # of tiny files, while the probes' partition pruning still has to open
-# all of them. The fix mirrors incremental.compact_corpus_index_safe's
-# object-store-safe protocol exactly: compact into a NEW generation dir
-# ({path}/gen-<epoch>), commit with a single manifest-<epoch> object,
-# readers resolve through the highest-epoch manifest, vacuum reclaims
-# superseded generations once readers drain. A crashed compaction leaves
-# an orphan gen dir and no manifest — invisible to readers, skipped by
-# later slot claims, reclaimed by the next compact+vacuum cycle.
+# all of them. The fix is incremental.py's object-store-safe manifest
+# protocol (shared helpers: _claim_generation_slot/_commit_manifest/
+# _vacuum_generations — ONE copy of the crash-safety logic), with one
+# ANN-specific twist: generation dirs and manifests use HIDDEN names
+# (``_gen-<epoch>``/``_manifest-<epoch>``). The corpus index's readers
+# only ever open NAMED subdirectories ({root}/exact), so a crashed
+# compaction's orphan plain-named gen dir is naturally invisible to
+# them — but the ANN flat layout's readers list the path root itself
+# (spark.read.parquet(path) over _cluster=* dirs), where a populated
+# plain-named orphan raises CONFLICTING_DIRECTORY_STRUCTURES (r13
+# review, reproduced). Spark's file index skips '_'/'.'-prefixed names
+# without '=' during listing, so the hidden names make an uncommitted
+# generation literally unreadable by accident while staying explicitly
+# addressable; partition dirs (_cluster=7) contain '=' and stay listed.
 # ---------------------------------------------------------------------------
 
 ANN_MANIFEST_VERSION = 1
+_ANN_GEN = "_gen-"
+_ANN_MANIFEST = "_manifest-"
 
 
 def resolve_ann_root(spark, path: str) -> str:
     """The directory holding the LIVE cluster partitions: ``path`` itself
-    for a freshly written (flat) index, ``{path}/gen-<epoch>`` after a
-    ``compact_ann_index_safe`` — the corpus index's manifest protocol
-    applied to the ANN layouts (same epoch-max rule, same single-object
-    commit)."""
-    import json as _json
-
+    for a freshly written (flat) index, ``{path}/_gen-<epoch>/data``
+    after a ``compact_ann_index_safe`` — the corpus index's manifest
+    protocol (same epoch-max rule, same single-object commit) under the
+    hidden names the module banner explains."""
     from pcap_converter_spark.operators.incremental import (
-        _hadoop_fs,
         _live_epoch,
+        _read_manifest,
     )
 
-    epoch = _live_epoch(spark, path)
+    epoch = _live_epoch(spark, path, manifest_prefix=_ANN_MANIFEST)
     if epoch == 0:
         return path
-    fs, jvm = _hadoop_fs(spark, path)
-    stream = fs.open(
-        jvm.org.apache.hadoop.fs.Path(f"{path}/manifest-{epoch:06d}")
-    )
-    try:
-        body = jvm.org.apache.commons.io.IOUtils.toString(stream, "UTF-8")
-    finally:
-        stream.close()
-    m = _json.loads(body)
+    m = _read_manifest(spark, path, epoch, manifest_prefix=_ANN_MANIFEST)
     if m.get("version") != ANN_MANIFEST_VERSION:
         raise ValueError(
             f"ANN index manifest at {path} has version {m.get('version')}; "
@@ -1066,25 +1066,28 @@ def compact_ann_index_safe(
     """Rewrite the live generation's cluster partitions as
     ``files_per_cluster`` files each inside a new generation, then commit
     it with one manifest object (the ``compact_corpus_index_safe``
-    protocol — see its docstring for the staging/slot-claim/commit
-    rationale; this docstring only records what differs). The data is ONE
-    Hive-partitioned table, so the stage is a single partitioned write;
-    rows, schema, and the probe's partition pruning are unchanged
-    (answer-invariance and pruning are both pytest-pinned). Do not run
-    concurrent appends across the commit point — an append sealed into
-    the old generation is lost at vacuum, exactly as for the corpus
-    index."""
-    import json as _json
+    protocol through the shared helpers — see their docstrings for the
+    staging/slot-claim/commit rationale). The data is ONE Hive-
+    partitioned table, so the stage is a single partitioned write; rows,
+    schema, and the probe's partition pruning are unchanged (answer
+    invariance and pruning are both pytest-pinned). Do not run concurrent
+    appends across the commit point — an append sealed into the old
+    generation is lost at vacuum, exactly as for the corpus index. A
+    compaction that crashes after its slot-claim rename leaves a hidden
+    ``_gen-*`` orphan: flat readers never list it (pytest-pinned with a
+    POPULATED orphan), later compactions skip its slot, and vacuum after
+    the next successful commit reclaims it."""
     import uuid as _uuid
 
     from pcap_converter_spark.io.sinks import write_partitioned
     from pcap_converter_spark.operators.incremental import (
-        _hadoop_fs,
+        _claim_generation_slot,
+        _commit_manifest,
         _live_epoch,
     )
 
     root = resolve_ann_root(spark, path)
-    live = _live_epoch(spark, path)
+    live = _live_epoch(spark, path, manifest_prefix=_ANN_MANIFEST)
     stage_root = f"{path}/.genstage.{_uuid.uuid4().hex}.tmp"
     df = spark.read.parquet(root)
     if files_per_cluster <= 1:
@@ -1096,40 +1099,19 @@ def compact_ann_index_safe(
         )
         df = df.repartition(F.col("_cluster"), salt)
     write_partitioned(df, f"{stage_root}/data", ["_cluster"])
-    fs, jvm = _hadoop_fs(spark, path)
-    stage_p = jvm.org.apache.hadoop.fs.Path(stage_root)
-    epoch = live + 1
-    while True:
-        dest_p = jvm.org.apache.hadoop.fs.Path(f"{path}/gen-{epoch:06d}")
-        if not fs.exists(dest_p) and fs.rename(stage_p, dest_p):
-            break
-        epoch += 1
-        if epoch > live + 1000:
-            fs.delete(stage_p, True)
-            raise IOError(
-                f"could not claim a generation slot at {path} "
-                f"(gen-{live + 1:06d}..gen-{epoch:06d} all taken)"
-            )
-    body = _json.dumps(
+    epoch = _claim_generation_slot(
+        spark, path, stage_root, live, gen_prefix=_ANN_GEN
+    )
+    _commit_manifest(
+        spark, path, epoch,
         {
             "version": ANN_MANIFEST_VERSION,
             "epoch": epoch,
-            "root": f"gen-{epoch:06d}/data",
+            "root": f"{_ANN_GEN}{epoch:06d}/data",
             "tables": ["data"],
-        }
-    ).encode()
-    tmp = jvm.org.apache.hadoop.fs.Path(f"{path}/.manifest-{epoch:06d}.tmp")
-    final = jvm.org.apache.hadoop.fs.Path(f"{path}/manifest-{epoch:06d}")
-    out = fs.create(tmp, True)
-    try:
-        out.write(bytearray(body))
-    finally:
-        out.close()
-    if not fs.rename(tmp, final):
-        raise IOError(
-            f"could not commit manifest-{epoch:06d} at {path} (rename "
-            "failed — concurrent compaction?)"
-        )
+        },
+        manifest_prefix=_ANN_MANIFEST,
+    )
 
 
 def vacuum_ann_index(spark, path: str) -> None:
@@ -1137,26 +1119,22 @@ def vacuum_ann_index(spark, path: str) -> None:
     plus the legacy flat layout's cluster partitions once a generation
     has superseded them. Generations ABOVE the live epoch are in-flight
     (or crashed) compactions and stay — the corpus index's vacuum
-    contract verbatim."""
+    contract verbatim, through the shared helper."""
     from pcap_converter_spark.operators.incremental import (
         _hadoop_fs,
         _live_epoch,
+        _vacuum_generations,
     )
 
-    epoch = _live_epoch(spark, path)
+    epoch = _live_epoch(spark, path, manifest_prefix=_ANN_MANIFEST)
     if epoch == 0:
         return
-    fs, jvm = _hadoop_fs(spark, path)
-    for pat in (f"{path}/manifest-*", f"{path}/gen-*"):
-        for s in fs.globStatus(jvm.org.apache.hadoop.fs.Path(pat)) or []:
-            name = s.getPath().getName()
-            try:
-                e = int(name.rsplit("-", 1)[1])
-            except (IndexError, ValueError):
-                continue
-            if e < epoch:
-                fs.delete(s.getPath(), True)
+    _vacuum_generations(
+        spark, path, epoch,
+        manifest_prefix=_ANN_MANIFEST, gen_prefix=_ANN_GEN,
+    )
     # the legacy flat layout: cluster partition dirs directly under path
+    fs, jvm = _hadoop_fs(spark, path)
     for pat in (f"{path}/_cluster=*", f"{path}/_SUCCESS"):
-        for s in fs.globStatus(jvm.org.apache.hadoop.fs.Path(pat)) or []:
-            fs.delete(s.getPath(), True)
+        for st in fs.globStatus(jvm.org.apache.hadoop.fs.Path(pat)) or []:
+            fs.delete(st.getPath(), True)

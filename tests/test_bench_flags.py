@@ -50,7 +50,9 @@ def test_contended_verdict_logic():
 
     assert verdict({"cpu_steal_pct": 0.59, "loadavg1_start": 0.14})
     assert verdict({"loadavg1_start": 5.8})
-    assert verdict({"cpu_busy_pct": 75})
+    # busy% is NOT a signal: it counts the suite's own 32 task threads,
+    # so a highly parallel clean run must never self-trip on it
+    assert not verdict({"cpu_busy_pct": 95, "loadavg1_start": 0.3})
     assert not verdict(
         {"cpu_steal_pct": 0.02, "cpu_busy_pct": 25, "loadavg1_start": 0.3}
     )

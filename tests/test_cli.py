@@ -743,15 +743,20 @@ def test_cli_compact_ann(spark, tmp_path):
         spark, p, cents, q, k=5, nprobe=4).collect()))
 
     assert main(["compact", "--ann", p, "--vacuum"]) == 0
-    assert glob.glob(f"{p}/manifest-*") and not glob.glob(f"{p}/_cluster=*")
+    assert glob.glob(f"{p}/_manifest-*") and not glob.glob(f"{p}/_cluster=*")
     after = sorted(map(tuple, sim.ivf_topk_at_rest(
         spark, p, cents, q, k=5, nprobe=4).collect()))
     assert after == before
 
-    # exactly one of --index/--ann
+    # exactly one of --index/--ann; layout-mismatched file-count flags
+    # are rejected, not silently ignored (r13 review)
     import pytest
 
     with pytest.raises(SystemExit):
         main(["compact", "--vacuum"])
     with pytest.raises(SystemExit):
         main(["compact", "--index", p, "--ann", p])
+    with pytest.raises(SystemExit):
+        main(["compact", "--ann", p, "--files-per-table", "8"])
+    with pytest.raises(SystemExit):
+        main(["compact", "--index", p, "--files-per-cluster", "8"])

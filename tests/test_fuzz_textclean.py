@@ -19,6 +19,7 @@ from hypothesis import strategies as st
 
 from pcap_converter_spark.functions.text import MOJIBAKE_PAIRS
 from pcap_converter_spark.operators.dedup import LINE_WS, line_dedup
+from pcap_converter_spark.operators.quality import C4_WORD_SPLIT
 
 _GOODS = [g for _, g in MOJIBAKE_PAIRS]
 
@@ -240,7 +241,7 @@ def _py_c4_mirror(text: str, min_words: int = 5, min_lines: int = 3):
     for ln in lines:
         first = ln not in seen
         seen.add(ln)
-        wc = len(re.split("[ \t\x0b\f\r]+", ln))
+        wc = len(re.split(C4_WORD_SPLIT, ln))
         if (
             first
             and ln[-1:] in (".", "!", "?", '"')

@@ -415,12 +415,12 @@ def test_ann_compaction_generations_answer_invariant(spark, emb_df, tmp_path):
     assert n_flat >= 8  # the small-files pile compaction exists for
 
     similarity.compact_ann_index_safe(spark, p)
-    m = json.loads(open(f"{p}/manifest-000001").read())
-    assert m["root"] == "gen-000001/data" and m["epoch"] == 1
-    assert similarity.resolve_ann_root(spark, p).endswith("gen-000001/data")
+    m = json.loads(open(f"{p}/_manifest-000001").read())
+    assert m["root"] == "_gen-000001/data" and m["epoch"] == 1
+    assert similarity.resolve_ann_root(spark, p).endswith("_gen-000001/data")
     # compacted: one file per cluster directory; flat layout untouched
     # (no rename window) until vacuum
-    for d in glob.glob(f"{p}/gen-000001/data/_cluster=*"):
+    for d in glob.glob(f"{p}/_gen-000001/data/_cluster=*"):
         assert len(glob.glob(f"{d}/*.parquet")) == 1
     assert len(glob.glob(f"{p}/_cluster=*/*.parquet")) == n_flat
     after = sorted(map(tuple, similarity.ivf_topk_at_rest(
@@ -439,27 +439,27 @@ def test_ann_compaction_generations_answer_invariant(spark, emb_df, tmp_path):
 
     # vacuum drops the flat layout, keeps the live generation and any
     # higher-epoch orphan (in-flight compaction's staging)
-    os.makedirs(f"{p}/gen-000007")
+    os.makedirs(f"{p}/_gen-000007")
     similarity.vacuum_ann_index(spark, p)
     assert not glob.glob(f"{p}/_cluster=*")
-    assert os.path.exists(f"{p}/gen-000001/data")
-    assert os.path.exists(f"{p}/gen-000007")
+    assert os.path.exists(f"{p}/_gen-000001/data")
+    assert os.path.exists(f"{p}/_gen-000007")
     import shutil
 
-    shutil.rmtree(f"{p}/gen-000007")
+    shutil.rmtree(f"{p}/_gen-000007")
 
     # second compaction supersedes; vacuum reclaims gen-1
     similarity.compact_ann_index_safe(spark, p)
-    assert similarity.resolve_ann_root(spark, p).endswith("gen-000002/data")
+    assert similarity.resolve_ann_root(spark, p).endswith("_gen-000002/data")
     similarity.vacuum_ann_index(spark, p)
-    assert not os.path.exists(f"{p}/gen-000001")
+    assert not os.path.exists(f"{p}/_gen-000001")
     still = {t[0] for t in similarity.ivf_topk_at_rest(
         spark, p, cents, q, k=8, nprobe=4).collect()}
     assert extra_id in still
 
     # a fresh overwrite clears every generation and manifest
     similarity.ivf_write(emb_df, cents, p)
-    assert not glob.glob(f"{p}/gen-*") and not glob.glob(f"{p}/manifest-*")
+    assert not glob.glob(f"{p}/_gen-*") and not glob.glob(f"{p}/_manifest-*")
     fresh = sorted(map(tuple, similarity.ivf_topk_at_rest(
         spark, p, cents, q, k=8, nprobe=4).collect()))
     assert fresh == before
@@ -481,16 +481,24 @@ def test_pq_compaction_and_crash_orphan(spark, emb_df, tmp_path):
     before = sorted(map(tuple, similarity.pq_topk_at_rest(
         spark, p, cents, cbs, q, k=8, nprobe=4).collect()))
 
-    # a crashed compaction's orphan: claimed slot, no manifest
-    os.makedirs(f"{p}/gen-000001/data")
+    # a crashed compaction's orphan: claimed slot with REAL DATA in it,
+    # no manifest (r13 review: a populated plain-named orphan used to
+    # raise CONFLICTING_DIRECTORY_STRUCTURES in every flat reader — the
+    # hidden _gen- name makes it invisible to path-root listing)
+    emb_df.filter("vec_id < 8").selectExpr(
+        "vec_id", "embedding", "CAST(0 AS INT) AS _cluster"
+    ).write.partitionBy("_cluster").parquet(f"{p}/_gen-000001/data")
     assert similarity.resolve_ann_root(spark, p) == p  # reader-invisible
+    # the flat probe must neither crash nor see the orphan's rows
+    mid = sorted(map(tuple, similarity.pq_topk_at_rest(
+        spark, p, cents, cbs, q, k=8, nprobe=4).collect()))
+    assert mid == before
 
     similarity.compact_ann_index_safe(spark, p, files_per_cluster=2)
     # slot 1 was taken by the orphan: commit lands at 2, orphan untouched
-    assert similarity.resolve_ann_root(spark, p).endswith("gen-000002/data")
-    assert os.path.exists(f"{p}/gen-000001/data")
-    assert not glob.glob(f"{p}/gen-000001/data/*")  # never written into
-    for d in glob.glob(f"{p}/gen-000002/data/_cluster=*"):
+    assert similarity.resolve_ann_root(spark, p).endswith("_gen-000002/data")
+    assert os.path.exists(f"{p}/_gen-000001/data")
+    for d in glob.glob(f"{p}/_gen-000002/data/_cluster=*"):
         assert len(glob.glob(f"{d}/*.parquet")) <= 2
     after = sorted(map(tuple, similarity.pq_topk_at_rest(
         spark, p, cents, cbs, q, k=8, nprobe=4).collect()))
