@@ -217,7 +217,7 @@ def _cpu_side_channel(start: dict, end: dict) -> dict:
     return sc
 
 
-def _contended(h: dict) -> bool:
+def _contended(h: dict, cpus: int = 32) -> bool:
     """Whole-run contention verdict stamped onto the artifact's host
     block. Steal is the reliable mid-run tripwire (foreign VMs taking
     our cycles); loadavg_start catches a busy launch --require-idle
@@ -225,10 +225,21 @@ def _contended(h: dict) -> bool:
     counts OUR OWN 32 task threads, so any sufficiently parallel suite
     would self-trip a busy threshold and stamp a clean recording
     contended — the exact adjudication error this flag exists to
-    prevent (r13 review)."""
+    prevent (r13 review).
+
+    loadavg1_end closes the remaining blind spot (VERDICT r13 #5): a
+    SAME-KERNEL neighbor landing mid-run contributes zero steal (steal
+    only counts foreign VMs) and is invisible to the start sample. The
+    threshold is cpus/2 — far above the suite's own measured
+    contribution (driver recordings show the suite adds ~+5..7 to a
+    32-core host's 1-min loadavg, consistent with its ~25% busy
+    profile), so a clean run cannot self-trip, while a neighbor big
+    enough to distort timings (>16 runnable tasks on top of ours)
+    cannot end the run unflagged."""
     return bool(
         (h.get("cpu_steal_pct") or 0) > 0.1
         or (h.get("loadavg1_start") or 0) > 1.0
+        or (h.get("loadavg1_end") or 0) > cpus / 2
     )
 
 
@@ -267,10 +278,30 @@ def _refuse_if_busy() -> None:
     )
 
 
+def _parse_args(argv: list[str]) -> dict:
+    """Strict flag parsing (ADVICE r13): the old substring membership
+    check silently ignored a misspelled --require_idle, recording an
+    UNGATED artifact indistinguishable from a gated one. Unknown argv
+    entries are now a hard error, and the artifact is stamped with
+    whether the idle gate actually ran (host.idle_gated) so a gated
+    recording is distinguishable from an ungated one after the fact."""
+    import argparse
+
+    p = argparse.ArgumentParser(prog="bench.py", allow_abbrev=False)
+    p.add_argument(
+        "--require-idle", action="store_true",
+        help="refuse to record on a provably contended host (exit 3)",
+    )
+    ns = p.parse_args(argv)  # unknown flags -> SystemExit(2), no record
+    return {"require_idle": ns.require_idle}
+
+
 def main() -> int:
-    if "--require-idle" in sys.argv[1:] or os.environ.get(
+    opts = _parse_args(sys.argv[1:])
+    idle_gated = opts["require_idle"] or os.environ.get(
         "SPARK_GRAFT_REQUIRE_IDLE"
-    ) == "1":
+    ) == "1"
+    if idle_gated:
         _refuse_if_busy()
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
@@ -533,7 +564,11 @@ def main() -> int:
     # busy ≈ 0, so busy% counts OTHER tenants' cycles once our ~up-to-
     # 100%-of-32-cores share is bounded by what one JVM can take. Flag,
     # don't guess: contended recordings are quoted WITH the flag.
-    out["host"]["contended"] = _contended(out["host"])
+    out["host"]["contended"] = _contended(out["host"], cpus=int(cpus))
+    # provenance: was the idle gate actually armed for this recording?
+    # (ADVICE r13: a typo'd flag used to record an ungated artifact that
+    # looked identical to a gated one)
+    out["host"]["idle_gated"] = bool(idle_gated)
     line = json.dumps(out)
     if len(line) > 1900:  # keep the whole record inside the tail window
         # staged fallback, RE-CHECKED after each stage (ADVICE r10: the

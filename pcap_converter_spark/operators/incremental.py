@@ -328,9 +328,11 @@ def _claim_generation_slot(
         epoch += 1
         if epoch > live + 1000:
             fs.delete(stage_p, True)
+            # epoch has already been incremented past the last slot we
+            # actually probed, so the range end is epoch - 1 (ADVICE r13).
             raise IOError(
                 f"could not claim a generation slot at {path} "
-                f"({gen_prefix}{live + 1:06d}..{gen_prefix}{epoch:06d} "
+                f"({gen_prefix}{live + 1:06d}..{gen_prefix}{epoch - 1:06d} "
                 "all taken)"
             )
 

@@ -4908,12 +4908,17 @@ c4pages AS (
          list_transform(la, x -> trim(x, {_DUCK_LINE_WS})) AS ls
   FROM c4corp),
 c4kept AS (
+  -- gate 7 mirrored from quality.c4_line_clean (ADVICE r13): a page
+  -- beyond max_lines=5000 lines keeps NOTHING (empty kept list), so the
+  -- oracle can't diverge from the operator on an off-fixture giant page
   SELECT doc_id, text, ls,
-         list_filter(ls, (x, i) ->
-           list_position(ls, x) = i
-           AND right(x, 1) IN ('.', '!', '?', '"')
-           AND len(string_split_regex(x, '{_C4_WORD_SPLIT}')) >= 5
-           AND NOT contains(lower(x), 'javascript')) AS kl
+         CASE WHEN len(ls) <= 5000 THEN
+           list_filter(ls, (x, i) ->
+             list_position(ls, x) = i
+             AND right(x, 1) IN ('.', '!', '?', '"')
+             AND len(string_split_regex(x, '{_C4_WORD_SPLIT}')) >= 5
+             AND NOT contains(lower(x), 'javascript'))
+         ELSE CAST([] AS VARCHAR[]) END AS kl
   FROM c4pages),
 c4clean AS (
   SELECT doc_id,

@@ -57,3 +57,42 @@ def test_contended_verdict_logic():
         {"cpu_steal_pct": 0.02, "cpu_busy_pct": 25, "loadavg1_start": 0.3}
     )
     assert not verdict({})
+
+
+def test_contended_flags_midrun_neighbor_via_end_load():
+    """VERDICT r13 #5: a same-kernel neighbor landing mid-run produces
+    NO steal (steal only counts foreign VMs) and an idle start — the
+    end-of-run loadavg is the only trace. Flag when it exceeds cpus/2,
+    far above the suite's own ~+5..7 contribution."""
+    verdict = bench._contended
+    # idle start, no steal, but the run ENDS with 20 runnable tasks on
+    # top of ours: a neighbor landed mid-run
+    assert verdict(
+        {"cpu_steal_pct": 0.0, "loadavg1_start": 0.4, "loadavg1_end": 20.0},
+        cpus=32,
+    )
+    # the suite's own end-load on a clean host (~6-8 on 32 cores) must
+    # never self-trip
+    assert not verdict(
+        {"cpu_steal_pct": 0.0, "loadavg1_start": 0.4, "loadavg1_end": 8.1},
+        cpus=32,
+    )
+    # threshold scales with the core count
+    assert verdict(
+        {"cpu_steal_pct": 0.0, "loadavg1_start": 0.2, "loadavg1_end": 5.0},
+        cpus=8,
+    )
+
+
+def test_bench_rejects_unknown_flags():
+    """ADVICE r13: a misspelled --require_idle must be a hard error, not
+    a silently ungated recording."""
+    with pytest.raises(SystemExit) as ei:
+        bench._parse_args(["--require_idle"])
+    assert ei.value.code == 2
+    with pytest.raises(SystemExit):
+        bench._parse_args(["--requireidle"])
+    with pytest.raises(SystemExit):
+        bench._parse_args(["extra-positional"])
+    assert bench._parse_args(["--require-idle"]) == {"require_idle": True}
+    assert bench._parse_args([]) == {"require_idle": False}

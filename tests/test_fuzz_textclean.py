@@ -228,27 +228,35 @@ _c4_line = st.one_of(
 )
 
 
-def _py_c4_mirror(text: str, min_words: int = 5, min_lines: int = 3):
+def _py_c4_mirror(
+    text: str,
+    min_words: int = 5,
+    min_lines: int = 3,
+    max_lines: int = 5000,
+):
     """Pure-Python mirror of quality.c4_line_clean's EXACT semantics:
     LINE_WS trim (the dedup.line_dedup class — CRLF input must shed the
     trailing \\r), word count via the shared C4_WORD_SPLIT class with
     split(limit=-1) empty-preserving behavior (what F.split compiles
-    to), keep-first on exact trimmed equality."""
+    to), keep-first on exact trimmed equality, and gate 7's max_lines
+    short-circuit (ADVICE r13: the mirror previously lacked the gate,
+    so it diverged from the operator on any >max_lines page)."""
     import re
 
     lines = [ln.strip(LINE_WS) for ln in text.split("\n")]
     kept, seen = [], set()
-    for ln in lines:
-        first = ln not in seen
-        seen.add(ln)
-        wc = len(re.split(C4_WORD_SPLIT, ln))
-        if (
-            first
-            and ln[-1:] in (".", "!", "?", '"')
-            and wc >= min_words
-            and "javascript" not in ln.lower()
-        ):
-            kept.append(ln)
+    if len(lines) <= max_lines:
+        for ln in lines:
+            first = ln not in seen
+            seen.add(ln)
+            wc = len(re.split(C4_WORD_SPLIT, ln))
+            if (
+                first
+                and ln[-1:] in (".", "!", "?", '"')
+                and wc >= min_words
+                and "javascript" not in ln.lower()
+            ):
+                kept.append(ln)
     gated = (
         len(kept) >= min_lines
         and "lorem ipsum" not in text.lower()
@@ -298,6 +306,14 @@ def test_c4_max_lines_gate_bounds_pathological_pages(spark):
     # a page within the bound is untouched by the gate
     assert rows[1]["clean_text"] == normal
     assert rows[1]["n_removed"] == 0
+    # the Python mirror implements the same gate (ADVICE r13), so
+    # operator and mirror agree on BOTH sides of the bound
+    assert (rows[0]["clean_text"], rows[0]["n_removed"]) == _py_c4_mirror(
+        monster
+    )
+    assert (rows[1]["clean_text"], rows[1]["n_removed"]) == _py_c4_mirror(
+        normal
+    )
     # the bound is a parameter: the same monster passes with it raised,
     # proving the gate (not some other rule) was what emptied it
     wide = c4_line_clean(
@@ -308,3 +324,37 @@ def test_c4_max_lines_gate_bounds_pathological_pages(spark):
         max_lines=9,
     ).collect()[0]
     assert wide["clean_text"] == "" and wide["n_removed"] == 10
+
+
+def test_c4_max_lines_gate_mirrored_in_duckdb_oracle():
+    """ADVICE r13: the ex_curate DuckDB oracle must implement gate 7
+    with the operator's exact bound, not merely avoid it by fixture
+    construction — a 5001-line page keeps nothing, a 5000-line page is
+    processed normally."""
+    import duckdb
+
+    sql = """
+    WITH pages AS (
+      SELECT * FROM (VALUES
+        (0, list_transform(range(5001),
+            i -> 'alpha beta gamma delta epsilon ' || i || '.')),
+        (1, list_transform(range(5000),
+            i -> 'alpha beta gamma delta epsilon ' || i || '.'))
+      ) t(doc_id, ls))
+    SELECT doc_id,
+           CASE WHEN len(ls) <= 5000 THEN
+             list_filter(ls, (x, i) ->
+               list_position(ls, x) = i
+               AND right(x, 1) IN ('.', '!', '?', '"'))
+           ELSE CAST([] AS VARCHAR[]) END AS kl
+    FROM pages ORDER BY doc_id
+    """
+    rows = duckdb.sql(sql).fetchall()
+    assert len(rows[0][1]) == 0, "5001-line page must gate to empty"
+    assert len(rows[1][1]) == 5000, "5000-line page must process fully"
+    # and the shipped oracle text actually carries the gate
+    import pcap_converter_spark.operators.registry as reg
+    import inspect
+
+    src = inspect.getsource(reg)
+    assert "WHEN len(ls) <= 5000" in src
