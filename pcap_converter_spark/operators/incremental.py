@@ -425,6 +425,22 @@ def resolve_index_root(spark: SparkSession, path: str) -> str:
 _META_CACHE: dict[tuple[str, str, int], dict] = {}
 
 
+def corpus_index_exists(spark: SparkSession, path: str) -> bool:
+    """True when ``path`` holds a corpus index this build can open: a
+    committed manifest generation, or the legacy flat layout's
+    ``{path}/meta`` table. The streaming ingest hook's cold-start check
+    (VERDICT r13 #3) — one globStatus + at most one exists() call, no
+    Spark job — so an absent index is a clean pre-flight decision
+    (bootstrap or raise) instead of a parquet-read crash inside
+    ``foreachBatch``."""
+    if _live_epoch(spark, path) > 0:
+        return True
+    fs, jvm = _hadoop_fs(spark, path)
+    return bool(
+        fs.exists(jvm.org.apache.hadoop.fs.Path(f"{path}/meta"))
+    )
+
+
 def _meta_mtime(spark: SparkSession, root: str) -> int:
     fs, jvm = _hadoop_fs(spark, root)
     return int(

@@ -41,6 +41,8 @@ def dedup_ingest_hook(
     update: bool = True,
     normalize: str | None = ADOPT,
     prep: str | None = ADOPT,
+    bootstrap: bool = False,
+    bootstrap_opts: dict | None = None,
 ):
     """Build the ``foreachBatch`` function: probe → in-batch exact dedup →
     ``sink(survivors_df, batch_id)`` → index append (append LAST, so a
@@ -63,19 +65,71 @@ def dedup_ingest_hook(
     if the index was built over prepared TEXT (hx=main, c4, …), the
     stream itself must deliver identically prepared text; the adopted
     ``prep`` signature passed to the append documents (and enforces)
-    exactly that claim."""
+    exactly that claim.
+
+    **Cold start** (VERDICT r13 #3): the hook used to assume a pre-built
+    index — on an empty path the first non-empty batch died inside
+    ``foreachBatch`` reading ``{root}/meta``, an awkward failure surface
+    for a stream. Now an absent index is a pre-flight decision: with
+    ``bootstrap=False`` (default) the hook raises a clear error naming
+    the two remedies; with ``bootstrap=True`` the FIRST non-empty batch
+    creates the index via ``write_corpus_index`` from its own survivors
+    (in-batch exact dedup → sink → create, so a sink failure still never
+    leaves keys on disk for undelivered docs, and a failed first batch
+    retries the bootstrap on the next one). Bootstrap requires EXPLICIT
+    ``normalize``/``prep`` (pass ``None`` to mean raw/unrecorded) —
+    there is no meta to ADOPT from, and the values the hook is built
+    with become the new index's recorded contract. ``bootstrap_opts``
+    passes index geometry through to ``write_corpus_index``
+    (``shingle_k``/``num_hashes``/``bands``/``seed``/``tiers``/
+    ``shingle_hash``).
+
+    **Mid-stream rebuilds**: the adopted digest space is pinned on the
+    first non-empty batch, but each later batch re-reads the meta (one
+    mtime-keyed cache hit per batch, no Spark job) and raises with
+    context if the recorded prep signature changed — an index rebuilt
+    under a live stream is a configuration event the operator must see,
+    not a silent digest-space mix or an uncontextualized crash deep in
+    ``extend_corpus_index`` (VERDICT r13 stretch #8)."""
+
+    if bootstrap:
+        if not update:
+            raise ValueError(
+                "bootstrap=True with update=False is contradictory: "
+                "bootstrapping CREATES the index from the first batch, "
+                "which is an index update"
+            )
+        if normalize == ADOPT or prep == ADOPT:
+            raise ValueError(
+                "bootstrap=True requires explicit normalize= and prep= "
+                "(pass None for raw digests / no recorded signature): "
+                "an absent index has no meta to ADOPT from, and the "
+                "values given here become the new index's recorded "
+                "contract"
+            )
 
     # resolved lazily on the first non-empty batch (the hook is built
     # before any SparkSession necessarily exists), then pinned: the meta
-    # is immutable for the life of an index
+    # is immutable for the life of an index GENERATION — later batches
+    # re-read it through the mtime-keyed cache to detect a rebuild
     resolved: dict = {}
 
     def _resolve(spark) -> tuple[str | None, str | None]:
-        if "norm" in resolved:
-            return resolved["norm"], resolved["prep"]
         recorded = incremental.read_index_meta(spark, index_path).get(
             "prep"
         )
+        if "norm" in resolved:
+            if recorded != resolved["recorded"]:
+                raise RuntimeError(
+                    f"corpus index at {index_path} was REBUILT while "
+                    f"this stream was running: its recorded prep "
+                    f"signature changed from {resolved['recorded']!r} "
+                    f"to {recorded!r} after the hook pinned the old "
+                    "digest space on its first batch. Restart the "
+                    "stream so it re-adopts the new index (and re-feed "
+                    "any batches probed against the old one)"
+                )
+            return resolved["norm"], resolved["prep"]
         rec_norm = (
             incremental.parse_prep_signature(recorded)["normalize"]
             if recorded
@@ -94,7 +148,29 @@ def dedup_ingest_hook(
                 )
         resolved["norm"] = norm
         resolved["prep"] = recorded if prep == ADOPT else prep
+        resolved["recorded"] = recorded
         return resolved["norm"], resolved["prep"]
+
+    def _bootstrap(batch: DataFrame, batch_id: int) -> None:
+        """First-batch index creation: in-batch exact dedup in the
+        EXPLICIT digest space, sink, then write_corpus_index from the
+        survivors (create LAST — the same sink-failure safety as the
+        steady-state path's append-last ordering)."""
+        dig = incremental._apply_normalize(
+            batch, text_col, normalize
+        ).select(
+            F.col(id_col),
+            F.sha2(F.col(text_col).cast("binary"), 256).alias("_d"),
+        )
+        first = dig.groupBy("_d").agg(F.min(id_col).alias(id_col))
+        survivors = batch.join(
+            first.select(id_col), id_col
+        ).localCheckpoint(eager=True)
+        sink(survivors, batch_id)
+        incremental.write_corpus_index(
+            survivors, index_path, text_col=text_col, id_col=id_col,
+            prep=prep, normalize=normalize, **(bootstrap_opts or {}),
+        )
 
     def hook(batch: DataFrame, batch_id: int) -> None:
         if batch.isEmpty():
@@ -102,7 +178,21 @@ def dedup_ingest_hook(
             # append would still write empty part-files, feeding the
             # small-files problem compaction exists to clean up
             return
-        norm, prep_sig = _resolve(batch.sparkSession)
+        spark = batch.sparkSession
+        if "norm" not in resolved and not incremental.corpus_index_exists(
+            spark, index_path
+        ):
+            if not bootstrap:
+                raise ValueError(
+                    f"no corpus index at {index_path}: the dedup ingest "
+                    "hook probes an AT-REST index and found none. Either "
+                    "pre-build one (write_corpus_index / `pcap-converter "
+                    "index`) or pass bootstrap=True with explicit "
+                    "normalize=/prep= to create it from the first batch"
+                )
+            _bootstrap(batch, batch_id)
+            return
+        norm, prep_sig = _resolve(spark)
         handles: list = []
         try:
             flags = incremental.flag_against_index(
