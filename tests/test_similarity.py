@@ -503,3 +503,200 @@ def test_pq_compaction_and_crash_orphan(spark, emb_df, tmp_path):
     after = sorted(map(tuple, similarity.pq_topk_at_rest(
         spark, p, cents, cbs, q, k=8, nprobe=4).collect()))
     assert after == before
+
+
+def _blob(rng, anchor, n, eps):
+    a = np.asarray(anchor, dtype=np.float64)
+    a = a / np.linalg.norm(a)
+    pts = a + rng.standard_normal((n, len(a))) * eps
+    return pts / np.linalg.norm(pts, axis=1, keepdims=True)
+
+
+def _recall(spark, emb, path, cents, q, k, nprobe):
+    """At-rest probe recall vs brute-force cosine over the same rows."""
+    got = {
+        r["vec_id"]
+        for r in similarity.ivf_topk_at_rest(
+            spark, path, cents, q, k=k, nprobe=nprobe
+        ).collect()
+    }
+    true = {
+        r["vec_id"]
+        for r in similarity.cosine_topk(emb, q, k=k).collect()
+    }
+    return len(got & true) / k
+
+
+def test_retrain_recovers_recall_on_drifted_index(spark, tmp_path):
+    """VERDICT r13 #2 done-criterion: append a shifted distribution,
+    show probe recall DROPS under the stale centroids, then RECOVERS
+    after retrain_ann_index rewrites the layout under centroids trained
+    on today's data — with the drift visible in ann_drift_report before
+    the retrain and cleared after."""
+    rng = np.random.default_rng(11)
+    dim = 16
+    eye = np.eye(dim)
+    # yesterday's corpus: four tight blobs on basis axes; centroids = axes
+    a_pts = np.concatenate([_blob(rng, eye[i], 12, 0.03) for i in range(4)])
+    cents = eye[:4].copy()
+    a_df = spark.createDataFrame(
+        [(i, [float(x) for x in a_pts[i]]) for i in range(len(a_pts))],
+        "vec_id long, embedding array<double>",
+    )
+    p = str(tmp_path / "drift_ivf")
+    similarity.ivf_write(a_df, cents, p)
+
+    # baseline: freshly trained index reports no drift
+    rep0 = similarity.ann_drift_report(spark, p, id_col="vec_id")
+    assert rep0["recorded"] is not None and not rep0["drifted"]
+
+    # today's appends: a new mode midway between axes 0 and 1, jittered
+    # along (e0 - e1) so its points STRADDLE the c0/c1 boundary — the
+    # exact geometry where stale centroids split true neighbors across
+    # clusters and a pruned probe misses half of them
+    mid = (eye[0] + eye[1]) / np.sqrt(2)
+    tilt = (eye[0] - eye[1]) / np.sqrt(2)
+    b_pts = np.stack([
+        mid + tilt * ((-1) ** i) * 0.08 + rng.standard_normal(dim) * 0.01
+        for i in range(40)
+    ])
+    b_pts /= np.linalg.norm(b_pts, axis=1, keepdims=True)
+    b_df = spark.createDataFrame(
+        [(100 + i, [float(x) for x in b_pts[i]]) for i in range(len(b_pts))],
+        "vec_id long, embedding array<double>",
+    )
+    similarity.ivf_append(b_df, cents, p)
+    everything = a_df.unionByName(b_df)
+
+    rep1 = similarity.ann_drift_report(spark, p, id_col="vec_id")
+    assert rep1["drifted"], rep1
+    assert rep1["mean_max_dot_drop"] > 0.05
+
+    q = [float(x) for x in mid]
+    before = _recall(spark, everything, p, cents, q, k=20, nprobe=1)
+    assert before <= 0.7, f"drifted recall unexpectedly high: {before}"
+
+    new_cents = similarity.retrain_ann_index(
+        spark, p, n_clusters=5, id_col="vec_id", seed=3,
+    )
+    assert new_cents.shape == (5, dim)
+    # the new generation is live, self-describing, and un-drifted
+    assert similarity.resolve_ann_root(spark, p).endswith("_gen-000001/data")
+    rec = similarity.read_ann_centroids(spark, p)
+    assert rec is not None and np.allclose(rec, new_cents)
+    rep2 = similarity.ann_drift_report(spark, p, id_col="vec_id")
+    assert not rep2["drifted"], rep2
+
+    after = _recall(spark, everything, p, new_cents, q, k=20, nprobe=1)
+    assert after >= 0.9, f"retrain did not recover recall: {after}"
+    assert after > before
+
+    # probes on the retrained layout are still partition-pruned
+    import re
+
+    plan = similarity.ivf_topk_at_rest(
+        spark, p, new_cents, q, k=5, nprobe=2
+    )._jdf.queryExecution().executedPlan().toString()
+    m = re.search(r"PartitionFilters: \[([^\]]*)", plan)
+    assert m and "_cluster" in m.group(1)
+
+    # row preservation: every vector of both eras survives the rewrite
+    n_live = spark.read.parquet(
+        similarity.resolve_ann_root(spark, p)
+    ).count()
+    assert n_live == len(a_pts) + len(b_pts)
+
+    # vacuum reclaims the superseded flat layout, probe still answers
+    similarity.vacuum_ann_index(spark, p)
+    import glob
+
+    assert not glob.glob(f"{p}/_cluster=*")
+    assert _recall(spark, everything, p, new_cents, q, 20, 1) == after
+
+
+def test_retrain_answer_invariant_on_undrifted_index(spark, emb_df, tmp_path):
+    """Retraining an UNDRIFTED index must not change probe answers: the
+    live data equals the original training corpus, the sampling contract
+    (orderBy id, limit) is shared with ivf_train, so same seed → same
+    centroids → same assignment → identical probe rows."""
+    p = str(tmp_path / "stable_ivf")
+    cents = similarity.ivf_train(emb_df, n_clusters=4, seed=9)
+    similarity.ivf_write(emb_df, cents, p)
+    q = [float(np.float32(x)) for x in VECS[0]]
+    before = sorted(map(tuple, similarity.ivf_topk_at_rest(
+        spark, p, cents, q, k=8, nprobe=4).collect()))
+
+    new_cents = similarity.retrain_ann_index(
+        spark, p, id_col="vec_id", seed=9
+    )
+    assert new_cents.shape == cents.shape
+    assert np.allclose(new_cents, cents)
+    after = sorted(map(tuple, similarity.ivf_topk_at_rest(
+        spark, p, new_cents, q, k=8, nprobe=4).collect()))
+    assert after == before
+
+    # n_clusters defaulted from the recorded sidecar
+    assert len(similarity.read_ann_centroids(spark, p)) == 4
+
+
+def test_ivf_write_records_sidecars_invisible_to_probes(spark, emb_df, tmp_path):
+    """ivf_write self-describes: centroids + fit stats land as
+    underscore-hidden sidecars that Spark's file listing skips, so the
+    data read sees exactly the data columns."""
+    p = str(tmp_path / "sidecar_ivf")
+    cents = similarity.fixed_centroids(DIM, 4, seed=42)
+    similarity.ivf_write(emb_df, cents, p)
+    rec = similarity.read_ann_centroids(spark, p)
+    assert rec is not None and np.allclose(rec, cents)
+    stats = similarity.read_ann_stats(spark, p)
+    assert stats and stats["n_clusters"] == 4 and 0 < stats["mean_max_dot"] <= 1
+    df = spark.read.parquet(p)
+    assert sorted(df.columns) == ["_cluster", "embedding", "vec_id"]
+    assert df.count() == N
+    # a pre-sidecar index reads back as None, and the drift report
+    # demands explicit centroids rather than guessing
+    import glob
+    import shutil
+
+    for d in glob.glob(f"{p}/_centroids"):
+        shutil.rmtree(d)
+    assert similarity.read_ann_centroids(spark, p) is None
+    with pytest.raises(ValueError, match="no centroids"):
+        similarity.ann_drift_report(spark, p, id_col="vec_id")
+
+
+def test_append_detects_compaction_race(spark, emb_df, tmp_path):
+    """ADVICE r13: an append whose root resolved before a concurrent
+    compaction commits lands in the superseded generation — silent data
+    loss at vacuum. The post-write epoch re-check turns it into a raise
+    naming the remedy (re-run the append)."""
+    cents = similarity.fixed_centroids(DIM, 4, seed=42)
+    p = str(tmp_path / "race_ivf")
+    similarity.ivf_write(emb_df.filter("vec_id < 40"), cents, p)
+
+    real_resolve = similarity.resolve_ann_root
+    fired = {}
+
+    def racing_resolve(spark_, path_):
+        root = real_resolve(spark_, path_)
+        if not fired.get("done"):
+            fired["done"] = True
+            similarity.compact_ann_index_safe(spark_, path_)
+        return root
+
+    similarity.resolve_ann_root, saved = racing_resolve, real_resolve
+    try:
+        with pytest.raises(RuntimeError, match="raced a compaction"):
+            similarity.ivf_append(
+                emb_df.filter("vec_id >= 40"), cents, p
+            )
+    finally:
+        similarity.resolve_ann_root = saved
+
+    # the raise is honest: the live generation does NOT hold the rows,
+    # so the documented remedy (re-run) works and is then visible
+    live = spark.read.parquet(similarity.resolve_ann_root(spark, p))
+    assert live.filter("vec_id >= 40").count() == 0
+    similarity.ivf_append(emb_df.filter("vec_id >= 40"), cents, p)
+    live = spark.read.parquet(similarity.resolve_ann_root(spark, p))
+    assert live.filter("vec_id >= 40").count() == N - 40
