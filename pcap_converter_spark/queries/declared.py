@@ -28,6 +28,31 @@ from pyspark.sql import DataFrame, SparkSession
 
 _REPO_ROOT = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 PACKETS_PARQUET = os.path.join(_REPO_ROOT, "fixtures", "data", "packets.parquet")
+PACKETS_PCAP = os.path.join(_REPO_ROOT, "fixtures", "data", "packets_fixture.pcap")
+
+# decoded-fixture frame per session: PQ1-PQ7 all view the same 2,500 rows,
+# so the pcap is decoded ONCE per SparkSession (localCheckpoint pins the
+# result; entries after the first reuse it with no re-decode)
+_DECODED_PACKETS_CACHE: dict[str, DataFrame] = {}
+
+
+def register_packets_view(spark: SparkSession) -> None:
+    """Register the ``packets`` view from a LIVE decode of the fixture pcap
+    through the real source path (sources/pcap.read_pcap), not from the
+    parquet (VERDICT r13 #4): the parquet now holds the generator's
+    construction-time expected rows (fixtures/gen_packets.py) and feeds only
+    the DuckDB oracle — so every driver run of PQ1-PQ7 hash-compares
+    engine-decoded rows against spec-side ground truth, gating the whole
+    decode stack (S1, E1-E17) end to end, not just the query layer."""
+    key = spark.sparkContext.applicationId
+    df = _DECODED_PACKETS_CACHE.get(key)
+    if df is None:
+        from pcap_converter_spark.sources.pcap import read_pcap
+
+        df, _obs = read_pcap(spark, PACKETS_PCAP)
+        df = df.localCheckpoint(eager=True)
+        _DECODED_PACKETS_CACHE[key] = df
+    df.createOrReplaceTempView("packets")
 
 
 @dataclass(frozen=True)
@@ -604,7 +629,7 @@ def _run_pq4(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pcap_converter_spark.operators.registry import _pcap_stream_table
 
     register_views(spark, sf_dir)
-    spark.read.parquet(PACKETS_PARQUET).createOrReplaceTempView("packets")
+    register_packets_view(spark)
     batch = spark.sql(_PQ4_BODY).withColumn("src", F.lit("batch"))
     streamed = (
         spark.table(_pcap_stream_table(spark))
@@ -644,7 +669,7 @@ def _make_runner(q: Q):
 
         register_views(spark, sf_dir)
         if q.needs_packets:
-            spark.read.parquet(PACKETS_PARQUET).createOrReplaceTempView("packets")
+            register_packets_view(spark)
         return spark.sql(q.spark_sql)
 
     run.__name__ = f"run_{q.name}"
