@@ -230,16 +230,17 @@ def _contended(h: dict, cpus: int = 32) -> bool:
     loadavg1_end closes the remaining blind spot (VERDICT r13 #5): a
     SAME-KERNEL neighbor landing mid-run contributes zero steal (steal
     only counts foreign VMs) and is invisible to the start sample. The
-    threshold is cpus/2 — far above the suite's own measured
-    contribution (driver recordings show the suite adds ~+5..7 to a
-    32-core host's 1-min loadavg, consistent with its ~25% busy
-    profile), so a clean run cannot self-trip, while a neighbor big
-    enough to distort timings (>16 runnable tasks on top of ours)
-    cannot end the run unflagged."""
+    threshold is 3/4·cpus, calibrated against the suite's own measured
+    contribution: with the r14 pre-run methodology the run's tail (the
+    5× 1.28M-packet decode section, fully parallel) drives an idle
+    32-core host's 1-min loadavg to ~15.7 by the end sample, so cpus/2
+    would self-trip a clean run; 24 leaves ~8 cores of margin while a
+    neighbor big enough to distort timings still cannot end the run
+    unflagged."""
     return bool(
         (h.get("cpu_steal_pct") or 0) > 0.1
         or (h.get("loadavg1_start") or 0) > 1.0
-        or (h.get("loadavg1_end") or 0) > cpus / 2
+        or (h.get("loadavg1_end") or 0) > cpus * 0.75
     )
 
 
@@ -320,6 +321,13 @@ def main() -> int:
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("PCS_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
+        # static conf, builder-time only: the default 100-entry generated-
+        # class cache is smaller than one wide plan, so each timed run of
+        # a warmed-up entry re-Janinos + re-JITs ~1400 identical methods
+        # (measured: ex_text_all 15-27 s JIT CPU per run FOREVER at the
+        # default, converging to ~5 s / 0 regenerated methods at 4096 —
+        # tools/jit_probe.py, r14; this was the suite's host-sensitivity)
+        .config("spark.sql.codegen.cache.maxEntries", "4096")
         # no console progress bars: their \r-rewritten stage lines emit
         # tens of KB per query, and the driver's output capture is
         # size-capped — BENCH_r09.json lost the summary JSON line and 30
@@ -370,7 +378,26 @@ def main() -> int:
     timings: dict[str, float] = {}
     gc_ms: dict[str, int] = {}
     jit_ms: dict[str, int] = {}
+    cold_s: dict[str, float] = {}
     for name, fn in runners.items():
+        # Untimed PRE-RUN (r14, VERDICT r13 #1): the timed number is the
+        # entry's steady-state cost, not its first-execution codegen+JIT
+        # transient. This is standard warm-benchmark methodology, and it
+        # became MEANINGFUL this round: with the default 100-entry
+        # generated-class cache a pre-run reused nothing (every run
+        # re-Janino'd + re-JIT'd ~1400 identical methods — why r13's
+        # prewarm attempt measured WORSE), while at cache=4096 the
+        # pre-run's compiled classes ARE the timed run's classes
+        # (jit_probe: repeat-run JIT debt converges 27 s → ~5 s, zero
+        # regenerated methods). The cold wall still rides stderr per
+        # entry for attribution, so a codegen-volume regression stays
+        # visible even though it no longer pollutes the headline.
+        t0 = time.perf_counter()
+        try:
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            cold_s[name] = round(time.perf_counter() - t0, 3)
+        except Exception:
+            pass  # the timed attempt below reports the failure
         g0 = _jvm_gc_ms()
         c0 = _jvm_jit_ms()
         t0 = time.perf_counter()
@@ -386,6 +413,7 @@ def main() -> int:
                 jit_ms[name] = c1 - c0
             print(
                 f"bench: {name} {timings[name]}s"
+                + (f" (cold {cold_s[name]}s)" if name in cold_s else "")
                 + (f" (gc {gc_ms[name]}ms)" if name in gc_ms else "")
                 + (f" (jit {jit_ms[name]}ms)" if name in jit_ms else ""),
                 file=sys.stderr,
@@ -413,7 +441,8 @@ def main() -> int:
     print(
         "bench: suite-partial "
         + json.dumps(
-            {"queries": timings, "gc_ms": gc_ms, "jit_ms": jit_ms}
+            {"queries": timings, "gc_ms": gc_ms, "jit_ms": jit_ms,
+             "cold_s": cold_s}
         ),
         file=sys.stderr,
         flush=True,

@@ -62,24 +62,25 @@ def test_contended_verdict_logic():
 def test_contended_flags_midrun_neighbor_via_end_load():
     """VERDICT r13 #5: a same-kernel neighbor landing mid-run produces
     NO steal (steal only counts foreign VMs) and an idle start — the
-    end-of-run loadavg is the only trace. Flag when it exceeds cpus/2,
-    far above the suite's own ~+5..7 contribution."""
+    end-of-run loadavg is the only trace. Flag when it exceeds 3/4·cpus
+    (calibrated: the suite's own parallel tail legitimately ends an
+    idle 32-core host at ~15.7, so the earlier cpus/2 would self-trip)."""
     verdict = bench._contended
-    # idle start, no steal, but the run ENDS with 20 runnable tasks on
-    # top of ours: a neighbor landed mid-run
+    # idle start, no steal, but the run ENDS with a big neighbor's tasks
+    # on top of ours
     assert verdict(
-        {"cpu_steal_pct": 0.0, "loadavg1_start": 0.4, "loadavg1_end": 20.0},
+        {"cpu_steal_pct": 0.0, "loadavg1_start": 0.4, "loadavg1_end": 25.0},
         cpus=32,
     )
-    # the suite's own end-load on a clean host (~6-8 on 32 cores) must
-    # never self-trip
+    # the suite's own measured end-load on a clean 32-core host (~15.7
+    # under the r14 pre-run methodology) must never self-trip
     assert not verdict(
-        {"cpu_steal_pct": 0.0, "loadavg1_start": 0.4, "loadavg1_end": 8.1},
+        {"cpu_steal_pct": 0.0, "loadavg1_start": 0.4, "loadavg1_end": 15.9},
         cpus=32,
     )
     # threshold scales with the core count
     assert verdict(
-        {"cpu_steal_pct": 0.0, "loadavg1_start": 0.2, "loadavg1_end": 5.0},
+        {"cpu_steal_pct": 0.0, "loadavg1_start": 0.2, "loadavg1_end": 7.0},
         cpus=8,
     )
 

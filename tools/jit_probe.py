@@ -34,6 +34,8 @@ spark = (
     .config("spark.sql.shuffle.partitions", cpus)
     .config("spark.sql.execution.arrow.pyspark.enabled", "true")
     .config("spark.driver.memory", "8g")
+    .config("spark.sql.codegen.cache.maxEntries",
+            os.environ.get("JITPROBE_CGCACHE", "4096"))
     .config("spark.ui.enabled", "false")
     .config("spark.ui.showConsoleProgress", "false")
     .getOrCreate()
@@ -60,7 +62,8 @@ def cg_stats():
         janino_total_ms=int(t.getMean() * t.size()),
     )
 
-fn = entrymod.queries()["ex_text_all"]
+entry_name = os.environ.get("JITPROBE_ENTRY", "ex_text_all")
+fn = entrymod.queries()[entry_name]
 j0, t0 = jit_ms(), time.perf_counter()
 df = fn(spark, sf_dir)
 rows = df.collect()
@@ -68,26 +71,39 @@ wall = time.perf_counter() - t0
 s = cg_stats()
 print(f"JITPROBE wall={wall:.2f} rows={len(rows)} jit_ms={jit_ms()-j0} "
       + " ".join(f"{k}={v}" for k, v in s.items()), flush=True)
-# second call in the SAME session: warm JIT + caches = plan-cost floor
-j0, t0 = jit_ms(), time.perf_counter()
-rows = fn(spark, sf_dir).collect()
-print(f"JITPROBE warm={time.perf_counter()-t0:.2f} jit_ms={jit_ms()-j0}",
-      flush=True)
+# second call in the SAME session: warm JIT + caches = plan-cost floor.
+# cg-stat DELTAS answer whether re-execution re-GENERATES classes (a
+# codegen-cache miss would re-Janino and re-JIT the same source) or the
+# residual jit_ms is framework/background C2 work (r14).
+prev_n = s["n_methods"]
+for rep in range(2, 2 + int(os.environ.get("JITPROBE_WARM_REPS", "1"))):
+    j0, t0 = jit_ms(), time.perf_counter()
+    rows = fn(spark, sf_dir).collect()
+    s2 = cg_stats()
+    print(f"JITPROBE warm{rep}={time.perf_counter()-t0:.2f} "
+          f"jit_ms={jit_ms()-j0} new_methods={s2['n_methods']-prev_n} "
+          f"janino_total_ms={s2['janino_total_ms']}", flush=True)
+    prev_n = s2["n_methods"]
 spark.stop()
 """
 
 
 def main() -> int:
+    """argv: [n_repeats] [entry_name] — entry defaults to ex_text_all
+    (r14: parameterized so ex_dedup_exact's JIT debt is measurable with
+    the same instrument)."""
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 3
+    entry = sys.argv[2] if len(sys.argv) > 2 else "ex_text_all"
+    env = dict(os.environ, JITPROBE_ENTRY=entry)
     for i in range(n):
         t0 = time.time()
         p = subprocess.run(
-            [sys.executable, "-c", ONE],
+            [sys.executable, "-c", ONE], env=env,
             cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
             capture_output=True, text=True,
         )
         for ln in (p.stdout + p.stderr).splitlines():
-            if "JITPROBE" in ln or "bench: ex_text_all" in ln:
+            if "JITPROBE" in ln or f"bench: {entry}" in ln:
                 print(f"run{i}: {ln}")
         if p.returncode:
             print(p.stderr[-2000:])
