@@ -23,6 +23,10 @@ def spark():
         .config("spark.sql.shuffle.partitions", "4")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.ui.enabled", "false")
+        # r14: the default 100-entry generated-class cache thrashes on
+        # wide plans (see session.py) — tests repeat query shapes
+        # constantly, so retaining compiled classes cuts suite wall time
+        .config("spark.sql.codegen.cache.maxEntries", "4096")
         .getOrCreate()
     )
     apply_runtime_confs(s)
