@@ -279,6 +279,43 @@ def _refuse_if_busy() -> None:
     )
 
 
+def _stall_guarded(spark, label: str, fn, budget_s: float = 300.0):
+    """Stall guard (r14): one observed recording hung mid-entry for ~6
+    minutes and the whole artifact died to the outer timeout — a total
+    loss where a single flagged entry would do. A watchdog cancels ALL
+    Spark jobs once an entry exceeds ``budget_s`` (50× the slowest
+    legitimate sf0.1 entry), which makes the entry's action raise; the
+    caller's try/except marks it failed (-1) and the suite keeps
+    recording. Driver-side hangs outside any Spark job (a stuck
+    System.gc, a py4j wedge) are beyond its reach — those still need
+    the outer timeout."""
+    import threading
+
+    done = threading.Event()
+
+    def watchdog():
+        if not done.wait(budget_s):
+            print(
+                f"bench: STALL {label} exceeded {budget_s}s — "
+                "cancelling Spark jobs",
+                file=sys.stderr, flush=True,
+            )
+            try:
+                spark.sparkContext.cancelAllJobs()
+            except Exception:
+                pass
+
+    t = threading.Thread(
+        target=watchdog, name=f"bench-stall-{label}", daemon=True
+    )
+    t.start()
+    try:
+        return fn()
+    finally:
+        done.set()
+        t.join(timeout=1)
+
+
 def _parse_args(argv: list[str]) -> dict:
     """Strict flag parsing (ADVICE r13): the old substring membership
     check silently ignored a misspelled --require_idle, recording an
@@ -379,6 +416,10 @@ def main() -> int:
     gc_ms: dict[str, int] = {}
     jit_ms: dict[str, int] = {}
     cold_s: dict[str, float] = {}
+
+    def _guarded(label: str, fn):
+        return _stall_guarded(spark, label, fn)
+
     for name, fn in runners.items():
         # Untimed PRE-RUN (r14, VERDICT r13 #1): the timed number is the
         # entry's steady-state cost, not its first-execution codegen+JIT
@@ -394,7 +435,11 @@ def main() -> int:
         # visible even though it no longer pollutes the headline.
         t0 = time.perf_counter()
         try:
-            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            _guarded(
+                f"{name}:cold",
+                lambda: fn(spark, sf_dir).write.format("noop")
+                .mode("overwrite").save(),
+            )
             cold_s[name] = round(time.perf_counter() - t0, 3)
         except Exception:
             pass  # the timed attempt below reports the failure
@@ -403,7 +448,10 @@ def main() -> int:
         t0 = time.perf_counter()
         try:
             df = fn(spark, sf_dir)
-            df.write.format("noop").mode("overwrite").save()
+            _guarded(
+                name,
+                lambda: df.write.format("noop").mode("overwrite").save(),
+            )
             timings[name] = round(time.perf_counter() - t0, 3)
             g1 = _jvm_gc_ms()
             if g0 is not None and g1 is not None:

@@ -97,3 +97,38 @@ def test_bench_rejects_unknown_flags():
         bench._parse_args(["extra-positional"])
     assert bench._parse_args(["--require-idle"]) == {"require_idle": True}
     assert bench._parse_args([]) == {"require_idle": False}
+
+
+def test_stall_guard_cancels_hung_entry(spark):
+    """r14: a wedged entry must cost ONE flagged entry, not the whole
+    artifact — the watchdog cancels the Spark jobs after the budget and
+    the entry's action raises; a fast entry passes through untouched
+    with its result intact."""
+    import time as _t
+
+    import pytest as _pt
+    from py4j.protocol import Py4JJavaError
+
+    # fast path: result returned, watchdog never fires
+    assert bench._stall_guarded(spark, "fast", lambda: 42, budget_s=5.0) == 42
+
+    # hung path: tasks that sleep for an hour — only a cancellation can
+    # end this job. Budget 3 s so the stage is definitely RUNNING when
+    # the watchdog fires (a cancel during planning is a no-op).
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    def _sleepy(s):
+        _t.sleep(3600)
+        return s
+
+    _sleepy.__annotations__ = {"s": pd.Series, "return": pd.Series}
+    sleepy = pandas_udf("long")(_sleepy)
+
+    def long_job():
+        return spark.range(8, numPartitions=4).select(sleepy("id")).collect()
+
+    t0 = _t.monotonic()
+    with _pt.raises(Py4JJavaError):
+        bench._stall_guarded(spark, "hung", long_job, budget_s=3.0)
+    assert _t.monotonic() - t0 < 120, "cancel did not interrupt the job"
