@@ -243,6 +243,7 @@ def ivf_train(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 42,
+    sample_order: str = "id",
 ) -> np.ndarray:
     """Train spherical-kmeans centroids for an IVF index.
 
@@ -251,11 +252,17 @@ def ivf_train(
     size) and Lloyd iterations run in NumPy. Returns L2-normalized
     centroids (n_clusters × dim); assignment by max dot product is then
     cosine assignment.
-    """
-    rows = (
-        df.orderBy(id_col).limit(sample_size).select(vec_col).collect()
+
+    ``sample_order`` picks the deterministic sample: ``"id"`` (lowest
+    ids — the original contract, kept as the default because the
+    oracle-gated entries pin its exact centroids) or ``"hash"``
+    (xxhash64-ordered — a REPRESENTATIVE pseudo-random sample; on a
+    corpus whose ids correlate with arrival time, id-order trains on
+    the OLDEST vectors only, which is exactly wrong for retraining a
+    drifted index — see ``retrain_ann_index``, r14 review)."""
+    m = _sample_vectors(
+        df, vec_col, sample_size, id_col=id_col, order=sample_order
     )
-    m = np.stack([np.asarray(r[0], dtype=np.float64) for r in rows])
     m /= np.linalg.norm(m, axis=1, keepdims=True)
     rng = np.random.default_rng(seed)
     centroids = m[rng.choice(len(m), size=min(n_clusters, len(m)), replace=False)]
@@ -1250,12 +1257,30 @@ def centroid_fit_stats(m: np.ndarray, centroids: np.ndarray) -> dict:
 
 
 def _sample_vectors(
-    df: DataFrame, vec_col: str, n: int, id_col: str | None = None
+    df: DataFrame,
+    vec_col: str,
+    n: int,
+    id_col: str | None = None,
+    order: str = "id",
 ) -> np.ndarray:
     """Bounded driver-side sample (the ivf_train contract: a few
     thousand rows regardless of corpus size; deterministic when an
-    ``id_col`` gives an order)."""
-    s = df.orderBy(id_col) if id_col else df
+    ``id_col`` gives an order).
+
+    ``order="hash"`` sorts by ``xxhash64(id)`` instead of raw id — a
+    deterministic PSEUDO-RANDOM sample. This matters whenever ids
+    correlate with arrival time: the id-ordered sample is the OLDEST
+    n vectors, i.e. the original training distribution, so a drift
+    report built on it is structurally blind to drifted APPENDS (high
+    ids) and a retrain fed by it re-learns yesterday's centroids
+    (r14 review — caught before release by the biased-sample test)."""
+    if order not in ("id", "hash"):
+        raise ValueError(f"sample_order must be 'id' or 'hash', got {order!r}")
+    if id_col is not None:
+        key = F.xxhash64(F.col(id_col)) if order == "hash" else F.col(id_col)
+        s = df.orderBy(key)
+    else:
+        s = df
     rows = s.limit(n).select(vec_col).collect()
     return np.stack([np.asarray(r[0], dtype=np.float64) for r in rows])
 
@@ -1361,7 +1386,12 @@ def ann_drift_report(
             )
     root = resolve_ann_root(spark, path)
     live = spark.read.parquet(root)
-    m = _sample_vectors(live, vec_col, sample_size, id_col=id_col)
+    # hash-ordered: a drift report sampled in id order would see only
+    # the OLDEST vectors — the training distribution itself — and stay
+    # structurally blind to drifted appends (r14 review)
+    m = _sample_vectors(
+        live, vec_col, sample_size, id_col=id_col, order="hash"
+    )
     current = centroid_fit_stats(m, centroids)
     recorded = read_ann_stats(spark, path)
     report = {
@@ -1397,9 +1427,17 @@ def retrain_ann_index(
     vec_col: str = "embedding",
     files_per_cluster: int = 1,
     seed: int = 42,
+    sample_order: str = "hash",
 ) -> np.ndarray:
     """Retrain + rebalance a drifted at-rest IVF index into a NEW
     generation and return the new centroids.
+
+    ``sample_order`` defaults to ``"hash"`` — the whole point of a
+    retrain is to learn TODAY'S distribution, and on any index whose
+    ids correlate with arrival time the id-ordered sample is exactly
+    yesterday's (r14 review): it would re-learn the stale centroids
+    and declare victory. ``"id"`` remains available for exact-
+    reproduction scenarios (tests pin it).
 
     The drift remedy ``ivf_append`` documents but could not perform:
     ``compact_ann_index_safe`` rewrites *files* under the OLD centroids,
@@ -1455,6 +1493,7 @@ def retrain_ann_index(
     centroids = ivf_train(
         body, n_clusters=n_clusters, sample_size=sample_size,
         n_iters=n_iters, id_col=id_col, vec_col=vec_col, seed=seed,
+        sample_order=sample_order,
     )
     assigned = assign_clusters(body, centroids, vec_col)
     if files_per_cluster <= 1:
@@ -1467,7 +1506,9 @@ def retrain_ann_index(
     stage_root = f"{path}/.genstage.{_uuid.uuid4().hex}.tmp"
     write_partitioned(assigned, f"{stage_root}/data", ["_cluster"])
     _write_ann_centroids(spark, f"{stage_root}/data", centroids)
-    sample = _sample_vectors(body, vec_col, sample_size, id_col=id_col)
+    sample = _sample_vectors(
+        body, vec_col, sample_size, id_col=id_col, order=sample_order
+    )
     _write_ann_stats(
         spark, f"{stage_root}/data", centroid_fit_stats(sample, centroids)
     )

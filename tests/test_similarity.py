@@ -626,8 +626,11 @@ def test_retrain_answer_invariant_on_undrifted_index(spark, emb_df, tmp_path):
     before = sorted(map(tuple, similarity.ivf_topk_at_rest(
         spark, p, cents, q, k=8, nprobe=4).collect()))
 
+    # sample_order="id" pins exact reproduction of the original train
+    # (the default "hash" samples representatively — right for real
+    # drift, but a different sample permutation than ivf_train's)
     new_cents = similarity.retrain_ann_index(
-        spark, p, id_col="vec_id", seed=9
+        spark, p, id_col="vec_id", seed=9, sample_order="id"
     )
     assert new_cents.shape == cents.shape
     assert np.allclose(new_cents, cents)
@@ -700,3 +703,67 @@ def test_append_detects_compaction_race(spark, emb_df, tmp_path):
     similarity.ivf_append(emb_df.filter("vec_id >= 40"), cents, p)
     live = spark.read.parquet(similarity.resolve_ann_root(spark, p))
     assert live.filter("vec_id >= 40").count() == N - 40
+
+
+def test_drift_report_sample_is_not_id_biased(spark, tmp_path):
+    """r14 review: on an index whose ids correlate with arrival time,
+    an id-ordered sample is the OLDEST vectors — the training
+    distribution itself — so a drift report built on it is structurally
+    blind to drifted appends. The report samples hash-ordered: drift
+    living ONLY beyond the sample budget's id range must still be seen."""
+    rng = np.random.default_rng(23)
+    dim = 16
+    eye = np.eye(dim)
+    n_old, n_new, budget = 5000, 2500, 1024
+    old = np.concatenate(
+        [_blob(rng, eye[i], n_old // 4, 0.03) for i in range(4)]
+    )
+    cents = eye[:4].copy()
+    old_df = spark.createDataFrame(
+        [(i, [float(x) for x in old[i]]) for i in range(n_old)],
+        "vec_id long, embedding array<double>",
+    )
+    p = str(tmp_path / "bias_ivf")
+    similarity.ivf_write(old_df, cents, p)
+
+    # drifted appends at STRICTLY HIGHER ids, a full third of the corpus
+    mid = (eye[2] + eye[3]) / np.sqrt(2)
+    new = _blob(rng, mid, n_new, 0.02)
+    new_df = spark.createDataFrame(
+        [(n_old + i, [float(x) for x in new[i]]) for i in range(n_new)],
+        "vec_id long, embedding array<double>",
+    )
+    similarity.ivf_append(new_df, cents, p)
+
+    # the id-ordered sample under the same budget sees ZERO drifted rows
+    root = similarity.resolve_ann_root(spark, p)
+    live = spark.read.parquet(root)
+    blind = similarity._sample_vectors(
+        live, "embedding", budget, id_col="vec_id", order="id"
+    )
+    blind_stats = similarity.centroid_fit_stats(blind, cents)
+    rec = similarity.read_ann_stats(spark, p)
+    assert rec["mean_max_dot"] - blind_stats["mean_max_dot"] <= 0.02, (
+        "id-ordered sample unexpectedly saw the drift — fixture broken"
+    )
+
+    # the report (hash-ordered) flags it
+    rep = similarity.ann_drift_report(
+        spark, p, id_col="vec_id", sample_size=budget
+    )
+    assert rep["drifted"], rep
+    assert rep["mean_max_dot_drop"] > 0.05
+
+    # and a default retrain LEARNS the new mode: a budget-bounded,
+    # hash-ordered training sample must place a centroid near it
+    new_cents = similarity.retrain_ann_index(
+        spark, p, n_clusters=5, id_col="vec_id",
+        sample_size=budget, seed=3,
+    )
+    best = float(np.max(new_cents @ (mid / np.linalg.norm(mid))))
+    assert best > 0.95, f"no centroid near the drifted mode: {best}"
+    # invalid order rejected
+    with pytest.raises(ValueError, match="sample_order"):
+        similarity._sample_vectors(
+            live, "embedding", 8, id_col="vec_id", order="rand"
+        )
