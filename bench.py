@@ -295,6 +295,11 @@ def _stall_guarded(spark, label: str, fn, budget_s: float = 300.0):
 
     def watchdog():
         if not done.wait(budget_s):
+            if done.is_set():
+                # the entry finished in the microseconds since wait()
+                # returned — cancelling now would hit the NEXT entry's
+                # jobs on the shared context (r14 review)
+                return
             print(
                 f"bench: STALL {label} exceeded {budget_s}s — "
                 "cancelling Spark jobs",
@@ -447,10 +452,15 @@ def main() -> int:
         c0 = _jvm_jit_ms()
         t0 = time.perf_counter()
         try:
-            df = fn(spark, sf_dir)
+            # the whole entry — construction (which can run eager jobs,
+            # e.g. the packets-view decode checkpoint) AND the action —
+            # sits inside the guard, so a wedge anywhere in it is
+            # cancellable (r14 review: guarding only the write left the
+            # construction jobs as an unguarded total-loss path)
             _guarded(
                 name,
-                lambda: df.write.format("noop").mode("overwrite").save(),
+                lambda: fn(spark, sf_dir).write.format("noop")
+                .mode("overwrite").save(),
             )
             timings[name] = round(time.perf_counter() - t0, 3)
             g1 = _jvm_gc_ms()
@@ -475,7 +485,6 @@ def main() -> int:
         # reference dies AND a JVM GC runs; without this, one entry's heap
         # debt lands as a GC pause inside the NEXT entry's timing (measured:
         # ex_json_extract 9.5 s mid-suite vs 1.3 s isolated).
-        df = None
         gc.collect()
         try:
             spark._jvm.System.gc()

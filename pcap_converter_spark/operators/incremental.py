@@ -565,10 +565,6 @@ def extend_corpus_index(
     callers that manage preparation themselves."""
     docs = _apply_normalize(docs, text_col, normalize)
     spark = docs.sparkSession
-    # sampled before ANY root resolution (the meta read resolves too),
-    # so the race window the post-write re-check guards covers the whole
-    # call, not just the write
-    epoch_before = _live_epoch(spark, path)
     if prep is not None:
         check_prep_compatible(spark, path, prep)
     meta = read_index_meta(spark, path)
@@ -595,14 +591,22 @@ def extend_corpus_index(
         sb.select("band", "band_hash", "doc_id").write.mode("append").parquet(
             f"{root}/bands"
         )
-    epoch_after = _live_epoch(spark, path)
-    if epoch_after != epoch_before:
+    # race check compares the generation we actually WROTE INTO against
+    # the post-write live epoch (not before/after samples — r14 review:
+    # a commit landing between an epoch sample and the root resolution
+    # would otherwise falsely raise on a write that reached the NEW
+    # generation, and the re-run remedy would duplicate the keys)
+    rel = root[len(path):].strip("/")
+    head = rel.split("/")[0] if rel else ""
+    wrote = int(head[len("gen-"):]) if head.startswith("gen-") else 0
+    live = _live_epoch(spark, path)
+    if wrote != live:
         raise RuntimeError(
-            f"corpus index append at {path} raced a compaction: the live "
-            f"epoch advanced {epoch_before} → {epoch_after} during the "
-            "write, so the appended keys landed in a SUPERSEDED "
-            "generation and would be dropped at the next vacuum. Re-run "
-            "the append — the new live generation does not contain them"
+            f"corpus index append at {path} raced a compaction: the keys "
+            f"were written into generation {wrote} but the live "
+            f"generation is now {live} — a SUPERSEDED layout that the "
+            "next vacuum drops. Re-run the append — the live generation "
+            "does not contain them"
         )
 
 

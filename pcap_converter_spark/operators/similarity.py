@@ -380,25 +380,41 @@ def ivf_topk(
 
 
 
-def _raise_if_append_raced(spark, path: str, epoch_before: int) -> None:
+def _root_epoch(path: str, root: str, gen_prefix: str) -> int:
+    """Which generation a resolved root belongs to: the epoch parsed
+    from its ``{gen_prefix}NNNNNN`` path component, or 0 for the flat
+    layout (root == path)."""
+    rel = root[len(path):].strip("/")
+    head = rel.split("/")[0] if rel else ""
+    if head.startswith(gen_prefix):
+        return int(head[len(gen_prefix):].split("-")[-1])
+    return 0
+
+
+def _raise_if_append_raced(spark, path: str, written_root: str) -> None:
     """Detect the append-vs-compaction race the layout's docstrings
-    forbid (ADVICE r13): if the live epoch advanced while this append
-    was writing, the rows landed in a generation that has been (or will
-    be) superseded — vacuum would drop them SILENTLY. Raising turns that
-    into a visible, retryable failure: the new generation never saw the
-    rows, so re-running the append against the new live root is a clean
-    remedy."""
+    forbid (ADVICE r13): if the generation we actually WROTE INTO is no
+    longer the live one, the rows landed in a superseded layout — vacuum
+    would drop them SILENTLY. Raising turns that into a visible,
+    retryable failure: the new generation never saw the rows, so
+    re-running the append against the new live root is a clean remedy.
+
+    The comparison is written-root-epoch vs post-write live epoch (NOT
+    before/after epoch samples — r14 review: a compaction committing
+    between an epoch sample and the root resolution makes the append
+    land correctly in the NEW generation, and a before/after check would
+    falsely raise and its re-run remedy would then DUPLICATE the rows)."""
     from pcap_converter_spark.operators.incremental import _live_epoch
 
-    epoch_after = _live_epoch(spark, path, manifest_prefix=_ANN_MANIFEST)
-    if epoch_after != epoch_before:
+    wrote = _root_epoch(path, written_root, _ANN_GEN)
+    live = _live_epoch(spark, path, manifest_prefix=_ANN_MANIFEST)
+    if wrote != live:
         raise RuntimeError(
-            f"ANN append at {path} raced a compaction/retrain: the live "
-            f"epoch advanced {epoch_before} → {epoch_after} during the "
-            "write, so the appended rows landed in a SUPERSEDED "
-            "generation and would be dropped at the next vacuum. Re-run "
-            "the append — the new live generation does not contain "
-            "these rows"
+            f"ANN append at {path} raced a compaction/retrain: the rows "
+            f"were written into generation {wrote} but the live "
+            f"generation is now {live} — a SUPERSEDED layout that the "
+            "next vacuum drops. Re-run the append — the live generation "
+            "does not contain these rows"
         )
 
 
@@ -422,6 +438,7 @@ def ivf_write(
     out: str,
     vec_col: str = "embedding",
     files_per_cluster: int = 1,
+    id_col: str = "vec_id",
 ) -> None:
     """Materialize the IVF index AT REST: assign each row its nearest
     centroid and write Hive-partitioned by ``_cluster``. This is the write
@@ -461,10 +478,22 @@ def ivf_write(
         assigned = assigned.repartition(_F.col("_cluster"), salt)
     write_partitioned(assigned, out, ["_cluster"])
     _write_ann_centroids(df.sparkSession, out, centroids)
-    sample = _sample_vectors(df, vec_col, 4096)
-    _write_ann_stats(
-        df.sparkSession, out, centroid_fit_stats(sample, centroids)
+    # baseline stats from the SAME hash-ordered sampling the drift
+    # report uses (r14 review: an unordered limit() collects whatever
+    # partitions answer first — typically ONE data mode — and comparing
+    # a one-mode baseline with the report's representative sample makes
+    # the drift verdict unreliable in both directions). Falls back to
+    # unordered when the frame has no id column; an empty corpus writes
+    # no stats (nothing to baseline) rather than crashing post-write.
+    sample = _sample_vectors(
+        df, vec_col, 4096,
+        id_col=id_col if id_col in df.columns else None,
+        order="hash" if id_col in df.columns else "id",
     )
+    if len(sample):
+        _write_ann_stats(
+            df.sparkSession, out, centroid_fit_stats(sample, centroids)
+        )
 
 
 def ivf_append(
@@ -493,11 +522,9 @@ def ivf_append(
     from pyspark.sql import functions as _F
 
     from pcap_converter_spark.io.sinks import write_partitioned
-    from pcap_converter_spark.operators.incremental import _live_epoch
 
     path = out
     spark = df.sparkSession
-    epoch_before = _live_epoch(spark, path, manifest_prefix=_ANN_MANIFEST)
     out = resolve_ann_root(spark, out)  # append into the LIVE generation
     assigned = assign_clusters(df, centroids, vec_col)
     if files_per_cluster <= 1:
@@ -508,7 +535,7 @@ def ivf_append(
         )
         assigned = assigned.repartition(_F.col("_cluster"), salt)
     write_partitioned(assigned, out, ["_cluster"], mode="append")
-    _raise_if_append_raced(spark, path, epoch_before)
+    _raise_if_append_raced(spark, path, out)
 
 
 def pq_append(
@@ -523,11 +550,8 @@ def pq_append(
     the EXISTING codebooks and append their (id, vnorm, code) rows —
     byte-compatible with every earlier row, so the ADC probe needs no
     version logic. Post-write epoch re-check as in ``ivf_append``."""
-    from pcap_converter_spark.operators.incremental import _live_epoch
-
     path = out
     spark = df.sparkSession
-    epoch_before = _live_epoch(spark, path, manifest_prefix=_ANN_MANIFEST)
     out = resolve_ann_root(spark, out)  # append into the LIVE generation
     assigned = assign_clusters(df, centroids, vec_col)
     coded = pq_assign(assigned, codebooks, vec_col)
@@ -538,7 +562,7 @@ def pq_append(
         "_cluster",
     ).repartition(F.col("_cluster"))
     slim.write.mode("append").partitionBy("_cluster").parquet(out)
-    _raise_if_append_raced(spark, path, epoch_before)
+    _raise_if_append_raced(spark, path, out)
 
 
 def ivf_topk_at_rest(
@@ -1282,6 +1306,8 @@ def _sample_vectors(
     else:
         s = df
     rows = s.limit(n).select(vec_col).collect()
+    if not rows:
+        return np.zeros((0, 0))
     return np.stack([np.asarray(r[0], dtype=np.float64) for r in rows])
 
 
@@ -1365,10 +1391,13 @@ def ann_drift_report(
     sample_size: int = 4096,
 ) -> dict:
     """Cheap answer to "is it time to retrain?": sample the LIVE
-    generation (bounded collect, the ivf_train contract), fit it against
-    the probe centroids, and compare with the fit recorded at
-    train/retrain time. No full scan, no shuffle — safe to run on a
-    schedule against a 100-TB index.
+    generation, fit it against the probe centroids, and compare with the
+    fit recorded at train/retrain time. Cost shape: ONE column-pruned
+    pass over (id, vector) with a per-partition top-n heap and a bounded
+    driver collect — no shuffle, no full sort, nothing proportional to
+    row count comes to the driver. (It does READ the two columns once;
+    "cheap" means bounded memory and no shuffle, not a metadata-only
+    operation — r14 review.)
 
     Returns ``{current, recorded, mean_max_dot_drop, size_cv_ratio,
     drifted}``; ``recorded`` is None (and ``drifted`` judges nothing)
@@ -1392,6 +1421,10 @@ def ann_drift_report(
     m = _sample_vectors(
         live, vec_col, sample_size, id_col=id_col, order="hash"
     )
+    if len(m) == 0:
+        raise ValueError(
+            f"ANN index at {path} holds no vectors — nothing to report"
+        )
     current = centroid_fit_stats(m, centroids)
     recorded = read_ann_stats(spark, path)
     report = {

@@ -30,12 +30,6 @@ _REPO_ROOT = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__f
 PACKETS_PARQUET = os.path.join(_REPO_ROOT, "fixtures", "data", "packets.parquet")
 PACKETS_PCAP = os.path.join(_REPO_ROOT, "fixtures", "data", "packets_fixture.pcap")
 
-# decoded-fixture frame per session: PQ1-PQ7 all view the same 2,500 rows,
-# so the pcap is decoded ONCE per SparkSession (localCheckpoint pins the
-# result; entries after the first reuse it with no re-decode)
-_DECODED_PACKETS_CACHE: dict[str, DataFrame] = {}
-
-
 def register_packets_view(spark: SparkSession) -> None:
     """Register the ``packets`` view from a LIVE decode of the fixture pcap
     through the real source path (sources/pcap.read_pcap), not from the
@@ -43,15 +37,22 @@ def register_packets_view(spark: SparkSession) -> None:
     construction-time expected rows (fixtures/gen_packets.py) and feeds only
     the DuckDB oracle — so every driver run of PQ1-PQ7 hash-compares
     engine-decoded rows against spec-side ground truth, gating the whole
-    decode stack (S1, E1-E17) end to end, not just the query layer."""
-    key = spark.sparkContext.applicationId
-    df = _DECODED_PACKETS_CACHE.get(key)
+    decode stack (S1, E1-E17) end to end, not just the query layer.
+
+    The decoded frame is cached ON the session object itself (PQ1-PQ7 all
+    view the same 2,500 rows — one localCheckpointed decode per session,
+    later entries reuse it). Per-OBJECT, not per-applicationId (r14
+    review): a sibling ``spark.newSession()`` shares the appId but has an
+    ISOLATED temp-view catalog, so an appId-keyed cache would register
+    the view into the wrong session's catalog; the attribute also dies
+    with the session instead of outliving it in a module dict."""
+    df = getattr(spark, "_pcs_packets_df", None)
     if df is None:
         from pcap_converter_spark.sources.pcap import read_pcap
 
         df, _obs = read_pcap(spark, PACKETS_PCAP)
         df = df.localCheckpoint(eager=True)
-        _DECODED_PACKETS_CACHE[key] = df
+        spark._pcs_packets_df = df
     df.createOrReplaceTempView("packets")
 
 

@@ -105,7 +105,7 @@ def get_spark(
         )
         if explicit or not user.contains(k):
             builder = builder.config(k, v)
-    if master is None and not SparkConf().contains("spark.master"):
+    if master is None and not user.contains("spark.master"):
         master = "local[*]"
     if master is not None:
         builder = builder.master(master)

@@ -811,3 +811,44 @@ def test_cli_retrain_ann(spark, tmp_path):
     assert n == len(pts) + len(b)
     # and the retrained baseline reads as un-drifted
     assert main(["retrain", "--ann", p, "--report-only"]) == 0
+
+
+def test_cli_retrain_legacy_index_without_sidecars(spark, tmp_path, capsys):
+    """r14 review: the very indexes retrain exists for — written before
+    the _centroids sidecar — must still retrain from the shell: the
+    drift report degrades to a report_unavailable note instead of
+    blocking, while --report-only (whose output IS the report) errors."""
+    import glob
+    import shutil
+
+    import numpy as np
+    import pytest
+
+    from pcap_converter_spark.operators import similarity as sim
+
+    rng = np.random.default_rng(9)
+    pts = rng.standard_normal((60, 8))
+    pts /= np.linalg.norm(pts, axis=1, keepdims=True)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in pts[i]]) for i in range(60)],
+        "vec_id long, embedding array<double>",
+    )
+    p = str(tmp_path / "legacy_annidx")
+    sim.ivf_write(df, np.eye(8)[:4].copy(), p)
+    # age it back to the pre-sidecar layout
+    shutil.rmtree(f"{p}/_centroids")
+    import os
+
+    os.remove(f"{p}/_ann_stats.json")
+    assert sim.read_ann_centroids(spark, p) is None
+
+    with pytest.raises(SystemExit):
+        main(["retrain", "--ann", p, "--report-only"])
+
+    assert main(["retrain", "--ann", p, "--seed", "5"]) == 0
+    out = capsys.readouterr().out
+    assert "report_unavailable" in out
+    # retrained generation is live and NOW self-describing
+    assert glob.glob(f"{p}/_manifest-*")
+    cents = sim.read_ann_centroids(spark, p)
+    assert cents is not None and cents.shape == (4, 8)

@@ -112,9 +112,14 @@ def test_live_decode_view_feeds_pq_queries(spark):
     n = spark.sql("SELECT count(*) AS n FROM packets").collect()[0]["n"]
     assert n == 2500
     # second registration reuses the session cache (same checkpointed plan)
-    from pcap_converter_spark.queries import declared
-
-    key = spark.sparkContext.applicationId
-    cached = declared._DECODED_PACKETS_CACHE[key]
+    cached = spark._pcs_packets_df
     register_packets_view(spark)
-    assert declared._DECODED_PACKETS_CACHE[key] is cached
+    assert spark._pcs_packets_df is cached
+    # a sibling session (same appId, ISOLATED temp-view catalog) gets its
+    # own decode registered into ITS catalog (r14 review: an appId-keyed
+    # cache registered the view into the wrong session)
+    sib = spark.newSession()
+    register_packets_view(sib)
+    assert sib._pcs_packets_df is not cached
+    n2 = sib.sql("SELECT count(*) AS n FROM packets").collect()[0]["n"]
+    assert n2 == 2500

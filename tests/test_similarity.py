@@ -767,3 +767,32 @@ def test_drift_report_sample_is_not_id_biased(spark, tmp_path):
         similarity._sample_vectors(
             live, "embedding", 8, id_col="vec_id", order="rand"
         )
+
+
+def test_append_not_fooled_when_write_lands_in_new_generation(spark, emb_df, tmp_path):
+    """r14 review: a compaction committing BEFORE the append resolves its
+    root means the write lands in the NEW live generation — correct, and
+    it must NOT raise (a before/after epoch compare would falsely raise
+    here, and its re-run remedy would duplicate every appended row)."""
+    cents = similarity.fixed_centroids(DIM, 4, seed=42)
+    p = str(tmp_path / "norace_ivf")
+    similarity.ivf_write(emb_df.filter("vec_id < 40"), cents, p)
+
+    real_resolve = similarity.resolve_ann_root
+    fired = {}
+
+    def compact_then_resolve(spark_, path_):
+        if not fired.get("done"):
+            fired["done"] = True
+            similarity.compact_ann_index_safe(spark_, path_)
+        return real_resolve(spark_, path_)  # resolves the NEW generation
+
+    similarity.resolve_ann_root, saved = compact_then_resolve, real_resolve
+    try:
+        similarity.ivf_append(emb_df.filter("vec_id >= 40"), cents, p)
+    finally:
+        similarity.resolve_ann_root = saved
+
+    live = spark.read.parquet(similarity.resolve_ann_root(spark, p))
+    assert live.count() == N            # no loss, no duplicates
+    assert live.filter("vec_id >= 40").count() == N - 40
