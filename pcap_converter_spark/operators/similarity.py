@@ -568,7 +568,7 @@ def pq_append(
 def ivf_topk_at_rest(
     spark,
     index_path: str,
-    centroids: np.ndarray,
+    centroids: np.ndarray | None,
     query_vec: list[float],
     k: int = 10,
     nprobe: int = 4,
@@ -578,7 +578,12 @@ def ivf_topk_at_rest(
     """Probe a materialized IVF index: rank the literal centroids against
     the query, scan ONLY the nprobe nearest cluster directories (the
     ``_cluster IN (...)`` filter is a static partition filter — Catalyst
-    prunes the other directories before any I/O), score, take k."""
+    prunes the other directories before any I/O), score, take k.
+
+    ``centroids=None`` recovers the probe geometry from the index's own
+    ``_centroids`` sidecar (r14) — a new session, a crash, or a
+    different team probes the index with nothing but its path."""
+    centroids = _resolve_centroids(spark, index_path, centroids)
     q = np.asarray(query_vec, dtype=np.float64)
     q = q / np.linalg.norm(q)
     probes = [int(p) for p in np.argsort(-(centroids @ q))[:nprobe]]
@@ -912,13 +917,18 @@ def pq_write(
         salt = F.pmod(F.xxhash64(F.col("pq_code")), F.lit(int(files_per_cluster)))
         slim = slim.repartition(F.col("_cluster"), salt)
     write_partitioned(slim, out, ["_cluster"])
+    # self-description (r14): the PQ layout is DOUBLY dependent on
+    # driver-held geometry (coarse centroids AND codebooks — codes are
+    # meaningless without them), so both ride as hidden sidecars
+    _write_ann_centroids(df.sparkSession, out, centroids)
+    _write_ann_codebooks(df.sparkSession, out, codebooks)
 
 
 def pq_topk_at_rest(
     spark,
     index_path: str,
-    centroids: np.ndarray,
-    codebooks: np.ndarray,
+    centroids: np.ndarray | None,
+    codebooks: np.ndarray | None,
     query_vec: list[float],
     k: int = 10,
     nprobe: int = 4,
@@ -934,7 +944,19 @@ def pq_topk_at_rest(
     against the literal query slice; no raw vectors are read because none
     are stored. Approximate on two axes (cluster pruning + quantization);
     recall is pytest-bounded with trained codebooks, while the driver
-    oracle re-derives these exact mechanics."""
+    oracle re-derives these exact mechanics.
+
+    ``centroids=None`` / ``codebooks=None`` recover the geometry from
+    the layout's own sidecars (r14) — PQ codes are meaningless without
+    their codebooks, so the at-rest layout carries both."""
+    centroids = _resolve_centroids(spark, index_path, centroids)
+    if codebooks is None:
+        codebooks = read_ann_codebooks(spark, index_path)
+        if codebooks is None:
+            raise ValueError(
+                f"no codebooks recorded at {index_path} and none were "
+                "passed — pass the PQ codebooks explicitly"
+            )
     probes, score = _pq_probe_score(centroids, codebooks, query_vec, nprobe)
     index = _open_index(spark, index_path)
     return (
@@ -1190,6 +1212,9 @@ def compact_ann_index_safe(
     cents = read_ann_centroids(spark, path)
     if cents is not None:
         _write_ann_centroids(spark, f"{stage_root}/data", cents)
+    cbs = read_ann_codebooks(spark, path)
+    if cbs is not None:
+        _write_ann_codebooks(spark, f"{stage_root}/data", cbs)
     stats = read_ann_stats(spark, path)
     if stats is not None:
         _write_ann_stats(spark, f"{stage_root}/data", stats)
@@ -1234,6 +1259,7 @@ def vacuum_ann_index(spark, path: str) -> None:
         f"{path}/_cluster=*",
         f"{path}/_SUCCESS",
         f"{path}/{ANN_CENTROIDS_DIR}",
+        f"{path}/{ANN_CODEBOOKS_DIR}",
         f"{path}/{ANN_STATS_FILE}",
     ):
         for st in fs.globStatus(jvm.org.apache.hadoop.fs.Path(pat)) or []:
@@ -1360,6 +1386,71 @@ def _write_ann_centroids(spark, root: str, centroids: np.ndarray) -> None:
     ).coalesce(1).write.mode("overwrite").parquet(
         f"{root}/{ANN_CENTROIDS_DIR}"
     )
+
+
+ANN_CODEBOOKS_DIR = "_codebooks"
+
+
+def _resolve_centroids(spark, index_path, centroids) -> np.ndarray:
+    """Explicit centroids win; None falls back to the index's own
+    ``_centroids`` sidecar, raising a named error when the layout
+    predates it. Paths only — a DataFrame index has no sidecar."""
+    if centroids is not None:
+        return centroids
+    if not isinstance(index_path, str):
+        raise ValueError(
+            "centroids=None requires a PATH index (sidecar lookup); "
+            "pass centroids explicitly for a DataFrame index"
+        )
+    rec = read_ann_centroids(spark, index_path)
+    if rec is None:
+        raise ValueError(
+            f"no centroids recorded at {index_path} and none were "
+            "passed — pass the probe centroids explicitly"
+        )
+    return rec
+
+
+def _write_ann_codebooks(spark, root: str, codebooks: np.ndarray) -> None:
+    """Persist the PQ codebooks (m × ks × dsub) with the codes they
+    decode — one row per (subspace, code) pair, underscore-hidden like
+    the centroid sidecar."""
+    m, ks, _ = codebooks.shape
+    rows = [
+        (j, k, [float(x) for x in codebooks[j][k]])
+        for j in range(m)
+        for k in range(ks)
+    ]
+    spark.createDataFrame(
+        rows, "sub int, code int, centroid array<double>"
+    ).coalesce(1).write.mode("overwrite").parquet(
+        f"{root}/{ANN_CODEBOOKS_DIR}"
+    )
+
+
+def read_ann_codebooks(spark, path: str) -> np.ndarray | None:
+    """The codebooks recorded with the LIVE generation (m × ks × dsub),
+    or None for a layout written before the sidecar existed."""
+    from pcap_converter_spark.operators.incremental import _hadoop_fs
+
+    root = resolve_ann_root(spark, path)
+    fs, jvm = _hadoop_fs(spark, root)
+    if not fs.exists(
+        jvm.org.apache.hadoop.fs.Path(f"{root}/{ANN_CODEBOOKS_DIR}")
+    ):
+        return None
+    rows = (
+        spark.read.parquet(f"{root}/{ANN_CODEBOOKS_DIR}")
+        .orderBy("sub", "code")
+        .collect()
+    )
+    m = max(r["sub"] for r in rows) + 1
+    ks = max(r["code"] for r in rows) + 1
+    dsub = len(rows[0]["centroid"])
+    out = np.zeros((m, ks, dsub))
+    for r in rows:
+        out[r["sub"]][r["code"]] = np.asarray(r["centroid"], dtype=np.float64)
+    return out
 
 
 def read_ann_centroids(spark, path: str) -> np.ndarray | None:

@@ -796,3 +796,51 @@ def test_append_not_fooled_when_write_lands_in_new_generation(spark, emb_df, tmp
     live = spark.read.parquet(similarity.resolve_ann_root(spark, p))
     assert live.count() == N            # no loss, no duplicates
     assert live.filter("vec_id >= 40").count() == N - 40
+
+
+def test_probes_recover_geometry_from_sidecars(spark, emb_df, tmp_path):
+    """r14: an index is probe-able with nothing but its path — IVF
+    centroids and PQ codebooks ride as sidecars, survive compaction,
+    and centroids=None/codebooks=None probes answer identically to
+    explicitly-passed geometry."""
+    q = [float(np.float32(x)) for x in VECS[0]]
+    cents = similarity.fixed_centroids(DIM, 4, seed=42)
+
+    p = str(tmp_path / "selfdesc_ivf")
+    similarity.ivf_write(emb_df, cents, p)
+    withc = sorted(map(tuple, similarity.ivf_topk_at_rest(
+        spark, p, cents, q, k=6, nprobe=3).collect()))
+    wo = sorted(map(tuple, similarity.ivf_topk_at_rest(
+        spark, p, None, q, k=6, nprobe=3).collect()))
+    assert wo == withc
+
+    cbs = similarity.pq_train(emb_df, m=4, ks=16, sample_size=60)
+    pp = str(tmp_path / "selfdesc_pq")
+    similarity.pq_write(emb_df, cents, cbs, pp)
+    rec_cbs = similarity.read_ann_codebooks(spark, pp)
+    assert rec_cbs is not None and np.allclose(rec_cbs, cbs)
+    a = sorted(map(tuple, similarity.pq_topk_at_rest(
+        spark, pp, cents, cbs, q, k=6, nprobe=4).collect()))
+    b = sorted(map(tuple, similarity.pq_topk_at_rest(
+        spark, pp, None, None, q, k=6, nprobe=4).collect()))
+    assert a == b
+
+    # sidecars survive compaction + vacuum; stored data untouched
+    similarity.compact_ann_index_safe(spark, pp)
+    similarity.vacuum_ann_index(spark, pp)
+    c = sorted(map(tuple, similarity.pq_topk_at_rest(
+        spark, pp, None, None, q, k=6, nprobe=4).collect()))
+    assert c == a
+    stored = spark.read.parquet(similarity.resolve_ann_root(spark, pp))
+    assert set(stored.columns) == {"vec_id", "vnorm", "pq_code", "_cluster"}
+
+    # clear errors when geometry is genuinely unrecoverable
+    import shutil
+
+    shutil.rmtree(
+        f"{similarity.resolve_ann_root(spark, pp)}/_codebooks"
+    )
+    with pytest.raises(ValueError, match="no codebooks"):
+        similarity.pq_topk_at_rest(spark, pp, None, None, q, k=3)
+    with pytest.raises(ValueError, match="DataFrame index"):
+        similarity.ivf_topk_at_rest(spark, emb_df, None, q, k=3)
