@@ -132,3 +132,14 @@ def test_stall_guard_cancels_hung_entry(spark):
     with _pt.raises(Py4JJavaError):
         bench._stall_guarded(spark, "hung", long_job, budget_s=3.0)
     assert _t.monotonic() - t0 < 120, "cancel did not interrupt the job"
+
+
+def test_machine_speed_probe_returns_plausible_ms():
+    """r14: the direct machine-speed probe (fixed matmul workload) must
+    return a small positive best-of-3 wall time — the artifact's
+    attribution lever for slow-machine recordings that every other
+    side-channel (steal, loadavg, constant /proc MHz) misses."""
+    a = bench._machine_speed_ms()
+    b = bench._machine_speed_ms()
+    assert a is not None and 0.5 < a < 5000
+    assert b is not None and 0.5 < b < 5000
