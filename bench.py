@@ -214,12 +214,17 @@ def _machine_speed_ms() -> float | None:
     try:
         import numpy as _np
 
-        a = _np.random.default_rng(0).standard_normal((512, 512))
+        base = _np.random.default_rng(0).standard_normal((512, 512))
         best = None
         for _ in range(3):
+            a = base.copy()  # every rep times the SAME numeric regime
             t0 = time.perf_counter()
             for _ in range(10):
-                a = a @ a * 1e-3  # renormalize to keep values finite
+                a = a @ a
+                # true renormalization: keep entries O(1) so no rep ever
+                # drifts into zeros/denormals (a constant-factor scale
+                # underflowed to exact zero by iteration 7 — r14 review)
+                a /= _np.abs(a).max() + 1e-300
             dt = (time.perf_counter() - t0) * 1000
             best = dt if best is None or dt < best else best
         return round(best, 1)
@@ -308,37 +313,43 @@ def _refuse_if_busy() -> None:
 def _stall_guarded(spark, label: str, fn, budget_s: float = 300.0):
     """Stall guard (r14): one observed recording hung mid-entry for ~6
     minutes and the whole artifact died to the outer timeout — a total
-    loss where a single flagged entry would do. A watchdog cancels ALL
-    Spark jobs once an entry exceeds ``budget_s`` (50× the slowest
-    legitimate sf0.1 entry), which makes the entry's action raise; the
-    caller's try/except marks it failed (-1) and the suite keeps
-    recording. Driver-side hangs outside any Spark job (a stuck
-    System.gc, a py4j wedge) are beyond its reach — those still need
-    the outer timeout."""
+    loss where a single flagged entry would do. The entry runs under its
+    own JOB GROUP; a watchdog cancels THAT GROUP once the entry exceeds
+    ``budget_s`` (50× the slowest legitimate sf0.1 entry), which makes
+    the entry's action raise; the caller's try/except marks it failed
+    (-1) and the suite keeps recording.
+
+    Group-scoped cancellation (r14 review) makes a LATE cancel harmless
+    by construction: even if the watchdog's py4j call lands after the
+    entry finished and the next entry started, it names the finished
+    entry's group — cancelAllJobs here could have killed the next
+    entry's jobs on the shared context. Out of reach by design: jobs
+    submitted from an entry's own helper threads (they don't inherit
+    the driver thread-local group) and driver-side hangs outside any
+    Spark job (a stuck System.gc, a py4j wedge) — those still need the
+    outer timeout."""
     import threading
 
     done = threading.Event()
+    group = f"bench-entry-{label}"
 
     def watchdog():
-        if not done.wait(budget_s):
-            if done.is_set():
-                # the entry finished in the microseconds since wait()
-                # returned — cancelling now would hit the NEXT entry's
-                # jobs on the shared context (r14 review)
-                return
+        if not done.wait(budget_s) and not done.is_set():
             print(
                 f"bench: STALL {label} exceeded {budget_s}s — "
-                "cancelling Spark jobs",
+                f"cancelling job group {group}",
                 file=sys.stderr, flush=True,
             )
             try:
-                spark.sparkContext.cancelAllJobs()
+                spark.sparkContext.cancelJobGroup(group)
             except Exception:
                 pass
 
     t = threading.Thread(
         target=watchdog, name=f"bench-stall-{label}", daemon=True
     )
+    spark.sparkContext.setJobGroup(group, "bench stall guard",
+                                   interruptOnCancel=True)
     t.start()
     try:
         return fn()

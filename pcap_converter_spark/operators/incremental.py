@@ -390,6 +390,19 @@ def _vacuum_generations(
                 fs.delete(s.getPath(), True)
 
 
+def _root_epoch(path: str, root: str, gen_prefix: str = "gen-") -> int:
+    """Which generation a resolved root belongs to: the epoch parsed
+    from its ``{gen_prefix}NNNNNN`` path component, or 0 for the flat
+    layout (root == path). Shared by the corpus index and (via import)
+    the ANN layouts' append-race checks — one parse, not two drifting
+    copies (r14 review)."""
+    rel = root[len(path):].strip("/")
+    head = rel.split("/")[0] if rel else ""
+    if head.startswith(gen_prefix):
+        return int(head[len(gen_prefix):])
+    return 0
+
+
 def resolve_index_root(spark: SparkSession, path: str) -> str:
     """The directory holding the LIVE table dirs. A freshly written index
     is flat (``{path}/exact`` …); after ``compact_corpus_index_safe`` the
@@ -596,9 +609,7 @@ def extend_corpus_index(
     # a commit landing between an epoch sample and the root resolution
     # would otherwise falsely raise on a write that reached the NEW
     # generation, and the re-run remedy would duplicate the keys)
-    rel = root[len(path):].strip("/")
-    head = rel.split("/")[0] if rel else ""
-    wrote = int(head[len("gen-"):]) if head.startswith("gen-") else 0
+    wrote = _root_epoch(path, root)
     live = _live_epoch(spark, path)
     if wrote != live:
         raise RuntimeError(

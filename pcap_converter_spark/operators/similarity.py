@@ -263,6 +263,17 @@ def ivf_train(
     m = _sample_vectors(
         df, vec_col, sample_size, id_col=id_col, order=sample_order
     )
+    return _kmeans(m, n_clusters, n_iters, seed)
+
+
+def _kmeans(
+    m: np.ndarray, n_clusters: int, n_iters: int, seed: int
+) -> np.ndarray:
+    """The Lloyd core over an already-collected sample matrix — split out
+    (r14 review) so retrain_ann_index can sample ONCE and feed both the
+    training and the recorded fit stats, instead of running two identical
+    TakeOrdered scans of the index."""
+    m = np.array(m, dtype=np.float64)
     m /= np.linalg.norm(m, axis=1, keepdims=True)
     rng = np.random.default_rng(seed)
     centroids = m[rng.choice(len(m), size=min(n_clusters, len(m)), replace=False)]
@@ -380,17 +391,6 @@ def ivf_topk(
 
 
 
-def _root_epoch(path: str, root: str, gen_prefix: str) -> int:
-    """Which generation a resolved root belongs to: the epoch parsed
-    from its ``{gen_prefix}NNNNNN`` path component, or 0 for the flat
-    layout (root == path)."""
-    rel = root[len(path):].strip("/")
-    head = rel.split("/")[0] if rel else ""
-    if head.startswith(gen_prefix):
-        return int(head[len(gen_prefix):].split("-")[-1])
-    return 0
-
-
 def _raise_if_append_raced(spark, path: str, written_root: str) -> None:
     """Detect the append-vs-compaction race the layout's docstrings
     forbid (ADVICE r13): if the generation we actually WROTE INTO is no
@@ -404,7 +404,10 @@ def _raise_if_append_raced(spark, path: str, written_root: str) -> None:
     between an epoch sample and the root resolution makes the append
     land correctly in the NEW generation, and a before/after check would
     falsely raise and its re-run remedy would then DUPLICATE the rows)."""
-    from pcap_converter_spark.operators.incremental import _live_epoch
+    from pcap_converter_spark.operators.incremental import (
+        _live_epoch,
+        _root_epoch,
+    )
 
     wrote = _root_epoch(path, written_root, _ANN_GEN)
     live = _live_epoch(spark, path, manifest_prefix=_ANN_MANIFEST)
@@ -438,7 +441,7 @@ def ivf_write(
     out: str,
     vec_col: str = "embedding",
     files_per_cluster: int = 1,
-    id_col: str = "vec_id",
+    id_col: str | None = None,
 ) -> None:
     """Materialize the IVF index AT REST: assign each row its nearest
     centroid and write Hive-partitioned by ``_cluster``. This is the write
@@ -485,10 +488,30 @@ def ivf_write(
     # the drift verdict unreliable in both directions). Falls back to
     # unordered when the frame has no id column; an empty corpus writes
     # no stats (nothing to baseline) rather than crashing post-write.
+    # id_col contract (r14 review): an EXPLICIT id_col that is absent is
+    # a caller error, not a silent fallback to the one-data-mode
+    # unordered sample this round fixed; the default (None) auto-uses
+    # 'vec_id' when present and warns when no id exists at all, so the
+    # degraded baseline is at least visible.
+    if id_col is not None and id_col not in df.columns:
+        raise ValueError(
+            f"ivf_write: id_col={id_col!r} not in {df.columns} — pass a "
+            "real id column (or omit it to auto-detect 'vec_id')"
+        )
+    eff_id = id_col or ("vec_id" if "vec_id" in df.columns else None)
+    if eff_id is None:
+        import warnings
+
+        warnings.warn(
+            "ivf_write: no id column — the recorded drift baseline comes "
+            "from an UNORDERED sample (often a single data mode); pass "
+            "id_col= for the representative hash-ordered baseline the "
+            "drift report compares against",
+            stacklevel=2,
+        )
     sample = _sample_vectors(
-        df, vec_col, 4096,
-        id_col=id_col if id_col in df.columns else None,
-        order="hash" if id_col in df.columns else "id",
+        df, vec_col, 4096, id_col=eff_id,
+        order="hash" if eff_id else "id",
     )
     if len(sample):
         _write_ann_stats(
@@ -583,11 +606,10 @@ def ivf_topk_at_rest(
     ``centroids=None`` recovers the probe geometry from the index's own
     ``_centroids`` sidecar (r14) — a new session, a crash, or a
     different team probes the index with nothing but its path."""
-    centroids = _resolve_centroids(spark, index_path, centroids)
+    index, centroids = _open_with_geometry(spark, index_path, centroids)
     q = np.asarray(query_vec, dtype=np.float64)
     q = q / np.linalg.norm(q)
     probes = [int(p) for p in np.argsort(-(centroids @ q))[:nprobe]]
-    index = _open_index(spark, index_path)
     return (
         index.filter(F.col("_cluster").isin(probes))
         .select(
@@ -949,16 +971,10 @@ def pq_topk_at_rest(
     ``centroids=None`` / ``codebooks=None`` recover the geometry from
     the layout's own sidecars (r14) — PQ codes are meaningless without
     their codebooks, so the at-rest layout carries both."""
-    centroids = _resolve_centroids(spark, index_path, centroids)
-    if codebooks is None:
-        codebooks = read_ann_codebooks(spark, index_path)
-        if codebooks is None:
-            raise ValueError(
-                f"no codebooks recorded at {index_path} and none were "
-                "passed — pass the PQ codebooks explicitly"
-            )
+    index, centroids, codebooks = _open_with_geometry(
+        spark, index_path, centroids, codebooks
+    )
     probes, score = _pq_probe_score(centroids, codebooks, query_vec, nprobe)
-    index = _open_index(spark, index_path)
     return (
         index.filter(F.col("_cluster").isin(probes))
         .select(F.col(id_col), F.round(score, 4).alias("cos_sim"))
@@ -1391,24 +1407,44 @@ def _write_ann_centroids(spark, root: str, centroids: np.ndarray) -> None:
 ANN_CODEBOOKS_DIR = "_codebooks"
 
 
-def _resolve_centroids(spark, index_path, centroids) -> np.ndarray:
-    """Explicit centroids win; None falls back to the index's own
-    ``_centroids`` sidecar, raising a named error when the layout
-    predates it. Paths only — a DataFrame index has no sidecar."""
-    if centroids is not None:
-        return centroids
+def _open_with_geometry(spark, index_path, centroids, codebooks=...):
+    """Resolve the live generation ONCE and read the data frame plus any
+    missing geometry from that SAME root (r14 review: resolving per
+    artifact could hand a probe gen-N centroids with gen-N+1 data across
+    a concurrent retrain commit — silently wrong partition choices).
+    Explicit geometry wins and skips the sidecar reads entirely.
+
+    Returns (index_df, centroids[, codebooks]). ``codebooks=...`` means
+    the caller is an IVF probe and no codebooks are returned."""
+    want_cb = codebooks is not ...
+    if centroids is not None and (not want_cb or codebooks is not None):
+        return (
+            (_open_index(spark, index_path), centroids, codebooks)
+            if want_cb
+            else (_open_index(spark, index_path), centroids)
+        )
     if not isinstance(index_path, str):
         raise ValueError(
-            "centroids=None requires a PATH index (sidecar lookup); "
-            "pass centroids explicitly for a DataFrame index"
+            "recovering geometry from sidecars requires a PATH index; "
+            "pass centroids/codebooks explicitly for a DataFrame index"
         )
-    rec = read_ann_centroids(spark, index_path)
-    if rec is None:
-        raise ValueError(
-            f"no centroids recorded at {index_path} and none were "
-            "passed — pass the probe centroids explicitly"
-        )
-    return rec
+    root = resolve_ann_root(spark, index_path)
+    if centroids is None:
+        centroids = _read_centroids_at(spark, root)
+        if centroids is None:
+            raise ValueError(
+                f"no centroids recorded at {index_path} and none were "
+                "passed — pass the probe centroids explicitly"
+            )
+    if want_cb and codebooks is None:
+        codebooks = _read_codebooks_at(spark, root)
+        if codebooks is None:
+            raise ValueError(
+                f"no codebooks recorded at {index_path} and none were "
+                "passed — pass the PQ codebooks explicitly"
+            )
+    df = spark.read.parquet(root)
+    return (df, centroids, codebooks) if want_cb else (df, centroids)
 
 
 def _write_ann_codebooks(spark, root: str, codebooks: np.ndarray) -> None:
@@ -1428,12 +1464,14 @@ def _write_ann_codebooks(spark, root: str, codebooks: np.ndarray) -> None:
     )
 
 
-def read_ann_codebooks(spark, path: str) -> np.ndarray | None:
-    """The codebooks recorded with the LIVE generation (m × ks × dsub),
-    or None for a layout written before the sidecar existed."""
+def _read_codebooks_at(spark, root: str) -> np.ndarray | None:
+    """Codebook sidecar read from an ALREADY-RESOLVED root (probes that
+    recover their geometry resolve the live generation once and read the
+    sidecars AND the data from that same root — resolving per artifact
+    could mix generations across a concurrent retrain commit, r14
+    review)."""
     from pcap_converter_spark.operators.incremental import _hadoop_fs
 
-    root = resolve_ann_root(spark, path)
     fs, jvm = _hadoop_fs(spark, root)
     if not fs.exists(
         jvm.org.apache.hadoop.fs.Path(f"{root}/{ANN_CODEBOOKS_DIR}")
@@ -1453,13 +1491,24 @@ def read_ann_codebooks(spark, path: str) -> np.ndarray | None:
     return out
 
 
+def read_ann_codebooks(spark, path: str) -> np.ndarray | None:
+    """The codebooks recorded with the LIVE generation (m × ks × dsub),
+    or None for a layout written before the sidecar existed."""
+    return _read_codebooks_at(spark, resolve_ann_root(spark, path))
+
+
 def read_ann_centroids(spark, path: str) -> np.ndarray | None:
     """The centroids recorded with the LIVE generation (ordered by
     cluster id), or None for an index written before the sidecar
     existed."""
+    return _read_centroids_at(spark, resolve_ann_root(spark, path))
+
+
+def _read_centroids_at(spark, root: str) -> np.ndarray | None:
+    """Centroid sidecar read from an ALREADY-RESOLVED root (see
+    _read_codebooks_at for why probes resolve once)."""
     from pcap_converter_spark.operators.incremental import _hadoop_fs
 
-    root = resolve_ann_root(spark, path)
     fs, jvm = _hadoop_fs(spark, root)
     if not fs.exists(
         jvm.org.apache.hadoop.fs.Path(f"{root}/{ANN_CENTROIDS_DIR}")
@@ -1614,11 +1663,13 @@ def retrain_ann_index(
             ) + 1
     data_cols = [c for c in live.columns if c != "_cluster"]
     body = live.select(*data_cols)
-    centroids = ivf_train(
-        body, n_clusters=n_clusters, sample_size=sample_size,
-        n_iters=n_iters, id_col=id_col, vec_col=vec_col, seed=seed,
-        sample_order=sample_order,
+    # ONE bounded sample feeds both the training and the recorded fit
+    # stats (r14 review: ivf_train re-collecting the identical sample
+    # doubled the dominant read cost of a large-index retrain)
+    sample = _sample_vectors(
+        body, vec_col, sample_size, id_col=id_col, order=sample_order
     )
+    centroids = _kmeans(sample, n_clusters, n_iters, seed)
     assigned = assign_clusters(body, centroids, vec_col)
     if files_per_cluster <= 1:
         assigned = assigned.repartition(F.col("_cluster"))
@@ -1630,9 +1681,6 @@ def retrain_ann_index(
     stage_root = f"{path}/.genstage.{_uuid.uuid4().hex}.tmp"
     write_partitioned(assigned, f"{stage_root}/data", ["_cluster"])
     _write_ann_centroids(spark, f"{stage_root}/data", centroids)
-    sample = _sample_vectors(
-        body, vec_col, sample_size, id_col=id_col, order=sample_order
-    )
     _write_ann_stats(
         spark, f"{stage_root}/data", centroid_fit_stats(sample, centroids)
     )
