@@ -506,6 +506,167 @@ def _cmd_compact(argv: list[str]) -> int:
     return 0
 
 
+def _cmd_ingest(argv: list[str]) -> int:
+    """ingest: the continuous-acquisition front door (r14). Watch a
+    directory for new document files, dedup each micro-batch against the
+    at-rest corpus index (streaming/ingest.dedup_ingest_hook: probe →
+    in-batch exact dedup → sink → index append), append the survivors to
+    a parquet artifact, and exit when caught up (availableNow — cron it).
+    A doc arriving today is deduplicated against every earlier drain AND
+    every batch-built snapshot sharing the index.
+
+    Prep: only the MAP-ONLY stages compose onto a stream (encoding
+    repair, C4 line rules, digest normalization); an index whose
+    recorded prep includes the corpus-level stages (line/substring
+    dedup) cannot be streamed against — run batch `curate`. With no prep
+    flags the recorded map-only prep is ADOPTed, the `_reconcile_prep`
+    move."""
+    import json as _json
+
+    ap = argparse.ArgumentParser(prog="pcap-converter-spark ingest")
+    ap.add_argument("--input", required=True,
+                    help="directory watched for new document files")
+    ap.add_argument("--format", default="jsonl",
+                    choices=["jsonl", "parquet"],
+                    help="document file format (WARC drops go through "
+                         "batch `curate` — the stream face carries raw "
+                         "records, not documents)")
+    ap.add_argument("--index", required=True,
+                    help="at-rest corpus index (write_corpus_index / "
+                         "`index` subcommand), or the path to create "
+                         "with --bootstrap")
+    ap.add_argument("--out", required=True,
+                    help="survivors parquet directory (append)")
+    ap.add_argument("--checkpoint", default=None,
+                    help="stream checkpoint dir (default "
+                         "{out}/_ingest_checkpoint — keep it stable "
+                         "across cron runs for exactly-once drains)")
+    ap.add_argument("--threshold", type=float, default=0.7,
+                    help="near-dup Jaccard threshold for the index "
+                         "probe (default 0.7)")
+    ap.add_argument("--no-update", action="store_true",
+                    help="probe only: survivors are delivered but their "
+                         "keys are NOT appended to the index")
+    ap.add_argument("--bootstrap", action="store_true",
+                    help="create the index from the first batch when "
+                         "absent (records THIS invocation's prep flags "
+                         "as the new index's contract)")
+    ap.add_argument("--fix-encoding", action="store_true",
+                    help="repair UTF-8-as-cp1252 mojibake (map-only)")
+    ap.add_argument("--c4-clean", action="store_true",
+                    help="C4 page-local line rules (map-only)")
+    ap.add_argument("--normalize-digests", default=None,
+                    choices=["ccnet"],
+                    help="digest normalized text in probe/append")
+    ap.add_argument("-j", type=int, default=None, metavar="N")
+    ap.add_argument("-v", "--verbose", action="store_true")
+    args = ap.parse_args(argv)
+
+    spark = _spark_for(args)
+    from pcap_converter_spark.operators import incremental as inc
+    from pcap_converter_spark.operators.pipeline import prepare_text
+    from pcap_converter_spark.streaming.ingest import run_dedup_ingest
+
+    exists = inc.corpus_index_exists(spark, args.index)
+    if not exists and not args.bootstrap:
+        raise SystemExit(
+            f"error: no corpus index at {args.index} — build one first "
+            "(`index` subcommand) or pass --bootstrap to create it from "
+            "the first batch"
+        )
+
+    flags_given = bool(
+        args.fix_encoding or args.c4_clean or args.normalize_digests
+    )
+    prep_sig = None
+    if exists:
+        recorded = inc.read_index_meta(spark, args.index).get("prep")
+        if recorded is not None and not flags_given:
+            vals = inc.parse_prep_signature(recorded)
+            if vals["line_dedup_min_docs"] or vals["substring_dedup"]:
+                raise SystemExit(
+                    f"error: index at {args.index} records corpus-level "
+                    f"prep ({recorded}) — line/substring dedup cannot be "
+                    "applied per micro-batch without changing their "
+                    "semantics; ingest this corpus through batch "
+                    "`curate` instead"
+                )
+            args.fix_encoding = vals["fix_encoding"]
+            args.c4_clean = vals["c4_rules"]
+            args.normalize_digests = vals["normalize"]
+            # adopt the RECORDED signature verbatim (it may carry fields
+            # the stream cannot re-derive, e.g. hx=main from a WARC-built
+            # index whose extraction already happened upstream of these
+            # files) — rebuilding it here would fail extend's equality
+            # check on exactly those fields
+            prep_sig = recorded
+            print(
+                f"note: adopting the index's text-prep flags ({recorded})",
+                file=sys.stderr,
+            )
+    if prep_sig is None:
+        prep_sig = inc.prep_signature(
+            args.fix_encoding, None, None,
+            html_extract="text", c4_rules=args.c4_clean,
+            normalize=args.normalize_digests,
+        )
+
+    if args.format == "jsonl":
+        from pcap_converter_spark.sources.jsonl import read_jsonl_docs_stream
+
+        stream = read_jsonl_docs_stream(spark, args.input)
+        stream = stream.filter("errors = 0").drop("errors")
+    else:
+        import glob as _glob
+
+        sample = sorted(_glob.glob(f"{args.input}/*.parquet")) or sorted(
+            _glob.glob(f"{args.input}/*")
+        )
+        if not sample:
+            raise SystemExit(
+                f"error: {args.input} holds no files yet — the parquet "
+                "stream needs at least one file to pin the schema"
+            )
+        schema = spark.read.parquet(args.input).schema
+        stream = spark.readStream.schema(schema).parquet(args.input)
+    stream = prepare_text(
+        stream,
+        fix_encoding=args.fix_encoding,
+        c4_rules=args.c4_clean,
+        streaming=True,
+    )
+
+    delivered = {"rows": 0, "batches": 0}
+
+    def sink(df, batch_id):
+        n = df.count()
+        df.write.mode("append").parquet(args.out)
+        delivered["rows"] += n
+        delivered["batches"] += 1
+        print(
+            f"ingest: batch {batch_id}: {n} survivors appended",
+            file=sys.stderr,
+        )
+
+    run_dedup_ingest(
+        stream,
+        args.index,
+        sink,
+        query_name="cli_ingest",
+        checkpoint=args.checkpoint or f"{args.out}/_ingest_checkpoint",
+        threshold=args.threshold,
+        update=not args.no_update,
+        normalize=args.normalize_digests,
+        prep=prep_sig,
+        bootstrap=args.bootstrap,
+    )
+    print(_json.dumps(
+        {"survivors": delivered["rows"], "batches": delivered["batches"],
+         "index": args.index, "out": args.out}
+    ))
+    return 0
+
+
 def _cmd_retrain(argv: list[str]) -> int:
     """retrain: the drift remedy for an at-rest IVF index (VERDICT r13
     #2). --report-only prints the drift report and exits nonzero when
@@ -785,6 +946,7 @@ _SUBCOMMANDS = {
     "curate": _cmd_curate,
     "index": _cmd_index,
     "compact": _cmd_compact,
+    "ingest": _cmd_ingest,
     "retrain": _cmd_retrain,
     "profile": _cmd_profile,
     "pack": _cmd_pack,

@@ -56,6 +56,7 @@ def prepare_text(
     handles: list | None = None,
     checkpoint: bool = True,
     c4_rules: bool = False,
+    streaming: bool = False,
 ) -> DataFrame:
     """The text-repair/editing prelude as a standalone step, in
     RefinedWeb order: repair encoding damage first (everything downstream
@@ -73,7 +74,23 @@ def prepare_text(
 
     Editing stages that shuffle (line/span dedup) persist their boundary
     frame; handles are appended to ``handles`` when given (the curate
-    contract), else left cached for the session."""
+    contract), else left cached for the session.
+
+    ``streaming=True`` (r14, the ingest CLI): the MAP-ONLY stages
+    (encoding repair, C4 line rules) compose onto a streaming frame
+    unchanged; the corpus-level stages (line/substring dedup) are
+    rejected — their semantics are defined over the whole corpus, and a
+    per-micro-batch application would silently mean something different
+    (batch-local boilerplate counts). No persist/checkpoint either
+    (illegal on streams, and each micro-batch plan is small)."""
+    if streaming and (
+        line_dedup_min_docs is not None or substring_dedup is not None
+    ):
+        raise ValueError(
+            "line/substring dedup are CORPUS-level stages — per-micro-"
+            "batch application would change their semantics; run them "
+            "through batch curate, not a stream"
+        )
     own_handles: list = handles if handles is not None else []
 
     def _stage(df: DataFrame) -> DataFrame:
@@ -125,6 +142,8 @@ def prepare_text(
         docs = docs.select(*others).join(cleaned, id_col)
         edited = True
     if edited:
+        if streaming:
+            return docs  # map-only by construction; no materialization
         if checkpoint:
             # Truncate lineage at the prelude boundary (lazy
             # localCheckpoint: materializes with the caller's FIRST

@@ -49,6 +49,20 @@ def read_jsonl_docs(
     UNSUPPORTED_FEATURE.QUERY_ONLY_CORRUPT_RECORD_COLUMN).
     """
     apply_runtime_confs(spark)
+    lines = spark.read.text(paths)
+    return _project_jsonl(lines, text_field, url_field, id_field)
+
+
+def _project_jsonl(
+    lines: DataFrame,
+    text_field: str,
+    url_field: str | None,
+    id_field: str | None,
+) -> DataFrame:
+    """The (doc_id, url, text, errors) projection over a text-source
+    frame of raw JSONL lines — shared by the batch reader and the
+    streaming twin (r14), so the two faces cannot drift on id
+    derivation or corrupt-line semantics."""
     fields = [T.StructField(text_field, T.StringType())]
     if url_field:
         fields.append(T.StructField(url_field, T.StringType()))
@@ -56,7 +70,7 @@ def read_jsonl_docs(
         fields.append(T.StructField(id_field, T.StringType()))
     fields.append(T.StructField("_corrupt", T.StringType()))
     schema = T.StructType(fields)
-    lines = spark.read.text(paths).filter(F.trim("value") != "")
+    lines = lines.filter(F.trim("value") != "")
     r = F.from_json(
         F.col("value"),
         schema,
@@ -81,6 +95,24 @@ def read_jsonl_docs(
         .cast("long")
         .alias("errors"),
     )
+
+
+def read_jsonl_docs_stream(
+    spark: SparkSession,
+    path: str,
+    text_field: str = "text",
+    url_field: str | None = "url",
+    id_field: str | None = None,
+) -> DataFrame:
+    """Streaming twin of ``read_jsonl_docs``: watch a directory for new
+    JSONL files (Structured Streaming's file source — each micro-batch
+    is the newly arrived files) and project the same (doc_id, url, text,
+    errors) contract through the shared projection. The continuous-
+    ingestion front door: a crawler drops day files, the dedup-ingest
+    hook drains them against the at-rest corpus index."""
+    apply_runtime_confs(spark)
+    lines = spark.readStream.text(path)
+    return _project_jsonl(lines, text_field, url_field, id_field)
 
 
 def write_jsonl_docs(

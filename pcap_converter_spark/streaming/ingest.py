@@ -156,6 +156,7 @@ def dedup_ingest_hook(
         EXPLICIT digest space, sink, then write_corpus_index from the
         survivors (create LAST — the same sink-failure safety as the
         steady-state path's append-last ordering)."""
+        batch = batch.dropDuplicates([id_col])  # see the hook's id note
         dig = incremental._apply_normalize(
             batch, text_col, normalize
         ).select(
@@ -200,11 +201,20 @@ def dedup_ingest_hook(
                 text_col=text_col, id_col=id_col, threshold=threshold,
                 handles=handles, normalize=norm,
             )
+            # .distinct() / .dropDuplicates(id) below: a batch may
+            # legally carry DUPLICATE ids — content-derived ids (the
+            # jsonl source hashes (url, text)) give exact copies the
+            # same id by design — and id-keyed join-backs would multiply
+            # such rows (2 copies → 4 joined rows, observed 8× in the
+            # r14 ingest CLI e2e). One row per id survives; for exact
+            # copies that IS the dedup semantics, for a genuine id
+            # collision it keeps an arbitrary one of the colliding rows
+            # (the same contract as dedup_incremental's min-by grouping).
             keep = flags.filter(
                 ~F.col("dup_exact")
                 & ~F.coalesce(F.col("dup_near"), F.lit(False))
-            ).select(id_col)
-            novel = batch.join(keep, id_col)
+            ).select(id_col).distinct()
+            novel = batch.join(keep, id_col).dropDuplicates([id_col])
             # in-batch exact dedup: keep the lowest id per digest (two
             # copies in one micro-batch both pass the index probe by
             # construction); digested in the INDEX's digest space — a

@@ -852,3 +852,146 @@ def test_cli_retrain_legacy_index_without_sidecars(spark, tmp_path, capsys):
     assert glob.glob(f"{p}/_manifest-*")
     cents = sim.read_ann_centroids(spark, p)
     assert cents is not None and cents.shape == (4, 8)
+
+
+def test_cli_ingest_streaming_front_door(spark, tmp_path, capsys):
+    """r14: `ingest` — the cron-able continuous-acquisition face. Drain 1
+    dedups against the pre-built index and its own batch; drain 2 dedups
+    against keys drain 1 appended; survivors accumulate in the parquet
+    artifact; the summary JSON reports the tally."""
+    import json
+
+    from pcap_converter_spark.operators import incremental as inc
+
+    def prose(tag, i):
+        return f"the {tag} doc {i} " + " ".join(
+            f"{tag}{i}w{j}" for j in range(12)
+        )
+
+    idx = str(tmp_path / "ing_idx")
+    inc.write_corpus_index(
+        spark.createDataFrame(
+            [(100, prose("old", 0))], "doc_id long, text string"
+        ),
+        idx,
+    )
+    in_dir = tmp_path / "ing_in"
+    in_dir.mkdir()
+    out = str(tmp_path / "ing_out")
+
+    def drop(name, rows):
+        with open(in_dir / name, "w") as f:
+            for did, text in rows:
+                f.write(json.dumps({"id": did, "text": text}) + "\n")
+
+    # jsonl ids are re-derived (url,text)-deterministically; what matters
+    # is textual identity across drains
+    drop("day1.jsonl", [
+        (1, prose("old", 0)),    # already indexed → dropped
+        (2, prose("new", 2)),
+        (3, prose("new", 2)),    # in-batch copy → one survives
+        (4, "not json at all"),  # well-formed JSON line required
+    ])
+    with open(in_dir / "day1b.jsonl", "a") as f:
+        f.write("{broken json\n")  # corrupt line → errors gate drops it
+
+    assert main(["ingest", "--input", str(in_dir), "--index", idx,
+                 "--out", out, "--threshold", "0.5"]) == 0
+    got = json.loads(
+        [ln for ln in capsys.readouterr().out.splitlines()
+         if ln.startswith("{")][-1]
+    )
+    # 'old' dropped via the index, the new2 pair collapses to one (same
+    # content-derived id AND same digest), 'not json at all' is a valid
+    # JSON doc and survives; the corrupt raw line is errors-gated out
+    assert got["survivors"] == 2
+
+    # drain 2: refetch of a drain-1 survivor + one fresh doc
+    drop("day2.jsonl", [
+        (10, prose("new", 2)),   # survivor's copy → dropped via the index
+        (11, prose("fresh", 11)),
+    ])
+    assert main(["ingest", "--input", str(in_dir), "--index", idx,
+                 "--out", out, "--threshold", "0.5"]) == 0
+    got2 = json.loads(
+        [ln for ln in capsys.readouterr().out.splitlines()
+         if ln.startswith("{")][-1]
+    )
+    assert got2["survivors"] == 1
+
+    texts = {r["text"] for r in spark.read.parquet(out).collect()}
+    assert prose("fresh", 11) in texts and prose("new", 2) in texts
+    assert prose("old", 0) not in texts
+    assert len(texts) == 3
+    # and no row ever duplicated (the id-keyed join-back multiplication
+    # this round's hook fix closed)
+    n_rows = spark.read.parquet(out).count()
+    assert n_rows == len(texts)
+
+    # an absent index without --bootstrap is a pre-flight error
+    import pytest
+
+    with pytest.raises(SystemExit, match="no corpus index"):
+        main(["ingest", "--input", str(in_dir),
+              "--index", str(tmp_path / "nope"), "--out", out])
+
+
+def test_cli_ingest_bootstrap_and_corpus_prep_rejection(spark, tmp_path, capsys):
+    """--bootstrap creates the index from the first drain with the
+    invocation's prep flags recorded; an index recording corpus-level
+    prep is rejected for streaming with the batch-curate remedy."""
+    import json
+
+    from pcap_converter_spark.operators import incremental as inc
+
+    def prose(tag, i):
+        return f"The {tag} doc {i} " + " ".join(
+            f"{tag}{i}w{j}" for j in range(12)
+        )
+
+    in_dir = tmp_path / "boot_in"
+    in_dir.mkdir()
+    idx = str(tmp_path / "boot_idx")
+    out = str(tmp_path / "boot_out")
+    with open(in_dir / "a.jsonl", "w") as f:
+        f.write(json.dumps({"text": prose("new", 1)}) + "\n")
+        f.write(json.dumps({"text": prose("new", 1).upper()}) + "\n")
+
+    assert main(["ingest", "--input", str(in_dir), "--index", idx,
+                 "--out", out, "--bootstrap",
+                 "--normalize-digests", "ccnet"]) == 0
+    got = json.loads(
+        [ln for ln in capsys.readouterr().out.splitlines()
+         if ln.startswith("{")][-1]
+    )
+    # ccnet digest space collapses the case-variant pair IN the first batch
+    assert got["survivors"] == 1
+    sig = inc.read_index_meta(spark, idx)["prep"]
+    assert "norm=ccnet" in sig
+
+    # second drain ADOPTs the bootstrapped contract (no flags needed)
+    with open(in_dir / "b.jsonl", "w") as f:
+        f.write(json.dumps({"text": prose("new", 1).upper()}) + "\n")
+        f.write(json.dumps({"text": prose("fresh", 9)}) + "\n")
+    assert main(["ingest", "--input", str(in_dir), "--index", idx,
+                 "--out", out]) == 0
+    got2 = json.loads(
+        [ln for ln in capsys.readouterr().out.splitlines()
+         if ln.startswith("{")][-1]
+    )
+    assert got2["survivors"] == 1
+
+    # corpus-level-prep index → streaming rejection with remedy
+    import pytest
+
+    cidx = str(tmp_path / "corpuslevel_idx")
+    sig2 = inc.prep_signature(False, 3, None, html_extract="text")
+    inc.write_corpus_index(
+        spark.createDataFrame(
+            [(1, prose("x", 1))], "doc_id long, text string"
+        ),
+        cidx, prep=sig2,
+    )
+    with pytest.raises(SystemExit, match="corpus-level"):
+        main(["ingest", "--input", str(in_dir), "--index", cidx,
+              "--out", str(tmp_path / "o2")])
