@@ -562,6 +562,12 @@ def _cmd_ingest(argv: list[str]) -> int:
     ap.add_argument("-v", "--verbose", action="store_true")
     args = ap.parse_args(argv)
 
+    if args.bootstrap and args.no_update:
+        raise SystemExit(
+            "error: --bootstrap with --no-update is contradictory — "
+            "bootstrapping CREATES the index from the first batch, "
+            "which is an index update"
+        )
     spark = _spark_for(args)
     from pcap_converter_spark.operators import incremental as inc
     from pcap_converter_spark.operators.pipeline import prepare_text
@@ -610,12 +616,34 @@ def _cmd_ingest(argv: list[str]) -> int:
             html_extract="text", c4_rules=args.c4_clean,
             normalize=args.normalize_digests,
         )
+        # flags WERE given: verify them against the recorded contract
+        # PRE-FLIGHT (r14 review — the inline adopt block reimplemented
+        # _reconcile_prep without its mismatch branch, so a mismatched
+        # invocation either probed the wrong digest space silently with
+        # --no-update, or crashed mid-stream AFTER the sink delivered)
+        if exists:
+            recorded = inc.read_index_meta(spark, args.index).get("prep")
+            if recorded is not None and recorded != prep_sig:
+                raise SystemExit(
+                    f"error: index at {args.index} was built with text "
+                    f"prep '{recorded}' but this invocation specifies "
+                    f"'{prep_sig}' — the two sides would digest "
+                    "different bytes and dedup would silently miss; "
+                    "pass matching flags (or none, to adopt the "
+                    "index's) or rebuild the index"
+                )
 
     if args.format == "jsonl":
         from pcap_converter_spark.sources.jsonl import read_jsonl_docs_stream
 
         stream = read_jsonl_docs_stream(spark, args.input)
-        stream = stream.filter("errors = 0").drop("errors")
+        # text IS NOT NULL alongside the corrupt gate (r14 review): a
+        # VALID JSON line missing the text key parses clean (errors=0)
+        # with NULL text, whose NULL digest never equi-join-matches the
+        # index — it would re-survive and re-append on EVERY drain
+        stream = stream.filter(
+            "errors = 0 AND text IS NOT NULL"
+        ).drop("errors")
     else:
         import glob as _glob
 
@@ -639,14 +667,35 @@ def _cmd_ingest(argv: list[str]) -> int:
     delivered = {"rows": 0, "batches": 0}
 
     def sink(df, batch_id):
+        """Idempotent by batch_id (r14 review): each batch owns the
+        Hive partition ``{out}/batch=<id>``. A blind append would
+        duplicate survivors whenever anything between the append and
+        the checkpoint commit fails (index-append raise, SIGKILL) and
+        the batch replays — duplicates in the artifact, from the tool
+        whose purpose is dedup. A completed partition (_SUCCESS marker)
+        is SKIPPED on replay, never overwritten: after a crash that
+        committed the index append but not the checkpoint, the replay's
+        probe drops every row (they're indexed now) and an overwrite
+        would WIPE the delivered partition with that empty frame."""
+        from pcap_converter_spark.operators.incremental import _hadoop_fs
+
+        part = f"{args.out}/batch={batch_id}"
         n = df.count()
-        df.write.mode("append").parquet(args.out)
-        delivered["rows"] += n
-        delivered["batches"] += 1
-        print(
-            f"ingest: batch {batch_id}: {n} survivors appended",
-            file=sys.stderr,
-        )
+        fs, jvm = _hadoop_fs(spark, part)
+        if fs.exists(jvm.org.apache.hadoop.fs.Path(f"{part}/_SUCCESS")):
+            print(
+                f"ingest: batch {batch_id}: already delivered — "
+                "skipping (replay)",
+                file=sys.stderr,
+            )
+        else:
+            df.write.mode("overwrite").parquet(part)
+            delivered["rows"] += n
+            delivered["batches"] += 1
+            print(
+                f"ingest: batch {batch_id}: {n} survivors appended",
+                file=sys.stderr,
+            )
 
     run_dedup_ingest(
         stream,

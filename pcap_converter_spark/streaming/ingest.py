@@ -194,6 +194,17 @@ def dedup_ingest_hook(
             _bootstrap(batch, batch_id)
             return
         norm, prep_sig = _resolve(spark)
+        # one row per id BEFORE any id-keyed join: a batch may legally
+        # carry DUPLICATE ids — content-derived ids (the jsonl source
+        # hashes (url, text)) give exact copies the same id by design —
+        # and every downstream join-back would multiply such rows
+        # (2 copies → 8 output rows observed in the r14 ingest CLI e2e;
+        # k copies cost k² rows INSIDE flag_against_index's own id-keyed
+        # join if deduped only afterwards — the mega-duplicate straggler
+        # class). For exact copies one-per-id IS the dedup semantics;
+        # for a genuine id collision it keeps an arbitrary one (the
+        # dedup_incremental min-by contract).
+        batch = batch.dropDuplicates([id_col])
         handles: list = []
         try:
             flags = incremental.flag_against_index(
@@ -201,20 +212,11 @@ def dedup_ingest_hook(
                 text_col=text_col, id_col=id_col, threshold=threshold,
                 handles=handles, normalize=norm,
             )
-            # .distinct() / .dropDuplicates(id) below: a batch may
-            # legally carry DUPLICATE ids — content-derived ids (the
-            # jsonl source hashes (url, text)) give exact copies the
-            # same id by design — and id-keyed join-backs would multiply
-            # such rows (2 copies → 4 joined rows, observed 8× in the
-            # r14 ingest CLI e2e). One row per id survives; for exact
-            # copies that IS the dedup semantics, for a genuine id
-            # collision it keeps an arbitrary one of the colliding rows
-            # (the same contract as dedup_incremental's min-by grouping).
             keep = flags.filter(
                 ~F.col("dup_exact")
                 & ~F.coalesce(F.col("dup_near"), F.lit(False))
-            ).select(id_col).distinct()
-            novel = batch.join(keep, id_col).dropDuplicates([id_col])
+            ).select(id_col)
+            novel = batch.join(keep, id_col)
             # in-batch exact dedup: keep the lowest id per digest (two
             # copies in one micro-batch both pass the index probe by
             # construction); digested in the INDEX's digest space — a

@@ -981,9 +981,20 @@ def test_cli_ingest_bootstrap_and_corpus_prep_rejection(spark, tmp_path, capsys)
     )
     assert got2["survivors"] == 1
 
-    # corpus-level-prep index → streaming rejection with remedy
+    # pre-flight guards (r14 review): bootstrap+no-update contradiction,
+    # and EXPLICIT prep flags that contradict the recorded contract must
+    # die before the stream starts (not probe the wrong digest space)
     import pytest
 
+    with pytest.raises(SystemExit, match="contradictory"):
+        main(["ingest", "--input", str(in_dir), "--index", idx,
+              "--out", out, "--bootstrap", "--no-update",
+              "--normalize-digests", "ccnet"])
+    with pytest.raises(SystemExit, match="silently miss"):
+        main(["ingest", "--input", str(in_dir), "--index", idx,
+              "--out", out, "--c4-clean"])
+
+    # corpus-level-prep index → streaming rejection with remedy
     cidx = str(tmp_path / "corpuslevel_idx")
     sig2 = inc.prep_signature(False, 3, None, html_extract="text")
     inc.write_corpus_index(
