@@ -386,3 +386,61 @@ def test_dedup_ingest_detects_midstream_rebuild(spark, tmp_path):
     )
     with _pt.raises(RuntimeError, match="REBUILT"):
         hook(b2, 1)
+
+
+def test_dedup_ingest_duplicate_and_colliding_ids(spark, tmp_path):
+    """r14: batches may carry DUPLICATE ids (content-derived ids make
+    exact copies share one) and, pathologically, id COLLISIONS (same id,
+    different text). The hook keeps exactly one row per id — never
+    multiplies rows through its id-keyed joins (the 2-copies→8-rows bug
+    the ingest CLI e2e caught) — and the index still dedups the
+    surviving text across drains."""
+    from pcap_converter_spark.operators import incremental as inc
+    from pcap_converter_spark.streaming.ingest import dedup_ingest_hook
+
+    def prose(tag, i):
+        return f"the {tag} doc {i} " + " ".join(
+            f"{tag}{i}w{j}" for j in range(12)
+        )
+
+    idx = str(tmp_path / "dupid_idx")
+    inc.write_corpus_index(
+        spark.createDataFrame(
+            [(100, prose("old", 0))], "doc_id long, text string"
+        ),
+        idx,
+    )
+    delivered: list[tuple[int, str]] = []
+
+    def sink(df, batch_id):
+        delivered.extend((r["doc_id"], r["text"]) for r in df.collect())
+
+    hook = dedup_ingest_hook(idx, sink, threshold=0.5)
+    batch = spark.createDataFrame(
+        [
+            (7, prose("new", 7)),   # three exact copies, one id
+            (7, prose("new", 7)),
+            (7, prose("new", 7)),
+            (8, prose("coll", 1)),  # id COLLISION: same id, two texts
+            (8, prose("coll", 2)),
+            (100, prose("old", 0)),  # indexed → dropped
+        ],
+        "doc_id long, text string",
+    )
+    hook(batch, 0)
+    ids = [d for d, _ in delivered]
+    assert sorted(ids) == [7, 8], delivered   # one row per id, no blowup
+    assert len(delivered) == 2
+
+    # the collision's surviving TEXT is one of the two colliding texts
+    text8 = dict(delivered)[8]
+    assert text8 in (prose("coll", 1), prose("coll", 2))
+
+    # drain 2: a refetch of the SURVIVING texts is dropped via the index
+    delivered.clear()
+    batch2 = spark.createDataFrame(
+        [(20, prose("new", 7)), (21, text8), (22, prose("fresh", 22))],
+        "doc_id long, text string",
+    )
+    hook(batch2, 1)
+    assert [d for d, _ in delivered] == [22]
