@@ -655,6 +655,43 @@ def _cmd_ingest(argv: list[str]) -> int:
                 f"error: {args.input} holds no files yet — the parquet "
                 "stream needs at least one file to pin the schema"
             )
+        # mixed-schema guard (VERDICT r14 #4): the stream pins ONE schema
+        # for the whole drain, and Spark's schema-pinned parquet source
+        # silently NULL-fills columns a drifted file lacks — for a dedup
+        # ingest that nulls `text` and the hook's null-gate would then
+        # silently drop the file's every row. Pre-flight the footers
+        # (driver-side metadata reads, O(|files|), no data I/O) and make
+        # drift a named error instead. Files landing between cron runs
+        # are checked by the NEXT run's pre-flight before they stream.
+        import os as _os
+
+        import pyarrow.parquet as _papq
+
+        ref_path = None
+        ref_fields: dict | None = None
+        for f in sample:
+            if not _os.path.isfile(f):
+                continue
+            try:
+                sch = _papq.read_schema(f)
+            except Exception as exc:
+                raise SystemExit(
+                    f"error: {f} in the drop directory is not readable "
+                    f"parquet ({exc}) — quarantine it before draining"
+                )
+            fields = {n: str(t) for n, t in zip(sch.names, sch.types)}
+            if ref_fields is None:
+                ref_path, ref_fields = f, fields
+            elif fields != ref_fields:
+                diff = sorted(
+                    set(ref_fields.items()) ^ set(fields.items())
+                )
+                raise SystemExit(
+                    f"error: schema drift in {args.input}: {f} disagrees "
+                    f"with {ref_path} on {diff} — the schema-pinned "
+                    "stream would silently null-fill the differing "
+                    "columns; quarantine or rewrite the drifted file(s)"
+                )
         schema = spark.read.parquet(args.input).schema
         stream = spark.readStream.schema(schema).parquet(args.input)
     stream = prepare_text(
@@ -680,15 +717,18 @@ def _cmd_ingest(argv: list[str]) -> int:
         from pcap_converter_spark.operators.incremental import _hadoop_fs
 
         part = f"{args.out}/batch={batch_id}"
-        n = df.count()
         fs, jvm = _hadoop_fs(spark, part)
         if fs.exists(jvm.org.apache.hadoop.fs.Path(f"{part}/_SUCCESS")):
+            # replay skip is FREE (ADVICE/VERDICT r14): no count job
+            # before the _SUCCESS check — a replayed batch used to pay
+            # a full count just to print "skipping"
             print(
                 f"ingest: batch {batch_id}: already delivered — "
                 "skipping (replay)",
                 file=sys.stderr,
             )
         else:
+            n = df.count()
             df.write.mode("overwrite").parquet(part)
             delivered["rows"] += n
             delivered["batches"] += 1
@@ -741,8 +781,10 @@ def _cmd_retrain(argv: list[str]) -> int:
     ap.add_argument("--vec-col", default="embedding")
     ap.add_argument("--files-per-cluster", type=int, default=1)
     ap.add_argument("--report-only", action="store_true",
-                    help="print the drift report (exit 1 when drifted, "
-                         "0 otherwise) without touching the index")
+                    help="print the drift report without touching the "
+                         "index (exit 1 when drifted, 0 when judged "
+                         "clean, 2 when UNDETERMINED — the index has no "
+                         "recorded baseline to judge against)")
     ap.add_argument("--vacuum", action="store_true",
                     help="drop the superseded generation after retrain")
     ap.add_argument("-j", type=int, default=None, metavar="N",
@@ -772,6 +814,20 @@ def _cmd_retrain(argv: list[str]) -> int:
         print(_json.dumps({"report_unavailable": str(exc)[:300]}))
         report = None
     if args.report_only:
+        # ADVICE r14: recorded=None means the report JUDGED NOTHING
+        # (e.g. ivf_write on an initially-empty corpus recorded no
+        # baseline) — drifted=False by construction. A cron gate keyed
+        # on exit 1 would read that as "clean" forever; exit 2 keeps
+        # "undetermined" distinct from both verdicts.
+        if report["recorded"] is None:
+            print(
+                f"retrain --report-only: {args.ann} has no recorded "
+                "fit-stats baseline — drift is UNDETERMINED (exit 2); "
+                "run a full retrain (or re-write the index over a "
+                "non-empty corpus) to record one",
+                file=sys.stderr,
+            )
+            return 2
         return 1 if report["drifted"] else 0
 
     cents = sim.retrain_ann_index(

@@ -568,8 +568,8 @@ def extend_corpus_index(
     new one was sealed is lost at vacuum (run compaction during an append
     pause, as documented there). A violation is DETECTED, not silent: the
     live epoch is re-checked after the writes and a raise names the race
-    and the remedy (re-run the append — ADVICE r13, mirrored from the ANN
-    layouts).
+    and the remedy (verify-then-re-append — ADVICE r13/r14, mirrored from
+    the ANN layouts).
 
     ``prep``: the ``prep_signature`` of the preparation ``docs`` went
     through; when given, it is verified against the meta's recorded
@@ -616,8 +616,16 @@ def extend_corpus_index(
             f"corpus index append at {path} raced a compaction: the keys "
             f"were written into generation {wrote} but the live "
             f"generation is now {live} — a SUPERSEDED layout that the "
-            "next vacuum drops. Re-run the append — the live generation "
-            "does not contain them"
+            "next vacuum drops. Verify the live generation does not "
+            "ALREADY contain these keys before re-running the append: a "
+            "concurrent compaction that listed the old generation's "
+            "files AFTER these keys landed carried them into the new "
+            "layout, and a blind re-run would then duplicate them (the "
+            "detection window cannot distinguish the two interleavings "
+            "— ADVICE r14; duplicate exact-digest keys degrade nothing "
+            "but index size, so a re-append is safe when in doubt for "
+            "the exact tier, while MinHash band rows duplicate probe "
+            "candidates)"
         )
 
 

@@ -396,8 +396,10 @@ def _raise_if_append_raced(spark, path: str, written_root: str) -> None:
     forbid (ADVICE r13): if the generation we actually WROTE INTO is no
     longer the live one, the rows landed in a superseded layout — vacuum
     would drop them SILENTLY. Raising turns that into a visible,
-    retryable failure: the new generation never saw the rows, so
-    re-running the append against the new live root is a clean remedy.
+    retryable failure — but the remedy needs a check first (ADVICE r14):
+    if the concurrent commit listed the old generation's files AFTER
+    this append's part-files landed, the new generation already carries
+    the rows and a blind re-run would duplicate them.
 
     The comparison is written-root-epoch vs post-write live epoch (NOT
     before/after epoch samples — r14 review: a compaction committing
@@ -416,8 +418,13 @@ def _raise_if_append_raced(spark, path: str, written_root: str) -> None:
             f"ANN append at {path} raced a compaction/retrain: the rows "
             f"were written into generation {wrote} but the live "
             f"generation is now {live} — a SUPERSEDED layout that the "
-            "next vacuum drops. Re-run the append — the live generation "
-            "does not contain these rows"
+            "next vacuum drops. Verify the live generation does not "
+            "ALREADY contain these ids before re-running the append: a "
+            "concurrent commit that listed the old generation's files "
+            "AFTER these rows landed carried them into the new layout, "
+            "and a blind re-run would then duplicate them (the detection "
+            "window cannot distinguish the two interleavings — ADVICE "
+            "r14)"
         )
 
 
@@ -470,6 +477,30 @@ def ivf_write(
 
     from pcap_converter_spark.io.sinks import write_partitioned
 
+    # id_col contract (r14 review): an EXPLICIT id_col that is absent is
+    # a caller error, not a silent fallback to the one-data-mode
+    # unordered sample that round fixed; the default (None) auto-uses
+    # 'vec_id' when present and warns when no id exists at all, so the
+    # degraded baseline is at least visible. Validated PRE-FLIGHT
+    # (ADVICE r14): a caller typo must raise BEFORE the partitioned
+    # write, not after the index is already materialized with no stats
+    # sidecar recorded.
+    if id_col is not None and id_col not in df.columns:
+        raise ValueError(
+            f"ivf_write: id_col={id_col!r} not in {df.columns} — pass a "
+            "real id column (or omit it to auto-detect 'vec_id')"
+        )
+    eff_id = id_col or ("vec_id" if "vec_id" in df.columns else None)
+    if eff_id is None:
+        import warnings
+
+        warnings.warn(
+            "ivf_write: no id column — the recorded drift baseline comes "
+            "from an UNORDERED sample (often a single data mode); pass "
+            "id_col= for the representative hash-ordered baseline the "
+            "drift report compares against",
+            stacklevel=2,
+        )
     _drop_stale_generations(df.sparkSession, out)
     assigned = assign_clusters(df, centroids, vec_col)
     if files_per_cluster <= 1:
@@ -488,27 +519,6 @@ def ivf_write(
     # the drift verdict unreliable in both directions). Falls back to
     # unordered when the frame has no id column; an empty corpus writes
     # no stats (nothing to baseline) rather than crashing post-write.
-    # id_col contract (r14 review): an EXPLICIT id_col that is absent is
-    # a caller error, not a silent fallback to the one-data-mode
-    # unordered sample this round fixed; the default (None) auto-uses
-    # 'vec_id' when present and warns when no id exists at all, so the
-    # degraded baseline is at least visible.
-    if id_col is not None and id_col not in df.columns:
-        raise ValueError(
-            f"ivf_write: id_col={id_col!r} not in {df.columns} — pass a "
-            "real id column (or omit it to auto-detect 'vec_id')"
-        )
-    eff_id = id_col or ("vec_id" if "vec_id" in df.columns else None)
-    if eff_id is None:
-        import warnings
-
-        warnings.warn(
-            "ivf_write: no id column — the recorded drift baseline comes "
-            "from an UNORDERED sample (often a single data mode); pass "
-            "id_col= for the representative hash-ordered baseline the "
-            "drift report compares against",
-            stacklevel=2,
-        )
     sample = _sample_vectors(
         df, vec_col, 4096, id_col=eff_id,
         order="hash" if eff_id else "id",

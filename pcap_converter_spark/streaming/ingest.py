@@ -47,7 +47,10 @@ def dedup_ingest_hook(
     """Build the ``foreachBatch`` function: probe → in-batch exact dedup →
     ``sink(survivors_df, batch_id)`` → index append (append LAST, so a
     sink failure never leaves keys in the index for docs that were not
-    delivered).
+    delivered). Rows with NULL ``text_col`` are dropped up front
+    (ADVICE r14): they carry no content to dedup, their NULL digest
+    never matches the index, and letting them through would re-deliver
+    and re-append them on every drain.
 
     ``normalize`` / ``prep`` keep the hook honest against a
     digest-normalized or prep-built index (ADVICE r12: the hook used to
@@ -174,6 +177,13 @@ def dedup_ingest_hook(
         )
 
     def hook(batch: DataFrame, batch_id: int) -> None:
+        # null-text gate, hoisted INTO the hook (ADVICE r14): a NULL
+        # text digests to NULL, which never equi-join-matches the index
+        # — such a row would survive dedup on EVERY drain and append a
+        # NULL content_hash key each time. Gating here covers every
+        # caller (the CLI's jsonl AND parquet branches, and library
+        # users), not just the one source that happened to filter.
+        batch = batch.filter(F.col(text_col).isNotNull())
         if batch.isEmpty():
             # a quiet poll: skip the probe AND the append — an empty
             # append would still write empty part-files, feeding the

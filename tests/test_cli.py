@@ -1006,3 +1006,118 @@ def test_cli_ingest_bootstrap_and_corpus_prep_rejection(spark, tmp_path, capsys)
     with pytest.raises(SystemExit, match="corpus-level"):
         main(["ingest", "--input", str(in_dir), "--index", cidx,
               "--out", str(tmp_path / "o2")])
+
+
+def test_cli_retrain_report_only_undetermined(spark, tmp_path):
+    """ADVICE r14: an index with a _centroids sidecar but NO recorded
+    fit-stats baseline (e.g. ivf_write over an initially-empty corpus,
+    then appends) used to exit 0 under --report-only — drifted=False by
+    construction though nothing was judged, so a cron gate keyed on
+    exit 1 never fired. 'Undetermined' is now a distinct exit 2."""
+    import os
+
+    import numpy as np
+
+    from pcap_converter_spark.operators import similarity as sim
+
+    rng = np.random.default_rng(7)
+    pts = rng.standard_normal((40, 8))
+    pts /= np.linalg.norm(pts, axis=1, keepdims=True)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in pts[i]]) for i in range(40)],
+        "vec_id long, embedding array<double>",
+    )
+    p = str(tmp_path / "undet_annidx")
+    sim.ivf_write(df, np.eye(8)[:4].copy(), p)
+    os.remove(f"{p}/_ann_stats.json")  # the no-baseline state
+    assert sim.read_ann_stats(spark, p) is None
+
+    assert main(["retrain", "--ann", p, "--report-only"]) == 2
+
+    # a full retrain records a baseline; the verdicts work again
+    assert main(["retrain", "--ann", p, "--seed", "3"]) == 0
+    assert main(["retrain", "--ann", p, "--report-only"]) == 0
+
+
+def test_cli_ingest_parquet_null_gate_and_schema_drift(spark, tmp_path, capsys):
+    """r15: the parquet drop mode. (a) NULL-text rows are gated in the
+    HOOK (ADVICE r14 — the gate used to live only in the jsonl branch;
+    a NULL text digests to NULL, never equi-join-matches the index, and
+    would re-survive + re-append NULL keys on every drain); (b) a later
+    file whose schema drifts from the pinned one is a pre-flight error
+    naming the file (VERDICT r14 #4 — Spark's schema-pinned stream
+    would otherwise silently null-fill the differing columns)."""
+    import json
+
+    import pyarrow as pa
+    import pyarrow.parquet as papq
+    import pytest
+
+    from pcap_converter_spark.operators import incremental as inc
+
+    def prose(tag, i):
+        return f"the {tag} doc {i} " + " ".join(
+            f"{tag}{i}w{j}" for j in range(12)
+        )
+
+    idx = str(tmp_path / "pq_idx")
+    inc.write_corpus_index(
+        spark.createDataFrame(
+            [(100, prose("old", 0))], "doc_id long, text string"
+        ),
+        idx,
+    )
+    in_dir = tmp_path / "pq_in"
+    in_dir.mkdir()
+    out = str(tmp_path / "pq_out")
+
+    papq.write_table(
+        pa.table({
+            "doc_id": pa.array([1, 2, 3], pa.int64()),
+            "text": pa.array([prose("a", 1), None, prose("b", 3)]),
+        }),
+        in_dir / "day1.parquet",
+    )
+    assert main(["ingest", "--input", str(in_dir), "--format", "parquet",
+                 "--index", idx, "--out", out, "--threshold", "0.5"]) == 0
+    got = json.loads(
+        [ln for ln in capsys.readouterr().out.splitlines()
+         if ln.startswith("{")][-1]
+    )
+    assert got["survivors"] == 2  # the NULL-text row is gated, not delivered
+    arte = spark.read.parquet(out)
+    assert arte.count() == 2 and arte.filter("text IS NULL").count() == 0
+    # and the index holds no NULL digest key to re-match forever
+    root = inc.resolve_index_root(spark, idx)
+    exact = spark.read.parquet(f"{root}/exact")
+    assert exact.filter("content_hash IS NULL").count() == 0
+
+    # a drifted drop: doc_id re-typed → pre-flight error names the file
+    papq.write_table(
+        pa.table({
+            "doc_id": pa.array(["x9"], pa.string()),
+            "text": pa.array([prose("c", 9)]),
+        }),
+        in_dir / "day2.parquet",
+    )
+    with pytest.raises(SystemExit, match="schema drift.*day2"):
+        main(["ingest", "--input", str(in_dir), "--format", "parquet",
+              "--index", idx, "--out", out, "--threshold", "0.5"])
+
+    # quarantine the drifted file; a conforming day2 drains clean
+    (in_dir / "day2.parquet").unlink()
+    papq.write_table(
+        pa.table({
+            "doc_id": pa.array([9], pa.int64()),
+            "text": pa.array([prose("c", 9)]),
+        }),
+        in_dir / "day2b.parquet",
+    )
+    assert main(["ingest", "--input", str(in_dir), "--format", "parquet",
+                 "--index", idx, "--out", out, "--threshold", "0.5"]) == 0
+    got2 = json.loads(
+        [ln for ln in capsys.readouterr().out.splitlines()
+         if ln.startswith("{")][-1]
+    )
+    assert got2["survivors"] == 1
+    assert spark.read.parquet(out).count() == 3
