@@ -269,7 +269,21 @@ def run_dedup_ingest(
     ``availableNow`` semantics (drain what is there, then stop) — the
     shape the tests and backfill jobs use; a live deployment drops
     ``availableNow`` via its own writeStream. Returns the query object
-    after it stops."""
+    after it stops.
+
+    **AvailableNow caveat for the custom stream faces** (VERDICT r14
+    #1): Spark's built-in file sources (the CLI's jsonl/parquet drops)
+    honor ``Trigger.AvailableNow`` natively — bound THEIR batches with
+    ``maxFilesPerTrigger``. The pcap/WARC Python DataSource faces do
+    not: PySpark's PythonMicroBatchStream lacks AvailableNow support,
+    so Spark logs "falling back to single batch execution" and a drain
+    plans the ENTIRE backlog as ONE micro-batch — unbounded batch
+    memory at a large drop directory. For those faces set
+    ``.option("max_chunks_per_trigger", N)``
+    (sources/datasource.FileChunkStreamReader): each drain invocation
+    then consumes at most N chunks — re-invoke until the summary stops
+    advancing (the cron pattern), or run a live ``processingTime``
+    trigger, which drains the whole backlog in ≤N-chunk batches."""
     writer = (
         stream_docs.writeStream.queryName(query_name)
         .foreachBatch(dedup_ingest_hook(index_path, sink, **hook_kwargs))

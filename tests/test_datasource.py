@@ -236,3 +236,112 @@ def test_stream_mid_write_index_failure_defers(tmp_path):
     os.utime(bad, (old, old))  # quiescent corrupt file: loud failure
     with pytest.raises(Exception):
         r.latestOffset()
+
+
+def test_stream_cap_bounds_offset_advancement(tmp_path):
+    """VERDICT r14 #1 (driver-side contract): with max_chunks_per_trigger
+    set, each latestOffset admits at most that many NEW chunks beyond the
+    last offset returned; the budget also stops INDEXING further new
+    files; repeated polls converge on exactly the uncapped availability;
+    commit() fast-forwards a fresh reader's floor (restart catch-up)."""
+    cap = tmp_path / "captures"
+    cap.mkdir()
+    for name, n in (("a.pcap", 60), ("b.pcap", 40), ("c.pcap", 50)):
+        g.write_pcap(str(cap / name),
+                     [(1_000_000 + i, _udp_pkt(i)) for i in range(n)])
+
+    full = _stream_reader(cap, target_chunk_bytes="1024").latestOffset()
+    total = sum(full.values())
+    assert total > 6  # several chunks per file, else the cap tests nothing
+
+    r = _stream_reader(
+        cap, target_chunk_bytes="1024", max_chunks_per_trigger="3"
+    )
+    prev: dict = {}
+    seen_batches = 0
+    for _ in range(total + 2):
+        off = r.latestOffset()
+        advanced = sum(off.values()) - sum(prev.values())
+        assert 0 <= advanced <= 3
+        # per-file monotonic, never beyond real availability
+        for p, n in off.items():
+            assert n >= prev.get(p, 0) and n <= full[p]
+        # the planned batch is the offset delta: ≤ cap chunks
+        parts = r.partitions(prev, off)
+        real = [p for p in parts if p.value is not None]
+        assert len(real) <= 3
+        if real:
+            seen_batches += 1
+        if off == full:
+            break
+        prev = off
+    assert off == full and seen_batches > 1
+
+    # budget exhaustion must not index files it cannot admit yet:
+    # with cap=3 and a.pcap alone holding >3 chunks, the first poll
+    # leaves the later files un-indexed (bounded per-poll driver work)
+    r2 = _stream_reader(
+        cap, target_chunk_bytes="1024", max_chunks_per_trigger="3"
+    )
+    first = r2.latestOffset()
+    assert sum(first.values()) == 3
+    assert len(r2._chunks) < len(full)
+
+    # commit() fast-forward: a restarted capped reader catches up to the
+    # checkpointed end in one step instead of ⌈committed/cap⌉ empty polls
+    r3 = _stream_reader(
+        cap, target_chunk_bytes="1024", max_chunks_per_trigger="3"
+    )
+    r3.commit(full)
+    assert r3.latestOffset() == full
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="max_chunks_per_trigger"):
+        _stream_reader(cap, max_chunks_per_trigger="-1").latestOffset()
+
+
+def test_stream_cap_multi_batch_same_results(registered, tmp_path):
+    """VERDICT r14 #1 (e2e): a capped drain processes >1 micro-batch and
+    lands byte-identical rows to the uncapped single-gulp drain — the cap
+    changes batch BOUNDARIES, never results."""
+    spark = registered
+    cap_dir = tmp_path / "captures"
+    cap_dir.mkdir()
+    for name, base in (("a.pcap", 1), ("b.pcap", 2), ("c.pcap", 3)):
+        g.write_pcap(
+            str(cap_dir / name),
+            [(base * 1_000_000 + i, _udp_pkt(i)) for i in range(80)],
+        )
+
+    def drain(tag, capped):
+        out = str(tmp_path / f"out_{tag}")
+        reader = (
+            spark.readStream.format("pcap")
+            .option("target_chunk_bytes", "2048")
+        )
+        if capped:
+            reader = reader.option("max_chunks_per_trigger", "2")
+        q = (
+            reader.load(str(cap_dir))
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", str(tmp_path / f"ckpt_{tag}"))
+            .trigger(processingTime="50 milliseconds")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            progress = [
+                p for p in q.recentProgress
+                if p and p.get("numInputRows", 0) > 0
+            ]
+        finally:
+            q.stop()
+        return spark.read.parquet(out), progress
+
+    uncapped, _ = drain("free", capped=False)
+    capped, progress = drain("capped", capped=True)
+    assert len(progress) > 1  # the backlog drained in BOUNDED batches
+    assert capped.count() == uncapped.count() == 240
+    assert _rows(capped) == _rows(uncapped)
