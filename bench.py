@@ -201,22 +201,33 @@ def _cpu_sample() -> dict:
     return out
 
 
-def _machine_speed_ms() -> float | None:
+# Normalization anchor for machine-speed-adjusted times (VERDICT r14 #3):
+# a FIXED reference value for the matmul probe, NOT a measurement — the
+# judge's clean-host r14 recording probed 28.9 ms; this round pins 29.0 so
+# `raw_s × (REF / probe_ms)` yields times comparable ACROSS recordings on
+# this drifting shared host. Changing the anchor rescales every normalized
+# number, so it must stay pinned across rounds.
+MATMUL_REF_MS = 29.0
+
+
+def _machine_speed_ms(reps: int = 3) -> float | None:
     """Effective machine speed, measured directly (r14): clean-flagged
     recordings on this host still spread ~20% run-to-run with identical
     plans and idle loadavg — and /proc/cpuinfo reports a constant MHz
     with no cpufreq sysfs, so frequency/throttling is invisible to every
-    existing side-channel. A fixed workload (best of 3 × ten 512²
+    existing side-channel. A fixed workload (best of ``reps`` × ten 512²
     float64 matmuls through the same BLAS the operators use) takes
     ~100 ms and turns 'this recording is slow' into 'this recording is
     slow AND the machine itself measured N% slower' — attribution, not
-    guesswork."""
+    guesswork. ``reps=1`` is the cheap per-entry variant (r15): sampled
+    between entries, it prices each timing's moment of the run so the
+    normalized times below survive mid-run contention."""
     try:
         import numpy as _np
 
         base = _np.random.default_rng(0).standard_normal((512, 512))
         best = None
-        for _ in range(3):
+        for _ in range(reps):
             a = base.copy()  # every rep times the SAME numeric regime
             t0 = time.perf_counter()
             for _ in range(10):
@@ -275,13 +286,10 @@ def _contended(h: dict, cpus: int = 32) -> bool:
     )
 
 
-def _refuse_if_busy() -> None:
-    """--require-idle (VERDICT r12 stretch #7): refuse to stamp a
-    headline artifact from a provably contended host, so round-over-round
-    totals stop needing manual adjudication. Gates: 1-min loadavg > 1.0
-    at start, or steal > 0.1% over a 1-second /proc/stat window. Exits
-    nonzero WITHOUT printing the one-line JSON record — a refused run can
-    never be mistaken for a recording."""
+def _idle_probe() -> list[str]:
+    """One idle check over a 1-second /proc window: returns the list of
+    problems (empty = idle). Gates: 1-min loadavg > 1.0, or steal >
+    0.1%."""
     s0 = _cpu_sample()
     time.sleep(1.0)
     s1 = _cpu_sample()
@@ -297,17 +305,57 @@ def _refuse_if_busy() -> None:
         problems.append(f"loadavg1={load} > 1.0")
     if steal_pct is not None and steal_pct > 0.1:
         problems.append(f"cpu_steal={steal_pct:.2f}% > 0.1%")
-    if problems:
+    return problems
+
+
+def _wait_for_idle(budget_s: float) -> dict:
+    """Bounded idle-wait (VERDICT r14 #3): instead of recording on — or
+    refusing at — the first busy sample, poll until the host goes quiet
+    or the budget runs out. This is the auto-remediation the driver's
+    chronically-contended artifacts needed: four straight rounds stamped
+    `contended: true` at LAUNCH time, which a few minutes of patience
+    converts into a clean recording far more often than not (the 1-min
+    loadavg decays on that timescale). Returns ``{idle, waited_s,
+    problems}``; never raises — the caller decides refuse-vs-proceed."""
+    t0 = time.perf_counter()
+    while True:
+        problems = _idle_probe()
+        waited = time.perf_counter() - t0
+        if not problems or waited >= budget_s:
+            return {
+                "idle": not problems,
+                "waited_s": round(waited, 1),
+                "problems": problems,
+            }
         print(
-            "bench: REFUSED (--require-idle): " + ", ".join(problems),
+            f"bench: host busy ({', '.join(problems)}) — waiting "
+            f"({round(waited)}s of {round(budget_s)}s budget)",
+            file=sys.stderr,
+            flush=True,
+        )
+        time.sleep(min(9.0, max(0.0, budget_s - waited)))
+
+
+def _refuse_if_busy(wait_s: float = 0.0) -> dict:
+    """--require-idle (VERDICT r12 stretch #7 + r14 #3 wait): refuse to
+    stamp a headline artifact from a provably contended host — after
+    waiting up to ``wait_s`` for it to quiet down. Exits nonzero WITHOUT
+    printing the one-line JSON record — a refused run can never be
+    mistaken for a recording."""
+    state = _wait_for_idle(wait_s)
+    if not state["idle"]:
+        print(
+            "bench: REFUSED (--require-idle): "
+            + ", ".join(state["problems"])
+            + (f" after waiting {state['waited_s']}s" if wait_s > 1 else ""),
             file=sys.stderr,
         )
         raise SystemExit(3)
     print(
-        f"bench: require-idle ok (loadavg1={load}, "
-        f"steal={0.0 if steal_pct is None else round(steal_pct, 3)}%)",
+        f"bench: require-idle ok (waited {state['waited_s']}s)",
         file=sys.stderr,
     )
+    return state
 
 
 def _stall_guarded(spark, label: str, fn, budget_s: float = 300.0):
@@ -358,6 +406,33 @@ def _stall_guarded(spark, label: str, fn, budget_s: float = 300.0):
         t.join(timeout=1)
 
 
+def _median(vals):
+    s = sorted(vals)
+    return s[len(s) // 2] if s else None
+
+
+def _normalized_times(
+    timings: dict[str, float], probe_ms: dict[str, float]
+) -> dict[str, float]:
+    """raw_s × (MATMUL_REF_MS / speed) per entry, with the speed estimate
+    robust to one-off probe spikes — see the call site's comment for the
+    estimator rationale (median of prev/own/run-median). Entries without
+    a probe or with a failed (-1) timing are omitted."""
+    run_med = _median(list(probe_ms.values()))
+    norm: dict[str, float] = {}
+    if not run_med:
+        return norm
+    prev = run_med
+    for k, v in timings.items():
+        own = probe_ms.get(k)
+        if own:
+            eff = _median([prev, own, run_med])
+            if v >= 0:
+                norm[k] = round(v * MATMUL_REF_MS / eff, 3)
+            prev = own
+    return norm
+
+
 def _parse_args(argv: list[str]) -> dict:
     """Strict flag parsing (ADVICE r13): the old substring membership
     check silently ignored a misspelled --require_idle, recording an
@@ -370,10 +445,17 @@ def _parse_args(argv: list[str]) -> dict:
     p = argparse.ArgumentParser(prog="bench.py", allow_abbrev=False)
     p.add_argument(
         "--require-idle", action="store_true",
-        help="refuse to record on a provably contended host (exit 3)",
+        help="refuse to record on a provably contended host (exit 3), "
+             "after waiting up to --idle-wait-s for it to quiet down",
+    )
+    p.add_argument(
+        "--idle-wait-s", type=float, default=None,
+        help="bounded idle-wait budget in seconds before recording "
+             "(default: $SPARK_GRAFT_IDLE_WAIT_S, else 180 ungated / "
+             "300 under --require-idle; 0 disables the wait)",
     )
     ns = p.parse_args(argv)  # unknown flags -> SystemExit(2), no record
-    return {"require_idle": ns.require_idle}
+    return {"require_idle": ns.require_idle, "idle_wait_s": ns.idle_wait_s}
 
 
 def main() -> int:
@@ -381,8 +463,31 @@ def main() -> int:
     idle_gated = opts["require_idle"] or os.environ.get(
         "SPARK_GRAFT_REQUIRE_IDLE"
     ) == "1"
+    wait_budget = opts["idle_wait_s"]
+    if wait_budget is None:
+        wait_budget = float(
+            os.environ.get(
+                "SPARK_GRAFT_IDLE_WAIT_S",
+                "300" if idle_gated else "180",
+            )
+        )
     if idle_gated:
-        _refuse_if_busy()
+        idle_state = _refuse_if_busy(wait_s=wait_budget)
+    else:
+        # even UNGATED runs wait (bounded) for quiet before recording —
+        # the driver invokes bench with no flags, and four straight
+        # rounds of its artifacts were stamped contended at LAUNCH time
+        # (VERDICT r14 #3); a couple of minutes of patience usually
+        # converts that into a recording that needs no re-measurement
+        idle_state = _wait_for_idle(wait_budget)
+        if not idle_state["idle"]:
+            print(
+                "bench: proceeding on a BUSY host after "
+                f"{idle_state['waited_s']}s wait "
+                f"({', '.join(idle_state['problems'])}) — raw times "
+                "will be contended; use the normalized ones",
+                file=sys.stderr,
+            )
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or "0.1"
@@ -459,6 +564,13 @@ def main() -> int:
     gc_ms: dict[str, int] = {}
     jit_ms: dict[str, int] = {}
     cold_s: dict[str, float] = {}
+    # per-entry machine-speed probes (VERDICT r14 #3): one cheap matmul
+    # rep right after each entry, pricing the machine AT THAT MOMENT of
+    # the run — mid-run contention (the failure mode --require-idle
+    # cannot gate) then shows up as a local probe spike, and the
+    # normalized time raw_s × (MATMUL_REF_MS / probe_ms) stays
+    # comparable round-over-round even on a contended recording
+    probe_ms: dict[str, float] = {}
 
     def _guarded(label: str, fn):
         return _stall_guarded(spark, label, fn)
@@ -528,6 +640,9 @@ def main() -> int:
             spark._jvm.System.gc()
         except Exception:
             pass
+        pm = _machine_speed_ms(reps=1)
+        if pm is not None:
+            probe_ms[name] = pm
 
     # recoverable checkpoint on stderr (NOT a bare JSON line — the
     # driver's artifact parser must only ever see the one final stdout
@@ -558,6 +673,9 @@ def main() -> int:
         decoded, _ = read_pcap(spark, pcap_path)
         defrag(decoded).write.format("noop").mode("overwrite").save()
         timings["pcap_convert"] = round(time.perf_counter() - t0, 3)
+        pm = _machine_speed_ms(reps=1)
+        if pm is not None:
+            probe_ms["pcap_convert"] = pm
 
         # sustained decode throughput on a realistic volume: 1.28M packets
         # (~110 MB), 3 MB chunks so the file spreads over 36 tasks on the
@@ -596,6 +714,9 @@ def main() -> int:
             dt = min(dt, time.perf_counter() - t0)
         timings["pcap_decode_1m"] = round(dt, 3)
         pcap_pps = round(n_pkts / dt)
+        pm = _machine_speed_ms(reps=1)
+        if pm is not None:
+            probe_ms["pcap_decode_1m"] = pm
 
     # WARC corpus-acquisition throughput over a generated multi-MB
     # per-record-gzip archive, through the FUSED document reader
@@ -630,6 +751,9 @@ def main() -> int:
             _warc_run()
             dt = min(dt, time.perf_counter() - t0)
         timings["warc_decode"] = round(dt, 3)
+        pm = _machine_speed_ms(reps=1)
+        if pm is not None:
+            probe_ms["warc_decode"] = pm
         warc_stats = {
             "warc_decode_docs_per_sec": round(n_docs / dt),
             "warc_decode_mb_per_sec": round(wsize / dt / (1 << 20), 1),
@@ -666,6 +790,27 @@ def main() -> int:
         "queries": timings,
         "sf": float(sf),
     }
+    # machine-speed-normalized times (VERDICT r14 #3): each entry scaled
+    # by REF/speed for the machine speed around it, so a contended
+    # recording is still comparable round-over-round without re-running.
+    # The per-entry speed estimate is the MEDIAN of (previous entry's
+    # probe, own probe, whole-run median): a single probe right after a
+    # JIT-heavy entry lands while the JVM's own compiler threads still
+    # churn (measured: 937 ms after ex_text_all vs ~29 everywhere else)
+    # and would collapse that entry's normalized time 30×; the median
+    # rejects such self-inflicted one-off spikes while still tracking
+    # SUSTAINED foreign contention, which moves neighbors and the run
+    # median together. Per-entry normalized values ride stderr (the
+    # artifact's stdout line must stay inside the driver's ~2 KB tail
+    # window); the SUM rides the record itself as value_norm, alongside
+    # the anchor and the probes' median for interpretation.
+    norm = _normalized_times(timings, probe_ms)
+    if norm:
+        print("bench: probe-ms " + json.dumps(probe_ms), file=sys.stderr,
+              flush=True)
+        print("bench: norm-queries " + json.dumps(norm), file=sys.stderr,
+              flush=True)
+        out["value_norm"] = round(sum(norm.values()), 3)
     if pcap_pps is not None:
         out["pcap_decode_pkts_per_sec"] = pcap_pps
     if warc_stats is not None:
@@ -685,6 +830,14 @@ def main() -> int:
     # slowed is a slow MACHINE, not a code regression
     out["host"]["matmul_ms_start"] = speed_start_ms
     out["host"]["matmul_ms_end"] = _machine_speed_ms()
+    if norm:
+        out["host"]["matmul_ms_ref"] = MATMUL_REF_MS
+        probes = sorted(probe_ms.values())
+        out["host"]["matmul_ms_median"] = probes[len(probes) // 2]
+    # idle-wait provenance (r15): how long the bounded wait ran and
+    # whether the host was quiet when the recording started
+    out["host"]["idle_wait_s"] = idle_state["waited_s"]
+    out["host"]["idle_at_start"] = bool(idle_state["idle"])
     # mid-run contention verdict (r13): --require-idle can only gate the
     # START — a neighbor landing mid-run still poisons the recording
     # (observed: idle start, then steal 0.59% / busy 27% and decode

@@ -95,8 +95,62 @@ def test_bench_rejects_unknown_flags():
         bench._parse_args(["--requireidle"])
     with pytest.raises(SystemExit):
         bench._parse_args(["extra-positional"])
-    assert bench._parse_args(["--require-idle"]) == {"require_idle": True}
-    assert bench._parse_args([]) == {"require_idle": False}
+    assert bench._parse_args(["--require-idle"]) == {
+        "require_idle": True, "idle_wait_s": None,
+    }
+    assert bench._parse_args([]) == {
+        "require_idle": False, "idle_wait_s": None,
+    }
+    assert bench._parse_args(["--idle-wait-s", "42"]) == {
+        "require_idle": False, "idle_wait_s": 42.0,
+    }
+
+
+def test_idle_wait_retries_until_quiet(monkeypatch):
+    """VERDICT r14 #3: the bounded idle-wait converts a busy launch into
+    a clean recording instead of stamping `contended: true` — poll until
+    the load decays, within the budget."""
+    # three busy probes (2 samples each), then a quiet one
+    samples = [
+        _sample(5.0, 0, 1000), _sample(5.0, 0, 2000),
+        _sample(3.0, 0, 3000), _sample(3.0, 0, 4000),
+        _sample(1.5, 0, 5000), _sample(1.5, 0, 6000),
+        _sample(0.4, 0, 7000), _sample(0.4, 0, 8000),
+    ]
+    seq = iter(samples)
+    monkeypatch.setattr(bench, "_cpu_sample", lambda: next(seq))
+    monkeypatch.setattr(bench.time, "sleep", lambda s: None)
+    state = bench._wait_for_idle(3600.0)
+    assert state["idle"] and state["problems"] == []
+
+
+def test_idle_wait_budget_bounds_the_wait(monkeypatch):
+    """A host that never quiets must exhaust the budget and return
+    idle=False (the caller refuses under --require-idle, or records
+    with normalized times otherwise) — never spin forever."""
+    monkeypatch.setattr(
+        bench, "_cpu_sample", lambda: _sample(9.0, 0, 1000)
+    )
+    clock = {"t": 0.0}
+    monkeypatch.setattr(
+        bench.time, "sleep", lambda s: clock.__setitem__("t", clock["t"] + s)
+    )
+    monkeypatch.setattr(
+        bench.time, "perf_counter", lambda: clock["t"]
+    )
+    state = bench._wait_for_idle(60.0)
+    assert not state["idle"] and state["problems"]
+    assert state["waited_s"] >= 60.0
+    with pytest.raises(SystemExit) as ei:
+        bench._refuse_if_busy(wait_s=60.0)
+    assert ei.value.code == 3
+
+
+def test_normalization_anchor_is_pinned():
+    """The normalized times are only comparable across rounds if the
+    anchor never moves; a change to MATMUL_REF_MS rescales every
+    value_norm ever recorded."""
+    assert bench.MATMUL_REF_MS == 29.0
 
 
 def test_stall_guard_cancels_hung_entry(spark):
@@ -143,3 +197,25 @@ def test_machine_speed_probe_returns_plausible_ms():
     b = bench._machine_speed_ms()
     assert a is not None and 0.5 < a < 5000
     assert b is not None and 0.5 < b < 5000
+
+
+def test_normalized_times_reject_self_inflicted_probe_spikes():
+    """r15: the per-entry speed estimate must reject a one-off probe
+    spike (the JVM's own JIT threads churning right after a heavy entry
+    measured 937 ms vs ~29 everywhere else — normalizing by it would
+    collapse that entry 30×) while still tracking SUSTAINED contention,
+    which moves consecutive probes together."""
+    timings = {"a": 2.0, "b": 6.0, "c": 2.0, "fail": -1.0, "noprobe": 1.0}
+    probes = {"a": 29.0, "b": 937.0, "c": 29.0, "fail": 29.0}
+    norm = bench._normalized_times(timings, probes)
+    # b's spike is rejected: median(29, 937, 29) = 29 → norm ≈ raw
+    assert norm["b"] == 6.0
+    assert norm["a"] == 2.0 and norm["c"] == 2.0
+    assert "fail" not in norm and "noprobe" not in norm
+
+    # sustained 2× slowdown: every probe doubles → every entry halves
+    slow = {k: 58.0 for k in ("a", "b", "c")}
+    norm2 = bench._normalized_times({"a": 2.0, "b": 6.0, "c": 2.0}, slow)
+    assert norm2 == {"a": 1.0, "b": 3.0, "c": 1.0}
+
+    assert bench._normalized_times({"a": 1.0}, {}) == {}
