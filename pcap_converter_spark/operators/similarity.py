@@ -859,6 +859,15 @@ def pq_train(
     (m, ks, dim/m) codebooks."""
     rows = df.orderBy(id_col).limit(sample_size).select(vec_col).collect()
     X = np.stack([np.asarray(r[0], dtype=np.float64) for r in rows])
+    return _pq_kmeans(X, m, ks, n_iters, seed)
+
+
+def _pq_kmeans(
+    X: np.ndarray, m: int, ks: int, n_iters: int, seed: int
+) -> np.ndarray:
+    """The per-subvector L2 Lloyd core of ``pq_train``, factored out so
+    ``retrain_ann_index`` can retrain codebooks from a sample it already
+    holds (r15) instead of re-collecting through a DataFrame."""
     dim = X.shape[1]
     if dim % m:
         raise ValueError("m must divide dim")
@@ -923,6 +932,8 @@ def pq_write(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     files_per_cluster: int = 1,
+    source: str | None = None,
+    source_prep: str | None = None,
 ) -> None:
     """Materialize an IVF-PQ index AT REST — the standard web-scale ANN
     layout (coarse quantizer prunes directories, product codes replace the
@@ -931,9 +942,31 @@ def pq_write(
     ride along — at 100 TB that is the point: the index is ~32× smaller
     than the corpus vectors, and a probe reads nprobe directories of
     byte-codes. ``vnorm`` (one double) is kept so ADC scores normalize to
-    a cosine estimate. Same co-location/salting story as ``ivf_write``."""
+    a cosine estimate. Same co-location/salting story as ``ivf_write``.
+
+    ``source`` (VERDICT r14 #3): the parquet path ``df``'s vectors live
+    at — recorded in a ``_ann_source.json`` sidecar so the rebuild remedy
+    the PQ layout's errors name stops being a manual archaeology
+    exercise: codes at rest cannot be retrained from themselves, and
+    with the provenance recorded ``retrain_ann_index`` drives the whole
+    rebuild (new centroids + codebooks + re-encode) from the source when
+    it is still reachable. Point it at the LIVE corpus location (e.g. a
+    growing directory that ``pq_append`` batches also land in), not a
+    frozen snapshot, and the retrain rebuilds today's corpus.
+    ``source_prep`` is a free-form signature of the preparation the
+    vectors went through (model name, normalization, …) — recorded
+    verbatim so a rebuild can verify it is re-encoding like with like.
+
+    Also records the train-time fit stats (the ``ivf_write`` baseline):
+    the vectors are IN HAND here even though they are not stored, so the
+    drift report keeps working for PQ layouts by sampling the recorded
+    source instead of the (vector-less) index."""
     from pcap_converter_spark.io.sinks import write_partitioned
 
+    if id_col not in df.columns:
+        raise ValueError(
+            f"pq_write: id_col={id_col!r} not in {df.columns}"
+        )
     _drop_stale_generations(df.sparkSession, out)
     assigned = assign_clusters(df, centroids, vec_col)
     coded = pq_assign(assigned, codebooks, vec_col)
@@ -954,6 +987,17 @@ def pq_write(
     # meaningless without them), so both ride as hidden sidecars
     _write_ann_centroids(df.sparkSession, out, centroids)
     _write_ann_codebooks(df.sparkSession, out, codebooks)
+    if source is not None:
+        _write_ann_source(
+            df.sparkSession, out,
+            {"path": source, "format": "parquet", "id_col": id_col,
+             "vec_col": vec_col, "prep": source_prep},
+        )
+    sample = _sample_vectors(df, vec_col, 4096, id_col=id_col, order="hash")
+    if len(sample):
+        _write_ann_stats(
+            df.sparkSession, out, centroid_fit_stats(sample, centroids)
+        )
 
 
 def pq_topk_at_rest(
@@ -1244,6 +1288,9 @@ def compact_ann_index_safe(
     stats = read_ann_stats(spark, path)
     if stats is not None:
         _write_ann_stats(spark, f"{stage_root}/data", stats)
+    src = _read_source_at(spark, root)
+    if src is not None:
+        _write_ann_source(spark, f"{stage_root}/data", src)
     epoch = _claim_generation_slot(
         spark, path, stage_root, live, gen_prefix=_ANN_GEN
     )
@@ -1287,6 +1334,7 @@ def vacuum_ann_index(spark, path: str) -> None:
         f"{path}/{ANN_CENTROIDS_DIR}",
         f"{path}/{ANN_CODEBOOKS_DIR}",
         f"{path}/{ANN_STATS_FILE}",
+        f"{path}/{ANN_SOURCE_FILE}",
     ):
         for st in fs.globStatus(jvm.org.apache.hadoop.fs.Path(pat)) or []:
             fs.delete(st.getPath(), True)
@@ -1302,6 +1350,7 @@ def vacuum_ann_index(spark, path: str) -> None:
 
 ANN_STATS_FILE = "_ann_stats.json"     # underscore-prefixed: Spark's file
 ANN_CENTROIDS_DIR = "_centroids"       # listing skips both sidecars
+ANN_SOURCE_FILE = "_ann_source.json"   # PQ source provenance (r15)
 
 
 def centroid_fit_stats(m: np.ndarray, centroids: np.ndarray) -> dict:
@@ -1399,6 +1448,48 @@ def read_ann_stats(spark, path: str) -> dict | None:
     finally:
         stream.close()
     return _json.loads(body)
+
+
+def _write_ann_source(spark, root: str, info: dict) -> None:
+    """Source-corpus provenance sidecar (VERDICT r14 #3): ``{path,
+    format, id_col, vec_col, prep}`` — what a codes-at-rest layout needs
+    to rebuild itself. Same create+close JSON shape as the stats
+    sidecar."""
+    import json as _json
+
+    from pcap_converter_spark.operators.incremental import _hadoop_fs
+
+    fs, jvm = _hadoop_fs(spark, root)
+    out = fs.create(
+        jvm.org.apache.hadoop.fs.Path(f"{root}/{ANN_SOURCE_FILE}"), True
+    )
+    try:
+        out.write(_json.dumps(info).encode())
+    finally:
+        out.close()
+
+
+def _read_source_at(spark, root: str) -> dict | None:
+    import json as _json
+
+    from pcap_converter_spark.operators.incremental import _hadoop_fs
+
+    fs, jvm = _hadoop_fs(spark, root)
+    p = jvm.org.apache.hadoop.fs.Path(f"{root}/{ANN_SOURCE_FILE}")
+    if not fs.exists(p):
+        return None
+    stream = fs.open(p)
+    try:
+        body = jvm.org.apache.commons.io.IOUtils.toString(stream, "UTF-8")
+    finally:
+        stream.close()
+    return _json.loads(body)
+
+
+def read_ann_source(spark, path: str) -> dict | None:
+    """The source-corpus provenance recorded with the LIVE generation
+    (``pq_write(source=...)``), or None when never recorded."""
+    return _read_source_at(spark, resolve_ann_root(spark, path))
 
 
 def _write_ann_centroids(spark, root: str, centroids: np.ndarray) -> None:
@@ -1565,6 +1656,30 @@ def ann_drift_report(
             )
     root = resolve_ann_root(spark, path)
     live = spark.read.parquet(root)
+    sampled_from = "index"
+    if vec_col not in live.columns and "pq_code" in live.columns:
+        # PQ layout: codes at rest carry no vectors to fit — sample the
+        # RECORDED source corpus instead (r15, with pq_write(source=...)
+        # provenance and its train-time stats baseline). The contract is
+        # that the source points at the live corpus location, so the
+        # sample sees today's distribution like the IVF path does.
+        src = _read_source_at(spark, root)
+        if src is None:
+            raise ValueError(
+                f"PQ layout at {path} stores codes, not vectors, and "
+                "records no source provenance — re-write it with "
+                "pq_write(source=<corpus parquet path>) to enable drift "
+                "reporting"
+            )
+        try:
+            live = spark.read.parquet(src["path"])
+        except Exception as exc:
+            raise ValueError(
+                f"PQ layout at {path} records its source corpus at "
+                f"{src['path']} but it is unreachable ({exc})"
+            ) from None
+        vec_col, id_col = src["vec_col"], src["id_col"]
+        sampled_from = "source"
     # hash-ordered: a drift report sampled in id order would see only
     # the OLDEST vectors — the training distribution itself — and stay
     # structurally blind to drifted appends (r14 review)
@@ -1580,6 +1695,7 @@ def ann_drift_report(
     report = {
         "current": current,
         "recorded": recorded,
+        "sampled_from": sampled_from,
         "mean_max_dot_drop": None,
         "size_cv_ratio": None,
         "drifted": False,
@@ -1657,11 +1773,20 @@ def retrain_ann_index(
     live_epoch = _live_epoch(spark, path, manifest_prefix=_ANN_MANIFEST)
     live = spark.read.parquet(root)
     if vec_col not in live.columns:
+        if "pq_code" in live.columns:
+            # PQ layout: codes cannot be retrained from themselves, but
+            # with recorded source provenance (pq_write(source=...)) the
+            # rebuild is driveable end-to-end (VERDICT r14 #3)
+            return _retrain_pq_from_source(
+                spark, path, root, live_epoch,
+                n_clusters=n_clusters, sample_size=sample_size,
+                n_iters=n_iters, files_per_cluster=files_per_cluster,
+                seed=seed, sample_order=sample_order,
+            )
         raise ValueError(
-            f"no '{vec_col}' column at {path} — this looks like a PQ "
-            "layout (codes at rest, not vectors): a PQ index cannot be "
-            "retrained from its own files; rebuild from the source "
-            "corpus (pq_train + pq_write)"
+            f"no '{vec_col}' column at {path} and no PQ codes either — "
+            "not a recognized ANN layout (ivf_write stores vectors, "
+            "pq_write stores pq_code rows)"
         )
     if n_clusters is None:
         prior = read_ann_centroids(spark, path)
@@ -1691,6 +1816,139 @@ def retrain_ann_index(
     stage_root = f"{path}/.genstage.{_uuid.uuid4().hex}.tmp"
     write_partitioned(assigned, f"{stage_root}/data", ["_cluster"])
     _write_ann_centroids(spark, f"{stage_root}/data", centroids)
+    _write_ann_stats(
+        spark, f"{stage_root}/data", centroid_fit_stats(sample, centroids)
+    )
+    epoch = _claim_generation_slot(
+        spark, path, stage_root, live_epoch, gen_prefix=_ANN_GEN
+    )
+    _commit_manifest(
+        spark, path, epoch,
+        {
+            "version": ANN_MANIFEST_VERSION,
+            "epoch": epoch,
+            "root": f"{_ANN_GEN}{epoch:06d}/data",
+            "tables": ["data"],
+        },
+        manifest_prefix=_ANN_MANIFEST,
+    )
+    return centroids
+
+
+def _retrain_pq_from_source(
+    spark,
+    path: str,
+    root: str,
+    live_epoch: int,
+    n_clusters: int | None,
+    sample_size: int,
+    n_iters: int,
+    files_per_cluster: int,
+    seed: int,
+    sample_order: str,
+) -> np.ndarray:
+    """Rebuild a drifted IVF-PQ layout from its RECORDED source corpus
+    (VERDICT r14 #3): the codes at rest are meaningless without the
+    centroids/codebooks that produced them, so a PQ retrain is a full
+    re-encode — sample the source (the ``ivf_train``/``pq_train``
+    bounded-sample contract), retrain coarse centroids AND codebooks on
+    today's distribution, re-encode EVERY source row, and commit the new
+    layout through the same generation+manifest protocol as the IVF
+    retrain, so probes cut over atomically. The source sidecar (path +
+    prep signature, ``pq_write(source=...)``) makes this driveable; a
+    layout without one gets the manual-rebuild raise, now WITH the
+    remedy for next time. Cost shape: one full source read + one
+    ``_cluster`` shuffle + one partitioned write — the floor for any
+    re-encode.
+
+    Geometry defaults come from the live sidecars: ``n_clusters`` from
+    the centroid count, (m, ks) always from the recorded codebooks (a
+    PQ rebuild keeps its compression geometry unless the caller rebuilds
+    manually with new (m, ks) via pq_train + pq_write)."""
+    import uuid as _uuid
+
+    from pcap_converter_spark.io.sinks import write_partitioned
+    from pcap_converter_spark.operators.incremental import (
+        _claim_generation_slot,
+        _commit_manifest,
+    )
+
+    src = _read_source_at(spark, root)
+    if src is None:
+        raise ValueError(
+            f"PQ layout at {path} has codes at rest, not vectors, and "
+            "records no source provenance — it cannot be retrained from "
+            "its own files. Rebuild manually from the source corpus "
+            "(pq_train + pq_write), and pass pq_write(source=<corpus "
+            "parquet path>) this time so the next retrain can drive the "
+            "rebuild itself"
+        )
+    try:
+        source_df = spark.read.parquet(src["path"])
+    except Exception as exc:
+        raise ValueError(
+            f"PQ layout at {path} records its source corpus at "
+            f"{src['path']} but it is unreachable ({exc}) — restore the "
+            "source (or rebuild manually with pq_train + pq_write and "
+            "re-record the new location)"
+        ) from None
+    s_id, s_vec = src["id_col"], src["vec_col"]
+    missing = [c for c in (s_id, s_vec) if c not in source_df.columns]
+    if missing:
+        raise ValueError(
+            f"source corpus at {src['path']} no longer carries the "
+            f"recorded column(s) {missing} (has {source_df.columns}) — "
+            "the provenance is stale; rebuild manually and re-record"
+        )
+    cbs_old = _read_codebooks_at(spark, root)
+    if cbs_old is None:
+        raise ValueError(
+            f"PQ layout at {path} has no recorded codebooks — codes are "
+            "not decodable; rebuild manually (pq_train + pq_write)"
+        )
+    m, ks, _ = cbs_old.shape
+    if n_clusters is None:
+        prior = _read_centroids_at(spark, root)
+        n_clusters = (
+            len(prior)
+            if prior is not None
+            else int(
+                spark.read.parquet(root)
+                .agg(F.max("_cluster").alias("m")).collect()[0]["m"]
+            ) + 1
+        )
+    # ONE bounded sample feeds the coarse retrain, the codebook retrain,
+    # and the recorded fit stats (the IVF retrain's r14 single-sample rule)
+    sample = _sample_vectors(
+        source_df, s_vec, sample_size, id_col=s_id, order=sample_order
+    )
+    if len(sample) == 0:
+        raise ValueError(
+            f"source corpus at {src['path']} holds no rows — nothing to "
+            "retrain from"
+        )
+    centroids = _kmeans(sample, n_clusters, n_iters, seed)
+    codebooks = _pq_kmeans(sample, m, ks, n_iters, seed)
+    assigned = assign_clusters(source_df, centroids, s_vec)
+    coded = pq_assign(assigned, codebooks, s_vec)
+    slim = coded.select(
+        s_id,
+        norm(F.col(s_vec)).alias("vnorm"),
+        "pq_code",
+        "_cluster",
+    )
+    if files_per_cluster <= 1:
+        slim = slim.repartition(F.col("_cluster"))
+    else:
+        salt = F.pmod(
+            F.xxhash64(F.col("pq_code")), F.lit(int(files_per_cluster))
+        )
+        slim = slim.repartition(F.col("_cluster"), salt)
+    stage_root = f"{path}/.genstage.{_uuid.uuid4().hex}.tmp"
+    write_partitioned(slim, f"{stage_root}/data", ["_cluster"])
+    _write_ann_centroids(spark, f"{stage_root}/data", centroids)
+    _write_ann_codebooks(spark, f"{stage_root}/data", codebooks)
+    _write_ann_source(spark, f"{stage_root}/data", src)
     _write_ann_stats(
         spark, f"{stage_root}/data", centroid_fit_stats(sample, centroids)
     )

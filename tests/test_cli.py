@@ -1121,3 +1121,59 @@ def test_cli_ingest_parquet_null_gate_and_schema_drift(spark, tmp_path, capsys):
     )
     assert got2["survivors"] == 1
     assert spark.read.parquet(out).count() == 3
+
+
+def test_cli_retrain_pq_from_recorded_source(spark, tmp_path, capsys):
+    """r15: `retrain --ann` on a PQ layout drives the rebuild from the
+    recorded source provenance — and --report-only now judges drift for
+    the vector-less layout by sampling that source."""
+    import json
+
+    import numpy as np
+
+    from pcap_converter_spark.operators import similarity as sim
+
+    rng = np.random.default_rng(33)
+    dim = 8
+    eye = np.eye(dim)
+    pts = np.concatenate([
+        (eye[i] + rng.standard_normal((12, dim)) * 0.03) for i in range(4)
+    ])
+    pts /= np.linalg.norm(pts, axis=1, keepdims=True)
+    src = str(tmp_path / "pq_cli_src")
+    spark.createDataFrame(
+        [(i, [float(x) for x in pts[i]]) for i in range(len(pts))],
+        "vec_id long, embedding array<double>",
+    ).write.parquet(src)
+    source_df = spark.read.parquet(src)
+    cbs = sim.pq_train(source_df, m=4, ks=8, sample_size=48)
+    p = str(tmp_path / "pq_cli_idx")
+    sim.pq_write(source_df, eye[:4].copy(), cbs, p, source=src)
+
+    assert main(["retrain", "--ann", p, "--report-only"]) == 0
+
+    # drift the live corpus + index
+    mid = (eye[0] + eye[1]) / np.sqrt(2)
+    b = mid + rng.standard_normal((30, dim)) * 0.02
+    b /= np.linalg.norm(b, axis=1, keepdims=True)
+    bdf = spark.createDataFrame(
+        [(100 + i, [float(x) for x in b[i]]) for i in range(len(b))],
+        "vec_id long, embedding array<double>",
+    )
+    bdf.write.mode("append").parquet(src)
+    sim.pq_append(bdf, eye[:4].copy(), cbs, p)
+    assert main(["retrain", "--ann", p, "--report-only"]) == 1
+    rep = json.loads(
+        [ln for ln in capsys.readouterr().out.splitlines()
+         if ln.startswith("{")][-1]
+    )
+    assert rep["sampled_from"] == "source"
+
+    assert main(["retrain", "--ann", p, "--clusters", "5",
+                 "--seed", "3", "--vacuum"]) == 0
+    assert main(["retrain", "--ann", p, "--report-only"]) == 0
+    cents = sim.read_ann_centroids(spark, p)
+    assert cents is not None and cents.shape == (5, dim)
+    assert sim.read_ann_codebooks(spark, p) is not None
+    n = spark.read.parquet(sim.resolve_ann_root(spark, p)).count()
+    assert n == len(pts) + len(b)

@@ -844,3 +844,150 @@ def test_probes_recover_geometry_from_sidecars(spark, emb_df, tmp_path):
         similarity.pq_topk_at_rest(spark, pp, None, None, q, k=3)
     with pytest.raises(ValueError, match="DataFrame index"):
         similarity.ivf_topk_at_rest(spark, emb_df, None, q, k=3)
+
+
+def _pq_recall(spark, emb, path, q, k, nprobe):
+    """At-rest PQ probe recall (geometry from the index's own sidecars)
+    vs brute-force cosine over the same rows."""
+    got = {
+        r["vec_id"]
+        for r in similarity.pq_topk_at_rest(
+            spark, path, None, None, q, k=k, nprobe=nprobe
+        ).collect()
+    }
+    true = {
+        r["vec_id"] for r in similarity.cosine_topk(emb, q, k=k).collect()
+    }
+    return len(got & true) / k
+
+
+def test_pq_retrain_from_recorded_source(spark, tmp_path):
+    """VERDICT r14 #3 done-criterion: a drifted PQ index with REACHABLE
+    recorded source provenance retrains end-to-end — new centroids AND
+    codebooks trained on today's distribution, every source row
+    re-encoded into a new generation through the manifest protocol,
+    recall recovered, probes cut over atomically — and the drift report
+    works for the vector-less layout by sampling the source."""
+    rng = np.random.default_rng(21)
+    dim = 16
+    eye = np.eye(dim)
+    a_pts = np.concatenate([_blob(rng, eye[i], 12, 0.03) for i in range(4)])
+    cents = eye[:4].copy()
+    src = str(tmp_path / "pq_src_corpus")
+    a_df = spark.createDataFrame(
+        [(i, [float(x) for x in a_pts[i]]) for i in range(len(a_pts))],
+        "vec_id long, embedding array<double>",
+    )
+    a_df.write.parquet(src)
+    source_df = spark.read.parquet(src)
+    cbs = similarity.pq_train(source_df, m=4, ks=16, sample_size=64)
+    p = str(tmp_path / "pq_retrain_idx")
+    similarity.pq_write(
+        source_df, cents, cbs, p, source=src, source_prep="unit-norm"
+    )
+    meta = similarity.read_ann_source(spark, p)
+    assert meta == {
+        "path": src, "format": "parquet", "id_col": "vec_id",
+        "vec_col": "embedding", "prep": "unit-norm",
+    }
+    # the write also records a fit-stats baseline (vectors in hand)
+    assert similarity.read_ann_stats(spark, p) is not None
+
+    # drift: a new mode straddling the c0/c1 boundary lands in BOTH the
+    # source corpus (the live location) and the index (pq_append) —
+    # exactly k points, so brute-force top-k is the whole mode and
+    # recall is not hostage to ADC tie-ordering among near-identical
+    # vectors
+    k = 20
+    mid = (eye[0] + eye[1]) / np.sqrt(2)
+    tilt = (eye[0] - eye[1]) / np.sqrt(2)
+    b_pts = np.stack([
+        mid + tilt * ((-1) ** i) * 0.08 + rng.standard_normal(dim) * 0.01
+        for i in range(k)
+    ])
+    b_pts /= np.linalg.norm(b_pts, axis=1, keepdims=True)
+    b_df = spark.createDataFrame(
+        [(100 + i, [float(x) for x in b_pts[i]]) for i in range(k)],
+        "vec_id long, embedding array<double>",
+    )
+    b_df.write.mode("append").parquet(src)
+    similarity.pq_append(b_df, cents, cbs, p)
+    everything = a_df.unionByName(b_df)
+
+    rep = similarity.ann_drift_report(spark, p)
+    assert rep["sampled_from"] == "source" and rep["drifted"], rep
+
+    q = [float(x) for x in mid]
+    before = _pq_recall(spark, everything, p, q, k=k, nprobe=1)
+    assert before <= 0.7, f"drifted PQ recall unexpectedly high: {before}"
+
+    new_cents = similarity.retrain_ann_index(spark, p, n_clusters=5, seed=3)
+    assert new_cents.shape == (5, dim)
+    assert similarity.resolve_ann_root(spark, p).endswith("_gen-000001/data")
+    # the new generation is self-describing end to end: geometry,
+    # baseline AND provenance carried
+    rec_cents = similarity.read_ann_centroids(spark, p)
+    assert rec_cents is not None and np.allclose(rec_cents, new_cents)
+    rec_cbs = similarity.read_ann_codebooks(spark, p)
+    assert rec_cbs is not None and rec_cbs.shape == (4, 16, 4)
+    assert similarity.read_ann_source(spark, p) == meta
+    rep2 = similarity.ann_drift_report(spark, p)
+    assert not rep2["drifted"], rep2
+
+    after = _pq_recall(spark, everything, p, q, k=k, nprobe=1)
+    assert after >= 0.9, f"PQ retrain did not recover recall: {after}"
+    assert after > before
+
+    # every source row survives the re-encode; layout stays codes-only
+    live = spark.read.parquet(similarity.resolve_ann_root(spark, p))
+    assert live.count() == len(a_pts) + k
+    assert set(live.columns) == {"vec_id", "vnorm", "pq_code", "_cluster"}
+
+    # probes on the retrained layout are still partition-pruned
+    import re
+
+    plan = similarity.pq_topk_at_rest(
+        spark, p, None, None, q, k=5, nprobe=2
+    )._jdf.queryExecution().executedPlan().toString()
+    m = re.search(r"PartitionFilters: \[([^\]]*)", plan)
+    assert m and "_cluster" in m.group(1)
+
+    # vacuum reclaims the superseded flat layout, probe still answers
+    similarity.vacuum_ann_index(spark, p)
+    import glob
+
+    assert not glob.glob(f"{p}/_cluster=*")
+    assert _pq_recall(spark, everything, p, q, k, 1) == after
+
+
+def test_pq_retrain_raises_without_or_with_stale_provenance(spark, emb_df, tmp_path):
+    """The failure surfaces stay curated: no recorded source → the
+    manual-rebuild raise now names the pq_write(source=...) remedy; a
+    recorded source that vanished → 'unreachable' with the restore
+    remedy; a source whose columns were renamed → 'stale' provenance."""
+    import shutil
+
+    cents = similarity.fixed_centroids(DIM, 4, seed=42)
+    cbs = similarity.pq_train(emb_df, m=4, ks=8, sample_size=50)
+
+    p0 = str(tmp_path / "pq_noprov")
+    similarity.pq_write(emb_df, cents, cbs, p0)
+    with pytest.raises(ValueError, match="records no source provenance"):
+        similarity.retrain_ann_index(spark, p0)
+
+    src = str(tmp_path / "pq_prov_src")
+    emb_df.write.parquet(src)
+    p1 = str(tmp_path / "pq_prov")
+    similarity.pq_write(
+        spark.read.parquet(src), cents, cbs, p1, source=src
+    )
+    shutil.rmtree(src)
+    with pytest.raises(ValueError, match="unreachable"):
+        similarity.retrain_ann_index(spark, p1)
+
+    src2 = str(tmp_path / "pq_prov_src2")
+    emb_df.withColumnRenamed("embedding", "vec").write.parquet(src2)
+    p2 = str(tmp_path / "pq_prov2")
+    similarity.pq_write(emb_df, cents, cbs, p2, source=src2)
+    with pytest.raises(ValueError, match="no longer carries"):
+        similarity.retrain_ann_index(spark, p2)
