@@ -441,11 +441,30 @@ def main() -> int:
         ),
     }
 
+    def run_action(fn) -> float:
+        """Time a callable that performs its OWN actions (the ingest hook
+        sinks internally); identical untimed cleanup to ``run``."""
+        t0 = time.perf_counter()
+        fn()
+        dt = time.perf_counter() - t0
+        for h in pending:
+            h.unpersist()
+        pending.clear()
+        import gc as _gc
+
+        _gc.collect()
+        try:
+            spark._jvm.System.gc()
+        except Exception:
+            pass
+        return dt
+
     out: dict[str, dict] = {}
 
-    def measure(name: str, mk, half_df, full_df) -> None:
+    def measure(name: str, mk, half_df, full_df, action: bool = False) -> None:
         if only is not None and name not in only:
             return
+        timed = run_action if action else run
         # untimed per-op warmup at half size: the op's first execution
         # compiles its generated code and faults in its worker-side paths;
         # without this the half-size point (always timed first) absorbs
@@ -453,13 +472,13 @@ def main() -> int:
         # visible once the block-aligned sampler made half/full carry the
         # same planted-dup density (the even-id sampler's dup-free half
         # corpus happened to mask it)
-        run(mk(half_df))
+        timed(mk(half_df))
         # min-of-2 per point: a single pair is hostage to one GC pause —
         # measured r5: a stray passage_dedup full-size run hit 3.8 s
         # (exp 1.85, a false QUADRATIC flag) where three repeats gave
         # 1.07-1.12 s (exp 0.19-0.49). The min is the engine's cost.
-        t_half = min(run(mk(half_df)), run(mk(half_df)))
-        t_full = min(run(mk(full_df)), run(mk(full_df)))
+        t_half = min(timed(mk(half_df)), timed(mk(half_df)))
+        t_full = min(timed(mk(full_df)), timed(mk(full_df)))
         out[name] = {
             "t_half": round(t_half, 2),
             "t_full": round(t_full, 2),
@@ -474,6 +493,33 @@ def main() -> int:
         measure(name, mk, docs_half, docs_full)
     for name, mk in vec_ops.items():
         measure(name, mk, vecs_half, vecs_full)
+
+    # streaming ingest hook (VERDICT r14 stretch #7): the production
+    # write path's PER-BATCH cost — exactly the foreachBatch body
+    # (probe against the at-rest index → in-batch exact collapse →
+    # sink), timed as a direct call so the exponent measures the hook,
+    # not streaming-engine startup. Unlike incremental_probe (index AND
+    # snapshot double together), the index here is FIXED (built once
+    # over the full corpus's even half, untimed) and only the drained
+    # batch doubles — the drain-N-vs-2N-files question: probe cost
+    # should track batch size (~linear), the index side of the join
+    # staying a constant read. update=False keeps the measurement
+    # idempotent (an append would grow the index between repeats and
+    # the min-of-2 points would time different indexes).
+    def _mk_ingest(d):
+        from pcap_converter_spark.streaming.ingest import dedup_ingest_hook
+
+        p = _incr_index_for(docs_full)  # ONE fixed index for both points
+        hook = dedup_ingest_hook(
+            p,
+            sink=lambda df, bid: df.write.format("noop")
+            .mode("overwrite").save(),
+            update=False,
+        )
+        batch = d.filter(did % 2 == 1)
+        return lambda: hook(batch, 0)
+
+    measure("ingest_hook", _mk_ingest, docs_half, docs_full, action=True)
 
     # the fused WARC→documents source (r8 surface): exponent over ARCHIVE
     # BYTES rather than row count — the reader's unit of scale is the
