@@ -200,12 +200,38 @@ class FileChunkStreamReader(DataSourceStreamReader):
     documents; a live trigger (processingTime) needs no re-invocation
     and ``processAllAvailable()`` drains the backlog fully in ≤cap-chunk
     batches. Results are cap-invariant (pytest-pinned: same final rows,
-    >1 batch). Restart note: the in-memory floor starts empty, so the
-    first post-restart offset can lag the checkpoint's committed start —
-    ``partitions`` plans the empty intersection (start==end) until the
-    floor catches up, costing at most ⌈committed/cap⌉ empty batches,
-    never re-reading committed chunks; ``commit`` fast-forwards the
-    floor so this self-heals on the first committed batch.
+    >1 batch).
+
+    **The cap must never rewind the checkpoint.** An offset this reader
+    returns becomes Spark's committed truth for the NEXT batch's start,
+    so offering anything BEHIND what an earlier incarnation already
+    committed would re-plan committed chunks — duplicate rows from an
+    exactly-once source (caught in this round's own review). And the
+    reader cannot tell fresh from restarted at the decisive moment:
+    Spark's PythonMicroBatchStream asks for ``latestOffset()`` BEFORE
+    ``initialOffset()`` even on a brand-new query (observed; the offset
+    runner protocol passes no start offset). The floor-trust ladder:
+
+    1. A floor restored from ``max_chunks_state`` (option: path to a
+       tiny JSON the reader maintains write-BEFORE-return, atomic
+       rename). The recorded floor dominates every offset ever
+       returned, hence every committed offset — capped drains stay
+       bounded ACROSS restarts and cron invocations. One state path per
+       query; for a genuinely fresh query, seed it with ``{}`` to cap
+       from the very first batch (the ingest pattern: create it
+       together with a new checkpoint dir).
+    2. ``partitions(start, end)``/``commit(end)``/``initialOffset()``
+       bootstrap the floor mid-life — an incomplete last batch is
+       replayed through ``partitions`` before any new offset, and a
+       fresh query's ``initialOffset`` lands right after its first
+       ``latestOffset`` — so from the SECOND trigger on, every query
+       is capped even with no state file.
+    3. Otherwise the first ``latestOffset`` of an incarnation returns
+       FULL availability — one uncapped batch, the pre-cap behavior,
+       because full availability is the one offset provably ≥ any
+       committed offset. Consequence for cron availableNow drains
+       (one batch per invocation): set ``max_chunks_state`` or the cap
+       never engages across invocations.
 
     Subclasses provide ``_format_name``, ``_index_path`` (path → chunk
     descriptor dicts) and ``_decode_chunk`` (descriptor → Arrow batches).
@@ -228,9 +254,19 @@ class FileChunkStreamReader(DataSourceStreamReader):
                 f"max_chunks_per_trigger must be >= 0, got {self._cap} "
                 "(0 means unbounded)"
             )
-        # the last offset THIS reader returned (plus committed ends):
-        # the base the per-trigger cap advances from
+        # the highest offsets this reader has returned/observed: the base
+        # the per-trigger cap advances from. _floor_trusted says whether
+        # capping from it is SAFE (see the class docstring's rewind
+        # contract) — capping from an untrusted floor could offer Spark
+        # an offset behind the checkpoint and replay committed chunks.
         self._floor: dict[str, int] = {}
+        self._floor_trusted = False
+        self._state_path = self._options.get("max_chunks_state") or None
+        if self._state_path:
+            restored = self._load_floor_state()
+            if restored is not None:
+                self._floor = restored
+                self._floor_trusted = True
 
     def _index_path(self, p: str) -> list[dict]:
         raise NotImplementedError
@@ -254,7 +290,37 @@ class FileChunkStreamReader(DataSourceStreamReader):
             self._chunks[p] = self._index_path(p)
         return self._chunks[p]
 
+    def _load_floor_state(self) -> dict | None:
+        import json
+
+        try:
+            with open(self._state_path) as f:
+                raw = json.load(f)
+            return {str(k): int(v) for k, v in raw.items()}
+        except FileNotFoundError:
+            return None
+        except Exception:
+            # torn/corrupt state (crash mid-write pre-rename cannot cause
+            # this, but a manual edit can): fall back to the safe path —
+            # one full-availability offset re-trusts the floor
+            return None
+
+    def _save_floor_state(self) -> None:
+        """Write-BEFORE-return ordering: the state file must dominate
+        every offset Spark ever sees, or a crash could leave it behind a
+        committed offset and a later capped drain would rewind. Atomic
+        tmp+rename; same-directory so the rename is atomic."""
+        import json
+
+        tmp = f"{self._state_path}.tmp.{os.getpid()}"
+        with open(tmp, "w") as f:
+            json.dump(self._floor, f)
+        os.replace(tmp, self._state_path)
+
     def initialOffset(self) -> dict:
+        # Spark calls this ONLY when no checkpoint exists — a fresh query,
+        # whose true floor IS zero: the cap may engage immediately
+        self._floor_trusted = True
         return {}
 
     def _admissible(self, p: str) -> bool:
@@ -279,8 +345,14 @@ class FileChunkStreamReader(DataSourceStreamReader):
         import time
 
         out: dict[str, int] = {}
-        # None = unbounded; otherwise the chunk budget left this trigger
-        budget = self._cap if self._cap > 0 else None
+        # None = unbounded; otherwise the chunk budget left this trigger.
+        # An UNTRUSTED floor (restart with a completed last batch, no
+        # state file) forces one full-availability offset — the only
+        # value provably ≥ whatever the checkpoint committed (rewind
+        # contract, class docstring); the cap engages from the next call.
+        budget = (
+            self._cap if self._cap > 0 and self._floor_trusted else None
+        )
         files = sorted(
             p for p in glob.glob(self._path_glob()) if os.path.isfile(p)
         )
@@ -315,13 +387,26 @@ class FileChunkStreamReader(DataSourceStreamReader):
                 out[p] = floor + adv
                 budget -= adv
         # remember what we offered: the next trigger advances from here
-        # (monotonic per file — a glob miss never rolls an entry back)
+        # (monotonic per file — a glob miss never rolls an entry back),
+        # and a full-availability offset re-trusts the floor
         for p, n in out.items():
             if n > self._floor.get(p, 0):
                 self._floor[p] = n
+        self._floor_trusted = True
+        if self._state_path:
+            self._save_floor_state()  # durable BEFORE Spark sees it
         return out
 
     def partitions(self, start: dict, end: dict):
+        # checkpointed offsets are ground truth ≥ anything committed so
+        # far: bootstrap the cap's floor from them (this is the call a
+        # restart with an INCOMPLETE last batch replays before any
+        # latestOffset, so that restart path caps immediately)
+        for src in (start, end):
+            for p, n in src.items():
+                if int(n) > self._floor.get(p, 0):
+                    self._floor[p] = int(n)
+        self._floor_trusted = True
         parts: list[InputPartition] = []
         for p, n_end in end.items():
             n_start = int(start.get(p, 0))
@@ -355,6 +440,7 @@ class FileChunkStreamReader(DataSourceStreamReader):
         for p, n in end.items():
             if int(n) > self._floor.get(p, 0):
                 self._floor[p] = int(n)
+        self._floor_trusted = True
 
 
 class PcapStreamReader(FileChunkStreamReader):

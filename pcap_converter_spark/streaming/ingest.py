@@ -279,11 +279,14 @@ def run_dedup_ingest(
     so Spark logs "falling back to single batch execution" and a drain
     plans the ENTIRE backlog as ONE micro-batch — unbounded batch
     memory at a large drop directory. For those faces set
-    ``.option("max_chunks_per_trigger", N)``
-    (sources/datasource.FileChunkStreamReader): each drain invocation
-    then consumes at most N chunks — re-invoke until the summary stops
-    advancing (the cron pattern), or run a live ``processingTime``
-    trigger, which drains the whole backlog in ≤N-chunk batches."""
+    ``.option("max_chunks_per_trigger", N)`` AND
+    ``.option("max_chunks_state", <path>)`` seeded with ``{}`` when the
+    checkpoint is new (sources/datasource.FileChunkStreamReader — the
+    state file is what lets a FRESH reader incarnation cap without
+    risking a checkpoint rewind): each drain invocation then consumes
+    at most N chunks — re-invoke until the summary stops advancing (the
+    cron pattern), or run a live ``processingTime`` trigger, which
+    drains the whole backlog in ≤N-chunk batches."""
     writer = (
         stream_docs.writeStream.queryName(query_name)
         .foreachBatch(dedup_ingest_hook(index_path, sink, **hook_kwargs))

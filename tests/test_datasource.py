@@ -254,8 +254,16 @@ def test_stream_cap_bounds_offset_advancement(tmp_path):
     total = sum(full.values())
     assert total > 6  # several chunks per file, else the cap tests nothing
 
+    # a {}-seeded max_chunks_state asserts "fresh query, zero floor" —
+    # the documented way to cap from the very first batch (Spark asks
+    # for latestOffset BEFORE initialOffset, so the reader cannot infer
+    # freshness itself; see the rewind contract)
+    state0 = str(tmp_path / "floor0.json")
+    with open(state0, "w") as f:
+        f.write("{}")
     r = _stream_reader(
-        cap, target_chunk_bytes="1024", max_chunks_per_trigger="3"
+        cap, target_chunk_bytes="1024", max_chunks_per_trigger="3",
+        max_chunks_state=state0,
     )
     prev: dict = {}
     seen_batches = 0
@@ -280,15 +288,19 @@ def test_stream_cap_bounds_offset_advancement(tmp_path):
     # budget exhaustion must not index files it cannot admit yet:
     # with cap=3 and a.pcap alone holding >3 chunks, the first poll
     # leaves the later files un-indexed (bounded per-poll driver work)
+    state1 = str(tmp_path / "floor1.json")
+    with open(state1, "w") as f:
+        f.write("{}")
     r2 = _stream_reader(
-        cap, target_chunk_bytes="1024", max_chunks_per_trigger="3"
+        cap, target_chunk_bytes="1024", max_chunks_per_trigger="3",
+        max_chunks_state=state1,
     )
     first = r2.latestOffset()
     assert sum(first.values()) == 3
     assert len(r2._chunks) < len(full)
 
     # commit() fast-forward: a restarted capped reader catches up to the
-    # checkpointed end in one step instead of ⌈committed/cap⌉ empty polls
+    # committed end in one step instead of ⌈committed/cap⌉ empty polls
     r3 = _stream_reader(
         cap, target_chunk_bytes="1024", max_chunks_per_trigger="3"
     )
@@ -299,6 +311,70 @@ def test_stream_cap_bounds_offset_advancement(tmp_path):
 
     with _pytest.raises(ValueError, match="max_chunks_per_trigger"):
         _stream_reader(cap, max_chunks_per_trigger="-1").latestOffset()
+
+
+def test_stream_cap_never_rewinds_a_checkpoint(tmp_path):
+    """r15 review-caught hazard: an offset this reader returns becomes
+    Spark's committed truth, so a restarted capped reader whose floor is
+    unknown must NOT offer a capped (possibly-behind) offset — that would
+    re-plan committed chunks and duplicate rows. Contract: cap only from
+    a trusted floor (fresh query via initialOffset, a replayed
+    partitions() span, or the max_chunks_state file); otherwise the first
+    offset is FULL availability, the one value provably ≥ any commit."""
+    cap = tmp_path / "captures"
+    cap.mkdir()
+    for name, n in (("a.pcap", 60), ("b.pcap", 40)):
+        g.write_pcap(str(cap / name),
+                     [(1_000_000 + i, _udp_pkt(i)) for i in range(n)])
+    full = _stream_reader(cap, target_chunk_bytes="1024").latestOffset()
+
+    # restart with a COMPLETED last batch and no state: full availability
+    # first (uncapped), capped only after the floor is re-trusted
+    r = _stream_reader(
+        cap, target_chunk_bytes="1024", max_chunks_per_trigger="2"
+    )
+    assert r.latestOffset() == full
+
+    # restart with an INCOMPLETE last batch: Spark replays partitions()
+    # BEFORE any latestOffset — the replayed span bootstraps the floor,
+    # so the next offset is capped AND never behind the replayed end
+    a = str(cap / "a.pcap")
+    r2 = _stream_reader(
+        cap, target_chunk_bytes="1024", max_chunks_per_trigger="2"
+    )
+    r2.partitions({a: 1}, {a: 3})
+    off = r2.latestOffset()
+    assert off[a] >= 3
+    assert sum(off.values()) - 3 <= 2  # capped advancement beyond the floor
+
+    # persistent floor (max_chunks_state): a cron-style re-invocation
+    # (fresh reader, completed batch, NO initialOffset) resumes CAPPED
+    # from the recorded floor instead of bursting to full availability
+    state = str(tmp_path / "floor.json")
+    r3 = _stream_reader(
+        cap, target_chunk_bytes="1024", max_chunks_per_trigger="2",
+        max_chunks_state=state,
+    )
+    r3.initialOffset()
+    first = r3.latestOffset()
+    assert sum(first.values()) == 2
+    r4 = _stream_reader(  # the next cron invocation
+        cap, target_chunk_bytes="1024", max_chunks_per_trigger="2",
+        max_chunks_state=state,
+    )
+    nxt = r4.latestOffset()
+    assert sum(nxt.values()) == 4  # capped, advancing FROM the state floor
+    for p, n in first.items():
+        assert nxt.get(p, 0) >= n  # never behind anything ever returned
+
+    # corrupt state falls back to the safe full-availability path
+    with open(state, "w") as f:
+        f.write("{not json")
+    r5 = _stream_reader(
+        cap, target_chunk_bytes="1024", max_chunks_per_trigger="2",
+        max_chunks_state=state,
+    )
+    assert r5.latestOffset() == full
 
 
 def test_stream_cap_multi_batch_same_results(registered, tmp_path):
@@ -321,7 +397,17 @@ def test_stream_cap_multi_batch_same_results(registered, tmp_path):
             .option("target_chunk_bytes", "2048")
         )
         if capped:
-            reader = reader.option("max_chunks_per_trigger", "2")
+            # seed the {} floor state (fresh query by construction): the
+            # documented way to bound the FIRST batch too — without it
+            # the first latestOffset must offer full availability, since
+            # the reader cannot prove there is no older checkpoint
+            state = str(tmp_path / f"floor_{tag}.json")
+            with open(state, "w") as f:
+                f.write("{}")
+            reader = (
+                reader.option("max_chunks_per_trigger", "2")
+                .option("max_chunks_state", state)
+            )
         q = (
             reader.load(str(cap_dir))
             .writeStream.format("parquet")
