@@ -231,3 +231,75 @@ def test_payload_blockhash_neardup_pairs(spark):
     sigs2 = {r["doc_id"]: r["sig"]
              for r in payload_blockhash(df.repartition(5)).collect()}
     assert sigs2 == sigs
+
+
+def test_wav_roundtrip_and_variants():
+    """decode_wav is a real decoder: 16-bit PCM roundtrips mono and
+    stereo; hand-built float32 and extra-chunk (LIST) variants decode;
+    compressed codecs and junk get curated ValueErrors."""
+    import struct
+
+    rate = 8000
+    t = np.arange(rate) / rate
+    sine = 0.5 * np.sin(2 * np.pi * 440 * t)
+    a, r = multimodal.decode_wav(multimodal.encode_wav(sine, rate))
+    assert r == rate and a.shape == (rate, 1)
+    assert np.allclose(a[:, 0], sine, atol=2 / 32767)
+
+    stereo = np.stack([sine, -sine], axis=1)
+    a2, _ = multimodal.decode_wav(multimodal.encode_wav(stereo, rate))
+    assert a2.shape == (rate, 2) and np.allclose(a2, stereo, atol=1e-3)
+
+    # IEEE-float WAV with a LIST chunk between fmt and data: the chunk
+    # walk must skip what it does not know, not die on it
+    pcm = sine.astype("<f4").tobytes()
+    hdr = b"RIFF" + struct.pack("<I", 36 + 12 + len(pcm)) + b"WAVE"
+    hdr += b"fmt " + struct.pack("<IHHIIHH", 16, 3, 1, rate, rate * 4, 4, 32)
+    hdr += b"LIST" + struct.pack("<I", 4) + b"INFO"
+    hdr += b"data" + struct.pack("<I", len(pcm))
+    a3, r3 = multimodal.decode_wav(hdr + pcm)
+    assert r3 == rate and np.allclose(a3[:, 0], sine, atol=1e-6)
+
+    with pytest.raises(ValueError, match="format tag"):
+        bad = b"RIFF" + struct.pack("<I", 36) + b"WAVE" + b"fmt " + \
+            struct.pack("<IHHIIHH", 16, 2, 1, 8000, 8000, 1, 4) + \
+            b"data" + struct.pack("<I", 0)
+        multimodal.decode_wav(bad)
+    with pytest.raises(ValueError, match="RIFF"):
+        multimodal.decode_wav(b"\x89PNG not audio")
+
+
+def test_audio_features_spectral_shape(spark):
+    """bytes → samples → typed features: a low-frequency tone
+    concentrates its band energy in the first rFFT band, a
+    high-frequency tone in the last, white-ish noise spreads; RMS and
+    zero-crossing rate match NumPy; a bad payload lands in
+    decode_error."""
+    rate = 8000
+    t = np.arange(rate) / rate
+    low = 0.5 * np.sin(2 * np.pi * 100 * t)
+    high = 0.5 * np.sin(2 * np.pi * 3900 * t)
+    rng = np.random.default_rng(5)
+    noise = 0.3 * (rng.random(rate) * 2 - 1)
+    rows = [
+        (0, bytearray(multimodal.encode_wav(low, rate))),
+        (1, bytearray(multimodal.encode_wav(high, rate))),
+        (2, bytearray(multimodal.encode_wav(noise, rate))),
+        (3, bytearray(b"not audio at all")),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    got = {r["doc_id"]: r for r in multimodal.audio_features(df).collect()}
+
+    assert got[0]["sample_rate"] == rate and got[0]["channels"] == 1
+    assert got[0]["duration_s"] == pytest.approx(1.0)
+    assert got[0]["rms"] == pytest.approx(0.5 / np.sqrt(2), abs=1e-3)
+    # 100 Hz crosses zero 200x/s
+    assert got[0]["zcr"] == pytest.approx(200 / rate, abs=2e-3)
+    assert np.argmax(got[0]["band_energy"]) == 0
+    assert np.argmax(got[1]["band_energy"]) == len(got[1]["band_energy"]) - 1
+    assert max(got[2]["band_energy"]) < 0.5  # noise: no dominant band
+    for d in (0, 1, 2):
+        assert sum(got[d]["band_energy"]) == pytest.approx(1.0, abs=1e-3)
+        assert got[d]["decode_error"] is None
+    assert got[3]["sample_rate"] is None
+    assert "ValueError" in got[3]["decode_error"]
