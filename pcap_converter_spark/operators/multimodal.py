@@ -248,6 +248,183 @@ def encode_wav(samples: np.ndarray, rate: int) -> bytes:
     return hdr + pcm
 
 
+def decode_y4m(
+    payload: bytes, max_frames: int | None = None
+) -> tuple[list[np.ndarray], dict]:
+    """Dependency-free YUV4MPEG2 (y4m) decode: bytes → (sampled luma
+    frames as (h, w) uint8 arrays, stream info).
+
+    y4m is THE uncompressed video container (ffmpeg's raw interchange
+    format): one text header (``YUV4MPEG2 W.. H.. F..:.. C..``), then
+    ``FRAME[ params]\\n`` + raw planar YUV per frame. Supported
+    colorspaces: C420* (any suffix), C422, C444, Cmono — the luma plane
+    is returned directly (features want luma; chroma only affects the
+    per-frame byte size). ``max_frames`` samples evenly across the clip
+    (first frame always included) by STRIDING over the fixed-size frame
+    records — skipped frames cost an offset addition, not a read, which
+    is what makes sampling a 2-hour clip cheap. Returns
+    ``{width, height, fps, n_frames, colorspace}``."""
+    if not payload.startswith(b"YUV4MPEG2"):
+        raise ValueError("not a y4m payload (no YUV4MPEG2 magic)")
+    nl = payload.find(b"\n")
+    if nl < 0:
+        raise ValueError("truncated y4m: unterminated stream header")
+    w = h = 0
+    fps = 0.0
+    cs = "420"
+    for tok in payload[9:nl].split():
+        t = tok.decode("ascii", "replace")
+        if t[0] == "W":
+            w = int(t[1:])
+        elif t[0] == "H":
+            h = int(t[1:])
+        elif t[0] == "F":
+            num, den = t[1:].split(":")
+            fps = int(num) / int(den)
+        elif t[0] == "C":
+            cs = t[1:]
+    if w <= 0 or h <= 0:
+        raise ValueError(f"bad y4m geometry {w}x{h}")
+    if cs.startswith("420"):
+        fsize = w * h + 2 * ((w + 1) // 2) * ((h + 1) // 2)
+    elif cs.startswith("422"):
+        fsize = w * h + 2 * ((w + 1) // 2) * h
+    elif cs.startswith("444"):
+        fsize = w * h * 3
+    elif cs.startswith("mono"):
+        fsize = w * h
+    else:
+        raise ValueError(f"unsupported y4m colorspace C{cs}")
+    # walk the frame records (headers may carry params, so each record's
+    # header length is found by its newline; the DATA stride is fixed)
+    offsets = []
+    pos = nl + 1
+    n = len(payload)
+    while pos < n:
+        if payload[pos : pos + 5] != b"FRAME":
+            raise ValueError(f"corrupt y4m: no FRAME marker at {pos}")
+        fnl = payload.find(b"\n", pos + 5)
+        if fnl < 0 or fnl + 1 + fsize > n:
+            raise ValueError("truncated y4m frame")
+        offsets.append(fnl + 1)
+        pos = fnl + 1 + fsize
+    info = {
+        "width": w, "height": h, "fps": fps,
+        "n_frames": len(offsets), "colorspace": cs,
+    }
+    idx = range(len(offsets))
+    if max_frames is not None and 0 < max_frames < len(offsets):
+        idx = [
+            round(i * (len(offsets) - 1) / (max_frames - 1))
+            if max_frames > 1 else 0
+            for i in range(max_frames)
+        ]
+    frames = [
+        np.frombuffer(payload, np.uint8, count=w * h, offset=offsets[i])
+        .reshape(h, w)
+        for i in idx
+    ]
+    return frames, info
+
+
+def encode_y4m(
+    frames: list[np.ndarray], fps: int = 25, colorspace: str = "mono"
+) -> bytes:
+    """The matching encoder (tests + fixtures): (h, w) uint8 luma frames
+    → y4m bytes, ``Cmono`` or ``C420`` (neutral chroma)."""
+    h, w = frames[0].shape
+    out = [f"YUV4MPEG2 W{w} H{h} F{fps}:1 Ip A1:1 C{colorspace}\n".encode()]
+    chroma = (
+        b"" if colorspace == "mono"
+        else bytes([128]) * (2 * ((w + 1) // 2) * ((h + 1) // 2))
+    )
+    for f in frames:
+        out.append(b"FRAME\n")
+        out.append(np.asarray(f, dtype=np.uint8).tobytes())
+        out.append(chroma)
+    return b"".join(out)
+
+
+VIDEO_FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("n_frames", T.IntegerType()),
+        T.StructField("fps", T.DoubleType()),
+        T.StructField("duration_s", T.DoubleType()),
+        T.StructField("frame_ahash", T.ArrayType(T.LongType())),
+        T.StructField("frame_luma", T.ArrayType(T.FloatType())),
+        T.StructField("temporal_diff", T.DoubleType()),
+        T.StructField("decode_error", T.StringType()),
+    ]
+)
+
+
+def _ahash_of_gray(g: np.ndarray) -> int:
+    grid = _pool_grid(g.astype(np.float64), 8)
+    bits = (grid > grid.mean()).astype(np.uint8).ravel()
+    v = int.from_bytes(np.packbits(bits, bitorder="little").tobytes(), "little")
+    return v - (1 << 64) if v >= (1 << 63) else v
+
+
+def video_features(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    max_frames: int = 8,
+) -> DataFrame:
+    """Decode y4m payloads, sample ≤``max_frames`` evenly spaced frames
+    (strided — skipped frames are never read), and emit typed per-clip
+    features: geometry, per-sampled-frame perceptual aHash + mean luma,
+    and ``temporal_diff`` (mean |Δ| of consecutive sampled 8×8 thumbs,
+    0 for a static clip — the cheap scene-activity signal). The
+    per-frame aHash array is the video near-dup key: two re-encodes of
+    the same footage share it frame-for-frame, and
+    ``dedup.signature_hamming_pairs`` over exploded (id, frame_idx, sig)
+    rows finds clips sharing fuzzy frames. Same error contract as the
+    image/audio extractors: a bad payload is a ``decode_error`` row."""
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                try:
+                    frames, info = decode_y4m(
+                        bytes(payload or b""), max_frames=max_frames
+                    )
+                    thumbs = [
+                        _pool_grid(f.astype(np.float64), 8) for f in frames
+                    ]
+                    tdiff = (
+                        float(np.mean([
+                            np.abs(a - b).mean()
+                            for a, b in zip(thumbs, thumbs[1:])
+                        ]))
+                        if len(thumbs) > 1 else 0.0
+                    )
+                    out.append((
+                        int(doc_id), info["width"], info["height"],
+                        info["n_frames"], float(info["fps"]),
+                        float(info["n_frames"] / info["fps"])
+                        if info["fps"] else None,
+                        [_ahash_of_gray(f) for f in frames],
+                        [float(np.float32(f.mean())) for f in frames],
+                        tdiff,
+                        None,
+                    ))
+                except Exception as exc:
+                    out.append((
+                        int(doc_id), None, None, None, None, None, None,
+                        None, None, f"{type(exc).__name__}: {exc}"[:200],
+                    ))
+            yield pd.DataFrame(out, columns=[f.name for f in VIDEO_FEATURE_SCHEMA])
+
+    return df.select(id_col, payload_col).mapInPandas(
+        extract, schema=VIDEO_FEATURE_SCHEMA
+    )
+
+
 AUDIO_FEATURE_SCHEMA = T.StructType(
     [
         T.StructField("doc_id", T.LongType()),
@@ -426,13 +603,8 @@ def image_ahash(
                     g = _luma(decode_image(bytes(payload or b"")))
                 except Exception:
                     continue
-                grid = _pool_grid(g, 8)
-                bits = (grid > grid.mean()).astype(np.uint8).ravel()
-                v = int.from_bytes(
-                    np.packbits(bits, bitorder="little").tobytes(), "little"
-                )
                 ids.append(int(doc_id))
-                sigs.append(v - (1 << 64) if v >= (1 << 63) else v)
+                sigs.append(_ahash_of_gray(g))
             yield pd.DataFrame({id_col: pd.Series(ids, dtype="int64"),
                                 "sig": pd.Series(sigs, dtype="int64")})
 

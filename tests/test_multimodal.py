@@ -303,3 +303,71 @@ def test_audio_features_spectral_shape(spark):
         assert got[d]["decode_error"] is None
     assert got[3]["sample_rate"] is None
     assert "ValueError" in got[3]["decode_error"]
+
+
+def test_y4m_roundtrip_and_strided_sampling():
+    """decode_y4m is a real video decoder for the uncompressed container:
+    mono and C420 roundtrip the luma plane exactly; max_frames samples
+    evenly by STRIDING over fixed-size frame records; malformed inputs
+    get curated ValueErrors."""
+    rng = np.random.default_rng(2)
+    frames = [rng.integers(0, 256, (12, 16), dtype=np.uint8) for _ in range(10)]
+    for cs in ("mono", "420"):
+        got, info = multimodal.decode_y4m(
+            multimodal.encode_y4m(frames, fps=5, colorspace=cs)
+        )
+        assert info == {"width": 16, "height": 12, "fps": 5.0,
+                        "n_frames": 10, "colorspace": cs}
+        assert all(np.array_equal(a, b) for a, b in zip(got, frames))
+
+    got4, _ = multimodal.decode_y4m(
+        multimodal.encode_y4m(frames, 5), max_frames=4
+    )
+    assert [int(g[0, 0]) for g in got4] == [
+        int(frames[i][0, 0]) for i in (0, 3, 6, 9)
+    ]
+    with pytest.raises(ValueError, match="magic"):
+        multimodal.decode_y4m(b"nope")
+    with pytest.raises(ValueError, match="truncated"):
+        multimodal.decode_y4m(multimodal.encode_y4m(frames, 5)[:-5])
+    with pytest.raises(ValueError, match="colorspace"):
+        multimodal.decode_y4m(b"YUV4MPEG2 W2 H2 F25:1 C999\nFRAME\n\x00" * 1)
+
+
+def test_video_features_and_temporal_neardup(spark):
+    """Clip-level plumbing end to end: geometry/duration, per-sampled-
+    frame aHash + luma, temporal_diff 0 for a static clip and > 0 for a
+    moving one; a re-encode of the same footage (C420 vs mono bytes)
+    shares the aHash array frame-for-frame — the video near-dup key —
+    while different footage does not; bad payloads land in
+    decode_error."""
+    rng = np.random.default_rng(9)
+    base = rng.integers(0, 256, (24, 32), dtype=np.uint8)
+    moving = [np.roll(base, 3 * i, axis=1) for i in range(12)]
+    static = [base] * 12
+    other = [rng.integers(0, 256, (24, 32), dtype=np.uint8) for _ in range(12)]
+    rows = [
+        (0, bytearray(multimodal.encode_y4m(moving, fps=6))),
+        (1, bytearray(multimodal.encode_y4m(moving, fps=6, colorspace="420"))),
+        (2, bytearray(multimodal.encode_y4m(static, fps=6))),
+        (3, bytearray(multimodal.encode_y4m(other, fps=6))),
+        (4, bytearray(b"definitely not video")),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    got = {r["doc_id"]: r
+           for r in multimodal.video_features(df, max_frames=4).collect()}
+
+    r0 = got[0]
+    assert (r0["width"], r0["height"], r0["n_frames"]) == (32, 24, 12)
+    assert r0["duration_s"] == pytest.approx(2.0)
+    assert len(r0["frame_ahash"]) == 4 and len(r0["frame_luma"]) == 4
+    assert r0["decode_error"] is None
+    # identical footage, different container bytes: identical hash array
+    assert r0["frame_ahash"] == got[1]["frame_ahash"]
+    # static clip: zero temporal activity; moving clip: nonzero
+    assert got[2]["temporal_diff"] == pytest.approx(0.0)
+    assert r0["temporal_diff"] > 1.0
+    # unrelated footage: different hashes (at least mostly)
+    same = sum(a == b for a, b in zip(r0["frame_ahash"], got[3]["frame_ahash"]))
+    assert same == 0
+    assert got[4]["width"] is None and "ValueError" in got[4]["decode_error"]
