@@ -417,7 +417,16 @@ def _normalized_times(
     """raw_s × (MATMUL_REF_MS / speed) per entry, with the speed estimate
     robust to one-off probe spikes — see the call site's comment for the
     estimator rationale (median of prev/own/run-median). Entries without
-    a probe or with a failed (-1) timing are omitted."""
+    a probe or with a failed (-1) timing are omitted.
+
+    Honesty note (first contended recording, r15): the probe is
+    single-threaded BLAS, the suite is 32-way parallel — under PARTIAL
+    contention the probe can slow more than the workload did (observed:
+    probes 3.7× the anchor while the raw suite ran ~1.5× its clean
+    band), so value_norm can OVERCORRECT downward. It is a
+    round-over-round comparability aid for contended artifacts, not a
+    reconstruction of the clean-host number; the clean band still comes
+    from idle recordings."""
     run_med = _median(list(probe_ms.values()))
     norm: dict[str, float] = {}
     if not run_med:
