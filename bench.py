@@ -460,7 +460,7 @@ def _parse_args(argv: list[str]) -> dict:
     p.add_argument(
         "--idle-wait-s", type=float, default=None,
         help="bounded idle-wait budget in seconds before recording "
-             "(default: $SPARK_GRAFT_IDLE_WAIT_S, else 180 ungated / "
+             "(default: $SPARK_GRAFT_IDLE_WAIT_S, else 120 ungated / "
              "300 under --require-idle; 0 disables the wait)",
     )
     ns = p.parse_args(argv)  # unknown flags -> SystemExit(2), no record
@@ -474,10 +474,14 @@ def main() -> int:
     ) == "1"
     wait_budget = opts["idle_wait_s"]
     if wait_budget is None:
+        # ungated default is deliberately modest (120 s): the driver runs
+        # bench under an unknown outer timeout, and a lost artifact is
+        # strictly worse than a contended one (the normalized times keep
+        # a contended recording comparable anyway)
         wait_budget = float(
             os.environ.get(
                 "SPARK_GRAFT_IDLE_WAIT_S",
-                "300" if idle_gated else "180",
+                "300" if idle_gated else "120",
             )
         )
     if idle_gated:
