@@ -117,10 +117,17 @@ def decode_bmp(payload: bytes) -> np.ndarray:
         # the palette entries are BGRX quads after the header)
         pal_off = 14 + hdr_size
         n_pal = struct.unpack_from("<I", payload, 46)[0] or 256
+        if n_pal > 256 or pal_off + n_pal * 4 > len(payload):
+            raise ValueError(
+                f"BMP palette out of bounds ({n_pal} entries at {pal_off})"
+            )
         pal = np.frombuffer(
             payload, dtype=np.uint8, count=n_pal * 4, offset=pal_off
         ).reshape(n_pal, 4)
-        return pal[px[:, :, 0], 0][:, :, None].copy()
+        # indices beyond a short palette are undefined per the format;
+        # clamp like mainstream decoders rather than dying on a sloppy file
+        idx = np.minimum(px[:, :, 0], n_pal - 1)
+        return pal[idx, 0][:, :, None].copy()
     out = px[:, :, [2, 1, 0]] if ch == 3 else px[:, :, [2, 1, 0, 3]]
     return np.ascontiguousarray(out)
 
@@ -209,6 +216,8 @@ def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
         pos += 8 + size + (size & 1)  # chunks are word-aligned
     if fmt is None or data is None:
         raise ValueError("WAV missing fmt/data chunk")
+    if len(fmt) < 16:
+        raise ValueError(f"WAV fmt chunk truncated ({len(fmt)} bytes)")
     tag, ch, rate, _, _, bits = struct.unpack_from("<HHIIHH", fmt, 0)
     if tag == 0xFFFE and len(fmt) >= 26:  # WAVE_FORMAT_EXTENSIBLE
         tag = struct.unpack_from("<H", fmt, 24)[0]
@@ -280,6 +289,8 @@ def decode_y4m(
             h = int(t[1:])
         elif t[0] == "F":
             num, den = t[1:].split(":")
+            if int(den) <= 0:
+                raise ValueError(f"bad y4m frame rate {t}")
             fps = int(num) / int(den)
         elif t[0] == "C":
             cs = t[1:]

@@ -1,0 +1,197 @@
+"""Property/fuzz coverage for the dependency-free media decoders
+(operators/multimodal.py): at corpus scale these run over UNTRUSTED
+bytes, so the contract is (a) encode→decode roundtrips exactly for every
+supported shape, and (b) arbitrary or mutated bytes either decode or
+raise the CURATED error types (ValueError / NotImplementedError) — never
+a leaking struct.error / IndexError / ZeroDivisionError that would kill
+a corpus job with an unattributable traceback (the resilient-read stance
+the feature extractors' decode_error columns rely on: they catch
+Exception, but the ERROR TEXT must name the format problem, not a numpy
+internals frame).
+
+Pure driver-side (no SparkSession): the decoders are plain functions;
+their Spark face is covered in test_multimodal.py.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+import pytest
+from hypothesis import given, settings, strategies as st
+
+from pcap_converter_spark.operators import multimodal as mm
+
+CURATED = (ValueError, NotImplementedError)
+
+
+# ---------------------------------------------------------------------------
+# roundtrip properties
+# ---------------------------------------------------------------------------
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    h=st.integers(1, 40),
+    w=st.integers(1, 40),
+    ch=st.sampled_from([1, 3, 4]),
+    seed=st.integers(0, 2**16),
+)
+def test_bmp_roundtrip_property(h, w, ch, seed):
+    rng = np.random.default_rng(seed)
+    a = rng.integers(0, 256, (h, w, ch), dtype=np.uint8)
+    got = mm.decode_bmp(mm.encode_bmp(a))
+    if ch == 1:
+        # the encoder widens grayscale to RGB; decode returns the
+        # replicated channels
+        assert got.shape == (h, w, 3)
+        assert np.array_equal(got, np.repeat(a, 3, axis=2))
+    else:
+        assert np.array_equal(got, a)
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    n=st.integers(0, 4000),
+    ch=st.integers(1, 4),
+    rate=st.sampled_from([8000, 16000, 44100]),
+    seed=st.integers(0, 2**16),
+)
+def test_wav_roundtrip_property(n, ch, rate, seed):
+    rng = np.random.default_rng(seed)
+    a = (rng.random((n, ch)) * 2 - 1) * 0.9
+    got, r = mm.decode_wav(mm.encode_wav(a, rate))
+    assert r == rate and got.shape == (n, ch)
+    assert np.allclose(got, a, atol=2 / 32767)
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    k=st.integers(1, 6),
+    h=st.integers(1, 24),
+    w=st.integers(1, 24),
+    cs=st.sampled_from(["mono", "420"]),
+    seed=st.integers(0, 2**16),
+)
+def test_y4m_roundtrip_property(k, h, w, cs, seed):
+    rng = np.random.default_rng(seed)
+    frames = [rng.integers(0, 256, (h, w), dtype=np.uint8) for _ in range(k)]
+    got, info = mm.decode_y4m(mm.encode_y4m(frames, fps=25, colorspace=cs))
+    assert info["n_frames"] == k and (info["height"], info["width"]) == (h, w)
+    assert all(np.array_equal(a, b) for a, b in zip(got, frames))
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    k=st.integers(1, 12),
+    m=st.integers(1, 12),
+    seed=st.integers(0, 2**16),
+)
+def test_y4m_sampling_is_even_and_bounded(k, m, seed):
+    """max_frames=m returns min(k, m) frames at the even-spacing indices,
+    first frame always included."""
+    rng = np.random.default_rng(seed)
+    frames = [
+        np.full((4, 4), rng.integers(0, 256), dtype=np.uint8)
+        for _ in range(k)
+    ]
+    got, _ = mm.decode_y4m(mm.encode_y4m(frames, 25), max_frames=m)
+    n = min(k, m)
+    assert len(got) == n
+    if m < k:
+        exp = [round(i * (k - 1) / (m - 1)) if m > 1 else 0 for i in range(m)]
+        assert [g[0, 0] for g in got] == [frames[i][0, 0] for i in exp]
+    assert np.array_equal(got[0], frames[0])
+
+
+# ---------------------------------------------------------------------------
+# junk / mutation robustness: curated errors only
+# ---------------------------------------------------------------------------
+
+
+@settings(max_examples=120, deadline=None)
+@given(data=st.binary(min_size=0, max_size=300))
+def test_decoders_curate_random_bytes(data):
+    for dec in (mm.decode_bmp, mm.decode_wav, mm.decode_y4m, mm.decode_image):
+        try:
+            dec(data)
+        except CURATED:
+            pass  # the contract: a NAMED format error
+
+
+def _mutate(valid: bytes, cut: int, flip_at: int, flip_to: int) -> bytes:
+    b = bytearray(valid[: max(1, cut % (len(valid) + 1))])
+    if b:
+        b[flip_at % len(b)] = flip_to
+    return bytes(b)
+
+
+@settings(max_examples=120, deadline=None)
+@given(
+    cut=st.integers(0, 1 << 20),
+    flip_at=st.integers(0, 1 << 20),
+    flip_to=st.integers(0, 255),
+    seed=st.integers(0, 2**8),
+)
+def test_bmp_mutations_curated(cut, flip_at, flip_to, seed):
+    rng = np.random.default_rng(seed)
+    valid = mm.encode_bmp(rng.integers(0, 256, (9, 7, 3), dtype=np.uint8))
+    try:
+        mm.decode_bmp(_mutate(valid, cut, flip_at, flip_to))
+    except CURATED:
+        pass
+
+
+@settings(max_examples=120, deadline=None)
+@given(
+    cut=st.integers(0, 1 << 20),
+    flip_at=st.integers(0, 1 << 20),
+    flip_to=st.integers(0, 255),
+    seed=st.integers(0, 2**8),
+)
+def test_wav_mutations_curated(cut, flip_at, flip_to, seed):
+    rng = np.random.default_rng(seed)
+    valid = mm.encode_wav(rng.random(200) * 2 - 1, 8000)
+    try:
+        mm.decode_wav(_mutate(valid, cut, flip_at, flip_to))
+    except CURATED:
+        pass
+
+
+@settings(max_examples=120, deadline=None)
+@given(
+    cut=st.integers(0, 1 << 20),
+    flip_at=st.integers(0, 1 << 20),
+    flip_to=st.integers(0, 255),
+    seed=st.integers(0, 2**8),
+)
+def test_y4m_mutations_curated(cut, flip_at, flip_to, seed):
+    rng = np.random.default_rng(seed)
+    frames = [rng.integers(0, 256, (6, 8), dtype=np.uint8) for _ in range(3)]
+    valid = mm.encode_y4m(frames, fps=25)
+    try:
+        mm.decode_y4m(_mutate(valid, cut, flip_at, flip_to))
+    except CURATED:
+        pass
+
+
+def test_bmp_short_palette_is_clamped_not_fatal():
+    """biClrUsed < 256 with pixel indices beyond it: undefined per the
+    format — clamp like mainstream decoders (an IndexError here would be
+    the exact leak class this file polices)."""
+    g = np.array([[0, 5, 15, 200]], dtype=np.uint8)  # index 200 > 16 entries
+    stride8 = ((4 * 8 + 31) // 32) * 4
+    n_pal = 16
+    pal = b"".join(bytes([i * 10, i * 10, i * 10, 0]) for i in range(n_pal))
+    rows8 = np.zeros((1, stride8), dtype=np.uint8)
+    rows8[0, :4] = g
+    pix = rows8.tobytes()
+    off = 14 + 40 + len(pal)
+    hdr = struct.pack("<2sIHHI", b"BM", off + len(pix), 0, 0, off) + struct.pack(
+        "<IiiHHIIiiII", 40, 4, 1, 1, 8, 0, len(pix), 2835, 2835, n_pal, 0
+    )
+    got = mm.decode_bmp(hdr + pal + pix)
+    assert got.shape == (1, 4, 1)
+    # clamped to the last palette entry (15*10), not an IndexError
+    assert got[0, 3, 0] == 150 and got[0, 1, 0] == 50
