@@ -727,6 +727,86 @@ def media_neardup_pairs(
     )
 
 
+def image_neardup_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    max_hamming: int = 3,
+    n_blocks: int | None = None,
+    handles: list | None = None,
+) -> DataFrame:
+    """Perceptual near-dup pairs over DECODED pixels: ``image_ahash``
+    through the shared banded hamming join. Unlike
+    ``media_neardup_pairs`` (payload blockhash — bytes), this pairs
+    re-encodes of the same pixels (container/orientation changes) and
+    drops undecodable payloads instead of hashing their bytes."""
+    from pcap_converter_spark.operators.dedup import signature_hamming_pairs
+
+    return signature_hamming_pairs(
+        image_ahash(df, id_col, payload_col),
+        sig_col="sig",
+        id_col=id_col,
+        max_hamming=max_hamming,
+        n_blocks=n_blocks,
+        handles=handles,
+    )
+
+
+def video_neardup_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    max_frames: int = 8,
+    max_hamming: int = 3,
+    min_matching_frames: int = 2,
+    handles: list | None = None,
+) -> DataFrame:
+    """Clip pairs sharing perceptually-near SAMPLED FRAMES: decode →
+    strided frame sampling → per-frame aHash → the shared banded hamming
+    join over (clip, frame) nodes → count matched cross-clip frame pairs
+    and keep pairs with at least ``min_matching_frames``. Returns
+    ``(id_a, id_b, n_frame_matches, min_hamming)`` with ``id_a <
+    id_b``. A re-encode of the same footage matches frame-for-frame
+    (``n_frame_matches == |sampled|``); clips sharing only an intro
+    match on few. Scale shape: ≤ ``max_frames`` nodes per clip through
+    the same pigeonhole banding as every 64-bit near-dup tier — no
+    all-pairs anywhere."""
+    from pcap_converter_spark.operators.dedup import signature_hamming_pairs
+
+    vf = video_features(df, id_col, payload_col, max_frames=max_frames)
+    nodes = (
+        vf.filter(F.col("decode_error").isNull())
+        .select(
+            F.col(id_col),
+            F.posexplode("frame_ahash").alias("fidx", "sig"),
+        )
+        .select(
+            F.struct(
+                F.col(id_col).alias("clip"), F.col("fidx").alias("f")
+            ).alias("node"),
+            "sig",
+        )
+    )
+    pairs = signature_hamming_pairs(
+        nodes, sig_col="sig", id_col="node",
+        max_hamming=max_hamming, handles=handles,
+    )
+    return (
+        pairs.filter(F.col("doc_a.clip") != F.col("doc_b.clip"))
+        .select(
+            F.least("doc_a.clip", "doc_b.clip").alias("id_a"),
+            F.greatest("doc_a.clip", "doc_b.clip").alias("id_b"),
+            "hamming",
+        )
+        .groupBy("id_a", "id_b")
+        .agg(
+            F.count(F.lit(1)).alias("n_frame_matches"),
+            F.min("hamming").alias("min_hamming"),
+        )
+        .filter(F.col("n_frame_matches") >= int(min_matching_frames))
+    )
+
+
 def sample_frames(
     df: DataFrame,
     id_col: str = "doc_id",

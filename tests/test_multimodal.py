@@ -371,3 +371,61 @@ def test_video_features_and_temporal_neardup(spark):
     same = sum(a == b for a, b in zip(r0["frame_ahash"], got[3]["frame_ahash"]))
     assert same == 0
     assert got[4]["width"] is None and "ValueError" in got[4]["decode_error"]
+
+
+def test_image_neardup_pairs_pixel_level(spark):
+    """image_neardup_pairs pairs the edited variant with its original
+    (pixel-level, re-encode-robust) and keeps unrelated images apart."""
+    rng = np.random.default_rng(17)
+    base = rng.integers(0, 256, (32, 32, 3), dtype=np.uint8)
+    edited = base.copy()
+    edited[:4, :4] = 255 - edited[:4, :4]
+    other = rng.integers(0, 256, (32, 32, 3), dtype=np.uint8)
+    df = spark.createDataFrame(
+        [(0, bytearray(multimodal.encode_bmp(base))),
+         (1, bytearray(multimodal.encode_bmp(edited))),
+         (2, bytearray(multimodal.encode_bmp(other))),
+         (3, bytearray(b"junk payload"))],
+        "doc_id long, payload binary",
+    )
+    got = {(r["doc_a"], r["doc_b"]): r["hamming"]
+           for r in multimodal.image_neardup_pairs(df).collect()}
+    assert (0, 1) in got and got[(0, 1)] <= 3
+    assert all(2 not in p and 3 not in p for p in got)
+
+
+def test_video_neardup_pairs_frame_level(spark):
+    """video_neardup_pairs: a C420 re-encode matches its original on
+    EVERY sampled frame; a clip sharing only the first frames matches on
+    few (below the threshold with min_matching_frames=3); unrelated
+    footage never pairs; within-clip frame similarity (a static clip)
+    produces no self-pair."""
+    rng = np.random.default_rng(23)
+    base = rng.integers(0, 256, (24, 32), dtype=np.uint8)
+    moving = [np.roll(base, 5 * i, axis=1) for i in range(12)]
+    # shares only the first quarter of the footage, then diverges hard
+    partial = moving[:3] + [
+        rng.integers(0, 256, (24, 32), dtype=np.uint8) for _ in range(9)
+    ]
+    other = [rng.integers(0, 256, (24, 32), dtype=np.uint8) for _ in range(12)]
+    static = [base] * 12
+    df = spark.createDataFrame(
+        [(0, bytearray(multimodal.encode_y4m(moving, fps=6))),
+         (1, bytearray(multimodal.encode_y4m(moving, fps=6, colorspace="420"))),
+         (2, bytearray(multimodal.encode_y4m(partial, fps=6))),
+         (3, bytearray(multimodal.encode_y4m(other, fps=6))),
+         (4, bytearray(multimodal.encode_y4m(static, fps=6)))],
+        "doc_id long, payload binary",
+    )
+    rows = {(r["id_a"], r["id_b"]): r
+            for r in multimodal.video_neardup_pairs(
+                df, max_frames=4, min_matching_frames=3
+            ).collect()}
+    assert (0, 1) in rows
+    assert rows[(0, 1)]["n_frame_matches"] == 4  # frame-for-frame
+    assert rows[(0, 1)]["min_hamming"] == 0
+    # the partial-overlap clip shares ONE sampled frame (index 0 of 0,4,8,11
+    # sampling) — below min_matching_frames=3
+    assert (0, 2) not in rows and (1, 2) not in rows
+    assert all(3 not in p for p in rows)
+    assert all(a != b for a, b in rows)  # no self-pairs from static frames
