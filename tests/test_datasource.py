@@ -431,3 +431,90 @@ def test_stream_cap_multi_batch_same_results(registered, tmp_path):
     assert len(progress) > 1  # the backlog drained in BOUNDED batches
     assert capped.count() == uncapped.count() == 240
     assert _rows(capped) == _rows(uncapped)
+
+
+def test_stream_cap_cron_drain_e2e(registered, tmp_path):
+    """The cron pattern end to end, with REAL checkpoint restarts: each
+    availableNow invocation is a fresh reader incarnation restoring the
+    checkpoint (the exact sequence the rewind hazard lived in), and with
+    max_chunks_per_trigger + a {}-seeded max_chunks_state every
+    invocation's single fallback batch drains at most cap chunks — the
+    backlog takes several invocations, lands exactly-once, and the final
+    rows are byte-identical to a one-gulp uncapped drain."""
+    spark = registered
+    cap_dir = tmp_path / "captures"
+    cap_dir.mkdir()
+    for name, base in (("a.pcap", 1), ("b.pcap", 2)):
+        g.write_pcap(
+            str(cap_dir / name),
+            [(base * 1_000_000 + i, _udp_pkt(i)) for i in range(60)],
+        )
+    n_chunks = sum(
+        _stream_reader(
+            cap_dir, target_chunk_bytes="2048"
+        ).latestOffset().values()
+    )
+    assert n_chunks >= 4
+
+    state = str(tmp_path / "floor.json")
+    with open(state, "w") as f:
+        f.write("{}")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    def invoke():
+        q = (
+            spark.readStream.format("pcap")
+            .option("target_chunk_bytes", "2048")
+            .option("max_chunks_per_trigger", "2")
+            .option("max_chunks_state", state)
+            .load(str(cap_dir))
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        import glob as _g
+
+        return len(_g.glob(f"{out}/*.parquet")) and spark.read.parquet(
+            out
+        ).count()
+
+    counts = []
+    for _ in range(n_chunks):  # more invocations than needed: must converge
+        counts.append(invoke() or 0)
+        if counts[-1] == 120 and len(counts) >= 2 and counts[-2] == 120:
+            break
+    assert counts[-1] == 120  # fully drained, no duplicates
+    # bounded progress: no single invocation jumped the whole backlog
+    # (cap 2 of >=4 chunks), and it took more than one invocation
+    deltas = [b - a for a, b in zip([0] + counts, counts)]
+    assert max(d for d in deltas if d > 0) < 120
+    assert sum(1 for d in deltas if d > 0) >= 2
+
+    # byte-identical to the uncapped one-gulp drain
+    free_out = str(tmp_path / "free_out")
+    q = (
+        spark.readStream.format("pcap")
+        .option("target_chunk_bytes", "2048")
+        .load(str(cap_dir))
+        .writeStream.format("parquet")
+        .option("path", free_out)
+        .option("checkpointLocation", str(tmp_path / "free_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert _rows(spark.read.parquet(out)) == _rows(spark.read.parquet(free_out))
+
+    # late arrivals drain on the next cron tick, still capped + exactly-once
+    g.write_pcap(str(cap_dir / "c.pcap"),
+                 [(3_000_000 + i, _udp_pkt(i)) for i in range(30)])
+    for _ in range(8):
+        n = invoke() or 0
+        if n == 150:
+            break
+    assert spark.read.parquet(out).count() == 150
+    assert spark.read.parquet(out).filter("pcap_file = 'c.pcap'").count() == 30
