@@ -278,10 +278,40 @@ def decode_y4m(
     nl = payload.find(b"\n")
     if nl < 0:
         raise ValueError("truncated y4m: unterminated stream header")
+    w, h, fps, cs, fsize = _parse_y4m_header(payload[9:nl])
+    # walk the frame records (headers may carry params, so each record's
+    # header length is found by its newline; the DATA stride is fixed)
+    offsets = []
+    pos = nl + 1
+    n = len(payload)
+    while pos < n:
+        if payload[pos : pos + 5] != b"FRAME":
+            raise ValueError(f"corrupt y4m: no FRAME marker at {pos}")
+        fnl = payload.find(b"\n", pos + 5)
+        if fnl < 0 or fnl + 1 + fsize > n:
+            raise ValueError("truncated y4m frame")
+        offsets.append(fnl + 1)
+        pos = fnl + 1 + fsize
+    info = {
+        "width": w, "height": h, "fps": fps,
+        "n_frames": len(offsets), "colorspace": cs,
+    }
+    frames = [
+        np.frombuffer(payload, np.uint8, count=w * h, offset=offsets[i])
+        .reshape(h, w)
+        for i in _sample_indices(len(offsets), max_frames)
+    ]
+    return frames, info
+
+
+def _parse_y4m_header(params: bytes) -> tuple[int, int, float, str, int]:
+    """Parse the stream-header parameter tokens → (w, h, fps,
+    colorspace, frame data size). Shared by the bytes and file
+    decoders."""
     w = h = 0
     fps = 0.0
     cs = "420"
-    for tok in payload[9:nl].split():
+    for tok in params.split():
         t = tok.decode("ascii", "replace")
         if t[0] == "W":
             w = int(t[1:])
@@ -306,35 +336,68 @@ def decode_y4m(
         fsize = w * h
     else:
         raise ValueError(f"unsupported y4m colorspace C{cs}")
-    # walk the frame records (headers may carry params, so each record's
-    # header length is found by its newline; the DATA stride is fixed)
-    offsets = []
-    pos = nl + 1
-    n = len(payload)
-    while pos < n:
-        if payload[pos : pos + 5] != b"FRAME":
-            raise ValueError(f"corrupt y4m: no FRAME marker at {pos}")
-        fnl = payload.find(b"\n", pos + 5)
-        if fnl < 0 or fnl + 1 + fsize > n:
-            raise ValueError("truncated y4m frame")
-        offsets.append(fnl + 1)
-        pos = fnl + 1 + fsize
+    return w, h, fps, cs, fsize
+
+
+def _sample_indices(n: int, max_frames: int | None):
+    if max_frames is None or max_frames <= 0 or max_frames >= n:
+        return range(n)
+    if max_frames == 1:
+        return [0]
+    return [
+        round(i * (n - 1) / (max_frames - 1)) for i in range(max_frames)
+    ]
+
+
+def decode_y4m_file(
+    path: str, max_frames: int | None = None
+) -> tuple[list[np.ndarray], dict]:
+    """``decode_y4m`` against a FILE, reading only what the sample
+    needs: the frame walk is seek-per-record (a 6–80 byte header read
+    plus an offset jump over the fixed-size data), and only the sampled
+    frames' luma planes are ever read — a 2-hour clip costs
+    O(n_frames) tiny reads + O(sampled) frame reads, never the clip's
+    full bytes in memory. This is the 100-TB layout: media as FILES
+    referenced by a path column (``spark.read.format("binaryFile")``'s
+    content column — and any binary payload column — holds whole blobs
+    in rows, which stops scaling at GB-sized clips);
+    ``video_features_at_paths`` is the Spark face."""
+    import io
+
+    with open(path, "rb") as f:
+        head = f.read(256)
+        if not head.startswith(b"YUV4MPEG2"):
+            raise ValueError("not a y4m file (no YUV4MPEG2 magic)")
+        nl = head.find(b"\n")
+        if nl < 0:
+            raise ValueError("truncated y4m: unterminated stream header")
+        w, h, fps, cs, fsize = _parse_y4m_header(head[9:nl])
+        f.seek(0, io.SEEK_END)
+        end = f.tell()
+        offsets = []
+        pos = nl + 1
+        while pos < end:
+            f.seek(pos)
+            rec = f.read(80)
+            if rec[:5] != b"FRAME":
+                raise ValueError(f"corrupt y4m: no FRAME marker at {pos}")
+            fnl = rec.find(b"\n")
+            if fnl < 0:
+                raise ValueError("corrupt y4m: unterminated FRAME header")
+            data = pos + fnl + 1
+            if data + fsize > end:
+                raise ValueError("truncated y4m frame")
+            offsets.append(data)
+            pos = data + fsize
+        frames = []
+        for i in _sample_indices(len(offsets), max_frames):
+            f.seek(offsets[i])
+            buf = f.read(w * h)
+            frames.append(np.frombuffer(buf, np.uint8).reshape(h, w))
     info = {
         "width": w, "height": h, "fps": fps,
         "n_frames": len(offsets), "colorspace": cs,
     }
-    idx = range(len(offsets))
-    if max_frames is not None and 0 < max_frames < len(offsets):
-        idx = [
-            round(i * (len(offsets) - 1) / (max_frames - 1))
-            if max_frames > 1 else 0
-            for i in range(max_frames)
-        ]
-    frames = [
-        np.frombuffer(payload, np.uint8, count=w * h, offset=offsets[i])
-        .reshape(h, w)
-        for i in idx
-    ]
     return frames, info
 
 
@@ -396,14 +459,48 @@ def video_features(
     rows finds clips sharing fuzzy frames. Same error contract as the
     image/audio extractors: a bad payload is a ``decode_error`` row."""
 
+    def decode(payload):
+        return decode_y4m(bytes(payload or b""), max_frames=max_frames)
+
+    return df.select(id_col, payload_col).mapInPandas(
+        _video_extract(id_col, payload_col, decode),
+        schema=VIDEO_FEATURE_SCHEMA,
+    )
+
+
+def video_features_at_paths(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    path_col: str = "path",
+    max_frames: int = 8,
+) -> DataFrame:
+    """``video_features`` over a PATH column instead of a binary payload
+    column — the layout that survives GB-sized clips at corpus scale:
+    executors open each file and read ONLY the frame headers plus the
+    sampled frames (``decode_y4m_file``'s seek walk), so per-row memory
+    is O(sampled frames), never the clip. Same schema and
+    ``decode_error`` contract; unreachable paths surface as errors like
+    undecodable bytes."""
+
+    def decode(path):
+        return decode_y4m_file(str(path), max_frames=max_frames)
+
+    return df.select(id_col, path_col).mapInPandas(
+        _video_extract(id_col, path_col, decode),
+        schema=VIDEO_FEATURE_SCHEMA,
+    )
+
+
+def _video_extract(id_col: str, src_col: str, decode):
+    """Shared Arrow-batched extractor: ``decode(src) -> (frames, info)``
+    is the only difference between the payload and path faces."""
+
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = []
-            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+            for doc_id, src in zip(pdf[id_col], pdf[src_col]):
                 try:
-                    frames, info = decode_y4m(
-                        bytes(payload or b""), max_frames=max_frames
-                    )
+                    frames, info = decode(src)
                     thumbs = [
                         _pool_grid(f.astype(np.float64), 8) for f in frames
                     ]
@@ -431,9 +528,7 @@ def video_features(
                     ))
             yield pd.DataFrame(out, columns=[f.name for f in VIDEO_FEATURE_SCHEMA])
 
-    return df.select(id_col, payload_col).mapInPandas(
-        extract, schema=VIDEO_FEATURE_SCHEMA
-    )
+    return extract
 
 
 AUDIO_FEATURE_SCHEMA = T.StructType(

@@ -429,3 +429,51 @@ def test_video_neardup_pairs_frame_level(spark):
     assert (0, 2) not in rows and (1, 2) not in rows
     assert all(3 not in p for p in rows)
     assert all(a != b for a, b in rows)  # no self-pairs from static frames
+
+
+def test_video_features_at_paths_matches_payload_face(spark, tmp_path):
+    """The path face (decode_y4m_file: seek walk, only sampled frames
+    read — the GB-clip-safe layout) produces rows identical to the
+    payload face on the same clips; unreachable and non-video paths land
+    in decode_error."""
+    rng = np.random.default_rng(31)
+    base = rng.integers(0, 256, (24, 32), dtype=np.uint8)
+    clips = {
+        0: [np.roll(base, 3 * i, axis=1) for i in range(12)],
+        1: [rng.integers(0, 256, (16, 16), dtype=np.uint8) for _ in range(5)],
+    }
+    paths = {}
+    for i, frames in clips.items():
+        p = tmp_path / f"clip{i}.y4m"
+        p.write_bytes(multimodal.encode_y4m(frames, fps=6))
+        paths[i] = str(p)
+    junk = tmp_path / "junk.y4m"
+    junk.write_bytes(b"not video")
+
+    # driver-side parity first: the two decoders agree frame-for-frame
+    fr_b, info_b = multimodal.decode_y4m(
+        (tmp_path / "clip0.y4m").read_bytes(), max_frames=4
+    )
+    fr_f, info_f = multimodal.decode_y4m_file(paths[0], max_frames=4)
+    assert info_b == info_f
+    assert all(np.array_equal(a, b) for a, b in zip(fr_b, fr_f))
+
+    pay_df = spark.createDataFrame(
+        [(i, bytearray(multimodal.encode_y4m(f, fps=6)))
+         for i, f in clips.items()],
+        "doc_id long, payload binary",
+    )
+    path_df = spark.createDataFrame(
+        [(0, paths[0]), (1, paths[1]),
+         (2, str(junk)), (3, str(tmp_path / "missing.y4m"))],
+        "doc_id long, path string",
+    )
+    by_pay = {r["doc_id"]: r
+              for r in multimodal.video_features(pay_df, max_frames=4).collect()}
+    by_path = {r["doc_id"]: r
+               for r in multimodal.video_features_at_paths(
+                   path_df, max_frames=4).collect()}
+    for i in clips:
+        assert by_pay[i] == by_path[i]
+    assert "ValueError" in by_path[2]["decode_error"]
+    assert "FileNotFoundError" in by_path[3]["decode_error"]
