@@ -672,6 +672,12 @@ def _cmd_ingest(argv: list[str]) -> int:
         for f in sample:
             if not _os.path.isfile(f):
                 continue
+            # Spark's parquet reader ignores _- and .-prefixed files
+            # (_SUCCESS, _metadata, .crc) — the pre-flight must not be
+            # stricter than the reader it protects (r15 review: a marker
+            # file aborted a healthy extension-less drop directory)
+            if _os.path.basename(f).startswith(("_", ".")):
+                continue
             try:
                 sch = _papq.read_schema(f)
             except Exception as exc:

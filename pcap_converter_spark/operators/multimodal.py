@@ -170,14 +170,18 @@ def decode_image(payload: bytes) -> np.ndarray:
     not a stub. Unknown formats without PIL raise ``NotImplementedError``
     naming the remedy."""
     try:
+        from PIL import Image
+    except ImportError:
+        Image = None
+    if Image is not None:  # pragma: no cover - no PIL in this container
+        # the try covers ONLY the import (r15 review): an ImportError
+        # from inside PIL's plugin machinery (codec dep missing) must
+        # surface as itself, not fall through to a misleading
+        # 'install PIL' message
         import io
 
-        from PIL import Image
-
-        a = np.asarray(Image.open(io.BytesIO(payload)))  # pragma: no cover
-        return a[:, :, None] if a.ndim == 2 else a  # pragma: no cover
-    except ImportError:
-        pass
+        a = np.asarray(Image.open(io.BytesIO(payload)))
+        return a[:, :, None] if a.ndim == 2 else a
     if payload[:2] == b"BM":
         return decode_bmp(payload)
     raise NotImplementedError(
@@ -208,6 +212,19 @@ def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
     while pos + 8 <= n:
         cid = payload[pos:pos + 4]
         size = struct.unpack_from("<I", payload, pos + 4)[0]
+        if size == 0xFFFFFFFF:
+            # streaming-writer sentinel for "unknown length": the chunk
+            # runs to end of file by convention
+            size = n - pos - 8
+        elif pos + 8 + size > n:
+            # r15 review: a half-uploaded WAV used to decode CLEANLY to
+            # a shorter clip — silently wrong duration/rms/band features
+            # with no signal anything was lost (decode_bmp raises on the
+            # same condition)
+            raise ValueError(
+                f"truncated WAV: chunk {cid!r} declares {size} bytes, "
+                f"{n - pos - 8} present"
+            )
         body = payload[pos + 8 : pos + 8 + size]
         if cid == b"fmt ":
             fmt = body
@@ -326,6 +343,17 @@ def _parse_y4m_header(params: bytes) -> tuple[int, int, float, str, int]:
             cs = t[1:]
     if w <= 0 or h <= 0:
         raise ValueError(f"bad y4m geometry {w}x{h}")
+    # deep-bit-depth colorspaces (C420p10 etc.) store 2 bytes/sample —
+    # computing the 8-bit frame size would de-sync the frame walk and
+    # misreport a VALID file as corrupt (r15 review); name the real
+    # limitation instead
+    import re as _re
+
+    m = _re.search(r"p(\d+)$", cs)
+    if m and int(m.group(1)) > 8:
+        raise ValueError(
+            f"unsupported y4m bit depth C{cs} (only 8-bit colorspaces)"
+        )
     if cs.startswith("420"):
         fsize = w * h + 2 * ((w + 1) // 2) * ((h + 1) // 2)
     elif cs.startswith("422"):
@@ -364,26 +392,39 @@ def decode_y4m_file(
     ``video_features_at_paths`` is the Spark face."""
     import io
 
+    def read_to_nl(f, pos: int, what: str, cap: int = 4096) -> bytes:
+        """Read a newline-terminated header at ``pos``, growing the read
+        until the newline appears (r15 review: a fixed 80/256-byte read
+        rejected valid clips with long parameter lists that the
+        bytes-face decoder accepts; the cap only bounds pathology)."""
+        f.seek(pos)
+        buf = b""
+        while len(buf) < cap:
+            chunk = f.read(min(256, cap - len(buf)))
+            if not chunk:
+                break
+            buf += chunk
+            if b"\n" in chunk:
+                return buf
+        if b"\n" in buf:
+            return buf
+        raise ValueError(f"corrupt y4m: unterminated {what} header")
+
     with open(path, "rb") as f:
-        head = f.read(256)
-        if not head.startswith(b"YUV4MPEG2"):
+        if f.read(9) != b"YUV4MPEG2":
             raise ValueError("not a y4m file (no YUV4MPEG2 magic)")
+        head = read_to_nl(f, 0, "stream")
         nl = head.find(b"\n")
-        if nl < 0:
-            raise ValueError("truncated y4m: unterminated stream header")
         w, h, fps, cs, fsize = _parse_y4m_header(head[9:nl])
         f.seek(0, io.SEEK_END)
         end = f.tell()
         offsets = []
         pos = nl + 1
         while pos < end:
-            f.seek(pos)
-            rec = f.read(80)
+            rec = read_to_nl(f, pos, "FRAME")
             if rec[:5] != b"FRAME":
                 raise ValueError(f"corrupt y4m: no FRAME marker at {pos}")
             fnl = rec.find(b"\n")
-            if fnl < 0:
-                raise ValueError("corrupt y4m: unterminated FRAME header")
             data = pos + fnl + 1
             if data + fsize > end:
                 raise ValueError("truncated y4m frame")

@@ -1679,6 +1679,16 @@ def ann_drift_report(
                 f"{src['path']} but it is unreachable ({exc})"
             ) from None
         vec_col, id_col = src["vec_col"], src["id_col"]
+        missing = [c for c in (id_col, vec_col) if c not in live.columns]
+        if missing:
+            # the same curated stale-provenance error the retrain gives
+            # (r15 review: the report used to die inside _sample_vectors
+            # with a raw AnalysisException on the renamed column)
+            raise ValueError(
+                f"source corpus at {src['path']} no longer carries the "
+                f"recorded column(s) {missing} (has {live.columns}) — "
+                "the provenance is stale; rebuild manually and re-record"
+            )
         sampled_from = "source"
     # hash-ordered: a drift report sampled in id order would see only
     # the OLDEST vectors — the training distribution itself — and stay

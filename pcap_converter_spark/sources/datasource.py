@@ -309,13 +309,28 @@ class FileChunkStreamReader(DataSourceStreamReader):
         """Write-BEFORE-return ordering: the state file must dominate
         every offset Spark ever sees, or a crash could leave it behind a
         committed offset and a later capped drain would rewind. Atomic
-        tmp+rename; same-directory so the rename is atomic."""
+        tmp+rename, and DURABLE (r15 review): fsync the tmp file before
+        the rename and the directory after it — without both, a power
+        loss can durably commit Spark's checkpoint while the rename
+        still sits in the page cache, leaving the floor behind a
+        committed offset, which is precisely the rewind this file
+        exists to prevent."""
         import json
 
         tmp = f"{self._state_path}.tmp.{os.getpid()}"
         with open(tmp, "w") as f:
             json.dump(self._floor, f)
+            f.flush()
+            os.fsync(f.fileno())
         os.replace(tmp, self._state_path)
+        dfd = os.open(
+            os.path.dirname(os.path.abspath(self._state_path)) or ".",
+            os.O_RDONLY,
+        )
+        try:
+            os.fsync(dfd)
+        finally:
+            os.close(dfd)
 
     def initialOffset(self) -> dict:
         # Spark calls this ONLY when no checkpoint exists — a fresh query,

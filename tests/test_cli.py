@@ -1104,8 +1104,12 @@ def test_cli_ingest_parquet_null_gate_and_schema_drift(spark, tmp_path, capsys):
         main(["ingest", "--input", str(in_dir), "--format", "parquet",
               "--index", idx, "--out", out, "--threshold", "0.5"])
 
-    # quarantine the drifted file; a conforming day2 drains clean
+    # quarantine the drifted file; a conforming day2 drains clean — and
+    # marker files Spark's own reader ignores must not trip the
+    # pre-flight (r15 review: a _SUCCESS aborted a healthy directory)
     (in_dir / "day2.parquet").unlink()
+    (in_dir / "_SUCCESS").write_bytes(b"")
+    (in_dir / ".hidden.crc").write_bytes(b"\x00\x01")
     papq.write_table(
         pa.table({
             "doc_id": pa.array([9], pa.int64()),

@@ -195,3 +195,61 @@ def test_bmp_short_palette_is_clamped_not_fatal():
     assert got.shape == (1, 4, 1)
     # clamped to the last palette entry (15*10), not an IndexError
     assert got[0, 3, 0] == 150 and got[0, 1, 0] == 50
+
+
+def test_wav_truncated_data_chunk_raises_not_shortens():
+    """r15 review: a data chunk declaring more bytes than present must
+    raise (a half-uploaded WAV used to decode CLEANLY to a shorter clip
+    — silently wrong duration/rms/band features); the 0xFFFFFFFF
+    streaming-writer sentinel still means rest-of-file."""
+    rng = np.random.default_rng(3)
+    wav = mm.encode_wav(rng.random(500) * 2 - 1, 8000)
+    with pytest.raises(ValueError, match="truncated WAV"):
+        mm.decode_wav(wav[:-100])
+
+    lying = bytearray(wav)
+    # data chunk size field sits right before the samples (44-byte header)
+    struct.pack_into("<I", lying, 40, 10_000_000)
+    with pytest.raises(ValueError, match="truncated WAV"):
+        mm.decode_wav(bytes(lying))
+
+    streaming = bytearray(wav)
+    struct.pack_into("<I", streaming, 40, 0xFFFFFFFF)
+    a, r = mm.decode_wav(bytes(streaming))
+    assert r == 8000 and a.shape == (500, 1)
+
+
+def test_y4m_deep_bit_depth_named_unsupported():
+    """r15 review: C420p10 stores 2 bytes/sample — the 8-bit frame-size
+    math would de-sync the walk and misreport a VALID file as corrupt;
+    the raise now names the actual limitation. 8-bit suffix variants
+    (420jpeg/420mpeg2/420paldv) keep decoding."""
+    with pytest.raises(ValueError, match="bit depth"):
+        mm.decode_y4m(b"YUV4MPEG2 W4 H4 F25:1 C420p10\nFRAME\n" + bytes(48))
+    rng = np.random.default_rng(5)
+    frames = [rng.integers(0, 256, (4, 4), dtype=np.uint8)]
+    enc = mm.encode_y4m(frames, 25, colorspace="420jpeg")
+    got, info = mm.decode_y4m(enc)
+    assert info["colorspace"] == "420jpeg"
+    assert np.array_equal(got[0], frames[0])
+
+
+def test_y4m_file_face_accepts_long_headers(tmp_path):
+    """r15 review: the file face's fixed-size header reads rejected valid
+    clips with long parameter lists that the bytes face accepts; both
+    faces must agree."""
+    rng = np.random.default_rng(7)
+    frames = [rng.integers(0, 256, (6, 8), dtype=np.uint8) for _ in range(3)]
+    enc = bytearray(mm.encode_y4m(frames, 25))
+    # stretch the stream header past 256 bytes and each FRAME header past
+    # 80 with legal unknown parameters (decoders must skip them)
+    long_param = b" X" + b"q" * 300
+    nl = enc.index(b"\n")
+    enc[nl:nl] = long_param
+    out = bytes(enc).replace(b"FRAME\n", b"FRAME" + long_param + b"\n")
+    via_bytes, info_b = mm.decode_y4m(out, max_frames=2)
+    p = tmp_path / "long.y4m"
+    p.write_bytes(out)
+    via_file, info_f = mm.decode_y4m_file(str(p), max_frames=2)
+    assert info_b == info_f and info_b["n_frames"] == 3
+    assert all(np.array_equal(a, b) for a, b in zip(via_bytes, via_file))

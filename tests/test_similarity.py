@@ -991,3 +991,8 @@ def test_pq_retrain_raises_without_or_with_stale_provenance(spark, emb_df, tmp_p
     similarity.pq_write(emb_df, cents, cbs, p2, source=src2)
     with pytest.raises(ValueError, match="no longer carries"):
         similarity.retrain_ann_index(spark, p2)
+    # the drift report gives the SAME curated stale-provenance error
+    # (r15 review: it used to die inside _sample_vectors with a raw
+    # AnalysisException on the renamed column)
+    with pytest.raises(ValueError, match="no longer carries"):
+        similarity.ann_drift_report(spark, p2)

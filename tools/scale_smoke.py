@@ -198,13 +198,11 @@ def main() -> int:
 
     pending: list = []  # operators append internal persists here
 
-    def run(fn) -> float:
-        t0 = time.perf_counter()
-        fn().write.format("noop").mode("overwrite").save()
-        dt = time.perf_counter() - t0
-        # untimed cleanup between measurements (same rationale as bench.py):
-        # cached blocks and heap debt from one op otherwise land as GC
-        # pauses inside the next op's timing and swing the measured exponent
+    def _cleanup() -> None:
+        """Untimed cleanup between measurements (same rationale as
+        bench.py): cached blocks and heap debt from one op otherwise land
+        as GC pauses inside the next op's timing and swing the measured
+        exponent. ONE implementation shared by both timers (r15 review)."""
         for h in pending:
             h.unpersist()
         pending.clear()
@@ -215,6 +213,12 @@ def main() -> int:
             spark._jvm.System.gc()
         except Exception:
             pass
+
+    def run(fn) -> float:
+        t0 = time.perf_counter()
+        fn().write.format("noop").mode("overwrite").save()
+        dt = time.perf_counter() - t0
+        _cleanup()
         return dt
 
     docs_full = load(docs_p, 1.0, 40).persist()
@@ -443,20 +447,11 @@ def main() -> int:
 
     def run_action(fn) -> float:
         """Time a callable that performs its OWN actions (the ingest hook
-        sinks internally); identical untimed cleanup to ``run``."""
+        sinks internally); the shared untimed cleanup follows."""
         t0 = time.perf_counter()
         fn()
         dt = time.perf_counter() - t0
-        for h in pending:
-            h.unpersist()
-        pending.clear()
-        import gc as _gc
-
-        _gc.collect()
-        try:
-            spark._jvm.System.gc()
-        except Exception:
-            pass
+        _cleanup()
         return dt
 
     out: dict[str, dict] = {}
