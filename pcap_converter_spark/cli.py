@@ -544,6 +544,15 @@ def _cmd_ingest(argv: list[str]) -> int:
     ap.add_argument("--threshold", type=float, default=0.7,
                     help="near-dup Jaccard threshold for the index "
                          "probe (default 0.7)")
+    ap.add_argument("--max-files-per-trigger", type=int, default=None,
+                    metavar="N",
+                    help="bound each micro-batch to N newly arrived "
+                         "files (r15): without it an availableNow drain "
+                         "plans the WHOLE backlog as one batch — "
+                         "unbounded batch memory after an outage or on "
+                         "the first drain of a large drop directory; "
+                         "with it the drain still consumes everything, "
+                         "committing in bounded batches")
     ap.add_argument("--no-update", action="store_true",
                     help="probe only: survivors are delivered but their "
                          "keys are NOT appended to the index")
@@ -636,7 +645,10 @@ def _cmd_ingest(argv: list[str]) -> int:
     if args.format == "jsonl":
         from pcap_converter_spark.sources.jsonl import read_jsonl_docs_stream
 
-        stream = read_jsonl_docs_stream(spark, args.input)
+        stream = read_jsonl_docs_stream(
+            spark, args.input,
+            max_files_per_trigger=args.max_files_per_trigger,
+        )
         # text IS NOT NULL alongside the corrupt gate (r14 review): a
         # VALID JSON line missing the text key parses clean (errors=0)
         # with NULL text, whose NULL digest never equi-join-matches the
@@ -699,7 +711,12 @@ def _cmd_ingest(argv: list[str]) -> int:
                     "columns; quarantine or rewrite the drifted file(s)"
                 )
         schema = spark.read.parquet(args.input).schema
-        stream = spark.readStream.schema(schema).parquet(args.input)
+        reader = spark.readStream.schema(schema)
+        if args.max_files_per_trigger:
+            reader = reader.option(
+                "maxFilesPerTrigger", int(args.max_files_per_trigger)
+            )
+        stream = reader.parquet(args.input)
     stream = prepare_text(
         stream,
         fix_encoding=args.fix_encoding,

@@ -103,15 +103,28 @@ def read_jsonl_docs_stream(
     text_field: str = "text",
     url_field: str | None = "url",
     id_field: str | None = None,
+    max_files_per_trigger: int | None = None,
 ) -> DataFrame:
     """Streaming twin of ``read_jsonl_docs``: watch a directory for new
     JSONL files (Structured Streaming's file source — each micro-batch
     is the newly arrived files) and project the same (doc_id, url, text,
     errors) contract through the shared projection. The continuous-
     ingestion front door: a crawler drops day files, the dedup-ingest
-    hook drains them against the at-rest corpus index."""
+    hook drains them against the at-rest corpus index.
+
+    ``max_files_per_trigger`` bounds each micro-batch (r15): the
+    built-in file source honors ``Trigger.AvailableNow``, but without
+    this it plans the WHOLE backlog as one batch — same unbounded-batch
+    hazard the custom faces' ``max_chunks_per_trigger`` closes, at file
+    granularity. An availableNow drain still consumes everything; it
+    just commits in bounded batches."""
     apply_runtime_confs(spark)
-    lines = spark.readStream.text(path)
+    reader = spark.readStream
+    if max_files_per_trigger:
+        reader = reader.option(
+            "maxFilesPerTrigger", int(max_files_per_trigger)
+        )
+    lines = reader.text(path)
     return _project_jsonl(lines, text_field, url_field, id_field)
 
 

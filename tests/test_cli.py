@@ -1181,3 +1181,48 @@ def test_cli_retrain_pq_from_recorded_source(spark, tmp_path, capsys):
     assert sim.read_ann_codebooks(spark, p) is not None
     n = spark.read.parquet(sim.resolve_ann_root(spark, p)).count()
     assert n == len(pts) + len(b)
+
+
+def test_cli_ingest_max_files_per_trigger_bounds_batches(spark, tmp_path, capsys):
+    """r15: --max-files-per-trigger bounds each micro-batch of the
+    built-in file source — one availableNow drain still consumes the
+    whole backlog, but commits it in bounded batches (one delivered
+    partition per batch) with results identical to the one-gulp drain."""
+    import json
+
+    from pcap_converter_spark.operators import incremental as inc
+
+    def prose(tag, i):
+        return f"the {tag} doc {i} " + " ".join(
+            f"{tag}{i}w{j}" for j in range(12)
+        )
+
+    idx = str(tmp_path / "mft_idx")
+    inc.write_corpus_index(
+        spark.createDataFrame(
+            [(100, prose("old", 0))], "doc_id long, text string"
+        ),
+        idx,
+    )
+    in_dir = tmp_path / "mft_in"
+    in_dir.mkdir()
+    out = str(tmp_path / "mft_out")
+    for day in range(3):
+        with open(in_dir / f"day{day}.jsonl", "w") as f:
+            f.write(json.dumps({"id": day, "text": prose("d", day)}) + "\n")
+
+    assert main(["ingest", "--input", str(in_dir), "--index", idx,
+                 "--out", out, "--threshold", "0.5",
+                 "--max-files-per-trigger", "1"]) == 0
+    got = json.loads(
+        [ln for ln in capsys.readouterr().out.splitlines()
+         if ln.startswith("{")][-1]
+    )
+    # the whole backlog drained in ONE invocation, but in 3 bounded
+    # batches (one file each), each its own delivered partition
+    assert got["survivors"] == 3 and got["batches"] == 3
+    import glob as _glob
+
+    assert len(_glob.glob(f"{out}/batch=*")) == 3
+    texts = {r["text"] for r in spark.read.parquet(out).collect()}
+    assert texts == {prose("d", d) for d in range(3)}
