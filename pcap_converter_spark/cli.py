@@ -544,6 +544,13 @@ def _cmd_ingest(argv: list[str]) -> int:
     ap.add_argument("--threshold", type=float, default=0.7,
                     help="near-dup Jaccard threshold for the index "
                          "probe (default 0.7)")
+    ap.add_argument("--quarantine", action="store_true",
+                    help="parquet mode: move unreadable or "
+                         "schema-drifted drop files into "
+                         "{input}/_quarantine/ (invisible to the "
+                         "stream) and drain the rest, instead of "
+                         "aborting — the cron-robust default for "
+                         "unattended drains")
     ap.add_argument("--max-files-per-trigger", type=int, default=None,
                     metavar="N",
                     help="bound each micro-batch to N newly arrived "
@@ -676,11 +683,12 @@ def _cmd_ingest(argv: list[str]) -> int:
         # drift a named error instead. Files landing between cron runs
         # are checked by the NEXT run's pre-flight before they stream.
         import os as _os
+        from collections import Counter as _Counter
 
         import pyarrow.parquet as _papq
 
-        ref_path = None
-        ref_fields: dict | None = None
+        schemas: dict[str, dict] = {}
+        bad: dict[str, str] = {}
         for f in sample:
             if not _os.path.isfile(f):
                 continue
@@ -693,22 +701,57 @@ def _cmd_ingest(argv: list[str]) -> int:
             try:
                 sch = _papq.read_schema(f)
             except Exception as exc:
-                raise SystemExit(
-                    f"error: {f} in the drop directory is not readable "
-                    f"parquet ({exc}) — quarantine it before draining"
+                bad[f] = f"not readable parquet ({exc})"
+                continue
+            schemas[f] = {n: str(t) for n, t in zip(sch.names, sch.types)}
+        if schemas:
+            # the MAJORITY schema is the reference (r15: the first-seen
+            # file being the drifted one would have flagged the healthy
+            # majority); ties break to the sorted-first file's schema,
+            # deterministically
+            keyed = {
+                f: tuple(sorted(flds.items()))
+                for f, flds in schemas.items()
+            }
+            counts = _Counter(keyed.values())
+            maxn = max(counts.values())
+            cands = {sig for sig, c in counts.items() if c == maxn}
+            ref_sig = next(
+                keyed[f] for f in sorted(keyed) if keyed[f] in cands
+            )
+            for f in sorted(keyed):
+                if keyed[f] != ref_sig:
+                    diff = sorted(set(ref_sig) ^ set(keyed[f]))
+                    bad[f] = (
+                        f"schema drift vs the directory majority on "
+                        f"{diff} — the schema-pinned stream would "
+                        "silently null-fill the differing columns"
+                    )
+        if bad:
+            if args.quarantine:
+                qdir = _os.path.join(args.input, "_quarantine")
+                _os.makedirs(qdir, exist_ok=True)
+                for f, why in sorted(bad.items()):
+                    dest = _os.path.join(qdir, _os.path.basename(f))
+                    _os.replace(f, dest)
+                    print(
+                        f"ingest: quarantined {f} -> {dest} ({why})",
+                        file=sys.stderr,
+                    )
+            else:
+                details = "\n  ".join(
+                    f"{f}: {why}" for f, why in sorted(bad.items())
                 )
-            fields = {n: str(t) for n, t in zip(sch.names, sch.types)}
-            if ref_fields is None:
-                ref_path, ref_fields = f, fields
-            elif fields != ref_fields:
-                diff = sorted(
-                    set(ref_fields.items()) ^ set(fields.items())
-                )
                 raise SystemExit(
-                    f"error: schema drift in {args.input}: {f} disagrees "
-                    f"with {ref_path} on {diff} — the schema-pinned "
-                    "stream would silently null-fill the differing "
-                    "columns; quarantine or rewrite the drifted file(s)"
+                    f"error: unfit files in {args.input}:\n  {details}\n"
+                    "quarantine or rewrite them (or pass --quarantine "
+                    "to set them aside into _quarantine/ and drain the "
+                    "rest)"
+                )
+            if not (set(schemas) - set(bad)):
+                raise SystemExit(
+                    f"error: {args.input} holds no readable, "
+                    "schema-consistent parquet files after quarantine"
                 )
         schema = spark.read.parquet(args.input).schema
         reader = spark.readStream.schema(schema)

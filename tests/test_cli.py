@@ -1100,14 +1100,17 @@ def test_cli_ingest_parquet_null_gate_and_schema_drift(spark, tmp_path, capsys):
         }),
         in_dir / "day2.parquet",
     )
-    with pytest.raises(SystemExit, match="schema drift.*day2"):
+    with pytest.raises(SystemExit, match="day2.*schema drift"):
         main(["ingest", "--input", str(in_dir), "--format", "parquet",
               "--index", idx, "--out", out, "--threshold", "0.5"])
 
-    # quarantine the drifted file; a conforming day2 drains clean — and
-    # marker files Spark's own reader ignores must not trip the
-    # pre-flight (r15 review: a _SUCCESS aborted a healthy directory)
-    (in_dir / "day2.parquet").unlink()
+    # --quarantine sets the drifted file (and an unreadable one) aside
+    # into {input}/_quarantine/ — invisible to the stream — and drains
+    # the rest; the majority schema is the reference, so the GOOD file
+    # keeps its role even though the drifted one sorts later. Marker
+    # files Spark's own reader ignores must not trip the pre-flight
+    # (r15 review: a _SUCCESS aborted a healthy directory).
+    (in_dir / "corrupt.parquet").write_bytes(b"PAR1 not really parquet")
     (in_dir / "_SUCCESS").write_bytes(b"")
     (in_dir / ".hidden.crc").write_bytes(b"\x00\x01")
     papq.write_table(
@@ -1118,13 +1121,21 @@ def test_cli_ingest_parquet_null_gate_and_schema_drift(spark, tmp_path, capsys):
         in_dir / "day2b.parquet",
     )
     assert main(["ingest", "--input", str(in_dir), "--format", "parquet",
-                 "--index", idx, "--out", out, "--threshold", "0.5"]) == 0
+                 "--index", idx, "--out", out, "--threshold", "0.5",
+                 "--quarantine"]) == 0
     got2 = json.loads(
         [ln for ln in capsys.readouterr().out.splitlines()
          if ln.startswith("{")][-1]
     )
     assert got2["survivors"] == 1
     assert spark.read.parquet(out).count() == 3
+    q = in_dir / "_quarantine"
+    assert sorted(p.name for p in q.iterdir()) == [
+        "corrupt.parquet", "day2.parquet",
+    ]
+    # the drained directory is clean now: a further plain drain succeeds
+    assert main(["ingest", "--input", str(in_dir), "--format", "parquet",
+                 "--index", idx, "--out", out, "--threshold", "0.5"]) == 0
 
 
 def test_cli_retrain_pq_from_recorded_source(spark, tmp_path, capsys):
