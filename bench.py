@@ -478,12 +478,22 @@ def main() -> int:
         # bench under an unknown outer timeout, and a lost artifact is
         # strictly worse than a contended one (the normalized times keep
         # a contended recording comparable anyway)
-        wait_budget = float(
-            os.environ.get(
-                "SPARK_GRAFT_IDLE_WAIT_S",
-                "300" if idle_gated else "120",
+        default_wait = 300.0 if idle_gated else 120.0
+        try:
+            wait_budget = float(
+                os.environ.get("SPARK_GRAFT_IDLE_WAIT_S", default_wait)
             )
-        )
+        except ValueError:
+            # a malformed env value must not lose the artifact (ADVICE
+            # r15) — that outcome is strictly worse than a contended
+            # recording; warn and record with the default budget
+            print(
+                "bench: ignoring malformed SPARK_GRAFT_IDLE_WAIT_S="
+                f"{os.environ.get('SPARK_GRAFT_IDLE_WAIT_S')!r} — "
+                f"using the default {default_wait}s wait",
+                file=sys.stderr,
+            )
+            wait_budget = default_wait
     if idle_gated:
         idle_state = _refuse_if_busy(wait_s=wait_budget)
     else:

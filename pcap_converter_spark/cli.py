@@ -551,6 +551,15 @@ def _cmd_ingest(argv: list[str]) -> int:
                          "stream) and drain the rest, instead of "
                          "aborting — the cron-robust default for "
                          "unattended drains")
+    ap.add_argument("--expect-schema", default=None,
+                    metavar="FILE.parquet",
+                    help="parquet mode: pin the pre-flight reference "
+                         "schema to this exemplar file and record it as "
+                         "the drain's durable anchor — the explicit "
+                         "migration path (without it, the anchor "
+                         "recorded on the first drain wins, and a "
+                         "majority vote over the directory only when "
+                         "neither exists)")
     ap.add_argument("--max-files-per-trigger", type=int, default=None,
                     metavar="N",
                     help="bound each micro-batch to N newly arrived "
@@ -583,6 +592,11 @@ def _cmd_ingest(argv: list[str]) -> int:
             "error: --bootstrap with --no-update is contradictory — "
             "bootstrapping CREATES the index from the first batch, "
             "which is an index update"
+        )
+    if args.expect_schema and args.format != "parquet":
+        raise SystemExit(
+            "error: --expect-schema applies to the parquet pre-flight "
+            "only (jsonl streams carry a fixed line schema)"
         )
     spark = _spark_for(args)
     from pcap_converter_spark.operators import incremental as inc
@@ -704,26 +718,60 @@ def _cmd_ingest(argv: list[str]) -> int:
                 bad[f] = f"not readable parquet ({exc})"
                 continue
             schemas[f] = {n: str(t) for n, t in zip(sch.names, sch.types)}
+        # Reference-schema ladder (ADVICE r15 + VERDICT r15 #5). The
+        # per-run MAJORITY vote is only the LAST resort: on an unattended
+        # cron with --quarantine, a burst of drifted files would flip the
+        # majority — the healthy original-schema files (possibly not yet
+        # drained) get quarantined and the drift gets pinned. So:
+        #   1. --expect-schema FILE — explicit operator intent (the
+        #      migration path); becomes the new durable anchor.
+        #   2. The anchor recorded beside the checkpoint by an earlier
+        #      drain — the schema this drain has been ingesting all
+        #      along, immune to directory composition.
+        #   3. Majority over the directory (ties break to the
+        #      sorted-first file), recorded as the anchor once the
+        #      pre-flight SUCCEEDS — never when it aborts, so a
+        #      drifted-burst abort cannot poison future runs.
+        ckpt = args.checkpoint or f"{args.out}/_ingest_checkpoint"
+        anchor = ckpt.rstrip("/") + "_ref_schema.json"
+        ref_fields = None
+        ref_src = "directory majority"
+        if args.expect_schema:
+            try:
+                sch = _papq.read_schema(args.expect_schema)
+            except Exception as exc:
+                raise SystemExit(
+                    f"error: --expect-schema {args.expect_schema} is "
+                    f"not readable parquet ({exc})"
+                )
+            ref_fields = {n: str(t) for n, t in zip(sch.names, sch.types)}
+            ref_src = f"--expect-schema {args.expect_schema}"
+        elif _os.path.exists(anchor):
+            with open(anchor) as fh:
+                ref_fields = {
+                    str(k): str(v) for k, v in _json.load(fh).items()
+                }
+            ref_src = f"recorded anchor {anchor}"
+        ref_sig = None
+        if ref_fields is not None:
+            ref_sig = tuple(sorted(ref_fields.items()))
         if schemas:
-            # the MAJORITY schema is the reference (r15: the first-seen
-            # file being the drifted one would have flagged the healthy
-            # majority); ties break to the sorted-first file's schema,
-            # deterministically
             keyed = {
                 f: tuple(sorted(flds.items()))
                 for f, flds in schemas.items()
             }
-            counts = _Counter(keyed.values())
-            maxn = max(counts.values())
-            cands = {sig for sig, c in counts.items() if c == maxn}
-            ref_sig = next(
-                keyed[f] for f in sorted(keyed) if keyed[f] in cands
-            )
+            if ref_sig is None:
+                counts = _Counter(keyed.values())
+                maxn = max(counts.values())
+                cands = {sig for sig, c in counts.items() if c == maxn}
+                ref_sig = next(
+                    keyed[f] for f in sorted(keyed) if keyed[f] in cands
+                )
             for f in sorted(keyed):
                 if keyed[f] != ref_sig:
                     diff = sorted(set(ref_sig) ^ set(keyed[f]))
                     bad[f] = (
-                        f"schema drift vs the directory majority on "
+                        f"schema drift vs the {ref_src} on "
                         f"{diff} — the schema-pinned stream would "
                         "silently null-fill the differing columns"
                     )
@@ -732,7 +780,14 @@ def _cmd_ingest(argv: list[str]) -> int:
                 qdir = _os.path.join(args.input, "_quarantine")
                 _os.makedirs(qdir, exist_ok=True)
                 for f, why in sorted(bad.items()):
-                    dest = _os.path.join(qdir, _os.path.basename(f))
+                    # unique destination (ADVICE r15): a same-named file
+                    # quarantined by an earlier run keeps its bytes
+                    base = _os.path.basename(f)
+                    dest = _os.path.join(qdir, base)
+                    n_dup = 0
+                    while _os.path.exists(dest):
+                        n_dup += 1
+                        dest = _os.path.join(qdir, f"{base}.{n_dup}")
                     _os.replace(f, dest)
                     print(
                         f"ingest: quarantined {f} -> {dest} ({why})",
@@ -753,6 +808,16 @@ def _cmd_ingest(argv: list[str]) -> int:
                     f"error: {args.input} holds no readable, "
                     "schema-consistent parquet files after quarantine"
                 )
+        if ref_sig is not None and (
+            args.expect_schema or not _os.path.exists(anchor)
+        ):
+            # pre-flight succeeded: record/refresh the durable anchor
+            # (atomic — a cron kill mid-write must not leave torn JSON)
+            _os.makedirs(_os.path.dirname(anchor) or ".", exist_ok=True)
+            tmp = f"{anchor}.tmp.{_os.getpid()}"
+            with open(tmp, "w") as fh:
+                _json.dump(dict(ref_sig), fh)
+            _os.replace(tmp, anchor)
         schema = spark.read.parquet(args.input).schema
         reader = spark.readStream.schema(schema)
         if args.max_files_per_trigger:

@@ -899,7 +899,8 @@ def video_neardup_pairs(
 ) -> DataFrame:
     """Clip pairs sharing perceptually-near SAMPLED FRAMES: decode →
     strided frame sampling → per-frame aHash → the shared banded hamming
-    join over (clip, frame) nodes → count matched cross-clip frame pairs
+    join over (clip, frame) nodes → count DISTINCT matched frame
+    positions (lesser side of the pair — see the aggregation comment)
     and keep pairs with at least ``min_matching_frames``. Returns
     ``(id_a, id_b, n_frame_matches, min_hamming)`` with ``id_a <
     id_b``. A re-encode of the same footage matches frame-for-frame
@@ -927,16 +928,33 @@ def video_neardup_pairs(
         nodes, sig_col="sig", id_col="node",
         max_hamming=max_hamming, handles=handles,
     )
+    # n_frame_matches counts DISTINCT matched frame indices, not raw
+    # cross pairs (ADVICE r15): a single static frame shared by two
+    # clips (black leader, station ident) yields up to max_frames² raw
+    # pairs — trivially passing min_matching_frames. Distinct-per-side
+    # with the LESSER side as the score bounds it by the less-repetitive
+    # clip: a true re-encode still scores |sampled| frame-for-frame,
+    # while a shared static frame scores exactly the few positions it
+    # occupies in the shorter repetition.
+    a_lt_b = F.col("doc_a.clip") < F.col("doc_b.clip")
     return (
         pairs.filter(F.col("doc_a.clip") != F.col("doc_b.clip"))
         .select(
             F.least("doc_a.clip", "doc_b.clip").alias("id_a"),
             F.greatest("doc_a.clip", "doc_b.clip").alias("id_b"),
+            F.when(a_lt_b, F.col("doc_a.f"))
+            .otherwise(F.col("doc_b.f"))
+            .alias("f_a"),
+            F.when(a_lt_b, F.col("doc_b.f"))
+            .otherwise(F.col("doc_a.f"))
+            .alias("f_b"),
             "hamming",
         )
         .groupBy("id_a", "id_b")
         .agg(
-            F.count(F.lit(1)).alias("n_frame_matches"),
+            F.least(
+                F.countDistinct("f_a"), F.countDistinct("f_b")
+            ).alias("n_frame_matches"),
             F.min("hamming").alias("min_hamming"),
         )
         .filter(F.col("n_frame_matches") >= int(min_matching_frames))

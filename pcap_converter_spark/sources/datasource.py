@@ -168,7 +168,14 @@ class FileChunkStreamReader(DataSourceStreamReader):
     per-file latency for safety against mid-write indexing. Indexing
     errors on a recently-modified file (truncated header race) defer the
     file to the next poll instead of killing the query; errors on a
-    quiescent file still raise.
+    quiescent file still raise — unless ``quarantine_dir`` (option) is
+    set, in which case a quiescent-but-unindexable file with NO committed
+    progress is moved there (unique name, never overwriting an earlier
+    quarantine) and the drain continues, the event named on stderr — the
+    CLI parquet pre-flight's set-aside contract applied to the custom
+    faces, so one corrupt file cannot wedge a 100-TB drop. A corrupt
+    file WITH committed progress still raises: quarantining it would
+    silently lose its uncommitted span.
 
     The offset is ``{path: chunk_count_consumed}``; ``latestOffset``
     globs the directory and indexes only NEW files (the index is a
@@ -267,6 +274,12 @@ class FileChunkStreamReader(DataSourceStreamReader):
             if restored is not None:
                 self._floor = restored
                 self._floor_trusted = True
+        # option-gated corrupt-file set-aside (VERDICT r15 #4): without
+        # it a quiescent-but-unindexable file raises out of latestOffset
+        # and wedges the WHOLE drain — at a 100-TB drop one corrupt file
+        # must be quarantine-able like the CLI parquet pre-flight.
+        self._qdir = self._options.get("quarantine_dir") or None
+        self._n_quarantined = 0
 
     def _index_path(self, p: str) -> list[dict]:
         raise NotImplementedError
@@ -356,6 +369,41 @@ class FileChunkStreamReader(DataSourceStreamReader):
             return False
         return now - st.st_mtime >= self._settle
 
+    def _try_quarantine(self, p: str, exc: Exception) -> bool:
+        """Move a quiescent-but-unindexable file into ``quarantine_dir``
+        (option-gated; False = option unset or the move itself failed,
+        caller re-raises). Unique destination — a same-named file
+        quarantined by an earlier run must not be overwritten (the CLI
+        pre-flight learned the same lesson, ADVICE r15) — and the event
+        is named on stderr so an unattended cron's log says WHICH file
+        was set aside and why."""
+        import sys
+        import time as _t
+
+        if not self._qdir:
+            return False
+        try:
+            os.makedirs(self._qdir, exist_ok=True)
+            base = os.path.basename(p)
+            dest = os.path.join(self._qdir, base)
+            n = 0
+            while os.path.exists(dest):
+                n += 1
+                dest = os.path.join(self._qdir, f"{base}.{n}")
+            os.replace(p, dest)
+        except OSError:
+            return False  # cross-device / permissions: fail loudly instead
+        self._n_quarantined += 1
+        self._seen.pop(p, None)
+        print(
+            f"{self._format_name} stream: quarantined {p} -> {dest} "
+            f"(won't index after {_t.time() - os.stat(dest).st_mtime:.0f}s "
+            f"quiescent: {type(exc).__name__}: {exc}) — "
+            f"{self._n_quarantined} quarantined this reader",
+            file=sys.stderr,
+        )
+        return True
+
     def latestOffset(self) -> dict:
         import time
 
@@ -374,26 +422,45 @@ class FileChunkStreamReader(DataSourceStreamReader):
         for p in files:
             floor = self._floor.get(p, 0)
             if p not in self._chunks:
+                # EVERY skip path below must still emit the file's known
+                # floor (ADVICE r15): after a restart with settle_seconds
+                # the first sight of an already-committed file is
+                # inadmissible, and omitting it from the offered offset
+                # would let Spark commit an end offset WITHOUT the file —
+                # a later batch's start.get(p, 0) is then 0 and
+                # partitions() replans chunks [0, floor): duplicate rows,
+                # the exact rewind the floor machinery exists to prevent.
                 if budget is not None and budget <= 0:
                     # budget spent: do not even INDEX further new files —
-                    # per-poll driver work stays bounded too. A file the
-                    # floor already covers keeps its entry below.
+                    # per-poll driver work stays bounded too
                     if floor:
                         out[p] = floor
                     continue
                 if not self._admissible(p):
+                    if floor:
+                        out[p] = floor
                     continue
                 try:
                     self._index_file(p)
                     self._seen.pop(p, None)
-                except Exception:
+                except Exception as exc:
                     try:
                         age = time.time() - os.stat(p).st_mtime
                     except OSError:
+                        if floor:
+                            out[p] = floor
                         continue  # deleted mid-index: not data yet, skip
                     if age < max(self._settle, self._RECENT_WRITE_S):
+                        if floor:
+                            out[p] = floor
                         continue  # mid-write truncation race: retry later
-                    raise  # quiescent file that still won't index: corrupt
+                    if floor == 0 and self._try_quarantine(p, exc):
+                        continue  # set aside; nothing of it was committed
+                    # quiescent file that still won't index: corrupt. With
+                    # committed progress (floor > 0) quarantining would
+                    # HIDE unrecoverable loss of the uncommitted span, so
+                    # the stream fails loudly either way.
+                    raise
             n_avail = len(self._chunks[p])
             if budget is None:
                 out[p] = n_avail

@@ -1237,3 +1237,116 @@ def test_cli_ingest_max_files_per_trigger_bounds_batches(spark, tmp_path, capsys
     assert len(_glob.glob(f"{out}/batch=*")) == 3
     texts = {r["text"] for r in spark.read.parquet(out).collect()}
     assert texts == {prose("d", d) for d in range(3)}
+
+
+def test_cli_ingest_schema_anchor_and_expect_schema(spark, tmp_path, capsys):
+    """r16 (ADVICE r15 + VERDICT r15 #5): the pre-flight reference schema
+    is anchored durably beside the checkpoint on the first drain, so a
+    later BURST of drifted files cannot flip a majority vote and
+    quarantine the healthy originals; an intentional migration is made
+    explicit with --expect-schema, which re-anchors; quarantine
+    destinations are unique (an earlier quarantined file's bytes
+    survive a same-named successor)."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as papq
+    import pytest
+
+    from pcap_converter_spark.operators import incremental as inc
+
+    def prose(tag, i):
+        return f"the {tag} doc {i} " + " ".join(
+            f"{tag}{i}w{j}" for j in range(12)
+        )
+
+    def old_tbl(ids):
+        return pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "text": pa.array([prose("o", i) for i in ids]),
+        })
+
+    def new_tbl(ids):
+        return pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "text": pa.array([prose("n", i) for i in ids]),
+            "lang": pa.array(["en"] * len(ids)),
+        })
+
+    idx = str(tmp_path / "anchor_idx")
+    inc.write_corpus_index(
+        spark.createDataFrame(
+            [(100, prose("seed", 0))], "doc_id long, text string"
+        ),
+        idx,
+    )
+    in_dir = tmp_path / "anchor_in"
+    in_dir.mkdir()
+    out = str(tmp_path / "anchor_out")
+    base = ["ingest", "--input", str(in_dir), "--format", "parquet",
+            "--index", idx, "--out", out, "--threshold", "0.5"]
+
+    # first drain records the anchor beside the checkpoint
+    papq.write_table(old_tbl([1, 2]), in_dir / "old1.parquet")
+    assert main(base) == 0
+    anchor = f"{out}/_ingest_checkpoint_ref_schema.json"
+    assert os.path.exists(anchor)
+    assert set(json.load(open(anchor))) == {"doc_id", "text"}
+
+    # drifted BURST outnumbering the healthy resident file: the anchor,
+    # not the majority, is the reference — all three set aside, the
+    # resident original untouched
+    for name in ("burst1.parquet", "burst2.parquet", "burst3.parquet"):
+        papq.write_table(
+            pa.table({"doc_id": pa.array(["x"], pa.string()),
+                      "text": pa.array([prose("d", 9)])}),
+            in_dir / name,
+        )
+    assert main(base + ["--quarantine"]) == 0
+    q = in_dir / "_quarantine"
+    assert sorted(p.name for p in q.iterdir()) == [
+        "burst1.parquet", "burst2.parquet", "burst3.parquet",
+    ]
+    assert (in_dir / "old1.parquet").exists()
+
+    # unique quarantine destination: a same-named later drift does not
+    # overwrite the earlier quarantined bytes
+    first_bytes = (q / "burst1.parquet").read_bytes()
+    papq.write_table(
+        pa.table({"doc_id": pa.array(["y"], pa.string()),
+                  "text": pa.array([prose("d", 10)])}),
+        in_dir / "burst1.parquet",
+    )
+    assert main(base + ["--quarantine"]) == 0
+    assert (q / "burst1.parquet").read_bytes() == first_bytes
+    assert (q / "burst1.parquet.1").exists()
+
+    # migration day: --expect-schema pins the NEW schema explicitly,
+    # quarantines the remaining old-schema file, and re-anchors
+    papq.write_table(new_tbl([11, 12, 13]), in_dir / "new1.parquet")
+    assert main(base + ["--quarantine",
+                        "--expect-schema", str(in_dir / "new1.parquet")]
+                ) == 0
+    assert (q / "old1.parquet").exists()
+    assert set(json.load(open(anchor))) == {"doc_id", "text", "lang"}
+    got = json.loads(
+        [ln for ln in capsys.readouterr().out.splitlines()
+         if ln.startswith("{")][-1]
+    )
+    assert got["survivors"] == 3
+
+    # post-migration cron run needs no flags: the re-anchored schema
+    # admits further new-schema drops
+    papq.write_table(new_tbl([14]), in_dir / "new2.parquet")
+    assert main(base) == 0
+    got2 = json.loads(
+        [ln for ln in capsys.readouterr().out.splitlines()
+         if ln.startswith("{")][-1]
+    )
+    assert got2["survivors"] == 1
+
+    # --expect-schema is a parquet-mode concept
+    with pytest.raises(SystemExit, match="expect-schema"):
+        main(["ingest", "--input", str(in_dir), "--format", "jsonl",
+              "--index", idx, "--out", out,
+              "--expect-schema", str(in_dir / "new1.parquet")])

