@@ -243,6 +243,62 @@ def _machine_speed_ms(reps: int = 3) -> float | None:
         return None
 
 
+# Anchor for the PARALLELISM-MATCHED probe (VERDICT r15 #1), pinned the
+# same way as MATMUL_REF_MS: the minimum wall observed across a
+# session-long calibration sweep on this host (idle windows on the shared
+# box converge to the clean value; the clean single probe ≈ the anchor on
+# the same samples corroborates). Changing it rescales every normalized
+# number — keep pinned across rounds.
+PMATMUL_REF_MS = 85.0
+# the suite runs local[32]: the probe must contend for cores the way the
+# workload does, or partial contention over-prices (r15: single probe 7×
+# while the 32-way suite ran ~1.4× — value_norm collapsed 2× low)
+PROBE_THREADS = 32
+
+
+def _parallel_machine_speed_ms(
+    k: int = PROBE_THREADS, iters: int = 4
+) -> float | None:
+    """Machine speed priced at the SUITE'S parallelism: k concurrent
+    single-thread 512² float64 matmul chains (NumPy's BLAS releases the
+    GIL inside dgemm), wall-clock until ALL finish. On a clean host with
+    ≥k free cores this lands near the single-chain time plus memory-
+    bandwidth overhead; with only C < k cores effectively available it
+    scales ≈ k/C — the same factor a k-way-parallel suite slows by,
+    which the single-thread probe provably is NOT (BENCH_r15: probes
+    7.1× the anchor while the raw suite ran ~1.4× its clean band, so
+    value_norm overcorrected to 28.9 s against a 53–63 s clean band).
+    No renormalization inside the chain: 4 iterations stay comfortably
+    inside float64 range (growth ~1e20), and dropping the GIL-holding
+    max/divide keeps 32 threads from serializing on the interpreter."""
+    try:
+        import threading as _th
+
+        import numpy as _np
+
+        base = _np.random.default_rng(0).standard_normal((512, 512))
+        mats = [(base.copy(), _np.empty_like(base)) for _ in range(k)]
+
+        def work(i: int) -> None:
+            a, b = mats[i]
+            for _ in range(iters):
+                _np.matmul(a, a, out=b)
+                a, b = b, a
+
+        threads = [
+            _th.Thread(target=work, args=(i,), daemon=True)
+            for i in range(k)
+        ]
+        t0 = time.perf_counter()
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        return round((time.perf_counter() - t0) * 1000, 1)
+    except Exception:
+        return None
+
+
 def _cpu_side_channel(start: dict, end: dict) -> dict:
     sc = {
         "loadavg1_start": start.get("loadavg1"),
@@ -411,35 +467,60 @@ def _median(vals):
     return s[len(s) // 2] if s else None
 
 
+# the per-entry correction factor is CLAMPED to this band (VERDICT r15
+# #1): even a parallelism-matched probe can misprice a pathological
+# moment (probe lands in a foreign burst the entry dodged, or vice
+# versa), and an estimator error must degrade toward the RAW time, not
+# toward nonsense — r15's unclamped single-probe estimate normalized an
+# 89.5 s contended suite to 28.9 s against a 53–63 s clean band.
+NORM_FACTOR_BAND = (0.5, 1.5)
+
+
 def _normalized_times(
-    timings: dict[str, float], probe_ms: dict[str, float]
-) -> dict[str, float]:
-    """raw_s × (MATMUL_REF_MS / speed) per entry, with the speed estimate
+    timings: dict[str, float],
+    probe_ms: dict[str, float],
+    pprobe_ms: dict[str, float] | None = None,
+) -> tuple[dict[str, float], dict]:
+    """raw_s × clamp(REF / speed) per entry, with the speed estimate
     robust to one-off probe spikes — see the call site's comment for the
     estimator rationale (median of prev/own/run-median). Entries without
-    a probe or with a failed (-1) timing are omitted.
+    a probe or with a failed (-1) timing are omitted. Returns
+    ``(norm, meta)``; meta records which estimator priced the run and
+    how many entries hit the clamp band.
 
-    Honesty note (first contended recording, r15): the probe is
-    single-threaded BLAS, the suite is 32-way parallel — under PARTIAL
-    contention the probe can slow more than the workload did (observed:
-    probes 3.7× the anchor while the raw suite ran ~1.5× its clean
-    band), so value_norm can OVERCORRECT downward. It is a
-    round-over-round comparability aid for contended artifacts, not a
-    reconstruction of the clean-host number; the clean band still comes
-    from idle recordings."""
-    run_med = _median(list(probe_ms.values()))
+    The estimator of record is the PARALLELISM-MATCHED probe
+    (``_parallel_machine_speed_ms`` against ``PMATMUL_REF_MS``) whenever
+    it covered at least half the timed entries: a single-threaded probe
+    under PARTIAL contention slows more than a 32-way suite does
+    (BENCH_r15: probes 7.1× the anchor, suite ~1.4× — value_norm
+    overcorrected 2× low), while a 32-thread probe competes for cores
+    exactly the way the workload does. The single-thread probes remain
+    recorded for continuity and the probes_clean verdict; they price the
+    run only when the parallel probe was unavailable."""
+    meta: dict = {"estimator": "single", "n_clamped": 0}
+    n_timed = sum(1 for v in timings.values() if v >= 0)
+    probes, ref = probe_ms, MATMUL_REF_MS
+    if pprobe_ms and len(pprobe_ms) * 2 >= max(n_timed, 1):
+        probes, ref = pprobe_ms, PMATMUL_REF_MS
+        meta["estimator"] = "parallel"
+    run_med = _median(list(probes.values()))
     norm: dict[str, float] = {}
     if not run_med:
-        return norm
+        return norm, meta
+    lo, hi = NORM_FACTOR_BAND
     prev = run_med
     for k, v in timings.items():
-        own = probe_ms.get(k)
+        own = probes.get(k)
         if own:
             eff = _median([prev, own, run_med])
             if v >= 0:
-                norm[k] = round(v * MATMUL_REF_MS / eff, 3)
+                factor = ref / eff
+                clamped = min(max(factor, lo), hi)
+                if clamped != factor:
+                    meta["n_clamped"] += 1
+                norm[k] = round(v * clamped, 3)
             prev = own
-    return norm
+    return norm, meta
 
 
 def _parse_args(argv: list[str]) -> dict:
@@ -594,6 +675,7 @@ def main() -> int:
     # normalized time raw_s × (MATMUL_REF_MS / probe_ms) stays
     # comparable round-over-round even on a contended recording
     probe_ms: dict[str, float] = {}
+    pprobe_ms: dict[str, float] = {}
 
     def _guarded(label: str, fn):
         return _stall_guarded(spark, label, fn)
@@ -666,6 +748,9 @@ def main() -> int:
         pm = _machine_speed_ms(reps=1)
         if pm is not None:
             probe_ms[name] = pm
+        ppm = _parallel_machine_speed_ms()
+        if ppm is not None:
+            pprobe_ms[name] = ppm
 
     # recoverable checkpoint on stderr (NOT a bare JSON line — the
     # driver's artifact parser must only ever see the one final stdout
@@ -699,6 +784,9 @@ def main() -> int:
         pm = _machine_speed_ms(reps=1)
         if pm is not None:
             probe_ms["pcap_convert"] = pm
+        ppm = _parallel_machine_speed_ms()
+        if ppm is not None:
+            pprobe_ms["pcap_convert"] = ppm
 
         # sustained decode throughput on a realistic volume: 1.28M packets
         # (~110 MB), 3 MB chunks so the file spreads over 36 tasks on the
@@ -740,6 +828,9 @@ def main() -> int:
         pm = _machine_speed_ms(reps=1)
         if pm is not None:
             probe_ms["pcap_decode_1m"] = pm
+        ppm = _parallel_machine_speed_ms()
+        if ppm is not None:
+            pprobe_ms["pcap_decode_1m"] = ppm
 
     # WARC corpus-acquisition throughput over a generated multi-MB
     # per-record-gzip archive, through the FUSED document reader
@@ -777,6 +868,9 @@ def main() -> int:
         pm = _machine_speed_ms(reps=1)
         if pm is not None:
             probe_ms["warc_decode"] = pm
+        ppm = _parallel_machine_speed_ms()
+        if ppm is not None:
+            pprobe_ms["warc_decode"] = ppm
         warc_stats = {
             "warc_decode_docs_per_sec": round(n_docs / dt),
             "warc_decode_mb_per_sec": round(wsize / dt / (1 << 20), 1),
@@ -827,13 +921,21 @@ def main() -> int:
     # artifact's stdout line must stay inside the driver's ~2 KB tail
     # window); the SUM rides the record itself as value_norm, alongside
     # the anchor and the probes' median for interpretation.
-    norm = _normalized_times(timings, probe_ms)
+    norm, norm_meta = _normalized_times(timings, probe_ms, pprobe_ms)
     if norm:
         print("bench: probe-ms " + json.dumps(probe_ms), file=sys.stderr,
               flush=True)
+        print("bench: pprobe-ms " + json.dumps(pprobe_ms),
+              file=sys.stderr, flush=True)
         print("bench: norm-queries " + json.dumps(norm), file=sys.stderr,
               flush=True)
         out["value_norm"] = round(sum(norm.values()), 3)
+        # which probe priced the run + how often the safety band engaged
+        # (r16): "parallel" with n_clamped 0 is the trustworthy case;
+        # heavy clamping means the estimator and the suite disagreed and
+        # value_norm leans toward raw
+        out["value_norm_est"] = norm_meta["estimator"]
+        out["value_norm_clamped"] = norm_meta["n_clamped"]
     if pcap_pps is not None:
         out["pcap_decode_pkts_per_sec"] = pcap_pps
     if warc_stats is not None:
@@ -857,6 +959,22 @@ def main() -> int:
         out["host"]["matmul_ms_ref"] = MATMUL_REF_MS
         probes = sorted(probe_ms.values())
         out["host"]["matmul_ms_median"] = probes[len(probes) // 2]
+        if pprobe_ms:
+            out["host"]["pmatmul_ms_ref"] = PMATMUL_REF_MS
+            pp = sorted(pprobe_ms.values())
+            out["host"]["pmatmul_ms_median"] = pp[len(pp) // 2]
+        # contended-flag nuance (VERDICT r15 stretch #7): the binary
+        # `contended` trips on 0.1% steal — chronic on this shared host
+        # even when the probes sat at the anchor. probes_clean makes a
+        # "contended but effectively clean" recording machine-readable:
+        # both probe medians within 1.3× their anchors.
+        out["host"]["probes_clean"] = bool(
+            out["host"]["matmul_ms_median"] <= 1.3 * MATMUL_REF_MS
+            and (
+                not pprobe_ms
+                or out["host"]["pmatmul_ms_median"] <= 1.3 * PMATMUL_REF_MS
+            )
+        )
     # idle-wait provenance (r15): how long the bounded wait ran and
     # whether the host was quiet when the recording started
     out["host"]["idle_wait_s"] = idle_state["waited_s"]

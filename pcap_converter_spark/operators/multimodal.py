@@ -256,22 +256,34 @@ def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
     return a[:usable].reshape(-1, ch), int(rate)
 
 
-def encode_wav(samples: np.ndarray, rate: int) -> bytes:
+def encode_wav(
+    samples: np.ndarray, rate: int, fmt: str = "pcm16"
+) -> bytes:
     """The matching encoder (tests + fixtures): (n[, ch]) float in
-    [-1, 1] → 16-bit PCM WAV bytes."""
+    [-1, 1] → WAV bytes, as 16-bit PCM (``fmt="pcm16"``) or IEEE
+    float32 (``fmt="float32"``) — the two-encodings-of-one-clip pair
+    the audio near-dup contract is pinned against."""
     import struct
 
     a = np.asarray(samples, dtype=np.float64)
     if a.ndim == 1:
         a = a[:, None]
     ch = a.shape[1]
-    pcm = np.clip(a * 32767.0, -32768, 32767).astype("<i2").tobytes()
-    hdr = b"RIFF" + struct.pack("<I", 36 + len(pcm)) + b"WAVE"
+    if fmt == "pcm16":
+        tag, bits = 1, 16
+        body = np.clip(a * 32767.0, -32768, 32767).astype("<i2").tobytes()
+    elif fmt == "float32":
+        tag, bits = 3, 32
+        body = a.astype("<f4").tobytes()
+    else:
+        raise ValueError(f"unsupported encode_wav fmt {fmt!r}")
+    step = ch * bits // 8
+    hdr = b"RIFF" + struct.pack("<I", 36 + len(body)) + b"WAVE"
     hdr += b"fmt " + struct.pack(
-        "<IHHIIHH", 16, 1, ch, rate, rate * ch * 2, ch * 2, 16
+        "<IHHIIHH", 16, tag, ch, rate, rate * step, step, bits
     )
-    hdr += b"data" + struct.pack("<I", len(pcm))
-    return hdr + pcm
+    hdr += b"data" + struct.pack("<I", len(body))
+    return hdr + body
 
 
 def decode_y4m(
@@ -639,6 +651,161 @@ def audio_features(
     )
 
 
+def _bits_to_i64(bits: np.ndarray) -> int:
+    """64 booleans → signed 64-bit int (little-endian bit order), the
+    signature word every banded hamming tier shares."""
+    v = int.from_bytes(
+        np.packbits(bits.astype(np.uint8), bitorder="little").tobytes(),
+        "little",
+    )
+    return v - (1 << 64) if v >= (1 << 63) else v
+
+
+def _spectral_sig_of(w: np.ndarray) -> int:
+    """64-bit spectral signature of one mono window: rFFT power
+    spectrum (DC dropped — level offsets are loudness, not timbre) →
+    64 equal bands → bit i = band power > median of the 64 band powers.
+    The median threshold balances the bits exactly like
+    ``payload_blockhash``/aHash, so a re-encode (PCM16 ↔ float32,
+    whose band powers differ only by quantization noise) keeps the
+    signature while unrelated audio lands ~32 bits apart."""
+    if w.size == 0:
+        return 0  # rfft raises on an empty window; the empty sig is 0
+    spec = np.abs(np.fft.rfft(w))[1:] ** 2
+    if spec.size == 0:
+        return 0
+    bands = np.array([b.sum() for b in np.array_split(spec, 64)])
+    return _bits_to_i64(bands > np.median(bands))
+
+
+AUDIO_SIG_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("window_sigs", T.ArrayType(T.LongType())),
+        T.StructField("decode_error", T.StringType()),
+    ]
+)
+
+
+def audio_spectral_sigs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    max_windows: int = 8,
+) -> DataFrame:
+    """Per-clip array of 64-bit spectral window signatures: decode WAV →
+    mono mix → split into ``max_windows`` contiguous equal windows →
+    ``_spectral_sig_of`` each. The audio analogue of
+    ``video_features``'s ``frame_ahash`` array — feed
+    ``audio_neardup_pairs`` (or posexplode into
+    ``dedup.signature_hamming_pairs`` directly). Arrow-batched
+    ``mapInPandas``; undecodable payloads surface in ``decode_error``."""
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                try:
+                    a, _rate = decode_wav(bytes(payload or b""))
+                    mono = a.mean(axis=1)
+                    sigs = [
+                        _spectral_sig_of(w)
+                        for w in np.array_split(mono, max_windows)
+                        if w.size
+                    ]
+                    out.append((int(doc_id), sigs, None))
+                except Exception as exc:
+                    out.append((
+                        int(doc_id), None,
+                        f"{type(exc).__name__}: {exc}"[:200],
+                    ))
+            yield pd.DataFrame(
+                out, columns=[f.name for f in AUDIO_SIG_SCHEMA]
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(
+        extract, schema=AUDIO_SIG_SCHEMA
+    )
+
+
+def audio_neardup_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    max_windows: int = 8,
+    max_hamming: int = 3,
+    min_matching_windows: int = 2,
+    handles: list | None = None,
+) -> DataFrame:
+    """Clip pairs sharing perceptually-near SPECTRAL WINDOWS (VERDICT
+    r15 #2 — before this, audio dedup fell back to byte-level blockhash,
+    which any re-encode defeats): decode → ``max_windows`` contiguous
+    windows → 64-bit spectral signature each → the shared banded hamming
+    join over (clip, window) nodes → count DISTINCT matched window
+    positions (lesser side). Returns ``(id_a, id_b, n_window_matches,
+    min_hamming)`` with ``id_a < id_b``. A PCM16 vs float32 re-encode of
+    the same clip matches window-for-window (``n_window_matches ==
+    |windows|``); unrelated clips pair zero. Scale shape: ≤
+    ``max_windows`` nodes per clip through the same pigeonhole banding
+    as every 64-bit near-dup tier — no all-pairs anywhere."""
+    from pcap_converter_spark.operators.dedup import signature_hamming_pairs
+
+    sigs = audio_spectral_sigs(df, id_col, payload_col, max_windows)
+    nodes = (
+        sigs.filter(F.col("decode_error").isNull())
+        .select(
+            F.col("doc_id"),
+            F.posexplode("window_sigs").alias("fidx", "sig"),
+        )
+        .select(
+            F.struct(
+                F.col("doc_id").alias("clip"), F.col("fidx").alias("f")
+            ).alias("node"),
+            "sig",
+        )
+    )
+    pairs = signature_hamming_pairs(
+        nodes, sig_col="sig", id_col="node",
+        max_hamming=max_hamming, handles=handles,
+    )
+    return _clip_pair_scores(pairs, min_matching_windows, "n_window_matches")
+
+
+def _clip_pair_scores(
+    pairs: DataFrame, min_matching: int, n_col: str
+) -> DataFrame:
+    """Shared (clip, position)-node pair aggregation for the video/audio
+    near-dup tiers: count DISTINCT matched positions per side and score
+    the pair by the LESSER side (ADVICE r15 — raw cross-pair counting
+    let one shared static frame yield up to max_frames² matches). A true
+    re-encode still scores |sampled| position-for-position; a shared
+    black leader scores exactly the few positions it occupies in the
+    shorter repetition."""
+    a_lt_b = F.col("doc_a.clip") < F.col("doc_b.clip")
+    return (
+        pairs.filter(F.col("doc_a.clip") != F.col("doc_b.clip"))
+        .select(
+            F.least("doc_a.clip", "doc_b.clip").alias("id_a"),
+            F.greatest("doc_a.clip", "doc_b.clip").alias("id_b"),
+            F.when(a_lt_b, F.col("doc_a.f"))
+            .otherwise(F.col("doc_b.f"))
+            .alias("f_a"),
+            F.when(a_lt_b, F.col("doc_b.f"))
+            .otherwise(F.col("doc_a.f"))
+            .alias("f_b"),
+            "hamming",
+        )
+        .groupBy("id_a", "id_b")
+        .agg(
+            F.least(
+                F.countDistinct("f_a"), F.countDistinct("f_b")
+            ).alias(n_col),
+            F.min("hamming").alias("min_hamming"),
+        )
+        .filter(F.col(n_col) >= int(min_matching))
+    )
+
+
 IMAGE_FEATURE_SCHEMA = T.StructType(
     [
         T.StructField("doc_id", T.LongType()),
@@ -821,12 +988,7 @@ def payload_blockhash(
         pad = np.zeros(per * 64, dtype=np.float64)
         pad[: a.size] = a
         blocks = pad.reshape(64, per).mean(axis=1)
-        bits = blocks > np.median(blocks)
-        v = int.from_bytes(
-            np.packbits(bits.astype(np.uint8), bitorder="little").tobytes(),
-            "little",
-        )
-        return v - (1 << 64) if v >= (1 << 63) else v
+        return _bits_to_i64(blocks > np.median(blocks))
 
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -928,37 +1090,7 @@ def video_neardup_pairs(
         nodes, sig_col="sig", id_col="node",
         max_hamming=max_hamming, handles=handles,
     )
-    # n_frame_matches counts DISTINCT matched frame indices, not raw
-    # cross pairs (ADVICE r15): a single static frame shared by two
-    # clips (black leader, station ident) yields up to max_frames² raw
-    # pairs — trivially passing min_matching_frames. Distinct-per-side
-    # with the LESSER side as the score bounds it by the less-repetitive
-    # clip: a true re-encode still scores |sampled| frame-for-frame,
-    # while a shared static frame scores exactly the few positions it
-    # occupies in the shorter repetition.
-    a_lt_b = F.col("doc_a.clip") < F.col("doc_b.clip")
-    return (
-        pairs.filter(F.col("doc_a.clip") != F.col("doc_b.clip"))
-        .select(
-            F.least("doc_a.clip", "doc_b.clip").alias("id_a"),
-            F.greatest("doc_a.clip", "doc_b.clip").alias("id_b"),
-            F.when(a_lt_b, F.col("doc_a.f"))
-            .otherwise(F.col("doc_b.f"))
-            .alias("f_a"),
-            F.when(a_lt_b, F.col("doc_b.f"))
-            .otherwise(F.col("doc_a.f"))
-            .alias("f_b"),
-            "hamming",
-        )
-        .groupBy("id_a", "id_b")
-        .agg(
-            F.least(
-                F.countDistinct("f_a"), F.countDistinct("f_b")
-            ).alias("n_frame_matches"),
-            F.min("hamming").alias("min_hamming"),
-        )
-        .filter(F.col("n_frame_matches") >= int(min_matching_frames))
-    )
+    return _clip_pair_scores(pairs, min_matching_frames, "n_frame_matches")
 
 
 def sample_frames(

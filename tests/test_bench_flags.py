@@ -207,15 +207,65 @@ def test_normalized_times_reject_self_inflicted_probe_spikes():
     which moves consecutive probes together."""
     timings = {"a": 2.0, "b": 6.0, "c": 2.0, "fail": -1.0, "noprobe": 1.0}
     probes = {"a": 29.0, "b": 937.0, "c": 29.0, "fail": 29.0}
-    norm = bench._normalized_times(timings, probes)
+    norm, meta = bench._normalized_times(timings, probes)
+    assert meta["estimator"] == "single"
     # b's spike is rejected: median(29, 937, 29) = 29 → norm ≈ raw
     assert norm["b"] == 6.0
     assert norm["a"] == 2.0 and norm["c"] == 2.0
     assert "fail" not in norm and "noprobe" not in norm
 
     # sustained 2× slowdown: every probe doubles → every entry halves
+    # (factor 0.5 sits exactly ON the clamp band edge, so it is honored)
     slow = {k: 58.0 for k in ("a", "b", "c")}
-    norm2 = bench._normalized_times({"a": 2.0, "b": 6.0, "c": 2.0}, slow)
+    norm2, _ = bench._normalized_times({"a": 2.0, "b": 6.0, "c": 2.0}, slow)
     assert norm2 == {"a": 1.0, "b": 3.0, "c": 1.0}
 
-    assert bench._normalized_times({"a": 1.0}, {}) == {}
+    assert bench._normalized_times({"a": 1.0}, {})[0] == {}
+
+
+def test_normalized_times_parallel_probe_and_clamp():
+    """VERDICT r15 #1: the estimator of record is the parallelism-matched
+    probe, and the correction factor is clamped so overcorrection
+    degrades toward raw. Simulates r15's failure: a contended recording
+    whose 32-way suite ran 1.4× its clean time while the single-thread
+    probe inflated 7× — the old estimator normalized 2× LOW; the
+    parallel probe inflates like the suite does, so value_norm lands
+    within ±15% of the clean recording's value."""
+    clean = {"a": 2.0, "b": 6.0, "c": 2.0}
+    total_clean = sum(clean.values())
+
+    # contended: suite ×1.4, single probe ×7, parallel probe ×1.4
+    contended = {k: round(v * 1.4, 3) for k, v in clean.items()}
+    singles = {k: bench.MATMUL_REF_MS * 7.0 for k in clean}
+    parallels = {k: bench.PMATMUL_REF_MS * 1.4 for k in clean}
+    norm, meta = bench._normalized_times(contended, singles, parallels)
+    assert meta["estimator"] == "parallel" and meta["n_clamped"] == 0
+    assert abs(sum(norm.values()) - total_clean) <= 0.15 * total_clean
+
+    # estimator gone wrong (probes say 7× while the suite ran 1.4×):
+    # the clamp floors the factor at 0.5 — degrade toward raw, never
+    # the r15 nonsense of 0.14× — and the artifact records the clamping
+    bad_par = {k: bench.PMATMUL_REF_MS * 7.0 for k in clean}
+    norm2, meta2 = bench._normalized_times(contended, singles, bad_par)
+    assert meta2["n_clamped"] == len(clean)
+    total_raw = sum(contended.values())
+    assert sum(norm2.values()) >= 0.5 * total_raw - 1e-9
+
+    # a fast-host recording is capped at 1.5× the other way
+    fast_par = {k: bench.PMATMUL_REF_MS / 7.0 for k in clean}
+    norm3, meta3 = bench._normalized_times(clean, {}, fast_par)
+    assert meta3["n_clamped"] == len(clean)
+    assert sum(norm3.values()) <= 1.5 * total_clean + 1e-9
+
+    # parallel probes covering < half the timed entries do not price the
+    # run (transient thread failure must not flip the estimator)
+    sparse = {"a": bench.PMATMUL_REF_MS}
+    _, meta4 = bench._normalized_times(clean, singles, sparse)
+    assert meta4["estimator"] == "single"
+
+
+def test_parallel_machine_speed_probe_returns_plausible_ms():
+    """The 32-thread probe must return a positive wall-clock in the
+    plausible band (not per-thread CPU, not a hung join)."""
+    ms = bench._parallel_machine_speed_ms()
+    assert ms is not None and 1.0 < ms < 120_000.0

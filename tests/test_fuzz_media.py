@@ -253,3 +253,43 @@ def test_y4m_file_face_accepts_long_headers(tmp_path):
     via_file, info_f = mm.decode_y4m_file(str(p), max_frames=2)
     assert info_b == info_f and info_b["n_frames"] == 3
     assert all(np.array_equal(a, b) for a, b in zip(via_bytes, via_file))
+
+
+# ---------------------------------------------------------------------------
+# audio spectral signatures (r16)
+# ---------------------------------------------------------------------------
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    n=st.integers(0, 3000),
+    seed=st.integers(0, 2**16),
+)
+def test_spectral_sig_total_and_reencode_stable(n, seed):
+    """_spectral_sig_of is total over any window length (including empty
+    and shorter-than-64-bins windows), and stable across a PCM16
+    quantize-requantize of shaped noise — the re-encode robustness the
+    audio near-dup tier stands on."""
+    rng = np.random.default_rng(seed)
+    w = rng.standard_normal(n) if n else np.zeros(0)
+    if n:
+        w = 0.8 * w / (np.abs(w).max() + 1e-300)
+    sig = mm._spectral_sig_of(w)
+    assert isinstance(sig, int) and -(2**63) <= sig < 2**63
+    # PCM16 round-trip of the same window: quantization noise must not
+    # move the signature by more than a couple of near-median bits
+    q = np.round(w * 32767.0) / 32767.0
+    dist = bin((sig ^ mm._spectral_sig_of(q)) & ((1 << 64) - 1)).count("1")
+    assert dist <= 2
+
+
+@settings(max_examples=30, deadline=None)
+@given(data=st.binary(min_size=0, max_size=300))
+def test_audio_sig_face_curates_random_bytes(data):
+    """The signature extractor's decode step obeys the curated-error
+    contract on arbitrary bytes (its Spark face catches Exception but
+    the text must name the format problem)."""
+    try:
+        mm.decode_wav(data)
+    except CURATED:
+        pass

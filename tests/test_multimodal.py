@@ -477,3 +477,63 @@ def test_video_features_at_paths_matches_payload_face(spark, tmp_path):
         assert by_pay[i] == by_path[i]
     assert "ValueError" in by_path[2]["decode_error"]
     assert "FileNotFoundError" in by_path[3]["decode_error"]
+
+
+def test_audio_neardup_pairs_spectral_level(spark):
+    """audio_neardup_pairs (VERDICT r15 #2): a PCM16 vs float32 re-encode
+    of the same clip matches window-for-window; a clip sharing only the
+    intro matches on exactly those windows (below min_matching_windows=3,
+    visible at threshold 1); unrelated audio never pairs; an undecodable
+    payload is dropped via decode_error, not fatal."""
+    rate = 8000
+    t = np.arange(2000) / rate
+
+    def seg(freq, seed):
+        noise = np.random.default_rng(seed).standard_normal(2000)
+        return 0.15 * noise / np.abs(noise).max() + 0.5 * np.sin(
+            2 * np.pi * freq * t
+        )
+
+    freqs = [200, 500, 900, 1400, 2000, 2600, 3200, 3700]
+    segs = [seg(f, i) for i, f in enumerate(freqs)]
+    clip = np.concatenate(segs)
+    intro_only = np.concatenate(
+        segs[:2] + [seg(f + 150, 100 + i) for i, f in enumerate(freqs[2:])]
+    )
+    other = np.concatenate(
+        [seg(f + 70, 200 + i) for i, f in enumerate(freqs)]
+    )
+    df = spark.createDataFrame(
+        [(0, bytearray(multimodal.encode_wav(clip, rate))),
+         (1, bytearray(multimodal.encode_wav(clip, rate, fmt="float32"))),
+         (2, bytearray(multimodal.encode_wav(intro_only, rate))),
+         (3, bytearray(multimodal.encode_wav(other, rate))),
+         (4, bytearray(b"not audio at all"))],
+        "doc_id long, payload binary",
+    )
+    rows = {(r["id_a"], r["id_b"]): r
+            for r in multimodal.audio_neardup_pairs(
+                df, max_windows=8, min_matching_windows=3
+            ).collect()}
+    assert (0, 1) in rows
+    assert rows[(0, 1)]["n_window_matches"] == 8  # window-for-window
+    assert rows[(0, 1)]["min_hamming"] <= 1
+    assert (0, 2) not in rows and (1, 2) not in rows
+    assert all(3 not in p and 4 not in p for p in rows)
+
+    # at threshold 1 the shared intro IS visible, scored at exactly the
+    # two shared window positions
+    rows1 = {(r["id_a"], r["id_b"]): r
+             for r in multimodal.audio_neardup_pairs(
+                 df, max_windows=8, min_matching_windows=1
+             ).collect()}
+    assert rows1[(0, 2)]["n_window_matches"] == 2
+    assert all(3 not in p and 4 not in p for p in rows1)
+
+    # the signature face: 8 sigs per decodable clip, curated error text
+    sigs = {r["doc_id"]: r for r in multimodal.audio_spectral_sigs(
+        df, max_windows=8).collect()}
+    assert len(sigs[0]["window_sigs"]) == 8
+    assert sigs[0]["window_sigs"] == sigs[1]["window_sigs"]
+    assert sigs[4]["window_sigs"] is None
+    assert "ValueError" in sigs[4]["decode_error"]

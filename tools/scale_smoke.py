@@ -541,6 +541,109 @@ def main() -> int:
     except Exception as exc:  # pragma: no cover - smoke resilience
         print(f"scale_smoke: warc_documents skipped: {exc}", file=sys.stderr)
 
+    # media feature extractors (VERDICT r15 #6): the new modality
+    # operators carry the same N-vs-2N evidence as the text/vector
+    # tiers. All three are per-payload mapInPandas decodes — the
+    # expected shape is exp ≈ 1 (embarrassingly parallel, no shuffle);
+    # anything approaching 2 would mean a cross-payload term crept in.
+    try:
+        if only is not None and not {
+            "image_features", "audio_features", "video_features_at_paths"
+        } & only:
+            raise _SkipOp
+        import numpy as _np
+        import pyarrow as _pa
+        import pyarrow.parquet as _pq
+
+        from pcap_converter_spark.operators import multimodal as _mm
+
+        def _media_fixture(kind: str, n: int, gen_row) -> str:
+            p = os.path.join(work, f"smoke_{kind}_{n}.parquet")
+            if not os.path.exists(p):
+                _pq.write_table(
+                    _pa.table({
+                        "doc_id": _pa.array(range(n), type=_pa.int64()),
+                        "payload": _pa.array(
+                            [gen_row(i) for i in range(n)],
+                            type=_pa.binary(),
+                        ),
+                    }),
+                    p,
+                )
+            return p
+
+        mrng = _np.random.default_rng(3)
+
+        def _bmp_row(i: int) -> bytes:
+            h, w = 48 + (i % 5) * 8, 48 + (i % 7) * 8
+            return _mm.encode_bmp(
+                mrng.integers(0, 256, (h, w, 3), dtype=_np.uint8)
+            )
+
+        _aud_t = _np.arange(8000) / 8000.0
+
+        def _wav_row(i: int) -> bytes:
+            tone = 0.4 * _np.sin(2 * _np.pi * (100 + (i % 37) * 13) * _aud_t)
+            noise = 0.1 * mrng.standard_normal(8000)
+            return _mm.encode_wav(tone + noise, 8000)
+
+        n_img, n_aud, n_vid = 2000, 2000, 400
+        img_p = _media_fixture("images", n_img, _bmp_row)
+        aud_p = _media_fixture("audio", n_aud, _wav_row)
+
+        # video face reads PATHS (GB clips stay off the payload column):
+        # n_vid y4m files on disk + a paths DataFrame
+        vid_dir = os.path.join(work, f"smoke_videos_{n_vid}")
+        if not os.path.isdir(vid_dir):
+            os.makedirs(vid_dir, exist_ok=True)
+            for i in range(n_vid):
+                frames = [
+                    mrng.integers(0, 256, (24, 32), dtype=_np.uint8)
+                    for _ in range(8)
+                ]
+                with open(os.path.join(vid_dir, f"c{i:05d}.y4m"), "wb") as f:
+                    f.write(_mm.encode_y4m(frames, fps=6))
+
+        par = spark.sparkContext.defaultParallelism
+        img_full = spark.read.parquet(img_p).repartition(par).persist()
+        img_half = img_full.filter(did % 2 == 0).persist()
+        aud_full = spark.read.parquet(aud_p).repartition(par).persist()
+        aud_half = aud_full.filter(did % 2 == 0).persist()
+        vid_full = spark.createDataFrame(
+            [(i, os.path.join(vid_dir, f"c{i:05d}.y4m"))
+             for i in range(n_vid)],
+            "doc_id long, path string",
+        ).repartition(par).persist()
+        vid_half = vid_full.filter(did % 2 == 0).persist()
+        for d in (img_full, img_half, aud_full, aud_half, vid_full,
+                  vid_half):
+            d.count()
+
+        measure(
+            "image_features",
+            lambda d: lambda: _mm.image_features(d),
+            img_half, img_full,
+        )
+        measure(
+            "audio_features",
+            lambda d: lambda: _mm.audio_features(d),
+            aud_half, aud_full,
+        )
+        measure(
+            "video_features_at_paths",
+            lambda d: lambda: _mm.video_features_at_paths(
+                d, path_col="path", max_frames=4
+            ),
+            vid_half, vid_full,
+        )
+        for d in (img_full, img_half, aud_full, aud_half, vid_full,
+                  vid_half):
+            d.unpersist()
+    except _SkipOp:
+        pass
+    except Exception as exc:  # pragma: no cover - smoke resilience
+        print(f"scale_smoke: media features skipped: {exc}", file=sys.stderr)
+
     print(json.dumps({"docs": args.docs, "vecs": args.vecs, "ops": out}))
     bad = [k for k, v in out.items() if v["exp"] >= 1.8]
     if bad:
