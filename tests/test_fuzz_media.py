@@ -293,3 +293,84 @@ def test_audio_sig_face_curates_random_bytes(data):
         mm.decode_wav(data)
     except CURATED:
         pass
+
+
+# ---------------------------------------------------------------------------
+# PNG (r16)
+# ---------------------------------------------------------------------------
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    h=st.integers(1, 40),
+    w=st.integers(1, 40),
+    ch=st.sampled_from([1, 2, 3, 4]),
+    filt=st.integers(0, 5),  # 5 = a random per-row mix
+    seed=st.integers(0, 2**16),
+)
+def test_png_roundtrip_property(h, w, ch, filt, seed):
+    """encode→decode is exact for every supported geometry and EVERY
+    scanline filter type (None/Sub/Up/Average/Paeth, plus a per-row
+    mix) — the un-filtering math is where a PNG decoder goes subtly
+    wrong, so the roundtrip pins all five."""
+    rng = np.random.default_rng(seed)
+    a = rng.integers(0, 256, (h, w, ch), dtype=np.uint8)
+    f = [int(x) for x in rng.integers(0, 5, h)] if filt == 5 else filt
+    assert np.array_equal(mm.decode_png(mm.encode_png(a, filters=f)), a)
+
+
+@settings(max_examples=120, deadline=None)
+@given(
+    cut=st.integers(0, 1 << 20),
+    flip_at=st.integers(0, 1 << 20),
+    flip_to=st.integers(0, 255),
+    seed=st.integers(0, 2**8),
+)
+def test_png_mutations_curated(cut, flip_at, flip_to, seed):
+    rng = np.random.default_rng(seed)
+    valid = mm.encode_png(rng.integers(0, 256, (9, 7, 3), dtype=np.uint8))
+    try:
+        mm.decode_png(_mutate(valid, cut, flip_at, flip_to))
+    except CURATED:
+        pass
+
+
+def test_png_unsupported_variants_named():
+    """Palette, 16-bit, and interlaced PNGs raise ValueError NAMING the
+    feature (the curated contract — PIL covers them when installed);
+    truncated chunk declarations and corrupt zlib streams are named
+    too, never a struct/zlib traceback."""
+    import struct
+    import zlib
+
+    sig = b"\x89PNG\r\n\x1a\n"
+
+    def chunk(tag, body):
+        return (
+            struct.pack(">I", len(body)) + tag + body
+            + struct.pack(">I", zlib.crc32(tag + body))
+        )
+
+    def hdr(depth, ctype, interlace=0):
+        return chunk(
+            b"IHDR",
+            struct.pack(">IIBBBBB", 1, 1, depth, ctype, 0, 0, interlace),
+        )
+
+    dat = chunk(b"IDAT", zlib.compress(b"\x00\x01"))
+    end = chunk(b"IEND", b"")
+    with pytest.raises(ValueError, match="bit depth 16"):
+        mm.decode_png(sig + hdr(16, 0) + dat + end)
+    with pytest.raises(ValueError, match="palette"):
+        mm.decode_png(sig + hdr(8, 3) + dat + end)
+    with pytest.raises(ValueError, match="interlace"):
+        mm.decode_png(sig + hdr(8, 0, 1) + dat + end)
+    with pytest.raises(ValueError, match="truncated PNG"):
+        mm.decode_png(sig + struct.pack(">I", 999) + b"IDATxxxx")
+    bad_z = chunk(b"IDAT", b"\x00not zlib at all")
+    with pytest.raises(ValueError, match="zlib"):
+        mm.decode_png(sig + hdr(8, 0) + bad_z + end)
+    # declared length exceeding the decompressed stream is a named error
+    short = chunk(b"IDAT", zlib.compress(b"\x00"))
+    with pytest.raises(ValueError, match="length mismatch"):
+        mm.decode_png(sig + hdr(8, 2) + short + end)

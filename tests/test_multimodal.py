@@ -537,3 +537,104 @@ def test_audio_neardup_pairs_spectral_level(spark):
     assert sigs[0]["window_sigs"] == sigs[1]["window_sigs"]
     assert sigs[4]["window_sigs"] is None
     assert "ValueError" in sigs[4]["decode_error"]
+
+
+def test_png_decode_image_sniff_and_cross_format_ahash(spark):
+    """r16 (VERDICT r15 #3): decode_image routes a PNG signature through
+    the built-in decoder (PNG before PIL — deterministic, codec-free),
+    and image_ahash pairs a BMP vs PNG re-encode of the SAME pixels —
+    cross-FORMAT robustness, one step beyond the BMP top-down/bottom-up
+    re-encode already pinned."""
+    rng = np.random.default_rng(19)
+    base = rng.integers(0, 256, (32, 32, 3), dtype=np.uint8)
+    other = rng.integers(0, 256, (32, 32, 3), dtype=np.uint8)
+
+    # sniff: the built-in path decodes exactly, whatever PIL's presence
+    got = multimodal.decode_image(multimodal.encode_png(base, filters=4))
+    assert np.array_equal(got, base)
+
+    df = spark.createDataFrame(
+        [(0, bytearray(multimodal.encode_bmp(base))),
+         (1, bytearray(multimodal.encode_png(base))),
+         (2, bytearray(multimodal.encode_png(other)))],
+        "doc_id long, payload binary",
+    )
+    sigs = {r["doc_id"]: r["sig"]
+            for r in multimodal.image_ahash(df).collect()}
+    assert sigs[0] == sigs[1]  # same pixels, different container
+
+    def ham(a, b):
+        return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+    assert ham(sigs[0], sigs[2]) >= 16
+
+    # and the pair operator sees it end-to-end
+    rows = {tuple(sorted((r["doc_a"], r["doc_b"])))
+            for r in multimodal.image_neardup_pairs(df).collect()}
+    assert rows == {(0, 1)}
+
+
+def test_image_phash_catches_tone_curve_reencode_ahash_misses(spark):
+    """r16 (VERDICT r15 stretch #8): the DCT pHash pairs a
+    brighten-then-clip re-encode that aHash MISSES. The construction:
+    strong low-frequency structure compressed into a narrow band around
+    the global mean plus a saturating bright patch — brightening clips
+    the patch, so the global mean moves differently from the mid cells
+    and several aHash bits (cell > mean) flip, while the low-frequency
+    DCT block and its AC median move together."""
+
+    def mkimg(seed):
+        rng = np.random.default_rng(seed)
+        n = 64
+        x = np.arange(n)
+        img = np.zeros((n, n))
+        for k in range(1, 4):
+            fy, fx = rng.integers(1, 4, 2)
+            ph = rng.uniform(0, 2 * np.pi, 2)
+            img += (1.2 / k) * np.outer(
+                np.cos(2 * np.pi * fy * x / n + ph[0]),
+                np.cos(2 * np.pi * fx * x / n + ph[1]),
+            )
+        img = (img - img.min()) / (img.max() - img.min())
+        img = 0.35 + 0.3 * img
+        h = rng.integers(8, 24)
+        img[:h, :h] = 0.95
+        img += 0.02 * rng.standard_normal((n, n))
+        return np.clip(img, 0, 1)
+
+    def to_u8(f):
+        return (f * 255).astype(np.uint8)[:, :, None].repeat(3, 2)
+
+    img = mkimg(6)
+    base = to_u8(img)
+    re = to_u8(np.clip(img + 0.15, 0, 1))  # brighten + clip re-encode
+    other = to_u8(mkimg(40))
+
+    def ham(a, b):
+        return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+    ha = ham(multimodal._ahash_of_gray(multimodal._luma(base)),
+             multimodal._ahash_of_gray(multimodal._luma(re)))
+    hp = ham(multimodal._phash_of_gray(multimodal._luma(base)),
+             multimodal._phash_of_gray(multimodal._luma(re)))
+    assert ha > 3, f"construction broke: aHash hamming {ha} <= 3"
+    assert hp <= 2, f"pHash hamming {hp}"
+
+    df = spark.createDataFrame(
+        [(0, bytearray(multimodal.encode_png(base))),
+         (1, bytearray(multimodal.encode_bmp(re))),
+         (2, bytearray(multimodal.encode_bmp(other)))],
+        "doc_id long, payload binary",
+    )
+    # at max_hamming=3, aHash misses the tone-curve pair; pHash catches
+    # it; neither pairs the unrelated image
+    a_pairs = {tuple(sorted((r["doc_a"], r["doc_b"])))
+               for r in multimodal.image_neardup_pairs(df).collect()}
+    p_pairs = {tuple(sorted((r["doc_a"], r["doc_b"])))
+               for r in multimodal.image_neardup_pairs(
+                   df, method="phash").collect()}
+    assert (0, 1) not in a_pairs
+    assert p_pairs == {(0, 1)}
+
+    with pytest.raises(ValueError, match="method"):
+        multimodal.image_neardup_pairs(df, method="dhash")
