@@ -244,12 +244,11 @@ def _machine_speed_ms(reps: int = 3) -> float | None:
 
 
 # Anchor for the PARALLELISM-MATCHED probe (VERDICT r15 #1), pinned the
-# same way as MATMUL_REF_MS: the minimum wall observed across a
-# session-long calibration sweep on this host (idle windows on the shared
-# box converge to the clean value; the clean single probe ≈ the anchor on
-# the same samples corroborates). Changing it rescales every normalized
-# number — keep pinned across rounds.
-PMATMUL_REF_MS = 85.0
+# same way as MATMUL_REF_MS: the minimum wall observed across an
+# idle-host calibration sweep (10 back-to-back probes at 1-min loadavg
+# ~0; the sweep's spread was 146-177 ms). Changing it rescales every
+# normalized number — keep pinned across rounds.
+PMATMUL_REF_MS = 145.0
 # the suite runs local[32]: the probe must contend for cores the way the
 # workload does, or partial contention over-prices (r15: single probe 7×
 # while the 32-way suite ran ~1.4× — value_norm collapsed 2× low)
@@ -257,33 +256,45 @@ PROBE_THREADS = 32
 
 
 def _parallel_machine_speed_ms(
-    k: int = PROBE_THREADS, iters: int = 4
+    k: int = PROBE_THREADS, iters: int = 60
 ) -> float | None:
     """Machine speed priced at the SUITE'S parallelism: k concurrent
-    single-thread 512² float64 matmul chains (NumPy's BLAS releases the
-    GIL inside dgemm), wall-clock until ALL finish. On a clean host with
-    ≥k free cores this lands near the single-chain time plus memory-
-    bandwidth overhead; with only C < k cores effectively available it
-    scales ≈ k/C — the same factor a k-way-parallel suite slows by,
-    which the single-thread probe provably is NOT (BENCH_r15: probes
-    7.1× the anchor while the raw suite ran ~1.4× its clean band, so
-    value_norm overcorrected to 28.9 s against a 53–63 s clean band).
-    No renormalization inside the chain: 4 iterations stay comfortably
-    inside float64 range (growth ~1e20), and dropping the GIL-holding
-    max/divide keeps 32 threads from serializing on the interpreter."""
+    single-thread NumPy ufunc chains (sin/cos over per-thread 256 KB
+    buffers — transcendental-heavy, L2-resident, GIL released for the
+    whole buffer), wall-clock until ALL finish. On a clean host with ≥k
+    free cores this lands near the single-chain time; with only C < k
+    cores effectively available it scales ≈ k/C — the same factor a
+    k-way-parallel suite slows by, which the single-thread probe provably
+    is NOT (BENCH_r15: probes 7.1× the anchor while the 32-way suite ran
+    ~1.4× its clean band, so value_norm overcorrected to 28.9 s against a
+    53–63 s clean band).
+
+    Deliberately NOT matmul (r16 fix): this host's NumPy links OpenBLAS
+    built MAX_THREADS=2, and concurrent dgemm calls from many Python
+    threads serialize on OpenBLAS's internal pool lock — the r15 matmul
+    version measured 417 ms on an IDLE 32-core host (≈ 32×4 fully
+    serialized 3.2 ms matmuls) against its 85 ms anchor, i.e. it priced
+    the BLAS lock, not the machine, and stamped clean recordings 5×
+    slow (BENCH r16 baseline: 54/54 entries clamped). ufunc loops hold
+    no shared pool, so k chains genuinely compete for k cores."""
     try:
         import threading as _th
 
         import numpy as _np
 
-        base = _np.random.default_rng(0).standard_normal((512, 512))
-        mats = [(base.copy(), _np.empty_like(base)) for _ in range(k)]
+        bufs = [
+            (
+                _np.random.default_rng(i).standard_normal(32768),
+                _np.empty(32768),
+            )
+            for i in range(k)
+        ]
 
         def work(i: int) -> None:
-            a, b = mats[i]
+            a, b = bufs[i]
             for _ in range(iters):
-                _np.matmul(a, a, out=b)
-                a, b = b, a
+                _np.sin(a, out=b)
+                _np.cos(b, out=b)
 
         threads = [
             _th.Thread(target=work, args=(i,), daemon=True)
