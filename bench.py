@@ -244,11 +244,17 @@ def _machine_speed_ms(reps: int = 3) -> float | None:
 
 
 # Anchor for the PARALLELISM-MATCHED probe (VERDICT r15 #1), pinned the
-# same way as MATMUL_REF_MS: the minimum wall observed across an
-# idle-host calibration sweep (10 back-to-back probes at 1-min loadavg
-# ~0; the sweep's spread was 146-177 ms). Changing it rescales every
-# normalized number — keep pinned across rounds.
-PMATMUL_REF_MS = 145.0
+# same way as MATMUL_REF_MS: from a CLEAN recording's own in-suite probe
+# median (steal 0.01%, contended false, single probes ≈ their anchor:
+# median 232.7, p25-p75 220-249 over 54 entries). In-suite, not idle-host
+# (an idle sweep reads ~146-177 ms): the probe runs between entries,
+# where the JVM's own background threads (post-System.gc G1 concurrent
+# phases, JIT compile queue) take a roughly constant share of the cores —
+# calibrating the anchor in the same context cancels that share, so a
+# clean recording normalizes ≈ neutral and only FOREIGN contention moves
+# the factor. Changing the anchor rescales every normalized number —
+# keep pinned across rounds.
+PMATMUL_REF_MS = 230.0
 # the suite runs local[32]: the probe must contend for cores the way the
 # workload does, or partial contention over-prices (r15: single probe 7×
 # while the 32-way suite ran ~1.4× — value_norm collapsed 2× low)
