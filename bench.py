@@ -697,6 +697,46 @@ def main() -> int:
     def _guarded(label: str, fn):
         return _stall_guarded(spark, label, fn)
 
+    try:
+        jit_settle_budget = float(
+            os.environ.get("SPARK_GRAFT_JIT_SETTLE_S", 10.0)
+        )
+    except ValueError:
+        jit_settle_budget = 10.0
+
+    def _jit_settle(budget_s: float = None) -> float:
+        """UNTIMED drain of the JIT compile queue between an entry's cold
+        pre-run and its timed run (same principle as the inter-entry
+        System.gc): HotSpot's background C2 threads keep compiling the
+        cold run's method queue long after the cold run returns, and that
+        compiler CPU lands inside the NEXT timed window (measured:
+        ex_text_all 11.8 s jit_ms inside a 4.6 s timed wall — the r15
+        verdict's 'C2 queue draining' residual). The timed number is
+        defined as the entry's steady-state cost; letting the pre-run's
+        compile backlog bleed into it measures the host's compiler
+        throughput, not the query. Poll total compilation time until it
+        moves < 5 ms per 100 ms window (quiesced) or the budget expires;
+        returns seconds waited (stderr-logged per entry when > 0.2 s,
+        so the methodology is auditable in the artifact's log)."""
+        if budget_s is None:
+            budget_s = jit_settle_budget
+        if budget_s <= 0:
+            return 0.0
+        last = _jvm_jit_ms()
+        if last is None:
+            return 0.0
+        t0 = time.perf_counter()
+        t_end = t0 + budget_s
+        while time.perf_counter() < t_end:
+            time.sleep(0.1)
+            cur = _jvm_jit_ms()
+            if cur is None:
+                break
+            if cur - last < 5:
+                break
+            last = cur
+        return time.perf_counter() - t0
+
     for name, fn in runners.items():
         # Untimed PRE-RUN (r14, VERDICT r13 #1): the timed number is the
         # entry's steady-state cost, not its first-execution codegen+JIT
@@ -720,6 +760,12 @@ def main() -> int:
             cold_s[name] = round(time.perf_counter() - t0, 3)
         except Exception:
             pass  # the timed attempt below reports the failure
+        settled = _jit_settle()
+        if settled > 0.2:
+            print(
+                f"bench: {name} jit-settle {round(settled, 2)}s (untimed)",
+                file=sys.stderr,
+            )
         g0 = _jvm_gc_ms()
         c0 = _jvm_jit_ms()
         t0 = time.perf_counter()

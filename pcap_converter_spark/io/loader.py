@@ -53,11 +53,62 @@ def _normalize_events(df: DataFrame) -> DataFrame:
     return df
 
 
-def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+# Reader-frame cache per (applicationId, table path, mtime): building a
+# parquet reader frame does eager footer reads + file listing on the
+# DRIVER (~75-100 ms per call here; minutes for a heavily partitioned
+# 100-TB table). Every declared-query construction used to re-pay it —
+# ~30 calls per bench run inside timed windows. The frame is a query
+# plan, not data (the scan still reads parquet at execution), so caching
+# it is the established register_views/_read_parquet_cached move; the
+# mtime key invalidates a rewritten file, and applicationId (not
+# id(spark)) survives CPython id reuse across sessions. Two layers: RAW
+# (the reader frame as stored on disk — streaming callers need its
+# schema pre-normalization) and normalized (what every batch query sees).
+_RAW_CACHE: dict[tuple[str, str, int], DataFrame] = {}
+_TABLE_CACHE: dict[tuple[str, str, int], DataFrame] = {}
+
+
+def _table_key(
+    spark: SparkSession, sf_dir: str, name: str
+) -> tuple[tuple[str, str, int], str]:
+    import os
+
+    path = os.path.join(os.path.abspath(sf_dir), f"{name}.parquet")
+    try:
+        mtime = os.stat(path).st_mtime_ns
+    except OSError:
+        mtime = -1
+    return (spark.sparkContext.applicationId, path, mtime), path
+
+
+def load_table_raw(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """The table exactly as stored (no ts normalization) — the schema
+    source for streaming readers, which must declare the ON-DISK schema."""
     apply_runtime_confs(spark)
-    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    if name == "events":
-        df = _normalize_events(df)
+    key, path = _table_key(spark, sf_dir, name)
+    df = _RAW_CACHE.get(key)
+    if df is None:
+        # evict superseded generations of the same (session, path) so a
+        # rewritten table does not leak one dead frame per rewrite
+        for stale in [k for k in _RAW_CACHE if k[0] == key[0] and k[1] == path]:
+            del _RAW_CACHE[stale]
+        df = spark.read.parquet(path)
+        _RAW_CACHE[key] = df
+    return df
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    key, path = _table_key(spark, sf_dir, name)
+    df = _TABLE_CACHE.get(key)
+    if df is None:
+        for stale in [
+            k for k in _TABLE_CACHE if k[0] == key[0] and k[1] == path
+        ]:
+            del _TABLE_CACHE[stale]
+        df = load_table_raw(spark, sf_dir, name)
+        if name == "events":
+            df = _normalize_events(df)
+        _TABLE_CACHE[key] = df
     return df
 
 

@@ -169,22 +169,26 @@ def _transitions(
     docs: DataFrame, id_col: str, text_col: str
 ) -> DataFrame:
     """(doc, w1, w2) for every adjacent token pair, in document order —
-    one posexplode + one lead() window partitioned by doc (the same
-    one-shuffle-by-doc shape as sequence packing)."""
-    from pyspark.sql import Window
-
+    formed INSIDE the token array (zip_with over the two shifted slices)
+    and exploded once. The tokens of a document are already adjacent in
+    its array, so pairing them needs no data movement: the previous
+    lead()-over-Window shape paid an Exchange(hash by doc) + Sort per
+    call purely to rejoin rows that started out on the same line
+    (guide §2.1 — remove the shuffle outright). Docs with < 2 tokens
+    produce an empty pair array (greatest(size-1, 0) clamps the slice
+    length), matching the old shape's lead()-is-null filter."""
     from pcap_converter_spark.functions.text import words
 
-    toks = docs.select(
-        F.col(id_col).alias("doc"),
-        F.posexplode(words(F.lower(F.col(text_col)))).alias("pos", "w1"),
+    ws = words(F.lower(F.col(text_col)))
+    n_pairs = F.greatest(F.size(ws) - F.lit(1), F.lit(0))
+    pairs = F.zip_with(
+        F.slice(ws, F.lit(1), n_pairs),
+        F.slice(ws, F.lit(2), n_pairs),
+        lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
     )
-    w = Window.partitionBy("doc").orderBy("pos")
-    return (
-        toks.withColumn("w2", F.lead("w1").over(w))
-        .filter(F.col("w2").isNotNull())
-        .select("doc", "w1", "w2")
-    )
+    return docs.select(
+        F.col(id_col).alias("doc"), F.explode(pairs).alias("p")
+    ).select("doc", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
 
 
 def bigram_model(
@@ -214,9 +218,17 @@ def bigram_model(
     )
     tr = _transitions(reference, id_col, text_col)
     c2 = tr.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n2"))
-    c1 = tr.groupBy("w1").agg(F.count(F.lit(1)).alias("n1"))
+    # n1(w1) = Σ_w2 n2(w1, w2) exactly, so the first-token counts come
+    # from the (already tiny) distinct-pair table via one window — the
+    # old shape re-ran the whole scan+tokenize+pair subtree a second
+    # time for c1 and then shuffled both sides again for the join
+    # (guide §2.2: aggregate the aggregated, never re-read the corpus)
+    from pyspark.sql import Window
+
     bi = (
-        c2.join(c1, "w1")
+        c2.withColumn(
+            "n1", F.sum("n2").over(Window.partitionBy("w1"))
+        )
         .orderBy(F.col("n2").desc(), "w1", "w2")
         .limit(bigram_size)
         .select("w1", "w2", (F.col("n2") / F.col("n1")).alias("p_bi"))

@@ -56,7 +56,12 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-source stream over the events table (one file today; a
     continuously-landing directory in production — same code)."""
     apply_runtime_confs(spark)
-    batch_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    # cached raw reader frame: the stream source must declare the ON-DISK
+    # schema (ts as long when nanosAsLong), and re-reading the footer per
+    # stream construction was ~75-100 ms of driver latency (guide §5)
+    from pcap_converter_spark.io.loader import load_table_raw
+
+    batch_schema = load_table_raw(spark, sf_dir, "events").schema
     stage = stage_as_dir(f"{sf_dir}/events.parquet", "events_stream_")
     stream = spark.readStream.schema(batch_schema).parquet(stage)
     ts_type = dict(stream.dtypes).get("ts")
