@@ -751,6 +751,7 @@ def main() -> int:
         # entry for attribution, so a codegen-volume regression stays
         # visible even though it no longer pollutes the headline.
         t0 = time.perf_counter()
+        jc0 = _jvm_jit_ms()
         try:
             _guarded(
                 f"{name}:cold",
@@ -761,6 +762,55 @@ def main() -> int:
         except Exception:
             pass  # the timed attempt below reports the failure
         settled = _jit_settle()
+        jc1 = _jvm_jit_ms()
+        # Adaptive EXTRA untimed pre-runs for compile-heavy entries
+        # (r16): tiered compilation means one pre-run is not steady
+        # state — the cold run takes the entry's ~1400 generated methods
+        # to C1, and it is the SECOND (sometimes third) execution that
+        # crosses the C2 invocation thresholds, so the timed run used to
+        # eat the C2 storm (measured: ex_text_all warm run 9.7 s wall
+        # with 14.4 s of jit CPU inside it, vs 3.4 s on a third
+        # execution; isolated replays converge 7.2 -> 6.2 -> 4.8 s; a
+        # single extra pre-run still left 9.3 s of jit inside
+        # ex_text_all's timed window because the storm peaked on run 3).
+        # While the LAST run accrued > 3 s of compiler CPU, run the
+        # entry again untimed (bounded, default 3 extra runs) so the
+        # clock starts at steady state. Cheap entries (the vast
+        # majority) skip this; every extra run is stderr-logged with its
+        # trigger so the methodology is auditable in the artifact's log.
+        try:
+            max_warmups = int(os.environ.get("SPARK_GRAFT_MAX_WARMUPS", 3))
+        except ValueError:
+            max_warmups = 3
+        accrued = (
+            jc1 - jc0 if jc0 is not None and jc1 is not None else 0
+        )
+        warm_n = 1
+        while accrued > 3000 and warm_n <= max_warmups:
+            warm_n += 1
+            t0 = time.perf_counter()
+            try:
+                _guarded(
+                    f"{name}:warm{warm_n}",
+                    lambda: fn(spark, sf_dir).write.format("noop")
+                    .mode("overwrite").save(),
+                )
+            except Exception:
+                break
+            wall = round(time.perf_counter() - t0, 3)
+            settled = _jit_settle() + settled
+            jc2 = _jvm_jit_ms()
+            prev = accrued
+            accrued = (
+                jc2 - jc1 if jc1 is not None and jc2 is not None else 0
+            )
+            jc1 = jc2
+            print(
+                f"bench: {name} warm{warm_n} {wall}s (untimed; "
+                f"prior run accrued {prev}ms jit, this run "
+                f"{accrued}ms)",
+                file=sys.stderr,
+            )
         if settled > 0.2:
             print(
                 f"bench: {name} jit-settle {round(settled, 2)}s (untimed)",
