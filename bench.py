@@ -632,8 +632,14 @@ def main() -> int:
         # a warmed-up entry re-Janinos + re-JITs ~1400 identical methods
         # (measured: ex_text_all 15-27 s JIT CPU per run FOREVER at the
         # default, converging to ~5 s / 0 regenerated methods at 4096 —
-        # tools/jit_probe.py, r14; this was the suite's host-sensitivity)
-        .config("spark.sql.codegen.cache.maxEntries", "4096")
+        # tools/jit_probe.py, r14; this was the suite's host-sensitivity).
+        # r16: 4096 still wraps around across the FULL 53-entry suite —
+        # the wide entries kept accruing ~7 s of compiler CPU per
+        # execution in-suite while converging to ~0 in isolation (the
+        # LRU signature: the suite's distinct generated classes exceed
+        # the cap, so every entry regenerates on every run) — 16384
+        # holds the whole suite's classes
+        .config("spark.sql.codegen.cache.maxEntries", "16384")
         # no console progress bars: their \r-rewritten stage lines emit
         # tens of KB per query, and the driver's output capture is
         # size-capped — BENCH_r09.json lost the summary JSON line and 30
@@ -641,6 +647,23 @@ def main() -> int:
         # With bars off the whole run prints a few KB: ~60 one-line
         # 'bench:' markers on stderr + ONE summary JSON line on stdout.
         .config("spark.ui.showConsoleProgress", "false")
+        # JVM code cache sized for a 53-query engine (static, builder-time
+        # only): the default 240 MB ReservedCodeCacheSize is smaller than
+        # the suite's compiled-method volume (53 plans x ~1400 generated
+        # methods, kept hot by the 4096-entry codegen class cache above),
+        # so mid-suite the sweeper starts flushing hot methods which then
+        # recompile forever — observed as per-run JIT accrual that NEVER
+        # converges in-suite (6-7 s per ex_text_all execution, run after
+        # run) while the identical entry converges to ~0 in a fresh JVM,
+        # and as a uniform late-suite slowdown. Same sizing logic applies
+        # to any long-lived production driver/executor JVM hosting many
+        # distinct plans; the env knob keeps it operator-tunable.
+        .config(
+            "spark.driver.extraJavaOptions",
+            os.environ.get(
+                "PCS_DRIVER_JAVA_OPTS", "-XX:ReservedCodeCacheSize=640m"
+            ),
+        )
         .getOrCreate()
     )
     apply_runtime_confs(spark)
@@ -678,6 +701,24 @@ def main() -> int:
                 spark._jvm.java.lang.management.ManagementFactory
                 .getCompilationMXBean().getTotalCompilationTime()
             )
+        except Exception:
+            return None
+
+    def _jvm_code_cache_mb() -> int | None:
+        """Total used bytes across the JVM's CodeHeap pools (MB). Sampled
+        per entry: the code cache filling to its reserved size mid-suite
+        is the one JIT pathology the jit_ms delta alone cannot name (the
+        sweeper flushes hot methods, which recompile — accrual without
+        convergence), so the artifact's log carries the occupancy curve."""
+        try:
+            pools = spark._jvm.java.lang.management.ManagementFactory\
+                .getMemoryPoolMXBeans()
+            used = 0
+            for i in range(pools.size()):
+                p = pools.get(i)
+                if "CodeHeap" in p.getName():
+                    used += p.getUsage().getUsed()
+            return used // (1024 * 1024)
         except Exception:
             return None
 
@@ -837,11 +878,13 @@ def main() -> int:
             c1 = _jvm_jit_ms()
             if c0 is not None and c1 is not None:
                 jit_ms[name] = c1 - c0
+            ccmb = _jvm_code_cache_mb()
             print(
                 f"bench: {name} {timings[name]}s"
                 + (f" (cold {cold_s[name]}s)" if name in cold_s else "")
                 + (f" (gc {gc_ms[name]}ms)" if name in gc_ms else "")
-                + (f" (jit {jit_ms[name]}ms)" if name in jit_ms else ""),
+                + (f" (jit {jit_ms[name]}ms)" if name in jit_ms else "")
+                + (f" (codecache {ccmb}MB)" if ccmb is not None else ""),
                 file=sys.stderr,
             )
         except Exception as exc:  # a broken query must not hide the others

@@ -4115,8 +4115,16 @@ def run_warc_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # fuzz + full-fixture equality vs the un-fused
     # responses_as_documents(read_warc(...)) chain) — so this hash row
     # certifies the production front-door path against generator ground
-    # truth
-    docs = warc_documents(spark, _WARC_FIXTURE)
+    # truth.
+    # localCheckpoint (lazy): TWO branches consume this parse (docs_branch
+    # and urls_branch) and DataFrame branches share no common-subexpression
+    # elimination — without the checkpoint the union re-ran the whole
+    # gzip-member walk + Arrow decode + HTML extraction once per consumer
+    # (guide §3.3: materialise an intermediate consumed by many branches;
+    # plan: 11 MapInPandas source parses for 4 distinct (file, mode)
+    # parses). Checkpointing the parsed rows changes no values — every
+    # branch reads the identical parse output.
+    docs = warc_documents(spark, _WARC_FIXTURE).localCheckpoint(eager=False)
     docs_branch = docs.select(
         F.lit("docs").alias("op"),
         F.col("url"),
@@ -4193,9 +4201,12 @@ def run_warc_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5(canon.cast("binary")).alias("fp"),
         canon.alias("text"),
     )
-    wet_branch = conversions_as_documents(
+    # one WET parse for FOUR consumers (wet_branch, urldedup base+variant,
+    # domcap) — same checkpoint rationale as `docs` above
+    wet_docs = conversions_as_documents(
         read_warc(spark, _WET_FIXTURE)
-    ).select(
+    ).localCheckpoint(eager=False)
+    wet_branch = wet_docs.select(
         F.lit("wet").alias("op"),
         F.col("url"),
         F.length("text").alias("n_chars"),
@@ -4217,9 +4228,7 @@ def run_warc_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # verdicts are hash-checked against a min-per-canonical SQL window.
     # 'domcap': cap_per_domain over synthesized 4-host urls vs a
     # row_number twin over the url_domain regex chain.
-    wet_urls = conversions_as_documents(read_warc(spark, _WET_FIXTURE)).select(
-        "url"
-    )
+    wet_urls = wet_docs.select("url")
     nn = F.regexp_extract("url", r"/(\d+)$", 1).cast("long")
     base = wet_urls.select(nn.alias("doc_id"), F.col("url"))
     variant = wet_urls.select(
@@ -4405,7 +4414,18 @@ def run_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pcap_converter_spark.streaming import windows as W
 
     stream = W.read_events_stream(spark, sf_dir)
-    out = W.run_available_now(W.session_counts(stream), "ex_stream_sessions")
+    # fixture-scale shuffle trim for the drain (the _CURATE_PARTS runner-
+    # tuning convention): shuffle partitions = state-store partitions for
+    # a streaming aggregation, and 32 stores × per-batch delta+commit
+    # files is pure fixed overhead for a KB state footprint (measured:
+    # warm drain 2.06 s at 32 → 1.22 s at 8; identical rows — partition
+    # count never changes a grouped result). Production sizes shuffle
+    # partitions to its own state volume; operator code takes whatever
+    # the session gives it.
+    with _scoped_shuffle_partitions(spark, _CURATE_PARTS):
+        out = W.run_available_now(
+            W.session_counts(stream), "ex_stream_sessions"
+        )
     return out.orderBy("user_id", "session_start")
 
 
@@ -4458,18 +4478,27 @@ def run_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # driver latency inside this timed entry (guide §5)
     schema = load_table_raw(spark, sf_dir, "documents").schema
     stream = spark.readStream.schema(schema).parquet(stage)
-    # the two branches are INDEPENDENT streaming queries — start the
-    # stateful drain non-blocking and run the whole ingest cycle while it
-    # works, so the entry pays one stream-startup latency, not two
-    q, name = start_available_now(
-        streaming_dedup(stream), "ex_stream_dedup", "append"
-    )
-    try:
-        ingest = _run_ingest_branch(spark, sf_dir)
-    except BaseException:
-        q.stop()
-        raise
-    out = finish_available_now(spark, q, name)
+    # fixture-scale shuffle trim for BOTH drains (the _CURATE_PARTS
+    # runner-tuning convention): the stateful branch's state-store count
+    # and every per-micro-batch probe/collapse/join job in the ingest
+    # branch fan out to shuffle-partition tasks, and at KB batch sizes
+    # 32-way is pure scheduling + state-store-file overhead (measured:
+    # warm entry 5.19 s at 32 → 3.03 s at 8; rows identical). Production
+    # sizes shuffle partitions to its own batch volume.
+    with _scoped_shuffle_partitions(spark, _CURATE_PARTS):
+        # the two branches are INDEPENDENT streaming queries — start the
+        # stateful drain non-blocking and run the whole ingest cycle
+        # while it works, so the entry pays one stream-startup latency,
+        # not two
+        q, name = start_available_now(
+            streaming_dedup(stream), "ex_stream_dedup", "append"
+        )
+        try:
+            ingest = _run_ingest_branch(spark, sf_dir)
+        except BaseException:
+            q.stop()
+            raise
+        out = finish_available_now(spark, q, name)
     # one input file → one batch → "first occurrence" is the scan order;
     # canonicalize to min doc_id per content so the answer is deterministic
     state = (

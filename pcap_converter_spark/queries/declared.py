@@ -530,9 +530,21 @@ def _run_dq22(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_views(spark, sf_dir)
     batch = spark.sql(_DQ22_BODY).withColumn("src", F.lit("batch"))
-    stream = W.run_available_now(
-        W.tumbling_counts(W.read_events_stream(spark, sf_dir)), "dq22_stream"
+    # fixture-scale shuffle trim for the DRAIN only (the _CURATE_PARTS
+    # runner-tuning convention; scope exits before the batch/slide sides
+    # materialize): state-store count = shuffle partitions for a
+    # streaming agg, and 32 stores of per-batch delta+commit files is
+    # fixed overhead for KB state (measured: warm entry 1.85 s at 32 →
+    # 1.25 s at 8; identical rows). Production sizes this to its state.
+    from pcap_converter_spark.operators.registry import (
+        _CURATE_PARTS, _scoped_shuffle_partitions,
     )
+
+    with _scoped_shuffle_partitions(spark, _CURATE_PARTS):
+        stream = W.run_available_now(
+            W.tumbling_counts(W.read_events_stream(spark, sf_dir)),
+            "dq22_stream",
+        )
     # streaming path runs on TimestampType (watermark requirement; session TZ
     # pinned UTC) — relabel back to NTZ so the union is type-identical
     stream = stream.select(
