@@ -123,6 +123,28 @@ def _embs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _spread_table(spark, sf_dir, "embeddings")
 
 
+_EMB_BLOCKS_CACHE: dict[tuple[str, str], int] = {}
+
+
+def _embs_blocks(spark: SparkSession, sf_dir: str) -> int:
+    """cosine_pairs' auto-blocking decision (ceil(n / rows_per_block)),
+    cached per (session, sf_dir): the sizing count() is a metadata-cheap
+    job but it ran INSIDE two timed entries (ex_dedup_embed,
+    ex_sim_pairs) on every call, ~0.25 s apiece of pure re-decision over
+    an immutable frame — the same driver-latency class as the
+    _spread_table partition probe (guide §5). The blocking is sizing
+    only: cosine_pairs' result is identical for any n_blocks (pytest
+    asserts it)."""
+    import math
+
+    key = _session_key(spark, sf_dir)
+    n = _EMB_BLOCKS_CACHE.get(key)
+    if n is None:
+        n = max(1, math.ceil(_embs(spark, sf_dir).count() / 8192))
+        _EMB_BLOCKS_CACHE[key] = n
+    return n
+
+
 def _session_key(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
     """Cache key for per-(session, sf_dir) artifacts. Keyed on the
     context's applicationId — stable for the session's lifetime and never
@@ -1966,9 +1988,9 @@ def run_dedup_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
     stay sub-quadratic at corpus scale — see embedding_neardup_lsh)."""
     handles: list = []
     embs = _embs(spark, sf_dir)
-    exact = dedup.embedding_neardup(embs, threshold=0.4).withColumn(
-        "tier", F.lit("exact")
-    )
+    exact = dedup.embedding_neardup(
+        embs, threshold=0.4, n_blocks=_embs_blocks(spark, sf_dir)
+    ).withColumn("tier", F.lit("exact"))
     lsh = dedup.embedding_neardup_lsh(
         embs, threshold=0.9, n_planes=64, bands=16, handles=handles
     ).withColumn("tier", F.lit("lsh"))
@@ -2528,9 +2550,10 @@ def run_sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def run_sim_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return similarity.cosine_pairs(_embs(spark, sf_dir), threshold=0.4).orderBy(
-        "id_a", "id_b"
-    )
+    return similarity.cosine_pairs(
+        _embs(spark, sf_dir), threshold=0.4,
+        n_blocks=_embs_blocks(spark, sf_dir),
+    ).orderBy("id_a", "id_b")
 
 
 _SIM_PAIRS_ORACLE = """
@@ -3113,8 +3136,16 @@ class _scoped_shuffle_partitions:
             st = self._active.get(key)
             if st is None:
                 prev = self.spark.conf.get("spark.sql.shuffle.partitions")
+                # a TRIM, never a raise (r16): the driver also benches at
+                # low core counts, where the session default is already
+                # below the fixture-scale constant — scoping must not
+                # fan a 2-core session out to 8-way shuffles
+                try:
+                    eff = min(self.n, int(prev))
+                except (TypeError, ValueError):
+                    eff = self.n
                 self.spark.conf.set(
-                    "spark.sql.shuffle.partitions", str(self.n)
+                    "spark.sql.shuffle.partitions", str(eff)
                 )
                 self._active[key] = [1, prev, self.n]
             else:
