@@ -244,6 +244,30 @@ def _tf_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tf
 
 
+def _present_sorted(df: DataFrame, *cols) -> DataFrame:
+    """Presentation-only final ordering of an entry's result.
+
+    The driver's correctness gate hashes an ORDER-INSENSITIVE
+    canonicalization (it sorts collected rows with pandas — see
+    tools/check_correctness.py, which mirrors it), so a global
+    ``orderBy`` on the returned frame changes no checked bit. What it
+    DOES cost is a full second execution of the input subtree: a global
+    sort is Exchange(rangepartitioning), and the range partitioner runs
+    a separate boundary-SAMPLING job over the child before the sort
+    stage re-runs it for real (guide §2.4 — an ``orderBy`` used only to
+    make output deterministic is an accidental exchange; here it is an
+    accidental second pass of the entry's most expensive projection —
+    measured 2× the Python-UDF stage wall on ex_text_all). Entries
+    therefore return the unsorted frame by default; set
+    ``SPARK_GRAFT_ORDERED_OUTPUT=1`` to re-apply the sort when a human
+    wants readable CLI output. Result SET is identical either way (the
+    sf0.01 oracle run in OPTIMIZATION_r16.md re-proved all touched
+    entries hash-green after the change)."""
+    if os.environ.get("SPARK_GRAFT_ORDERED_OUTPUT"):
+        return df.orderBy(*cols)
+    return df
+
+
 def _eager(spark: SparkSession, df: DataFrame, handles: list) -> DataFrame:
     """Materialize ``df`` once, then unpersist the operator's internal
     caches (VERDICT r2: leaked persist() blocks accumulate over a long
@@ -887,8 +911,12 @@ def _text_all_impl(
             ),
         )
         .drop("_stop_hits", "_praw", "_snip_i")
-        .orderBy("doc_id")
     )
+    # presentation sort dropped (see _present_sorted): the range
+    # sampling pass was a FULL second execution of this entry's widest
+    # projection — both Python-UDF stages ran twice (stage profile:
+    # 30.5 s + 22.3 s task-time twins over the same 854 KB input)
+    out = _present_sorted(out, "doc_id")
     # 'bpe_train' rows (doc_id = -rank, VERDICT r7 #5): re-learn the
     # 32-merge list from THIS corpus' top-2000 word table (the same
     # budget the baked _BPE_MERGES were trained under) and emit each
@@ -1677,7 +1705,8 @@ def _dedup_exact_impl(
         ),
         "dup_near",
         "near_est",
-    ).orderBy("tier", "content_hash", "doc_ids")
+    )
+    out = _present_sorted(out, "tier", "content_hash", "doc_ids")
     # phase timers to stderr (VERDICT r6 #2: the driver recorded ~1-2 s
     # more than isolated runs; these lines land in the driver's bench
     # tail so the residual is attributable). PCS_TIER_TIMERS=1 adds a
@@ -1932,11 +1961,11 @@ def run_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("root").alias("doc_b"),
         F.lit(None).cast("double").alias("jaccard"),
     )
-    out = (
+    out = _present_sorted(
         exact.unionByName(mh)
         .unionByName(groups)
-        .select("tier", "doc_a", "doc_b", "jaccard")
-        .orderBy("tier", "doc_a", "doc_b")
+        .select("tier", "doc_a", "doc_b", "jaccard"),
+        "tier", "doc_a", "doc_b",
     )
     return _eager(spark, out, handles)
 
@@ -1994,10 +2023,10 @@ def run_dedup_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
     lsh = dedup.embedding_neardup_lsh(
         embs, threshold=0.9, n_planes=64, bands=16, handles=handles
     ).withColumn("tier", F.lit("lsh"))
-    out = (
+    out = _present_sorted(
         exact.unionByName(lsh)
-        .select("tier", "vec_id", "keep_id", "is_dup")
-        .orderBy("tier", "vec_id")
+        .select("tier", "vec_id", "keep_id", "is_dup"),
+        "tier", "vec_id",
     )
     return _eager(spark, out, handles)
 
@@ -2028,10 +2057,10 @@ def run_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = dedup.signature_hamming_pairs(
         sigs, max_hamming=3, handles=handles
     ).withColumn("op", F.lit("media"))
-    out = (
+    out = _present_sorted(
         text.unionByName(media)
-        .select("op", "doc_a", "doc_b", "hamming")
-        .orderBy("op", "doc_a", "doc_b")
+        .select("op", "doc_a", "doc_b", "hamming"),
+        "op", "doc_a", "doc_b",
     )
     return _eager(spark, out, handles)
 
@@ -2541,19 +2570,21 @@ def run_sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("cos_sim").alias("score"),
         )
     )
-    out = (
-        vec.unionByName(bat)
-        .unionByName(bm)
-        .orderBy("tier", F.col("score").desc(), "hit_id")
+    out = _present_sorted(
+        vec.unionByName(bat).unionByName(bm),
+        "tier", F.col("score").desc(), "hit_id",
     )
     return _eager(spark, out, handles)
 
 
 def run_sim_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return similarity.cosine_pairs(
-        _embs(spark, sf_dir), threshold=0.4,
-        n_blocks=_embs_blocks(spark, sf_dir),
-    ).orderBy("id_a", "id_b")
+    return _present_sorted(
+        similarity.cosine_pairs(
+            _embs(spark, sf_dir), threshold=0.4,
+            n_blocks=_embs_blocks(spark, sf_dir),
+        ),
+        "id_a", "id_b",
+    )
 
 
 _SIM_PAIRS_ORACLE = """
@@ -2591,7 +2622,7 @@ def run_mm_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     feats = multimodal.byte_histogram_features(df).select(
         "doc_id", F.round("entropy", 4).alias("entropy"), "top_byte"
     )
-    return meta.join(feats, "doc_id").orderBy("doc_id")
+    return _present_sorted(meta.join(feats, "doc_id"), "doc_id")
 
 
 _MM_META_ORACLE = """
@@ -2625,10 +2656,10 @@ def run_mm_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     at evenly spaced offsets over the binary payload. The oracle recomputes
     each frame's byte length arithmetically."""
     df = multimodal.attach_payload(_docs(spark, sf_dir))
-    return (
+    return _present_sorted(
         multimodal.sample_frames(df)
-        .select("doc_id", "frame_idx", F.octet_length("frame_bytes").alias("frame_len"))
-        .orderBy("doc_id", "frame_idx")
+        .select("doc_id", "frame_idx", F.octet_length("frame_bytes").alias("frame_len")),
+        "doc_id", "frame_idx",
     )
 
 
@@ -2670,7 +2701,9 @@ def run_mm_all(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("double").alias("entropy"),
         F.lit(None).cast("int").alias("top_byte"),
     )
-    return meta.unionByName(frames).orderBy("src", "doc_id", "frame_idx")
+    return _present_sorted(
+        meta.unionByName(frames), "src", "doc_id", "frame_idx"
+    )
 
 
 _MM_ALL_ORACLE = f"""
@@ -2726,7 +2759,7 @@ def run_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
             "bal",
         )
     )
-    return topk.unionByName(per_nation).orderBy("src", "key")
+    return _present_sorted(topk.unionByName(per_nation), "src", "key")
 
 
 _SKEW_SALTED_ORACLE = """
@@ -2927,7 +2960,8 @@ def run_olap(spark: SparkSession, sf_dir: str) -> DataFrame:
         "value",
         "value_str",
     )
-    return olap_p.unionByName(prof_p).orderBy(
+    return _present_sorted(
+        olap_p.unionByName(prof_p),
         "src", "o_orderpriority", "o_orderstatus", "gp", "gs", "c_custkey",
         "pcol", "stat",
     )
@@ -3470,13 +3504,13 @@ def run_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
         "keep_neardup", "keep_decon", "kept", "pack_shard", "pack_bin",
         "pack_offset", "stage", "n_entered", "n_kept", "n_dropped",
     )
-    return (
+    return _present_sorted(
         flags.unionByName(rest)
         .unionByName(pflags)
         .select(*cols)
         .unionByName(report)
-        .unionByName(preport)
-        .orderBy("src", "doc_id", "stage")
+        .unionByName(preport),
+        "src", "doc_id", "stage",
     )
 
 
@@ -3938,9 +3972,9 @@ def run_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranks = graph.pagerank(
         edges, iters=_PR_ITERS, damping=_PR_DAMP, handles=handles
     )
-    out = ranks.select(
-        "node", F.round("rank", 6).alias("rank")
-    ).orderBy("node")
+    out = _present_sorted(
+        ranks.select("node", F.round("rank", 6).alias("rank")), "node"
+    )
     return _eager(spark, out, handles)
 
 
@@ -4295,15 +4329,15 @@ def run_warc_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("keep_domain_cap"), F.lit("keep"))
         .otherwise(F.lit("drop")).alias("text"),
     )
-    return (
+    return _present_sorted(
         docs_branch.unionByName(main_branch)
         .unionByName(stream_branch)
         .unionByName(urls_branch)
         .unionByName(wet_branch)
         .unionByName(jsonl_branch)
         .unionByName(urldedup_branch)
-        .unionByName(domcap_branch)
-        .orderBy("op", "url")
+        .unionByName(domcap_branch),
+        "op", "url",
     )
 
 
@@ -4457,7 +4491,7 @@ def run_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
         out = W.run_available_now(
             W.session_counts(stream), "ex_stream_sessions"
         )
-    return out.orderBy("user_id", "session_start")
+    return _present_sorted(out, "user_id", "session_start")
 
 
 _STREAM_SESSIONS_ORACLE = """
@@ -4537,7 +4571,9 @@ def run_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.min("doc_id").alias("doc_id"))
         .select(F.lit("state").alias("src"), "content_hash", "doc_id")
     )
-    return state.unionByName(ingest).orderBy("src", "content_hash", "doc_id")
+    return _present_sorted(
+        state.unionByName(ingest), "src", "content_hash", "doc_id"
+    )
 
 
 # untimed fixture for the 'ingest' branch, cached per (session, sf_dir):
@@ -4710,9 +4746,9 @@ def run_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     embs = _embs(spark, sf_dir)
     cents = semdedup.kmeans_fit(embs, init=_SEM_INIT, n_iters=_SEM_ITERS)
-    return semdedup.semantic_neardup(
-        embs, cents, threshold=_SEM_TAU
-    ).orderBy("vec_id")
+    return _present_sorted(
+        semdedup.semantic_neardup(embs, cents, threshold=_SEM_TAU), "vec_id"
+    )
 
 
 def _semdedup_oracle(init, n_iters: int, threshold: float) -> str:
@@ -4892,7 +4928,9 @@ def run_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     _t0 = _time.perf_counter()
     res = _eager(
         spark,
-        span.unionByName(line).unionByName(c4).orderBy("src", "doc_id"),
+        _present_sorted(
+            span.unionByName(line).unionByName(c4), "src", "doc_id"
+        ),
         handles,
     )
     # phase timers to stderr (the ex_dedup_exact pattern): 'gate' is
@@ -5248,10 +5286,11 @@ def run_lm_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         src, (fid + 20).alias("doc_id"), ntn.alias("n_tokens"),
         F.round("sg", 6).alias("log_ppl"), nkeep.alias("kept"),
     )
-    return (
+    return _present_sorted(
         uni.unionByName(bi).unionByName(bucket).unionByName(clf)
         .unionByName(wrows).unionByName(brow).unionByName(mrows)
-        .unionByName(srows).orderBy("src", "doc_id")
+        .unionByName(srows),
+        "src", "doc_id",
     )
 
 

@@ -558,10 +558,12 @@ def _run_dq22(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("src", F.lit("slide"))
     )
     batch = batch.unionByName(slide)
-    return (
+    from pcap_converter_spark.operators.registry import _present_sorted
+
+    return _present_sorted(
         batch.unionByName(stream)
-        .select("src", "h", "event_type", "n", "v")
-        .orderBy("src", "h", "event_type")
+        .select("src", "h", "event_type", "n", "v"),
+        "src", "h", "event_type",
     )
 
 
@@ -606,10 +608,12 @@ def _run_dq23(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_id", F.col("ts_asof").alias("prev_ts"))
         .withColumn("src", F.lit("asof"))
     )
-    return (
+    from pcap_converter_spark.operators.registry import _present_sorted
+
+    return _present_sorted(
         batch.unionByName(alt)
-        .select("src", "event_id", "prev_ts")
-        .orderBy("src", "event_id")
+        .select("src", "event_id", "prev_ts"),
+        "src", "event_id",
     )
 
 
@@ -653,10 +657,12 @@ def _run_pq4(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn("src", F.lit("stream"))
     )
-    return (
+    from pcap_converter_spark.operators.registry import _present_sorted
+
+    return _present_sorted(
         batch.unionByName(streamed)
-        .select("src", "col_protocol", "n", "avg_len")
-        .orderBy("src", "col_protocol")
+        .select("src", "col_protocol", "n", "avg_len"),
+        "src", "col_protocol",
     )
 
 

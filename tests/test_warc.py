@@ -542,11 +542,16 @@ def test_warc_docs_fixture_matches_ground_truth(spark):
         run_warc_docs,
     )
 
+    # entries return an unsorted frame (presentation sorts dropped —
+    # registry._present_sorted; the driver gate is order-insensitive), so
+    # canonicalize both sides by url before the value-for-value compare
     got = (
         run_warc_docs(spark, "unused")
         .filter("op = 'docs'")
         .select("url", "text")
         .toPandas()
+        .sort_values("url")
+        .reset_index(drop=True)
     )
     exp = pd.read_parquet(_WARC_DOCS_PARQUET).sort_values("url").reset_index(
         drop=True
