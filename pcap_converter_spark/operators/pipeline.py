@@ -690,7 +690,7 @@ def curate(
     )
 
 
-def curation_report(flags: DataFrame) -> DataFrame:
+def curation_report(flags: DataFrame, sort: bool = True) -> DataFrame:
     """Per-stage funnel summary from ``curate()``'s flags, as ONE
     aggregation (the flags were designed for exactly this): a row per stage
     with (stage, n_entered, n_kept, n_dropped). Each stage's ``n_entered``
@@ -739,11 +739,13 @@ def curation_report(flags: DataFrame) -> DataFrame:
         + ",".join(entries)
         + ") AS (stage, n_entered, n_kept)"
     )
-    return (
-        a.selectExpr(stack)
-        .withColumn("n_dropped", F.col("n_entered") - F.col("n_kept"))
-        .orderBy("stage")
+    out = a.selectExpr(stack).withColumn(
+        "n_dropped", F.col("n_entered") - F.col("n_kept")
     )
+    # sort=False skips the presentation sort: its range-sampling job
+    # re-runs the aggregation subtree (order-insensitive consumers —
+    # the hash-gated entries — don't need it; the CLI keeps the default).
+    return out.orderBy("stage") if sort else out
 
 
 def write_kept(

@@ -35,6 +35,7 @@ def profile(
     round_digits: int = 4,
     include_approx: bool = True,
     by: str | None = None,
+    sort: bool = True,
 ) -> DataFrame:
     """Per-column profile as one aggregation job.
 
@@ -110,9 +111,16 @@ def profile(
         f"stack({len(plan)}, {', '.join(parts)}) AS "
         "(column, stat, value, value_str)"
     )
+    # ``sort=False`` skips the presentation ordering: a global sort's
+    # range-sampling job re-executes the aggregation subtree (one full
+    # scan of ``df``) before the sort stage runs it again — callers that
+    # feed the frame into an order-insensitive consumer (the hash-gated
+    # entries) pass False; the CLI keeps the readable default.
     if by is None:
-        return row.selectExpr(stack).orderBy("column", "stat")
-    return row.selectExpr(f"`{by}`", stack).orderBy(by, "column", "stat")
+        out = row.selectExpr(stack)
+        return out.orderBy("column", "stat") if sort else out
+    out = row.selectExpr(f"`{by}`", stack)
+    return out.orderBy(by, "column", "stat") if sort else out
 
 
 def profile_diff(
@@ -120,6 +128,7 @@ def profile_diff(
     new: DataFrame,
     rel_threshold: float = 0.0,
     round_digits: int = 4,
+    sort: bool = True,
 ) -> DataFrame:
     """Snapshot drift report — the QA step a ROLLING pipeline runs before
     committing a new crawl: join two ``profile()`` outputs and emit, per
@@ -183,9 +192,13 @@ def profile_diff(
         & F.col("new_str").isNotNull()
         & (F.col("old_str") != F.col("new_str"))
     )
-    return j.select(
+    out = j.select(
         "column", "stat", "old_value", "new_value",
         delta.alias("delta"), rel.alias("rel_change"),
         "old_str", "new_str",
         (one_sided | num_drift | str_drift).alias("drifted"),
-    ).orderBy("column", "stat")
+    )
+    # sort=False as in profile(): skip the presentation sort when the
+    # consumer is order-insensitive (or re-sorts itself, e.g. via a
+    # row_number window over the same keys).
+    return out.orderBy("column", "stat") if sort else out

@@ -605,6 +605,12 @@ def _text_all_impl(
                 ),
                 include_approx=False,
                 by="_slice",
+                # unsorted: this checkpoint would otherwise materialize
+                # the SORTED frame — sampling pass + sort pass = the
+                # grouped aggregation (a full docs scan) twice. The two
+                # consumers (profile_diff join, row_number window) are
+                # order-insensitive / re-sorting.
+                sort=False,
             ).localCheckpoint(eager=True)
             _prof_out["t"] = _time.perf_counter() - t0
         except BaseException as e:
@@ -973,6 +979,7 @@ def _text_all_impl(
     pdiff = profile_diff(
         both_prof.filter(F.col("_slice") == 0).drop("_slice"),
         both_prof.filter(F.col("_slice") == 1).drop("_slice"),
+        sort=False,  # the row_number window below re-sorts on the same keys
     )
     rn = F.row_number().over(Window.orderBy("column", "stat"))
     pdf = pdiff.select(
@@ -2790,7 +2797,11 @@ def run_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pcap_converter_spark.io.loader import register_views
 
     register_views(spark, sf_dir)
-    return spark.sql(
+    # no final ORDER BY on the Spark side (presentation only — see
+    # _present_sorted): the sort's range-sampling job re-ran the whole
+    # parse+aggregate subtree a second time. The DuckDB twin keeps its
+    # ORDER BY (costless there; the gate compares order-insensitively).
+    out = spark.sql(
         "WITH e AS (SELECT props, concat("
         "  'https://', event_type, '.ex', CAST(user_id % 3 AS STRING),"
         "  '.org/p/', CAST(event_id % 7 AS STRING),"
@@ -2803,9 +2814,9 @@ def run_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         "parse_url(u, 'PATH') AS pth, "
         "CAST(parse_url(u, 'QUERY', 'uid') AS BIGINT) % 5 AS uid_bucket, "
         "count(*) AS n FROM e "
-        "GROUP BY k, k_typed, miss, host, pth, uid_bucket "
-        "ORDER BY k, host, pth, uid_bucket"
+        "GROUP BY k, k_typed, miss, host, pth, uid_bucket"
     )
+    return _present_sorted(out, "k", "host", "pth", "uid_bucket")
 
 
 _JSON_ORACLE = """
@@ -2866,12 +2877,6 @@ _NTILE_BODY = (
 )
 
 
-_OLAP_ORDER = (
-    "ORDER BY src, o_orderpriority NULLS FIRST, o_orderstatus NULLS FIRST, "
-    "gp, gs, c_custkey"
-)
-
-
 def _olap_sql(med_expr: str, strtype: str) -> str:
     """CUBE/GROUPING SETS ∪ ranking-window family, src-tagged with
     NULL-padded disjoint columns (the ex_mm_all convention). ``strtype``
@@ -2895,8 +2900,12 @@ def _olap_sql(med_expr: str, strtype: str) -> str:
         "UNION ALL "
         f"SELECT 'ntile' AS src, {cube_null}, "
         "c_custkey, quartile, pr, cd, dr, fv, nv3 "
-        f"FROM ({_NTILE_BODY}) nt "
-        f"{_OLAP_ORDER}"
+        f"FROM ({_NTILE_BODY}) nt"
+        # no outer ORDER BY: on the Spark side run_olap's final
+        # _present_sorted owns presentation (the interior sort was a
+        # redundant rangepartitioning Exchange under the union); on the
+        # DuckDB side this string is consumed as a subquery, where an
+        # ORDER BY is semantically void anyway.
     )
 
 
@@ -2936,7 +2945,8 @@ def run_olap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("value_str", ns)
     )
     prof = _profile(
-        load_table(spark, sf_dir, "part"), include_approx=False
+        load_table(spark, sf_dir, "part"), include_approx=False,
+        sort=False,  # rides the union; final _present_sorted owns order
     )
     prof_p = prof.select(
         F.lit("profile").alias("src"),
@@ -3444,7 +3454,7 @@ def run_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("n_kept", nl)
         .withColumn("n_dropped", nl)
     )
-    preport = curation_report(prelude_frame).select(
+    preport = curation_report(prelude_frame, sort=False).select(
         F.lit("preport").alias("src"),
         nl.alias("doc_id"),
         nb.alias("keep_lang"),
@@ -3482,7 +3492,7 @@ def run_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("n_kept", nl)
         .withColumn("n_dropped", nl)
     )
-    report = curation_report(flags_frame).select(
+    report = curation_report(flags_frame, sort=False).select(
         F.lit("report").alias("src"),
         nl.alias("doc_id"),
         nb.alias("keep_lang"),
