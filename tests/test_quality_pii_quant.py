@@ -49,6 +49,38 @@ def test_repetition_stats_matches_python(spark):
         assert got[doc_id] == pytest.approx(_py_rep(text)), (doc_id, text)
 
 
+def test_repetition_stats_per_row_edges(spark):
+    """The r16 shuffle-free rewrite (array_sort + fold instead of
+    explode → two grouped shuffles) must keep the exact old contract on
+    the rows the fold's accumulator could plausibly mishandle: a doc
+    whose ONLY gram is the empty string (empty / NULL text — the
+    token_ngrams short-doc contract wraps zero words as one '' gram,
+    which collides with the fold's '' sentinel), a doc that is one
+    repeated gram (run spans the whole array), and a doc whose top run
+    sits at the END of the sorted array (the final accumulator state is
+    the answer)."""
+    rows = [
+        (0, ""),            # one '' gram: (0.0, 1.0)
+        (1, None),          # NULL text == empty text here
+        (2, "go go go go"), # all grams equal: run == len
+        (3, "a b z z z"),   # top run last in sorted order
+        (4, "one"),         # short doc: whole text is the single gram
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["dup_ngram_frac"], r["top_ngram_frac"])
+        for r in quality.repetition_stats(df).collect()
+    }
+    assert set(got) == {d for d, _ in rows}
+    for doc_id, text in rows:
+        assert got[doc_id] == pytest.approx(_py_rep(text or "")), (
+            doc_id, text,
+        )
+    # and the plan is genuinely shuffle-free: no Exchange anywhere
+    plan = quality.repetition_stats(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
+
+
 def test_mean_word_len(spark):
     df = spark.createDataFrame(DOCS, ["doc_id", "text"])
     got = {
