@@ -484,6 +484,22 @@ def _median(vals):
     return s[len(s) // 2] if s else None
 
 
+def _pprobe_hot(
+    pprobe_ms: dict[str, float], threshold: float = 1.5, cap: int = 8
+) -> dict[str, float]:
+    """Burst-hit entries for the summary record (r17, VERDICT r16 #7):
+    entries whose own post-window parallel probe ran ≥ ``threshold``×
+    the clean-host anchor, quoted as the slowdown ratio and truncated to
+    the ``cap`` worst so the stdout record stays inside the driver's
+    tail window. An empty dict on a clean recording is itself signal."""
+    hot = {
+        k: round(v / PMATMUL_REF_MS, 1)
+        for k, v in pprobe_ms.items()
+        if v >= threshold * PMATMUL_REF_MS
+    }
+    return dict(sorted(hot.items(), key=lambda kv: -kv[1])[:cap])
+
+
 # the per-entry correction factor is CLAMPED to this band (VERDICT r15
 # #1): even a parallelism-matched probe can misprice a pathological
 # moment (probe lands in a foreign burst the entry dodged, or vice
@@ -618,7 +634,11 @@ def main() -> int:
     from pyspark.sql import SparkSession
 
     import __spark_entry__ as entrymod
-    from pcap_converter_spark.session import apply_runtime_confs
+    from pcap_converter_spark.session import (
+        CODEGEN_CACHE_MAX_ENTRIES,
+        apply_runtime_confs,
+        driver_java_opts,
+    )
 
     spark = (
         SparkSession.builder.appName("bench")
@@ -639,7 +659,9 @@ def main() -> int:
         # LRU signature: the suite's distinct generated classes exceed
         # the cap, so every entry regenerates on every run) — 16384
         # holds the whole suite's classes
-        .config("spark.sql.codegen.cache.maxEntries", "16384")
+        # (r17: value inherited from session.py — VERDICT r16 #2, the
+        # capacity fix now ships to production sessions too)
+        .config("spark.sql.codegen.cache.maxEntries", CODEGEN_CACHE_MAX_ENTRIES)
         # no console progress bars: their \r-rewritten stage lines emit
         # tens of KB per query, and the driver's output capture is
         # size-capped — BENCH_r09.json lost the summary JSON line and 30
@@ -658,12 +680,8 @@ def main() -> int:
         # and as a uniform late-suite slowdown. Same sizing logic applies
         # to any long-lived production driver/executor JVM hosting many
         # distinct plans; the env knob keeps it operator-tunable.
-        .config(
-            "spark.driver.extraJavaOptions",
-            os.environ.get(
-                "PCS_DRIVER_JAVA_OPTS", "-XX:ReservedCodeCacheSize=640m"
-            ),
-        )
+        # (r17: value inherited from session.py — VERDICT r16 #2)
+        .config("spark.driver.extraJavaOptions", driver_java_opts())
         .getOrCreate()
     )
     apply_runtime_confs(spark)
@@ -1148,6 +1166,18 @@ def main() -> int:
     # (ADVICE r13: a typo'd flag used to record an ungated artifact that
     # looked identical to a gated one)
     out["host"]["idle_gated"] = bool(idle_gated)
+    # Per-entry host context IN the artifact (r17, VERDICT r16 #7): each
+    # entry already gets a parallel machine-speed probe right after its
+    # timed window; promote the BURST-HIT entries (probe ≥ 1.5× the
+    # clean-host anchor) into the summary record as slowdown ratios, so
+    # the driver's PERF comparison can mechanically discount an entry
+    # whose own window the host poisoned instead of judges doing it by
+    # hand. Capped at the worst 8 (the stdout record must stay inside
+    # the driver's ~2000-char tail window); the FULL per-entry probe
+    # vectors always ride stderr ('bench: probe-ms' / 'bench: pprobe-ms'
+    # lines above). Additions-only: no existing key changes.
+    if pprobe_ms:
+        out["pprobe_hot"] = _pprobe_hot(pprobe_ms)
     line = json.dumps(out)
     if len(line) > 1900:  # keep the whole record inside the tail window
         # staged fallback, RE-CHECKED after each stage (ADVICE r10: the
@@ -1164,6 +1194,19 @@ def main() -> int:
             if not (k.startswith("dq") or k.startswith("pq"))
         }
         line = json.dumps(slim)
+        if len(line) > 1900:
+            # probe context goes before per-entry timings do: truncate
+            # the burst list to the worst 4, then drop it entirely
+            if slim.get("pprobe_hot"):
+                slim["pprobe_hot"] = dict(
+                    sorted(
+                        slim["pprobe_hot"].items(), key=lambda kv: -kv[1]
+                    )[:4]
+                )
+                line = json.dumps(slim)
+        if len(line) > 1900:
+            slim.pop("pprobe_hot", None)
+            line = json.dumps(slim)
         if len(line) > 1900:
             slim["queries"] = {"_see_stderr_full_queries": len(timings)}
             line = json.dumps(slim)

@@ -268,6 +268,15 @@ def _present_sorted(df: DataFrame, *cols) -> DataFrame:
     return df
 
 
+# Plan-evidence hook (r17, VERDICT r16 #8): a checkpointed entry's
+# returned plan is an opaque `Scan ExistingRDD`, so sort-drop/shape
+# claims about `_eager` entries were unverifiable from the committed
+# plan files. tools/capture_plans.py sets this to a list; _eager then
+# appends each PRE-checkpoint frame (the entry's real plan) before
+# materializing. None in normal operation — zero cost on query paths.
+_EAGER_PLAN_HOOK: list | None = None
+
+
 def _eager(spark: SparkSession, df: DataFrame, handles: list) -> DataFrame:
     """Materialize ``df`` once, then unpersist the operator's internal
     caches (VERDICT r2: leaked persist() blocks accumulate over a long
@@ -278,6 +287,8 @@ def _eager(spark: SparkSession, df: DataFrame, handles: list) -> DataFrame:
     Python-worker parallelize path, so the cost is one job, not one job
     plus 32 cold worker forks. At corpus scale callers keep the lazy form
     and manage persistence themselves."""
+    if _EAGER_PLAN_HOOK is not None:
+        _EAGER_PLAN_HOOK.append(df)
     out = df.localCheckpoint(eager=True)
     for h in handles:
         h.unpersist()

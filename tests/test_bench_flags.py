@@ -269,3 +269,22 @@ def test_parallel_machine_speed_probe_returns_plausible_ms():
     plausible band (not per-thread CPU, not a hung join)."""
     ms = bench._parallel_machine_speed_ms()
     assert ms is not None and 1.0 < ms < 120_000.0
+
+
+def test_pprobe_hot_flags_burst_entries_only():
+    """The summary record's per-entry probe context (r17): entries whose
+    post-window parallel probe ran >= 1.5x the anchor appear with their
+    slowdown ratio, clean entries do not, and the dict is truncated to
+    the worst `cap` so the stdout line stays inside the driver's tail
+    window."""
+    ref = bench.PMATMUL_REF_MS
+    probes = {"clean_a": ref * 1.0, "clean_b": ref * 1.4,
+              "hot_a": ref * 2.0, "hot_b": ref * 6.0}
+    hot = bench._pprobe_hot(probes)
+    assert set(hot) == {"hot_a", "hot_b"}
+    assert hot["hot_b"] == 6.0 and hot["hot_a"] == 2.0
+    # cap: keeps the WORST entries
+    many = {f"e{i}": ref * (2 + i) for i in range(12)}
+    capped = bench._pprobe_hot(many, cap=3)
+    assert list(capped) == ["e11", "e10", "e9"]
+    assert bench._pprobe_hot({"a": ref}) == {}

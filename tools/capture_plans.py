@@ -35,7 +35,10 @@ def main() -> int:
 
     import __spark_entry__ as entrymod
     import bench
-    from pcap_converter_spark.session import apply_runtime_confs
+    from pcap_converter_spark.session import (
+        CODEGEN_CACHE_MAX_ENTRIES,
+        apply_runtime_confs,
+    )
 
     spark = (
         SparkSession.builder.appName("capture_plans")
@@ -44,7 +47,7 @@ def main() -> int:
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", "8g")
         .config("spark.ui.enabled", "false")
-        .config("spark.sql.codegen.cache.maxEntries", "4096")
+        .config("spark.sql.codegen.cache.maxEntries", CODEGEN_CACHE_MAX_ENTRIES)
         .config("spark.ui.showConsoleProgress", "false")
         .getOrCreate()
     )
@@ -52,18 +55,38 @@ def main() -> int:
     spark.sparkContext.setLogLevel("ERROR")
     runners = entrymod.queries()
     bench.run_warmup(spark, sf_dir, cpus, runners)
+    from pcap_converter_spark.operators import registry
+
+    def _formatted(df) -> str:
+        return df._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution
+            .ExplainMode.fromString("formatted")
+        )
+
     for name, fn in runners.items():
         if only and name not in only:
             continue
         path = os.path.join(outdir, f"{name}_{suffix}.txt")
+        # r17 (VERDICT r16 #8): arm the _eager hook so checkpointing
+        # entries expose their PRE-checkpoint frame — the returned
+        # frame's plan is an opaque `Scan ExistingRDD` that can verify
+        # no shape claim. The LAST hooked frame is the entry's final
+        # materialized plan (interior _eager calls land earlier).
+        registry._EAGER_PLAN_HOOK = captures = []
         try:
             df = fn(spark, sf_dir)
-            plan = df._jdf.queryExecution().explainString(
-                spark._jvm.org.apache.spark.sql.execution
-                .ExplainMode.fromString("formatted")
-            )
+            if captures:
+                plan = (
+                    f"== PRE-CHECKPOINT PLAN (final _eager frame; "
+                    f"{len(captures)} _eager call(s) in entry) ==\n"
+                    + _formatted(captures[-1])
+                )
+            else:
+                plan = _formatted(df)
         except Exception as exc:  # capture the failure, keep going
             plan = f"PLAN CAPTURE FAILED: {exc!r}\n"
+        finally:
+            registry._EAGER_PLAN_HOOK = None
         with open(path, "w") as f:
             f.write(plan)
         print(f"plans: {name} -> {path}", file=sys.stderr, flush=True)
