@@ -23,6 +23,8 @@ keyed by band hashes which are uniform by construction (no skew).
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import Column, DataFrame
@@ -564,6 +566,34 @@ def _shingle_table(df: DataFrame, text_col: str, id_col: str, k: int) -> DataFra
     return df.select(id_col, text_col).mapInPandas(gen, schema=schema)
 
 
+def _hot_key_guard_engaged(df: DataFrame, override: bool | None) -> bool:
+    """Size gate for the hot-shingle pre-filter (r17 skew audit, guide
+    §2.5): engage automatically when the INPUT's optimizer size estimate
+    crosses a threshold (env ``PCS_HOT_KEY_GUARD_BYTES``, default 1 GiB
+    — the extra corpus pass starts paying for itself when a single hot
+    key's doc list could no longer be assumed to fit one task
+    comfortably). Reading the plan estimate costs no job. ``override``
+    pins the decision either way (tests; callers that know their data)."""
+    if override is not None:
+        return bool(override)
+    try:
+        thresh = int(os.environ.get("PCS_HOT_KEY_GUARD_BYTES", 1 << 30))
+    except ValueError:
+        thresh = 1 << 30
+    try:
+        size = int(
+            df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+        )
+    except Exception:
+        return False  # no estimate: keep the single-pass shape
+    if size <= 0 or size >= (1 << 62):
+        # UNKNOWN estimate (RDD-backed frames report Long.MaxValue):
+        # keep the single-pass shape — callers that know their input is
+        # corpus-scale pin hot_key_guard=True explicitly
+        return False
+    return size > thresh
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -572,6 +602,7 @@ def ngram_jaccard_pairs(
     threshold: float = 0.7,
     max_shingle_df: int | None = None,
     handles: list | None = None,
+    hot_key_guard: bool | None = None,
 ) -> DataFrame:
     """Tier 2: exact Jaccard over k-word shingles, as a shingle equi-join.
 
@@ -597,6 +628,34 @@ def ngram_jaccard_pairs(
     count.
     """
     sh = _shingle_table(df, text_col, id_col, k)
+    if max_shingle_df is not None and _hot_key_guard_engaged(df, hot_key_guard):
+        # Hot-shingle PRE-filter (r17 skew audit; guide §2.5 "filter or
+        # special-case the hot keys" + §3.2 pre-filter before the
+        # shuffle). The collect_list below is the one skew point AQE
+        # cannot fix — skew handling applies to joins, not aggregations
+        # — and a boilerplate shingle shared by m documents would
+        # otherwise materialize an m-element list in ONE reduce task
+        # before the df-cut filter discards it. Compute df(sh) with a
+        # plain count first (counts are skew-immune: partial map-side
+        # aggregation collapses the hot key per task — a salted
+        # two-level agg would be redundant machinery on top of what
+        # HashAggregate partial→final already does), then drop the tiny
+        # >cut key set with a broadcast anti-join BEFORE the postings
+        # shuffle. Results are identical by construction: every key
+        # dropped here is dropped by the size(docs) <= cut filter below
+        # anyway. Cost: a second pass over the shingle table (persisted
+        # when the caller manages handles), which is the standard §3.2
+        # trade — pay a cheap extra scan to bound the shuffle.
+        if handles is not None:
+            sh = sh.persist()
+            handles.append(sh)
+        hot = (
+            sh.groupBy("sh")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") > max_shingle_df)
+            .select("sh")
+        )
+        sh = sh.join(F.broadcast(hot), "sh", "left_anti")
     postings = sh.groupBy("sh").agg(F.sort_array(F.collect_list("doc")).alias("docs"))
     if max_shingle_df is not None:
         postings = postings.filter(F.size("docs") <= max_shingle_df)

@@ -2588,11 +2588,48 @@ def run_sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("cos_sim").alias("score"),
         )
     )
-    out = _present_sorted(
-        vec.unionByName(bat).unionByName(bm),
+    # r17 (VERDICT r16 #4, guide §2.6 overlap independent jobs): the
+    # probe groups are independent pipelines over already-materialized
+    # inputs (the persisted emb scan / the at-rest index dirs / the
+    # session-cached tf table), and one materializing job used to run
+    # their stages as one long fan-out whose tail left the executor
+    # threads idle group after group. Materialize the three independent
+    # groups from a small driver thread pool instead — FIFO scheduling
+    # backfills one group's straggler tail with the next group's tasks,
+    # so the entry's wall is ~max(group), not Σ(groups). All frame
+    # CONSTRUCTION stays on this thread (py4j plan building and the
+    # session-level reader caches are serial work anyway); only the
+    # localCheckpoint materializations overlap. Result identity:
+    # checkpointing each union branch then unioning the checkpoints is
+    # row-identical to checkpointing the union (per-group phase walls
+    # ride stderr to prove the overlap).
+    from concurrent.futures import ThreadPoolExecutor
+
+    groups = {"vec": vec, "bat": bat, "bm": bm}
+    walls: dict[str, float] = {}
+
+    def _mat(name: str) -> DataFrame:
+        t0 = _time.perf_counter()
+        res = _eager(spark, groups[name], [])
+        walls[name] = round(_time.perf_counter() - t0, 2)
+        return res
+
+    t_all = _time.perf_counter()
+    with ThreadPoolExecutor(max_workers=len(groups)) as pool:
+        futs = {n: pool.submit(_mat, n) for n in groups}
+        done = {n: f.result() for n, f in futs.items()}
+    for h in handles:
+        h.unpersist()
+    print(
+        "bench: ex_sim_topk phases "
+        + " ".join(f"{n}={walls.get(n)}s" for n in groups)
+        + f" wall={round(_time.perf_counter() - t_all, 2)}s (overlapped)",
+        file=_sys.stderr,
+    )
+    return _present_sorted(
+        done["vec"].unionByName(done["bat"]).unionByName(done["bm"]),
         "tier", F.col("score").desc(), "hit_id",
     )
-    return _eager(spark, out, handles)
 
 
 def run_sim_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3145,6 +3182,24 @@ _PRELUDE_CORPUS_CACHE: dict[tuple[str, str], DataFrame] = {}
 # callers give it.
 _CURATE_PARTS = 8
 
+# Streaming-drain engine trim (r17, VERDICT r16 #5; guide §1.2 — config
+# only after the algorithm, and this one removes a whole redundant
+# micro-batch): after a drain's last DATA micro-batch the engine runs
+# one more NO-DATA micro-batch when the watermark advanced, whose
+# purpose is to finalize APPEND-mode windowed emission. The entry
+# drains here are complete-mode aggregations (the sink is truncated and
+# rewritten with the full state every batch — a re-run emits the
+# identical table) or a GroupStateTimeout.NoTimeout stateful append (a
+# no-data batch can emit rows only via timeouts, so it emits nothing),
+# so that extra batch recomputes the same sink content while paying a
+# full micro-batch cycle: planning, per-partition state-store commit,
+# offset/commit log writes. Scoped to the entry drains only — library
+# and test call sites keep the engine default (append-mode windowed
+# consumers NEED the no-data batch).
+_DRAIN_NO_EMPTY_BATCH = (
+    "spark.sql.streaming.noDataMicroBatches.enabled", "false",
+)
+
 
 class _scoped_shuffle_partitions:
     """Temporarily set spark.sql.shuffle.partitions for one entry's
@@ -3222,6 +3277,67 @@ class _scoped_shuffle_partitions:
                     "spark.sql.shuffle.partitions", st[1]
                 )
                 del self._active[key]
+
+
+_SCOPED_CONF_UNSET = object()
+
+
+class _scoped_conf:
+    """Temporarily set ONE session conf for an entry's drain window,
+    restoring (or unsetting) the caller's value after. Ref-counted and
+    thread-safe per (session, conf key) for the same reason as
+    _scoped_shuffle_partitions: entries overlap drains on driver
+    threads, and the conf is session-global. Nested scopes must agree
+    on the value. Used for the streaming drains' engine tuning (r17):
+    the conf is read at query START, so it only affects queries started
+    inside the scope."""
+
+    _lock = _threading.Lock()
+    # (applicationId, id(session), conf_key) -> [depth, prev, value]
+    _active: dict[tuple, list] = {}
+
+    def __init__(self, spark: SparkSession, key: str, value: str) -> None:
+        self.spark, self.key, self.value = spark, key, value
+
+    def __enter__(self):
+        k = (
+            self.spark.sparkContext.applicationId,
+            id(self.spark),
+            self.key,
+        )
+        with self._lock:
+            st = self._active.get(k)
+            if st is None:
+                try:
+                    prev = self.spark.conf.get(self.key)
+                except Exception:
+                    prev = _SCOPED_CONF_UNSET
+                self.spark.conf.set(self.key, self.value)
+                self._active[k] = [1, prev, self.value]
+            else:
+                if st[2] != self.value:
+                    raise ValueError(
+                        f"nested _scoped_conf({self.key}) disagree: "
+                        f"{st[2]!r} vs {self.value!r}"
+                    )
+                st[0] += 1
+        return self
+
+    def __exit__(self, *exc):
+        k = (
+            self.spark.sparkContext.applicationId,
+            id(self.spark),
+            self.key,
+        )
+        with self._lock:
+            st = self._active[k]
+            st[0] -= 1
+            if st[0] == 0:
+                if st[1] is _SCOPED_CONF_UNSET:
+                    self.spark.conf.unset(self.key)
+                else:
+                    self.spark.conf.set(self.key, st[1])
+                del self._active[k]
 
 
 def _prelude_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4508,10 +4624,18 @@ def run_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     # count never changes a grouped result). Production sizes shuffle
     # partitions to its own state volume; operator code takes whatever
     # the session gives it.
-    with _scoped_shuffle_partitions(spark, _CURATE_PARTS):
+    t0 = _time.perf_counter()
+    with _scoped_shuffle_partitions(spark, _CURATE_PARTS), _scoped_conf(
+        spark, *_DRAIN_NO_EMPTY_BATCH
+    ):
         out = W.run_available_now(
             W.session_counts(stream), "ex_stream_sessions"
         )
+    print(
+        f"bench: ex_stream_sessions phases "
+        f"drain={round(_time.perf_counter() - t0, 2)}s",
+        file=_sys.stderr,
+    )
     return _present_sorted(out, "user_id", "session_start")
 
 
@@ -4571,7 +4695,10 @@ def run_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 32-way is pure scheduling + state-store-file overhead (measured:
     # warm entry 5.19 s at 32 → 3.03 s at 8; rows identical). Production
     # sizes shuffle partitions to its own batch volume.
-    with _scoped_shuffle_partitions(spark, _CURATE_PARTS):
+    t0 = _time.perf_counter()
+    with _scoped_shuffle_partitions(spark, _CURATE_PARTS), _scoped_conf(
+        spark, *_DRAIN_NO_EMPTY_BATCH
+    ):
         # the two branches are INDEPENDENT streaming queries — start the
         # stateful drain non-blocking and run the whole ingest cycle
         # while it works, so the entry pays one stream-startup latency,
@@ -4580,11 +4707,18 @@ def run_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             streaming_dedup(stream), "ex_stream_dedup", "append"
         )
         try:
+            t_ing = _time.perf_counter()
             ingest = _run_ingest_branch(spark, sf_dir)
+            t_ing = _time.perf_counter() - t_ing
         except BaseException:
             q.stop()
             raise
         out = finish_available_now(spark, q, name)
+    print(
+        f"bench: ex_stream_dedup phases ingest={round(t_ing, 2)}s "
+        f"drains={round(_time.perf_counter() - t0, 2)}s (overlapped)",
+        file=_sys.stderr,
+    )
     # one input file → one batch → "first occurrence" is the scan order;
     # canonicalize to min doc_id per content so the answer is deterministic
     state = (

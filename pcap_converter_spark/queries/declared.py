@@ -537,14 +537,25 @@ def _run_dq22(spark: SparkSession, sf_dir: str) -> DataFrame:
     # fixed overhead for KB state (measured: warm entry 1.85 s at 32 →
     # 1.25 s at 8; identical rows). Production sizes this to its state.
     from pcap_converter_spark.operators.registry import (
-        _CURATE_PARTS, _scoped_shuffle_partitions,
+        _CURATE_PARTS, _DRAIN_NO_EMPTY_BATCH, _scoped_conf,
+        _scoped_shuffle_partitions,
     )
 
-    with _scoped_shuffle_partitions(spark, _CURATE_PARTS):
+    import sys as _sys
+    import time as _time
+
+    _t0 = _time.perf_counter()
+    with _scoped_shuffle_partitions(spark, _CURATE_PARTS), _scoped_conf(
+        spark, *_DRAIN_NO_EMPTY_BATCH
+    ):
         stream = W.run_available_now(
             W.tumbling_counts(W.read_events_stream(spark, sf_dir)),
             "dq22_stream",
         )
+    print(
+        f"bench: dq22 phases drain={round(_time.perf_counter() - _t0, 2)}s",
+        file=_sys.stderr,
+    )
     # streaming path runs on TimestampType (watermark requirement; session TZ
     # pinned UTC) — relabel back to NTZ so the union is type-identical
     stream = stream.select(

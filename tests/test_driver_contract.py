@@ -147,3 +147,39 @@ def test_scoped_shuffle_partitions_is_refcounted_and_thread_safe(spark):
         t.join(20)
     assert seen["after_a_exit"] == "2", "first exit flipped the conf early"
     assert spark.conf.get(key) == prev
+
+
+def test_scoped_conf_is_refcounted_and_restores(spark):
+    """r17 streaming-drain trim: _scoped_conf must restore the caller's
+    value only at the LAST exit, refuse disagreeing nested values, and
+    restore on exception. The drains scope
+    spark.sql.streaming.noDataMicroBatches.enabled=false around
+    complete-mode / NoTimeout queries only — the engine default must
+    come back for everything outside the scope (append-mode windowed
+    consumers NEED the no-data batch)."""
+    from pcap_converter_spark.operators.registry import (
+        _DRAIN_NO_EMPTY_BATCH, _scoped_conf,
+    )
+
+    key, val = _DRAIN_NO_EMPTY_BATCH
+    prev = spark.conf.get(key)  # engine default: "true"
+    assert prev == "true"
+
+    with _scoped_conf(spark, key, val):
+        assert spark.conf.get(key) == "false"
+        with _scoped_conf(spark, key, val):  # nested same-value
+            assert spark.conf.get(key) == "false"
+        assert spark.conf.get(key) == "false", "inner exit restored early"
+    assert spark.conf.get(key) == prev
+
+    with _scoped_conf(spark, key, val):
+        with pytest.raises(ValueError, match="disagree"):
+            with _scoped_conf(spark, key, "true"):
+                pass
+    assert spark.conf.get(key) == prev
+
+    # exception inside the scope still restores
+    with pytest.raises(RuntimeError):
+        with _scoped_conf(spark, key, val):
+            raise RuntimeError("boom")
+    assert spark.conf.get(key) == prev

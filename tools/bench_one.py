@@ -19,7 +19,11 @@ def main():
     from pyspark.sql import SparkSession
 
     import __spark_entry__ as entrymod
-    from pcap_converter_spark.session import apply_runtime_confs
+    from pcap_converter_spark.session import (
+        CODEGEN_CACHE_MAX_ENTRIES,
+        apply_runtime_confs,
+        driver_java_opts,
+    )
 
     spark = (
         SparkSession.builder.appName("bench_one")
@@ -28,6 +32,11 @@ def main():
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", "8g")
         .config("spark.ui.enabled", "false")
+        # measurement parity with bench.py (r17): without the codegen
+        # class cache + code cache sizing every rep re-Janinos the plan
+        .config("spark.sql.codegen.cache.maxEntries", CODEGEN_CACHE_MAX_ENTRIES)
+        .config("spark.driver.extraJavaOptions", driver_java_opts())
+        .config("spark.ui.showConsoleProgress", "false")
         .getOrCreate()
     )
     apply_runtime_confs(spark)

@@ -76,11 +76,17 @@ def main() -> int:
         try:
             df = fn(spark, sf_dir)
             if captures:
-                plan = (
-                    f"== PRE-CHECKPOINT PLAN (final _eager frame; "
-                    f"{len(captures)} _eager call(s) in entry) ==\n"
-                    + _formatted(captures[-1])
-                )
+                # dump EVERY hooked frame: entries that materialize
+                # several independent groups (e.g. ex_sim_topk's
+                # overlapped probe groups) have several real plans
+                parts = []
+                for i, cap in enumerate(captures, 1):
+                    parts.append(
+                        f"== PRE-CHECKPOINT PLAN {i}/{len(captures)} "
+                        f"(_eager frames in entry-construction order) ==\n"
+                        + _formatted(cap)
+                    )
+                plan = "\n".join(parts)
             else:
                 plan = _formatted(df)
         except Exception as exc:  # capture the failure, keep going

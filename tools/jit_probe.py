@@ -40,6 +40,12 @@ spark = (
     .config("spark.ui.showConsoleProgress", "false")
     .getOrCreate()
 )
+# r17: arbitrary experiment confs, e.g.
+# JITPROBE_CONFS='spark.sql.codegen.methodSplitThreshold=4000;spark.sql.codegen.wholeStage=false'
+for kv in os.environ.get("JITPROBE_CONFS", "").split(";"):
+    if "=" in kv:
+        k, v = kv.split("=", 1)
+        spark.conf.set(k.strip(), v.strip())
 apply_runtime_confs(spark)
 spark.sparkContext.setLogLevel("ERROR")
 sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
